@@ -1,0 +1,131 @@
+"""Text-analysis column library for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions over a string column —
+JVM-side, codegen'd, linear per row, embarrassingly parallel at 100 TB
+(no shuffle at all for per-document scores).  Each has an exact ANSI
+SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic (public common function words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>; empty strings removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word-chunks + digits + punct.
+
+    The regex splits words into ≤4-char chunks the way byte-pair
+    vocabularies tend to: ``\\w{1,4}`` pieces plus isolated
+    non-word/non-space marks.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"(\w{1,4}|[^\w\s])"), 1))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-word, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    mean of three clamped signals: length (chars/500 capped at 1),
+    1 − punctuation ratio, and stopword ratio scaled ×3 capped at 1 —
+    the standard cheap pre-filter shape for web-scraped corpora.
+    """
+    length_sig = F.least(char_count(col) / F.lit(500.0), F.lit(1.0))
+    punct_sig = F.lit(1.0) - punct_ratio(col)
+    sw_sig = F.least(stopword_ratio(col) * 3.0, F.lit(1.0))
+    return (length_sig + punct_sig + sw_sig) / 3.0
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-token language heuristic → language code or 'und'.
+
+    Counts per-language marker tokens; highest count wins, ties broken
+    by language-code order (deterministic).  A real system swaps in a
+    character-n-gram model; the operator shape (pure per-row column
+    expressions, no shuffle) is identical.
+    """
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for code in sorted(LANG_MARKERS):  # deterministic order
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+        n = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        is_better = n > best_n
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_n = F.when(is_better, n).otherwise(best_n)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct lowercase tokens.
+
+    Collapses token order and repetition — the classic "key collision"
+    fingerprint for clustering near-identical documents.  md5 is
+    portable across Spark and DuckDB (unlike xxhash64).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(F.transform(tokens(c), lambda t: F.lower(t)))),
+        " ",
+    )
+    return F.md5(norm)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string> (for MinHash / Jaccard).
+
+    Built with sequence+transform over the token array — no explode
+    needed until the caller chooses to.
+    """
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

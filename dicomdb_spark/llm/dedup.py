@@ -1,0 +1,199 @@
+"""Document deduplication for training-data pipelines.
+
+Four families, each expressed Spark-first:
+
+* **exact** — content-hash groupBy.  One shuffle on a 128-bit key.
+* **n-gram Jaccard** — shingle → inverted-index join → per-pair
+  intersection counts.  The candidate join is on the shingle key, so
+  only documents sharing ≥1 shingle ever meet (never O(n²)).
+* **MinHash + LSH** — per-doc signature (k portable hash mins), banded
+  into buckets; candidate pairs only within a bucket.  At 100 TB this
+  is the scale path: signature computation is a map-only pass, and the
+  bucket join's fan-out is controlled by (bands, rows-per-band).
+* **SimHash** — per-token hash bit-votes → a compact bit fingerprint;
+  duplicates = equal (or near-equal) fingerprints.
+
+Portability note: every hash is ``md5`` (identical in Spark and
+DuckDB), never ``xxhash64``/``hash`` (engine-specific), so the DuckDB
+oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dicomdb_spark.functions.text import shingles, tokens
+
+HEX = "0123456789abcdef"
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5(content) groups with >1 member.
+
+    Returns (content_hash, n_dups, keeper_id) — keeper = min id, the
+    canonical deterministic survivor policy.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature: array of ``num_hashes`` hex-string minima.
+
+    hash_i(shingle) = md5(i || ':' || shingle); the minimum is taken in
+    lexicographic order, which equals numeric order for fixed-width
+    lowercase hex.  Empty-shingle docs get NULL slots.
+    """
+    sh = shingles(text_col, n)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id1 < id2, distinct).
+
+    Signature → ``bands`` band-hashes (md5 of the concatenated band
+    slice) → self-join per (band_idx, band_hash) bucket.  Docs with no
+    shingles are excluded.  At scale: the signature pass is map-only;
+    the bucket join shuffles on the band hash — bucket sizes are the
+    only quadratic term, bounded by tuning bands×rows.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_hashes, n).alias("sig"),
+    ).filter(F.col("sig")[0].isNotNull())
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bhash")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id1"), F.col("r.doc").alias("id2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Inverted-index shape: explode distinct shingles, self-join on the
+    shingle (co-occurrence = candidate), count shared shingles per
+    pair, then |A∩B| / (|A|+|B|−|A∩B|).  Only pairs sharing at least
+    one shingle are scored, so cost follows shingle-bucket sizes, not
+    n².  Returns (id1, id2, jaccard) above threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        pairs.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash(text_col: Column | str, bits: int = 16) -> Column:
+    """SimHash fingerprint over lowercase tokens → long.
+
+    Per token: md5 → first ``bits/4`` hex chars → bit votes (+1 when
+    the bit is set, −1 otherwise); fingerprint bit b = sign of vote
+    sum.  All portable expressions (instr over a hex alphabet instead
+    of engine-specific bit intrinsics).
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.md5(F.lower(t)))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        hex_pos = b // 4 + 1  # 1-based char in md5 hex
+        bit_in_nibble = 3 - (b % 4)  # hex digit's bit, MSB-first
+        # vote_b = Σ over tokens of (bit ? 1 : −1)
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                (
+                    (F.instr(F.lit(HEX), F.substring(h, hex_pos, 1)) - 1)
+                    .cast("int")
+                    .bitwiseAND(F.lit(1 << bit_in_nibble))
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote > 0, F.lit(1 << (bits - 1 - b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Exact-simhash duplicate groups (hamming-0 buckets).
+
+    Near-dup (hamming ≤ k) extends this by exploding ``bits choose k``
+    masked variants — same join shape, documented here, not enabled by
+    default.
+    """
+    return (
+        df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") >= 2)
+    )

@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two strategies over ``array<float>`` columns:
+
+* **brute-force top-k** — the correctness baseline: queries × corpus
+  join, exact cosine, window top-k.  The corpus side stays put; the
+  (small) query side is broadcast, so the cost is one map-side pass
+  over the corpus per batch of queries — at 100 TB this is the right
+  plan whenever |queries| is small.
+* **hyperplane-LSH bucketed** — the scale path for all-pairs /
+  large-query workloads: sign-of-dot-product against a fixed set of
+  hyperplanes gives each vector a bucket key; candidates only meet
+  inside buckets (equi-join on the bucket key → normal shuffled hash
+  join, never a cross join).
+
+Determinism: dot products accumulate per-element products into
+DECIMAL (float×float products are exact in double, and decimal
+addition is associative), so similarity values are bit-identical
+across partitionings and engines; ranking ties break by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed-point scale for portable exact sums: per-element products are
+# floored at 1e-12 (floor of a double is bitwise-identical on every
+# IEEE engine, unlike double→DECIMAL casts whose rounding rules differ
+# between Spark and DuckDB), then summed as exact longs.  The 1e-12
+# quantization is far below any meaningful similarity difference; what
+# matters is that both engines compute the *identical* value.
+_SCALE = 1e12
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent, engine-portable dot product (double out)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.floor(v * _SCALE).cast("long"),
+        )
+        / _SCALE
+    ).cast("double")
+
+
+def norm_exact(a: Column) -> Column:
+    return F.sqrt(
+        (
+            F.aggregate(
+                a.cast("array<double>"),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + F.floor(v * v * _SCALE).cast("long"),
+            )
+            / _SCALE
+        ).cast("double")
+    )
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan: broadcast(queries) ⋈ corpus (no shuffle of the corpus), then
+    a window top-k partitioned by query — the single shuffle is on
+    query_id, sized |queries|×|corpus| rows *after* per-partition
+    ranking prunes nothing (AQE coalesces).  Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot LSH bucket key: one char per hyperplane ('1'/'0').
+
+    Planes are plain float lists (deterministic, engine-portable —
+    derived by the caller, e.g. from seed vectors of the corpus
+    itself), so the oracle can rebuild identical buckets.
+    """
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot_exact(vec_col, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k restricted to same-LSH-bucket candidates.
+
+    Recall is approximate (that is the point); the join is an
+    equi-join on the bucket key — shuffle-partitioned, no cross
+    product, scales with bucket occupancy.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine_sim", "rank")
+    )

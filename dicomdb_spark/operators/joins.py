@@ -1,0 +1,206 @@
+"""Join operators (SURVEY.md §2 J1–J10, S7 merge classification).
+
+Join-strategy policy at scale:
+
+* fact ⋈ dimension → ``F.broadcast`` the dimension (region/nation/
+  customer-sized sides); no shuffle of the fact table.
+* fact ⋈ fact on the same key across stages → hash-partition once and
+  reuse (AQE keeps the exchange if the key matches).
+* band/self joins (J3) are pre-bucketed by their coarse key (same
+  entity, same day) so the theta predicate only runs inside small
+  buckets — never a broadcast-nested-loop over the full table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exam_series(exam: DataFrame, serie: DataFrame, exam_key: str, serie_fk: str) -> DataFrame:
+    """J1 — the ``ExamSeries`` denormalized view (cenir_view.sql:8).
+
+    Inner equi-join; the exam side is the small one (19k rows in the
+    reference production dump) → broadcast it so the series fact table
+    never shuffles.
+    """
+    return serie.join(F.broadcast(exam), exam[exam_key] == serie[serie_fk], "inner")
+
+
+def orphans(parent: DataFrame, child: DataFrame, parent_key: str, child_fk: str) -> DataFrame:
+    """J2 — parents with no children: LEFT OUTER + IS NULL ⇒ left_anti.
+
+    Reference: orphan exams feeding a delete list (Cenir_DB.py:596-601).
+    """
+    return parent.join(child, parent[parent_key] == child[child_fk], "left_anti")
+
+
+def time_proximity_pairs(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    threshold_s: int = 300,
+) -> DataFrame:
+    """J3/R6 — time-proximity duplicate pairs (band self-join).
+
+    Reference: correlated EXISTS — same day, same rid, |Δt| < 300 s,
+    different id (do_dicom.py:55-89).  Spark plan: self equi-join on
+    (entity, day) — a plain shuffled hash join — then the band
+    predicate as a post-filter, and ``id1 < id2`` to emit each pair
+    once.  Because the equi-key includes the day, the theta predicate
+    only evaluates within day-buckets: no BNLJ, scales linearly with
+    day-bucket size.  (Pairs that straddle midnight are out of scope —
+    matching the reference's ``same day`` semantics exactly.)
+    """
+    day = F.to_date(F.col(ts_col)).alias("__day")
+    l = df.select(*entity_cols, F.col(ts_col).alias("__ts1"), F.col(id_col).alias("__id1"), day)
+    r = df.select(
+        *[F.col(c).alias(f"__r_{c}") for c in entity_cols],
+        F.col(ts_col).alias("__ts2"),
+        F.col(id_col).alias("__id2"),
+        day.alias("__r_day"),
+    )
+    cond = F.col("__day") == F.col("__r_day")
+    for c in entity_cols:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    joined = l.join(r, cond, "inner").filter(
+        (F.col("__id1") < F.col("__id2"))
+        & (
+            F.abs(
+                F.unix_timestamp("__ts1").cast("long")
+                - F.unix_timestamp("__ts2").cast("long")
+            )
+            < threshold_s
+        )
+    )
+    return joined.select(
+        *entity_cols,
+        F.col("__day").alias("day"),
+        F.col("__id1").alias("id1"),
+        F.col("__id2").alias("id2"),
+        F.col("__ts1").alias("ts1"),
+        F.col("__ts2").alias("ts2"),
+    )
+
+
+def pairwise_doubles(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """J4/R7 — equal-key pair enumeration with id1 < id2 dedup.
+
+    Reference: O(n²) Python loop over extracted exams comparing
+    AcquisitionTime and MachineName (Exam_info.py:1515-1542).  As a
+    self equi-join the cost is Σ per-key (k²) — linear when keys are
+    near-unique, and the shuffle co-locates equal keys.
+    """
+    l = df.select(*keys, F.col(id_col).alias("id1"))
+    r = df.select(*[F.col(c).alias(f"__r_{c}") for c in keys], F.col(id_col).alias("id2"))
+    cond = F.col("id1") < F.col("id2")
+    for c in keys:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    return l.join(r, cond, "inner").select(*keys, "id1", "id2")
+
+
+def two_key_lookup(
+    df: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    how: str = "left_semi",
+) -> DataFrame:
+    """J6 — existence probe on a composite key (Cenir_DB.py:778-788).
+
+    left_semi == the reference's "select ... fetchone() is not None".
+    """
+    return df.join(F.broadcast(dim), list(keys), how)
+
+
+def anti_by_keys(df: DataFrame, processed: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J7/J10 — remove rows whose key tuple appears in another set.
+
+    Covers the DB↔filesystem reconciliation (rows whose path no longer
+    exists, Cenir_DB.py:171-206) and qcview's resume-by-anti-join
+    (qcview.py:189-231).
+    """
+    return df.join(processed.select(*keys), list(keys), "left_anti")
+
+
+def full_outer_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    status_alias: str = "status",
+) -> DataFrame:
+    """J8/R5 — tree↔tree reconciliation as a full-outer diff.
+
+    Reference walked two directory trees reporting missing-subject /
+    missing-series / count-mismatch / identical
+    (do_dicom_compare_recup_to.py:142-265).  DataFrame shape:
+    full_outer on the key tuple, then a when-chain over null-ness and
+    the compare columns.  Output is one row per key with a status.
+    """
+    lsel = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in compare_cols])
+    rsel = right.select(*keys, *[F.col(c).alias(f"r_{c}") for c in compare_cols])
+    j = lsel.join(rsel, list(keys), "full_outer")
+    l0 = F.col(f"l_{compare_cols[0]}")
+    r0 = F.col(f"r_{compare_cols[0]}")
+    mismatch = F.lit(False)
+    for c in compare_cols:
+        mismatch = mismatch | (F.col(f"l_{c}") != F.col(f"r_{c}"))
+    return j.withColumn(
+        status_alias,
+        F.when(l0.isNull(), F.lit("missing_left"))
+        .when(r0.isNull(), F.lit("missing_right"))
+        .when(mismatch, F.lit("mismatch"))
+        .otherwise(F.lit("identical")),
+    )
+
+
+def merge_classify(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    float_cols: Sequence[str] = (),
+    exclude_cols: Sequence[str] = (),
+    action_alias: str = "action",
+) -> DataFrame:
+    """S7 — the pure half of the JDBC upsert: insert/update/noop classes.
+
+    Reference upsert: select-if-exists → insert new / update rows whose
+    fields changed, with float fields compared under round(×1e5)
+    tolerance (P4, Cenir_DB.py:938) and an exclude-column list
+    (Cenir_DB.py:97).  The side-effecting writer
+    (``sinks.jdbc.upsert_partition``) consumes this classification;
+    this half is deterministic and oracle-checkable.
+
+    Returns ``incoming``'s columns + ``action`` ∈ {insert, update, noop}.
+    """
+    cmp_cols = [c for c in compare_cols if c not in set(exclude_cols)]
+    floats = set(float_cols)
+    ex = existing.select(
+        *keys, *[F.col(c).alias(f"__old_{c}") for c in cmp_cols], F.lit(1).alias("__exists")
+    )
+    j = incoming.join(ex, list(keys), "left_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        new, old = F.col(c), F.col(f"__old_{c}")
+        if c in floats:
+            # P4 float tolerance: round(x*1e5) equality, preserved
+            # exactly from Cenir_DB.py:938; eqNullSafe so a change
+            # to/from NULL also counts as a change
+            changed = changed | ~F.round(new * 100000).eqNullSafe(F.round(old * 100000))
+        else:
+            changed = changed | ~new.eqNullSafe(old)
+    out = j.withColumn(
+        action_alias,
+        F.when(F.col("__exists").isNull(), F.lit("insert"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("noop")),
+    )
+    return out.select(*incoming.columns, action_alias)

@@ -1,0 +1,172 @@
+"""Window / order-dependent operators (SURVEY.md §2 W1–W5, A2).
+
+The reference did all of its ordered logic in Python (``sorted``,
+``argsort`` over collected rows).  Here every one of them is a Spark
+``Window`` — evaluated distributed, per partition-key, with a single
+shuffle on the partition key and a local sort.  No driver-side
+collection anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def representative_rows(
+    df: DataFrame,
+    keys: Sequence[Column | str],
+    order_by: Sequence[Column],
+    count_alias: str = "doublon",
+    min_count: int = 2,
+) -> DataFrame:
+    """A2 — MySQL "bare-column GROUP BY" rewritten with ANSI semantics.
+
+    MySQL's ``select count(*) as doublon, e.* ... group by k`` picks an
+    arbitrary representative row per group (Cenir_DB.py:271,453;
+    cenir_view.sql:20).  ANSI/Spark equivalent: window count per key +
+    ``row_number() == 1`` under an explicit ``order_by`` so the
+    representative is *deterministic* (SURVEY §7 risk (a)).
+    """
+    w = Window.partitionBy(*keys)
+    wo = w.orderBy(*order_by)
+    return (
+        df.withColumn(count_alias, F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter((F.col(count_alias) >= min_count) & (F.col("__rn") == 1))
+        .drop("__rn")
+    )
+
+
+def first_last_duration(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    ts_col: str,
+    dur_col: str | None = None,
+    out_alias: str = "duration_min",
+) -> DataFrame:
+    """W1 — the reference's flagship derived metric: exam duration.
+
+    duration = last.AcqTime − first.AcqTime (+ last series duration),
+    ceil to minutes; series ordered by SNumber (Exam_info.py:197-232,
+    SQL twin Cenir_DB.py:839-868).  One hash aggregate with
+    min_by/max_by — no window sort needed because only the two
+    extreme rows matter.
+
+    Midnight rollover (reference adds 24h when the difference is
+    negative, Exam_info.py:224-225) is preserved as a when() guard.
+    """
+    secs_last = F.max_by(F.col(ts_col), F.col(order_col))
+    secs_first = F.min_by(F.col(ts_col), F.col(order_col))
+    agg_cols = [
+        secs_first.alias("first_ts"),
+        secs_last.alias("last_ts"),
+        F.count("*").alias("n_items"),
+    ]
+    if dur_col is not None:
+        agg_cols.append(F.max_by(F.col(dur_col), F.col(order_col)).alias("last_dur"))
+    g = df.groupBy(*keys).agg(*agg_cols)
+    diff = F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+    diff = F.when(diff < 0, diff + 24 * 3600).otherwise(diff)
+    if dur_col is not None:
+        diff = diff + F.coalesce(F.col("last_dur"), F.lit(0))
+    return g.withColumn(out_alias, F.ceil(diff / 60.0).cast("long"))
+
+
+def rank_latest(
+    df: DataFrame,
+    keys: Sequence[Column | str],
+    order_by: Sequence[Column],
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """W2 core — rank copies within a duplicate group, rank 1 = keeper.
+
+    Reference: ``argsort(mtime of first file)``, keep latest, emit
+    move/delete commands for the rest (Cenir_DB.py:479-547,281-353).
+    ``order_by`` should end with a unique tiebreak column so ranking
+    is total (the reference's argsort was stable on list order —
+    nondeterministic across runs; we do better).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_alias, F.row_number().over(w))
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[Column | str],
+    order_by: Sequence[Column],
+    action_alias: str = "action",
+) -> DataFrame:
+    """W2/R1/R2 — classify each duplicate-group member keep/remove.
+
+    Output contains every row of every duplicate group with an
+    ``action`` column (``keep`` for the top-ranked copy, ``remove``
+    otherwise) — the dataframe twin of the reference's generated
+    remediation scripts (S9, Cenir_DB.py:174-187).
+    """
+    w = Window.partitionBy(*keys)
+    ranked = rank_latest(df, keys, order_by)
+    return (
+        ranked.withColumn("__cnt", F.count("*").over(w))
+        .filter(F.col("__cnt") >= 2)
+        .withColumn(
+            action_alias,
+            F.when(F.col("rn") == 1, F.lit("keep")).otherwise(F.lit("remove")),
+        )
+        .drop("__cnt")
+    )
+
+
+def sessionize_by_day(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """W3 — split an entity's rows into per-day sessions, ordered inside.
+
+    Reference split an exam directory's series into separate exams per
+    distinct AcquisitionDate, each sorted by AcquisitionTime
+    (Exam_info.py:1380-1459).  Spark shape: groupBy(entity, day) +
+    sort_array(collect_list(struct(ts, id))) — the sort happens
+    per-group after the shuffle, and the struct ordering gives a
+    total, deterministic order (ts then id).
+    """
+    return (
+        df.groupBy(
+            F.col(entity_col).alias(entity_col),
+            F.to_date(ts_col).alias("session_day"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col(ts_col), F.col(id_col)))),
+                lambda s: s[id_col],
+            ).alias("ordered_ids"),
+        )
+    )
+
+
+def adjacent_diff(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    out_alias: str = "delta",
+    eps: float | None = None,
+) -> DataFrame:
+    """W5 — pairwise adjacent difference via lag, with ε-clamp to zero.
+
+    Reference computed slice gap from the first two slice positions and
+    clamped |gap| < 1e-5 to 0 (Exam_info.py:556-569).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    d = F.col(value_col) - F.lag(value_col).over(w)
+    if eps is not None:
+        d = F.when(F.abs(d) < eps, F.lit(0.0)).otherwise(d)
+    return df.withColumn(out_alias, d)

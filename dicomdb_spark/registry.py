@@ -1,0 +1,858 @@
+"""Query registry: every SURVEY.md §2 operator as a named, oracle-checked query.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) ->
+DataFrame`` with an ANSI-SQL twin that DuckDB runs over the same
+parquet tables.  The driver hash-compares the two at sf0.01
+(row-count + schema + order-insensitive value hash) — so every query
+here is written for *bitwise* determinism:
+
+* double sums go through DECIMAL casts (see ``aggregates.dsum``),
+* rankings always carry a unique tiebreak column,
+* timestamps are TIMESTAMP_NTZ micros on both engines (io.py),
+* double→int conversions use explicit ``floor`` (Spark casts truncate,
+  DuckDB casts round — never rely on the implicit behavior).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
+from dicomdb_spark.io import load_table
+from dicomdb_spark.llm import dedup as ldedup
+from dicomdb_spark.llm import similarity as lsim
+from dicomdb_spark.operators import aggregates as agg
+from dicomdb_spark.operators import joins as oj
+from dicomdb_spark.operators import windows as ow
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL fragment helpers for the oracle side -------------------------------
+def _dsum(expr: str, alias: str) -> str:
+    """DuckDB twin of aggregates.dsum — exact floor-integer sum, double out."""
+    return f"CAST(SUM(CAST(floor(({expr}) * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# A1 — GROUP BY + HAVING count>1 duplicate detection (4 key variants)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_dup_customer_day",
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+           count(*) AS doublon
+    FROM orders
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def a1_dup_customer_day(spark, sf_dir):
+    """A1 variant (substr-10 day key + partition key) — Cenir_DB.py:421."""
+    orders = load_table(spark, sf_dir, "orders")
+    return agg.group_count_having(
+        orders,
+        [F.col("o_custkey"), F.to_date("o_orderdate").alias("order_day")],
+    )
+
+
+@register(
+    "a1_dup_events_minute",
+    """
+    SELECT date_trunc('minute', ts) AS minute_ts, event_type,
+           count(*) AS doublon
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def a1_dup_events_minute(spark, sf_dir):
+    """A1 variant (substr-16 minute truncation) — Cenir_DB.py:271."""
+    ev = load_table(spark, sf_dir, "events")
+    return agg.group_count_having(
+        ev,
+        [F.date_trunc("minute", F.col("ts")).alias("minute_ts"), F.col("event_type")],
+    )
+
+
+@register(
+    "a2_dup_representative",
+    """
+    SELECT o_custkey, order_day, o_orderkey, o_totalprice, doublon
+    FROM (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+             o_orderkey, o_totalprice,
+             count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) AS doublon,
+             row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                ORDER BY o_orderkey) AS rn
+      FROM orders) t
+    WHERE doublon >= 2 AND rn = 1
+    """,
+)
+def a2_dup_representative(spark, sf_dir):
+    """A2 — MySQL bare-column GROUP BY as deterministic window pick
+    (Cenir_DB.py:271,453; cenir_view.sql:20)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return ow.representative_rows(
+        orders,
+        keys=["o_custkey", "order_day"],
+        order_by=[F.col("o_orderkey")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3–A9 aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_group_counts",
+    f"""
+    SELECT l_orderkey, count(*) AS nbs, {_dsum('l_quantity', 'nbd')}
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a3_group_counts(spark, sf_dir):
+    """A3 — count/sum per group (Cenir_DB.py:506-511) as one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg.per_group_stats(li, ["l_orderkey"], sum_col="l_quantity")
+
+
+@register(
+    "a4_min_max_by",
+    """
+    SELECT user_id,
+           min_by(ts, event_id) AS first_ts,
+           max_by(ts, event_id) AS last_ts,
+           min_by(value, event_id) AS first_value,
+           max_by(value, event_id) AS last_value,
+           min(event_id) AS first_event_id,
+           max(event_id) AS last_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def a4_min_max_by(spark, sf_dir):
+    """A4/A8 — min/max-by scalar-subquery rewrite (Cenir_DB.py:839-868).
+
+    Ordered by the globally-unique event_id so the picked row is
+    deterministic (the reference's grain guarantee: SNumber per exam).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = agg.min_max_by(ev, ["user_id"], "event_id", ["ts", "value"])
+    return out.select(
+        "user_id",
+        F.col("first_ts"),
+        F.col("last_ts"),
+        F.col("first_value"),
+        F.col("last_value"),
+        F.col("first_event_id"),
+        F.col("last_event_id"),
+    )
+
+
+@register(
+    "a5_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a5_distinct(spark, sf_dir):
+    """A5 — SELECT DISTINCT (Cenir_DB.py:550-562)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg.distinct_values(li, ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "a6_year_histogram",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year, count(*) AS n,
+           {_dsum('o_totalprice', 'total')}
+    FROM orders GROUP BY 1
+    """,
+)
+def a6_year_histogram(spark, sf_dir):
+    """A6 — per-year histogram (Exam_info.py:104-114)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return agg.year_histogram(orders, "o_orderdate", sum_col="o_totalprice")
+
+
+@register(
+    "a9_completeness_audit",
+    """
+    WITH actual AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS actual
+      FROM lineitem GROUP BY 1)
+    SELECT o.o_orderkey, o.o_totalprice AS expected, a.actual,
+           CASE WHEN a.actual < o.o_totalprice
+                  THEN 'missingDicomFile_' ||
+                       CAST(CAST(floor(o.o_totalprice - a.actual) AS BIGINT) AS VARCHAR)
+                WHEN a.actual > o.o_totalprice THEN 'tomuchDicomFile_'
+                ELSE 'ok' END AS corrupt
+    FROM orders o JOIN actual a ON o.o_orderkey = a.l_orderkey
+    """,
+)
+def a9_completeness_audit(spark, sf_dir):
+    """A9/R8 — expected-vs-actual audit with corrupt flags
+    (Exam_info.py:1344-1363): declared order total vs recomputed
+    lineitem total."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    actual = li.groupBy("l_orderkey").agg(
+        agg.dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            "actual",
+        )
+    )
+    joined = orders.join(actual, orders.o_orderkey == actual.l_orderkey, "inner")
+    return agg.completeness_audit(
+        joined, ["o_orderkey"], expected=F.col("o_totalprice"), actual=F.col("actual")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — window / order-dependent
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_order_duration",
+    """
+    SELECT user_id, first_ts, last_ts, n_items,
+           CAST(ceil((CASE WHEN d < 0 THEN d + 86400 ELSE d END) / 60.0) AS BIGINT)
+             AS duration_min
+    FROM (
+      SELECT user_id,
+             min_by(ts, event_id) AS first_ts,
+             max_by(ts, event_id) AS last_ts,
+             count(*) AS n_items,
+             CAST(floor(epoch(max_by(ts, event_id))) AS BIGINT)
+               - CAST(floor(epoch(min_by(ts, event_id))) AS BIGINT) AS d
+      FROM events GROUP BY 1) sub
+    """,
+)
+def w1_order_duration(spark, sf_dir):
+    """W1 — the flagship derived metric: first/last-by-order duration
+    with midnight rollover + ceil-minutes (Exam_info.py:197-232,
+    Cenir_DB.py:839-868).  event_id plays SNumber; ts plays AcqTime."""
+    ev = load_table(spark, sf_dir, "events")
+    return ow.first_last_duration(
+        ev, ["user_id"], order_col="event_id", ts_col="ts"
+    )
+
+
+@register(
+    "w2_keep_latest",
+    """
+    SELECT user_id, day, event_id, ts, rn,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'remove' END AS action
+    FROM (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_id, ts,
+             CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn,
+             count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS cnt
+      FROM events) t
+    WHERE cnt >= 2
+    """,
+)
+def w2_keep_latest(spark, sf_dir):
+    """W2/R1/R2 — rank duplicate-group copies by recency, keep latest
+    (Cenir_DB.py:479-547)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_id", "ts"
+    )
+    return ow.keep_latest(
+        ev,
+        keys=["user_id", "day"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+@register(
+    "w3_sessionize",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS session_day,
+           count(*) AS n_items,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           list(event_id ORDER BY ts, event_id) AS ordered_ids
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w3_sessionize(spark, sf_dir):
+    """W3 — per-entity per-day session assembly with in-session order
+    (Exam_info.py:1380-1459)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ow.sessionize_by_day(ev, "user_id", "ts", "event_id")
+
+
+@register(
+    "w5_adjacent_diff",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN abs(d) < 1e-5 THEN 0.0 ELSE d END AS delta
+    FROM (
+      SELECT user_id, event_id,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events) t
+    """,
+)
+def w5_adjacent_diff(spark, sf_dir):
+    """W5 — adjacent-row delta with ε-clamp (Exam_info.py:556-569)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ow.adjacent_diff(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "value", eps=1e-5
+    )
+    return out.select("user_id", "event_id", "delta")
+
+
+@register(
+    "o3_top1_per_type",
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events) t WHERE rn = 1
+    """,
+)
+def o3_top1_per_type(spark, sf_dir):
+    """O3/O4 — argmax per key (Exam_info.py:1269-1279) with a total
+    tiebreak order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_exam_series_revenue",
+    f"""
+    SELECT n.n_name, count(*) AS n_lines,
+           {_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def j1_exam_series_revenue(spark, sf_dir):
+    """J1 — the ExamSeries denormalizing equi-join shape
+    (cenir_view.sql:8) extended through the dimension chain; dimensions
+    broadcast, fact never shuffles for the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "j2_orphans",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j2_orphans(spark, sf_dir):
+    """J2 — left-outer-where-null orphan detection as left_anti
+    (Cenir_DB.py:596-601)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return oj.orphans(cust, orders, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j3_time_proximity",
+    """
+    SELECT e1.user_id, CAST(e1.ts AS DATE) AS day,
+           e1.event_id AS id1, e2.event_id AS id2,
+           e1.ts AS ts1, e2.ts AS ts2
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND CAST(e1.ts AS DATE) = CAST(e2.ts AS DATE)
+     AND e1.event_id < e2.event_id
+     AND abs(CAST(floor(epoch(e1.ts)) AS BIGINT)
+             - CAST(floor(epoch(e2.ts)) AS BIGINT)) < 300
+    """,
+)
+def j3_time_proximity(spark, sf_dir):
+    """J3/R6 — time-proximity band self-join, bucketed by (entity, day)
+    so the |Δt| predicate never runs as a nested loop
+    (do_dicom.py:55-89)."""
+    ev = load_table(spark, sf_dir, "events")
+    return oj.time_proximity_pairs(ev, ["user_id"], "ts", "event_id", threshold_s=300)
+
+
+@register(
+    "j4_pairwise_doubles",
+    """
+    SELECT o1.o_orderdate, o1.o_custkey,
+           o1.o_orderkey AS id1, o2.o_orderkey AS id2
+    FROM orders o1 JOIN orders o2
+      ON o1.o_orderdate = o2.o_orderdate
+     AND o1.o_custkey = o2.o_custkey
+     AND o1.o_orderkey < o2.o_orderkey
+    """,
+)
+def j4_pairwise_doubles(spark, sf_dir):
+    """J4/R7 — equal-key pair enumeration (Exam_info.py:1515-1542),
+    shuffled equi-join instead of the reference's O(n²) loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    return oj.pairwise_doubles(orders, ["o_orderdate", "o_custkey"], "o_orderkey")
+
+
+@register(
+    "j8_full_outer_diff",
+    """
+    WITH l AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+         r AS (SELECT l_partkey, count(*) AS cnt FROM lineitem
+               WHERE l_quantity < 49 GROUP BY 1)
+    SELECT coalesce(l.l_partkey, r.l_partkey) AS l_partkey,
+           l.cnt AS l_cnt, r.cnt AS r_cnt,
+           CASE WHEN l.cnt IS NULL THEN 'missing_left'
+                WHEN r.cnt IS NULL THEN 'missing_right'
+                WHEN l.cnt <> r.cnt THEN 'mismatch'
+                ELSE 'identical' END AS status
+    FROM l FULL OUTER JOIN r ON l.l_partkey = r.l_partkey
+    """,
+)
+def j8_full_outer_diff(spark, sf_dir):
+    """J8/R5 — tree↔tree reconciliation as full-outer diff of two
+    inventory snapshots (do_dicom_compare_recup_to.py:142-265)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    left = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    right = (
+        li.filter(F.col("l_quantity") < 49)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return oj.full_outer_diff(left, right, ["l_partkey"], ["cnt"])
+
+
+@register(
+    "j10_processed_anti",
+    """
+    SELECT e.event_id, e.user_id, e.event_type FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'click' AND p.ts < TIMESTAMP '2024-03-01'
+        AND p.user_id = e.user_id AND p.event_id = e.event_id)
+    """,
+)
+def j10_processed_anti(spark, sf_dir):
+    """J7/J10 — resume-by-anti-join against a processed set
+    (qcview.py:189-231; Cenir_DB.py:171-206)."""
+    ev = load_table(spark, sf_dir, "events")
+    processed = ev.filter(
+        (F.col("event_type") == "click") & (F.col("ts") < F.lit("2024-03-01").cast("timestamp_ntz"))
+    )
+    return oj.anti_by_keys(ev, processed, ["user_id", "event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "s7_merge_classify",
+    """
+    WITH existing AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN c_name || '_old' ELSE c_name END AS c_name,
+             c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 3)
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           CASE WHEN e.c_custkey IS NULL THEN 'insert'
+                WHEN (i.c_name IS DISTINCT FROM e.c_name)
+                  OR (i.c_nationkey IS DISTINCT FROM e.c_nationkey)
+                  OR (round(i.c_acctbal * 100000) IS DISTINCT FROM round(e.c_acctbal * 100000))
+                  OR (i.c_mktsegment IS DISTINCT FROM e.c_mktsegment)
+                THEN 'update' ELSE 'noop' END AS action
+    FROM customer i LEFT JOIN existing e ON i.c_custkey = e.c_custkey
+    """,
+)
+def s7_merge_classify(spark, sf_dir):
+    """S7 — the pure MERGE classification behind the JDBC upsert
+    (Cenir_DB.py:62-135), float fields under P4 round(×1e5) tolerance
+    (Cenir_DB.py:938)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    existing = cust.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.concat(F.col("c_name"), F.lit("_old")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return oj.merge_classify(
+        existing,
+        cust,
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        float_cols=["c_acctbal"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P — predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p3_composite_key",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+      AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      AND o_orderpriority LIKE '1%'
+    """,
+)
+def p3_composite_key(spark, sf_dir):
+    """P3/P6 — composite-key equality + date truncation + LIKE
+    (Cenir_DB.py:742-766,942); all predicates push into the parquet
+    scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        & F.col("o_orderpriority").like("1%")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "p4_float_tolerance",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+    WHERE round(l_discount * 100000) = round(0.05 * 100000)
+    """,
+)
+def p4_float_tolerance(spark, sf_dir):
+    """P4 — round(×1e5) float-tolerant equality, preserved exactly
+    (Cenir_DB.py:938)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(scalars.float_tolerant_eq("l_discount", 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — scalar function library
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_sanitize",
+    """
+    SELECT p_partkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(p_name, '[^A-Za-z0-9]', '_', 'g'),
+               '_+', '_', 'g'),
+             '^_|_$', '', 'g') AS clean_name
+    FROM part
+    """,
+)
+def f1_sanitize(spark, sf_dir):
+    """F1 — alpha_num_str sanitizer as pure expressions
+    (do_common.py:238-287)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", scalars.alpha_num_str("p_name").alias("clean_name")
+    )
+
+
+@register(
+    "f2_prefix_code",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment LIKE 'BUILDING%' THEN 19
+                WHEN c_mktsegment LIKE 'AUTOMOBILE%' THEN 1
+                WHEN c_mktsegment LIKE 'MACHINERY%' THEN 29
+                WHEN c_mktsegment LIKE 'FURNITURE%' THEN 39
+                WHEN c_mktsegment LIKE 'HOUSEHOLD%' THEN 80
+                ELSE 0 END AS rid
+    FROM customer
+    """,
+)
+def f2_prefix_code(spark, sf_dir):
+    """F2 — startswith→code dispatch, the machine→rid map shape
+    (Exam_info.py:262-274)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        scalars.prefix_code(
+            "c_mktsegment",
+            [("BUILDING", 19), ("AUTOMOBILE", 1), ("MACHINERY", 29), ("FURNITURE", 39), ("HOUSEHOLD", 80)],
+        ).alias("rid"),
+    )
+
+
+@register(
+    "f5_ta_parse",
+    """
+    SELECT event_id, ta_str,
+           CASE WHEN event_id % 7 = 0 THEN (mm + 1) * 60 * mult
+                ELSE (mm * 60 + ss) * mult END AS ta_sec
+    FROM (
+      SELECT event_id,
+             CAST(floor(value) AS BIGINT) % 60 AS mm,
+             event_id % 60 AS ss,
+             1 + event_id % 4 AS mult,
+             CASE WHEN event_id % 7 = 0
+               THEN printf('TA %02d.%02d*%d', CAST(floor(value) AS BIGINT) % 60,
+                           event_id % 60, 1 + event_id % 4)
+               ELSE printf('TA %02d:%02d*%d', CAST(floor(value) AS BIGINT) % 60,
+                           event_id % 60, 1 + event_id % 4) END AS ta_str
+      FROM events) t
+    """,
+)
+def f5_ta_parse(spark, sf_dir):
+    """F5 — Siemens 'TA mm:ss*N' parse (Exam_info.py:1470-1487): build
+    the string from data, then parse it back with the engine's
+    regexp-based parser — a round-trip correctness check."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = (F.floor("value").cast("long") % 60).alias("mm")
+    ss = (F.col("event_id") % 60).alias("ss")
+    mult = (1 + F.col("event_id") % 4).alias("mult")
+    base = ev.select("event_id", mm, ss, mult)
+    ta = base.withColumn(
+        "ta_str",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.format_string("TA %02d.%02d*%d", "mm", "ss", "mult"),
+        ).otherwise(F.format_string("TA %02d:%02d*%d", "mm", "ss", "mult")),
+    )
+    return ta.select("event_id", "ta_str", scalars.ta_seconds("ta_str").alias("ta_sec"))
+
+
+@register(
+    "f4_time_arithmetic",
+    """
+    SELECT event_id, sec_of_day,
+           CASE WHEN gap0 < 0 THEN gap0 + 86400 ELSE gap0 END AS gap_s,
+           CAST(ceil((CASE WHEN gap0 < 0 THEN gap0 + 86400 ELSE gap0 END) / 60.0)
+                AS BIGINT) AS gap_min
+    FROM (
+      SELECT event_id,
+             CAST(hour(ts) AS BIGINT) * 3600 + CAST(minute(ts) AS BIGINT) * 60
+               + CAST(floor(second(ts)) AS BIGINT) AS sec_of_day,
+             lead(CAST(hour(ts) AS BIGINT) * 3600 + CAST(minute(ts) AS BIGINT) * 60
+                  + CAST(floor(second(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - (CAST(hour(ts) AS BIGINT) * 3600 + CAST(minute(ts) AS BIGINT) * 60
+                + CAST(floor(second(ts)) AS BIGINT)) AS gap0
+      FROM events) t
+    """,
+)
+def f4_time_arithmetic(spark, sf_dir):
+    """F4 — seconds-of-day, inter-event gap with midnight rollover and
+    ceil-minutes (Exam_info.py:205-230,1669; do_dicom.py:60-61)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = scalars.seconds_of_day(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    df = ev.select("event_id", "user_id", "ts", sec.alias("sec_of_day"))
+    df = df.withColumn("gap0", F.lead("sec_of_day").over(w) - F.col("sec_of_day"))
+    gap = scalars.duration_with_rollover(F.lit(0), F.col("gap0"))
+    return df.select(
+        "event_id",
+        "sec_of_day",
+        gap.alias("gap_s"),
+        scalars.ceil_minutes(gap).alias("gap_min"),
+    )
+
+
+@register(
+    "f8_classify",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass'
+                WHEN p_type LIKE '%COPPER%' THEN 'copper'
+                WHEN p_type LIKE '%STEEL%' THEN 'steel'
+                WHEN p_type LIKE '%TIN%' THEN 'tin'
+                WHEN p_type LIKE '%NICKEL%' THEN 'nickel'
+                ELSE 'to_be_defined' END AS seq_type
+    FROM part
+    """,
+)
+def f8_classify(spark, sf_dir):
+    """F8 — contains-chain classifier, the SeqType dictionary shape
+    (Exam_info.py:293-344)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        scalars.classify_contains(
+            "p_type",
+            [("BRASS", "brass"), ("COPPER", "copper"), ("STEEL", "steel"), ("TIN", "tin"), ("NICKEL", "nickel")],
+        ).alias("seq_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 / LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t2_content_hash",
+    "SELECT doc_id, md5(text) AS content_hash FROM documents",
+)
+def t2_content_hash(spark, sf_dir):
+    """T2 — content-hash equality replaces voxel comparison at scale
+    (do_dicom_compare_recup_to.py:233-243)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT md5(text) AS content_hash, count(*) AS n_dups,
+           min(doc_id) AS keeper_id
+    FROM docs2 GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash; duplicates injected
+    deterministically (docs with id%5==0 duplicated under id+1e6)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return ldedup.exact_dup_groups(docs.unionAll(dupes), "doc_id", "text")
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+             AS n_tokens,
+           length(text) AS n_chars,
+           CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[\w\s]', '', 'g')) / length(text)
+             ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) > 0
+             THEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(t))))
+                  / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+             ELSE 0.0 END AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Text quality signals: token count, char count, punctuation and
+    stopword ratios — per-row expressions, shuffle-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@register("text_fingerprint", None)  # oracle added below (needs list fns)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over sorted distinct lowercase tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+ORACLES["text_fingerprint"] = r"""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(
+               list_transform(
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
+                 t -> lower(t)))),
+             ' ')) AS fp
+    FROM documents
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(CAST((SELECT SUM(CAST(floor(v[i.i] * v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM e),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST((SELECT SUM(CAST(floor(q.v[i.i] * c.v[i.i] * 1e12) AS BIGINT))
+                   FROM unnest(range(1, len(q.v) + 1)) i(i)) / 1e12 AS DOUBLE)
+               / (q.nrm * c.nrm) AS cosine_sim
+      FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+    WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """ANN baseline — exact top-5 cosine neighbors for query vectors
+    (vec_id < 10); broadcast queries × corpus, decimal-exact dot
+    products, deterministic ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsim.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)

@@ -1,0 +1,1 @@
+"""dicomdb_spark — PySpark-native analytics engine (see SURVEY.md)."""
