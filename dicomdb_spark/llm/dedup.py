@@ -50,11 +50,16 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 16, n: int = 3) 
     lowercase hex.  Empty-shingle docs get NULL slots.
     """
     sh = shingles(text_col, n)
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+
+    def slot(i: int) -> Column:
+        # NB: the lambda must be single-argument — a two-arg lambda
+        # would be interpreted by F.transform as (element, index)
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[slot(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(

@@ -99,6 +99,45 @@ def brute_force_topk(
     )
 
 
+def bucket_by_seed_planes(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector an LSH bucket from sign-of-dot against seed
+    hyperplanes — the first ``n_planes`` vectors of the corpus itself
+    (deterministic, data-derived, no RNG).
+
+    Plan shape: corpus × broadcast(planes) → 8 rows per vector →
+    groupBy(id) reassembles the bit-string ordered by plane id.  At
+    scale this is a map-side broadcast join + one hash aggregate.
+    Returns (id, bucket<string>).
+    """
+    planes = vectors.filter(F.col(id_col) < n_planes).select(
+        F.col(id_col).alias("plane_id"), F.col(vec_col).alias("__pv")
+    )
+    bits = vectors.select(F.col(id_col), F.col(vec_col).alias("__v")).crossJoin(
+        F.broadcast(planes)
+    )
+    bits = bits.select(
+        id_col,
+        "plane_id",
+        F.when(dot_exact(F.col("__v"), F.col("__pv")) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("bit"),
+    )
+    return bits.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("plane_id", "bit"))),
+                lambda s: s["bit"],
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot LSH bucket key: one char per hyperplane ('1'/'0').
 

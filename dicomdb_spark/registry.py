@@ -856,3 +856,587 @@ def ann_bruteforce_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsim.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — remaining relational operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f6_coalesce_chain",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), nullif(c_name, 'NULL'),
+                    'DEFAULT') AS resolved
+    FROM customer
+    """,
+)
+def f6_coalesce_chain(spark, sf_dir):
+    """F6 — fallback chains with sentinel-NULL conversion
+    (Exam_info.py:172-180,617-624): nullif turns the reference's
+    "NULL"-string sentinels into real nulls before coalescing."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        scalars.coalesce_chain(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            F.nullif(F.col("c_name"), F.lit("NULL")),
+            default="DEFAULT",
+        ).alias("resolved"),
+    )
+
+
+@register(
+    "f3_concat_builders",
+    """
+    SELECT l_orderkey, l_linenumber,
+           printf('S%02d_%s', l_linenumber, l_returnflag) AS sname,
+           printf('%d,%d,%d', l_orderkey, l_partkey, l_suppkey) AS triple
+    FROM lineitem
+    """,
+)
+def f3_concat_builders(spark, sf_dir):
+    """F3 — concat/format builders: the reference's 'S%02d_<desc>'
+    series naming (Exam_info.py:1099-1145) and comma-joined list
+    packing (my_list_to_str, Exam_info.py:1681-1690)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string("S%02d_%s", "l_linenumber", "l_returnflag").alias("sname"),
+        F.format_string("%d,%d,%d", "l_orderkey", "l_partkey", "l_suppkey").alias(
+            "triple"
+        ),
+    )
+
+
+@register(
+    "o1_order_limit1",
+    """
+    SELECT event_id, event_type, value FROM events
+    ORDER BY value DESC, event_id DESC LIMIT 1
+    """,
+)
+def o1_order_limit1(spark, sf_dir):
+    """O1/O3 — ORDER BY + LIMIT-1 (fetchone semantics,
+    Cenir_DB.py:762,784) with a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "j5_fk_semi",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+    """,
+)
+def j5_fk_semi(spark, sf_dir):
+    """J5 — FK lookup as left_semi (the EXISTS shape of per-exam
+    series fetches, Cenir_DB.py:314-319)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "j6_two_key_lookup",
+    """
+    WITH dim AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                 WHERE l_quantity >= 49)
+    SELECT l.l_returnflag, count(*) AS n
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM dim d
+                  WHERE d.l_partkey = l.l_partkey AND d.l_suppkey = l.l_suppkey)
+    GROUP BY 1
+    """,
+)
+def j6_two_key_lookup(spark, sf_dir):
+    """J6 — existence probe on a composite (SUID, EUID)-style key pair
+    (Cenir_DB.py:778-788)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.filter(F.col("l_quantity") >= 49)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        oj.two_key_lookup(li, dim, ["l_partkey", "l_suppkey"])
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j7_db_fs_anti",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def j7_db_fs_anti(spark, sf_dir):
+    """J7/R3 — DB rows whose filesystem counterpart vanished: anti-join
+    of the DB table against the file inventory (Cenir_DB.py:171-206)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return oj.anti_by_keys(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), li, ["l_orderkey"]
+    ).select(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate")
+
+
+@register(
+    "p6_like_family",
+    """
+    SELECT p_partkey,
+           p_type LIKE 'PROMO%' AS is_promo,
+           p_name LIKE '%green%' AS has_green,
+           p_brand LIKE 'Brand#1%' AS is_brand1
+    FROM part
+    """,
+)
+def p6_like_family(spark, sf_dir):
+    """P6 — the reference's LIKE shapes: prefix, substring, equality
+    (Cenir_DB.py:425,431,368,421)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.col("p_brand").like("Brand#1%").alias("is_brand1"),
+    )
+
+
+@register(
+    "p9_guard_filter",
+    """
+    SELECT doc_id, source FROM documents WHERE NOT contains(source, 'src1')
+    """,
+)
+def p9_guard_filter(spark, sf_dir):
+    """P9 — the doublon-dir guard: drop rows whose path contains a
+    marker substring (Cenir_DB.py:73-76)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(~F.col("source").contains("src1")).select("doc_id", "source")
+
+
+@register(
+    "t1_group_stacks",
+    """
+    SELECT l_partkey, count(*) AS n_members,
+           CASE WHEN count(*) > 1 THEN count(*) ELSE 1 END AS dim4,
+           list_sort(list_distinct(list(l_orderkey * 100 + l_linenumber)))
+             AS member_ids
+    FROM lineitem GROUP BY 1
+    """,
+)
+def t1_group_stacks(spark, sf_dir):
+    """T1 — group-into-stacks by key tuple; group size >1 becomes dim4
+    (Exam_info.py:754-755,881-922).  Member list is distinct+sorted so
+    it is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_members"),
+        F.when(F.count("*") > 1, F.count("*")).otherwise(F.lit(1)).alias("dim4"),
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+            )
+        ).alias("member_ids"),
+    )
+
+
+@register(
+    "t3_intra_stack_dups",
+    """
+    SELECT l_orderkey, l_linenumber, count(*) AS n_copies,
+           CAST(count(*) - 1 AS VARCHAR) || 'Duplicate' AS corrupt
+    FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+)
+def t3_intra_stack_dups(spark, sf_dir):
+    """T3 — intra-stack duplicate detection with the reference's
+    '%dDuplicate' corrupt code (Exam_info.py:764-813)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .withColumn(
+            "corrupt",
+            F.format_string("%dDuplicate", (F.col("n_copies") - 1).cast("int")),
+        )
+    )
+
+
+@register(
+    "w4_sequence_audit",
+    """
+    SELECT l_orderkey, max(l_linenumber) AS max_instance, count(*) AS n_files,
+           CASE WHEN max(l_linenumber) <> count(*) THEN 'sequence_interrupted'
+                ELSE 'ok' END AS seq_flag
+    FROM lineitem GROUP BY 1
+    """,
+)
+def w4_sequence_audit(spark, sf_dir):
+    """W4 — 'sequence interrupted' heuristic: max(InstanceNumber) vs
+    file count (Exam_info.py:1242-1284)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.max("l_linenumber").alias("max_instance"),
+        F.count("*").alias("n_files"),
+        F.when(F.max("l_linenumber") != F.count("*"), F.lit("sequence_interrupted"))
+        .otherwise(F.lit("ok"))
+        .alias("seq_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 — LLM-pipeline dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragments mirroring functions.text exactly
+_SQL_TOKS_RAW = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+_SQL_TOKS = f"list_transform({_SQL_TOKS_RAW}, t -> lower(t))"
+_SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])"
+)
+# duplicate-injection CTE shared by the dedup queries: exact copies of
+# docs with id%5==0 (re-id +1e6) and near-copies (appended tail) of
+# docs with id%9==0 (re-id +2e6)
+_SQL_DOCS2 = """
+    docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' extra trailing tail tokens appended'
+      FROM documents WHERE doc_id % 9 = 0)
+"""
+
+
+def _docs_with_dupes(spark, sf_dir):
+    """Spark twin of _SQL_DOCS2."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tail tokens appended")).alias(
+            "text"
+        ),
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {b} AS band,
+             md5(concat_ws('|', {', '.join(f'm{b * rows + r}' for r in range(rows))})) AS bhash
+      FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SQL_DOCS2},
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tk),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh WHERE len(sh) > 0),
+    banded AS (
+{band_selects}
+    )
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs (16 hashes, 4 bands);
+    portable md5-based hash family so the oracle reproduces signatures
+    bit-for-bit.  Duplicates injected deterministically."""
+    return ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir), "doc_id", "text", num_hashes=16, bands=4
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SQL_DOCS2},
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle FROM tk),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2, inter / (s1.sz + s2.sz - inter) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON pairs.id1 = s1.doc_id
+    JOIN sizes s2 ON pairs.id2 = s2.doc_id
+    WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over shingle-sharing candidate pairs
+    (inverted-index join — never O(n²))."""
+    return ldedup.ngram_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = []
+    for b in range(bits):
+        hex_pos = b // 4 + 1
+        mask = 1 << (3 - (b % 4))
+        votes.append(
+            f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1) "
+            f"& {mask} > 0 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << (bits - 1 - b)} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH {_SQL_DOCS2},
+    tok AS (
+      SELECT doc_id, md5(lower(unnest({_SQL_TOKS_RAW}))) AS h FROM docs2),
+    votes AS (
+      SELECT doc_id, {', '.join(votes)}
+      FROM tok GROUP BY doc_id)
+    SELECT simhash, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM (SELECT doc_id, {fp} AS simhash FROM votes) t
+    GROUP BY 1 HAVING count(*) >= 2
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit, md5 bit votes) duplicate groups."""
+    docs = _docs_with_dupes(spark, sf_dir).filter(text.token_count("text") > 0)
+    return ldedup.simhash_dup_groups(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "dedup_fingerprint",
+    rf"""
+    WITH docs3 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_reverse({_SQL_TOKS_RAW}), ' ')
+      FROM documents WHERE doc_id % 6 = 0)
+    SELECT fp, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(
+                 list_transform({_SQL_TOKS_RAW}, t -> lower(t)))), ' ')) AS fp
+      FROM docs3) t
+    GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Token-set fingerprint dedup: order-insensitive (injected dupes
+    are token-REVERSED copies, caught only because the fingerprint
+    sorts distinct tokens)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reversed_copies = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.reverse(text.tokens("text")), " ").alias("text"),
+    )
+    docs3 = docs.unionAll(reversed_copies)
+    return (
+        docs3.select("doc_id", text.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def _lang_id_sql_expr() -> str:
+    """Build the winner CASE chain mirroring functions.text.lang_id."""
+    from dicomdb_spark.functions.text import LANG_MARKERS
+
+    counts = {}
+    for code in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[code])
+        counts[code] = (
+            f"len(list_filter(tk, t -> list_contains([{markers}], t)))"
+        )
+    ns = ", ".join(f"{expr} AS n_{code}" for code, expr in counts.items())
+    codes = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"n_{c}" for c in codes) + ")"
+    whens = "\n           ".join(
+        f"WHEN n_{c} = {greatest} THEN '{c}'" for c in codes
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents),
+    cnt AS (SELECT doc_id, lang, {ns} FROM tk)
+    SELECT lang, CASE WHEN {greatest} = 0 THEN 'und'
+           {whens}
+           END AS lang_pred, count(*) AS n
+    FROM cnt GROUP BY 1, 2
+    """
+
+
+@register("text_lang_id", _lang_id_sql_expr())
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-token counting) evaluated as a
+    confusion matrix against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           (least(length(text) / 500.0, 1.0)
+            + (1.0 - CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[\w\s]', '', 'g')) / length(text)
+                ELSE 0.0 END)
+            + least((CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) > 0
+                THEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(t))))
+                     / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+                ELSE 0.0 END) * 3.0, 1.0)) / 3.0 AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Composite quality score in [0,1] (length / punctuation /
+    stopword signals) — the cheap pre-filter for web corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '(\w{1,4}|[^\w\s])')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword proxy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+# dot-product fragment for the LSH oracle (floor-scaled exact ints)
+_SQL_DOT = (
+    "(SELECT SUM(CAST(floor(a.v[i.i] * b.v[i.i] * 1e12) AS BIGINT)) "
+    "FROM unnest(range(1, len(a.v) + 1)) i(i)) / 1e12"
+)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT a.vec_id, b.plane_id,
+             CASE WHEN {_SQL_DOT.replace('b.v', 'b.v')} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e a CROSS JOIN planes b),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY 1)
+    SELECT vec_id, bucket FROM buckets
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Hyperplane-LSH bucket assignment; planes are the first 8 corpus
+    vectors (deterministic, data-derived)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsim.bucket_by_seed_planes(emb, n_planes=8)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT a.vec_id, b.plane_id,
+             CASE WHEN {_SQL_DOT} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e a CROSS JOIN planes b),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY 1),
+    n AS (
+      SELECT e.vec_id, e.v, bk.bucket,
+             sqrt(CAST((SELECT SUM(CAST(floor(e.v[i.i] * e.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(e.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM e JOIN buckets bk ON e.vec_id = bk.vec_id),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+             CAST({_SQL_DOT} AS DOUBLE) / (a.nrm * b.nrm) AS cosine_sim
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    SELECT query_id, bucket, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored) t
+    WHERE rank <= 3
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """ANN top-3 restricted to same-LSH-bucket candidates — the scale
+    path: candidates meet via an equi-join on the bucket key, never a
+    cross join over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
+    withb = emb.select("vec_id", "embedding").join(buckets, "vec_id")
+    q = withb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        "bucket",
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("bucket").alias("__cb"),
+    )
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("__cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine_sim", lsim.cosine_exact(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "bucket", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
