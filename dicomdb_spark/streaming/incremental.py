@@ -1,0 +1,81 @@
+"""Structured-Streaming incremental ingest (SURVEY.md §2 S2 streaming).
+
+The reference's incremental contract was cron + mtime deltas with
+at-least-once redelivery absorbed by upsert idempotence
+(common.py:267-306; do_dicom.py:741-753).  The streaming twin:
+
+* file-source stream with checkpoint ≙ the logfile-mtime watermark,
+* ``foreachBatch`` + MERGE classification ≙ the idempotent upsert,
+* day-window aggregation ≙ W3's sessionize-by-date.
+
+At scale this runs continuously on the landing bucket; locally the
+tests drive it with ``availableNow`` + ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_inventory(
+    spark: SparkSession,
+    root: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S2 — "process only new files": the streaming file source tracks
+    seen files in the checkpoint exactly as the reference tracked the
+    last run's logfile mtime."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(root)
+
+
+def windowed_daily_counts(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """W3 streaming analog — tumbling-day session counts with a
+    watermark bounding late-data state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("day_window"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
+def foreach_batch_upsert(
+    target_fetch: Callable[[SparkSession], DataFrame],
+    apply_actions: Callable[[DataFrame], None],
+    keys: list[str],
+    compare_cols: list[str],
+    float_cols: list[str] = (),
+):
+    """S7 streaming — idempotent upsert via MERGE classification.
+
+    Each micro-batch is classified against the current target snapshot
+    (insert/update/noop); ``apply_actions`` receives only the
+    non-noop rows.  Redelivered files classify as noop — the
+    at-least-once absorption the reference got from its exist-checks
+    (Cenir_DB.py:79-101).
+    """
+    from dicomdb_spark.operators.joins import merge_classify
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        existing = target_fetch(batch_df.sparkSession)
+        classified = merge_classify(
+            existing, batch_df, keys, compare_cols, float_cols
+        )
+        apply_actions(classified.filter(F.col("action") != "noop"))
+
+    return fn

@@ -1,0 +1,252 @@
+"""Unit tests for the engine surface not covered by the DuckDB oracle:
+sources, pandas-UDF operators, streaming, sinks, domain views."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dicomdb_spark.llm import multimodal as mm
+from dicomdb_spark.operators import stacks
+from dicomdb_spark.sources import dicom as dsrc
+from dicomdb_spark.sources import inventory as inv
+from dicomdb_spark.sources import jdbc
+from dicomdb_spark.streaming import incremental as stream
+from dicomdb_spark import views
+
+
+# ---------------------------------------------------------------- sources
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    """A tiny proto/suj/ser directory tree with DICM and non-DICM files."""
+    root = tmp_path_factory.mktemp("tree")
+    for proto in ("PROTO_A", "OTHER_B"):
+        for suj in ("subj01", "subj02"):
+            for ser in ("S01_mprage", "S02_epi", "notaserie"):
+                d = root / proto / suj / ser
+                d.mkdir(parents=True)
+                payload = b"\x00" * 128 + b"DICM" + f"{proto}/{suj}/{ser}".encode()
+                (d / "f1.dic").write_bytes(payload)
+                (d / "f2.dic").write_bytes(payload + b"x")
+    (root / "PROTO_A" / "subj01" / "S01_mprage" / "junk.xml").write_bytes(b"<x/>")
+    return str(root)
+
+
+def test_scan_and_regex_descent(spark, tree):
+    files = inv.scan_files(spark, tree, glob="*")
+    leveled = inv.split_tree_levels(files)
+    filtered = inv.regex_descent(leveled, proto_reg="^PROTO", ser_reg="^S")
+    rows = filtered.collect()
+    assert all(r.proto == "PROTO_A" and r.ser.startswith("S") for r in rows)
+    assert len(rows) == 2 * 2 * 2 + 1  # 2 suj × 2 series × 2 files + junk.xml
+    clean = inv.path_name_filters(filtered)
+    assert len(clean.collect()) == 8
+
+
+def test_dicom_magic(spark, tree):
+    files = inv.scan_files(spark, tree)
+    flagged = files.withColumn("is_dicom", inv.is_dicom_magic())
+    rows = flagged.collect()
+    dic = [r for r in rows if r.path.endswith(".dic")]
+    xml = [r for r in rows if r.path.endswith(".xml")]
+    assert all(r.is_dicom for r in dic)
+    assert all(not r.is_dicom for r in xml)
+
+
+def test_modified_after_prunes(spark, tree):
+    future = (dt.datetime.now() + dt.timedelta(days=1)).strftime("%Y-%m-%dT%H:%M:%S")
+    assert inv.scan_files(spark, tree, modified_after=future).count() == 0
+
+
+def test_id_path_list_dup_check(spark, tmp_path):
+    good = tmp_path / "good.csv"
+    good.write_text("a,/x\nb,/y\n")
+    assert inv.read_id_path_list(spark, str(good)).count() == 2
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,/x\na,/y\n")
+    with pytest.raises(ValueError, match="duplicate id"):
+        inv.read_id_path_list(spark, str(bad))
+
+
+def test_header_parse_stub(spark, tree):
+    files = inv.scan_files(spark, tree, glob="*.dic")
+    parsed = dsrc.parse_headers(files, parser=dsrc.synthetic_parser)
+    rows = parsed.collect()
+    assert len(rows) == 24
+    r = rows[0]
+    assert r.SeriesInstanceUID.startswith("1.2.3.")
+    assert isinstance(r.ImageType, list) and r.ImageType[0] == "ORIGINAL"
+    assert "raw_len" in r.csa_meta
+
+
+def test_header_parse_unimplemented_raises(spark, tree):
+    files = inv.scan_files(spark, tree, glob="*.dic").limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|pydicom"):
+        dsrc.parse_headers(files).collect()
+
+
+# ------------------------------------------------------------- U3 stacks
+def test_assemble_stacks(spark):
+    rows = []
+    # stack A: instances 1,2,3 + a duplicate 2  → 1Duplicate
+    for i, inst in enumerate([1, 2, 2, 3]):
+        rows.append(
+            Row(
+                SeriesInstanceUID="A",
+                SeriesNumber=1,
+                EchoTime=2.5,
+                path=f"/a/f{i}.dic",
+                InstanceNumber=inst,
+                acq_seconds=float(3600 + inst),
+            )
+        )
+    # stack B: instances 1,3,4 → missingDicomFile_1; rollover duration
+    for i, inst in enumerate([1, 3, 4]):
+        rows.append(
+            Row(
+                SeriesInstanceUID="B",
+                SeriesNumber=2,
+                EchoTime=2.5,
+                path=f"/b/f{i}.dic",
+                InstanceNumber=inst,
+                acq_seconds=[86390.0, 5.0, 10.0][i],
+            )
+        )
+    df = spark.createDataFrame(rows)
+    out = {r.SeriesInstanceUID: r for r in stacks.assemble_stacks(df).collect()}
+    a, b = out["A"], out["B"]
+    assert a.n_duplicates == 1 and a.corrupt == "1Duplicate"
+    assert a.nb_dic_file == 4 and a.first_file == "/a/f0.dic"
+    assert b.n_missing == 1 and "missingDicomFile_1" in b.corrupt
+    # midnight rollover: 5 − 86390 + 86400 = 15
+    assert b.duration_s == 15.0
+
+
+def test_rotate_bvecs_identity(spark):
+    # identity rotation: affine rows = x̂, ŷ → bvecs unchanged (mod flip)
+    rows = [
+        Row(
+            SeriesInstanceUID="S",
+            volume_index=i,
+            bvec=[float(i), 0.0, 1.0],
+            bval=1000.0,
+            affine=[1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+            flip_sign=[1.0, -1.0, 1.0],
+        )
+        for i in range(3)
+    ]
+    out = stacks.rotate_bvecs(spark.createDataFrame(rows)).collect()[0]
+    assert out.bvals == [1000.0] * 3
+    assert out.bvecs_rotated[2][0] == pytest.approx(2.0)
+    assert out.bvecs_rotated[1] == pytest.approx([1.0, 0.0, 1.0])
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x" * 200)]
+    )
+    binar = mm.binarize(docs)
+    meta = {r.doc_id: r for r in mm.decode_image_meta(binar).collect()}
+    assert meta[1].n_bytes == 11 and meta[2].n_bytes == 200
+    assert meta[1].format == "fake/raw"
+    assert len(meta[1].checksum) == 64  # sha2-256 hex
+    frames = mm.frame_sample(binar, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 4  # ceil(200/64)
+    assert bytes(by_doc[2][0].frame_payload) == b"x" * 64
+
+
+# ------------------------------------------------------------- streaming
+def test_streaming_daily_counts(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ev = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp_ntz '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600)").alias("ts"),
+        (F.col("id") % 2).alias("user_id"),
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stream_df = stream.stream_inventory(
+        spark, src, ev.schema, fmt="parquet"
+    )
+    agg = stream.windowed_daily_counts(stream_df.withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("daily_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from daily_counts").collect()
+    finally:
+        q.stop()
+    assert {(r.user_id, r.n_items) for r in rows} == {(0, 5), (1, 5)}
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    target: dict[int, tuple] = {1: ("a", 1.0)}  # pre-existing row
+
+    incoming = spark.createDataFrame(
+        [Row(k=1, name="a", v=1.0), Row(k=2, name="b", v=2.0), Row(k=1, name="a2", v=1.0)]
+    )
+    incoming.write.mode("overwrite").parquet(src)
+
+    seen_actions = []
+
+    def fetch(s):
+        return s.createDataFrame(
+            [Row(k=k, name=n, v=v) for k, (n, v) in target.items()],
+            schema="k long, name string, v double",
+        )
+
+    def apply(df):
+        seen_actions.extend((r.k, r.action) for r in df.collect())
+
+    fn = stream.foreach_batch_upsert(fetch, apply, ["k"], ["name", "v"], ["v"])
+    batch = spark.read.parquet(src)
+    fn(batch, 0)
+    acts = sorted(seen_actions)
+    # k=2 is new → insert; k=1 appears twice: one noop (identical) and
+    # one update (name changed)
+    assert (2, "insert") in acts and (1, "update") in acts
+    assert (1, "noop") not in acts  # noops filtered out
+
+
+# ------------------------------------------------------------ sinks/views
+def test_render_upsert_sql():
+    sql = jdbc.render_upsert_sql(
+        "exam", {"Eid": 7, "ExamName": "O'Neill", "PatientsWeight": None}, ["Eid"]
+    )
+    assert sql.startswith("INSERT INTO exam (Eid, ExamName, PatientsWeight) VALUES")
+    assert "O\\'Neill" in sql and "NULL" in sql
+    assert "ON DUPLICATE KEY UPDATE ExamName = VALUES(ExamName)" in sql
+    assert "Eid = VALUES" not in sql  # keys never updated
+
+
+def test_exam_series_and_seqname(spark):
+    exam = spark.createDataFrame(
+        [Row(Eid=1, ExamName="E1", MachineName="Verio"), Row(Eid=2, ExamName="E2", MachineName="Prisma")]
+    )
+    serie = spark.createDataFrame(
+        [
+            Row(Sid=10, ExamRef=1, SeqName2="tfl3d", SName="mprage"),
+            Row(Sid=11, ExamRef=1, SeqName2="tfl3d", SName="mprage_rep"),
+            Row(Sid=12, ExamRef=2, SeqName2="ep_b", SName="dwi"),
+            Row(Sid=13, ExamRef=3, SeqName2="orphan", SName="x"),
+        ]
+    )
+    es = views.exam_series(exam, serie)
+    assert es.count() == 3  # inner join drops the orphan serie
+    assert "ExamName" in es.columns
+    cat = {r.SeqName2: r.Sid for r in views.seqname_catalog(serie).collect()}
+    assert cat == {"tfl3d": 10, "ep_b": 12, "orphan": 13}

@@ -1,0 +1,110 @@
+"""Unit tests for the scalar/text/vector column libraries."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dicomdb_spark.functions import scalars, text, vectors
+
+
+def one(spark, col, **data):
+    df = spark.createDataFrame([Row(**data)])
+    return df.select(col.alias("out")).collect()[0].out
+
+
+def test_alpha_num_str(spark):
+    cases = {
+        "Céline/Dupont  (épreuve)": "Celine_Dupont_epreuve",
+        "__already__clean__": "already_clean",
+        "µ-test ôï": "m_test_oi",
+    }
+    for src, want in cases.items():
+        assert one(spark, scalars.alpha_num_str("s"), s=src) == want
+
+
+def test_ta_seconds(spark):
+    # reference semantics (Exam_info.py:1470-1487)
+    assert one(spark, scalars.ta_seconds("s"), s="TA 03:50") == 230
+    assert one(spark, scalars.ta_seconds("s"), s="TA 03:50*3") == 690
+    assert one(spark, scalars.ta_seconds("s"), s="TA 02.30") == 180  # dotted → mm+1
+    assert one(spark, scalars.ta_seconds("s"), s="TA 02.30*2") == 360
+    assert one(spark, scalars.ta_seconds("s"), s="garbage") is None
+
+
+def test_time_arith(spark):
+    assert one(spark, scalars.time_str_to_sec("s"), s="132501") == 13 * 3600 + 25 * 60 + 1
+    roll = scalars.duration_with_rollover(F.lit(86390), F.lit(5))
+    assert one(spark, roll, s="x") == 15
+    assert one(spark, scalars.ceil_minutes(F.lit(61)), s="x") == 2
+
+
+def test_prefix_code_and_classify(spark):
+    rid = scalars.prefix_code("s", [("Verio", 19), ("TrioTim", 1), ("SIGNA", 29)])
+    assert one(spark, rid, s="Verio_dx") == 19
+    assert one(spark, rid, s="SIGNA PET/MR") == 29
+    assert one(spark, rid, s="unknown") == 0
+    seq = scalars.classify_contains("s", [("ep_b", "DWI"), ("epfid", "EPI"), ("tfl3d", "MPRAGE")])
+    assert one(spark, seq, s="xx_ep_b_123") == "DWI"
+    # first-match-wins: ep_b wins over epfid when both present
+    assert one(spark, seq, s="ep_b_epfid") == "DWI"
+    assert one(spark, seq, s="nothing") == "to_be_defined"
+
+
+def test_float_tolerant_eq(spark):
+    assert one(spark, scalars.float_tolerant_eq(F.lit(2.4600000001), 2.46), s="x")
+    assert not one(spark, scalars.float_tolerant_eq(F.lit(2.461), 2.46), s="x")
+
+
+def test_text_tokens_and_ratios(spark):
+    assert one(spark, text.token_count("s"), s="  a  b   c ") == 3
+    assert one(spark, text.token_count("s"), s="") == 0
+    assert one(spark, text.punct_ratio("s"), s="ab,.") == pytest.approx(0.5)
+    assert one(spark, text.stopword_ratio("s"), s="the dog and cat") == pytest.approx(0.5)
+    q = one(spark, text.quality_score("s"), s="the quick brown fox is here")
+    assert 0.0 <= q <= 1.0
+
+
+def test_lang_id(spark):
+    assert one(spark, text.lang_id("s"), s="the cat of the house and a dog") == "en"
+    assert one(spark, text.lang_id("s"), s="el perro de la casa que ladra") == "es"
+    assert one(spark, text.lang_id("s"), s="zzz qqq") == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = one(spark, text.fingerprint("s"), s="alpha beta gamma")
+    b = one(spark, text.fingerprint("s"), s="gamma ALPHA beta alpha")
+    assert a == b
+
+
+def test_shingles(spark):
+    sh = one(spark, text.shingles("s", 3), s="A b c d")
+    assert sh == ["a b c", "b c d"]
+    assert one(spark, text.shingles("s", 3), s="a b") == []
+
+
+def test_vector_math(spark):
+    d = one(spark, vectors.dot(F.lit([1.0, 2.0]).cast("array<double>"), F.lit([3.0, 4.0]).cast("array<double>")), s="x")
+    assert d == pytest.approx(11.0)
+    n = one(spark, vectors.norm2(F.lit([3.0, 4.0]).cast("array<double>")), s="x")
+    assert n == pytest.approx(5.0)
+    c = one(
+        spark,
+        vectors.cosine(
+            F.lit([1.0, 0.0]).cast("array<double>"), F.lit([1.0, 0.0]).cast("array<double>")
+        ),
+        s="x",
+    )
+    assert c == pytest.approx(1.0)
+    z = one(
+        spark,
+        vectors.cosine(
+            F.lit([0.0, 0.0]).cast("array<double>"), F.lit([1.0, 0.0]).cast("array<double>")
+        ),
+        s="x",
+    )
+    assert z is None
