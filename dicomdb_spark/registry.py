@@ -1440,3 +1440,197 @@ def ann_lsh_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — composed audits (R1/R2/R6 shapes) + remaining scalar ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r1_dup_resolution",
+    """
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_id, ts,
+             CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn,
+             count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS cnt,
+             CAST(SUM(CAST(floor(value * 10000) AS BIGINT))
+                  OVER (PARTITION BY user_id, CAST(ts AS DATE)) / 10000.0
+                  AS DOUBLE) AS grp_value
+      FROM events)
+    SELECT user_id, day, event_id, rn,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'remove' END AS action,
+           cnt AS n_copies, grp_value
+    FROM ranked WHERE cnt >= 2
+    """,
+)
+def r1_dup_resolution(spark, sf_dir):
+    """R1/R2 — the full duplicate-resolution composition: A1 dup
+    groups → W2 rank-by-recency → A3 guard aggregates carried per
+    group (Cenir_DB.py:442-604: argsort mtime :502, count guards
+    :513-534) — keeper + remove list with the guard totals attached."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "day")
+    ranked = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc())),
+        )
+        .withColumn("cnt", F.count("*").over(w))
+        .withColumn("grp_value", (F.sum(F.floor(F.col("value") * 10000).cast("long")).over(w) / 10000.0).cast("double"))
+        .filter(F.col("cnt") >= 2)
+    )
+    return ranked.select(
+        "user_id",
+        "day",
+        "event_id",
+        "rn",
+        F.when(F.col("rn") == 1, F.lit("keep")).otherwise(F.lit("remove")).alias("action"),
+        F.col("cnt").alias("n_copies"),
+        "grp_value",
+    )
+
+
+@register(
+    "r6_billing_dedup",
+    """
+    WITH pairs AS (
+      SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+             e1.value AS v1, e2.value AS v2
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND CAST(e1.ts AS DATE) = CAST(e2.ts AS DATE)
+       AND e1.event_id < e2.event_id
+       AND abs(CAST(floor(epoch(e1.ts)) AS BIGINT)
+               - CAST(floor(epoch(e2.ts)) AS BIGINT)) < 300)
+    SELECT user_id, id1, id2,
+           CASE WHEN v1 >= v2 THEN id2 ELSE id1 END AS to_remove
+    FROM pairs
+    """,
+)
+def r6_billing_dedup(spark, sf_dir):
+    """R6 — time-proximity pair resolution (do_dicom.py:55-89): after
+    the J3 band join, each pair resolves to a loser by comparing the
+    review state (relu/maj_le in the reference; value here — higher
+    wins, ties keep the older id)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = oj.time_proximity_pairs(ev, ["user_id"], "ts", "event_id", 300)
+    vals = ev.select(F.col("event_id"), F.col("value"))
+    p = (
+        pairs.join(vals.withColumnRenamed("event_id", "id1").withColumnRenamed("value", "v1"), "id1")
+        .join(vals.withColumnRenamed("event_id", "id2").withColumnRenamed("value", "v2"), "id2")
+    )
+    return p.select(
+        "user_id",
+        "id1",
+        "id2",
+        F.when(F.col("v1") >= F.col("v2"), F.col("id2")).otherwise(F.col("id1")).alias("to_remove"),
+    )
+
+
+@register(
+    "p7_derived_filter",
+    """
+    SELECT p_partkey, image_type FROM (
+      SELECT p_partkey, string_split(upper(p_type), ' ') AS image_type
+      FROM part) t
+    WHERE NOT (
+      (list_contains(image_type, 'POLISHED') OR list_contains(image_type, 'BURNISHED'))
+      AND NOT (list_contains(image_type, 'PROMO') AND list_contains(image_type, 'POLISHED')))
+    """,
+)
+def p7_derived_filter(spark, sf_dir):
+    """P7 — derived-series row filter with carve-outs
+    (Exam_info.py:417-455): drop rows whose ImageType array contains
+    blocked tokens, EXCEPT the mp2rage-style carve-out combination
+    (DERIVED+PRIMARY+UNI kept, :438-439).  Instantiated on a token
+    array split from p_type: POLISHED/BURNISHED blocked, PROMO+POLISHED
+    carved back in."""
+    part = load_table(spark, sf_dir, "part")
+    df = part.select(
+        "p_partkey", F.split(F.upper("p_type"), " ").alias("image_type")
+    )
+    blocked = F.array_contains("image_type", "POLISHED") | F.array_contains(
+        "image_type", "BURNISHED"
+    )
+    carve_out = F.array_contains("image_type", "PROMO") & F.array_contains(
+        "image_type", "POLISHED"
+    )
+    return df.filter(~(blocked & ~carve_out))
+
+
+@register(
+    "f4_datetime_parse",
+    """
+    SELECT event_id,
+           strptime(printf('%04d%02d%02d', y, m, d) || raw_time,
+                    '%Y%m%d%H%M%S') AS parsed_ts
+    FROM (
+      SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d,
+             printf('%02d%02d%02d', hour(ts), minute(ts),
+                    CAST(floor(second(ts)) AS BIGINT)) AS raw_time
+      FROM events) t
+    """,
+)
+def f4_datetime_parse(spark, sf_dir):
+    """F4 — the YYYYMMDD + HHMMSS string-pair parse
+    (Exam_info.py:183-188; do_dicom.py:491): rebuild the raw strings
+    from data, parse with an explicit format, second precision."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_date = F.format_string(
+        "%04d%02d%02d", F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    )
+    raw_time = F.format_string(
+        "%02d%02d%02d", F.hour("ts"), F.minute("ts"), F.floor(F.second("ts")).cast("int")
+    )
+    return ev.select(
+        "event_id",
+        F.to_timestamp_ntz(
+            F.concat(raw_date, raw_time), F.lit("yyyyMMddHHmmss")
+        ).alias("parsed_ts"),
+    )
+
+
+@register(
+    "f2_eid_facturable",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                THEN substr(o_orderpriority, 3) ELSE NULL END AS eid,
+           CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                THEN 1 ELSE 0 END AS facturable
+    FROM orders
+    """,
+)
+def f2_eid_facturable(spark, sf_dir):
+    """F2 — the StudyDescription prefix→(eid, facturable) classifier
+    (Exam_info.py:280-289): known prefixes strip to an id + billable
+    flag, everything else is non-billable."""
+    orders = load_table(spark, sf_dir, "orders")
+    known = F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")
+    return orders.select(
+        "o_orderkey",
+        F.when(known, F.expr("substring(o_orderpriority, 3)")).alias("eid"),
+        F.when(known, F.lit(1)).otherwise(F.lit(0)).alias("facturable"),
+    )
+
+
+@register(
+    "o2_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_topk(spark, sf_dir):
+    """O2 — global top-k with total order (TakeOrderedAndProject —
+    no full sort is ever materialized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -1,0 +1,56 @@
+"""Plan-shape regression tests: the performance contract of key queries.
+
+These assert the *plan*, not the timing — broadcast where expected,
+columns pruned, predicates pushed, no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dicomdb_spark.plans import introspection as pi
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_j1_broadcasts_all_dimensions(spark):
+    df = QUERIES["j1_exam_series_revenue"](spark, SF)
+    assert pi.count_broadcast_joins(df) == 3  # orders, customer, nation
+    assert not pi.has_sort_merge_join(df)
+    # lineitem scan must be pruned to the 3 referenced columns
+    schemas = pi.scan_read_schemas(df)
+    li = [s for s in schemas if "l_orderkey" in s][0]
+    assert li.count(":") == 3, li
+
+
+def test_p3_filters_push_into_scan(spark):
+    df = QUERIES["p3_composite_key"](spark, SF)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "EqualTo(o_orderstatus,F)" in pushed
+    assert "StringStartsWith(o_orderpriority,1)" in pushed
+    # 3 projected + 3 filter columns; anything more means pruning broke
+    pi.assert_max_scan_columns(df, 6)
+
+
+def test_band_joins_are_not_nested_loops(spark):
+    for name in ("j3_time_proximity", "j4_pairwise_doubles", "r6_billing_dedup"):
+        pi.assert_no_cartesian(QUERIES[name](spark, SF))
+
+
+def test_ann_topk_is_single_shuffle(spark):
+    # broadcast(queries) × corpus + one shuffle for the per-query window
+    df = QUERIES["ann_bruteforce_topk"](spark, SF)
+    assert pi.count_shuffles(df) <= 1, pi.simple_plan(df)
+
+
+def test_scan_only_queries_have_no_shuffle(spark):
+    for name in ("t2_content_hash", "text_stats", "f1_sanitize", "p6_like_family"):
+        df = QUERIES[name](spark, SF)
+        assert pi.count_shuffles(df) == 0, f"{name} shuffles unexpectedly"
+
+
+def test_dup_detection_single_shuffle(spark):
+    # A1: one exchange for the groupBy, nothing else
+    df = QUERIES["a1_dup_customer_day"](spark, SF)
+    assert pi.count_shuffles(df) <= 1
