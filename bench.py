@@ -36,6 +36,10 @@ HEADLINE = [
     "t2_content_hash",
     "text_stats",
     "ann_bruteforce_topk",
+    "r1_dup_resolution",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
 ]
 
 

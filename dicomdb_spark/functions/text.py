@@ -117,15 +117,17 @@ def fingerprint(col: Column | str) -> Column:
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles → array<string> (for MinHash / Jaccard).
 
-    Built with sequence+transform over the token array — no explode
-    needed until the caller chooses to.
+    Built from ``slice`` + ``zip_with`` folds: the token array is only
+    referenced as a top-level argument (evaluated once per reference),
+    never inside a lambda body.  Higher-order lambdas are interpreted
+    without common-subexpression elimination, so an ``element_at(toks,
+    i)`` formulation would re-tokenize the document once per element —
+    quadratic per row.  This version is linear.
     """
     toks = F.transform(tokens(col), lambda t: F.lower(t))
-    count = F.size(toks) - (n - 1)
-    return F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - (n - 1)  # number of shingles
+    acc = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, F.greatest(m, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc

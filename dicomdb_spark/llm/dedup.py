@@ -79,10 +79,21 @@ def minhash_lsh_pairs(
     only quadratic term, bounded by tuning bands×rows.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    # Relational signature: explode shingles once, compute each of the
+    # k hashes exactly once per shingle, take the k minima in ONE hash
+    # aggregate.  (The array-column formulation — minhash_signature —
+    # re-evaluates the shingle expression per hash slot; fine for a few
+    # rows, quadratic-ish at corpus scale.)
+    sh = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(text_col, num_hashes, n).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
     banded = sig.select(
         "doc",
         F.explode(
@@ -92,7 +103,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                                "|", *[F.col(f"m{b * rows + r}") for r in range(rows)]
                             )
                         ).alias("bhash"),
                     )
@@ -189,6 +200,42 @@ def simhash(text_col: Column | str, bits: int = 16) -> Column:
     return out
 
 
+def simhash_relational(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash per document, relational formulation → (id, simhash).
+
+    Explode tokens, md5 each token ONCE, then ``bits`` conditional-sum
+    aggregates in a single hash aggregate.  Identical semantics to the
+    ``simhash`` column expression but linear in total tokens (the
+    column form re-evaluates the token array per bit — 16× the hash
+    work).  Documents with zero tokens produce no row (match the
+    column form by pre-filtering empties).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(F.col(id_col), F.md5(F.lower(F.col("__t"))).alias("h"))
+    votes = []
+    for b in range(bits):
+        hex_pos = b // 4 + 1
+        mask = 1 << (3 - (b % 4))
+        bit_set = (
+            (F.instr(F.lit(HEX), F.substring(F.col("h"), hex_pos, 1)) - 1)
+            .cast("int")
+            .bitwiseAND(F.lit(mask))
+            > 0
+        )
+        votes.append(
+            F.sum(F.when(bit_set, F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        )
+    g = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << (bits - 1 - b)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return g.select(F.col(id_col), fp.alias("simhash"))
+
+
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Exact-simhash duplicate groups (hamming-0 buckets).
 
@@ -197,7 +244,7 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16
     default.
     """
     return (
-        df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+        simhash_relational(df, id_col, text_col, bits)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_dups") >= 2)

@@ -1535,29 +1535,26 @@ def r6_billing_dedup(spark, sf_dir):
     "p7_derived_filter",
     """
     SELECT p_partkey, image_type FROM (
-      SELECT p_partkey, string_split(upper(p_type), ' ') AS image_type
+      SELECT p_partkey, string_split(p_name, ' ') AS image_type
       FROM part) t
     WHERE NOT (
-      (list_contains(image_type, 'POLISHED') OR list_contains(image_type, 'BURNISHED'))
-      AND NOT (list_contains(image_type, 'PROMO') AND list_contains(image_type, 'POLISHED')))
+      (list_contains(image_type, 'blue') OR list_contains(image_type, 'red'))
+      AND NOT (list_contains(image_type, 'red') AND list_contains(image_type, 'widget')))
     """,
 )
 def p7_derived_filter(spark, sf_dir):
     """P7 — derived-series row filter with carve-outs
     (Exam_info.py:417-455): drop rows whose ImageType array contains
     blocked tokens, EXCEPT the mp2rage-style carve-out combination
-    (DERIVED+PRIMARY+UNI kept, :438-439).  Instantiated on a token
-    array split from p_type: POLISHED/BURNISHED blocked, PROMO+POLISHED
-    carved back in."""
+    (DERIVED+PRIMARY+UNI kept, :438-439).  Instantiated on the p_name
+    token array: blue/red blocked, 'red widget' carved back in."""
     part = load_table(spark, sf_dir, "part")
-    df = part.select(
-        "p_partkey", F.split(F.upper("p_type"), " ").alias("image_type")
+    df = part.select("p_partkey", F.split("p_name", " ").alias("image_type"))
+    blocked = F.array_contains("image_type", "blue") | F.array_contains(
+        "image_type", "red"
     )
-    blocked = F.array_contains("image_type", "POLISHED") | F.array_contains(
-        "image_type", "BURNISHED"
-    )
-    carve_out = F.array_contains("image_type", "PROMO") & F.array_contains(
-        "image_type", "POLISHED"
+    carve_out = F.array_contains("image_type", "red") & F.array_contains(
+        "image_type", "widget"
     )
     return df.filter(~(blocked & ~carve_out))
 
@@ -1634,3 +1631,42 @@ def o2_topk(spark, sf_dir):
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 — non-SQL-expressible operators (rows-only driver check):
+# the pandas-UDF surface exercised on testdata-derived inputs.
+# ---------------------------------------------------------------------------
+
+
+@register("u3_stack_assembly", None)  # applyInPandas — no SQL oracle
+def u3_stack_assembly(spark, sf_dir):
+    """U3 — grouped-map stack assembly (Exam_info.py:752-857) driven
+    from testdata: lineitem rows become per-file header records
+    (orderkey → stack id, linenumber → InstanceNumber), then
+    applyInPandas validates each stack and emits dup/missing audits.
+    Deterministic rows; no oracle because grouped-map semantics are
+    not SQL-expressible (driver records rows-only)."""
+    from dicomdb_spark.operators.stacks import assemble_stacks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    headers = li.select(
+        F.col("l_orderkey").cast("string").alias("SeriesInstanceUID"),
+        F.lit(1).alias("SeriesNumber"),
+        F.lit(0.0).alias("EchoTime"),
+        F.format_string("/f/%d_%d.dic", "l_orderkey", "l_linenumber").alias("path"),
+        F.col("l_linenumber").alias("InstanceNumber"),
+        (F.unix_timestamp("l_shipdate") % 86400).cast("double").alias("acq_seconds"),
+    )
+    return assemble_stacks(headers)
+
+
+@register("multimodal_decode", None)  # mapInPandas — no SQL oracle
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing on testdata: documents → binary payloads →
+    mapInPandas metadata extraction (deterministic fake decoder; real
+    decoder injectable).  Rows-only driver check."""
+    from dicomdb_spark.llm.multimodal import binarize, decode_image_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(binarize(docs))
