@@ -1,0 +1,119 @@
+"""The import pipeline (SURVEY.md §3 E1) — end-to-end, Spark-first.
+
+Reference flow (do_dicom_series_DB.py): directory scan → per-series
+header extraction → sessionize into exams → upsert exam + serie rows →
+recompute exam duration.  Here each stage is one DataFrame
+transformation; the whole pipeline is lazy until the sink.
+
+Scale shape: the scan and parse are map-only; the stack/series
+aggregation shuffles once on the stack key; the exam aggregation
+shuffles once on (StudyInstanceUID, day); the MERGE classification is
+one broadcast-or-shuffled join against the target snapshot.  Four
+stages, three shuffles, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicomdb_spark.functions.scalars import (
+    ceil_minutes,
+    duration_with_rollover,
+    time_str_to_sec,
+)
+from dicomdb_spark.operators.joins import merge_classify
+from dicomdb_spark.operators.stacks import assemble_stacks
+from dicomdb_spark.sources.dicom import HeaderParser, parse_headers
+from dicomdb_spark.sources.inventory import (
+    is_dicom_magic,
+    path_name_filters,
+    regex_descent,
+    scan_files,
+    split_tree_levels,
+)
+
+
+def extract_headers(
+    spark: SparkSession,
+    root: str,
+    parser: HeaderParser,
+    proto_reg: str = ".*",
+    suj_reg: str = ".*",
+    ser_reg: str = "^S",
+    modified_after: str | None = None,
+) -> DataFrame:
+    """Stages 1–2: source selection + extraction (E1 steps 1–3).
+
+    scan (S1/S2, mtime pushdown) → level split → regex descent →
+    name filters (P8) → DICM sniff (S3) → header parse (U1).
+    """
+    files = scan_files(spark, root, glob="*", modified_after=modified_after)
+    files = path_name_filters(split_tree_levels(files))
+    files = regex_descent(files, proto_reg, suj_reg, ser_reg)
+    files = files.filter(is_dicom_magic())
+    return parse_headers(files, parser=parser)
+
+
+def build_serie_frame(headers: DataFrame) -> DataFrame:
+    """Stage 3a: per-stack serie rows (U3 assembly + audits).
+
+    acq_seconds derives from the raw HHMMSS time string (F4).
+    """
+    h = headers.withColumn(
+        "acq_seconds", time_str_to_sec(F.col("AcquisitionTimeRaw")).cast("double")
+    )
+    stacks = assemble_stacks(
+        h.select(
+            "SeriesInstanceUID",
+            "SeriesNumber",
+            "EchoTime",
+            "path",
+            "InstanceNumber",
+            "acq_seconds",
+        )
+    )
+    # re-attach exam linkage + date (one representative per stack —
+    # first by InstanceNumber, deterministic)
+    link = h.groupBy("SeriesInstanceUID", "SeriesNumber", "EchoTime").agg(
+        F.min_by("StudyInstanceUID", "InstanceNumber").alias("EUID"),
+        F.min_by("AcquisitionDate", "InstanceNumber").alias("AcquisitionDate"),
+        F.min("acq_seconds").alias("first_acq_seconds"),
+    )
+    return stacks.join(link, ["SeriesInstanceUID", "SeriesNumber", "EchoTime"])
+
+
+def build_exam_frame(serie: DataFrame) -> DataFrame:
+    """Stage 3b: exams = series sessionized by (EUID, AcquisitionDate)
+    (W3, Exam_info.py:1380-1459), with the W1 duration metric:
+    ceil((last.start − first.start + last.duration) / 60) minutes,
+    midnight-rollover guarded (Exam_info.py:197-232)."""
+    g = serie.groupBy("EUID", "AcquisitionDate").agg(
+        F.count("*").alias("n_series"),
+        F.min_by("first_acq_seconds", "SeriesNumber").alias("first_start"),
+        F.max_by("first_acq_seconds", "SeriesNumber").alias("last_start"),
+        F.max_by("duration_s", "SeriesNumber").alias("last_duration"),
+        F.min_by("SeriesInstanceUID", "SeriesNumber").alias("FirstSerieName"),
+        F.max_by("SeriesInstanceUID", "SeriesNumber").alias("LastSerieName"),
+    )
+    dur = duration_with_rollover(
+        F.col("first_start").cast("long"), F.col("last_start").cast("long")
+    ) + F.coalesce(F.col("last_duration").cast("long"), F.lit(0))
+    return g.withColumn("ExamDuration", ceil_minutes(dur))
+
+
+def classify_against_db(
+    exam_new: DataFrame,
+    exam_existing: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    float_cols: list[str] = (),
+    exclude_cols: list[str] = (),
+) -> DataFrame:
+    """Stage 4: the load-side MERGE (S7) — P3 identity probe + P4
+    float-tolerant change detection + the reference's exclude-column
+    list (Cenir_DB.py:97) — producing insert/update/noop classes for
+    the JDBC writer (sources.jdbc)."""
+    return merge_classify(
+        exam_existing, exam_new, keys, compare_cols, float_cols, exclude_cols
+    )
