@@ -1670,3 +1670,33 @@ def multimodal_decode(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_meta(binarize(docs))
+
+
+@register(
+    "a2_seqname_catalog",
+    """
+    SELECT event_type, event_id, user_id, value FROM (
+      SELECT event_type, event_id, user_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events) t WHERE rn = 1
+    """,
+)
+def a2_seqname_catalog(spark, sf_dir):
+    """A2 — the ``seqname`` view (cenir_view.sql:20): MySQL's
+    pick-an-arbitrary-row-per-group catalog, rewritten as the
+    deterministic lowest-id representative (views.seqname_catalog
+    shape: row_number over an explicit order)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("SeqName2"),
+        F.col("event_id").alias("Sid"),
+        "user_id",
+        "value",
+    )
+    from dicomdb_spark.views import seqname_catalog
+
+    return seqname_catalog(ev).select(
+        F.col("SeqName2").alias("event_type"),
+        F.col("Sid").alias("event_id"),
+        "user_id",
+        "value",
+    )

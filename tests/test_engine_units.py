@@ -250,3 +250,38 @@ def test_exam_series_and_seqname(spark):
     assert "ExamName" in es.columns
     cat = {r.SeqName2: r.Sid for r in views.seqname_catalog(serie).collect()}
     assert cat == {"tfl3d": 10, "ep_b": 12, "orphan": 13}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """W3 streaming analog with a true session_window (gap-based)."""
+    src = str(tmp_path / "sess_in")
+    ev = spark.range(6).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+            "CASE WHEN id < 3 THEN id * 60 ELSE 7200 + id * 60 END)"
+        ).alias("ts"),
+        F.lit(7).alias("user_id"),
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stream_df = (
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    agg = (
+        stream_df.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select n from sessions").collect()
+    finally:
+        q.stop()
+    # two bursts separated by a 2 h gap → exactly two sessions of 3
+    assert sorted(r.n for r in rows) == [3, 3]

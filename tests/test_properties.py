@@ -1,0 +1,77 @@
+"""Property-based tests for the scalar library.
+
+The reference had no tests (SURVEY §5); its correctness risks were
+exactly the fiddly scalar paths — midnight rollover, TA parsing,
+sanitizer idempotence (risk register §7e).  Hypothesis generates the
+string corpus; each property evaluates the column expression over the
+whole batch in one Spark job (per-example jobs would be prohibitive).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dicomdb_spark.functions import scalars
+
+
+def batch_eval(spark, cases, col_builder):
+    df = spark.createDataFrame([Row(s=c) for c in cases], schema="s string")
+    return [r.out for r in df.select(col_builder("s").alias("out")).collect()]
+
+
+def test_ta_parse_grid(spark):
+    """Exhaustive grid over the TA grammar (colon/dotted × multiplier)."""
+    cases, want = [], []
+    for mm in (0, 1, 9, 59):
+        for ss in (0, 5, 59):
+            for mult in (None, 1, 2, 9):
+                suffix = f"*{mult}" if mult else ""
+                cases.append(f"TA {mm:02d}:{ss:02d}{suffix}")
+                want.append((mm * 60 + ss) * (mult or 1))
+                cases.append(f"TA {mm:02d}.{ss:02d}{suffix}")
+                want.append((mm + 1) * 60 * (mult or 1))
+    assert batch_eval(spark, cases, scalars.ta_seconds) == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs", "Cc")
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sanitizer_idempotent_and_clean(spark, cases):
+    once = batch_eval(spark, cases, scalars.alpha_num_str)
+    twice = batch_eval(spark, once, scalars.alpha_num_str)
+    assert once == twice  # idempotent
+    for out in once:
+        assert re.fullmatch(r"[A-Za-z0-9_]*", out), repr(out)
+        assert not out.startswith("_") and not out.endswith("_")
+        assert "__" not in out
+
+
+def test_rollover_range(spark):
+    """duration_with_rollover stays in [0, 86400) for second-of-day pairs."""
+    secs = [0, 1, 3600, 43200, 86399]
+    rows = [Row(a=a, b=b) for a, b in itertools.product(secs, secs)]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        scalars.duration_with_rollover(F.col("a"), F.col("b")).alias("d")
+    ).collect()
+    assert all(0 <= r.d < 86400 for r in out)
