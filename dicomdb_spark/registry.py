@@ -1700,3 +1700,210 @@ def a2_seqname_catalog(spark, sf_dir):
         "user_id",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — IVF ANN, embedding near-dup, quantiles, pivot, rollup
+# ---------------------------------------------------------------------------
+
+# floor-int dot fragment over aliases a/b (see _SQL_DOT)
+_SQL_DOT_AB = (
+    "(SELECT SUM(CAST(floor(a.v[i.i] * b.v[i.i] * 1e12) AS BIGINT)) "
+    "FROM unnest(range(1, len(a.v) + 1)) i(i)) / 1e12"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 8),
+    scored_cent AS (
+      SELECT a.vec_id, b.cent_id,
+             {_SQL_DOT_AB.replace('b.v', 'b.v')} AS dp
+      FROM e a CROSS JOIN cents b),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cent_id) AS rn
+        FROM scored_cent) t WHERE rn = 1),
+    n AS (
+      SELECT e.vec_id, e.v, asg.cent_id,
+             sqrt(CAST((SELECT SUM(CAST(floor(e.v[i.i] * e.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(e.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM e JOIN assign asg ON e.vec_id = asg.vec_id),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.cent_id, b.vec_id AS neighbor_id,
+             CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) AS cosine_sim
+      FROM n a JOIN n b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
+    SELECT query_id, cent_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored) t
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer (assign each vector to its
+    max-dot seed centroid — an inverted file cell), then exact top-3
+    within the cell.  The scale path for ANN when hyperplane-LSH
+    recall is insufficient: cells shuffle-partition the corpus; the
+    per-cell search is an equi-join on cent_id, never a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("__cv")
+    )
+    scored_cent = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        lsim.dot_exact(F.col("v"), F.col("__cv")).alias("dp"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cent_id"))
+    assign = (
+        scored_cent.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    n = e.join(assign, "vec_id").withColumn("nrm", lsim.norm_exact(F.col("v")))
+    a = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cent_id").alias("__bc"),
+        F.col("v").alias("__bv"),
+        F.col("nrm").alias("__bn"),
+    )
+    scored = (
+        a.join(b, (F.col("cent_id") == F.col("__bc")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "cent_id",
+            "neighbor_id",
+            (lsim.dot_exact(F.col("__qv"), F.col("__bv")) / (F.col("__qn") * F.col("__bn"))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_concat([CAST(embedding AS DOUBLE[])[1] + 0.01],
+                         CAST(embedding AS DOUBLE[])[2:])
+      FROM embeddings WHERE vec_id % 10 = 0),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(CAST((SELECT SUM(CAST(floor(v2.v[i.i] * v2.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(v2.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM base v2),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) AS cosine_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT id1, id2, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (≥ 0.99) — near-dup
+    copies injected deterministically (first component perturbed by
+    +0.01).  Brute-force all-pairs here (the oracle-checkable
+    correctness path); at corpus scale candidates come from the LSH
+    buckets (ann_lsh_topk) or IVF cells (ann_ivf_topk) instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding").cast("array<double>")[0] + 0.01),
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                2,
+                F.size(F.col("embedding")) - 1,
+            ),
+        ).alias("v"),
+    )
+    base = e.unionAll(perturbed)
+    n = base.withColumn("nrm", lsim.norm_exact(F.col("v")))
+    a = n.select(F.col("vec_id").alias("id1"), F.col("v").alias("__av"), F.col("nrm").alias("__an"))
+    b = n.select(F.col("vec_id").alias("id2"), F.col("v").alias("__bv"), F.col("nrm").alias("__bn"))
+    pairs = a.join(b, F.col("id1") < F.col("id2")).select(
+        "id1",
+        "id2",
+        (lsim.dot_exact(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn"))).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= 0.99)
+
+
+@register(
+    "a_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q25,
+           quantile_cont(value, 0.5) AS median,
+           quantile_cont(value, 0.75) AS q75
+    FROM events GROUP BY 1
+    """,
+)
+def a_quantiles(spark, sf_dir):
+    """Exact linear-interpolation quantiles per group (capability the
+    reference lacks but every pipeline needs; approx_percentile is the
+    documented scale path when exactness isn't required)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q25"),
+        F.percentile("value", F.lit(0.5)).alias("median"),
+        F.percentile("value", F.lit(0.75)).alias("q75"),
+    )
+
+
+@register(
+    "a_pivot_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def a_pivot_counts(spark, sf_dir):
+    """Pivot: per-entity wide counts over a small, explicit pivot
+    domain (explicit values keep the schema static — mandatory at
+    scale; dynamic pivot would scan twice)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "a_rollup_counts",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,
+           count(*) AS n, {_dsum('o_totalprice', 'total')}
+    FROM orders GROUP BY ROLLUP (1, 2)
+    """,
+)
+def a_rollup_counts(spark, sf_dir):
+    """Rollup: (year, status) → year subtotal → grand total in one
+    pass (Spark expands grouping sets in a single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.year("o_orderdate").cast("int").alias("year"), F.col("o_orderstatus")
+    ).agg(F.count("*").alias("n"), agg.dsum("o_totalprice", "total"))
