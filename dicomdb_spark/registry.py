@@ -1907,3 +1907,30 @@ def a_rollup_counts(spark, sf_dir):
     return orders.rollup(
         F.year("o_orderdate").cast("int").alias("year"), F.col("o_orderstatus")
     ).agg(F.count("*").alias("n"), agg.dsum("o_totalprice", "total"))
+
+
+@register(
+    "p3_machine_dispatch",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE (o_orderstatus = 'F'
+           AND o_custkey % 100 = 7
+           AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01')
+       OR (o_orderstatus <> 'F' AND o_custkey % 100 = 7
+           AND o_orderpriority LIKE '1-%')
+    """,
+)
+def p3_machine_dispatch(spark, sf_dir):
+    """P3 GE branch — the identity probe uses a DIFFERENT key set per
+    machine type (Cenir_DB.py:742-766: GE 'SIGNA PET/MR' matches on 6
+    fields without date truncation, others on 12 with it).  Shape: the
+    match predicate is a when/otherwise dispatch on the branch column."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_ge = F.col("o_orderstatus") == "F"
+    ge_keys = (F.col("o_custkey") % 100 == 7) & (
+        F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    std_keys = (F.col("o_custkey") % 100 == 7) & F.col("o_orderpriority").like("1-%")
+    return orders.filter(F.when(is_ge, ge_keys).otherwise(std_keys)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
