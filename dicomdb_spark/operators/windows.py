@@ -26,18 +26,40 @@ def representative_rows(
 
     MySQL's ``select count(*) as doublon, e.* ... group by k`` picks an
     arbitrary representative row per group (Cenir_DB.py:271,453;
-    cenir_view.sql:20).  ANSI/Spark equivalent: window count per key +
+    cenir_view.sql:20).  ANSI/Spark equivalent: count per key +
     ``row_number() == 1`` under an explicit ``order_by`` so the
     representative is *deterministic* (SURVEY §7 risk (a)).
+
+    Scale shape: duplicate keys are rare (~2% in the reference's
+    production data), so the expensive part — the per-key sort for
+    row_number — runs only over rows belonging to duplicate groups:
+    first a cheap hash aggregate finds those keys, a (broadcast-able)
+    semi-join keeps their rows, and only then does the window sort.
+    A windows-over-everything formulation would sort the full table.
     """
-    w = Window.partitionBy(*keys)
-    wo = w.orderBy(*order_by)
-    return (
-        df.withColumn(count_alias, F.count("*").over(w))
-        .withColumn("__rn", F.row_number().over(wo))
-        .filter((F.col(count_alias) >= min_count) & (F.col("__rn") == 1))
+    # materialize expression keys as named columns so the aggregate,
+    # the join, and the window all share one key definition
+    names: list[str] = []
+    out = df
+    for i, k in enumerate(keys):
+        if isinstance(k, str):
+            names.append(k)
+        else:
+            out = out.withColumn(f"__k{i}", k)
+            names.append(f"__k{i}")
+    dup_keys = (
+        out.groupBy(*names)
+        .agg(F.count("*").alias(count_alias))
+        .filter(F.col(count_alias) >= min_count)
+    )
+    pruned = out.join(F.broadcast(dup_keys), names, "inner")
+    wo = Window.partitionBy(*names).orderBy(*order_by)
+    result = (
+        pruned.withColumn("__rn", F.row_number().over(wo))
+        .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return result.drop(*[n for n in names if n.startswith("__k")])
 
 
 def first_last_duration(

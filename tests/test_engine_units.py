@@ -285,3 +285,45 @@ def test_streaming_session_window(spark, tmp_path):
         q.stop()
     # two bursts separated by a 2 h gap → exactly two sessions of 3
     assert sorted(r.n for r in rows) == [3, 3]
+
+
+def test_stateful_distinct_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: redelivered keys in later
+    micro-batches must not re-emit."""
+    from dicomdb_spark.streaming.stateful import stateful_distinct
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(ids, name):
+        df = spark.createDataFrame(
+            [Row(k=int(i), payload=f"p{i}") for i in ids],
+            schema="k long, payload string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    batch([1, 2, 3, 2], "b1")  # intra-batch dup too
+    stream_df = (
+        spark.readStream.schema("k long, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_distinct(stream_df, "k", ["payload"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = sorted(r.k for r in spark.sql("select k from dedup_out").collect())
+        batch([2, 3, 4], "b2")  # redeliveries + one new key
+        q.processAllAvailable()
+        second = sorted(r.k for r in spark.sql("select k from dedup_out").collect())
+    finally:
+        q.stop()
+    assert first == [1, 2, 3]
+    assert second == [1, 2, 3, 4]  # only key 4 newly emitted
