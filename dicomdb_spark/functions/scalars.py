@@ -132,3 +132,13 @@ def float_tolerant_eq(a: Column | str, b: Column | float) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.lit(b) if isinstance(b, (int, float)) else b
     return F.round(ca * 100000) == F.round(cb * 100000)
+
+
+def replace_map(col: Column | str, mapping: dict[str, str]) -> Column:
+    """F2 — exact-value normalization map (the reference's MachineName
+    fix "Ox Offline Recon" → "SIGNA PET/MR", Exam_info.py:151-152)."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = c
+    for src, dst in mapping.items():
+        expr = F.when(c == src, F.lit(dst)).otherwise(expr)
+    return expr

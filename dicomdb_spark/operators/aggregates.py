@@ -7,10 +7,10 @@ in any hot path.
 
 Determinism note: floating-point SUM is order-dependent, so any sum
 that must hash-match an external oracle goes through ``dsum`` — the
-per-row value is cast to DECIMAL(18,4) (deterministic for a given
-double), summed exactly, and cast back to double.  Same trick in the
-oracle SQL ⇒ bitwise-identical results on both engines regardless of
-partitioning or scale.
+per-row value is floored at a fixed scale (bitwise-portable, unlike
+double→DECIMAL casts), summed as exact integers, and scaled back.
+Same trick in the oracle SQL ⇒ bitwise-identical results on both
+engines regardless of partitioning or scale.
 """
 
 from __future__ import annotations
@@ -158,4 +158,26 @@ def completeness_audit(
         )
         .when(F.col("actual") > F.col("expected"), F.lit("tomuchDicomFile_"))
         .otherwise(F.lit("ok")),
+    )
+
+
+def approx_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: Sequence[float] = (0.5,),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Approximate aggregates — the 100 TB variants of exact
+    distinct-count and percentile (HLL++ and GK sketches; both
+    mergeable, so partial aggregation applies).  Not oracle-hashable
+    (sketch results are engine-specific); accuracy is asserted against
+    exact values in unit tests instead.
+    """
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"),
+        F.percentile_approx(
+            quantile_col, list(quantiles), 10000
+        ).alias("approx_quantiles"),
     )

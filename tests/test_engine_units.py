@@ -327,3 +327,66 @@ def test_stateful_distinct_across_batches(spark, tmp_path):
         q.stop()
     assert first == [1, 2, 3]
     assert second == [1, 2, 3, 4]  # only key 4 newly emitted
+
+
+def test_rest_payload_and_writer_shape(spark):
+    from dicomdb_spark.sources import rest
+
+    df = spark.createDataFrame([Row(Eid=1, PatientsName="X")])
+    out = df.select(
+        rest.render_payload(["Eid", "PatientsName"], {"token": "t0", "test": "1"}).alias(
+            "payload"
+        )
+    ).first()
+    import json
+
+    assert json.loads(out.payload) == {
+        "Eid": 1,
+        "PatientsName": "X",
+        "token": "t0",
+        "test": "1",
+    }
+    # writer is a partition callable; with no reachable server it must
+    # raise (task retry semantics), not swallow
+    writer = rest.post_partition_writer("http://127.0.0.1:1/unreachable")
+    with pytest.raises(Exception):
+        writer(iter([Row(payload="{}")]))
+
+
+def test_replace_map(spark):
+    from dicomdb_spark.functions.scalars import replace_map
+
+    df = spark.createDataFrame(
+        [Row(m="Ox Offline Recon"), Row(m="Verio"), Row(m="other")]
+    )
+    out = [
+        r.out
+        for r in df.select(
+            replace_map("m", {"Ox Offline Recon": "SIGNA PET/MR"}).alias("out")
+        ).collect()
+    ]
+    assert out == ["SIGNA PET/MR", "Verio", "other"]
+
+
+def test_approx_stats_accuracy(spark):
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.operators.aggregates import approx_stats
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    approx = {
+        r.event_type: (r.approx_distinct, r.approx_quantiles[0])
+        for r in approx_stats(ev, ["event_type"], "user_id", "value").collect()
+    }
+    exact = {
+        r.event_type: (r.d, r.m)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.expr("percentile(value, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    for et, (ad, aq) in approx.items():
+        ed, em = exact[et]
+        assert abs(ad - ed) / ed < 0.1          # HLL within 10%
+        assert abs(aq - em) / max(abs(em), 1) < 0.1  # GK sketch near median
