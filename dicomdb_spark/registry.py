@@ -1140,8 +1140,10 @@ def _docs_with_dupes(spark, sf_dir):
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
+    # mirror dedup.minhash_lsh_pairs: hash i = 8-hex chunk (i%4) of
+    # md5((i//4) || ':' || shingle)
     mins = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}"
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))) AS m{i}"
         for i in range(num_hashes)
     )
     band_selects = "\n      UNION ALL\n".join(
