@@ -1419,20 +1419,30 @@ def ann_lsh_topk(spark, sf_dir):
     cross join over the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
-    withb = emb.select("vec_id", "embedding").join(buckets, "vec_id")
+    withb = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(buckets, "vec_id")
+        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
+    )
     q = withb.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("__qv"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
         "bucket",
     )
     c = withb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("__cv"),
+        F.col("v").alias("__cv"),
+        F.col("nrm").alias("__cn"),
         F.col("bucket").alias("__cb"),
     )
     scored = (
         q.join(c, (F.col("bucket") == F.col("__cb")) & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn("cosine_sim", lsim.cosine_exact(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine_sim",
+            lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
         .select("query_id", "bucket", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1759,7 +1769,7 @@ def ann_ivf_topk(spark, sf_dir):
     scored_cent = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        lsim.dot_exact(F.col("v"), F.col("__cv")).alias("dp"),
+        lsim.dot_exact_vec(F.col("v").cast("array<double>"), F.col("__cv").cast("array<double>")).alias("dp"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cent_id"))
     assign = (
@@ -1767,7 +1777,7 @@ def ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    n = e.join(assign, "vec_id").withColumn("nrm", lsim.norm_exact(F.col("v")))
+    n = e.join(assign, "vec_id").withColumn("nrm", lsim.norm_exact_vec(F.col("v").cast("array<double>")))
     a = n.select(
         F.col("vec_id").alias("query_id"),
         F.col("cent_id"),
@@ -1786,7 +1796,7 @@ def ann_ivf_topk(spark, sf_dir):
             "query_id",
             "cent_id",
             "neighbor_id",
-            (lsim.dot_exact(F.col("__qv"), F.col("__bv")) / (F.col("__qn") * F.col("__bn"))).alias("cosine_sim"),
+            (lsim.dot_exact_vec(F.col("__qv").cast("array<double>"), F.col("__bv").cast("array<double>")) / (F.col("__qn") * F.col("__bn"))).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -1836,13 +1846,13 @@ def dedup_embedding_cosine(spark, sf_dir):
         ).alias("v"),
     )
     base = e.unionAll(perturbed)
-    n = base.withColumn("nrm", lsim.norm_exact(F.col("v")))
+    n = base.withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
     a = n.select(F.col("vec_id").alias("id1"), F.col("v").alias("__av"), F.col("nrm").alias("__an"))
     b = n.select(F.col("vec_id").alias("id2"), F.col("v").alias("__bv"), F.col("nrm").alias("__bn"))
     pairs = a.join(b, F.col("id1") < F.col("id2")).select(
         "id1",
         "id2",
-        (lsim.dot_exact(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn"))).alias("cosine_sim"),
+        (lsim.dot_exact_vec(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn"))).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= 0.99)
 
