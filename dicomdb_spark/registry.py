@@ -1946,3 +1946,73 @@ def p3_machine_dispatch(spark, sf_dir):
     return orders.filter(F.when(is_ge, ge_keys).otherwise(std_keys)).select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
+
+
+@register(
+    "r2_dup_guarded",
+    f"""
+    WITH pairs AS (
+      SELECT o1.o_custkey, o1.o_orderdate,
+             o1.o_orderkey AS keeper_id, o2.o_orderkey AS loser_id
+      FROM orders o1 JOIN orders o2
+        ON o1.o_orderdate = o2.o_orderdate
+       AND o1.o_custkey = o2.o_custkey
+       AND o1.o_orderkey < o2.o_orderkey),
+    stats AS (
+      SELECT l_orderkey, count(*) AS nbs,
+             {_dsum('l_quantity', 'nbd')}
+      FROM lineitem GROUP BY 1)
+    SELECT p.o_custkey, p.keeper_id, p.loser_id,
+           k.nbs AS keeper_nbs, l.nbs AS loser_nbs,
+           CASE WHEN k.nbs = l.nbs THEN 1 ELSE 0 END AS counts_match,
+           CASE WHEN k.nbs = l.nbs AND k.nbd = l.nbd THEN 1 ELSE 0 END AS do_move
+    FROM pairs p
+    JOIN stats k ON p.keeper_id = k.l_orderkey
+    JOIN stats l ON p.loser_id = l.l_orderkey
+    """,
+)
+def r2_dup_guarded(spark, sf_dir):
+    """R2 — duplicate-copy resolution WITH the reference's guards:
+    before moving/deleting a duplicate copy, compare its series count
+    and total file size against the keeper's; only act when they match
+    (``do_move``, Cenir_DB.py:513-534,322-332).  Keeper = lowest id;
+    guards = per-copy A3 aggregates joined onto the J4 pair set."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = oj.pairwise_doubles(orders, ["o_orderdate", "o_custkey"], "o_orderkey").select(
+        "o_custkey",
+        F.col("id1").alias("keeper_id"),
+        F.col("id2").alias("loser_id"),
+    )
+    stats = agg.per_group_stats(li, ["l_orderkey"], sum_col="l_quantity")
+    k = stats.select(
+        F.col("l_orderkey").alias("keeper_id"),
+        F.col("nbs").alias("keeper_nbs"),
+        F.col("nbd").alias("__knbd"),
+    )
+    l = stats.select(
+        F.col("l_orderkey").alias("loser_id"),
+        F.col("nbs").alias("loser_nbs"),
+        F.col("nbd").alias("__lnbd"),
+    )
+    return (
+        pairs.join(k, "keeper_id")
+        .join(l, "loser_id")
+        .select(
+            "o_custkey",
+            "keeper_id",
+            "loser_id",
+            "keeper_nbs",
+            "loser_nbs",
+            F.when(F.col("keeper_nbs") == F.col("loser_nbs"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("counts_match"),
+            F.when(
+                (F.col("keeper_nbs") == F.col("loser_nbs"))
+                & (F.col("__knbd") == F.col("__lnbd")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("do_move"),
+        )
+    )
