@@ -2016,3 +2016,70 @@ def r2_dup_guarded(spark, sf_dir):
             .alias("do_move"),
         )
     )
+
+
+@register(
+    "scd2_history",
+    """
+    WITH snap1 AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 3),
+    snap2 AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END
+               AS c_acctbal,
+             c_mktsegment
+      FROM customer)
+    -- unchanged since batch 1: still open
+    SELECT s.*, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM snap1 s WHERE s.c_custkey % 7 <> 0
+    UNION ALL
+    -- changed in batch 2: original version closed at ts2
+    SELECT s.*, TIMESTAMP '2024-01-01 00:00:00',
+           TIMESTAMP '2024-02-01 00:00:00'
+    FROM snap1 s WHERE s.c_custkey % 7 = 0
+    UNION ALL
+    -- changed in batch 2: new open version
+    SELECT s.*, TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+    FROM snap2 s WHERE s.c_custkey % 7 = 0 AND s.c_custkey % 10 <> 3
+    UNION ALL
+    -- first seen in batch 2
+    SELECT s.*, TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+    FROM snap2 s WHERE s.c_custkey % 10 = 3
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD2/CDC — full-history dimension maintenance without Delta:
+    anti-join + union + MERGE classification per batch
+    (operators/scd.py).  Two snapshots of customer applied to an empty
+    history; oracle constructs the expected final history per case.
+    The engine side RUNS the algorithm; the oracle states the spec."""
+    from dicomdb_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    snap1 = cust.filter(F.col("c_custkey") % 10 != 3)
+    snap2 = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    from pyspark.sql import types as T
+
+    # NB: StructType.add mutates in place — never chain it off a live
+    # DataFrame's schema
+    hist_schema = T.StructType(
+        list(snap1.schema.fields)
+        + [
+            T.StructField("valid_from", T.TimestampNTZType()),
+            T.StructField("valid_to", T.TimestampNTZType()),
+        ]
+    )
+    empty = spark.createDataFrame([], hist_schema)
+    keys = ["c_custkey"]
+    cmp_cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    h1 = scd2_apply(empty, snap1, keys, cmp_cols, "2024-01-01 00:00:00", ["c_acctbal"])
+    return scd2_apply(h1, snap2, keys, cmp_cols, "2024-02-01 00:00:00", ["c_acctbal"])
