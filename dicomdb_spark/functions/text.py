@@ -131,3 +131,42 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         nxt = F.slice(toks, j + 1, F.greatest(m, F.lit(0)))
         acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return acc
+
+
+# character n-gram profiles (public, tiny): the classic cheap lang-ID
+# signal — counts of frequent character trigrams per language
+CHAR_NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "he "),
+    "es": ("de ", "la ", "os ", "que", "ar "),
+    "fr": ("le ", "es ", "ent", "eur", "que"),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _substr_count(col: Column, needle: str) -> Column:
+    """Non-overlapping substring occurrences — split-based, portable
+    (DuckDB twin: len(string_split(text, needle)) - 1)."""
+    import re as _re
+
+    return F.size(F.split(col, _re.escape(needle), -1)) - 1
+
+
+def lang_id_ngram(col: Column | str) -> Column:
+    """Language ID from character-n-gram profile hits → code or 'und'.
+
+    Same winner rule as lang_id: first language (code order) reaching
+    the maximum score; 'und' when no profile n-gram occurs at all.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for code in sorted(CHAR_NGRAM_PROFILES):
+        n = None
+        for ng in CHAR_NGRAM_PROFILES[code]:
+            t = _substr_count(c, ng)
+            n = t if n is None else n + t
+        better = n > best_n
+        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+        best_n = F.when(better, n).otherwise(best_n)
+    return best_lang

@@ -2083,3 +2083,40 @@ def scd2_history(spark, sf_dir):
     cmp_cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
     h1 = scd2_apply(empty, snap1, keys, cmp_cols, "2024-01-01 00:00:00", ["c_acctbal"])
     return scd2_apply(h1, snap2, keys, cmp_cols, "2024-02-01 00:00:00", ["c_acctbal"])
+
+
+def _lang_ngram_oracle() -> str:
+    from dicomdb_spark.functions.text import CHAR_NGRAM_PROFILES
+
+    def cnt(ng: str) -> str:
+        e = ng.replace("'", "''")
+        return f"(len(string_split(lower(text), '{e}')) - 1)"
+
+    scores = {
+        code: " + ".join(cnt(ng) for ng in CHAR_NGRAM_PROFILES[code])
+        for code in sorted(CHAR_NGRAM_PROFILES)
+    }
+    sel = ", ".join(f"({expr}) AS n_{code}" for code, expr in scores.items())
+    codes = sorted(CHAR_NGRAM_PROFILES)
+    greatest = "greatest(" + ", ".join(f"n_{c}" for c in codes) + ")"
+    whens = " ".join(f"WHEN n_{c} = {greatest} THEN '{c}'" for c in codes)
+    return f"""
+    WITH cnt AS (SELECT lang, {sel} FROM documents)
+    SELECT lang,
+           CASE WHEN {greatest} = 0 THEN 'und' {whens} END AS lang_pred,
+           count(*) AS n
+    FROM cnt GROUP BY 1, 2
+    """
+
+
+@register("text_lang_id_ngram", _lang_ngram_oracle())
+def text_lang_id_ngram(spark, sf_dir):
+    """Language ID via character-n-gram profiles (the classic cheap
+    model; complements the marker-word heuristic) — confusion matrix
+    against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id_ngram("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
