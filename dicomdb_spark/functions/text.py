@@ -170,3 +170,26 @@ def lang_id_ngram(col: Column | str) -> Column:
         best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
         best_n = F.when(better, n).otherwise(best_n)
     return best_lang
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the document's characters
+    (Rabin–Karp shape): fold (acc·B + code) mod M, seeded with the
+    first character's codepoint — the document-fingerprint primitive
+    for incremental / chunk-level dedup.
+
+    Portable: DuckDB twin is ``list_reduce`` over codepoints with the
+    same seed rule (its reduce uses the first element as the initial
+    accumulator, so we mirror that exactly).  Empty strings hash to -1.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(
+        F.filter(F.split(c, ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    folded = F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1),
+        lambda acc, v: (acc * base + v) % mod,
+    )
+    return F.coalesce(folded, F.lit(-1).cast("long"))

@@ -140,3 +140,53 @@ import sys as _sys  # noqa: E402
 from dicomdb_spark import register_for_udf_pickling as _reg  # noqa: E402
 
 _reg(_sys.modules[__name__])
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize as a mapInPandas batch operator.
+
+    A real deployment injects a PIL/libvips ``resizer``; the stub
+    down-samples the byte stream deterministically (every k-th byte) so
+    the plumbing — payload in, smaller payload out, typed dims — is
+    exercised for real.
+    """
+
+    def default_resizer(b: bytes, w: int, h: int) -> bytes:
+        stride = max(len(b) // (w * h), 1)
+        return b[::stride][: w * h]
+
+    fn = resizer or default_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                out = fn(bytes(payload), target_w, target_h)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": target_w,
+                        "height": target_h,
+                        "resized_payload": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)

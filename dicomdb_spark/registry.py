@@ -2120,3 +2120,24 @@ def text_lang_id_ngram(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           coalesce(
+             list_reduce(
+               list_transform(
+                 list_filter(string_split_regex(text, ''), c -> c <> ''),
+                 c -> CAST(ord(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647),
+             -1) AS rhash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Document fingerprint via polynomial rolling hash (Rabin–Karp
+    fold over codepoints) — the incremental-dedup primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_hash("text").alias("rhash"))

@@ -390,3 +390,12 @@ def test_approx_stats_accuracy(spark):
         ed, em = exact[et]
         assert abs(ad - ed) / ed < 0.1          # HLL within 10%
         assert abs(aq - em) / max(abs(em), 1) < 0.1  # GK sketch near median
+
+
+def test_resize_stub(spark):
+    from dicomdb_spark.llm.multimodal import binarize, resize_images
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="z" * 10000)])
+    out = resize_images(binarize(docs), target_w=8, target_h=8).first()
+    assert out.width == 8 and out.height == 8
+    assert len(bytes(out.resized_payload)) == 64
