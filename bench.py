@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_lsh_topk",
+    "tpch_q1_shape",
+    "tpch_q3_shape",
 ]
 
 

@@ -2141,3 +2141,191 @@ def text_rolling_hash(spark, sf_dir):
     fold over codepoints) — the incremental-dedup primitive."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text.rolling_hash("text").alias("rhash"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 — analytical breadth: TPC-H shapes, running windows, distinct
+# counts, set ops, JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_shape",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity', 'sum_qty')},
+           {_dsum('l_extendedprice', 'sum_base_price')},
+           {_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1_shape(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the canonical scan+multi-aggregate:
+    one pushed filter, one shuffle, map-side partials for all five
+    aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            agg.dsum("l_quantity", "sum_qty"),
+            agg.dsum("l_extendedprice", "sum_base_price"),
+            agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            agg.dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shape",
+    f"""
+    SELECT l.l_orderkey,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 shipping-priority shape: selective dimension filters
+    pushed to scans, broadcast joins, top-k by aggregated revenue with
+    a deterministic tiebreak."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "w_running_totals",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / 10000.0 AS DOUBLE) AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS seq
+    FROM events
+    """,
+)
+def w_running_totals(spark, sf_dir):
+    """Running (prefix) aggregate with an explicit frame — exact
+    integer accumulation so every prefix value is engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).over(frame) / 10000.0
+        )
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "a_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY 1
+    """,
+)
+def a_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group — Spark expands to a two-stage
+    aggregate; approx_count_distinct (aggregates.approx_stats) is the
+    sketch path at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
+@register(
+    "t4_set_ops",
+    """
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      EXCEPT
+      SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+    """,
+)
+def t4_set_ops(spark, sf_dir):
+    """T4 — EXCEPT / INTERSECT set operators (the reference covered
+    these needs with anti-joins; the engine exposes both forms)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ex = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+        .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+        .select(F.lit("except").alias("op"), "c_custkey")
+    )
+    it = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey")
+        .intersect(cust.filter(F.col("c_custkey") % 5 == 0).select("c_custkey"))
+        .select(F.lit("intersect").alias("op"), "c_custkey")
+    )
+    return ex.unionAll(it)
+
+
+@register(
+    "f9_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS missing
+    FROM events
+    """,
+)
+def f9_json_extract(spark, sf_dir):
+    """F9 — JSON field extraction from the props column (typed get with
+    NULL for absent paths); from_json with an explicit schema is the
+    scale path (single parse, pruned)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT, missing INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["missing"].alias("missing"),
+    )
