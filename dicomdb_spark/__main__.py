@@ -84,6 +84,15 @@ def cmd_import(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from dicomdb_spark.io import register_views
+
+    spark = _spark()
+    register_views(spark, args.sf_dir)
+    spark.sql(args.statement).show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import bench  # repo-root harness
 
@@ -106,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     imp.add_argument("--proto-reg", default=".*")
     imp.add_argument("-t", "--test", action="store_true", help="dry run")
     imp.set_defaults(fn=cmd_import)
+    sq = sub.add_parser("sql")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("-n", "--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
     sub.add_parser("bench").set_defaults(fn=cmd_bench)
     args = p.parse_args(argv)
     return args.fn(args)

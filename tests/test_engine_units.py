@@ -399,3 +399,62 @@ def test_resize_stub(spark):
     out = resize_images(binarize(docs), target_w=8, target_h=8).first()
     assert out.width == 8 and out.height == 8
     assert len(bytes(out.resized_payload)) == 64
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: a window finalizes once the watermark
+    passes it, and an event arriving later than the watermark for an
+    already-finalized window is dropped — the late-data contract."""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: two events in window [00:00, 01:00)
+    write("b1", [Row(event_id=1, ts=t0, user_id=1), Row(event_id=2, ts=t0 + dt.timedelta(minutes=30), user_id=1)])
+    stream_df = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+    )
+    agg = (
+        stream_df.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event far in the future advances the watermark past
+        # the first window
+        write("b2", [Row(event_id=3, ts=t0 + dt.timedelta(hours=5), user_id=1)])
+        q.processAllAvailable()
+        after_advance = {
+            (str(r.window.start), r.n)
+            for r in spark.sql("select * from late_out").collect()
+        }
+        # batch 3: a LATE event for the already-finalized first window
+        write("b3", [Row(event_id=4, ts=t0 + dt.timedelta(minutes=45), user_id=1)])
+        q.processAllAvailable()
+        final = {
+            (str(r.window.start), r.n)
+            for r in spark.sql("select * from late_out").collect()
+        }
+    finally:
+        q.stop()
+    # the first window emitted with n=2 and the late event did NOT
+    # reopen or re-emit it
+    assert ("2024-01-01 00:00:00", 2) in after_advance
+    assert final == after_advance
