@@ -1,0 +1,43 @@
+"""Partition-independence: the engine's central determinism claim.
+
+Every query must produce IDENTICAL values regardless of
+``spark.sql.shuffle.partitions`` — that is what makes results
+hash-comparable across engines and cluster sizes.  This meta-test
+runs representative queries (covering sums, windows, dedup hashing,
+vector math) under 2 and 27 shuffle partitions and compares exact
+values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+REPRESENTATIVE = [
+    "a3_group_counts",        # floor-int sums
+    "j1_exam_series_revenue", # joins + sums
+    "w2_keep_latest",         # window ranking
+    "dedup_minhash_lsh",      # hash signatures + band join
+    "ann_bruteforce_topk",    # vector kernels + top-k
+    "scd2_history",           # multi-step union/join algorithm
+]
+
+
+def run_with_partitions(spark, name: str, n: int):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        df = QUERIES[name](spark, SF)
+        return sorted(tuple(repr(v) for v in row) for row in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_partition_independent(spark, name):
+    a = run_with_partitions(spark, name, 2)
+    b = run_with_partitions(spark, name, 27)
+    assert a == b, f"{name}: results differ across partition counts"
