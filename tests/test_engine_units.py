@@ -458,3 +458,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # reopen or re-emit it
     assert ("2024-01-01 00:00:00", 2) in after_advance
     assert final == after_advance
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    (broadcast) dimension — the streaming twin of the ExamSeries view."""
+    src = tmp_path / "enrich_in"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [Row(event_id=i, user_id=i % 3) for i in range(9)],
+        schema="event_id long, user_id long",
+    )
+    ev.coalesce(1).write.parquet(str(src / "b1"))
+    dim = spark.createDataFrame(
+        [Row(user_id=0, segment="alpha"), Row(user_id=1, segment="beta"), Row(user_id=2, segment="gamma")]
+    )
+    stream_df = spark.readStream.schema("event_id long, user_id long").parquet(str(src) + "/*")
+    enriched = stream_df.join(F.broadcast(dim), "user_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from enriched_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 9
+    assert {r.segment for r in rows} == {"alpha", "beta", "gamma"}
