@@ -488,3 +488,31 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         q.stop()
     assert len(rows) == 9
     assert {r.segment for r in rows} == {"alpha", "beta", "gamma"}
+
+
+def test_results_harvest(spark, tmp_path):
+    """R9 — seg8 results harvest: scan, parse, join back to series,
+    corrupt files flagged status=0."""
+    from dicomdb_spark.sources.results import harvest_results
+
+    res_root = tmp_path / "results"
+    good = res_root / "PROTO_A" / "subj01" / "S01_mprage" / "vbm8"
+    bad = res_root / "PROTO_A" / "subj02" / "S01_mprage" / "vbm8"
+    good.mkdir(parents=True)
+    bad.mkdir(parents=True)
+    (good / "p1_seg8.txt").write_text("0.61\t0.42\t0.25\n")
+    (bad / "p2_seg8.txt").write_text("corrupted-not-floats\n")
+
+    serie = spark.createDataFrame(
+        [
+            Row(Sid=1, SeqType="MPRAGE", nifti_dir="/nifti/PROTO_A/subj01/S01_mprage"),
+            Row(Sid=2, SeqType="MPRAGE", nifti_dir="/nifti/PROTO_A/subj02/S01_mprage"),
+            Row(Sid=3, SeqType="EPI", nifti_dir="/nifti/PROTO_A/subj03/S02_epi"),
+            Row(Sid=4, SeqType="MPRAGE", nifti_dir=None),  # skip path
+        ]
+    )
+    out = {r.Sid: r for r in harvest_results(spark, serie, str(res_root)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].status == 1 and out[1].vbmgrayvol == pytest.approx(0.61)
+    assert out[2].status == 0 and out[2].vbmgrayvol is None
+    assert out[1].dir_path.endswith("subj01/S01_mprage/vbm8")
