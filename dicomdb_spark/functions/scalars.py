@@ -54,12 +54,17 @@ def ta_seconds(col: Column | str) -> Column:
 
 
 def time_str_to_sec(col: Column | str) -> Column:
-    """F4 — ``HHMMSS``-style string → seconds of day (Exam_info.py:1669)."""
+    """F4 — ``HHMMSS``-style string → seconds of day (Exam_info.py:1669).
+
+    try_cast so malformed raw DICOM time strings yield NULL instead of
+    failing the job under ANSI mode (Spark 4 default) — the reference
+    tolerated garbage headers and so must we.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.substring(c, 1, 2).cast("long") * 3600
-        + F.substring(c, 3, 2).cast("long") * 60
-        + F.substring(c, 5, 2).cast("long")
+        F.substring(c, 1, 2).try_cast("long") * 3600
+        + F.substring(c, 3, 2).try_cast("long") * 60
+        + F.substring(c, 5, 2).try_cast("long")
     )
 
 

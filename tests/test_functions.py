@@ -108,3 +108,10 @@ def test_vector_math(spark):
         s="x",
     )
     assert z is None
+
+
+def test_time_str_to_sec_malformed_is_null(spark):
+    # ANSI mode: malformed header strings must yield NULL, not fail
+    assert one(spark, scalars.time_str_to_sec("s"), s="garbage") is None
+    assert one(spark, scalars.time_str_to_sec("s"), s="") is None
+    assert one(spark, scalars.time_str_to_sec("s"), s="120000.123") == 12 * 3600
