@@ -75,3 +75,49 @@ def test_rollover_range(spark):
         scalars.duration_with_rollover(F.col("a"), F.col("b")).alias("d")
     ).collect()
     assert all(0 <= r.d < 86400 for r in out)
+
+
+def test_merge_classify_partition_property(spark):
+    """merge_classify output keys == incoming keys, exactly once each,
+    and the action set is consistent with key membership."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.operators.joins import merge_classify
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    existing = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 5.0
+    )
+    out = merge_classify(
+        existing, cust, ["c_custkey"], ["c_name", "c_acctbal"], ["c_acctbal"]
+    ).collect()
+    assert len(out) == cust.count()  # one verdict per incoming row
+    by_action = {}
+    for r in out:
+        by_action.setdefault(r.action, set()).add(r.c_custkey)
+    assert all(k % 2 == 1 for k in by_action.get("insert", set()))
+    assert all(k % 2 == 0 for k in by_action.get("update", set()))
+    assert not by_action.get("noop")  # every existing row was modified
+
+
+def test_keep_latest_is_total(spark):
+    """Every duplicate group has exactly one 'keep' and n-1 'remove'."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.operators.windows import keep_latest
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_id", "ts"
+    )
+    out = keep_latest(
+        ev, ["user_id", "day"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    per_group = (
+        out.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.when(F.col("action") == "keep", 1).otherwise(0)).alias("keeps"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert per_group and all(r.keeps == 1 and r.n >= 2 for r in per_group)
