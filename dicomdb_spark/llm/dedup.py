@@ -62,6 +62,65 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 16, n: int = 3) 
     return F.array(*[slot(i) for i in range(num_hashes)])
 
 
+def minhash_signatures_pandas(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures computed map-only in Python (hashlib md5 is
+    bit-identical to Spark/DuckDB md5), one batch pass per partition —
+    no explode, no groupBy shuffle.  Tokenization replicates the SQL
+    path exactly: split on Java's ASCII ``\\s`` class, drop empties,
+    lowercase, 3-gram space-joined shingles, distinct.
+
+    Returns (doc, m0..m{k-1}); docs without shingles are omitted
+    (matching the relational path).
+    """
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n_chunks_per_md5 = 4
+    n_seeds = (num_hashes + n_chunks_per_md5 - 1) // n_chunks_per_md5
+    # Java \s (Spark split) is ASCII-only — Python's \s is unicode-aware,
+    # so spell the class out to match the oracle byte-for-byte
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out_cols = ["doc"] + [f"m{i}" for i in range(num_hashes)]
+    schema = ", ".join(["doc long"] + [f"m{i} string" for i in range(num_hashes)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t.lower() for t in ws.split(text or "") if t]
+                if len(toks) < n:
+                    continue
+                shingles_set = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                row = [did]
+                for j in range(n_seeds):
+                    mins = [None] * n_chunks_per_md5
+                    prefix = f"{j}:".encode()
+                    for s in shingles_set:
+                        h = hashlib.md5(prefix + s.encode()).hexdigest()
+                        for k in range(n_chunks_per_md5):
+                            c = h[k * 8 : k * 8 + 8]
+                            if mins[k] is None or c < mins[k]:
+                                mins[k] = c
+                    for k in range(n_chunks_per_md5):
+                        if j * n_chunks_per_md5 + k < num_hashes:
+                            row.append(mins[k])
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

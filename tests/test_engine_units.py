@@ -516,3 +516,34 @@ def test_results_harvest(spark, tmp_path):
     assert out[1].status == 1 and out[1].vbmgrayvol == pytest.approx(0.61)
     assert out[2].status == 0 and out[2].vbmgrayvol is None
     assert out[1].dir_path.endswith("subj01/S01_mprage/vbm8")
+
+
+def test_minhash_pandas_matches_relational(spark):
+    """The map-only Python signature path must be bit-identical to the
+    relational explode+groupBy path (hashlib md5 == engine md5)."""
+    from dicomdb_spark.functions.text import shingles
+    from dicomdb_spark.llm.dedup import minhash_signatures_pandas
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="  Mixed   CASE tokens  here  now "),
+            Row(doc_id=3, text="too short"),  # <3 tokens → no signature
+            Row(doc_id=4, text="唯一 的 中文 标记 文本"),
+        ]
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(shingles("text", 3))).alias("shingle"),
+    )
+    aggs = []
+    for j in range(4):
+        h = F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))
+        for k in range(4):
+            aggs.append(F.min(F.substring(h, k * 8 + 1, 8)).alias(f"m{j * 4 + k}"))
+    rel = sorted(tuple(r) for r in sh.groupBy("doc").agg(*aggs).collect())
+    pan = sorted(
+        tuple(r)
+        for r in minhash_signatures_pandas(docs, "doc_id", "text").collect()
+    )
+    assert rel == pan and len(rel) == 3
