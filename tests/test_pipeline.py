@@ -78,3 +78,56 @@ def test_pipeline_end_to_end(spark, exam_tree):
     )
     acts = sorted(r.action for r in classified.collect())
     assert acts.count("noop") == 1 and acts.count("insert") == 2
+
+
+def test_streaming_ingest_equals_batch(spark, exam_tree, tmp_path):
+    """The streaming incremental path must converge to the same serie
+    table as the batch pipeline — the reference's cron-mtime contract
+    (S2) expressed as stream/batch equivalence."""
+    from pyspark.sql import functions as F
+
+    from dicomdb_spark.streaming import incremental as stream
+
+    headers = pipeline.extract_headers(
+        spark, exam_tree, parser=deterministic_parser, proto_reg="^PROTO"
+    )
+    batch_serie = pipeline.build_serie_frame(headers).select(
+        "SeriesInstanceUID", "nb_dic_file", "n_duplicates", "n_missing", "corrupt"
+    )
+    batch_rows = sorted(map(tuple, batch_serie.collect()))
+
+    # persist headers as the streaming landing zone, feed them through
+    # the file stream in 1-file micro-batches, rebuild per batch with
+    # foreachBatch and an accumulating target
+    landing = str(tmp_path / "landing")
+    headers.write.mode("overwrite").parquet(landing)
+    target: dict[str, tuple] = {}
+    accumulated = []
+
+    def fe(batch_df, epoch_id):
+        accumulated.append(batch_df.collect())
+        raw = spark.createDataFrame(
+            [r for rows in accumulated for r in rows], headers.schema
+        )
+        for r in (
+            pipeline.build_serie_frame(raw)
+            .select(
+                "SeriesInstanceUID", "nb_dic_file", "n_duplicates", "n_missing", "corrupt"
+            )
+            .collect()
+        ):
+            target[r.SeriesInstanceUID] = tuple(r)
+
+    s = stream.stream_inventory(
+        spark, landing, headers.schema, fmt="parquet", max_files_per_trigger=1
+    )
+    q = (
+        s.writeStream.foreachBatch(fe)
+        .option("checkpointLocation", str(tmp_path / "ck_ingest"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(target.values()) == batch_rows
