@@ -547,3 +547,67 @@ def test_minhash_pandas_matches_relational(spark):
         for r in minhash_signatures_pandas(docs, "doc_id", "text").collect()
     )
     assert rel == pan and len(rel) == 3
+
+
+def test_remediation_scripts_sink(spark, tmp_path):
+    """S9 — generated shell commands written as the query output."""
+    out = str(tmp_path / "scripts")
+    df = spark.createDataFrame(
+        [Row(Eid=7), Row(Eid=9)]
+    ).select(F.format_string("delete from exam where Eid=%d;", "Eid").alias("cmd"))
+    jdbc.render_remediation_scripts(df, "cmd", out)
+    import glob
+
+    lines = []
+    for f in glob.glob(out + "/part-*"):
+        lines += open(f).read().splitlines()
+    assert sorted(lines) == [
+        "delete from exam where Eid=7;",
+        "delete from exam where Eid=9;",
+    ]
+
+
+def test_upsert_partition_writer_executes_batches():
+    """S7 writer loop: one connection per partition, batched commits,
+    close on exhaustion — verified with a recording fake connection."""
+    executed, commits, closed = [], [], []
+
+    class FakeCursor:
+        def execute(self, sql):
+            executed.append(sql)
+
+    class FakeConn:
+        def cursor(self):
+            return FakeCursor()
+
+        def commit(self):
+            commits.append(1)
+
+        def close(self):
+            closed.append(1)
+
+    writer = jdbc.upsert_partition_writer(
+        "exam", ["Eid"], connect=lambda: FakeConn(), batch_size=2
+    )
+    rows = [Row(Eid=i, ExamName=f"E{i}") for i in range(5)]
+    writer(iter(rows))
+    assert len(executed) == 5
+    assert all(s.startswith("INSERT INTO exam") for s in executed)
+    assert len(commits) == 3  # 2 batch commits + final
+    assert closed == [1]
+
+
+def test_hyperplane_bucket_literal_planes(spark):
+    from dicomdb_spark.llm.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [Row(v=[1.0, 0.0]), Row(v=[-1.0, 0.0]), Row(v=[0.5, -2.0])]
+    )
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    out = [
+        r.b
+        for r in df.select(
+            hyperplane_bucket(F.col("v").cast("array<double>"), planes).alias("b")
+        ).collect()
+    ]
+    assert out == ["11", "01", "10"]
