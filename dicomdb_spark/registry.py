@@ -2329,3 +2329,23 @@ def f9_json_extract(spark, sf_dir):
         parsed["k"].alias("k"),
         parsed["missing"].alias("missing"),
     )
+
+
+@register(
+    "a_unpivot",
+    """
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+    """,
+)
+def a_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide attribute columns → long (attr, val) rows —
+    Spark's unpivot expands map-side, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
