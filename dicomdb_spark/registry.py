@@ -294,15 +294,22 @@ def w2_keep_latest(spark, sf_dir):
     SELECT user_id, CAST(ts AS DATE) AS session_day,
            count(*) AS n_items,
            min(ts) AS first_ts, max(ts) AS last_ts,
-           list(event_id ORDER BY ts, event_id) AS ordered_ids
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+             AS ordered_ids
     FROM events GROUP BY 1, 2
     """,
 )
 def w3_sessionize(spark, sf_dir):
     """W3 — per-entity per-day session assembly with in-session order
-    (Exam_info.py:1380-1459)."""
+    (Exam_info.py:1380-1459).  The ordered id list is emitted as a
+    comma-joined scalar (not array<...>) so hash comparators that sort
+    on output cells can canonicalize it."""
     ev = load_table(spark, sf_dir, "events")
-    return ow.sessionize_by_day(ev, "user_id", "ts", "event_id")
+    out = ow.sessionize_by_day(ev, "user_id", "ts", "event_id")
+    return out.withColumn(
+        "ordered_ids",
+        F.array_join(F.transform("ordered_ids", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(
@@ -1032,23 +1039,31 @@ def p9_guard_filter(spark, sf_dir):
     """
     SELECT l_partkey, count(*) AS n_members,
            CASE WHEN count(*) > 1 THEN count(*) ELSE 1 END AS dim4,
-           list_sort(list_distinct(list(l_orderkey * 100 + l_linenumber)))
+           array_to_string(
+             list_sort(list_distinct(list(l_orderkey * 100 + l_linenumber))), ',')
              AS member_ids
     FROM lineitem GROUP BY 1
     """,
 )
 def t1_group_stacks(spark, sf_dir):
     """T1 — group-into-stacks by key tuple; group size >1 becomes dim4
-    (Exam_info.py:754-755,881-922).  Member list is distinct+sorted so
-    it is deterministic."""
+    (Exam_info.py:754-755,881-922).  Member list is distinct+sorted
+    (deterministic) and emitted as a comma-joined scalar so hash
+    comparators can canonicalize it."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey").agg(
         F.count("*").alias("n_members"),
         F.when(F.count("*") > 1, F.count("*")).otherwise(F.lit(1)).alias("dim4"),
-        F.sort_array(
-            F.array_distinct(
-                F.collect_list(F.col("l_orderkey") * 100 + F.col("l_linenumber"))
-            )
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.array_distinct(
+                        F.collect_list(F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("member_ids"),
     )
 
@@ -1546,7 +1561,7 @@ def r6_billing_dedup(spark, sf_dir):
 @register(
     "p7_derived_filter",
     """
-    SELECT p_partkey, image_type FROM (
+    SELECT p_partkey, array_to_string(image_type, ' ') AS image_type FROM (
       SELECT p_partkey, string_split(p_name, ' ') AS image_type
       FROM part) t
     WHERE NOT (
@@ -1568,7 +1583,9 @@ def p7_derived_filter(spark, sf_dir):
     carve_out = F.array_contains("image_type", "red") & F.array_contains(
         "image_type", "widget"
     )
-    return df.filter(~(blocked & ~carve_out))
+    return df.filter(~(blocked & ~carve_out)).withColumn(
+        "image_type", F.array_join("image_type", " ")
+    )
 
 
 @register(
