@@ -144,21 +144,31 @@ def full_outer_diff(
     full_outer on the key tuple, then a when-chain over null-ness and
     the compare columns.  Output is one row per key with a status.
     """
-    lsel = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in compare_cols])
-    rsel = right.select(*keys, *[F.col(c).alias(f"r_{c}") for c in compare_cols])
+    # explicit presence flags: null-ness of a compare column cannot
+    # distinguish "row absent" from "row present with NULL value", and
+    # the mismatch predicate must be null-safe so NULL-vs-value on any
+    # column reports mismatch, not identical
+    lsel = left.select(
+        *keys,
+        *[F.col(c).alias(f"l_{c}") for c in compare_cols],
+        F.lit(1).alias("__l_present"),
+    )
+    rsel = right.select(
+        *keys,
+        *[F.col(c).alias(f"r_{c}") for c in compare_cols],
+        F.lit(1).alias("__r_present"),
+    )
     j = lsel.join(rsel, list(keys), "full_outer")
-    l0 = F.col(f"l_{compare_cols[0]}")
-    r0 = F.col(f"r_{compare_cols[0]}")
     mismatch = F.lit(False)
     for c in compare_cols:
-        mismatch = mismatch | (F.col(f"l_{c}") != F.col(f"r_{c}"))
+        mismatch = mismatch | ~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}"))
     return j.withColumn(
         status_alias,
-        F.when(l0.isNull(), F.lit("missing_left"))
-        .when(r0.isNull(), F.lit("missing_right"))
+        F.when(F.col("__l_present").isNull(), F.lit("missing_left"))
+        .when(F.col("__r_present").isNull(), F.lit("missing_right"))
         .when(mismatch, F.lit("mismatch"))
         .otherwise(F.lit("identical")),
-    )
+    ).drop("__l_present", "__r_present")
 
 
 def merge_classify(

@@ -45,6 +45,16 @@ def _assemble_one(pdf: pd.DataFrame) -> pd.DataFrame:
     ``missingDicomFile_%d`` (:1352).
     """
     pdf = pdf.sort_values(["InstanceNumber", "path"], kind="mergesort")
+    # malformed headers degrade to flags, never stage failure: rows with
+    # NULL InstanceNumber are counted into corrupt instead of feeding
+    # int(NaN) into np.unique
+    null_inst = pdf["InstanceNumber"].isna()
+    n_null_inst = int(null_inst.sum())
+    key = pdf.iloc[0]
+    n_total = len(pdf)
+    first_file = pdf["path"].iloc[0] if n_total else None
+    last_file = pdf["path"].iloc[-1] if n_total else None
+    pdf = pdf[~null_inst]
     inst = pdf["InstanceNumber"].to_numpy()
     n = len(pdf)
     uniq, counts = np.unique(inst, return_counts=True)
@@ -56,6 +66,8 @@ def _assemble_one(pdf: pd.DataFrame) -> pd.DataFrame:
         flags.append(f"{n_dup}Duplicate")
     if n_missing:
         flags.append(f"missingDicomFile_{n_missing}")
+    if n_null_inst:
+        flags.append(f"nullInstanceNumber_{n_null_inst}")
     # per-volume duration: t2 − t1 of the first two instants, with the
     # reference's midnight rollover guard (Exam_info.py:856-857)
     dur = None
@@ -65,16 +77,15 @@ def _assemble_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if d < 0:
             d += 24 * 3600
         dur = d
-    key = pdf.iloc[0]
     return pd.DataFrame(
         [
             {
                 "SeriesInstanceUID": key["SeriesInstanceUID"],
                 "SeriesNumber": key["SeriesNumber"],
                 "EchoTime": key["EchoTime"],
-                "nb_dic_file": n,
-                "first_file": pdf["path"].iloc[0],
-                "last_file": pdf["path"].iloc[-1],
+                "nb_dic_file": n_total,
+                "first_file": first_file,
+                "last_file": last_file,
                 "n_duplicates": n_dup,
                 "n_missing": n_missing,
                 "corrupt": ";".join(flags) if flags else "ok",
@@ -121,7 +132,11 @@ def _rotate_bvecs_one(pdf: pd.DataFrame) -> pd.DataFrame:
     R = np.stack([row_x, row_y, row_z])
     Rinv = np.linalg.inv(R)
     bvecs = np.array(list(pdf["bvec"]), dtype="float64")
-    rotated = bvecs @ Rinv.T
+    # reference builds `rotations` with the direction cosines as COLUMNS
+    # and computes np.dot(bv, rotations) (Exam_info.py:1196-1209); our R
+    # stacks cosines as ROWS, so rotations == R.T == Rinv (orthonormal)
+    # and the matching product is bvecs @ Rinv.
+    rotated = bvecs @ Rinv
     flip = np.array(pdf["flip_sign"].iloc[0], dtype="float64")
     rotated = rotated * flip
     return pd.DataFrame(

@@ -2310,11 +2310,13 @@ def t4_set_ops(spark, sf_dir):
     these needs with anti-joins; the engine exposes both forms)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # subtract == EXCEPT DISTINCT: any left value with a right match is
+    # dropped regardless of multiplicity (exceptAll+distinct would keep
+    # a left value whose multiplicity exceeds its right match count)
     ex = (
         cust.filter(F.col("c_acctbal") > 0)
         .select("c_custkey")
-        .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")))
-        .distinct()
+        .subtract(orders.select(F.col("o_custkey").alias("c_custkey")))
         .select(F.lit("except").alias("op"), "c_custkey")
     )
     it = (

@@ -16,6 +16,7 @@ execution.  ``render_upsert_sql`` is pure and unit-tested.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, Row
@@ -34,10 +35,20 @@ def _sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr(inf)/repr(nan) is not valid SQL; MySQL has no non-finite
+        # float literals, so degrade to NULL (matches the engine's
+        # malformed-value policy)
+        return repr(v) if math.isfinite(v) else "NULL"
+    if isinstance(v, int):
         return repr(v)
     s = str(v).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a MySQL identifier (table/column name)."""
+    return "`" + str(name).replace("`", "``") + "`"
 
 
 def render_upsert_sql(table: str, row: Row | dict, key_cols: Iterable[str]) -> str:
@@ -50,11 +61,13 @@ def render_upsert_sql(table: str, row: Row | dict, key_cols: Iterable[str]) -> s
     d = row.asDict() if isinstance(row, Row) else dict(row)
     keys = set(key_cols)
     cols = list(d)
-    col_sql = ", ".join(cols)
+    col_sql = ", ".join(_sql_ident(c) for c in cols)
     val_sql = ", ".join(_sql_literal(d[c]) for c in cols)
-    upd_sql = ", ".join(f"{c} = VALUES({c})" for c in cols if c not in keys)
+    upd_sql = ", ".join(
+        f"{_sql_ident(c)} = VALUES({_sql_ident(c)})" for c in cols if c not in keys
+    )
     return (
-        f"INSERT INTO {table} ({col_sql}) VALUES ({val_sql}) "
+        f"INSERT INTO {_sql_ident(table)} ({col_sql}) VALUES ({val_sql}) "
         f"ON DUPLICATE KEY UPDATE {upd_sql}"
     )
 

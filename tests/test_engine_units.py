@@ -13,6 +13,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from dicomdb_spark.llm import multimodal as mm
+from dicomdb_spark.operators import joins as oj
 from dicomdb_spark.operators import stacks
 from dicomdb_spark.sources import dicom as dsrc
 from dicomdb_spark.sources import inventory as inv
@@ -147,6 +148,78 @@ def test_rotate_bvecs_identity(spark):
     assert out.bvecs_rotated[1] == pytest.approx([1.0, 0.0, 1.0])
 
 
+def test_assemble_null_instance_degrades_to_flag(spark):
+    # a NULL InstanceNumber must not kill the stage (int(NaN)); it is
+    # counted into the corrupt flag and excluded from gap detection
+    rows = [
+        Row(SeriesInstanceUID="N", SeriesNumber=1, EchoTime=0.0,
+            path=f"/n/f{i}.dic", InstanceNumber=inst, acq_seconds=float(i))
+        for i, inst in enumerate([1, None, 2])
+    ]
+    out = stacks.assemble_stacks(spark.createDataFrame(rows)).collect()[0]
+    assert out.nb_dic_file == 3
+    assert "nullInstanceNumber_1" in out.corrupt
+    assert out.n_missing == 0 and out.n_duplicates == 0
+
+
+def test_full_outer_diff_null_value_semantics(spark):
+    # key on both sides with NULL in the first compare column is NOT a
+    # missing row; NULL-vs-value differences report mismatch
+    left = spark.createDataFrame(
+        [Row(k=1, v=None), Row(k=2, v=10), Row(k=3, v=7)],
+        "k int, v int",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, v=None), Row(k=2, v=None), Row(k=4, v=1)],
+        "k int, v int",
+    )
+    st = {r.k: r.status for r in
+          oj.full_outer_diff(left, right, ["k"], ["v"]).collect()}
+    assert st == {1: "identical", 2: "mismatch", 3: "missing_right",
+                  4: "missing_left"}
+
+
+def test_except_multiplicity(spark):
+    # EXCEPT drops a left value entirely when it matches, regardless of
+    # left multiplicity (exceptAll+distinct would keep it)
+    left = spark.createDataFrame([Row(x=1), Row(x=1), Row(x=2)])
+    right = spark.createDataFrame([Row(x=1)])
+    got = sorted(r.x for r in left.select("x").subtract(right).collect())
+    assert got == [2]
+
+
+def test_rotate_bvecs_non_identity(spark):
+    # 30° in-plane rotation — checked against the reference formula
+    # np.dot(bv, rotations) with direction cosines as COLUMNS
+    # (Exam_info.py:1196-1209); identity-only tests cannot distinguish
+    # R from R.T.
+    import numpy as np
+
+    th = np.deg2rad(30.0)
+    row_x = [float(np.cos(th)), float(np.sin(th)), 0.0]
+    row_y = [float(-np.sin(th)), float(np.cos(th)), 0.0]
+    bvs = [[1.0, 2.0, 3.0], [0.5, -1.0, 0.25]]
+    rows = [
+        Row(
+            SeriesInstanceUID="S",
+            volume_index=i,
+            bvec=bv,
+            bval=700.0,
+            affine=[*row_x, *row_y, 0.0, 0.0, 0.0],
+            flip_sign=[1.0, 1.0, 1.0],
+        )
+        for i, bv in enumerate(bvs)
+    ]
+    out = stacks.rotate_bvecs(spark.createDataFrame(rows)).collect()[0]
+    rotations = np.eye(3)
+    rotations[:, 0] = row_x
+    rotations[:, 1] = row_y
+    rotations[:, 2] = np.cross(row_x, row_y)
+    expected = np.array(bvs) @ rotations
+    for got, exp in zip(out.bvecs_rotated, expected):
+        assert got == pytest.approx(list(exp))
+
+
 # ------------------------------------------------------------ multimodal
 def test_multimodal_decode_and_frames(spark):
     docs = spark.createDataFrame(
@@ -227,10 +300,25 @@ def test_render_upsert_sql():
     sql = jdbc.render_upsert_sql(
         "exam", {"Eid": 7, "ExamName": "O'Neill", "PatientsWeight": None}, ["Eid"]
     )
-    assert sql.startswith("INSERT INTO exam (Eid, ExamName, PatientsWeight) VALUES")
+    assert sql.startswith(
+        "INSERT INTO `exam` (`Eid`, `ExamName`, `PatientsWeight`) VALUES"
+    )
     assert "O\\'Neill" in sql and "NULL" in sql
-    assert "ON DUPLICATE KEY UPDATE ExamName = VALUES(ExamName)" in sql
-    assert "Eid = VALUES" not in sql  # keys never updated
+    assert "ON DUPLICATE KEY UPDATE `ExamName` = VALUES(`ExamName`)" in sql
+    assert "`Eid` = VALUES" not in sql  # keys never updated
+
+
+def test_render_upsert_sql_nonfinite_and_idents():
+    # non-finite floats have no MySQL literal → NULL; identifiers are
+    # backtick-quoted (incl. embedded backticks doubled)
+    sql = jdbc.render_upsert_sql(
+        "odd`name",
+        {"k": 1, "a": float("inf"), "b": float("nan"), "c": 1.5},
+        ["k"],
+    )
+    assert "INSERT INTO `odd``name`" in sql
+    assert "inf" not in sql and "nan" not in sql
+    assert sql.count("NULL") == 2 and "1.5" in sql
 
 
 def test_exam_series_and_seqname(spark):
