@@ -28,6 +28,18 @@ def test_registry_invariants():
     assert all(n.replace("_", "").isalnum() for n in qs)
 
 
+def test_queries_order_unproven_first():
+    # if the driver caps its per-round correctness window, entries
+    # without a round-1 driver row must be inside it
+    from dicomdb_spark.registry import QUERIES, R1_DRIVER_PROVEN
+
+    names = list(entry_mod.queries())
+    assert set(names) == set(QUERIES)
+    n_unproven = len(QUERIES) - len(set(R1_DRIVER_PROVEN) & set(QUERIES))
+    head = names[:n_unproven]
+    assert set(head) & set(R1_DRIVER_PROVEN) == set()
+
+
 def test_merge_classify_self_is_noop(spark):
     """S7 idempotence: classifying a table against itself must produce
     only noops — the property that makes at-least-once redelivery safe
