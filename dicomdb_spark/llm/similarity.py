@@ -133,6 +133,10 @@ def brute_force_topk(
     a window top-k partitioned by query — the single shuffle is on
     query_id, sized |queries|×|corpus| rows *after* per-partition
     ranking prunes nothing (AQE coalesces).  Self-matches excluded.
+    (A pre-scoring corpus repartition was measured and REJECTED here:
+    the whole-batch numpy scoring is cheap enough that shuffling the
+    vectors costs more than the added parallelism returns — unlike the
+    MinHash signature stage, see dedup.minhash_lsh_pairs.)
     """
     # norms once per vector (not per pair): |q|+|c| norm evaluations
     # instead of 2·|q|·|c|
@@ -233,12 +237,19 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates.
 
     Recall is approximate (that is the point); the join is an
     equi-join on the bucket key — shuffle-partitioned, no cross
     product, scales with bucket occupancy.
+
+    ``broadcast_queries``: right for a query batch ≪ corpus (map-side
+    join, corpus never shuffles).  Pass ``False`` for a large or
+    all-pairs query side — the bucket equi-join then shuffles both
+    sides instead of materializing the full query set on every
+    executor (a scale-killer when queries ~ corpus).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -250,8 +261,9 @@ def lsh_topk(
         F.col(vec_col).alias("__cv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    qside = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(qside, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", cosine_exact_vec(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv")

@@ -1188,9 +1188,18 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs (16 hashes, 4 bands);
     portable md5-based hash family so the oracle reproduces signatures
-    bit-for-bit.  Duplicates injected deterministically."""
+    bit-for-bit.  Duplicates injected deterministically.
+
+    min_parallelism: the local documents table is one unsplittable
+    parquet row group (1-3 input tasks) — fan the CPU-bound signature
+    stage out to every core.  Result set is unchanged."""
     return ldedup.minhash_lsh_pairs(
-        _docs_with_dupes(spark, sf_dir), "doc_id", "text", num_hashes=16, bands=4
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
