@@ -314,13 +314,86 @@ def simhash_relational(df: DataFrame, id_col: str, text_col: str, bits: int = 16
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Exact-simhash duplicate groups (hamming-0 buckets).
 
-    Near-dup (hamming ≤ k) extends this by exploding ``bits choose k``
-    masked variants — same join shape, documented here, not enabled by
-    default.
+    Hamming ≤ k near-dup is ``simhash_near_pairs`` below (pigeonhole
+    block buckets — same equi-join shape, never all-pairs).
     """
     return (
         simhash_relational(df, id_col, text_col, bits)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_dups") >= 2)
+    )
+
+
+def _hamming_blocks(bits: int, k: int) -> list[tuple[int, int]]:
+    """(shift, mask) for k+1 near-equal blocks covering ``bits`` MSB-first.
+
+    Pigeonhole: two fingerprints within hamming distance k must agree
+    exactly on at least one of k+1 disjoint blocks — the classic
+    near-duplicate bucketing (Manku/Jain/Sarma, WWW'07, public).
+    """
+    n_blocks = k + 1
+    base, extra = divmod(bits, n_blocks)
+    blocks, hi = [], bits
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        hi -= width
+        blocks.append((hi, (1 << width) - 1))
+    return blocks
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    k: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with hamming distance ≤ k.
+
+    Candidate generation is an equi-join on (block_idx, block_value)
+    buckets from the pigeonhole split — only fingerprints sharing an
+    exact block ever meet, so cost follows bucket occupancy, never n².
+    Verification is an exact popcount on the XOR (bit_count is
+    engine-portable).  Returns (id1 < id2, hamming), hamming-0 pairs
+    included.
+    """
+    sig = simhash_relational(df, id_col, text_col, bits)
+    blocks = _hamming_blocks(bits, k)
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for i, (shift, mask) in enumerate(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", "bb.block", "bb.bval")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id1"),
+            F.col("r.doc").alias("id2"),
+            F.col("l.simhash").alias("__s1"),
+            F.col("r.simhash").alias("__s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= k)
+        .select("id1", "id2", "hamming")
     )

@@ -1229,7 +1229,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_sims_cte(bits: int = 16) -> str:
+    """Shared DuckDB CTE chain ending in sims(doc_id, simhash)."""
     votes = []
     for b in range(bits):
         hex_pos = b // 4 + 1
@@ -1242,16 +1243,45 @@ def _simhash_oracle(bits: int = 16) -> str:
         f"CASE WHEN v{b} > 0 THEN CAST({1 << (bits - 1 - b)} AS BIGINT) ELSE 0 END"
         for b in range(bits)
     )
-    return f"""
-    WITH {_SQL_DOCS2},
+    return f"""{_SQL_DOCS2},
     tok AS (
       SELECT doc_id, md5(lower(unnest({_SQL_TOKS_RAW}))) AS h FROM docs2),
     votes AS (
       SELECT doc_id, {', '.join(votes)}
-      FROM tok GROUP BY doc_id)
+      FROM tok GROUP BY doc_id),
+    sims AS (SELECT doc_id, {fp} AS simhash FROM votes)"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    return f"""
+    WITH {_simhash_sims_cte(bits)}
     SELECT simhash, count(*) AS n_dups, min(doc_id) AS keeper_id
-    FROM (SELECT doc_id, {fp} AS simhash FROM votes) t
+    FROM sims
     GROUP BY 1 HAVING count(*) >= 2
+    """
+
+
+def _simhash_near_oracle(bits: int = 16, k: int = 2) -> str:
+    from dicomdb_spark.llm.dedup import _hamming_blocks
+
+    blocks = _hamming_blocks(bits, k)
+    vals = ", ".join(f"({i})" for i in range(len(blocks)))
+    bval = "CASE b.block " + " ".join(
+        f"WHEN {i} THEN (simhash >> {shift}) & {mask}"
+        for i, (shift, mask) in enumerate(blocks)
+    ) + " END"
+    return f"""
+    WITH {_simhash_sims_cte(bits)},
+    bl AS (
+      SELECT doc_id, simhash, b.block, {bval} AS bval
+      FROM sims CROSS JOIN (VALUES {vals}) b(block)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.simhash AS s1, b.simhash AS s2
+      FROM bl a JOIN bl b
+        ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {k}
     """
 
 
@@ -1260,6 +1290,15 @@ def dedup_simhash(spark, sf_dir):
     """SimHash (16-bit, md5 bit votes) duplicate groups."""
     docs = _docs_with_dupes(spark, sf_dir).filter(text.token_count("text") > 0)
     return ldedup.simhash_dup_groups(docs, "doc_id", "text", bits=16)
+
+
+@register("dedup_simhash_near", _simhash_near_oracle())
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash near-duplicate pairs (hamming ≤ 2, 16-bit): pigeonhole
+    block buckets → equi-join candidates → exact popcount verify.
+    Never all-pairs; cost follows block-bucket occupancy."""
+    docs = _docs_with_dupes(spark, sf_dir).filter(text.token_count("text") > 0)
+    return ldedup.simhash_near_pairs(docs, "doc_id", "text", bits=16, k=2)
 
 
 @register(

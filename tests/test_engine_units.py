@@ -188,6 +188,33 @@ def test_except_multiplicity(spark):
     assert got == [2]
 
 
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    # pigeonhole block buckets must find EXACTLY the brute-force
+    # hamming<=k pairs (completeness is the property the blocks
+    # guarantee; precision comes from the popcount verify)
+    from itertools import combinations
+
+    from dicomdb_spark.llm import dedup as ld
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    sig = {r.doc_id: r.simhash
+           for r in ld.simhash_relational(docs, "doc_id", "text").collect()}
+    expected = sorted(
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a, b in combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 2
+    )
+    got = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in ld.simhash_near_pairs(docs, "doc_id", "text", k=2).collect()
+    )
+    assert got == expected and len(expected) > 0
+
+
 def test_rotate_bvecs_non_identity(spark):
     # 30° in-plane rotation — checked against the reference formula
     # np.dot(bv, rotations) with direction cosines as COLUMNS

@@ -34,7 +34,12 @@ def test_p3_filters_push_into_scan(spark):
 
 
 def test_band_joins_are_not_nested_loops(spark):
-    for name in ("j3_time_proximity", "j4_pairwise_doubles", "r6_billing_dedup"):
+    for name in (
+        "j3_time_proximity",
+        "j4_pairwise_doubles",
+        "r6_billing_dedup",
+        "dedup_simhash_near",
+    ):
         pi.assert_no_cartesian(QUERIES[name](spark, SF))
 
 
