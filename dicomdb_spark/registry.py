@@ -1716,6 +1716,37 @@ def o2_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@register("s3_header_parse", None)  # byte-level Part-10 parse — rows-only
+def s3_header_parse(spark, sf_dir):
+    """S3/U1 — real DICOM byte-level header extraction end-to-end
+    (Exam_info.py:130,356,458-465): orders keys are serialized into
+    Part-10 streams (explicit VR LE; every 7th implicit VR; every 13th
+    corrupted) by the map-only fixture generator, then parsed back by
+    the engine's minimal tag reader through the mapInPandas operator.
+    Corrupt files degrade to flagged NULL rows.  Complex columns are
+    re-joined to scalars for comparator safety; rows-only driver check
+    (the generator+parser pair is not SQL-expressible)."""
+    from dicomdb_spark.sources.dicom import parse_headers, synthetic_part10_from_ids
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id")
+    )
+    parsed = parse_headers(synthetic_part10_from_ids(orders))
+    return parsed.select(
+        "path",
+        "SeriesInstanceUID",
+        "StudyInstanceUID",
+        "SeriesNumber",
+        "InstanceNumber",
+        "EchoTime",
+        "AcquisitionDate",
+        "AcquisitionTimeRaw",
+        F.array_join("ImageType", "\\").alias("image_type"),
+        F.coalesce(F.col("csa_meta")["SequenceName"], F.lit("")).alias("seq_name"),
+        F.coalesce(F.col("csa_meta")["corrupt"], F.lit("")).alias("corrupt"),
+    )
+
+
 @register("u3_stack_assembly", None)  # applyInPandas — no SQL oracle
 def u3_stack_assembly(spark, sf_dir):
     """U3 — grouped-map stack assembly (Exam_info.py:752-857) driven

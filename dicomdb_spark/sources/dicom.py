@@ -5,12 +5,19 @@ pixel data (``stop_before_pixels=True``, Exam_info.py:130,356).  The
 Spark shape is ``binaryFile`` → ``mapInPandas`` batches → a typed
 StructType row per file plus a MapType for long-tail tags.
 
-pydicom is not available in this container, so the byte-level parse is
-STUBBED: ``parse_header_batch`` raises ``NotImplementedError`` unless
-a parser callable is injected, and ``synthetic_header_frame`` provides
-the deterministic fake used by tests.  Everything around the stub —
-schema, batch iteration, Arrow transfer, partition behavior — is real
-and tested.
+pydicom is not available in this container, so this module carries its
+own minimal reader built from the PUBLIC file format alone (DICOM
+PS3.10 §7.1: 128-byte preamble + ``DICM`` magic + explicit-VR file
+meta; PS3.5 §7: data-element encoding): ``read_tags`` walks the tag
+stream for the ~12 header tags the reference extracted
+(Exam_info.py:458-465,890-918), stops before pixel data, handles
+explicit and implicit VR little endian and skips sequences (nested
+datasets are depth-tracked so a nested tag can never shadow a
+top-level one).  ``minimal_parser`` adapts it to HEADER_SCHEMA; a
+richer parser (pydicom) can still be injected via
+``parse_headers(inv, parser=...)``.  ``encode_minimal_dicom`` writes
+the same subset — the test/fixture generator for real byte-level
+round-trips.
 """
 
 from __future__ import annotations
@@ -40,13 +47,228 @@ HEADER_SCHEMA = T.StructType(
 # type of an injected low-level parser: bytes -> dict of header fields
 HeaderParser = Callable[[bytes], dict]
 
+# -- minimal Part-10 reader (public format knowledge only) ------------------
 
-def _default_parser(content: bytes) -> dict:
-    raise NotImplementedError(
-        "pydicom is not available in this environment; inject a parser "
-        "via parse_headers(inv, parser=...) or use synthetic testdata "
-        "(reference parse: Exam_info.py:458-465,890-918)"
-    )
+_TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_TS_IMPLICIT_LE = "1.2.840.10008.1.2"
+# VRs with a 2-byte reserved field + 4-byte length (PS3.5 table 7.1-1)
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+_UNDEFINED = 0xFFFFFFFF
+
+# the header tags the reference's extraction needed
+TAG_IMAGE_TYPE = (0x0008, 0x0008)
+TAG_ACQ_DATE = (0x0008, 0x0022)
+TAG_ACQ_TIME = (0x0008, 0x0032)
+TAG_MANUFACTURER = (0x0008, 0x0070)
+TAG_SEQUENCE_NAME = (0x0018, 0x0024)
+TAG_TR = (0x0018, 0x0080)
+TAG_TE = (0x0018, 0x0081)
+TAG_STUDY_UID = (0x0020, 0x000D)
+TAG_SERIES_UID = (0x0020, 0x000E)
+TAG_SERIES_NUMBER = (0x0020, 0x0011)
+TAG_INSTANCE_NUMBER = (0x0020, 0x0013)
+TAG_PIXEL_DATA = (0x7FE0, 0x0010)
+
+DEFAULT_TAGS = frozenset(
+    {
+        TAG_IMAGE_TYPE,
+        TAG_ACQ_DATE,
+        TAG_ACQ_TIME,
+        TAG_MANUFACTURER,
+        TAG_SEQUENCE_NAME,
+        TAG_TR,
+        TAG_TE,
+        TAG_STUDY_UID,
+        TAG_SERIES_UID,
+        TAG_SERIES_NUMBER,
+        TAG_INSTANCE_NUMBER,
+    }
+)
+
+
+def read_tags(
+    content: bytes, wanted: frozenset[tuple[int, int]] = DEFAULT_TAGS
+) -> dict[tuple[int, int], bytes]:
+    """Walk a Part-10 stream, returning raw values for ``wanted`` tags.
+
+    Stops at pixel data (the reference's stop_before_pixels).  Raises
+    ValueError on a missing DICM magic; any structural damage after
+    that simply ends the walk (malformed headers degrade to NULL
+    fields, never stage failures).
+    """
+    if len(content) < 132 or content[128:132] != b"DICM":
+        raise ValueError("not a DICOM Part-10 stream (no DICM magic)")
+    buf = memoryview(content)
+    out: dict[tuple[int, int], bytes] = {}
+    pos = 132
+    explicit = True  # file meta group is always explicit VR LE
+    ts = None
+    in_meta = True
+    depth = 0  # >0 while inside an undefined-length sequence
+    n = len(content)
+    while pos + 8 <= n:
+        group = int.from_bytes(buf[pos : pos + 2], "little")
+        elem = int.from_bytes(buf[pos + 2 : pos + 4], "little")
+        tag = (group, elem)
+        if group == 0xFFFE:  # item / delimiters inside sequences
+            length = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            pos += 8
+            if elem == 0xE0DD:  # sequence delimitation: leave the SQ
+                depth = max(depth - 1, 0)
+            # E000 item (walk through its dataset) / E00D item delim
+            continue
+        if in_meta and group != 0x0002:
+            # file meta ended: switch to the negotiated syntax
+            in_meta = False
+            explicit = (ts or _TS_EXPLICIT_LE) != _TS_IMPLICIT_LE
+        if tag == TAG_PIXEL_DATA:
+            break
+        if explicit or group == 0x0002:
+            vr = bytes(buf[pos + 4 : pos + 6])
+            if vr in _LONG_VRS:
+                length = int.from_bytes(buf[pos + 8 : pos + 12], "little")
+                hdr = 12
+            else:
+                length = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+                hdr = 8
+        else:
+            vr = None
+            length = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            hdr = 8
+        start = pos + hdr
+        if length == _UNDEFINED:
+            # undefined-length SQ (or UN): walk INTO it, tracking depth
+            depth += 1
+            pos = start
+            continue
+        if vr == b"SQ":
+            pos = start + length  # defined-length sequence: skip whole
+            continue
+        if group == 0x0002 and elem == 0x0010:
+            ts = bytes(buf[start : start + length]).rstrip(b"\x00 ").decode("ascii", "replace")
+        elif depth == 0 and tag in wanted and tag not in out:
+            out[tag] = bytes(buf[start : start + length])
+        pos = start + length
+    return out
+
+
+def _s(raw: bytes | None) -> str | None:
+    if raw is None:
+        return None
+    return raw.rstrip(b"\x00 ").decode("ascii", "replace").strip() or None
+
+
+def _f(raw: bytes | None) -> float | None:
+    s = _s(raw)
+    try:
+        return float(s) if s is not None else None
+    except ValueError:
+        return None
+
+
+def _i(raw: bytes | None) -> int | None:
+    s = _s(raw)
+    try:
+        return int(s) if s is not None else None
+    except ValueError:
+        return None
+
+
+def minimal_parser(content: bytes) -> dict:
+    """bytes → HEADER_SCHEMA fields via the minimal Part-10 reader."""
+    tags = read_tags(content)
+    it = _s(tags.get(TAG_IMAGE_TYPE))
+    csa = {}
+    for key, tag in (
+        ("Manufacturer", TAG_MANUFACTURER),
+        ("SequenceName", TAG_SEQUENCE_NAME),
+        ("RepetitionTime", TAG_TR),
+    ):
+        v = _s(tags.get(tag))
+        if v is not None:
+            csa[key] = v
+    return {
+        "SeriesInstanceUID": _s(tags.get(TAG_SERIES_UID)),
+        "StudyInstanceUID": _s(tags.get(TAG_STUDY_UID)),
+        "SeriesNumber": _i(tags.get(TAG_SERIES_NUMBER)),
+        "InstanceNumber": _i(tags.get(TAG_INSTANCE_NUMBER)),
+        "EchoTime": _f(tags.get(TAG_TE)),
+        "AcquisitionDate": _s(tags.get(TAG_ACQ_DATE)),
+        "AcquisitionTimeRaw": _s(tags.get(TAG_ACQ_TIME)),
+        "ImageType": it.split("\\") if it else None,
+        "csa_meta": csa,
+    }
+
+
+_default_parser = minimal_parser
+
+
+# -- minimal Part-10 writer (test/fixture generator) ------------------------
+
+_VR_BY_TAG = {
+    TAG_IMAGE_TYPE: b"CS",
+    TAG_ACQ_DATE: b"DA",
+    TAG_ACQ_TIME: b"TM",
+    TAG_MANUFACTURER: b"LO",
+    TAG_SEQUENCE_NAME: b"SH",
+    TAG_TR: b"DS",
+    TAG_TE: b"DS",
+    TAG_STUDY_UID: b"UI",
+    TAG_SERIES_UID: b"UI",
+    TAG_SERIES_NUMBER: b"IS",
+    TAG_INSTANCE_NUMBER: b"IS",
+}
+
+
+def _element(tag: tuple[int, int], vr: bytes, value: bytes, explicit: bool) -> bytes:
+    if len(value) % 2:  # values are even-length (PS3.5 §6.2)
+        value += b"\x00" if vr == b"UI" else b" "
+    head = tag[0].to_bytes(2, "little") + tag[1].to_bytes(2, "little")
+    if not explicit:
+        return head + len(value).to_bytes(4, "little") + value
+    if vr in _LONG_VRS:
+        return head + vr + b"\x00\x00" + len(value).to_bytes(4, "little") + value
+    return head + vr + len(value).to_bytes(2, "little") + value
+
+
+def encode_minimal_dicom(
+    fields: dict,
+    transfer_syntax: str = _TS_EXPLICIT_LE,
+    with_pixels: bytes = b"\x00\x01\x02\x03",
+) -> bytes:
+    """Serialize header fields into a real Part-10 byte stream.
+
+    ``fields`` keys mirror minimal_parser output (ImageType may be a
+    list).  A small pixel-data element is appended so readers prove
+    they stop before pixels.
+    """
+    explicit = transfer_syntax != _TS_IMPLICIT_LE
+    body = b""
+    values: dict[tuple[int, int], str] = {}
+    for name, tag in (
+        ("ImageType", TAG_IMAGE_TYPE),
+        ("AcquisitionDate", TAG_ACQ_DATE),
+        ("AcquisitionTimeRaw", TAG_ACQ_TIME),
+        ("Manufacturer", TAG_MANUFACTURER),
+        ("SequenceName", TAG_SEQUENCE_NAME),
+        ("RepetitionTime", TAG_TR),
+        ("EchoTime", TAG_TE),
+        ("StudyInstanceUID", TAG_STUDY_UID),
+        ("SeriesInstanceUID", TAG_SERIES_UID),
+        ("SeriesNumber", TAG_SERIES_NUMBER),
+        ("InstanceNumber", TAG_INSTANCE_NUMBER),
+    ):
+        v = fields.get(name)
+        if v is None:
+            continue
+        values[tag] = "\\".join(v) if isinstance(v, (list, tuple)) else str(v)
+    for tag in sorted(values):  # data set is ascending tag order
+        body += _element(tag, _VR_BY_TAG[tag], values[tag].encode("ascii"), explicit)
+    if with_pixels is not None:
+        body += _element(TAG_PIXEL_DATA, b"OB", with_pixels, explicit)
+    ts_el = _element((0x0002, 0x0010), b"UI", transfer_syntax.encode("ascii"), True)
+    meta = _element((0x0002, 0x0000), b"UL", len(ts_el).to_bytes(4, "little"), True)
+    return b"\x00" * 128 + b"DICM" + meta + ts_el + body
 
 
 def parse_headers(
@@ -68,7 +290,14 @@ def parse_headers(
         for pdf in batches:
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                rec = p(bytes(content))
+                try:
+                    rec = p(bytes(content))
+                except Exception as e:  # noqa: BLE001
+                    # malformed file → corrupt-flagged NULL row, never a
+                    # stage failure (the reference logged 'Bad
+                    # DICOMextract' and carried on, Exam_info.py:460-465)
+                    rec = {f.name: None for f in HEADER_SCHEMA.fields}
+                    rec["csa_meta"] = {"corrupt": f"{type(e).__name__}: {e}"[:200]}
                 rec["path"] = path
                 rows.append(rec)
             yield pd.DataFrame(
@@ -78,6 +307,47 @@ def parse_headers(
     return inventory.select(path_col, content_col).mapInPandas(
         run, schema=HEADER_SCHEMA
     )
+
+
+def synthetic_part10_from_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic Part-10 byte streams derived from an id column.
+
+    Map-only fixture generator for end-to-end parse runs at any scale:
+    every 7th id encodes implicit VR, every 13th is corrupted (no DICM
+    magic) to exercise the degrade path.  Returns (path, content).
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[id_col]:
+                i = int(raw)
+                if i % 13 == 0:
+                    blob = b"\x00" * 200  # no magic → corrupt row
+                else:
+                    ts = _TS_IMPLICIT_LE if i % 7 == 0 else _TS_EXPLICIT_LE
+                    blob = encode_minimal_dicom(
+                        {
+                            "SeriesInstanceUID": f"1.2.826.0.1.{i % 500}",
+                            "StudyInstanceUID": f"1.2.826.0.{i % 50}",
+                            "SeriesNumber": str(i % 40 + 1),
+                            "InstanceNumber": str(i % 300 + 1),
+                            "EchoTime": f"{(i % 50) / 10.0}",
+                            "AcquisitionDate": "20240101",
+                            "AcquisitionTimeRaw": f"{i % 24:02d}{i % 60:02d}00.000000",
+                            "Manufacturer": "SIEMENS" if i % 3 else "GE MEDICAL SYSTEMS",
+                            "SequenceName": ("tfl3d1", "epfid2d1_64", "spc3d1")[i % 3],
+                            "RepetitionTime": str(2000 + i % 7 * 100),
+                            "ImageType": ["ORIGINAL", "PRIMARY"]
+                            + (["DERIVED"] if i % 11 == 0 else []),
+                        },
+                        transfer_syntax=ts,
+                    )
+                rows.append((f"/synthetic/{i}.dic", blob))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(F.col(id_col)).mapInPandas(run, "path string, content binary")
 
 
 def synthetic_parser(content: bytes) -> dict:

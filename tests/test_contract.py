@@ -23,7 +23,11 @@ def test_registry_invariants():
     # every oracle key exists as a query; non-oracle queries are the
     # explicitly-flagged pandas-UDF ops
     assert set(os_) <= set(qs)
-    assert set(qs) - set(os_) == {"u3_stack_assembly", "multimodal_decode"}
+    assert set(qs) - set(os_) == {
+        "u3_stack_assembly",
+        "multimodal_decode",
+        "s3_header_parse",
+    }
     # names are stable identifiers (driver uses them as filenames/keys)
     assert all(n.replace("_", "").isalnum() for n in qs)
 

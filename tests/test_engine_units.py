@@ -86,10 +86,16 @@ def test_header_parse_stub(spark, tree):
     assert "raw_len" in r.csa_meta
 
 
-def test_header_parse_unimplemented_raises(spark, tree):
-    files = inv.scan_files(spark, tree, glob="*.dic").limit(1)
-    with pytest.raises(Exception, match="NotImplementedError|pydicom"):
-        dsrc.parse_headers(files).collect()
+def test_header_parse_default_is_minimal_reader(spark, tree):
+    # the built-in Part-10 reader is the default parser now; fixture
+    # files that aren't valid Part-10 degrade to corrupt-flagged rows
+    files = inv.scan_files(spark, tree, glob="*.dic").limit(2)
+    rows = dsrc.parse_headers(files).collect()
+    # DICM-magic files with garbage bodies must yield NULL-field rows
+    # (not exceptions): one row per input, nothing parsed, no crash
+    assert len(rows) == 2
+    for r in rows:
+        assert r.path and r.SeriesInstanceUID is None
 
 
 # ------------------------------------------------------------- U3 stacks
@@ -186,6 +192,84 @@ def test_except_multiplicity(spark):
     right = spark.createDataFrame([Row(x=1)])
     got = sorted(r.x for r in left.select("x").subtract(right).collect())
     assert got == [2]
+
+
+def test_dicom_roundtrip_explicit_and_implicit():
+    fields = {
+        "ImageType": ["ORIGINAL", "PRIMARY", "M"],
+        "AcquisitionDate": "20240301",
+        "AcquisitionTimeRaw": "101530.250000",
+        "Manufacturer": "SIEMENS",
+        "SequenceName": "tfl3d1",
+        "RepetitionTime": "2300",
+        "EchoTime": "2.98",
+        "StudyInstanceUID": "1.2.840.99.1",
+        "SeriesInstanceUID": "1.2.840.99.1.7",
+        "SeriesNumber": "7",
+        "InstanceNumber": "43",
+    }
+    for ts in ("1.2.840.10008.1.2.1", "1.2.840.10008.1.2"):
+        rec = dsrc.minimal_parser(dsrc.encode_minimal_dicom(fields, transfer_syntax=ts))
+        assert rec["SeriesInstanceUID"] == "1.2.840.99.1.7"
+        assert rec["InstanceNumber"] == 43 and rec["SeriesNumber"] == 7
+        assert rec["EchoTime"] == 2.98
+        assert rec["ImageType"] == ["ORIGINAL", "PRIMARY", "M"]
+        assert rec["csa_meta"]["SequenceName"] == "tfl3d1"
+    with pytest.raises(ValueError):
+        dsrc.minimal_parser(b"not dicom at all")
+    # truncation degrades to NULL fields, never raises past the magic
+    blob = dsrc.encode_minimal_dicom(fields)
+    assert dsrc.minimal_parser(blob[:150])["SeriesInstanceUID"] is None
+
+
+def test_dicom_nested_sequence_cannot_shadow_toplevel():
+    # an undefined-length SQ holding a nested SeriesInstanceUID must not
+    # be mistaken for the top-level one (depth tracking)
+    nested = dsrc._element(dsrc.TAG_SERIES_UID, b"UI", b"9.9.9.NESTED", True)
+    item = (0xFFFE).to_bytes(2, "little") + (0xE000).to_bytes(2, "little") + \
+        len(nested).to_bytes(4, "little") + nested
+    seq = (0x0008).to_bytes(2, "little") + (0x1140).to_bytes(2, "little") + \
+        b"SQ\x00\x00" + (0xFFFFFFFF).to_bytes(4, "little") + item + \
+        (0xFFFE).to_bytes(2, "little") + (0xE0DD).to_bytes(2, "little") + \
+        (0).to_bytes(4, "little")
+    top = dsrc._element(dsrc.TAG_SERIES_UID, b"UI", b"1.2.3.TOP", True)
+    ts_el = dsrc._element((0x0002, 0x0010), b"UI", b"1.2.840.10008.1.2.1", True)
+    meta = dsrc._element((0x0002, 0x0000), b"UL", len(ts_el).to_bytes(4, "little"), True)
+    blob = b"\x00" * 128 + b"DICM" + meta + ts_el + seq + top
+    rec = dsrc.minimal_parser(blob)
+    assert rec["SeriesInstanceUID"] == "1.2.3.TOP"
+
+
+def test_parse_headers_end_to_end(spark):
+    # real byte-level parse through the mapInPandas operator, including
+    # one corrupt file degrading to a flagged NULL row
+    import pandas as pd
+
+    blobs = []
+    for i in range(6):
+        blobs.append(
+            (f"/x/f{i}.dic",
+             dsrc.encode_minimal_dicom({
+                 "SeriesInstanceUID": f"1.2.3.{i % 2}",
+                 "StudyInstanceUID": "1.2.3",
+                 "SeriesNumber": str(i % 2 + 1),
+                 "InstanceNumber": str(i + 1),
+                 "EchoTime": "3.5",
+                 "AcquisitionDate": "20240401",
+                 "AcquisitionTimeRaw": "090000.000000",
+                 "ImageType": ["ORIGINAL", "PRIMARY"],
+             })))
+    blobs.append(("/x/bad.dic", b"\x00" * 200))
+    df = spark.createDataFrame(
+        pd.DataFrame(blobs, columns=["path", "content"]),
+        "path string, content binary",
+    )
+    out = {r.path: r for r in dsrc.parse_headers(df).collect()}
+    assert len(out) == 7
+    assert out["/x/f3.dic"].InstanceNumber == 4
+    assert out["/x/f3.dic"].SeriesInstanceUID == "1.2.3.1"
+    assert out["/x/bad.dic"].SeriesInstanceUID is None
+    assert "corrupt" in out["/x/bad.dic"].csa_meta
 
 
 def test_simhash_near_pairs_matches_bruteforce(spark):
@@ -707,7 +791,7 @@ def test_upsert_partition_writer_executes_batches():
     rows = [Row(Eid=i, ExamName=f"E{i}") for i in range(5)]
     writer(iter(rows))
     assert len(executed) == 5
-    assert all(s.startswith("INSERT INTO exam") for s in executed)
+    assert all(s.startswith("INSERT INTO `exam`") for s in executed)
     assert len(commits) == 3  # 2 batch commits + final
     assert closed == [1]
 
