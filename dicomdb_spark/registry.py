@@ -2115,6 +2115,82 @@ def r2_dup_guarded(spark, sf_dir):
 
 
 @register(
+    "r10_review_flag_update",
+    """
+    WITH sheet AS (
+      SELECT DISTINCT c_mktsegment AS eid, c_name AS pname
+      FROM customer WHERE c_custkey % 7 = 0),
+    exam AS (
+      SELECT o.o_orderkey AS crid, c.c_mktsegment AS eid, c.c_name AS pname
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT CASE WHEN s.eid IS NOT NULL THEN 'update' ELSE 'noop' END AS action,
+           e.crid, e.eid, e.pname,
+           CASE WHEN s.eid IS NOT NULL THEN 1 ELSE 0 END AS relu,
+           CASE WHEN s.eid IS NOT NULL THEN 'samia' END AS relu_par
+    FROM exam e LEFT JOIN sheet s ON e.eid = s.eid AND e.pname = s.pname
+    UNION ALL
+    SELECT 'missing_exam', CAST(NULL AS BIGINT), s.eid, s.pname,
+           CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+    FROM sheet s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM exam e WHERE e.eid = s.eid AND e.pname = s.pname)
+    """,
+)
+def r10_review_flag_update(spark, sf_dir):
+    """R10 — review-sheet flag update (do_dicom.py:642-681): each sheet
+    row is an (eid, PatientsName) pair; matching exams get relu=1,
+    relu_par='samia' (an UPDATE class via merge_classify — the S7 pure
+    half), and sheet pairs with no exam are reported (the reference
+    printed them).  The sheet is a CSV-shaped stand-in derived
+    deterministically from customer (S4 XLS source is env-blocked;
+    common.py:507-531)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sheet = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_mktsegment").alias("eid"), F.col("c_name").alias("pname"))
+        .distinct()
+    )
+    exam = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("o_orderkey").alias("crid"),
+        F.col("c_mktsegment").alias("eid"),
+        F.col("c_name").alias("pname"),
+    )
+    # existing snapshot: every exam unreviewed; incoming: sheet matches
+    # flip relu→1/relu_par→'samia'.  merge_classify yields the
+    # update/noop classes the side-effecting writer would consume.
+    existing = exam.select(
+        "crid",
+        F.lit(0).alias("relu"),
+        F.lit(None).cast("string").alias("relu_par"),
+    )
+    matched = F.col("__m").isNotNull()
+    incoming = exam.join(
+        sheet.withColumn("__m", F.lit(1)), ["eid", "pname"], "left_outer"
+    ).select(
+        "crid",
+        "eid",
+        "pname",
+        F.when(matched, F.lit(1)).otherwise(F.lit(0)).alias("relu"),
+        F.when(matched, F.lit("samia")).alias("relu_par"),
+    )
+    classified = oj.merge_classify(
+        existing, incoming, keys=["crid"], compare_cols=["relu", "relu_par"]
+    ).select("action", "crid", "eid", "pname", "relu", "relu_par")
+    missing = sheet.join(exam, ["eid", "pname"], "left_anti").select(
+        F.lit("missing_exam").alias("action"),
+        F.lit(None).cast("long").alias("crid"),
+        "eid",
+        "pname",
+        F.lit(None).cast("int").alias("relu"),
+        F.lit(None).cast("string").alias("relu_par"),
+    )
+    return classified.unionAll(missing)
+
+
+@register(
     "scd2_history",
     """
     WITH snap1 AS (
