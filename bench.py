@@ -58,6 +58,46 @@ def run_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     return best
 
 
+# scale-ratio guard: queries re-run against a key-offset replica of the
+# fact tables; a wall-time ratio beyond the replica factor means the
+# plan degrades super-linearly and must be fixed before it meets real
+# growth.  Subset chosen to cover the shuffle shapes (agg, broadcast
+# join, band self-join, window, LSH dedup, scan+agg).
+SCALE_QUERIES = [
+    "a1_dup_customer_day",
+    "j1_exam_series_revenue",
+    "j3_time_proximity",
+    "w2_keep_latest",
+    "dedup_minhash_lsh",
+    "tpch_q1_shape",
+]
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))
+
+
+def scale_ratios(spark, sf_dir: str) -> dict[str, float] | None:
+    """1× vs FACTOR× wall ratios, or None when disabled/failed."""
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "0":
+        return None
+    try:
+        from dicomdb_spark.fixtures import replicate_scaled
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        scaled = os.environ.get(
+            "SPARK_GRAFT_SCALE_DIR",
+            f"/tmp/dicomdb_spark_scale/{tag}_x{SCALE_FACTOR}",
+        )
+        if not os.path.isdir(scaled):
+            replicate_scaled(spark, sf_dir, scaled, factor=SCALE_FACTOR)
+        ratios = {}
+        for name in SCALE_QUERIES:
+            base = run_query(spark, name, sf_dir)
+            big = run_query(spark, name, scaled)
+            ratios[name] = round(big / base, 2) if base > 0 else -1.0
+        return ratios
+    except Exception:  # the guard must never break the headline metric
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -73,17 +113,19 @@ def main() -> None:
         per_query[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    ratios = scale_ratios(spark, sf_dir)
+    if ratios is not None:
+        out["scale_factor"] = SCALE_FACTOR
+        out["scale_ratios"] = ratios
+        out["scale_max_ratio"] = max(ratios.values())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -104,3 +104,47 @@ def make_serie(spark: SparkSession, exam: DataFrame, per_exam: int = 4) -> DataF
         actual.alias("nb_dic_file"),
         (actual.cast("long") * 131072).alias("fsize"),
     )
+
+
+SCALE_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
+SCALE_REP_TABLES = {
+    # table -> id columns receiving a per-replica offset (FK pairs get
+    # the SAME offset so join fan-in is preserved at every factor)
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+_SCALE_OFFSET = 1_000_000_000
+
+
+def replicate_scaled(
+    spark: SparkSession, src_dir: str, out_dir: str, factor: int = 5
+) -> None:
+    """Write a ``factor``× key-offset replica of the testdata tables.
+
+    Dimension tables are copied verbatim (their cardinality is not what
+    scales in production); fact tables get ``factor`` replicas with
+    offset primary keys, so per-group sizes and join selectivities grow
+    the way real growth would.  Used by the bench harness's scale-ratio
+    guard — a query whose wall time grows faster than the replica
+    factor is flagged before any driver sees it.
+    """
+    import os
+
+    for t in SCALE_COPY_TABLES:
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    for t, keys in SCALE_REP_TABLES.items():
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        reps = []
+        for i in range(factor):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * _SCALE_OFFSET))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionAll(r)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
