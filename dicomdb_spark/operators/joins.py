@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -214,3 +214,63 @@ def merge_classify(
         .otherwise(F.lit("noop")),
     )
     return out.select(*incoming.columns, action_alias)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for every left row, the LATEST right row per key with
+    ``right_ts <= left_ts`` (NULL values when no prior right row).
+
+    Spark has no asof operator; the scalable relational form is the
+    union-and-carry-forward plan: tag both sides, sort each key\'s
+    merged event stream by time, and carry the most recent right-side
+    values forward with ``last(..., ignorenulls)``.  ONE shuffle on the
+    key and one sort — the same data movement as a sort-merge join,
+    with no range-condition blowup; skew follows key cardinality like
+    any window.  (A cogrouped pandas ``merge_asof`` would match
+    semantics at Arrow-transfer cost; this stays JVM-side.)
+
+    At equal timestamps the right row is eligible (ASOF ``>=``
+    semantics): right rows sort before left rows at the same instant.
+    Output = left columns + ``<value>_asof`` per value column.
+    """
+    lcols = left.columns
+    payload = [c for c in lcols if c not in keys]
+    l_tag = left.select(
+        *keys,
+        *payload,
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tag = right.select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload],
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        *keys,
+        *payload,
+        "__is_r",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_r") == 0).drop("__is_r")

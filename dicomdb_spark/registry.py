@@ -2115,6 +2115,40 @@ def r2_dup_guarded(spark, sf_dir):
 
 
 @register(
+    "j11_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.event_id AS event_id_asof, r.value AS value_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j11_asof_join(spark, sf_dir):
+    """As-of join — for each purchase, the user's latest click at or
+    before it (a capability the reference lacked but every event
+    pipeline needs; checked against DuckDB's native ASOF JOIN).
+    Spark side: union-and-carry-forward — one shuffle on user_id, one
+    sort, no range-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return oj.asof_join(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id", "value"],
+    )
+
+
+@register(
     "r10_review_flag_update",
     """
     WITH sheet AS (
