@@ -1,0 +1,155 @@
+"""Deterministic embedding clustering for semantic deduplication.
+
+K-means with a fully specified, engine-portable arithmetic so a SQL
+oracle can replay training bit-for-bit:
+
+* seeds: the ``k`` lowest-id vectors (no RNG);
+* assignment: argmin of the floor-scaled integer squared distance
+  Σ_j floor((v_j − c_j)² · 1e12) with ties broken by lowest cluster id
+  — every term is an IEEE-exact double op followed by an exact int64
+  sum, so distances are identical across engines and partitionings;
+* centroid update: per-dimension floor-scaled integer mean
+  (Σ floor(v_j·1e12)) / n / 1e12 — exact int sum, one double division;
+* empty clusters simply vanish (both engines produce only non-empty
+  groups).
+
+Scale shape per iteration: assignment is a map-only vectorized pandas
+UDF against a broadcast centroid matrix (k·dims doubles — tiny at any
+corpus size); the update is one posexplode + hash aggregate (k·dims
+output rows, collected to the driver like any iterative ML loop).
+Semantic near-dup pairs then come from an equi-join on the cluster id
+— candidates never cross clusters, so cost follows cluster occupancy,
+not n².
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dicomdb_spark.llm.similarity import _SCALE, cosine_exact_vec
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Map-only cluster assignment against a broadcast centroid list.
+
+    Returns (id_col, vec_col, cid).  Argmin of the floor-scaled int
+    squared distance; numpy argmin returns the FIRST minimum, which is
+    the lowest cid — the documented tie-break.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(x: pd.Series) -> pd.Series:
+        A = np.vstack(x.to_numpy()).astype(np.float64)
+        # (rows, k) exact int distances, one centroid at a time to keep
+        # the temporary at batch×dims
+        d = np.empty((A.shape[0], C.shape[0]), dtype=np.int64)
+        for j in range(C.shape[0]):
+            diff = A - C[j]
+            d[:, j] = np.floor(diff * diff * _SCALE).astype(np.int64).sum(axis=1)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign(F.col(vec_col).cast("array<double>")).alias("cid"),
+    )
+
+
+def update_centroids(assigned: DataFrame, vec_col: str = "v") -> list[list[float]]:
+    """One relational centroid update; returns the new (cid-ordered)
+    centroid list.  k·dims rows cross the driver — nothing else."""
+    agg = (
+        assigned.select("cid", F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("col") * _SCALE).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cid",
+            "pos",
+            (F.col("s").cast("double") / F.col("n") / F.lit(_SCALE)).alias("m"),
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in agg:
+        by_cid.setdefault(r.cid, {})[r.pos] = r.m
+    return [
+        [by_cid[cid][p] for p in sorted(by_cid[cid])] for cid in sorted(by_cid)
+    ]
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic k-means: seed with the k lowest-id vectors, run
+    ``iters`` assign/update rounds.  The driver only ever holds k·dims
+    doubles per round (the standard iterative-ML control loop)."""
+    seeds = (
+        vectors.filter(F.col(id_col) < k)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("seed_v"))
+        .collect()
+    )
+    centroids = [
+        list(map(float, r["seed_v"])) for r in sorted(seeds, key=lambda r: r[id_col])
+    ]
+    for _ in range(iters):
+        centroids = update_centroids(
+            assign_clusters(vectors, centroids, id_col, vec_col), vec_col
+        )
+    return centroids
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: k-means clusters as the candidate
+    blocks, exact cosine ≥ threshold inside each block.
+
+    Returns (id1 < id2, cid, cosine_sim).  The pair join is an
+    equi-join on cid — within-cluster only, never corpus².
+    """
+    centroids = kmeans_fit(vectors, id_col, vec_col, k=k, iters=iters)
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"), "cid"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"),
+        F.col("cid").alias("__cid2"),
+    )
+    pairs = a.join(
+        b, (F.col("cid") == F.col("__cid2")) & (F.col("id1") < F.col("id2"))
+    ).withColumn("cosine_sim", cosine_exact_vec(F.col("__v1"), F.col("__v2")))
+    return pairs.filter(F.col("cosine_sim") >= threshold).select(
+        "id1", "id2", "cid", "cosine_sim"
+    )
+
+
+# UDF closures in this module must ship by value (see package __init__)
+import sys as _sys  # noqa: E402
+
+from dicomdb_spark import register_for_udf_pickling as _reg  # noqa: E402
+
+_reg(_sys.modules[__name__])

@@ -1899,17 +1899,40 @@ def ann_ivf_topk(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
-@register(
-    "dedup_embedding_cosine",
-    f"""
-    WITH base AS (
+# the injected-near-dup embeddings spec shared by the embedding dedup
+# oracles: first component perturbed by +0.01, ids offset by 1e6
+_SQL_EMB_BASE = """base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000,
              list_concat([CAST(embedding AS DOUBLE[])[1] + 0.01],
                          CAST(embedding AS DOUBLE[])[2:])
-      FROM embeddings WHERE vec_id % 10 = 0),
+      FROM embeddings WHERE vec_id % 10 = 0)"""
+
+
+def _emb_with_dupes(spark, sf_dir):
+    """Spark twin of the ``base`` CTE (_SQL_EMB_BASE)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding").cast("array<double>")[0] + 0.01),
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                2,
+                F.size(F.col("embedding")) - 1,
+            ),
+        ).alias("v"),
+    )
+    return e.unionAll(perturbed)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_SQL_EMB_BASE},
     n AS (
       SELECT vec_id, v,
              sqrt(CAST((SELECT SUM(CAST(floor(v2.v[i.i] * v2.v[i.i] * 1e12) AS BIGINT))
@@ -1928,20 +1951,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     +0.01).  Brute-force all-pairs here (the oracle-checkable
     correctness path); at corpus scale candidates come from the LSH
     buckets (ann_lsh_topk) or IVF cells (ann_ivf_topk) instead."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.concat(
-            F.array(F.col("embedding").cast("array<double>")[0] + 0.01),
-            F.slice(
-                F.col("embedding").cast("array<double>"),
-                2,
-                F.size(F.col("embedding")) - 1,
-            ),
-        ).alias("v"),
-    )
-    base = e.unionAll(perturbed)
+    base = _emb_with_dupes(spark, sf_dir)
     n = base.withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
     a = n.select(F.col("vec_id").alias("id1"), F.col("v").alias("__av"), F.col("nrm").alias("__an"))
     b = n.select(F.col("vec_id").alias("id2"), F.col("v").alias("__bv"), F.col("nrm").alias("__bn"))
@@ -1951,6 +1961,68 @@ def dedup_embedding_cosine(spark, sf_dir):
         (lsim.dot_exact_vec(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn"))).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= 0.99)
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.99) -> str:
+    """DuckDB replay of the deterministic k-means semantic dedup —
+    iterations unrolled as CTE pairs (assignment, centroid update)
+    using the identical floor-scaled integer arithmetic, so training
+    is reproduced bit-for-bit (see llm/clustering.py)."""
+    dist = (
+        "(SELECT SUM(CAST(floor((e.v[i.i] - c.v[i.i]) * (e.v[i.i] - c.v[i.i]) * 1e12)"
+        " AS BIGINT)) FROM unnest(range(1, len(e.v) + 1)) i(i))"
+    )
+    ctes = [f"cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v FROM base WHERE vec_id < {k})"]
+    for it in range(iters + 1):  # final extra assignment uses cent{iters}
+        ctes.append(
+            f"""asg{it} AS (
+      SELECT vec_id, v, (list(cid ORDER BY d, cid))[1] AS cid FROM (
+        SELECT e.vec_id, e.v, c.cid, {dist} AS d
+        FROM base e CROSS JOIN cent{it} c) t
+      GROUP BY vec_id, v)"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""cent{it + 1} AS (
+      SELECT cid, list(m ORDER BY pos) AS v FROM (
+        SELECT a.cid, i.i AS pos,
+               CAST(SUM(CAST(floor(a.v[i.i] * 1e12) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e12 AS m
+        FROM asg{it} a CROSS JOIN unnest(range(1, len(a.v) + 1)) i(i)
+        GROUP BY a.cid, i.i) t
+      GROUP BY cid)"""
+            )
+    final = f"asg{iters}"
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_EMB_BASE},
+    {joined_ctes},
+    n AS (
+      SELECT vec_id, v, cid,
+             sqrt(CAST((SELECT SUM(CAST(floor(v2.v[i.i] * v2.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(v2.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM {final} v2)
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.cid,
+           CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) AS cosine_sim
+    FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) >= {threshold}
+    """
+
+
+@register("dedup_semantic_kmeans", _semantic_dedup_oracle())
+def dedup_semantic_kmeans(spark, sf_dir):
+    """Semantic dedup — deterministic k-means (8 clusters, 2 rounds,
+    lowest-id seeds, floor-int arithmetic) blocks the corpus, then
+    exact cosine ≥ 0.99 inside each cluster.  The oracle replays the
+    full training loop in SQL with unrolled iterations, proving the
+    iterative path bit-for-bit.  At corpus scale: assignment is a
+    map-only broadcast-centroid pass; only k·dims numbers ever reach
+    the driver per round; the pair join never crosses clusters."""
+    from dicomdb_spark.llm.clustering import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _emb_with_dupes(spark, sf_dir), "vec_id", "v", k=8, iters=2, threshold=0.99
+    )
 
 
 @register(

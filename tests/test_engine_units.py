@@ -272,6 +272,48 @@ def test_parse_headers_end_to_end(spark):
     assert "corrupt" in out["/x/bad.dic"].csa_meta
 
 
+def test_kmeans_deterministic_and_matches_numpy(spark):
+    # the floor-int k-means must be partition-count independent and
+    # equal to a straight numpy replay of the same spec
+    import numpy as np
+
+    from dicomdb_spark.llm.clustering import kmeans_fit
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    c2 = kmeans_fit(emb.repartition(2), k=4, iters=2)
+    c13 = kmeans_fit(emb.repartition(13), k=4, iters=2)
+    assert c2 == c13  # bit-identical across partitionings
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    A = np.array([r.v for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, A = ids[order], A[order]
+    C = A[ids < 4].copy()
+    SCALE = 1e12
+    for _ in range(2):
+        d = np.stack(
+            [
+                np.floor((A - C[j]) * (A - C[j]) * SCALE).astype(np.int64).sum(axis=1)
+                for j in range(len(C))
+            ],
+            axis=1,
+        )
+        cid = np.argmin(d, axis=1)
+        C = np.stack(
+            [
+                np.floor(A[cid == j] * SCALE).astype(np.int64).sum(axis=0)
+                / (cid == j).sum()
+                / SCALE
+                for j in sorted(set(cid))
+            ]
+        )
+    assert np.array_equal(np.array(c2), C)
+
+
 def test_simhash_near_pairs_matches_bruteforce(spark):
     # pigeonhole block buckets must find EXACTLY the brute-force
     # hamming<=k pairs (completeness is the property the blocks

@@ -39,6 +39,7 @@ def test_band_joins_are_not_nested_loops(spark):
         "j4_pairwise_doubles",
         "r6_billing_dedup",
         "dedup_simhash_near",
+        "dedup_semantic_kmeans",
     ):
         pi.assert_no_cartesian(QUERIES[name](spark, SF))
 
