@@ -241,6 +241,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-superset pairs: shingle containment |A∩B| / min(|A|,|B|).
+
+    Catches substring-style duplication that Jaccard misses — a short
+    document wholly contained in a longer one scores 1.0 here while
+    its Jaccard can be arbitrarily low.  Same inverted-index join
+    shape as ``ngram_jaccard_pairs`` (cost follows shingle-bucket
+    sizes, never n²).  Returns (id1, id2, containment).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        pairs.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "containment", F.col("inter") / F.least(F.col("sz1"), F.col("sz2"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )
+
+
 def simhash(text_col: Column | str, bits: int = 16) -> Column:
     """SimHash fingerprint over lowercase tokens → long.
 

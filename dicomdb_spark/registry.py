@@ -2631,6 +2631,80 @@ def a_unpivot(spark, sf_dir):
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
 
 
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SQL_DOCS2},
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle FROM tk),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2, inter / least(s1.sz, s2.sz) AS containment
+    FROM pairs
+    JOIN sizes s1 ON pairs.id1 = s1.doc_id
+    JOIN sizes s2 ON pairs.id2 = s2.doc_id
+    WHERE inter / least(s1.sz, s2.sz) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Shingle containment |A∩B| / min(|A|,|B|) ≥ 0.9 — catches
+    substring-style near-supersets (short doc wholly inside a longer
+    one scores 1.0 where Jaccard can be arbitrarily low).  Same
+    inverted-index join shape as dedup_ngram_jaccard."""
+    return ldedup.ngram_containment_pairs(
+        _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.9
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    f"""
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           {_dsum('o.o_totalprice', 'total_price')},
+           {_dsum('l.l_quantity', 'sum_qty')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 large-volume-customer shape: semi-join against a
+    HAVING-filtered aggregate, then a 3-table join + regroup.  Plan:
+    the HAVING aggregate and the semi-join share the l_orderkey
+    partitioning; customer is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        .agg(
+            agg.dsum("o_totalprice", "total_price"),
+            agg.dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

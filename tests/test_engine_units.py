@@ -272,6 +272,44 @@ def test_parse_headers_end_to_end(spark):
     assert "corrupt" in out["/x/bad.dic"].csa_meta
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    # the union-and-carry-forward plan must equal pandas merge_asof
+    # (backward, allow_exact_matches) on a constructed sample with
+    # equal-timestamp ties and keys missing on either side
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "lts": [10, 20, 30, 5, 50, 7],
+            "lid": [100, 101, 102, 103, 104, 105],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 4],
+            "rts": [10, 25, 60, 1],
+            "rv": [1.5, 2.5, 3.5, 4.5],
+        }
+    )
+    expected = pd.merge_asof(
+        left.sort_values("lts"),
+        right.sort_values("rts").rename(columns={"rts": "lts"}),
+        on="lts",
+        by="k",
+    ).sort_values("lid")
+    ldf = spark.createDataFrame(left, "k int, lts long, lid int")
+    rdf = spark.createDataFrame(right, "k int, rts long, rv double")
+    got = (
+        oj.asof_join(ldf, rdf, keys=["k"], left_ts="lts", right_ts="rts",
+                     value_cols=["rv"])
+        .orderBy("lid")
+        .collect()
+    )
+    exp_rv = [None if pd.isna(v) else v for v in expected["rv"]]
+    assert [r.rv_asof for r in got] == exp_rv
+
+
 def test_kmeans_deterministic_and_matches_numpy(spark):
     # the floor-int k-means must be partition-count independent and
     # equal to a straight numpy replay of the same spec
