@@ -274,3 +274,45 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__is_r") == 0).drop("__is_r")
+
+
+def interval_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Range join: point rows matched to every interval (per key) with
+    ``start <= ts <= end`` — WITHOUT a nested-loop join.
+
+    Spark plans a bare range predicate as BNLJ (quadratic); the
+    scale-safe shape buckets time at ``bucket_width_s``: each interval
+    explodes to the buckets it covers (bounded by span/width), each
+    point carries its single bucket, and candidates meet through a
+    plain equi-join on (keys…, bucket) with the exact range predicate
+    as a post-filter.  Each qualifying (point, interval) pair meets in
+    exactly one bucket — the point's — so no dedup is needed.  Pick
+    ``bucket_width_s`` near the typical interval span: cost is
+    candidates-per-bucket, not |points|×|intervals|.
+    """
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    pb = points.withColumn("__b", F.floor(sec(ts_col) / bucket_width_s))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(sec(start_col) / bucket_width_s),
+                F.floor(sec(end_col) / bucket_width_s),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*keys, "__b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

@@ -2632,6 +2632,45 @@ def a_unpivot(spark, sf_dir):
 
 
 @register(
+    "j12_range_join",
+    """
+    WITH s AS (
+      SELECT user_id, event_id AS signup_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup'),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts FROM events
+      WHERE event_type = 'click')
+    SELECT c.user_id, c.click_id, c.ts, s.signup_id, s.start_ts, s.end_ts
+    FROM c JOIN s
+      ON c.user_id = s.user_id AND c.ts >= s.start_ts AND c.ts <= s.end_ts
+    """,
+)
+def j12_range_join(spark, sf_dir):
+    """Range join — clicks attributed to every signup interval
+    [ts, ts+2h] of the same user.  Spark plans a bare range predicate
+    as a nested loop; the engine's interval_range_join buckets time
+    (1 h) so candidates meet via a plain equi-join on (user, bucket)
+    with the exact predicate as a post-filter — cost follows bucket
+    occupancy, never |clicks|×|signups|.  Oracle: DuckDB's native
+    range join."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return oj.interval_range_join(
+        clicks, signups, keys=["user_id"], ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_width_s=3600,
+    ).select("user_id", "click_id", "ts", "signup_id", "start_ts", "end_ts")
+
+
+@register(
     "dedup_ngram_containment",
     f"""
     WITH {_SQL_DOCS2},

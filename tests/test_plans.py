@@ -40,6 +40,7 @@ def test_band_joins_are_not_nested_loops(spark):
         "r6_billing_dedup",
         "dedup_simhash_near",
         "dedup_semantic_kmeans",
+        "j12_range_join",
     ):
         pi.assert_no_cartesian(QUERIES[name](spark, SF))
 
