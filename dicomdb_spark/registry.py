@@ -1963,11 +1963,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.filter(F.col("cosine_sim") >= 0.99)
 
 
-def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.99) -> str:
-    """DuckDB replay of the deterministic k-means semantic dedup —
-    iterations unrolled as CTE pairs (assignment, centroid update)
-    using the identical floor-scaled integer arithmetic, so training
-    is reproduced bit-for-bit (see llm/clustering.py)."""
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> tuple[str, str]:
+    """Unrolled k-means training CTEs over a ``base(vec_id, v)`` CTE —
+    the DuckDB replay of llm/clustering.py's deterministic loop
+    (identical floor-scaled integer arithmetic).  Returns (joined
+    CTE text, name of the final assignment CTE)."""
     dist = (
         "(SELECT SUM(CAST(floor((e.v[i.i] - c.v[i.i]) * (e.v[i.i] - c.v[i.i]) * 1e12)"
         " AS BIGINT)) FROM unnest(range(1, len(e.v) + 1)) i(i))"
@@ -1992,8 +1992,11 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.99) 
         GROUP BY a.cid, i.i) t
       GROUP BY cid)"""
             )
-    final = f"asg{iters}"
-    joined_ctes = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes), f"asg{iters}"
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.99) -> str:
+    joined_ctes, final = _kmeans_ctes(k, iters)
     return f"""
     WITH {_SQL_EMB_BASE},
     {joined_ctes},
@@ -2007,6 +2010,83 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.99) 
     FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
     WHERE CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) >= {threshold}
     """
+
+
+def _ivf_trained_oracle(k: int = 8, iters: int = 2, n_queries: int = 10, topk: int = 3) -> str:
+    joined_ctes, final = _kmeans_ctes(k, iters)
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {joined_ctes},
+    n AS (
+      SELECT vec_id, v, cid,
+             sqrt(CAST((SELECT SUM(CAST(floor(v2.v[i.i] * v2.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(v2.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM {final} v2),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.cid, b.vec_id AS neighbor_id,
+             CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) AS cosine_sim
+      FROM n a JOIN n b
+        ON a.cid = b.cid AND a.vec_id < {n_queries} AND a.vec_id <> b.vec_id)
+    SELECT query_id, cid, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {topk}
+    """
+
+
+@register("ann_ivf_trained_topk", _ivf_trained_oracle())
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN with TRAINED coarse quantizer: k-means (8 cells, 2
+    deterministic rounds) partitions the corpus, then each query
+    searches only its own cell (nprobe=1) — candidates meet via an
+    equi-join on the cell id.  Composes the clustering trainer with
+    the ANN path; the oracle replays training + search end-to-end."""
+    from dicomdb_spark.llm.clustering import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_fit(emb, "vec_id", "v", k=8, iters=2)
+    n = assign_clusters(emb, cents, "vec_id", "v").withColumn(
+        "nrm", lsim.norm_exact_vec(F.col("v"))
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+        "cid",
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.col("nrm").alias("__cn"),
+        F.col("cid").alias("__ccid"),
+    )
+    scored = (
+        q.join(
+            c,
+            (F.col("cid") == F.col("__ccid"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "cid",
+            "neighbor_id",
+            (
+                lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
 
 
 @register("dedup_semantic_kmeans", _semantic_dedup_oracle())
