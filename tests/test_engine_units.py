@@ -566,6 +566,66 @@ def test_streaming_session_window(spark, tmp_path):
     assert sorted(r.n for r in rows) == [3, 3]
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Streaming twin of j12_range_join: stream-stream inner join with
+    watermarks + a time-range condition must produce exactly the batch
+    result (pair-for-pair)."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    expected = sorted(
+        (r.click_id, r.signup_id)
+        for r in QUERIES["j12_range_join"](spark, sf).collect()
+    )
+    ev = load_table(spark, sf, "events")
+    s_dir, c_dir = str(tmp_path / "signups"), str(tmp_path / "clicks")
+    # watermarks require TIMESTAMP (with local tz), not NTZ — cast both
+    # sides identically; the join condition only compares them relatively
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").cast("timestamp").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).cast("timestamp").alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    signups.write.mode("overwrite").parquet(s_dir)
+    clicks.write.mode("overwrite").parquet(c_dir)
+    s_stream = (
+        spark.readStream.schema(signups.schema).parquet(s_dir)
+        .withWatermark("start_ts", "1 minute")
+    )
+    c_stream = (
+        spark.readStream.schema(clicks.schema).parquet(c_dir)
+        .withWatermark("ts", "1 minute")
+    )
+    joined = c_stream.join(
+        s_stream,
+        F.expr(
+            "user_id = s_user AND ts >= start_ts AND ts <= end_ts"
+        ),
+    ).select("click_id", "signup_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.click_id, r.signup_id)
+            for r in spark.sql("select * from attrib").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected and len(got) > 0
+
+
 def test_stateful_distinct_across_batches(spark, tmp_path):
     """applyInPandasWithState dedup: redelivered keys in later
     micro-batches must not re-emit."""
