@@ -81,6 +81,23 @@ def test_lsh_topk_broadcast_is_conditional(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_asof_join_is_single_shuffle(spark):
+    # union-and-carry-forward: ONE exchange (the per-key window), no
+    # join operator at all in the plan
+    df = QUERIES["j11_asof_join"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert pi.count_shuffles(df) == 1, pi.simple_plan(df)
+    assert "Join" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    # bucketized range join must plan as a hash equi-join, never BNLJ
+    df = QUERIES["j12_range_join"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_scan_only_queries_have_no_shuffle(spark):
     for name in ("t2_content_hash", "text_stats", "f1_sanitize", "p6_like_family"):
         df = QUERIES[name](spark, SF)

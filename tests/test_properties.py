@@ -121,3 +121,45 @@ def test_keep_latest_is_total(spark):
         .collect()
     )
     assert per_group and all(r.keeps == 1 and r.n >= 2 for r in per_group)
+
+
+def test_range_join_equals_bruteforce_theta(spark):
+    """Bucketized interval_range_join must equal the brute-force theta
+    join for every bucket width, including widths that misalign with
+    interval spans."""
+    import random
+
+    from dicomdb_spark.operators.joins import interval_range_join
+
+    rnd = random.Random(7)
+    points = [(rnd.randrange(5), i, rnd.randrange(0, 100000)) for i in range(300)]
+    intervals = []
+    for j in range(80):
+        s = rnd.randrange(0, 100000)
+        intervals.append((rnd.randrange(5), 1000 + j, s, s + rnd.randrange(0, 15000)))
+    pdf = spark.createDataFrame(points, "k int, pid int, t long").withColumn(
+        "t", F.timestamp_seconds(F.col("t")).cast("timestamp_ntz")
+    )
+    idf = (
+        spark.createDataFrame(intervals, "k int, iid int, s long, e long")
+        .withColumn("s", F.timestamp_seconds(F.col("s")).cast("timestamp_ntz"))
+        .withColumn("e", F.timestamp_seconds(F.col("e")).cast("timestamp_ntz"))
+    )
+    brute = sorted(
+        (r.pid, r.iid)
+        for r in pdf.join(
+            idf,
+            (pdf["k"] == idf["k"]) & (pdf["t"] >= idf["s"]) & (pdf["t"] <= idf["e"]),
+        ).collect()
+    )
+    for width in (60, 3600, 7777):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_range_join(
+                pdf, idf.withColumnRenamed("k", "k2").withColumnRenamed("k2", "k"),
+                keys=["k"], ts_col="t", start_col="s", end_col="e",
+                bucket_width_s=width,
+            ).collect()
+        )
+        assert got == brute, f"width={width}"
+    assert len(brute) > 0
