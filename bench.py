@@ -100,7 +100,10 @@ def scale_ratios(spark, sf_dir: str) -> dict[str, float] | None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # non-sfN.N dir names (e.g. the 5× replicas)
+        sf = -1.0
     spark = get_spark(app_name="dicomdb_spark_bench")
 
     # one warm-up pass of the first query amortizes JVM/codegen startup
