@@ -67,6 +67,7 @@ TAG_STUDY_UID = (0x0020, 0x000D)
 TAG_SERIES_UID = (0x0020, 0x000E)
 TAG_SERIES_NUMBER = (0x0020, 0x0011)
 TAG_INSTANCE_NUMBER = (0x0020, 0x0013)
+TAG_CSA_IMAGE = (0x0029, 0x1010)  # Siemens private: CSA Image Header Info
 TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 
 DEFAULT_TAGS = frozenset(
@@ -82,6 +83,7 @@ DEFAULT_TAGS = frozenset(
         TAG_SERIES_UID,
         TAG_SERIES_NUMBER,
         TAG_INSTANCE_NUMBER,
+        TAG_CSA_IMAGE,
     }
 )
 
@@ -152,6 +154,82 @@ def read_tags(
     return out
 
 
+# -- Siemens CSA2 private header (public "SV10" format) ---------------------
+# Layout (documented publicly, e.g. nibabel's nicom csareader and the
+# DICOM community wiki): "SV10" + 4 magic bytes, uint32 n_tags, uint32
+# unused; per tag 64-byte nul-padded name, int32 vm, 4-byte vr, int32
+# syngodt, int32 nitems, int32 xx; per item four uint32s (length at
+# index 1) then the payload padded to 4 bytes.  Carried in private
+# elements (0029,1010) CSA Image / (0029,1020) CSA Series.
+
+
+def parse_csa2(blob: bytes) -> dict[str, str]:
+    """Decode a CSA2 block to {tag_name: first_item_string}.
+
+    Only scalar first items are surfaced (that is all the reference's
+    extraction consumed, Exam_info.py:533-554); malformed blocks raise
+    ValueError (callers degrade to a flag).
+    """
+    if len(blob) < 16 or blob[:4] != b"SV10":
+        raise ValueError("not a CSA2 (SV10) block")
+    n_tags = int.from_bytes(blob[8:12], "little")
+    if not 0 < n_tags < 1024:
+        raise ValueError(f"implausible CSA tag count {n_tags}")
+    out: dict[str, str] = {}
+    pos = 16
+    for _ in range(n_tags):
+        if pos + 84 > len(blob):
+            break
+        name = blob[pos : pos + 64].split(b"\x00", 1)[0].decode("ascii", "replace")
+        nitems = int.from_bytes(blob[pos + 76 : pos + 80], "little")
+        pos += 84
+        first = None
+        for _ in range(nitems):
+            if pos + 16 > len(blob):
+                pos = len(blob)
+                break
+            ln = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            data = blob[pos + 16 : pos + 16 + ln]
+            if first is None and ln:
+                first = data.rstrip(b"\x00 ").decode("ascii", "replace").strip()
+            pos += 16 + (ln + 3) // 4 * 4
+        if name and first:
+            out[name] = first
+    return out
+
+
+def encode_csa2(tags: dict[str, str]) -> bytes:
+    """Serialize {name: value} into a CSA2 block (one item per tag)."""
+    body = b""
+    for name, value in tags.items():
+        nb = name.encode("ascii")[:63].ljust(64, b"\x00")
+        data = str(value).encode("ascii") + b"\x00"
+        ln = len(data)
+        item = (
+            ln.to_bytes(4, "little") * 2
+            + (77).to_bytes(4, "little")
+            + ln.to_bytes(4, "little")
+            + data
+            + b"\x00" * ((4 - ln % 4) % 4)
+        )
+        body += (
+            nb
+            + (1).to_bytes(4, "little")  # vm
+            + b"CS\x00\x00"  # vr
+            + (0).to_bytes(4, "little")  # syngodt
+            + (1).to_bytes(4, "little")  # nitems
+            + (77).to_bytes(4, "little")  # xx
+            + item
+        )
+    return (
+        b"SV10"
+        + b"\x04\x03\x02\x01"
+        + len(tags).to_bytes(4, "little")
+        + (77).to_bytes(4, "little")
+        + body
+    )
+
+
 def _s(raw: bytes | None) -> str | None:
     if raw is None:
         return None
@@ -175,7 +253,14 @@ def _i(raw: bytes | None) -> int | None:
 
 
 def minimal_parser(content: bytes) -> dict:
-    """bytes → HEADER_SCHEMA fields via the minimal Part-10 reader."""
+    """bytes → HEADER_SCHEMA fields via the minimal Part-10 reader.
+
+    When the Siemens CSA Image block (0029,1010) is present, its
+    scalar tags are surfaced as ``CsaImage.<name>`` map entries, and
+    SequenceName falls back to ``CsaImage.SequenceName`` when the
+    standard tag is absent — the reference's fallback order
+    (Exam_info.py:533-538).
+    """
     tags = read_tags(content)
     it = _s(tags.get(TAG_IMAGE_TYPE))
     csa = {}
@@ -187,6 +272,15 @@ def minimal_parser(content: bytes) -> dict:
         v = _s(tags.get(tag))
         if v is not None:
             csa[key] = v
+    blob = tags.get(TAG_CSA_IMAGE)
+    if blob:
+        try:
+            for k, v in parse_csa2(bytes(blob)).items():
+                csa[f"CsaImage.{k}"] = v
+        except ValueError:
+            csa["csa_corrupt"] = "1"
+        if "SequenceName" not in csa and "CsaImage.SequenceName" in csa:
+            csa["SequenceName"] = csa["CsaImage.SequenceName"]
     return {
         "SeriesInstanceUID": _s(tags.get(TAG_SERIES_UID)),
         "StudyInstanceUID": _s(tags.get(TAG_STUDY_UID)),
@@ -264,6 +358,9 @@ def encode_minimal_dicom(
         values[tag] = "\\".join(v) if isinstance(v, (list, tuple)) else str(v)
     for tag in sorted(values):  # data set is ascending tag order
         body += _element(tag, _VR_BY_TAG[tag], values[tag].encode("ascii"), explicit)
+    csa_tags = fields.get("csa_image")
+    if csa_tags:
+        body += _element(TAG_CSA_IMAGE, b"OB", encode_csa2(csa_tags), explicit)
     if with_pixels is not None:
         body += _element(TAG_PIXEL_DATA, b"OB", with_pixels, explicit)
     ts_el = _element((0x0002, 0x0010), b"UI", transfer_syntax.encode("ascii"), True)
@@ -327,23 +424,30 @@ def synthetic_part10_from_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
                     blob = b"\x00" * 200  # no magic → corrupt row
                 else:
                     ts = _TS_IMPLICIT_LE if i % 7 == 0 else _TS_EXPLICIT_LE
-                    blob = encode_minimal_dicom(
-                        {
-                            "SeriesInstanceUID": f"1.2.826.0.1.{i % 500}",
-                            "StudyInstanceUID": f"1.2.826.0.{i % 50}",
-                            "SeriesNumber": str(i % 40 + 1),
-                            "InstanceNumber": str(i % 300 + 1),
-                            "EchoTime": f"{(i % 50) / 10.0}",
-                            "AcquisitionDate": "20240101",
-                            "AcquisitionTimeRaw": f"{i % 24:02d}{i % 60:02d}00.000000",
-                            "Manufacturer": "SIEMENS" if i % 3 else "GE MEDICAL SYSTEMS",
-                            "SequenceName": ("tfl3d1", "epfid2d1_64", "spc3d1")[i % 3],
-                            "RepetitionTime": str(2000 + i % 7 * 100),
-                            "ImageType": ["ORIGINAL", "PRIMARY"]
-                            + (["DERIVED"] if i % 11 == 0 else []),
-                        },
-                        transfer_syntax=ts,
-                    )
+                    seq = ("tfl3d1", "epfid2d1_64", "spc3d1")[i % 3]
+                    fields = {
+                        "SeriesInstanceUID": f"1.2.826.0.1.{i % 500}",
+                        "StudyInstanceUID": f"1.2.826.0.{i % 50}",
+                        "SeriesNumber": str(i % 40 + 1),
+                        "InstanceNumber": str(i % 300 + 1),
+                        "EchoTime": f"{(i % 50) / 10.0}",
+                        "AcquisitionDate": "20240101",
+                        "AcquisitionTimeRaw": f"{i % 24:02d}{i % 60:02d}00.000000",
+                        "Manufacturer": "SIEMENS" if i % 3 else "GE MEDICAL SYSTEMS",
+                        "SequenceName": seq,
+                        "RepetitionTime": str(2000 + i % 7 * 100),
+                        "ImageType": ["ORIGINAL", "PRIMARY"]
+                        + (["DERIVED"] if i % 11 == 0 else []),
+                    }
+                    if i % 5 == 0:
+                        # CSA-only SequenceName: exercises the
+                        # reference's private-header fallback path
+                        del fields["SequenceName"]
+                        fields["csa_image"] = {
+                            "SequenceName": seq,
+                            "FlipAngle": str(5 + i % 85),
+                        }
+                    blob = encode_minimal_dicom(fields, transfer_syntax=ts)
                 rows.append((f"/synthetic/{i}.dic", blob))
             yield pd.DataFrame(rows, columns=["path", "content"])
 

@@ -222,6 +222,30 @@ def test_dicom_roundtrip_explicit_and_implicit():
     assert dsrc.minimal_parser(blob[:150])["SeriesInstanceUID"] is None
 
 
+def test_csa2_roundtrip_and_fallback():
+    # CSA2 codec roundtrip + the SequenceName fallback when the
+    # standard (0018,0024) tag is absent (Exam_info.py:533-538)
+    csa = {"SequenceName": "epfid2d1_64", "FlipAngle": "90", "EchoTime": "30.0"}
+    assert dsrc.parse_csa2(dsrc.encode_csa2(csa)) == csa
+    with pytest.raises(ValueError):
+        dsrc.parse_csa2(b"NOT_SV10_AT_ALL!")
+    blob = dsrc.encode_minimal_dicom(
+        {
+            "SeriesInstanceUID": "1.2.3.4",
+            "InstanceNumber": "1",
+            "csa_image": csa,  # NO standard SequenceName
+        }
+    )
+    rec = dsrc.minimal_parser(blob)
+    assert rec["csa_meta"]["CsaImage.FlipAngle"] == "90"
+    assert rec["csa_meta"]["SequenceName"] == "epfid2d1_64"  # fallback
+    # standard tag wins when both exist
+    blob2 = dsrc.encode_minimal_dicom(
+        {"SeriesInstanceUID": "1.2.3.4", "SequenceName": "tfl3d1", "csa_image": csa}
+    )
+    assert dsrc.minimal_parser(blob2)["csa_meta"]["SequenceName"] == "tfl3d1"
+
+
 def test_dicom_nested_sequence_cannot_shadow_toplevel():
     # an undefined-length SQ holding a nested SeriesInstanceUID must not
     # be mistaken for the top-level one (depth tracking)
