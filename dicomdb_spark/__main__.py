@@ -59,8 +59,11 @@ def cmd_import(args) -> int:
     from dicomdb_spark.sources.jdbc import render_upsert_sql
 
     spark = _spark()
+    # default = the built-in Part-10 reader; --synthetic keeps the
+    # deterministic fake for non-DICOM fixture trees
+    parser = synthetic_parser if getattr(args, "synthetic", False) else None
     headers = pipeline.extract_headers(
-        spark, args.input_dir, parser=synthetic_parser, proto_reg=args.proto_reg
+        spark, args.input_dir, parser=parser, proto_reg=args.proto_reg
     )
     serie = pipeline.build_serie_frame(headers)
     exams = pipeline.build_exam_frame(serie)
@@ -114,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
     imp.add_argument("--input-dir", required=True)
     imp.add_argument("--proto-reg", default=".*")
     imp.add_argument("-t", "--test", action="store_true", help="dry run")
+    imp.add_argument(
+        "--synthetic", action="store_true",
+        help="use the deterministic fake parser (non-DICOM fixture trees)",
+    )
     imp.set_defaults(fn=cmd_import)
     sq = sub.add_parser("sql")
     sq.add_argument("statement")

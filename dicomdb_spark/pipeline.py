@@ -37,7 +37,7 @@ from dicomdb_spark.sources.inventory import (
 def extract_headers(
     spark: SparkSession,
     root: str,
-    parser: HeaderParser,
+    parser: HeaderParser | None = None,
     proto_reg: str = ".*",
     suj_reg: str = ".*",
     ser_reg: str = "^S",
@@ -46,7 +46,8 @@ def extract_headers(
     """Stages 1–2: source selection + extraction (E1 steps 1–3).
 
     scan (S1/S2, mtime pushdown) → level split → regex descent →
-    name filters (P8) → DICM sniff (S3) → header parse (U1).
+    name filters (P8) → DICM sniff (S3) → header parse (U1, the
+    built-in Part-10 reader unless a richer parser is injected).
     """
     files = scan_files(spark, root, glob="*", modified_after=modified_after)
     files = path_name_filters(split_tree_levels(files))

@@ -131,3 +131,62 @@ def test_streaming_ingest_equals_batch(spark, exam_tree, tmp_path):
     finally:
         q.stop()
     assert sorted(target.values()) == batch_rows
+
+
+@pytest.fixture(scope="module")
+def part10_tree(tmp_path_factory):
+    """The same exam layout as ``exam_tree`` but as REAL Part-10 byte
+    streams — parsed by the engine's built-in minimal reader, no
+    injected parser."""
+    from dicomdb_spark.sources.dicom import encode_minimal_dicom
+
+    root = tmp_path_factory.mktemp("exams_p10")
+    layout = {
+        ("PROTO_A", "subj01", "S01_mprage", "20240101"): [1, 2, 3],
+        ("PROTO_A", "subj01", "S02_epi", "20240101"): [1, 2],
+        ("PROTO_A", "subj01", "S03_dwi", "20240102"): [1, 2],
+        ("PROTO_A", "subj02", "S01_mprage", "20240101"): [1, 2, 2, 4],
+    }
+    for (proto, suj, ser, day), instances in layout.items():
+        d = root / proto / suj / ser
+        d.mkdir(parents=True, exist_ok=True)
+        sn = int(ser[1:3])
+        for k, inst in enumerate(instances):
+            blob = encode_minimal_dicom(
+                {
+                    "SeriesInstanceUID": f"{suj}.{ser}",
+                    "StudyInstanceUID": f"study.{suj}.{day}",
+                    "SeriesNumber": str(sn),
+                    "InstanceNumber": str(inst),
+                    "EchoTime": "2.5",
+                    "AcquisitionDate": day,
+                    "AcquisitionTimeRaw": f"{8 + sn:02d}{inst:02d}00.000000",
+                    "ImageType": ["ORIGINAL", "PRIMARY"],
+                    "csa_image": {"SequenceName": ser.split("_")[1]},
+                }
+            )
+            (d / f"im{k}.dic").write_bytes(blob)
+    return str(root)
+
+
+def test_pipeline_end_to_end_real_part10(spark, part10_tree):
+    """The full E1 flow — scan → regex descent → DICM sniff → byte-level
+    Part-10 parse (built-in reader, CSA fallback) → stack assembly →
+    exam sessionization — over real encoded files, no injected parser."""
+    headers = pipeline.extract_headers(spark, part10_tree, proto_reg="^PROTO")
+    hrows = headers.collect()
+    assert len(hrows) == 11
+    assert all(r.SeriesInstanceUID for r in hrows)
+    assert all(r.csa_meta.get("SequenceName") for r in hrows)
+
+    serie = pipeline.build_serie_frame(headers)
+    srows = {(r.SeriesInstanceUID): r for r in serie.collect()}
+    assert srows["subj02.S01_mprage"].n_duplicates == 1
+    assert "missingDicomFile" in srows["subj02.S01_mprage"].corrupt
+    assert srows["subj01.S01_mprage"].corrupt == "ok"
+
+    exams = {(r.EUID, r.AcquisitionDate): r for r in
+             pipeline.build_exam_frame(serie).collect()}
+    # subj01 sessionizes into two exams by date; subj02 one
+    assert len(exams) == 3
+    assert exams[("study.subj01.20240101", "20240101")].n_series == 2
