@@ -2824,6 +2824,85 @@ def tpch_q18_shape(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q5_shape",
+    f"""
+    SELECT n.n_name, {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 local-supplier revenue: the 6-table join with a
+    same-nation equality between two fact-side dimensions.  Plan:
+    region/nation/supplier/customer broadcast; lineitem and orders meet
+    on the orderkey; the date filter pushes into the orders scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            agg.dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "a_cube_counts",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), '<all>') AS user_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 4)
+    """,
+)
+def a_cube_counts(spark, sf_dir):
+    """CUBE grouping sets — all four marginalizations in one pass
+    (partial aggregation expands the grouping-set id map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 4).cast("string"))
+        .cube("event_type", "user_bucket")
+        .count()
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("<all>")).alias("user_bucket"),
+            F.col("count").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
