@@ -397,14 +397,21 @@ def j1_exam_series_revenue(spark, sf_dir):
     "j2_orphans",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
     """,
 )
 def j2_orphans(spark, sf_dir):
     """J2 — left-outer-where-null orphan detection as left_anti
-    (Cenir_DB.py:596-601)."""
+    (Cenir_DB.py:596-601).  Instantiated as customers with no
+    high-value order (every testdata customer has ≥1 order, so the
+    bare FK anti-join would be vacuously empty — a green-but-0-row
+    check proves nothing)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    )
     return oj.orphans(cust, orders, "c_custkey", "o_custkey").select(
         "c_custkey", "c_name"
     )
@@ -2919,7 +2926,9 @@ R1_DRIVER_PROVEN: tuple[str, ...] = (
     "a3_group_counts", "a4_min_max_by", "a5_distinct", "a6_year_histogram",
     "a9_completeness_audit", "w1_order_duration", "w2_keep_latest",
     "w5_adjacent_diff", "o3_top1_per_type", "j1_exam_series_revenue",
-    "j2_orphans", "j3_time_proximity", "j4_pairwise_doubles",
+    # j2_orphans intentionally absent: re-instantiated non-vacuously in
+    # round 2, so its round-1 row no longer evidences current behavior
+    "j3_time_proximity", "j4_pairwise_doubles",
     "j8_full_outer_diff", "j10_processed_anti", "s7_merge_classify",
     "p3_composite_key", "p4_float_tolerance", "f1_sanitize",
     "f2_prefix_code", "f5_ta_parse", "f4_time_arithmetic", "f8_classify",
