@@ -190,3 +190,48 @@ def resize_images(
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    bins: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-extract binary payloads: an L1-normalized byte histogram.
+
+    Unlike the decode/resize steps this needs NO media library — the
+    histogram is real math over the raw bytes (numpy bincount per Arrow
+    batch), a genuine fixed-dimension feature vector usable by the ANN
+    and clustering operators downstream.  A model-based extractor
+    (CLIP-style) would replace the histogram with an injected callable;
+    the batch shape is identical.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> int(np.log2(256 // bins)), minlength=bins)
+                total = max(int(hist.sum()), 1)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_bytes": int(len(b)),
+                        "features": [float(h) / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)

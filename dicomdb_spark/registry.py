@@ -1787,6 +1787,28 @@ def multimodal_decode(spark, sf_dir):
     return decode_image_meta(binarize(docs))
 
 
+@register("multimodal_features", None)  # mapInPandas — no SQL oracle
+def multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction on testdata: binary payloads → a
+    16-bin L1-normalized byte histogram (real math, no media lib) via
+    mapInPandas; the feature vector is emitted as a comma-joined
+    scalar for comparator safety.  Rows-only driver check."""
+    from dicomdb_spark.llm.multimodal import binarize, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(binarize(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_l1"
+        ),
+        F.array_join(
+            F.transform("features", lambda x: F.round(x, 6).cast("string")), ","
+        ).alias("features"),
+    )
+
+
 @register(
     "a2_seqname_catalog",
     """

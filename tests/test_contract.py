@@ -27,6 +27,7 @@ def test_registry_invariants():
         "u3_stack_assembly",
         "multimodal_decode",
         "s3_header_parse",
+        "multimodal_features",
     }
     # names are stable identifiers (driver uses them as filenames/keys)
     assert all(n.replace("_", "").isalnum() for n in qs)
