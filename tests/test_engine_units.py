@@ -436,6 +436,18 @@ def test_rotate_bvecs_non_identity(spark):
 
 
 # ------------------------------------------------------------ multimodal
+def test_extract_features_byte_histogram(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="aaab")])
+    feats = mm.extract_features(mm.binarize(docs), bins=16).collect()[0]
+    assert feats.n_bytes == 4
+    b = np.frombuffer(b"aaab", dtype=np.uint8)
+    expected = np.bincount(b >> 4, minlength=16) / 4
+    assert feats.features == pytest.approx(list(expected))
+    assert sum(feats.features) == pytest.approx(1.0)
+
+
 def test_multimodal_decode_and_frames(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x" * 200)]

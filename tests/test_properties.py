@@ -163,3 +163,58 @@ def test_range_join_equals_bruteforce_theta(spark):
         )
         assert got == brute, f"width={width}"
     assert len(brute) > 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=40
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_join_property_vs_pandas(spark, lefts, rights):
+    """Random keyed event streams: asof_join must equal pandas
+    merge_asof (backward, exact matches allowed) on every draw,
+    including duplicate timestamps on the left."""
+    import pandas as pd
+
+    from dicomdb_spark.operators.joins import asof_join
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], columns=["k", "lts", "lid"]
+    )
+    # right side must be unique per (k, ts) for determinism — dedupe
+    # keeping the max value, the documented contract
+    rpd = (
+        pd.DataFrame(rights, columns=["k", "rts", "rv"])
+        .sort_values("rv")
+        .drop_duplicates(["k", "rts"], keep="last")
+    )
+    expected = pd.merge_asof(
+        lpd.sort_values(["lts", "lid"]),
+        rpd.sort_values("rts").rename(columns={"rts": "lts"}),
+        on="lts",
+        by="k",
+    ).sort_values("lid")
+    got = (
+        asof_join(
+            spark.createDataFrame(lpd, "k int, lts long, lid int"),
+            spark.createDataFrame(rpd, "k int, rts long, rv long"),
+            keys=["k"],
+            left_ts="lts",
+            right_ts="rts",
+            value_cols=["rv"],
+        )
+        .orderBy("lid")
+        .collect()
+    )
+    exp = [None if pd.isna(v) else int(v) for v in expected["rv"]]
+    assert [r.rv_asof for r in got] == exp
