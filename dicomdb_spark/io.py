@@ -76,3 +76,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write parquet hive-partitioned by ``partition_cols`` (directory
+    pruning: a partition-key filter skips whole directories before any
+    file I/O — at corpus scale the difference between touching one day
+    and one hundred terabytes) with optional within-file ordering so
+    min/max row-group stats also prune inside each partition (see
+    sources/layout.py for the footer-stats proof).
+    """
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

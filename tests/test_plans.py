@@ -108,3 +108,25 @@ def test_dup_detection_single_shuffle(spark):
     # A1: one exchange for the groupBy, nothing else
     df = QUERIES["a1_dup_customer_day"](spark, SF)
     assert pi.count_shuffles(df) <= 1
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    # hive-partitioned layout: a partition-key filter must reach the
+    # scan as a PartitionFilter (directory pruning), not a data filter
+    from pyspark.sql import functions as F
+
+    from dicomdb_spark.io import load_table, write_partitioned
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(ev, out, ["day"], sort_cols=["user_id"])
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = pi.formatted_plan(back)
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:80]
+    n_days = ev.select("day").distinct().count()
+    # pruned scan must read exactly the one matching partition
+    assert back.count() == ev.filter(F.col("day") == "2024-01-05").count() > 0
+    files = {r["file"] for r in
+             back.withColumn("file", F.input_file_name()).select("file").collect()}
+    assert all("day=2024-01-05" in f for f in files)
+    assert n_days > 1
