@@ -123,6 +123,27 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+    # round-2+ operators, timed separately so "value" keeps the same
+    # 19-query definition as the round-1 baseline
+    extended = {}
+    for name in (
+        "j11_asof_join",
+        "j12_range_join",
+        "dedup_simhash_near",
+        "dedup_ngram_containment",
+        "dedup_semantic_kmeans",
+        "ann_ivf_trained_topk",
+        "s3_header_parse",
+        "tpch_q5_shape",
+        "tpch_q18_shape",
+    ):
+        if name in QUERIES:
+            try:
+                extended[name] = round(run_query(spark, name, sf_dir), 4)
+            except Exception:
+                extended[name] = -1.0
+    if extended:
+        out["extended_queries"] = extended
     ratios = scale_ratios(spark, sf_dir)
     if ratios is not None:
         out["scale_factor"] = SCALE_FACTOR

@@ -207,6 +207,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -215,7 +216,11 @@ def ngram_jaccard_pairs(
     pair, then |A∩B| / (|A|+|B|−|A∩B|).  Only pairs sharing at least
     one shingle are scored, so cost follows shingle-bucket sizes, not
     n².  Returns (id1, id2, jaccard) above threshold.
+    ``min_parallelism``: see minhash_lsh_pairs — local small-file
+    fan-out for the CPU-bound shingle stage only.
     """
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
@@ -247,6 +252,7 @@ def ngram_containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.9,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Near-superset pairs: shingle containment |A∩B| / min(|A|,|B|).
 
@@ -255,7 +261,10 @@ def ngram_containment_pairs(
     its Jaccard can be arbitrarily low.  Same inverted-index join
     shape as ``ngram_jaccard_pairs`` (cost follows shingle-bucket
     sizes, never n²).  Returns (id1, id2, containment).
+    ``min_parallelism``: see minhash_lsh_pairs.
     """
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
@@ -318,7 +327,13 @@ def simhash(text_col: Column | str, bits: int = 16) -> Column:
     return out
 
 
-def simhash_relational(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+def simhash_relational(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """SimHash per document, relational formulation → (id, simhash).
 
     Explode tokens, md5 each token ONCE, then ``bits`` conditional-sum
@@ -327,7 +342,10 @@ def simhash_relational(df: DataFrame, id_col: str, text_col: str, bits: int = 16
     column form re-evaluates the token array per bit — 16× the hash
     work).  Documents with zero tokens produce no row (match the
     column form by pre-filtering empties).
+    ``min_parallelism``: see minhash_lsh_pairs.
     """
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
     ).select(F.col(id_col), F.md5(F.lower(F.col("__t"))).alias("h"))
@@ -391,6 +409,7 @@ def simhash_near_pairs(
     text_col: str,
     bits: int = 16,
     k: int = 2,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with hamming distance ≤ k.
 
@@ -401,7 +420,7 @@ def simhash_near_pairs(
     engine-portable).  Returns (id1 < id2, hamming), hamming-0 pairs
     included.
     """
-    sig = simhash_relational(df, id_col, text_col, bits)
+    sig = simhash_relational(df, id_col, text_col, bits, min_parallelism)
     blocks = _hamming_blocks(bits, k)
     banded = sig.select(
         F.col(id_col).alias("doc"),

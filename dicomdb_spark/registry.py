@@ -1232,7 +1232,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard over shingle-sharing candidate pairs
     (inverted-index join — never O(n²))."""
     return ldedup.ngram_jaccard_pairs(
-        _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1305,7 +1306,10 @@ def dedup_simhash_near(spark, sf_dir):
     block buckets → equi-join candidates → exact popcount verify.
     Never all-pairs; cost follows block-bucket occupancy."""
     docs = _docs_with_dupes(spark, sf_dir).filter(text.token_count("text") > 0)
-    return ldedup.simhash_near_pairs(docs, "doc_id", "text", bits=16, k=2)
+    return ldedup.simhash_near_pairs(
+        docs, "doc_id", "text", bits=16, k=2,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -1738,6 +1742,9 @@ def s3_header_parse(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id")
     )
+    # the id column is tiny — repartition it so Part-10 generation and
+    # parsing fan out to every core (single-row-group local input)
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
     parsed = parse_headers(synthetic_part10_from_ids(orders))
     return parsed.select(
         "path",
@@ -2803,7 +2810,8 @@ def dedup_ngram_containment(spark, sf_dir):
     one scores 1.0 where Jaccard can be arbitrarily low).  Same
     inverted-index join shape as dedup_ngram_jaccard."""
     return ldedup.ngram_containment_pairs(
-        _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.9
+        _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.9,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
