@@ -2363,8 +2363,10 @@ def r10_review_flag_update(spark, sf_dir):
     row is an (eid, PatientsName) pair; matching exams get relu=1,
     relu_par='samia' (an UPDATE class via merge_classify — the S7 pure
     half), and sheet pairs with no exam are reported (the reference
-    printed them).  The sheet is a CSV-shaped stand-in derived
-    deterministically from customer (S4 XLS source is env-blocked;
+    printed them).  The sheet here is derived deterministically from
+    customer so the DuckDB oracle can replay it; the real S4 xlsx read
+    path is ``sources.xlsx.read_review_sheet`` (pure-stdlib OOXML
+    reader, exercised end-to-end in tests/test_xlsx.py; reference
     common.py:507-531)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
