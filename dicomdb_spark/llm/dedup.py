@@ -459,3 +459,71 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= k)
         .select("id1", "id2", "hamming")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring detection at n-gram granularity:
+    every maximal run of token positions whose n-grams also occur in
+    some OTHER document ("Deduplicating Training Data Makes Language
+    Models Better" finds these with a suffix array; the Spark-first
+    equivalent is relational).
+
+    Plan: tokenize ONCE (posexplode), build each position's n-gram
+    with ``lead`` over a per-document window (one window pass — all
+    leads share the frame), md5 it, one shuffle keyed on the 128-bit
+    gram hash to find hashes spanning >1 document, equi-join back,
+    then gaps-and-islands (pos - row_number) to merge adjacent
+    duplicated positions into maximal spans.
+
+    At 100 TB: the per-document window is bounded by document length
+    (no global sort); the gram-hash shuffle is uniform (md5 keys); the
+    join back is an equi-join on the same key, so only duplicated
+    grams move twice.  Returns (doc_id, span_start, span_end,
+    span_tokens), positions 0-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__tail"),
+        )
+        .filter(F.col("__tail").isNotNull())
+        .select(id_col, "pos", F.md5("gram").alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select(id_col, "pos")
+    w2 = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(w2))
+    return (
+        isl.groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -2942,6 +2942,45 @@ def a_cube_counts(spark, sf_dir):
     )
 
 
+_DUPSPAN_N = 8
+_SQL_GRAM8 = " || ' ' || ".join(f"tk[p + {j}]" if j else "tk[p]" for j in range(_DUPSPAN_N))
+
+
+@register(
+    "dedup_dup_spans",
+    f"""
+    WITH {_SQL_DOCS2},
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
+    pe AS (SELECT doc_id, tk,
+                  unnest(range(1, greatest(len(tk) - {_DUPSPAN_N - 1}, 0) + 1)) AS p
+           FROM tk),
+    grams AS (SELECT doc_id, p - 1 AS pos, md5({_SQL_GRAM8}) AS gh FROM pe),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM hits)
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {_DUPSPAN_N - 1} AS span_end,
+           max(pos) - min(pos) + {_DUPSPAN_N} AS span_tokens
+    FROM isl GROUP BY doc_id, isl
+    """,
+)
+def dedup_dup_spans(spark, sf_dir):
+    """Duplicated-substring spans at 8-gram granularity (the Lee et
+    al. training-data dedup primitive, relational formulation): every
+    maximal token range whose 8-grams also appear in another document.
+    Tokenize-once posexplode + lead-window grams, one md5-keyed
+    shuffle for the cross-doc dup set, gaps-and-islands merge."""
+    return ldedup.duplicated_spans(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_DUPSPAN_N,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

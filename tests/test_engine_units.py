@@ -986,3 +986,25 @@ def test_hyperplane_bucket_literal_planes(spark):
         ).collect()
     ]
     assert out == ["11", "01", "10"]
+
+
+def test_duplicated_spans_boundaries(spark):
+    """Two docs share one 10-token run -> one maximal span each at the
+    right 0-based inclusive positions; unique text yields no spans."""
+    from dicomdb_spark.llm import dedup as ld
+
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} z1 z2"),
+            (2, f"b1 {shared}"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in ld.duplicated_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    # doc 1: shared run occupies positions 3..12; doc 2: 1..10
+    assert out == {1: (3, 12, 10), 2: (1, 10, 10)}
