@@ -193,3 +193,59 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = 2147483647) -> Co
         lambda acc, v: (acc * base + v) % mod,
     )
     return F.coalesce(folded, F.lit(-1).cast("long"))
+
+
+# A small public-domain-style merge table (frequent English pairs) —
+# stands in for a learned BPE vocabulary; the OPERATOR is the point:
+# merge application is pure string algebra, so it runs JVM-side in
+# whole-stage codegen with an identical DuckDB replay.
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
+    ("e", "n"), ("o", "r"), ("l", "e"), ("c", "o"), ("a", "l"),
+    ("q", "u"), ("qu", "e"), ("in", "g"),
+)
+
+
+def bpe_symbol_stream(col: Column | str, merges=DEFAULT_BPE_MERGES, passes: int = 3) -> Column:
+    """Apply a BPE merge table to a document, returning the space-
+    separated symbol stream.
+
+    Classic separator encoding: lowercase, collapse whitespace, then
+    put every character in its own single-space-delimited slot (the
+    original space character keeps a slot too, so its neighborhood has
+    double spaces and merges can never cross a word boundary).  Each
+    merge ``(a, b)`` in rank order is ``replace(' a b ' -> ' ab ')`` —
+    plain non-overlapping left-to-right replace, available identically
+    in Spark and DuckDB, so the oracle replays bit-for-bit.  A single
+    scan merges alternate members of an overlapping chain
+    (``a b a b a b``), so each merge is applied ``passes`` times
+    (covers chains up to 2^passes).
+
+    Everything stays inside whole-stage codegen: no UDF, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    s = F.regexp_replace(s, "(.)", "$1 ")
+    s = F.concat(F.lit(" "), s)
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        for _ in range(passes):
+            s = F.replace(s, pat, rep)
+    return s
+
+
+def bpe_token_count(col: Column | str, merges=DEFAULT_BPE_MERGES, passes: int = 3) -> Column:
+    """Exact token count under the given BPE merge table = number of
+    symbols left in the merged stream (space slots excluded by the
+    whitespace split)."""
+    return F.size(tokens(bpe_symbol_stream(col, merges, passes)))
+
+
+def bpe_sql(expr: str, merges=DEFAULT_BPE_MERGES, passes: int = 3) -> str:
+    """DuckDB twin of bpe_symbol_stream over SQL expression ``expr``."""
+    s = f"' ' || regexp_replace(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'), '(.)', '\\1 ', 'g')"
+    for a, b in merges:
+        for _ in range(passes):
+            s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s

@@ -1430,6 +1430,31 @@ def text_token_counts(spark, sf_dir):
     )
 
 
+@register(
+    "text_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim({text.bpe_sql('text')}), ' +'),
+               t -> t <> '')) AS bpe_tokens,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+             AS ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """EXACT token count under a fixed BPE merge table (rank-ordered
+    separator-replace application — see functions.text.bpe_symbol_
+    stream).  Unlike the bpe_ish regex proxy this is real merge
+    algebra, yet still pure whole-stage-codegen string expressions:
+    map-only, no UDF, no shuffle, identical DuckDB replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_token_count("text").alias("bpe_tokens"),
+        text.token_count("text").alias("ws_tokens"),
+    )
+
+
 # dot-product fragment for the LSH oracle (floor-scaled exact ints)
 _SQL_DOT = (
     "(SELECT SUM(CAST(floor(a.v[i.i] * b.v[i.i] * 1e12) AS BIGINT)) "

@@ -115,3 +115,23 @@ def test_time_str_to_sec_malformed_is_null(spark):
     assert one(spark, scalars.time_str_to_sec("s"), s="garbage") is None
     assert one(spark, scalars.time_str_to_sec("s"), s="") is None
     assert one(spark, scalars.time_str_to_sec("s"), s="120000.123") == 12 * 3600
+
+
+def test_bpe_merge_application(spark):
+    """Merge-table application: rank order, word-boundary isolation,
+    and overlapping chains converging within the configured passes."""
+    from pyspark.sql import functions as F
+    from dicomdb_spark.functions import text as T
+
+    rows = spark.range(1).select(
+        T.bpe_token_count(F.lit("the thin quest")).alias("a"),
+        # 'atatat': (a,t) applies at 3 overlapping sites -> at at at
+        T.bpe_token_count(F.lit("atatat"), merges=(("a", "t"),)).alias("b"),
+        # boundary: 'a t' as two words must NOT merge
+        T.bpe_token_count(F.lit("a t"), merges=(("a", "t"),)).alias("c"),
+        T.bpe_symbol_stream(F.lit("and")).alias("s"),
+    ).collect()[0]
+    assert rows.a == 5          # the | th in | que st
+    assert rows.b == 3          # at at at
+    assert rows.c == 2          # a | t untouched across the gap
+    assert rows.s.split() == ["and"]  # (a,n)+(an,d) chain to one symbol
