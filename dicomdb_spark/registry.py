@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
+from dicomdb_spark.llm import rerank as lrerank
 from dicomdb_spark.llm import similarity as lsim
 from dicomdb_spark.operators import aggregates as agg
 from dicomdb_spark.operators import joins as oj
@@ -1551,6 +1552,97 @@ def ann_lsh_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "ann_rerank_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT a.vec_id, b.plane_id,
+             CASE WHEN {_SQL_DOT} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e a CROSS JOIN planes b),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY 1),
+    n AS (
+      SELECT e.vec_id, e.v, bk.bucket,
+             sqrt(CAST((SELECT SUM(CAST(floor(e.v[i.i] * e.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(e.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM e JOIN buckets bk ON e.vec_id = bk.vec_id),
+    stage1 AS (
+      SELECT query_id, neighbor_id, cosine_sim
+      FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST({_SQL_DOT} AS DOUBLE) / (a.nrm * b.nrm) AS cosine_sim,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY CAST({_SQL_DOT} AS DOUBLE) / (a.nrm * b.nrm) DESC,
+                                               b.vec_id) AS rk
+            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 50) t
+      WHERE rk <= 10),
+    tk AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS tk FROM documents),
+    pairs AS (
+      SELECT s.query_id, s.neighbor_id, s.cosine_sim,
+             len(list_intersect(qa.tk, qb.tk)) AS inter,
+             len(qa.tk) + len(qb.tk) - len(list_intersect(qa.tk, qb.tk)) AS uni
+      FROM stage1 s
+      JOIN tk qa ON s.query_id = qa.doc_id
+      JOIN tk qb ON s.neighbor_id = qb.doc_id),
+    reranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             0.5 * cosine_sim +
+             0.5 * (CASE WHEN uni = 0 THEN 0.0 ELSE inter / uni END) AS rerank_score
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine_sim, rerank_score, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rerank_score DESC, neighbor_id) AS rank
+          FROM reranked) t
+    WHERE rank <= 3
+    """,
+)
+def ann_rerank_topk(spark, sf_dir):
+    """Two-stage retrieve-then-rerank (llm/rerank.py): LSH-bucket
+    candidate generation keeps top-10 ids per query (no payloads),
+    then text payloads are broadcast-gathered AFTER pruning and a
+    fusion scorer (0.5·cosine + 0.5·token-Jaccard — the deterministic
+    stand-in for a cross-encoder pandas-UDF slot) picks the top-3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
+    withb = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(buckets, "vec_id")
+        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
+    )
+    q = withb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+        "bucket",
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.col("nrm").alias("__cn"),
+        F.col("bucket").alias("__cb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    candidates = (
+        c.join(F.broadcast(q), (F.col("bucket") == F.col("__cb"))
+               & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn(
+            "cosine_sim",
+            lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return lrerank.rerank_topk(candidates, docs, k=3)
 
 
 # ---------------------------------------------------------------------------

@@ -1008,3 +1008,31 @@ def test_duplicated_spans_boundaries(spark):
     }
     # doc 1: shared run occupies positions 3..12; doc 2: 1..10
     assert out == {1: (3, 12, 10), 2: (1, 10, 10)}
+
+
+def test_rerank_pandas_scorer_slot(spark):
+    """The injectable cross-encoder slot: a fake batchwise model goes
+    through the Arrow pandas-UDF path and drives the final ranking."""
+    import pandas as pd
+    from dicomdb_spark.llm import rerank as rr
+
+    cand = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.1)],
+        "query_id long, neighbor_id long, cosine_sim double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (10, "unrelated"), (11, "alpha beta"), (12, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+
+    def fake_model(qt: pd.Series, ct: pd.Series, cos: pd.Series) -> pd.Series:
+        # "model": longer candidate text wins, cosine ignored
+        return ct.str.len().astype("float64")
+
+    out = rr.rerank_topk(cand, docs, k=2, scorer=rr.pandas_scorer(fake_model))
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(12, 1), (11, 2)]  # cosine order was 10,11,12 — model reranked
+    # default fusion scorer: lexical overlap breaks the cosine order
+    fused = rr.rerank_topk(cand, docs, k=3)
+    top = fused.filter(fused["rank"] == 1).collect()[0]
+    assert top.neighbor_id == 11  # exact text match + decent cosine

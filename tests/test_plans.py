@@ -130,3 +130,14 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
              back.withColumn("file", F.input_file_name()).select("file").collect()}
     assert all("day=2024-01-05" in f for f in files)
     assert n_days > 1
+
+
+def test_rerank_payload_gather_is_broadcast(spark):
+    """Stage-2 payload joins must broadcast the pruned candidate set —
+    the document table never shuffles for payload gather."""
+    df = QUERIES["ann_rerank_topk"](spark, SF)
+    pi.assert_no_cartesian(df)
+    plan = pi.formatted_plan(df)
+    # at least: q-side bucket broadcast + two payload-gather broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2, pi.simple_plan(df)
+    assert not pi.has_sort_merge_join(df)
