@@ -136,6 +136,9 @@ def main() -> None:
         "s3_header_parse",
         "tpch_q5_shape",
         "tpch_q18_shape",
+        "dedup_dup_spans",
+        "text_bpe_tokens",
+        "ann_rerank_topk",
     ):
         if name in QUERIES:
             try:

@@ -249,3 +249,30 @@ def bpe_sql(expr: str, merges=DEFAULT_BPE_MERGES, passes: int = 3) -> str:
         for _ in range(passes):
             s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
     return s
+
+
+def repetition_stats(col: Column | str) -> list[Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "massive-text" filter family), map-only: mean word length and the
+    duplicated 2-/3-gram occurrence fractions.
+
+    All per-document array algebra — no explode, no shuffle; the
+    fraction is (total − distinct)/total computed in ints first so the
+    single final division is the only float op (portable)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_word_len = F.when(n == 0, F.lit(0.0)).otherwise(sum_len / n)
+
+    def dup_frac(ngrams: Column) -> Column:
+        total = F.size(ngrams)
+        return F.when(total == 0, F.lit(0.0)).otherwise(
+            (total - F.size(F.array_distinct(ngrams))) / total
+        )
+
+    return [
+        n.alias("n_tokens"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        dup_frac(shingles(col, 2)).cast("double").alias("dup_2gram_frac"),
+        dup_frac(shingles(col, 3)).cast("double").alias("dup_3gram_frac"),
+    ]

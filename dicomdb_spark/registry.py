@@ -1456,6 +1456,78 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, length(text) AS n_chars, {_SQL_TOKS} AS tk FROM documents),
+    base AS (
+      SELECT doc_id, n_chars, len(tk) AS n_tokens,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(tk, t -> length(t)), 'sum') / len(tk)
+             END AS mean_word_len,
+             CASE WHEN greatest(len(tk) - 1, 0) = 0 THEN 0.0
+                  ELSE (greatest(len(tk) - 1, 0)
+                        - len(list_distinct(list_transform(
+                              range(1, greatest(len(tk) - 1, 0) + 1),
+                              i -> tk[i] || ' ' || tk[i + 1]))))
+                       / greatest(len(tk) - 1, 0) END AS dup_2gram_frac,
+             CASE WHEN greatest(len(tk) - 2, 0) = 0 THEN 0.0
+                  ELSE (greatest(len(tk) - 2, 0)
+                        - len(list_distinct({_SQL_SHINGLES})))
+                       / greatest(len(tk) - 2, 0) END AS dup_3gram_frac
+      FROM tk),
+    cnt AS (
+      SELECT doc_id, unnest(tk) AS tok FROM tk),
+    cgrp AS (
+      SELECT doc_id, tok, count(*) AS c FROM cnt GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, tok, c
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, tok) AS rn FROM cgrp) t
+      WHERE rn = 1)
+    SELECT b.doc_id, b.n_tokens, b.mean_word_len, b.dup_2gram_frac,
+           b.dup_3gram_frac, top.tok AS top_token,
+           CASE WHEN top.tok IS NULL OR b.n_chars = 0 THEN 0.0
+                ELSE (top.c * length(top.tok)) / b.n_chars END AS top_token_frac
+    FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021): duplicated
+    2-/3-gram fractions and mean word length are MAP-ONLY per-row
+    array algebra (no shuffle); the most-frequent-token fraction takes
+    one (doc_id, token) partial-agg shuffle + a per-doc argmax window
+    with deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.length("text").alias("__nc"), *text.repetition_stats("text")
+    )
+    toks = F.transform(text.tokens(F.col("text")), lambda t: F.lower(t))
+    cnt = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tok"))
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    top_frac = F.when(
+        F.col("tok").isNull() | (F.col("__nc") == 0), F.lit(0.0)
+    ).otherwise((F.col("c") * F.length("tok")) / F.col("__nc"))
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            F.col("tok").alias("top_token"),
+            top_frac.cast("double").alias("top_token_frac"),
+        )
+    )
+
+
 # dot-product fragment for the LSH oracle (floor-scaled exact ints)
 _SQL_DOT = (
     "(SELECT SUM(CAST(floor(a.v[i.i] * b.v[i.i] * 1e12) AS BIGINT)) "

@@ -135,3 +135,19 @@ def test_bpe_merge_application(spark):
     assert rows.b == 3          # at at at
     assert rows.c == 2          # a | t untouched across the gap
     assert rows.s.split() == ["and"]  # (a,n)+(an,d) chain to one symbol
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition signals on a pathological doc vs a clean one."""
+    from pyspark.sql import functions as F
+    from dicomdb_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in
+           df.select("doc_id", *T.repetition_stats("text")).collect()}
+    assert out[1]["dup_2gram_frac"] == 2 / 3  # 3 bigrams, 1 distinct
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["mean_word_len"] == (3 + 5 + 4 + 6) / 4
