@@ -139,6 +139,8 @@ def main() -> None:
         "dedup_dup_spans",
         "text_bpe_tokens",
         "ann_rerank_topk",
+        "corpus_clean",
+        "corpus_pack",
     ):
         if name in QUERIES:
             try:

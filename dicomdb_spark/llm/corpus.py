@@ -1,0 +1,153 @@
+"""Corpus-level training-data operations: mixing, packing, and
+benchmark decontamination.
+
+These are the operators a 100 TB pretraining pipeline runs AFTER
+per-document scoring/dedup: choose what goes into the mix (stratified
+deterministic sampling with per-stratum rates), keep evaluation sets
+out of it (n-gram contamination join), and pack the survivors into
+fixed-budget training sequences.
+
+Determinism doctrine: sampling uses md5 of the document id compared
+against a precomputed hex threshold — no RNG, no seed state; re-runs,
+engine ports, and partitioning all reproduce the same mix.  This is
+the standard "salted hash bucket" sampling trick; md5 because it is
+bit-identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dicomdb_spark.functions.text import token_count, tokens
+
+
+def hash_threshold(rate: float) -> str:
+    """Sampling rate → 8-hex lexicographic threshold: a document is
+    kept when the first 8 hex chars of md5(id) sort below it.  Fixed-
+    width lowercase hex compares identically to the numeric value in
+    both engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * 16**8), "08x")
+
+
+def sample_hash(id_col: Column | str) -> Column:
+    """The per-document sampling key: md5 of the id's decimal string."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, 8)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates, plus
+    a ``mix_weight`` column (1/rate) so downstream loss weighting can
+    undo the sampling bias.  Map-only — one scan, no shuffle, no RNG."""
+    thr = F.lit(hash_threshold(default_rate))
+    for name, rate in rates.items():
+        thr = F.when(F.col(stratum_col) == name, F.lit(hash_threshold(rate))).otherwise(thr)
+    rate_col = F.lit(float(default_rate))
+    for name, rate in rates.items():
+        rate_col = F.when(F.col(stratum_col) == name, F.lit(float(rate))).otherwise(rate_col)
+    return (
+        df.withColumn("__h", sample_hash(id_col))
+        .filter(F.col("__h") < thr)
+        .withColumn("mix_weight", (F.lit(1.0) / rate_col).cast("double"))
+        .drop("__h")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end to
+    end in deterministic (shard, id) order and cut into ``budget``-
+    token training sequences; a document belongs to the sequence its
+    first token lands in.
+
+    Packing is inherently sequential, so it runs PER SHARD — the
+    window partitions by the shard key and shards pack in parallel
+    (at scale: one shard ≈ one input partition, so the "sort" is a
+    per-partition sort, not a global one).  Returns per-sequence
+    stats: (shard, seq_id, n_docs, n_tokens, fill_ratio).
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_toks"),
+    )
+    placed = toks.withColumn(
+        "seq_id", F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / budget)
+    )
+    return (
+        placed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .withColumn("fill_ratio", (F.col("n_tokens") / budget).cast("double"))
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_shared`` distinct word ``n``-grams with ANY benchmark
+    document are flagged.
+
+    Relational shape: both sides explode to distinct gram hashes, meet
+    in an equi-join on the 128-bit md5 key, then one count per corpus
+    doc.  Benchmark gram sets are small (eval suites), so the join is
+    a broadcast; the corpus side never shuffles before the flag agg.
+    """
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        m = F.size(toks) - (n - 1)
+        acc = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(toks, j + 1, F.greatest(m, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(acc)).alias("gram"),
+        ).select(out_id, F.md5("gram").alias("gh"))
+
+    corp = gram_hashes(corpus, "doc_id")
+    bench = gram_hashes(benchmark, "bench_id").select("gh").distinct()
+    shared = (
+        corp.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+    return corpus.select(F.col(id_col).alias("doc_id")).join(
+        shared, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared).alias("contaminated"),
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
+from dicomdb_spark.llm import corpus as lcorpus
 from dicomdb_spark.llm import rerank as lrerank
 from dicomdb_spark.llm import similarity as lsim
 from dicomdb_spark.operators import aggregates as agg
@@ -1146,6 +1147,12 @@ _SQL_DOCS2 = """
 """
 
 
+_DUPSPAN_N = 8
+_SQL_GRAM8 = " || ' ' || ".join(
+    f"tk[p + {j}]" if j else "tk[p]" for j in range(_DUPSPAN_N)
+)
+
+
 def _docs_with_dupes(spark, sf_dir):
     """Spark twin of _SQL_DOCS2."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1388,11 +1395,7 @@ def text_lang_id(spark, sf_dir):
     )
 
 
-@register(
-    "text_quality",
-    r"""
-    SELECT doc_id,
-           (least(length(text) / 500.0, 1.0)
+_SQL_QUALITY = r"""(least(length(text) / 500.0, 1.0)
             + (1.0 - CASE WHEN length(text) > 0
                 THEN length(regexp_replace(text, '[\w\s]', '', 'g')) / length(text)
                 ELSE 0.0 END)
@@ -1400,7 +1403,13 @@ def text_lang_id(spark, sf_dir):
                 THEN len(list_filter(string_split_regex(trim(text), '\s+'),
                          t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(t))))
                      / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
-                ELSE 0.0 END) * 3.0, 1.0)) / 3.0 AS quality
+                ELSE 0.0 END) * 3.0, 1.0)) / 3.0"""
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id, {_SQL_QUALITY} AS quality
     FROM documents
     """,
 )
@@ -1525,6 +1534,165 @@ def text_repetition(spark, sf_dir):
             F.col("tok").alias("top_token"),
             top_frac.cast("double").alias("top_token_frac"),
         )
+    )
+
+
+# lambda-indexed 8-gram fragment (DuckDB list_transform over i)
+_SQL_GRAM8_I = " || ' ' || ".join(
+    f"tk[i + {j}]" if j else "tk[i]" for j in range(_DUPSPAN_N)
+)
+
+
+@register(
+    "corpus_mix",
+    """
+    SELECT doc_id, lang, source,
+           CAST(CASE WHEN lang = 'en' THEN 2.0 ELSE 4.0 END AS DOUBLE) AS mix_weight
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Deterministic stratified sampling for data mixing: md5-hash
+    thresholds per language stratum (en 50 %, others 25 %), no RNG —
+    one map-only scan; mix_weight=1/rate lets loss weighting undo the
+    sampling bias (llm/corpus.py: stratified_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lcorpus.stratified_sample(
+        docs.select("doc_id", "lang", "source", "text"),
+        "doc_id",
+        "lang",
+        {"en": 0.5},
+        0.25,
+    ).select("doc_id", "lang", "source", "mix_weight")
+
+
+@register(
+    "corpus_pack",
+    r"""
+    WITH t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_toks
+      FROM documents),
+    p AS (
+      SELECT shard, doc_id, n_toks,
+             CAST(floor((SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+                        / CAST(512 AS DOUBLE)) AS BIGINT) AS seq_id
+      FROM t)
+    SELECT shard, seq_id, count(*) AS n_docs, SUM(n_toks) AS n_tokens,
+           SUM(n_toks) / CAST(512 AS DOUBLE) AS fill_ratio
+    FROM p GROUP BY 1, 2
+    """,
+)
+def corpus_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token training
+    sequences, per source shard (shards pack in parallel — the window
+    sort is per-shard, never global; llm/corpus.py: pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lcorpus.pack_sequences(docs, "doc_id", "text", "source", budget=512)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 md5(unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tk) - {_DUPSPAN_N - 1}, 0) + 1),
+                     i -> {_SQL_GRAM8_I})))) AS gh
+          FROM tk),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+    shared AS (SELECT doc_id, count(DISTINCT gh) AS n
+               FROM corp JOIN bench USING (gh)
+               GROUP BY 1 HAVING count(DISTINCT gh) >= 2)
+    SELECT d.doc_id, COALESCE(s.n, 0) AS n_shared_grams,
+           CAST(CASE WHEN COALESCE(s.n, 0) >= 2 THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN shared s ON d.doc_id = s.doc_id
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥2 distinct
+    8-grams with the held-out set (doc_id%97==0 stands in for an eval
+    suite) are flagged.  Gram-hash equi-join with the small benchmark
+    side broadcast (llm/corpus.py: contamination_flags)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = lcorpus.contamination_flags(corpus, bench, "doc_id", "text")
+    return flags.withColumn("contaminated", F.col("contaminated").cast("int"))
+
+
+@register(
+    "corpus_clean",
+    f"""
+    WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    qual AS (SELECT doc_id, {_SQL_QUALITY} AS q FROM corp),
+    keeper AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+               FROM corp),
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 md5(unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tk) - {_DUPSPAN_N - 1}, 0) + 1),
+                     i -> {_SQL_GRAM8_I})))) AS gh
+          FROM tk),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    contam AS (SELECT doc_id FROM (SELECT c.doc_id, count(DISTINCT c.gh) AS n
+                                   FROM (SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0) c
+                                   JOIN bench USING (gh) GROUP BY 1) t
+               WHERE n >= 2)
+    SELECT c.doc_id,
+           CASE WHEN c.lang NOT IN ('en', 'fr', 'de') THEN 'lang'
+                WHEN q.q < 0.45 THEN 'quality'
+                WHEN k.keeper_id <> c.doc_id THEN 'duplicate'
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS verdict
+    FROM corp c
+    JOIN qual q ON c.doc_id = q.doc_id
+    JOIN keeper k ON c.doc_id = k.doc_id
+    LEFT JOIN contam ct ON c.doc_id = ct.doc_id
+    """,
+)
+def corpus_clean(spark, sf_dir):
+    """The composed cleaning pipeline: language filter → quality
+    threshold → exact-dup keep-first → benchmark decontamination, with
+    a single per-document verdict in priority order.  Each stage is a
+    previously-proven operator; the composition shares one corpus scan
+    and joins flags back by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    quality = corpus.select("doc_id", text.quality_score("text").alias("q"))
+    keeper = corpus.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("keeper_id"),
+    )
+    contam = (
+        lcorpus.contamination_flags(corpus, bench, "doc_id", "text")
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+        .withColumn("__ct", F.lit(1))
+    )
+    verdict = (
+        F.when(~F.col("lang").isin("en", "fr", "de"), F.lit("lang"))
+        .when(F.col("q") < 0.45, F.lit("quality"))
+        .when(F.col("keeper_id") != F.col("doc_id"), F.lit("duplicate"))
+        .when(F.col("__ct").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .join(keeper, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
     )
 
 
@@ -3129,10 +3297,6 @@ def a_cube_counts(spark, sf_dir):
             F.col("count").alias("n"),
         )
     )
-
-
-_DUPSPAN_N = 8
-_SQL_GRAM8 = " || ' ' || ".join(f"tk[p + {j}]" if j else "tk[p]" for j in range(_DUPSPAN_N))
 
 
 @register(

@@ -1036,3 +1036,64 @@ def test_rerank_pandas_scorer_slot(spark):
     fused = rr.rerank_topk(cand, docs, k=3)
     top = fused.filter(fused["rank"] == 1).collect()[0]
     assert top.neighbor_id == 11  # exact text match + decent cosine
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-chunk: doc belongs to the sequence its first token
+    lands in; shards pack independently."""
+    from dicomdb_spark.llm import corpus as lc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),        # toks 3, cum_before 0 -> seq 0
+            (2, "d e f g", "s1"),      # cum_before 3 -> seq 0
+            (3, "h i", "s1"),          # cum_before 7 -> seq 0 (straddles)
+            (4, "j k l m n o", "s1"),  # cum_before 9 -> seq 1
+            (5, "p q", "s2"),          # other shard restarts at seq 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.shard, r.seq_id): (r.n_docs, r.n_tokens)
+        for r in lc.pack_sequences(docs, "doc_id", "text", "source", budget=8).collect()
+    }
+    assert out == {("s1", 0): (3, 9), ("s1", 1): (1, 6), ("s2", 0): (1, 2)}
+
+
+def test_stratified_sample_deterministic(spark):
+    from dicomdb_spark.llm import corpus as lc
+    import pytest as _pt
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    a = lc.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.25)
+    b = lc.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.25)
+    ra = sorted(r.doc_id for r in a.collect())
+    assert ra == sorted(r.doc_id for r in b.collect())  # no RNG anywhere
+    by_lang = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 500 per stratum; thresholds are exact so rates land near target
+    assert 200 <= by_lang["en"] <= 300 and 80 <= by_lang["zh"] <= 170
+    weights = {r["lang"]: r["mix_weight"] for r in a.select("lang", "mix_weight").distinct().collect()}
+    assert weights == {"en": 2.0, "zh": 4.0}
+    with _pt.raises(ValueError):
+        lc.hash_threshold(1.5)
+
+
+def test_contamination_flags_threshold(spark):
+    """Exactly min_shared distinct shared 8-grams flips the flag."""
+    from dicomdb_spark.llm import corpus as lc
+
+    run1 = "w1 w2 w3 w4 w5 w6 w7 w8"          # 1 shared 8-gram
+    run2 = "x1 x2 x3 x4 x5 x6 x7 x8 x9"       # 2 shared 8-grams
+    bench = spark.createDataFrame(
+        [(100, run1 + " tailb"), (101, run2 + " tailc")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "pre " + run1), (2, "pre " + run2), (3, "nothing shared at all here ok")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shared_grams, r.contaminated)
+           for r in lc.contamination_flags(corpus, bench, "doc_id", "text").collect()}
+    assert out == {1: (0, False), 2: (2, True), 3: (0, False)}
