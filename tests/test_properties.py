@@ -218,3 +218,76 @@ def test_asof_join_property_vs_pandas(spark, lefts, rights):
     )
     exp = [None if pd.isna(v) else int(v) for v in expected["rv"]]
     assert [r.rv_asof for r in got] == exp
+
+
+# ---------------------------------------------------------------- BPE
+def _bpe_reference(text: str, merges, passes: int = 3) -> int:
+    """Straight-Python replay of the separator-replace BPE contract:
+    lowercase, collapse whitespace, one char per slot, each merge
+    applied `passes` left-to-right non-overlapping scans in rank
+    order.  Defines the portable semantics both engines must share."""
+    s = re.sub(r"\s+", " ", text.lower().strip())
+    s = " " + "".join(ch + " " for ch in s)
+    for a, b in merges:
+        for _ in range(passes):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return len(s.split())
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="athequinsrd ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_token_count_matches_reference(spark, texts):
+    from dicomdb_spark.functions import text as T
+
+    got = batch_eval(spark, texts, lambda c: T.bpe_token_count(c))
+    want = [_bpe_reference(t, T.DEFAULT_BPE_MERGES) for t in texts]
+    assert got == want
+
+
+# ------------------------------------------------------------ packing
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), st.integers(1, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(4, 64),
+)
+def test_pack_sequences_invariants(spark, docs, budget):
+    """Packing conserves tokens, never emits empty sequences, and
+    every sequence except a shard's last starts before the budget
+    boundary it fills past (concat-and-chunk has no gaps)."""
+    from dicomdb_spark.llm import corpus as lc
+
+    rows = [
+        (i, " ".join(["w"] * ntok), shard) for i, (shard, ntok) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = lc.pack_sequences(df, "doc_id", "text", "source", budget=budget).collect()
+    total = sum(r.n_tokens for r in out)
+    assert total == sum(n for _, n in docs)
+    assert all(r.n_docs >= 1 and r.n_tokens >= 1 for r in out)
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, seqs in per_shard.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        # seq ids are cum_before // budget: strictly increasing, and each
+        # non-final sequence must reach into its own budget window
+        ids = [r.seq_id for r in seqs]
+        assert ids == sorted(set(ids))
