@@ -3274,6 +3274,108 @@ def tpch_q5_shape(spark, sf_dir):
 
 
 @register(
+    "tpch_q7_shape",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 volume shipping: nation-pair disjunction across two
+    broadcast copies of the nation dim, ship-date filter pushed into
+    the lineitem scan, per-(pair, year) revenue.  The only shuffles
+    are lineitem⋈orders on orderkey and the final 3-key agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            agg.dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 returned-item report: the classic "top complaining
+    customers" — returnflag filter pushed to the lineitem scan, date
+    filter to orders, customer/nation broadcast, global top-20 with a
+    deterministic key tiebreak (TakeOrdered, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            agg.dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "a_cube_counts",
     """
     SELECT coalesce(event_type, '<all>') AS event_type,
