@@ -2151,6 +2151,31 @@ def multimodal_decode(spark, sf_dir):
     return decode_image_meta(binarize(docs))
 
 
+@register("multimodal_ann", None)  # mapInPandas feature stage — no SQL oracle
+def multimodal_ann(spark, sf_dir):
+    """The composed multimodal retrieval pipeline: binary payloads →
+    mapInPandas feature extraction (16-bin byte histogram standing in
+    for a CLIP-style encoder — identical batch shape) → exact cosine
+    top-3 with the 20-query batch broadcast.  Demonstrates that the
+    multimodal feature column feeds the ANN operators unchanged;
+    rows-only driver check (the feature stage is not SQL-expressible).
+    """
+    from dicomdb_spark.llm.multimodal import binarize, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(binarize(docs)).select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = feats.filter(F.col("vec_id") < 20)
+    out = lsim.brute_force_topk(feats, queries, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 9).alias("cosine_sim"),
+        "rank",
+    )
+
+
 @register("multimodal_features", None)  # mapInPandas — no SQL oracle
 def multimodal_features(spark, sf_dir):
     """Multimodal feature extraction on testdata: binary payloads → a
