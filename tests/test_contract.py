@@ -28,6 +28,7 @@ def test_registry_invariants():
         "multimodal_decode",
         "s3_header_parse",
         "multimodal_features",
+        "multimodal_ann",
     }
     # names are stable identifiers (driver uses them as filenames/keys)
     assert all(n.replace("_", "").isalnum() for n in qs)
