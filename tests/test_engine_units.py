@@ -9,7 +9,7 @@ import tempfile
 
 import pytest
 
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from dicomdb_spark.llm import multimodal as mm
@@ -1097,3 +1097,71 @@ def test_contamination_flags_threshold(spark):
     out = {r.doc_id: (r.n_shared_grams, r.contaminated)
            for r in lc.contamination_flags(corpus, bench, "doc_id", "text").collect()}
     assert out == {1: (0, False), 2: (2, True), 3: (0, False)}
+
+
+def test_streaming_corpus_ingest_matches_batch(spark, tmp_path):
+    """Streaming corpus ingestion: map-only quality/lang filters plus
+    cross-batch stateful exact-dedup must reproduce the batch pipeline
+    (filter + md5 keep-first) when batches arrive in id order."""
+    from dicomdb_spark.streaming.stateful import stateful_distinct
+
+    rows1 = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "short", "en"),                      # fails token filter
+        (3, "exactly the same text here", "en"),
+        (4, "irrelevant language text row", "zh"),  # fails lang filter
+    ]
+    rows2 = [
+        (5, "exactly the same text here", "en"),  # dup of 3 across batches
+        (6, "a brand new unique document", "en"),
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def clean(df):
+        from dicomdb_spark.functions.text import token_count
+
+        return (
+            df.filter((F.col("lang") == "en") & (token_count("text") >= 3))
+            .withColumn("content_hash", F.md5("text"))
+        )
+
+    drop(rows1, "b1")
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_distinct(clean(stream_df), "content_hash", ["doc_id"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_ingest")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop(rows2, "b2")
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.sql(
+            "select doc_id from corpus_ingest").collect())
+    finally:
+        q.stop()
+    # batch twin: same filters, dedup keeps min doc_id per content hash
+    batch = clean(spark.createDataFrame(rows1 + rows2, schema))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    expected = sorted(
+        r.doc_id
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert got == expected == [1, 3, 6]

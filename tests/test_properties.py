@@ -241,7 +241,7 @@ def _bpe_reference(text: str, merges, passes: int = 3) -> int:
 )
 @given(
     st.lists(
-        st.text(alphabet="athequinsrd ", min_size=0, max_size=40),
+        st.text(alphabet="athequinsrd éß中 ", min_size=0, max_size=40),
         min_size=1,
         max_size=20,
     )
