@@ -527,3 +527,42 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def min_label_components(pairs: DataFrame, iters: int = 3) -> DataFrame:
+    """Connected components over a near-duplicate pair list by
+    min-label propagation: every vertex starts as its own label; each
+    round it takes the minimum label among itself and its neighbors.
+
+    ``iters`` rounds resolve any component whose diameter ≤ iters —
+    dedup graphs are near-cliques (every member pairs with most
+    others), so a small constant converges; both engine and oracle run
+    the SAME fixed rounds, so results stay comparable even on a
+    pathological chain.  Each round is one shuffle keyed by vertex id
+    (messages = edges ⋈ labels, then a min agg) — the lightweight
+    relational form of the classic large-star/small-star algorithm.
+
+    Returns (doc_id, component) for every vertex that appears in a
+    pair; component = the propagated minimum member id.
+    """
+    verts = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+    labels = verts.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(iters):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "lbl")
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = labels.join(msgs, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+        )
+    return labels.select("doc_id", F.col("lbl").alias("component"))

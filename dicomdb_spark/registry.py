@@ -1168,7 +1168,38 @@ def _docs_with_dupes(spark, sf_dir):
     return docs.unionAll(exact).unionAll(near)
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _component_oracle(iters: int = 3) -> str:
+    """Min-label propagation unrolled over the minhash pair list —
+    the SQL replay of dedup.min_label_components."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT e.dst AS doc_id, l.lbl FROM e JOIN {prev} l ON e.src = l.doc_id) n
+      ON v.doc_id = n.doc_id
+      GROUP BY v.doc_id, v.lbl)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    verts AS (SELECT DISTINCT doc_id FROM (
+      SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) t),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM verts),
+    {chain}
+    SELECT lbl AS component, count(*) AS n_members, min(doc_id) AS keeper_id
+    FROM {prev} GROUP BY 1
+    """
+
+
+def _minhash_pairs_cte(num_hashes: int = 16, bands: int = 4) -> str:
+    """WITH-chain ending in pairs(id1, id2) — the minhash candidate
+    list, reusable as the edge input of downstream oracles."""
     rows = num_hashes // bands
     # mirror dedup.minhash_lsh_pairs: hash i = 8-hex chunk (i%4) of
     # md5((i//4) || ':' || shingle)
@@ -1182,8 +1213,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
       FROM sig"""
         for b in range(bands)
     )
-    return f"""
-    WITH {_SQL_DOCS2},
+    return f"""WITH {_SQL_DOCS2},
     tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tk),
     sig AS (
@@ -1192,10 +1222,18 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
       FROM sh WHERE len(sh) > 0),
     banded AS (
 {band_selects}
-    )
-    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-    FROM banded l JOIN banded r
-      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+    {_minhash_pairs_cte(num_hashes, bands)}
+    SELECT id1, id2 FROM pairs
     """
 
 
@@ -1242,6 +1280,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ldedup.ngram_jaccard_pairs(
         _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
         min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register("dedup_components", _component_oracle())
+def dedup_components(spark, sf_dir):
+    """Near-duplicate CLUSTER resolution: minhash pairs are only
+    edges — the dedup ACTION needs connected components.  Min-label
+    propagation (3 fixed rounds, one vertex-keyed shuffle each; see
+    dedup.min_label_components) turns pairs into (component,
+    n_members, keeper_id) with the deterministic min-id survivor
+    policy.  The oracle unrolls the identical 3 rounds in SQL."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    comp = ldedup.min_label_components(pairs, iters=3)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_members"), F.min("doc_id").alias("keeper_id")
     )
 
 

@@ -1165,3 +1165,21 @@ def test_streaming_corpus_ingest_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == expected == [1, 3, 6]
+
+
+def test_min_label_components_chain(spark):
+    """A 4-vertex path needs label propagation across hops; a separate
+    clique and an isolated pair resolve to their own min ids."""
+    from dicomdb_spark.llm import dedup as ld
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # path 1-2-3-4 (diameter 3)
+         (10, 11), (10, 12), (11, 12),  # triangle
+         (20, 21)],
+        "id1 long, id2 long",
+    )
+    out = {r.doc_id: r.component
+           for r in ld.min_label_components(pairs, iters=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
