@@ -98,5 +98,6 @@ def test_all_queries_have_oracles_or_are_flagged():
         "multimodal_decode",
         "s3_header_parse",
         "multimodal_features",
+        "multimodal_ann",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
