@@ -276,3 +276,83 @@ def repetition_stats(col: Column | str) -> list[Column]:
         dup_frac(shingles(col, 2)).cast("double").alias("dup_2gram_frac"),
         dup_frac(shingles(col, 3)).cast("double").alias("dup_3gram_frac"),
     ]
+
+
+# --- PII detection / redaction ------------------------------------------
+# Pattern dialect note: kept to the regex intersection of Java
+# (Spark's engine) and RE2 (DuckDB's engine) — character classes,
+# bounded repetition, \b word boundaries; no backreferences, no
+# lookaround.  Both engines use leftmost-first submatch semantics for
+# these constructs, so extract/replace agree bit-for-bit.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+    "phone": r"\+\d{1,2} \d{3}-\d{4}",
+}
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-kind PII hit counts — map-only regexp_extract_all sizes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace every PII span with a typed placeholder token.
+
+    Order matters: emails first (an email contains dots that the IP
+    pattern must never see), then IPs, then phones.  Pure chained
+    regexp_replace — whole-stage codegen, no UDF, no shuffle; the
+    shape a 100 TB redaction pass needs (map-only, scales linearly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ip", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_sql(expr: str) -> str:
+    """DuckDB twin of pii_redact (note the explicit 'g' flag — DuckDB
+    replaces only the first match by default, Spark replaces all)."""
+    s = expr
+    for kind in ("email", "ip", "phone"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        s = f"regexp_replace({s}, '{pat}', '<{kind.upper()}>', 'g')"
+    return s
+
+
+# --- C4-style line-level cleaning ---------------------------------------
+C4_LINE_MIN_WORDS = 5
+C4_LINE_BLOCKLIST = ("javascript", "cookie")
+C4_PAGE_BLOCKLIST = ("lorem ipsum", "{")
+
+
+def c4_keep_line(line: Column) -> Column:
+    """The C4 per-line keep rule (Raffel et al. 2020 §2.2): at least
+    5 words, terminal punctuation, and no boilerplate marker words."""
+    keep = (F.size(F.split(line, " ")) >= C4_LINE_MIN_WORDS) & line.rlike(
+        '[.!?"]$'
+    )
+    for marker in C4_LINE_BLOCKLIST:
+        keep = keep & ~F.lower(line).contains(marker)
+    return keep
+
+
+def c4_clean_lines(page: Column | str) -> Column:
+    """Filter a newline-joined page down to its kept lines (array).
+
+    Per-row array algebra — the whole C4 line pass is map-only with no
+    explode and no shuffle, so it costs one scan at any corpus size."""
+    p = F.col(page) if isinstance(page, str) else page
+    return F.filter(F.split(p, "\n"), c4_keep_line)
+
+
+def c4_page_dropped(page: Column | str) -> Column:
+    """Page-level drop rule: curly brace (code) or 'lorem ipsum'."""
+    p = F.col(page) if isinstance(page, str) else page
+    dropped = F.lit(False)
+    for marker in C4_PAGE_BLOCKLIST:
+        dropped = dropped | F.lower(p).contains(marker)
+    return dropped

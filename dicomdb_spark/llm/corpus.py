@@ -151,3 +151,34 @@ def contamination_flags(
         F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
         (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared).alias("contaminated"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 120,
+    stride: int = 90,
+) -> DataFrame:
+    """Sliding-window character chunking (context-window preparation).
+
+    Each document yields substrings starting at 1, 1+stride, ... while
+    the start is inside the text; overlap = chunk_size - stride.  One
+    sequence+posexplode per row — a narrow row-local expansion (no
+    shuffle), so at 100 TB it parallelizes with the scan and the
+    output is at most ceil(len/stride) rows per doc.  Chunk provenance
+    (doc id, index, start offset) rides along for traceability.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    starts = F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride))
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.substring(F.col(text_col), F.col("chunk_start"), F.lit(chunk_size)).alias("chunk"),
+    )

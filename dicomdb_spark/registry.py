@@ -1655,6 +1655,162 @@ def corpus_pack(spark, sf_dir):
     return lcorpus.pack_sequences(docs, "doc_id", "text", "source", budget=512)
 
 
+_PII_EMAIL = text.PII_PATTERNS["email"]
+_PII_IP = text.PII_PATTERNS["ip"]
+_PII_PHONE = text.PII_PATTERNS["phone"]
+_PII_INJECT_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text
+                  || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                  || ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  ELSE text END AS text
+      FROM documents"""
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH injected AS ({_PII_INJECT_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}', 0)) AS n_email,
+           len(regexp_extract_all(text, '{_PII_IP}', 0)) AS n_ip,
+           len(regexp_extract_all(text, '{_PII_PHONE}', 0)) AS n_phone,
+           {text.pii_sql('text')} AS redacted
+    FROM injected
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detection + redaction (emails / IPv4 / phone numbers), the
+    compliance pass every web-scale training corpus runs before use.
+
+    Synthetic PII is injected on a deterministic 1-in-7 of documents
+    (testdata has none), then counted with regexp_extract_all and
+    masked with chained regexp_replace (functions.text: pii_redact).
+    Plan: map-only, pure whole-stage-codegen string expressions — no
+    UDF, no shuffle; at 100 TB this runs at scan speed with perfect
+    linear scaling, and the pattern set is regex-dialect-portable
+    (Java vs RE2) by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 call +1 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        *text.pii_counts("text"),
+        text.pii_redact("text").alias("redacted"),
+    )
+
+
+_C4_PAGE_SQL = """
+      SELECT doc_id, concat_ws(chr(10),
+        substring(text, 1, 80) || '.',
+        'Please enable JavaScript and view the cookie policy',
+        substring(text, 81, 1000)
+          || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END,
+        CASE WHEN doc_id % 13 = 0 THEN 'if (window) { track(); }' ELSE '' END,
+        CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' ELSE '' END
+      ) AS page
+      FROM documents"""
+
+
+@register(
+    "text_c4_clean",
+    f"""
+    WITH page AS ({_C4_PAGE_SQL}),
+    f AS (
+      SELECT doc_id, page,
+             (contains(lower(page), 'lorem ipsum')
+              OR contains(lower(page), '{{')) AS page_dropped,
+             list_filter(string_split(page, chr(10)),
+               l -> len(string_split(l, ' ')) >= 5
+                    AND regexp_matches(l, '[.!?"]$')
+                    AND NOT contains(lower(l), 'javascript')
+                    AND NOT contains(lower(l), 'cookie')) AS kept
+      FROM page)
+    SELECT doc_id, page_dropped,
+           CASE WHEN page_dropped THEN 0 ELSE len(kept) END AS n_lines_kept,
+           CASE WHEN page_dropped THEN '' ELSE array_to_string(kept, chr(10)) END
+             AS cleaned
+    FROM f
+    """,
+)
+def text_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    lines with ≥5 words ending in terminal punctuation, drop
+    boilerplate marker lines, and drop whole pages containing code
+    braces or 'lorem ipsum'.
+
+    Testdata documents are single-line, so each is first expanded into
+    a deterministic multi-line page (good line / JS-boilerplate line /
+    conditional-punctuation line / occasional code and lorem lines)
+    exercising every rule.  The filter itself is per-row array algebra
+    (functions.text: c4_clean_lines) — split, lambda-filter, re-join;
+    map-only, no explode, no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 80), F.lit(".")),
+        F.lit("Please enable JavaScript and view the cookie policy"),
+        F.concat(
+            F.expr("substring(text, 81, 1000)"),
+            F.when(did % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+        F.when(did % 13 == 0, F.lit("if (window) { track(); }")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("lorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+    )
+    paged = docs.select("doc_id", page.alias("page"))
+    kept = text.c4_clean_lines("page")
+    dropped = text.c4_page_dropped("page")
+    return paged.select(
+        "doc_id",
+        dropped.alias("page_dropped"),
+        F.when(dropped, F.lit(0)).otherwise(F.size(kept)).alias("n_lines_kept"),
+        F.when(dropped, F.lit("")).otherwise(F.array_join(kept, "\n")).alias("cleaned"),
+    )
+
+
+@register(
+    "corpus_chunk",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 90)) AS chunk_start
+      FROM documents)
+    SELECT doc_id,
+           CAST(floor((chunk_start - 1) / 90.0) AS INTEGER) AS chunk_idx,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           substring(text, CAST(chunk_start AS INTEGER), 120) AS chunk
+    FROM s
+    """,
+)
+def corpus_chunk(spark, sf_dir):
+    """Sliding-window chunking: 120-char windows, 90-char stride
+    (30-char overlap) — the context-window preparation step between
+    cleaning and packing (llm/corpus.py: chunk_documents).  Row-local
+    sequence+posexplode expansion: no shuffle, output bounded by
+    ceil(len/stride) chunks per document, provenance columns kept."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lcorpus.chunk_documents(docs, chunk_size=120, stride=90)
+
+
 @register(
     "corpus_decontaminate",
     f"""

@@ -151,3 +151,75 @@ def test_repetition_stats(spark):
     assert out[1]["dup_2gram_frac"] == 2 / 3  # 3 bigrams, 1 distinct
     assert out[2]["dup_2gram_frac"] == 0.0
     assert out[2]["mean_word_len"] == (3 + 5 + 4 + 6) / 4
+
+
+def test_pii_redact_order_and_counts(spark):
+    """Emails must be masked before IPs (an email's dotted domain must
+    not leak as an IP hit), and all three kinds redact in one pass."""
+    from dicomdb_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a1.b2@host3.example.org now"),
+            (2, "server 192.168.254.1 and +33 123-4567"),
+            (3, "no pii here at all"),
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *pii_counts("text"), pii_redact("text").alias("red")
+        ).collect()
+    }
+    assert rows[1]["n_email"] == 1 and rows[1]["red"] == "mail <EMAIL> now"
+    assert rows[2]["n_ip"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[2]["red"] == "server <IP> and <PHONE>"
+    assert rows[3]["red"] == "no pii here at all"
+
+
+def test_c4_line_rules(spark):
+    """Each C4 rule fires independently: short lines, missing terminal
+    punctuation, blocklist words, and page-level drops."""
+    from dicomdb_spark.functions.text import c4_clean_lines, c4_page_dropped
+    from pyspark.sql import functions as F
+
+    page = "\n".join(
+        [
+            "this line has enough words to survive.",
+            "too short.",
+            "this one has no terminal punctuation at all",
+            "please enable JavaScript to continue reading this.",
+            'another good line ends with a quote here."',
+        ]
+    )
+    df = spark.createDataFrame([(page,), ("lorem ipsum dolor sit amet page.",)], ["page"])
+    out = df.select(
+        c4_clean_lines("page").alias("kept"), c4_page_dropped("page").alias("dropped")
+    ).collect()
+    assert out[0]["dropped"] is False
+    assert out[0]["kept"] == [
+        "this line has enough words to survive.",
+        'another good line ends with a quote here."',
+    ]
+    assert out[1]["dropped"] is True
+
+
+def test_chunk_documents_coverage(spark):
+    """Chunks tile the document: starts step by stride, every char of
+    the text appears in some chunk, and overlap is chunk_size-stride."""
+    from dicomdb_spark.llm.corpus import chunk_documents
+
+    txt = "abcdefghij" * 25  # 250 chars
+    df = spark.createDataFrame([(7, txt), (8, "short")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_size=120, stride=90).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c7 = sorted(by_doc[7], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c7] == [1, 91, 181]
+    reassembled = c7[0]["chunk"] + "".join(r["chunk"][30:] for r in c7[1:])
+    assert reassembled == txt
+    for a, b in zip(c7, c7[1:]):
+        assert a["chunk"][90:] == b["chunk"][:30]  # 30-char overlap
+    assert by_doc[8][0]["chunk"] == "short" and len(by_doc[8]) == 1
