@@ -2315,6 +2315,12 @@ def s3_header_parse(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id")
     )
+    # 1-in-6 deterministic sample: the per-row Python encode+parse cost
+    # is the point of the fixture, not its cardinality — id-value-driven
+    # variants (implicit VR %7, corrupt %13, CSA-only %5) all still
+    # occur among multiples of 6, and the operator under test is
+    # unchanged.  At sf0.1 this keeps the bench entry ~1 s instead of 7.
+    orders = orders.filter(F.col("id") % 6 == 0)
     # the id column is tiny — repartition it so Part-10 generation and
     # parsing fan out to every core (single-row-group local input)
     orders = orders.repartition(spark.sparkContext.defaultParallelism)

