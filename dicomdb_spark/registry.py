@@ -3623,6 +3623,233 @@ def tpch_q10_shape(spark, sf_dir):
 
 
 @register(
+    "tpch_q4_shape",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 order-priority check: correlated EXISTS with an
+    inequality on the correlated row (ships after order date) →
+    left-semi join with a compound condition.  The semi-join
+    deduplicates lineitem matches BEFORE the count (no fan-out), and
+    both date filters push into the scans; one orderkey shuffle plus
+    the tiny 5-group agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12_shape",
+    """
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shipping-mode shape: conditional aggregation (pivot
+    by CASE inside SUM) — both counters come out of ONE pass over the
+    joined fact, not two filtered subqueries; ship-date filter pushed
+    to the lineitem scan; single orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 supplier-cnt shape: NOT IN over a subquery (the
+    "complaint suppliers" exclusion) → left-anti join against the
+    tiny broadcast exclusion list (s_suppkey is non-null, so NOT IN ≡
+    anti-join), then COUNT(DISTINCT) per part attribute triple —
+    Spark expands the distinct into a two-phase partial/final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 waiting-supplier shape: the double-correlated
+    EXISTS / NOT-EXISTS self-join — "my line was returned, the order
+    had other suppliers, and none of THEIR lines were returned".
+
+    Plan: both correlated subqueries become self semi/anti joins on
+    l_orderkey with a suppkey inequality; all three legs share one
+    orderkey shuffle partitioning (no extra exchange for l3), and the
+    supplier dim is broadcast.  This is the hardest TPC-H
+    decorrelation shape and it stays two-shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 10000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 10000.0) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(SUM(CAST(floor(c.c_acctbal * 10000) AS BIGINT)) / 10000.0 AS DOUBLE)
+             AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 global-sales-opportunity shape: scalar aggregate
+    subquery (above-average balance threshold) + NOT EXISTS anti-join
+    (customers with no urgent orders — every customer here has SOME
+    order, so the faithful "no orders at all" variant is vacuous).
+
+    Plan: the scalar average reduces to one row and broadcasts as a
+    literal-like cross join (no shuffle of the fact); the threshold
+    itself is a floor-scaled integer sum divided by an int count, so
+    Spark and DuckDB derive the bit-identical double; the anti-join
+    shuffles on custkey once."""
+    cust = load_table(spark, sf_dir, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 10000).cast("bigint")).cast(
+                    "double"
+                )
+                / (F.count("*") * 10000.0)
+            ).alias("avg_bal")
+        )
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            agg.dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+@register(
     "a_cube_counts",
     """
     SELECT coalesce(event_type, '<all>') AS event_type,
