@@ -123,13 +123,21 @@ def semantic_dedup_pairs(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.99,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: k-means clusters as the candidate
     blocks, exact cosine ≥ threshold inside each block.
 
     Returns (id1 < id2, cid, cosine_sim).  The pair join is an
     equi-join on cid — within-cluster only, never corpus².
+
+    ``min_parallelism``: repartition + persist the vectors before the
+    iterative fit — each training round is a full pass, so caching the
+    (tiny per-row) input across iters is the standard iterative-ML
+    move; the repartition un-serializes single-row-group local files.
     """
+    if min_parallelism is not None:
+        vectors = vectors.repartition(min_parallelism).persist()
     centroids = kmeans_fit(vectors, id_col, vec_col, k=k, iters=iters)
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
     a = assigned.select(

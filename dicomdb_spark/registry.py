@@ -1879,9 +1879,16 @@ def corpus_clean(spark, sf_dir):
     threshold → exact-dup keep-first → benchmark decontamination, with
     a single per-document verdict in priority order.  Each stage is a
     previously-proven operator; the composition shares one corpus scan
-    and joins flags back by doc_id."""
+    and joins flags back by doc_id.
+
+    The corpus side is repartitioned to full width before the heavy
+    map-side text work (quality lambdas, 8-gram md5 hashing happen in
+    the scan stage, and the local parquet is one unsplittable row
+    group — at real scale the scan parallelism comes free)."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     quality = corpus.select("doc_id", text.quality_score("text").alias("q"))
     keeper = corpus.select(
@@ -2740,8 +2747,14 @@ def dedup_semantic_kmeans(spark, sf_dir):
     the driver per round; the pair join never crosses clusters."""
     from dicomdb_spark.llm.clustering import semantic_dedup_pairs
 
+    # quarter-width: each training round is a pandas-UDF pass, and at
+    # local fixture sizes per-task python-worker spin-up dominates past
+    # ~8 tasks (measured 2.3 s @8 vs 4.9 s @32 vs 5.5 s @row-group
+    # width).  On a real cluster the input arrives already wide and
+    # worker reuse amortizes — pass full width there.
     return semantic_dedup_pairs(
-        _emb_with_dupes(spark, sf_dir), "vec_id", "v", k=8, iters=2, threshold=0.99
+        _emb_with_dupes(spark, sf_dir), "vec_id", "v", k=8, iters=2, threshold=0.99,
+        min_parallelism=max(4, spark.sparkContext.defaultParallelism // 4),
     )
 
 

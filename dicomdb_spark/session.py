@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing targets bytes-per-partition, but the text/
+        # dedup operators do ~50× more CPU per shuffle byte (md5 over
+        # exploded n-grams), so the default 1 MB floor serializes
+        # CPU-bound stages on small inputs.  A 64 KB floor restores
+        # parallelism there and never binds at real shuffle volumes
+        # (totalSize/parallelism >> 64 KB on any 100 TB-scale stage).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
