@@ -141,6 +141,12 @@ def main() -> None:
         "ann_rerank_topk",
         "corpus_clean",
         "corpus_pack",
+        "tpch_q21_shape",
+        "dedup_edit_distance",
+        "text_pii_redact",
+        "text_c4_clean",
+        "corpus_chunk",
+        "w_funnel_conversion",
     ):
         if name in QUERIES:
             try:

@@ -3889,6 +3889,153 @@ def a_cube_counts(spark, sf_dir):
 
 
 @register(
+    "w_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL 24 HOURS GROUP BY 1),
+    s AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'signup' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL 24 HOURS GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s.t3
+            AND e.ts <= s.t3 + INTERVAL 24 HOURS GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def w_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (view → click → signup → purchase):
+    each stage is the user's FIRST qualifying event strictly after
+    their previous-stage time and within a 24 h conversion window —
+    the standard product-analytics funnel.
+
+    Plan: four (user_id, min) hash aggregates chained by broadcast-
+    able user-level joins; every stage shares the user_id shuffle key
+    so AQE reuses one exchange per leg, and no window sort is needed
+    (min-over-filter beats first-over-ordered-window at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, tcol: str, out: str):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(tcol))
+                & (F.col("ts") <= F.col(tcol) + F.expr("INTERVAL 24 HOURS"))
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    s = first_after("signup", c, "t2", "t3")
+    p = first_after("purchase", s, "t3", "t4")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(s.agg(F.count("*").alias("n_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@register(
+    "a_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT f.cohort_day,
+           CAST(floor(date_diff('day', f.cohort_day, a.act_week) / 7.0) AS INTEGER)
+             AS weeks_since,
+           count(DISTINCT a.user_id) AS active_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day,
+    activity rolled to ISO weeks, counted per weeks-since-cohort — the
+    standard growth-analytics rollup.  Two user_id aggregates + one
+    broadcast join; truncations and the floor'd day/7 delta are exact
+    integers in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("act_week", "cohort_day") / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_day", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    """
+    WITH titles AS (
+      SELECT doc_id, substring(text, 1, 40) AS title FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000, substring(text, 1, 39) || 'X'
+      FROM documents WHERE doc_id % 9 = 0),
+    blocked AS (
+      SELECT doc_id, title, substring(title, 1, 8) AS blk FROM titles)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           levenshtein(a.title, b.title) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 3
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup pairs over a title key (first 40 chars),
+    with prefix blocking: only titles sharing their first 8 chars are
+    ever compared, so candidate cost follows block occupancy, never
+    n² — the same blocking discipline as the MinHash/SimHash family.
+    Injected copies carry one trailing substitution (survives the
+    prefix block, lands at edit distance 1).  Levenshtein is
+    unit-cost identical in Spark and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.substring("text", 1, 40).alias("title")
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.concat(F.substring("text", 1, 39), F.lit("X")).alias("title"),
+        )
+    )
+    blocked = titles.withColumn("blk", F.substring("title", 1, 8))
+    a = blocked.select(
+        F.col("doc_id").alias("id1"), F.col("title").alias("__t1"), "blk"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id2"), F.col("title").alias("__t2"),
+        F.col("blk").alias("__blk2"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("__blk2")) & (F.col("id1") < F.col("id2")))
+        .withColumn("edit_dist", F.levenshtein("__t1", "__t2"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("id1", "id2", "edit_dist")
+    )
+
+
+@register(
     "dedup_dup_spans",
     f"""
     WITH {_SQL_DOCS2},
