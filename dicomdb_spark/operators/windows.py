@@ -192,3 +192,32 @@ def adjacent_diff(
     if eps is not None:
         d = F.when(F.abs(d) < eps, F.lit(0.0)).otherwise(d)
     return df.withColumn(out_alias, d)
+
+
+def sessionize_by_gap(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the
+    inactivity gap exceeds ``gap_sec`` (the classic 30-minute web
+    session; the reference's analog is the 300 s time-proximity
+    window, Cenir_DB.py:421-447, generalized to runs).
+
+    Two window functions over ONE (key, ts, tiebreak) sort — the lag
+    gap flag and its running sum share the same window spec, so Spark
+    plans a single exchange + sort; the per-session aggregate that
+    typically follows reuses the same hash partitioning.  Scale: cost
+    is one shuffle of the events table, session state never leaves
+    the executor (contrast with collect-and-loop sessionizers).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+    new_s = F.when(prev.isNull() | (gap > gap_sec), 1).otherwise(0)
+    seq = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_seq", seq.cast("int"))

@@ -315,6 +315,50 @@ def w3_sessionize(spark, sf_dir):
 
 
 @register(
+    "w6_sessionize_gap",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+               AS session_seq
+      FROM o)
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+    FROM s GROUP BY 1, 2
+    """,
+)
+def w6_sessionize_gap(spark, sf_dir):
+    """W3 generalized — gap-based sessionization (30-min inactivity
+    boundary): lag-flag + running-sum session numbering, then one
+    per-session aggregate.  All three steps share the user_id
+    partitioning (one shuffle total); see windows.sessionize_by_gap."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ow.sessionize_by_gap(ev, "user_id", "ts", "event_id", gap_sec=1800)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_sec"),
+        )
+    )
+
+
+@register(
     "w5_adjacent_diff",
     """
     SELECT user_id, event_id,
