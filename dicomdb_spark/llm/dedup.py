@@ -476,16 +476,19 @@ def duplicated_spans(
 
     Plan: tokenize ONCE (posexplode), build each position's n-gram
     with ``lead`` over a per-document window (one window pass — all
-    leads share the frame), md5 it, one shuffle keyed on the 128-bit
-    gram hash to find hashes spanning >1 document, equi-join back,
-    then gaps-and-islands (pos - row_number) to merge adjacent
+    leads share the frame), md5 it, then ONE shuffle keyed on the
+    128-bit gram hash where min(id)≠max(id) over the hash-partition
+    window marks grams spanning >1 document (countDistinct isn't a
+    window function, but for "≥2 distinct" min≠max is equivalent and
+    is — and it avoids both the aggregate+equi-join-back AND the
+    double computation of the gram lineage that a self-join costs).
+    Finally gaps-and-islands (pos − row_number) merges adjacent
     duplicated positions into maximal spans.
 
     At 100 TB: the per-document window is bounded by document length
-    (no global sort); the gram-hash shuffle is uniform (md5 keys); the
-    join back is an equi-join on the same key, so only duplicated
-    grams move twice.  Returns (doc_id, span_start, span_end,
-    span_tokens), positions 0-based inclusive.
+    (no global sort); the gram-hash shuffle is uniform (md5 keys);
+    each gram moves exactly once.  Returns (doc_id, span_start,
+    span_end, span_tokens), positions 0-based inclusive.
     """
     from pyspark.sql import Window
 
@@ -505,13 +508,13 @@ def duplicated_spans(
         .filter(F.col("__tail").isNotNull())
         .select(id_col, "pos", F.md5("gram").alias("gh"))
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
+    gw = Window.partitionBy("gh")
+    hits = (
+        grams.withColumn("__mn", F.min(id_col).over(gw))
+        .withColumn("__mx", F.max(id_col).over(gw))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select(id_col, "pos")
     )
-    hits = grams.join(dup, "gh").select(id_col, "pos")
     w2 = Window.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(w2))
     return (
