@@ -291,3 +291,106 @@ def test_pack_sequences_invariants(spark, docs, budget):
         # non-final sequence must reach into its own budget window
         ids = [r.seq_id for r in seqs]
         assert ids == sorted(set(ids))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=0,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    chunk=st.integers(min_value=2, max_value=50),
+    overlap=st.integers(min_value=0, max_value=40),
+)
+def test_chunk_reassembly_property(spark, texts, chunk, overlap):
+    """For any text and any chunk/stride, dropping each chunk's first
+    `overlap` chars after the first chunk reassembles the original —
+    chunking loses nothing and duplicates exactly the overlap."""
+    from dicomdb_spark.llm.corpus import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, chunk_size=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        cs = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        got = cs[0]["chunk"] + "".join(r["chunk"][overlap:] for r in cs[1:])
+        assert got == t, (t, chunk, stride)
+        # starts advance by exactly stride and stay in range
+        assert [r["chunk_start"] for r in cs] == list(
+            range(1, max(len(t), 1) + 1, stride)
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pii_redact_idempotent(spark, texts):
+    """Redaction is idempotent (placeholders contain no redactable
+    spans) and never leaves an email-shaped span behind."""
+    from dicomdb_spark.functions.text import PII_PATTERNS, pii_redact
+
+    seeded = texts + [
+        "x a@b.co y", "ip 1.2.3.4!", "tel +12 345-6789", "a@b.co@c.dd",
+    ]
+    df = spark.createDataFrame([(t,) for t in seeded], ["text"])
+    once = df.select(pii_redact("text").alias("r1"))
+    twice = once.select(F.col("r1"), pii_redact(F.col("r1")).alias("r2"))
+    for r in twice.collect():
+        assert r["r1"] == r["r2"]
+    n_left = df.select(
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    pii_redact("text"), F.lit(PII_PATTERNS["email"]), F.lit(0)
+                )
+            )
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert n_left == 0
+
+
+def test_c4_filter_idempotent(spark):
+    """Filtering a page down to its kept lines and re-filtering the
+    joined result changes nothing (the keep rule is line-local)."""
+    from dicomdb_spark.functions.text import c4_clean_lines
+
+    pages = [
+        "good line with five sturdy words here.\nshort.\nnope",
+        "another good line that clearly survives intact!\nEnable JavaScript now.",
+        "",
+    ]
+    df = spark.createDataFrame([(p,) for p in pages], ["page"])
+    once = df.select(F.array_join(c4_clean_lines("page"), "\n").alias("p1"))
+    twice = once.select(
+        "p1", F.array_join(c4_clean_lines(F.col("p1")), "\n").alias("p2")
+    )
+    for r in twice.collect():
+        assert r["p1"] == r["p2"]
