@@ -1686,7 +1686,8 @@ def corpus_mix(spark, sf_dir):
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
                         / CAST(512 AS DOUBLE)) AS BIGINT) AS seq_id
       FROM t)
-    SELECT shard, seq_id, count(*) AS n_docs, SUM(n_toks) AS n_tokens,
+    SELECT shard, seq_id, count(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
            SUM(n_toks) / CAST(512 AS DOUBLE) AS fill_ratio
     FROM p GROUP BY 1, 2
     """,
@@ -3720,10 +3721,10 @@ def tpch_q4_shape(spark, sf_dir):
     "tpch_q12_shape",
     """
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

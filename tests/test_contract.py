@@ -46,6 +46,64 @@ def test_queries_order_unproven_first():
     assert set(head) & set(R1_DRIVER_PROVEN) == set()
 
 
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+}
+
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+def test_oracle_dtype_parity(spark):
+    """The driver hashes values by repr after a pandas round-trip, so a
+    DuckDB HUGEINT (SUM of BIGINT) that fetchdf() coerces to float64
+    hash-mismatches an identical Spark int64 (17.0 vs 17).  Guard: every
+    oracle output column's declared DuckDB type must map to the same
+    repr class (int/float/str/bool/date/ts) as the Spark schema — and
+    HUGEINT/DECIMAL/unsigned types are banned outright.
+
+    Cheap: Spark schemas are lazy (no execution), DuckDB uses LIMIT 0.
+    """
+    import duckdb
+
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    problems = []
+    for name, sql in os_.items():
+        duck = {
+            c: t
+            for c, t, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0"
+            ).fetchall()
+        }
+        sdf = qs[name](spark, "/root/testdata/sf0.001")
+        sparkt = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        if set(duck) != set(sparkt):
+            problems.append((name, "column-set", sorted(duck), sorted(sparkt)))
+            continue
+        for col, dt in duck.items():
+            if dt not in _DUCK_CLASS:
+                problems.append((name, col, f"banned duckdb type {dt}"))
+            elif _DUCK_CLASS[dt] != _SPARK_CLASS.get(sparkt[col], sparkt[col]):
+                problems.append(
+                    (name, col, f"duckdb {dt} vs spark {sparkt[col]}")
+                )
+    assert not problems, problems
+
+
 def test_merge_classify_self_is_noop(spark):
     """S7 idempotence: classifying a table against itself must produce
     only noops — the property that makes at-least-once redelivery safe
