@@ -4146,10 +4146,36 @@ R1_DRIVER_PROVEN: tuple[str, ...] = (
     "text_token_counts",
 )
 
+# Round-2 driver rows (CORRECTNESS_r02.json): 44 hash-green plus the 5
+# rows-only queries (no_oracle is their best-possible check, so a window
+# slot is wasted on them).  corpus_pack was red in round 2 (HUGEINT
+# fetchdf coercion, fixed) and is deliberately absent so it re-enters
+# the window for a fresh row.
+R2_DRIVER_PROVEN: tuple[str, ...] = (
+    "w3_sessionize", "w6_sessionize_gap", "j2_orphans", "t1_group_stacks",
+    "dedup_components", "dedup_simhash_near", "text_bpe_tokens",
+    "text_repetition", "corpus_mix", "text_pii_redact", "text_c4_clean",
+    "corpus_chunk", "corpus_decontaminate", "corpus_clean",
+    "ann_lsh_buckets", "ann_lsh_topk", "ann_rerank_topk",
+    "r1_dup_resolution", "r6_billing_dedup", "p7_derived_filter",
+    "f4_datetime_parse", "f2_eid_facturable", "o2_topk",
+    "a2_seqname_catalog", "ann_ivf_topk", "dedup_embedding_cosine",
+    "ann_ivf_trained_topk", "dedup_semantic_kmeans", "a_quantiles",
+    "a_pivot_counts", "a_rollup_counts", "p3_machine_dispatch",
+    "r2_dup_guarded", "j11_asof_join", "r10_review_flag_update",
+    "scd2_history", "text_lang_id_ngram", "text_rolling_hash",
+    "tpch_q1_shape", "tpch_q3_shape", "w_running_totals",
+    "a_count_distinct", "t4_set_ops", "f9_json_extract",
+    "s3_header_parse", "u3_stack_assembly", "multimodal_decode",
+    "multimodal_ann", "multimodal_features",
+)
+
+DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN
+
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """QUERIES with driver-unproven entries first (see note above)."""
-    proven = set(R1_DRIVER_PROVEN)
+    proven = set(DRIVER_PROVEN)
     out = {n: f for n, f in QUERIES.items() if n not in proven}
-    out.update({n: QUERIES[n] for n in R1_DRIVER_PROVEN if n in QUERIES})
+    out.update({n: QUERIES[n] for n in DRIVER_PROVEN if n in QUERIES})
     return out

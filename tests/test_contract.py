@@ -37,13 +37,13 @@ def test_registry_invariants():
 def test_queries_order_unproven_first():
     # if the driver caps its per-round correctness window, entries
     # without a round-1 driver row must be inside it
-    from dicomdb_spark.registry import QUERIES, R1_DRIVER_PROVEN
+    from dicomdb_spark.registry import QUERIES, DRIVER_PROVEN
 
     names = list(entry_mod.queries())
     assert set(names) == set(QUERIES)
-    n_unproven = len(QUERIES) - len(set(R1_DRIVER_PROVEN) & set(QUERIES))
+    n_unproven = len(QUERIES) - len(set(DRIVER_PROVEN) & set(QUERIES))
     head = names[:n_unproven]
-    assert set(head) & set(R1_DRIVER_PROVEN) == set()
+    assert set(head) & set(DRIVER_PROVEN) == set()
 
 
 _DUCK_CLASS = {
