@@ -4116,6 +4116,124 @@ def dedup_dup_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batch 9 — LLM-pipeline depth: product-quantization ANN
+# ---------------------------------------------------------------------------
+
+_PQ_DIST = (
+    "(SELECT SUM(CAST(floor((e.v[i.i] - c.v[i.i]) * (e.v[i.i] - c.v[i.i]) * 1e12)"
+    " AS BIGINT)) FROM unnest(range(1, len(e.v) + 1)) i(i))"
+)
+
+
+def _pq_oracle(
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    n_queries: int = 10,
+    topk: int = 3,
+) -> str:
+    """DuckDB replay of PQ train(1 k-means round per subspace) →
+    encode → ADC top-k (llm/pq.py), identical floor-scaled ints."""
+    ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for s in range(m):
+        lo, hi = 1 + s * sub_dim, (s + 1) * sub_dim
+        ctes.append(f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM base)")
+        ctes.append(
+            f"c{s}0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v"
+            f" FROM sub{s} WHERE vec_id < {k})"
+        )
+        ctes.append(
+            f"""a{s}0 AS (
+      SELECT vec_id, v, (list(cid ORDER BY d, cid))[1] AS cid FROM (
+        SELECT e.vec_id, e.v, c.cid, {_PQ_DIST} AS d
+        FROM sub{s} e CROSS JOIN c{s}0 c) t
+      GROUP BY vec_id, v)"""
+        )
+        ctes.append(
+            f"""c{s}1 AS (
+      SELECT cid, list(m ORDER BY pos) AS v FROM (
+        SELECT a.cid, i.i AS pos,
+               CAST(SUM(CAST(floor(a.v[i.i] * 1e12) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e12 AS m
+        FROM a{s}0 a CROSS JOIN unnest(range(1, len(a.v) + 1)) i(i)
+        GROUP BY a.cid, i.i) t
+      GROUP BY cid)"""
+        )
+        ctes.append(
+            f"""code{s} AS (
+      SELECT vec_id, {s} AS sub, (list(cid ORDER BY d, cid))[1] AS code FROM (
+        SELECT e.vec_id, c.cid, {_PQ_DIST} AS d
+        FROM sub{s} e CROSS JOIN c{s}1 c) t
+      GROUP BY vec_id)"""
+        )
+    codes_u = " UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(m))
+    cb_u = " UNION ALL ".join(
+        f"SELECT {s} AS sub, cid AS code, v FROM c{s}1" for s in range(m)
+    )
+    qsub_u = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {s} AS sub, v[{1 + s * sub_dim}:{(s + 1) * sub_dim}] AS v"
+        f" FROM base WHERE vec_id < {n_queries}"
+        for s in range(m)
+    )
+    ctes.append(f"codes AS ({codes_u})")
+    ctes.append(f"cb AS ({cb_u})")
+    ctes.append(f"qsub AS ({qsub_u})")
+    ctes.append(
+        """lut AS (
+      SELECT q.query_id, q.sub, c.code,
+             (SELECT SUM(CAST(floor((q.v[i.i] - c.v[i.i]) * (q.v[i.i] - c.v[i.i]) * 1e12)
+                             AS BIGINT))
+              FROM unnest(range(1, len(q.v) + 1)) i(i)) AS d_i
+      FROM qsub q JOIN cb c ON q.sub = c.sub)"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.d_i) AS BIGINT) AS adc_i
+      FROM codes c
+      JOIN lut l ON l.sub = c.sub AND l.code = c.code AND l.query_id <> c.vec_id
+      GROUP BY 1, 2)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, CAST(adc_i AS DOUBLE) / 1e12 AS adc_dist,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_i, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {topk}
+    """
+
+
+@register("ann_pq_topk", _pq_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 4 subspaces × 16 dims, 8-codeword
+    deterministic k-means codebooks (1 round), asymmetric-distance
+    top-3 per query.
+
+    The scale story (llm/pq.py): the corpus side of the search is the
+    CODE table (m small ints per vector, a >100× shrink vs raw
+    floats); distances come from a broadcast (query × m × k) lookup
+    table, so scoring is a map-side hash-join + one additive
+    groupBy(query, vector) sum — no pairwise vector math, no shuffle
+    of the embedding column at all.  The oracle replays training,
+    encoding, and search bit-for-bit via floor-scaled integers."""
+    from dicomdb_spark.llm import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    books = pq.train_codebooks(emb, "vec_id", "v", m=4, sub_dim=16, k=8, iters=1)
+    codes = pq.encode(emb, books, "vec_id", "v", sub_dim=16)
+    lut = pq.adc_lut(
+        spark, emb.filter(F.col("vec_id") < 10), books, "vec_id", "v", sub_dim=16
+    )
+    return pq.pq_topk(codes, lut, topk=3)
+
+
+# ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
 # (no partsupp table: lineitem doubles as the part↔supplier link, with
