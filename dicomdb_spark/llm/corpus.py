@@ -153,6 +153,159 @@ def contamination_flags(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    cap: int = 3,
+) -> DataFrame:
+    """Per-domain document cap — the web-corpus quota pass (a handful
+    of domains dominate any crawl; capping them is standard before
+    training).  Extract the registrable host from the URL, rank each
+    domain's documents by quality (unique id tiebreak), keep the top
+    ``cap``.
+
+    Plan: one regexp (map-only) + one window partitioned BY DOMAIN —
+    the sort is per-domain, never global, so skew follows domain
+    occupancy and the usual salting/AQE story applies to mega-domains.
+    Emits every document with its rank and kept flag so downstream
+    can either filter or audit.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.col(quality_col),
+        F.regexp_extract(F.col(url_col), r"https?://([^/]+)/", 1).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return d.withColumn("rank", F.row_number().over(w)).select(
+        id_col,
+        "domain",
+        "rank",
+        (F.col("rank") <= cap).alias("kept"),
+    )
+
+
+def _md5_bucket(tok, n_buckets: int):
+    """First md5 byte of the token → 0..n_buckets-1; engine-portable
+    (DuckDB twin: strpos-based hex digits)."""
+    return (F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("long") % n_buckets)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weights via hashed unigram features
+    (Xie et al.: Data Selection for LMs via Importance Resampling —
+    public method): tokens hash into ``n_buckets`` buckets; each
+    bucket gets the smoothed frequency ratio target/raw; a document's
+    score is the average ratio over its tokens (> 1 ⇒ looks like the
+    target distribution).
+
+    Determinism: the ratio is floor-scaled to 1e4 from exact integer
+    counts (each factor < 2^53, so the double products and division
+    are correctly rounded and bit-identical across engines); the doc
+    score is an exact int sum / count.
+
+    Plan at 100 TB: one explode + two tiny (n_buckets-row) aggregates,
+    a broadcast join of the 64-row ratio table back onto the exploded
+    tokens, one groupBy(doc).  No shuffle ever carries more than the
+    token stream, and the model state is constant-size.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_target"),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("tok"),
+    ).select(id_col, "__is_target", _md5_bucket(F.col("tok"), n_buckets).alias("b"))
+    stats = toks.groupBy("b").agg(
+        F.count("*").alias("cnt_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("cnt_t"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_r").alias("n_r"), F.sum("cnt_t").alias("n_t")
+    )
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            (
+                (F.col("cnt_t") + 1).cast("double")
+                * (F.col("n_r") + n_buckets).cast("double")
+                / (
+                    (F.col("cnt_r") + 1).cast("double")
+                    * (F.col("n_t") + n_buckets).cast("double")
+                )
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("r_i"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_toks"), F.sum("r_i").alias("s_i"))
+        .select(
+            id_col,
+            "n_toks",
+            (F.col("s_i").cast("double") / (F.col("n_toks") * 10000.0)).alias(
+                "dsir_score"
+            ),
+            (
+                F.col("s_i").cast("double") / (F.col("n_toks") * 10000.0) > 1.0
+            ).alias("selected"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram LM quality score (the CCNet idea — score
+    documents by how typical their n-grams are under a corpus LM —
+    with frequency averages instead of log-perplexity so every number
+    is a ratio of exact integer counts, never a transcendental).
+
+    Per document: mean corpus frequency of its token bigrams (low ⇒
+    unusual/garbled text) and the hapax fraction (share of bigrams
+    seen nowhere else).  Documents need ≥ 2 tokens to have a bigram.
+
+    Plan: tokenize once, adjacent-pair via array zip (row-local, no
+    window), one bigram-keyed count (the "training" shuffle), one
+    join back + doc aggregate.  Model state is the bigram count table
+    — itself a DataFrame, so it scales like any aggregate, and a
+    real deployment would md5 the bigrams down to fixed-width keys
+    exactly like the dedup family."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    m = F.size(toks) - 1
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(m, F.lit(0))),
+        F.slice(toks, 2, F.greatest(m, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    model = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    return (
+        bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("c").cast("double") / F.count("*")).alias("avg_bigram_freq"),
+            (
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("hapax_frac"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

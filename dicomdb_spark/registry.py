@@ -4233,6 +4233,111 @@ def ann_pq_topk(spark, sf_dir):
     return pq.pq_topk(codes, lut, topk=3)
 
 
+@register(
+    "dedup_url_domain",
+    """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    d AS (SELECT doc_id, n_chars,
+                 regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM u)
+    SELECT doc_id, domain, CAST(rank AS INTEGER) AS rank, rank <= 3 AS kept
+    FROM (SELECT *, row_number() OVER (PARTITION BY domain
+                    ORDER BY n_chars DESC, doc_id) AS rank FROM d) t
+    """,
+)
+def dedup_url_domain(spark, sf_dir):
+    """Per-domain document cap — the web-corpus quota pass (a few
+    domains dominate any crawl).  URLs are synthesized
+    deterministically (testdata has none), the host is regexp-carved
+    out, and each domain keeps its top-3 documents by quality with a
+    unique-id tiebreak (llm/corpus.py: domain_cap).  The window sort
+    is per-domain, never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return lcorpus.domain_cap(u, "url", "doc_id", "n_chars", cap=3)
+
+
+@register(
+    "corpus_dsir_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             ((strpos('0123456789abcdef', substr(md5(t.tok), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(t.tok), 2, 1)) - 1) % 64 AS b
+      FROM documents, unnest({_SQL_TOKS}) AS t(tok)),
+    stats AS (
+      SELECT b, count(*) AS cnt_r,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+      FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS n_r,
+                   CAST(SUM(cnt_t) AS BIGINT) AS n_t FROM stats),
+    ratio AS (
+      SELECT b,
+             CAST(floor(((CAST(cnt_t + 1 AS DOUBLE) * CAST(n_r + 64 AS DOUBLE))
+                         / (CAST(cnt_r + 1 AS DOUBLE) * CAST(n_t + 64 AS DOUBLE)))
+                        * 10000) AS BIGINT) AS r_i
+      FROM stats, tot)
+    SELECT doc_id, count(*) AS n_toks,
+           CAST(SUM(r_i) AS DOUBLE) / (count(*) * 10000.0) AS dsir_score,
+           CAST(SUM(r_i) AS DOUBLE) / (count(*) * 10000.0) > 1.0 AS selected
+    FROM tok JOIN ratio USING (b) GROUP BY doc_id
+    """,
+)
+def corpus_dsir_sample(spark, sf_dir):
+    """DSIR-style data selection (hashed-unigram importance
+    resampling): 64 md5 feature buckets, smoothed target/raw frequency
+    ratios (target = English docs), per-doc mean ratio as the
+    importance score (llm/corpus.py: dsir_weights).
+
+    Scale shape: token explode → two 64-row aggregates → broadcast
+    the 64-row ratio table back onto the token stream → one doc
+    aggregate.  Constant-size model state; ratios floor-scaled from
+    exact integer counts so scores are engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lcorpus.dsir_weights(docs, F.col("lang") == "en", "text", "doc_id", 64)
+
+
+@register(
+    "text_bigram_lm_score",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i.i] || ' ' || tk[i.i + 1] AS bg
+      FROM tk CROSS JOIN unnest(range(1, greatest(len(tk) - 1, 0) + 1)) i(i)),
+    model AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(SUM(c) AS DOUBLE) / count(*) AS avg_bigram_freq,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS hapax_frac
+    FROM bg JOIN model USING (bg) GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (CCNet-style "how
+    typical is this document under a corpus LM", with exact frequency
+    averages instead of transcendental log-perplexity): per doc the
+    mean corpus frequency of its token bigrams plus the hapax
+    fraction (llm/corpus.py: bigram_lm_scores).  Tokenize once,
+    row-local zip for adjacent pairs, one bigram-keyed count, one
+    join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lcorpus.bigram_lm_scores(docs, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
