@@ -141,3 +141,29 @@ def test_rerank_payload_gather_is_broadcast(spark):
     # at least: q-side bucket broadcast + two payload-gather broadcasts
     assert plan.count("BroadcastHashJoin") >= 2, pi.simple_plan(df)
     assert not pi.has_sort_merge_join(df)
+
+
+def test_pq_scoring_is_broadcast_no_cartesian(spark):
+    """PQ ADC: the LUT must broadcast onto the code table and nothing
+    may cross-join — the scale contract of llm/pq.py (the corpus side
+    only ever hash-joins a constant-size table and aggregates)."""
+    df = QUERIES["ann_pq_topk"](spark, SF)
+    pi.assert_no_cartesian(df)
+    assert pi.count_broadcast_joins(df) >= 1, pi.simple_plan(df)
+    assert not pi.has_sort_merge_join(df)
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR: the 64-row ratio table joins the token stream as a
+    broadcast; a sort-merge join here would shuffle the whole token
+    explode at corpus scale."""
+    df = QUERIES["corpus_dsir_sample"](spark, SF)
+    assert pi.count_broadcast_joins(df) >= 1, pi.simple_plan(df)
+    assert not pi.has_sort_merge_join(df)
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    """domain_cap is one regexp projection + one per-domain window:
+    exactly one exchange (hash by domain), no join at all."""
+    df = QUERIES["dedup_url_domain"](spark, SF)
+    assert pi.count_shuffles(df) == 1, pi.simple_plan(df)
