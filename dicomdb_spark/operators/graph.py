@@ -1,0 +1,119 @@
+"""Iterative graph computation on DataFrames: deterministic PageRank.
+
+Complements the min-label connected components in llm/dedup.py as the
+second iterative-algorithm shape: a fixed number of join+aggregate
+rounds, no driver-side data movement (the loop only composes
+DataFrames), suitable for a SQL-replay oracle.
+
+Determinism doctrine (same as llm/clustering.py): ranks live as
+floor-scaled int64 (1e12).  Every per-edge contribution is
+``floor(r / outdeg)`` — one IEEE-exact double division of numbers
+< 2^53, floored identically on every engine — and contributions sum
+as exact integers, so the result is independent of partitioning,
+aggregation order, and engine.  (The floored division leaks ≤ outdeg
+units of mass per node per round — irrelevant for ranking, essential
+for bit-reproducibility.)
+
+Scale shape per iteration: rank joins edges on src (both sides
+pre-partitionable on the same key; the edge list layout is reused
+across all rounds), one groupBy(dst) shuffle for the contribution
+sums, a left join back onto the node list.  The 1-row node count
+broadcasts.  State per round is one (node, rank) table — never
+anything driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst).
+
+    Every node must appear as a src (feed an undirected graph as both
+    edge directions — which also avoids the dangling-mass problem).
+    Returns (node, r) with r the floor-scaled int64 rank.
+    """
+    base = 1.0 - damping
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("cnode"),
+                F.floor(F.col("r").cast("double") / F.col("outdeg"))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("cnode").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(sums, nodes["node"] == sums["cnode"], "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.floor(F.lit(base) * F.lit(float(SCALE)) / F.col("n")).cast(
+                        "long"
+                    )
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                    ).cast("long")
+                ).alias("r"),
+            )
+        )
+    return r
+
+
+def pagerank_oracle_ctes(
+    edges_cte: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> tuple[str, str]:
+    """DuckDB replay of :func:`pagerank` — unrolled iterations with the
+    identical floor-scaled arithmetic (float literals rendered via repr
+    so both engines parse the same double).  ``edges_cte`` must be the
+    name of a CTE with columns (src, dst).  Returns (cte_text,
+    final_rank_cte_name)."""
+    base = repr(1.0 - damping)
+    damp = repr(float(damping))
+    scale = f"{float(SCALE)!r}"
+    ctes = [
+        f"nodes AS (SELECT DISTINCT src AS node FROM {edges_cte})",
+        f"deg AS (SELECT src, count(*) AS outdeg FROM {edges_cte} GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST(floor({scale} / n) AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(CAST(r.r AS DOUBLE) / d.outdeg) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM {edges_cte} e
+      JOIN r{t - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+      SELECT nd.node,
+             CAST(floor({base} * {scale} / nn.n) AS BIGINT)
+             + CAST(floor({damp} * coalesce(s{t}.s, 0)) AS BIGINT) AS r
+      FROM nodes nd LEFT JOIN s{t} ON s{t}.node = nd.node CROSS JOIN nn)"""
+        )
+    return ",\n    ".join(ctes), f"r{iters}"

@@ -4338,6 +4338,64 @@ def text_bigram_lm_score(spark, sf_dir):
     return lcorpus.bigram_lm_scores(docs, "text", "doc_id")
 
 
+def _pagerank_oracle() -> str:
+    from dicomdb_spark.operators.graph import pagerank_oracle_ctes
+
+    ctes, final = pagerank_oracle_ctes("edges", iters=3, damping=0.85)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT c AS src, 1000000 + s AS dst FROM e0
+              UNION ALL SELECT 1000000 + s AS src, c AS dst FROM e0),
+    {ctes}
+    SELECT node, CAST(r AS DOUBLE) / 1000000000000.0 AS pr,
+           CAST(pos AS INTEGER) AS pos
+    FROM (SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS pos
+          FROM {final}) t
+    WHERE pos <= 20
+    """
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Deterministic PageRank (3 rounds, damping 0.85) over the
+    undirected customer↔supplier purchase graph (distinct
+    (custkey, suppkey) pairs through orders⋈lineitem; supplier ids
+    offset by 1e6 into the shared node space); top-20 nodes.
+
+    The second iterative-algorithm shape after k-means: each round is
+    a rank⋈edges join on src + one groupBy(dst) contribution sum + a
+    left join back onto the nodes — the loop composes DataFrames only,
+    nothing crosses the driver.  Floor-scaled int64 ranks make all
+    three rounds bit-replayable in SQL (operators/graph.py)."""
+    from dicomdb_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst")
+    ).unionAll(
+        e0.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
+    )
+    r = graph.pagerank(edges, iters=3, damping=0.85)
+    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        r.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select(
+            "node",
+            (F.col("r").cast("double") / 1e12).alias("pr"),
+            "pos",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
