@@ -1,0 +1,143 @@
+"""Deterministic, engine-portable sketches: KMV cardinality and
+count-min frequency.
+
+Spark's built-in approx_count_distinct (HyperLogLog++) is the right
+production tool, but its register layout is engine-private — a DuckDB
+oracle cannot replay it.  These sketches deliver the same scale story
+(constant-size state, one pass, mergeable across partitions) from
+pure md5 arithmetic, so every estimate is bit-identical across
+engines, partitionings, and re-runs:
+
+* KMV (k minimum values): the k-th smallest of the distinct 32-bit
+  md5 prefixes estimates cardinality as (k−1)·2³² / h_k — the
+  classic bottom-k estimator.  State per group = k hashes.
+* Count-min: depth×width integer counters addressed by salted md5;
+  point estimate = min over rows.  Always ≥ the true count.
+
+Both are plain DataFrame aggregates — the "sketch" is literally a
+small grouped table, so merging across partitions IS the shuffle
+aggregate, and nothing ever collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _hex_int(col: Column, n_chars: int) -> Column:
+    """First ``n_chars`` hex chars of an md5 column → integer."""
+    return F.conv(F.substring(col, 1, n_chars), 16, 10).cast("long")
+
+
+def sql_hex_int(expr: str, n_chars: int) -> str:
+    """DuckDB twin of :func:`_hex_int` (no conv(); positional strpos
+    digits)."""
+    terms = [
+        f"(strpos('{HEX}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV cardinality estimate vs exact count.
+
+    Output: (group, n_exact, n_est).  Groups with fewer than k
+    distinct hashes report exactly (the sketch holds them whole) —
+    the standard KMV fallback.  Plan: one distinct-hash aggregate,
+    one per-group window to find h_k, one tiny join; state is ≤ k
+    rows per group at every point.
+    """
+    h = _hex_int(F.md5(F.col(item_col)), 8)
+    d = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("g").agg(F.count("*").alias("n_exact"))
+    kth = ranked.filter(F.col("rn") == k).select("g", F.col("h").alias("hk"))
+    return (
+        stats.join(kth, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_exact",
+            F.when(
+                F.col("hk").isNotNull(),
+                F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("hk"),
+            )
+            .otherwise(F.col("n_exact").cast("double"))
+            .alias("n_est"),
+        )
+    )
+
+
+def kmv_oracle(item_sql: str, from_sql: str, group_sql: str, k: int = 256) -> str:
+    """DuckDB replay of :func:`kmv_distinct`."""
+    h = sql_hex_int(f"md5({item_sql})", 8)
+    return f"""
+    WITH d AS (SELECT DISTINCT {group_sql} AS g, {h} AS h FROM {from_sql}),
+    ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+               FROM d),
+    stats AS (SELECT g, count(*) AS n_exact FROM ranked GROUP BY 1),
+    kth AS (SELECT g, h AS hk FROM ranked WHERE rn = {k})
+    SELECT s.g, s.n_exact,
+           CASE WHEN kth.hk IS NOT NULL
+                THEN {float(k - 1)!r} * 4294967296.0 / kth.hk
+                ELSE CAST(s.n_exact AS DOUBLE) END AS n_est
+    FROM stats s LEFT JOIN kth ON kth.g = s.g
+    """
+
+
+def count_min(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width_chars: int = 2,
+) -> DataFrame:
+    """Count-min sketch table (d, col, c) over an item stream.
+
+    Each row of the sketch uses md5 salted with the row index; the
+    column is the first byte(s) of the digest (width = 16^width_chars).
+    One groupBy produces the whole depth×width counter table — the
+    sketch IS a (tiny) DataFrame, mergeable by construction.
+    """
+    rows = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    e = items.select(F.col(item_col).alias("item"), rows)
+    col = _hex_int(
+        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
+        width_chars,
+    )
+    return e.select("d", col.alias("col")).groupBy("d", "col").agg(
+        F.count("*").alias("c")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width_chars: int = 2,
+) -> DataFrame:
+    """Point estimates for probe items: min over the sketch rows.
+    The sketch broadcasts (depth·width rows); probes never shuffle."""
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    p = probes.select(F.col(item_col).alias("item"), rows)
+    col = _hex_int(
+        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
+        width_chars,
+    )
+    return (
+        p.select("item", "d", col.alias("col"))
+        .join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est_c"))
+    )

@@ -4396,6 +4396,162 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+@register(
+    "w_anomaly_zscore",
+    """
+    WITH v AS (
+      SELECT event_id, event_type, ts, value,
+             CAST(floor(value * 10000) AS BIGINT) AS vi
+      FROM events),
+    w AS (
+      SELECT event_id, event_type, value, vi,
+             CAST(SUM(vi) OVER win AS BIGINT) AS sx,
+             CAST(SUM(vi * vi) OVER win AS BIGINT) AS sxx,
+             count(*) OVER win AS n
+      FROM v
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN (CAST(sxx AS DOUBLE) / n)
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+                  THEN (CAST(vi AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                       / sqrt((CAST(sxx AS DOUBLE) / n)
+                              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+             END AS zscore
+      FROM w)
+    SELECT event_id, event_type, value, zscore,
+           coalesce(abs(zscore) > 2.5, false) AS is_anomaly
+    FROM z
+    """,
+)
+def w_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/std of its event-type's trailing 20 events (unique
+    (ts, event_id) frame ordering).
+
+    Determinism: the rolling sums are floor-scaled int64 (Σvi, Σvi²),
+    so mean/variance are ratios of exact integers and the z-score is
+    a chain of IEEE-identical double ops (sqrt is correctly rounded
+    per IEEE-754) — partition- and engine-invariant.  Plan: ONE
+    window over one event-type shuffle, all three rolling aggregates
+    share the frame; zero-variance windows yield NULL score."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 10000).cast("long")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        vi.alias("vi"),
+        F.sum(vi).over(win).alias("sx"),
+        F.sum(vi * vi).over(win).alias("sxx"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mean * mean
+    z = F.when(var > 0, (F.col("vi").cast("double") - mean) / F.sqrt(var))
+    return w.select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def _kmv_oracle() -> str:
+    from dicomdb_spark.functions.sketches import kmv_oracle
+
+    return kmv_oracle(
+        "t.sh",
+        f"""(SELECT lang, unnest(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+             FROM (SELECT lang, {_SQL_TOKS} AS tk FROM documents) d) t""",
+        "t.lang",
+        k=256,
+    ).replace("SELECT s.g,", "SELECT s.g AS lang,")
+
+
+@register("sketch_kmv_distinct", _kmv_oracle())
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-shingle cardinality per language, next
+    to the exact count.  HLL++ (approx_count_distinct) is the
+    production default but not oracle-replayable; KMV gives the same
+    constant-state, one-pass, partition-mergeable scale story from
+    pure md5 arithmetic (functions/sketches.py).  3-gram shingles
+    give thousands of distinct items per group, so the k-th-minimum
+    estimator branch actually fires (the tiny-vocab token stream
+    would always take the exact-count fallback)."""
+    from dicomdb_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang", F.explode(text.shingles("text", 3)).alias("sh")
+    )
+    return sketches.kmv_distinct(sh, "lang", "sh", k=256)
+
+
+def _cms_oracle(depth: int = 4, width_chars: int = 2, topn: int = 20) -> str:
+    from dicomdb_spark.functions.sketches import sql_hex_int
+
+    col_of = lambda item: sql_hex_int(  # noqa: E731
+        f"md5(CAST(d.d AS VARCHAR) || '|' || {item})", width_chars
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS item FROM documents),
+    rows_ AS (SELECT unnest(range(0, {depth})) AS d),
+    cms AS (
+      SELECT d.d, {col_of('e.item')} AS col, count(*) AS c
+      FROM tok e CROSS JOIN rows_ d GROUP BY 1, 2),
+    truec AS (SELECT item, count(*) AS true_c FROM tok GROUP BY 1),
+    top AS (SELECT item, true_c FROM (
+      SELECT *, row_number() OVER (ORDER BY true_c DESC, item) AS rn FROM truec) t
+      WHERE rn <= {topn}),
+    pe AS (SELECT t.item, t.true_c, d.d, {col_of('t.item')} AS col
+           FROM top t CROSS JOIN rows_ d)
+    SELECT pe.item, pe.true_c, CAST(min(cms.c) AS BIGINT) AS est_c
+    FROM pe JOIN cms ON cms.d = pe.d AND cms.col = pe.col
+    GROUP BY 1, 2
+    """
+
+
+@register("sketch_count_min", _cms_oracle())
+def sketch_count_min(spark, sf_dir):
+    """Count-min heavy-hitter estimates: a 4×256 salted-md5 counter
+    table over the token stream, point estimates (min over rows,
+    always ≥ truth) for the top-20 true-frequency tokens
+    (functions/sketches.py).  The sketch IS a 1024-row DataFrame —
+    the groupBy that builds it is the merge, and estimation joins it
+    as a broadcast.  At 100 TB the counter table size is constant
+    regardless of corpus size."""
+    from dicomdb_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias(
+            "item"
+        )
+    )
+    sketch = sketches.count_min(toks, "item", depth=4, width_chars=2)
+    true_c = toks.groupBy("item").agg(F.count("*").alias("true_c"))
+    w = Window.orderBy(F.col("true_c").desc(), F.col("item"))
+    top = (
+        true_c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = sketches.count_min_estimate(
+        sketch, top.select("item"), "item", depth=4, width_chars=2
+    )
+    return top.join(est, "item").select("item", "true_c", "est_c")
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
