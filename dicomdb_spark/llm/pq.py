@@ -20,16 +20,74 @@ encoding + search end-to-end.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dicomdb_spark.llm.clustering import assign_clusters, kmeans_fit
 from dicomdb_spark.llm.similarity import _SCALE
 
 
 def _sub(vec_col: str, s: int, sub_dim: int):
     """1-based slice of subspace ``s``."""
     return F.slice(F.col(vec_col), 1 + s * sub_dim, sub_dim)
+
+
+def _explode_subspaces(
+    vectors: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """(id, sub, sv): every vector split into its m subvectors — one
+    row-local explode, no shuffle."""
+    return vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        _sub(vec_col, s, sub_dim).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.sub", "e.sv")
+
+
+def _assign_joint(
+    exploded: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str,
+) -> DataFrame:
+    """(id, sub, code) for every subvector against its own subspace's
+    broadcast codebook — ONE map-only pass over all subspaces (the
+    per-batch numpy groups rows by sub).  Identical floor-scaled
+    arithmetic to llm/clustering.assign_clusters."""
+    import numpy as np
+
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+
+    @F.pandas_udf("int")
+    def _assign(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        out = np.empty(len(sub), dtype=np.int32)
+        subs = sub.to_numpy()
+        A = np.vstack(sv.to_numpy()).astype(np.float64)
+        for s in np.unique(subs):
+            C = mats[s]
+            idx = np.nonzero(subs == s)[0]
+            d = np.empty((len(idx), C.shape[0]), dtype=np.int64)
+            for j in range(C.shape[0]):
+                diff = A[idx] - C[j]
+                d[:, j] = np.floor(diff * diff * _SCALE).astype(np.int64).sum(axis=1)
+            out[idx] = np.argmin(d, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return exploded.select(
+        F.col(id_col),
+        "sub",
+        "sv",
+        _assign(F.col("sub"), F.col("sv").cast("array<double>")).alias("code"),
+    )
 
 
 def train_codebooks(
@@ -41,19 +99,60 @@ def train_codebooks(
     k: int = 8,
     iters: int = 1,
 ) -> list[list[list[float]]]:
-    """Per-subspace deterministic k-means codebooks.
-
-    Returns ``m`` centroid lists (each ≤ k × sub_dim floats — empty
-    clusters vanish, identically in both engines).  Driver holds only
-    m·k·sub_dim doubles; each subspace trains over the full corpus with
-    the usual iterative-ML control loop.
+    """All-subspace deterministic k-means codebooks, trained JOINTLY:
+    the corpus explodes once into (id, sub, subvector) rows and every
+    round is ONE assignment pass + ONE (sub, cid, pos) aggregate —
+    2 driver collects total instead of 2·m sequential per-subspace
+    loops (the m-fold job-latency cut matters because each round is
+    driver-synchronous by nature).  Arithmetic is bit-identical to the
+    per-subspace formulation (and to llm/clustering.kmeans_fit): seeds
+    are the k lowest-id subvectors, distances/centroids floor-scaled
+    exact ints.  Driver holds m·k·sub_dim doubles.
     """
-    books = []
-    for s in range(m):
-        sub = vectors.select(
-            F.col(id_col), _sub(vec_col, s, sub_dim).alias("sv")
+    exploded = _explode_subspaces(vectors, id_col, vec_col, m, sub_dim)
+    seeds = (
+        exploded.filter(F.col(id_col) < k)
+        .select(id_col, "sub", F.col("sv").cast("array<double>").alias("sv"))
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [
+            list(map(float, r["sv"]))
+            for r in sorted(
+                (r for r in seeds if r["sub"] == s), key=lambda r: r[id_col]
+            )
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        assigned = _assign_joint(exploded, books, id_col)
+        agg = (
+            assigned.select(
+                "sub", "code", F.posexplode(F.col("sv").cast("array<double>"))
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(
+                F.sum(F.floor(F.col("col") * _SCALE).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "sub",
+                "code",
+                "pos",
+                (F.col("s").cast("double") / F.col("n") / F.lit(_SCALE)).alias("mv"),
+            )
+            .collect()
         )
-        books.append(kmeans_fit(sub, id_col, "sv", k=k, iters=iters))
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in agg:
+            by_key.setdefault((r.sub, r.code), {})[r.pos] = r.mv
+        books = [
+            [
+                [by_key[(s, c)][p] for p in sorted(by_key[(s, c)])]
+                for c in sorted(cc for ss, cc in by_key if ss == s)
+            ]
+            for s in range(m)
+        ]
     return books
 
 
@@ -65,20 +164,14 @@ def encode(
     sub_dim: int = 16,
 ) -> DataFrame:
     """Corpus → (id, sub, code): the nearest codeword per subspace.
-    Map-only (assignment against broadcast codebooks), unioned over
-    subspaces — the 100×-smaller table every later search touches."""
-    parts = []
-    for s, book in enumerate(books):
-        sub = vectors.select(F.col(id_col), _sub(vec_col, s, sub_dim).alias("sv"))
-        parts.append(
-            assign_clusters(sub, book, id_col, "sv").select(
-                F.col(id_col), F.lit(s).alias("sub"), F.col("cid").alias("code")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    One row-local explode + one map-only joint assignment against the
+    broadcast codebooks — the 100×-smaller table every later search
+    touches."""
+    m = len(books)
+    exploded = _explode_subspaces(vectors, id_col, vec_col, m, sub_dim)
+    return _assign_joint(exploded, books, id_col).select(
+        id_col, "sub", F.col("code")
+    )
 
 
 def adc_lut(
@@ -162,3 +255,11 @@ def pq_topk(
             "rank",
         )
     )
+
+
+# UDF closures in this module must ship by value (see package __init__)
+import sys as _sys  # noqa: E402
+
+from dicomdb_spark import register_for_udf_pickling as _reg  # noqa: E402
+
+_reg(_sys.modules[__name__])
