@@ -200,6 +200,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights via hashed unigram features
     (Xie et al.: Data Selection for LMs via Importance Resampling —
@@ -218,6 +219,11 @@ def dsir_weights(
     tokens, one groupBy(doc).  No shuffle ever carries more than the
     token stream, and the model state is constant-size.
     """
+    if min_parallelism is not None:
+        # small/unsplittable local input: one parquet row group fans
+        # out to 1 task regardless of cores (same rationale and
+        # default-off contract as dedup.minhash_lsh_pairs)
+        df = df.repartition(min_parallelism)
     toks = df.select(
         F.col(id_col),
         target_filter.alias("__is_target"),

@@ -4308,7 +4308,14 @@ def corpus_dsir_sample(spark, sf_dir):
     aggregate.  Constant-size model state; ratios floor-scaled from
     exact integer counts so scores are engine-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    return lcorpus.dsir_weights(docs, F.col("lang") == "en", "text", "doc_id", 64)
+    return lcorpus.dsir_weights(
+        docs,
+        F.col("lang") == "en",
+        "text",
+        "doc_id",
+        64,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
