@@ -160,6 +160,11 @@ def main() -> None:
         "tpch_q13_shape",
         "tpch_q17_shape",
         "tpch_q19_shape",
+        "graph_pagerank",
+        "w_anomaly_zscore",
+        "sketch_kmv_distinct",
+        "sketch_count_min",
+        "sketch_bloom_join",
     ):
         if name in QUERIES:
             try:

@@ -120,6 +120,67 @@ def count_min(
     )
 
 
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter of a key set as a DataFrame of set bit positions
+    (≤ m_bits rows) — the distributed form of the runtime join filter
+    (Spark's own bloom pushdown does exactly this: build on the small
+    side, ship to the probe scan).  Salted md5 gives the k hash
+    functions; DISTINCT makes the bit table the union of all
+    partitions' bits, so construction is one aggregate."""
+    salts = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("salt")
+    e = keys.select(F.col(key_col).cast("string").alias("key"), salts)
+    pos = (
+        _hex_int(F.md5(F.concat(F.col("salt").cast("string"), F.lit("#"), F.col("key"))), 8)
+        % m_bits
+    )
+    return e.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe rows → bloom_pass flag: a key passes iff ALL k of its bit
+    positions are set.  The bit table broadcasts (≤ m_bits rows); the
+    probe side never shuffles — exactly the pre-filter shape that cuts
+    a join's shuffle volume to the pass set.  No false negatives by
+    construction."""
+    salts = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("salt")
+    e = probes.select(F.col(key_col).alias("key"), salts)
+    pos = (
+        _hex_int(
+            F.md5(
+                F.concat(
+                    F.col("salt").cast("string"),
+                    F.lit("#"),
+                    F.col("key").cast("string"),
+                )
+            ),
+            8,
+        )
+        % m_bits
+    )
+    hits = (
+        e.select("key", pos.alias("pos"))
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return probes.join(
+        hits.withColumnRenamed("key", key_col), key_col, "left"
+    ).withColumn(
+        "bloom_pass", F.coalesce(F.col("n_hit"), F.lit(0)) == k_hashes
+    ).drop("n_hit")
+
+
 def count_min_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -4559,6 +4559,82 @@ def sketch_count_min(spark, sf_dir):
     return top.join(est, "item").select("item", "true_c", "est_c")
 
 
+def _bloom_oracle(m_bits: int = 4096, k_hashes: int = 3) -> str:
+    from dicomdb_spark.functions.sketches import sql_hex_int
+
+    pos_of = lambda key: (  # noqa: E731
+        sql_hex_int(f"md5(CAST(s.s AS VARCHAR) || '#' || CAST({key} AS VARCHAR))", 8)
+        + f" % {m_bits}"
+    )
+    return f"""
+    WITH build AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    salts AS (SELECT unnest(range(0, {k_hashes})) AS s),
+    bits AS (
+      SELECT DISTINCT {pos_of('b.key')} AS pos
+      FROM build b CROSS JOIN salts s),
+    probe AS (SELECT c_custkey AS key, c_mktsegment FROM customer),
+    hits AS (
+      SELECT p.key, count(*) AS n_hit
+      FROM (SELECT key, {pos_of('p0.key')} AS pos
+            FROM probe p0 CROSS JOIN salts s) p
+      JOIN bits ON bits.pos = p.pos
+      GROUP BY 1),
+    flags AS (
+      SELECT p.key, p.c_mktsegment,
+             coalesce(h.n_hit, 0) = {k_hashes} AS bloom_pass,
+             EXISTS(SELECT 1 FROM build b WHERE b.key = p.key) AS is_true
+      FROM probe p LEFT JOIN hits h ON h.key = p.key)
+    SELECT c_mktsegment, count(*) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flags GROUP BY 1
+    """
+
+
+@register("sketch_bloom_join", _bloom_oracle())
+def sketch_bloom_join(spark, sf_dir):
+    """Bloom-filter join pre-filter: build a 4096-bit / 3-hash bloom
+    over the urgent-order customer keys, probe every customer, count
+    per-segment pass/true/false-positive rates against the exact semi
+    join (functions/sketches.py: bloom_bits / bloom_probe).
+
+    This is the runtime-join-filter shape engines use to cut probe-
+    side shuffle volume: the bit table is ≤ 4096 rows and broadcasts;
+    the probe side never shuffles for the membership test; no false
+    negatives by construction.  All positions are salted md5, so both
+    engines set and test the identical bits."""
+    from dicomdb_spark.functions import sketches
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    bits = sketches.bloom_bits(urgent, "o_custkey", m_bits=4096, k_hashes=3)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    probed = sketches.bloom_probe(cust, bits, "c_custkey", m_bits=4096, k_hashes=3)
+    truth = urgent.distinct().select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_true")
+    )
+    flags = probed.join(F.broadcast(truth), "c_custkey", "left").select(
+        "c_mktsegment",
+        "bloom_pass",
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    )
+    return flags.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
