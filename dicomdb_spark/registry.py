@@ -1560,8 +1560,15 @@ def text_bpe_tokens(spark, sf_dir):
     separator-replace application — see functions.text.bpe_symbol_
     stream).  Unlike the bpe_ish regex proxy this is real merge
     algebra, yet still pure whole-stage-codegen string expressions:
-    map-only, no UDF, no shuffle, identical DuckDB replay."""
-    docs = load_table(spark, sf_dir, "documents")
+    map-only, no UDF, no shuffle, identical DuckDB replay.
+
+    The local repartition exists ONLY because the test parquet is one
+    unsplittable row group (the merge cascade is CPU-dense and would
+    otherwise run single-threaded); at real scale the scan provides
+    the parallelism and no shuffle is needed."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         text.bpe_token_count("text").alias("bpe_tokens"),
@@ -4054,8 +4061,11 @@ def dedup_edit_distance(spark, sf_dir):
     n² — the same blocking discipline as the MinHash/SimHash family.
     Injected copies carry one trailing substitution (survives the
     prefix block, lands at edit distance 1).  Levenshtein is
-    unit-cost identical in Spark and DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
+    unit-cost identical in Spark and DuckDB.  (Local repartition:
+    single-row-group parallelism floor, same as the minhash family.)"""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     titles = docs.select(
         "doc_id", F.substring("text", 1, 40).alias("title")
     ).unionAll(
@@ -4340,8 +4350,11 @@ def text_bigram_lm_score(spark, sf_dir):
     mean corpus frequency of its token bigrams plus the hapax
     fraction (llm/corpus.py: bigram_lm_scores).  Tokenize once,
     row-local zip for adjacent pairs, one bigram-keyed count, one
-    join back."""
-    docs = load_table(spark, sf_dir, "documents")
+    join back.  (Local repartition: single-row-group parallelism
+    floor, same as the minhash family.)"""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return lcorpus.bigram_lm_scores(docs, "text", "doc_id")
 
 
