@@ -4648,6 +4648,39 @@ def sketch_bloom_join(spark, sf_dir):
     )
 
 
+@register(
+    "w_rank_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w_rank_family(spark, sf_dir):
+    """The rank-function family in one pass: ntile deciles,
+    percent_rank, cume_dist, rank, dense_rank over a unique
+    (totalprice, orderkey) ordering — five ranking outputs sharing ONE
+    window sort (one o_orderstatus shuffle).  percent_rank/cume_dist
+    are ratios of integer positions, so they are exactly reproducible;
+    the unique tiebreak makes every output deterministic."""
+    ev = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return ev.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
