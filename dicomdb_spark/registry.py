@@ -4681,6 +4681,47 @@ def w_rank_family(spark, sf_dir):
     )
 
 
+@register(
+    "w_forward_fill",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS reading
+      FROM events)
+    SELECT event_id, user_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM g
+    """,
+)
+def w_forward_fill(spark, sf_dir):
+    """Forward-fill (last-observation-carried-forward) gap filling:
+    error events null their reading, then each user's series carries
+    the last non-null value forward (IGNORE NULLS last_value over a
+    unique (ts, event_id) ordering).  The time-series repair primitive
+    — one per-user window, one shuffle, no self-join; leading nulls
+    stay null in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
