@@ -23,6 +23,11 @@ REPRESENTATIVE = [
     "dedup_minhash_lsh",      # hash signatures + band join
     "ann_bruteforce_topk",    # vector kernels + top-k
     "scd2_history",           # multi-step union/join algorithm
+    "graph_pagerank",         # iterative joins, floor-int rank mass
+    "ann_pq_topk",            # joint k-means training + ADC sums
+    "corpus_dsir_sample",     # broadcast ratio table, int score sums
+    "w_anomaly_zscore",       # rolling int moments -> IEEE chain
+    "sketch_bloom_join",      # salted-md5 bit sets + flag aggregate
 ]
 
 
