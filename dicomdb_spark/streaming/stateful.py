@@ -69,6 +69,88 @@ def stateful_distinct(
     )
 
 
+def stateful_sessions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_sec: int,
+) -> DataFrame:
+    """Gap-close sessionization as a CUSTOM stateful operator — the
+    applyInPandasWithState twin of the batch lag-flag sessionizer
+    (operators/windows.sessionize_by_gap) for when session_window's
+    fixed semantics aren't enough (custom close conditions, per-key
+    session payloads, side effects on close).
+
+    State per key: (session_start, last_ts, n_events) as epoch
+    microseconds.  An event arriving more than ``gap_sec`` after
+    last_ts CLOSES the running session (emits one row) and opens a new
+    one; the final open session stays in state — a terminating test
+    stream never emits it, exactly like a live stream wouldn't.
+    Events are processed in (ts) order within each micro-batch; cross-
+    batch order is the file-source arrival order (production streams
+    pair this with watermarked ingestion).
+
+    Output: (key, session_start, session_end, n_events).
+    """
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = gap_sec * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for ts in pdf[ts_col].sort_values():
+                t_us = ts.value // 1000
+                if start_us is None:
+                    start_us, last_us, n = t_us, t_us, 1
+                elif t_us - last_us > gap_us:
+                    closed.append((key[0], start_us, last_us, n))
+                    start_us, last_us, n = t_us, t_us, 1
+                else:
+                    last_us, n = t_us, n + 1
+        if start_us is not None:
+            state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return events.select(key_col, ts_col).groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # UDF closures in this module must ship by value (see package __init__)
 import sys as _sys  # noqa: E402
 

@@ -1183,3 +1183,63 @@ def test_min_label_components_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_stateful_sessions_match_batch(spark, tmp_path):
+    """Custom stateful sessionizer (applyInPandasWithState, gap-close
+    semantics) must emit exactly the batch sessionizer's CLOSED
+    sessions — every session except each user's final one, which a
+    live stream keeps open in state."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.operators import windows as ow
+    from dicomdb_spark.streaming.stateful import stateful_sessions
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id"
+    )
+    # batch truth: all sessions minus each user's last (still open)
+    s = ow.sessionize_by_gap(ev, "user_id", "ts", "event_id", gap_sec=1800)
+    sess = s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    mx = sess.groupBy("user_id").agg(F.max("session_seq").alias("mx"))
+    expected = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.join(mx, "user_id")
+        .filter(F.col("session_seq") < F.col("mx"))
+        .collect()
+    )
+    # stream the same events as 3 time-ordered micro-batches
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = ev.orderBy("ts", "event_id").collect()
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    for i, chunk in enumerate((rows[:cut1], rows[cut1:cut2], rows[cut2:])):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream_df = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_sessions(stream_df, "user_id", "ts", gap_sec=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("select * from sess_out").collect()
+        )
+    finally:
+        q.stop()
+    assert len(got) > 0
+    assert got == expected
