@@ -4722,6 +4722,34 @@ def w_forward_fill(spark, sf_dir):
     )
 
 
+@register(
+    "a_string_agg",
+    """
+    WITH d AS (
+      SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS VARCHAR) AS nk
+      FROM customer)
+    SELECT c_mktsegment, string_agg(nk, ',' ORDER BY nk) AS nations,
+           count(*) AS n_distinct
+    FROM d GROUP BY 1
+    """,
+)
+def a_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): distinct nation keys per
+    segment joined into one deterministic comma string.  collect_list
+    is ordering-nondeterministic under shuffles, so the engine sorts
+    the collected array BEFORE joining — emitting a scalar string
+    keeps the driver canonicalizer happy (no array cells) and the
+    ORDER BY inside DuckDB's string_agg mirrors it exactly."""
+    cust = load_table(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_mktsegment", F.col("c_nationkey").cast("string").alias("nk")
+    ).distinct()
+    return d.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("nk")), ",").alias("nations"),
+        F.count("*").alias("n_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
