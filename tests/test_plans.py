@@ -167,3 +167,31 @@ def test_domain_cap_single_window_shuffle(spark):
     exactly one exchange (hash by domain), no join at all."""
     df = QUERIES["dedup_url_domain"](spark, SF)
     assert pi.count_shuffles(df) == 1, pi.simple_plan(df)
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    """Q6 is the pushdown litmus: ship-date range, discount band, and
+    quantity cap must all appear as pushed parquet filters, and the
+    scan reads only the four referenced columns."""
+    df = QUERIES["tpch_q6_shape"](spark, SF)
+    pushed = " ".join(pi.pushed_filters(df))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    pi.assert_max_scan_columns(df, 4)
+    assert pi.count_shuffles(df) <= 1
+
+
+def test_q8_fact_meets_only_orders(spark):
+    """Q8's 8-table tree: every dimension broadcasts; the only
+    shuffled join is lineitem↔orders (no sort-merge anywhere)."""
+    df = QUERIES["tpch_q8_shape"](spark, SF)
+    assert pi.count_broadcast_joins(df) >= 4, pi.simple_plan(df)
+    assert not pi.has_sort_merge_join(df)
+
+
+def test_q9_q20_broadcast_dims(spark):
+    for name in ("tpch_q9_shape", "tpch_q20_shape", "tpch_q14_shape",
+                 "tpch_q17_shape", "tpch_q19_shape"):
+        df = QUERIES[name](spark, SF)
+        assert pi.count_broadcast_joins(df) >= 1, (name, pi.simple_plan(df))
+        assert not pi.has_sort_merge_join(df), name
