@@ -4750,6 +4750,118 @@ def a_string_agg(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_hist_quantiles",
+    """
+    WITH st AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+             count(*) AS n
+      FROM orders),
+    b AS (
+      SELECT least(CAST(floor((o_totalprice - st.mn)
+                              / ((st.mx - st.mn) / 128)) AS BIGINT),
+                   127) AS bin
+      FROM orders, st),
+    h AS (
+      SELECT bin, count(*) AS cnt,
+             CAST(SUM(count(*)) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM b GROUP BY bin),
+    tg AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS q),
+    pick AS (
+      SELECT tg.q, min(h.bin) AS bin
+      FROM tg JOIN h ON h.cum >= CAST(ceil(tg.q * (SELECT n FROM st)) AS BIGINT)
+      GROUP BY 1),
+    est AS (
+      SELECT p.q,
+             st.mn + ((st.mx - st.mn) / 128) * (p.bin
+               + (CAST(ceil(p.q * st.n) AS BIGINT) - (h.cum - h.cnt))
+                 / CAST(h.cnt AS DOUBLE)) AS est
+      FROM pick p JOIN h ON h.bin = p.bin CROSS JOIN st),
+    ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders),
+    exact AS (
+      SELECT tg.q, r.o_totalprice AS exact_val
+      FROM tg JOIN ranked r
+        ON r.rn = CAST(ceil(tg.q * (SELECT n FROM st)) AS BIGINT))
+    SELECT e.q, e.est, x.exact_val
+    FROM est e JOIN exact x ON x.q = e.q
+    """,
+)
+def sketch_hist_quantiles(spark, sf_dir):
+    """Histogram quantile sketch (the t-digest/GK role, made
+    deterministic): 128 equal-width bins over o_totalprice, cumulative
+    counts, within-bin linear interpolation for p50/p90/p99 — shown
+    next to the exact order-statistic for error visibility.
+
+    Scale story: the sketch is ONE groupBy(bin) of at most 128 rows —
+    constant state, partition-mergeable, no global sort of the data
+    (the exact column here is the verification reference; at 100 TB
+    you'd keep only the histogram).  All estimates are ratios/affine
+    maps of exact integer counts over IEEE-identical bin math."""
+    orders = load_table(spark, sf_dir, "orders")
+    st = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 128
+    b = orders.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"),
+            F.lit(127),
+        ).alias("bin")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    h = (
+        b.groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    )
+    tg = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    pick = (
+        F.broadcast(tg)
+        .crossJoin(F.broadcast(st))
+        .join(h, h["cum"] >= target)
+        .groupBy("q", "n", "mn", "mx")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.join(h, "bin").select(
+        "q",
+        (
+            F.col("mn")
+            + ((F.col("mx") - F.col("mn")) / 128)
+            * (
+                F.col("bin")
+                + (
+                    F.ceil(F.col("q") * F.col("n")).cast("long")
+                    - (F.col("cum") - F.col("cnt"))
+                )
+                / F.col("cnt").cast("double")
+            )
+        ).alias("est"),
+    )
+    wrank = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice", F.row_number().over(wrank).alias("rn")
+    )
+    exact = (
+        F.broadcast(tg)
+        .crossJoin(F.broadcast(st))
+        .join(
+            ranked,
+            ranked["rn"] == F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .select("q", F.col("o_totalprice").alias("exact_val"))
+    )
+    return est.join(exact, "q").select("q", "est", "exact_val")
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
