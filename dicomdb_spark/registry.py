@@ -4510,7 +4510,9 @@ def sketch_kmv_distinct(spark, sf_dir):
     would always take the exact-count fallback)."""
     from dicomdb_spark.functions import sketches
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = docs.select(
         "lang", F.explode(text.shingles("text", 3)).alias("sh")
     )
@@ -4552,7 +4554,9 @@ def sketch_count_min(spark, sf_dir):
     regardless of corpus size."""
     from dicomdb_spark.functions import sketches
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(
         F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias(
             "item"
@@ -4626,9 +4630,14 @@ def sketch_bloom_join(spark, sf_dir):
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     bits = sketches.bloom_bits(urgent, "o_custkey", m_bits=4096, k_hashes=3)
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     probed = sketches.bloom_probe(cust, bits, "c_custkey", m_bits=4096, k_hashes=3)
     truth = urgent.distinct().select(
         F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_true")
