@@ -151,6 +151,87 @@ def stateful_sessions(
     )
 
 
+def stateful_zscore(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    frame: int = 20,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of the batch rolling z-score window
+    (registry.w_anomaly_zscore): per key, each event is scored against
+    the trailing ``frame`` events' mean/std, with the trailing window
+    carried ACROSS micro-batches in an array-typed state column.
+
+    Exactness contract: the state holds the last frame−1 floor-scaled
+    int64 readings, so every z-score is the identical IEEE chain the
+    batch window computes — the equivalence test compares
+    event-for-event.  State size is a constant frame−1 longs per key.
+
+    Output: (key, id, zscore nullable, is_anomaly).
+    """
+    out_schema = T.StructType(
+        [
+            events.schema[key_col],
+            events.schema[id_col],
+            T.StructField("zscore", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("tail", T.ArrayType(T.LongType()))]
+    )
+    import math
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        tail: list[int] = list(state.get[0]) if state.exists else []
+        ids, zs, flags = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            for _, row in pdf.iterrows():
+                vi = math.floor(row[value_col] * 10000)
+                win = tail[-(frame - 1):] + [vi]
+                n = len(win)
+                sx = sum(win)
+                sxx = sum(v * v for v in win)
+                mean = float(sx) / n
+                var = float(sxx) / n - mean * mean
+                z = (float(vi) - mean) / math.sqrt(var) if var > 0 else None
+                ids.append(row[id_col])
+                zs.append(z)
+                flags.append(bool(z is not None and abs(z) > threshold))
+                tail = win
+        state.update((tail[-(frame - 1):],))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(ids),
+                    id_col: ids,
+                    "zscore": pd.array(zs, dtype="float64"),
+                    "is_anomaly": flags,
+                }
+            )
+
+    return events.select(key_col, ts_col, id_col, value_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # UDF closures in this module must ship by value (see package __init__)
 import sys as _sys  # noqa: E402
 

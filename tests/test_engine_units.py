@@ -1243,3 +1243,53 @@ def test_stateful_sessions_match_batch(spark, tmp_path):
         q.stop()
     assert len(got) > 0
     assert got == expected
+
+
+def test_stateful_zscore_matches_batch(spark, tmp_path):
+    """Streaming rolling z-score must equal the batch window
+    EVENT-FOR-EVENT (bit-exact doubles): the state carries the
+    trailing floor-scaled readings across micro-batches, so the IEEE
+    chain is identical to w_anomaly_zscore's frame."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.registry import QUERIES
+    from dicomdb_spark.streaming.stateful import stateful_zscore
+
+    batch = {
+        r.event_id: (repr(r.zscore), r.is_anomaly)
+        for r in QUERIES["w_anomaly_zscore"](spark, "/root/testdata/sf0.001").collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    src = tmp_path / "z_src"
+    src.mkdir()
+    rows = ev.orderBy("ts", "event_id").collect()
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    for i, chunk in enumerate((rows[:cut1], rows[cut1:cut2], rows[cut2:])):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream_df = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_zscore(stream_df, "event_type", "ts", "event_id", "value")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("z_out")
+        .option("checkpointLocation", str(tmp_path / "z_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: (repr(r.zscore), r.is_anomaly)
+            for r in spark.sql("select * from z_out").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == len(batch) > 0
+    mismatches = {k: (got[k], batch[k]) for k in batch if got[k] != batch[k]}
+    assert not mismatches, list(mismatches.items())[:5]
