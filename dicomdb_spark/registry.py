@@ -4871,6 +4871,45 @@ def sketch_hist_quantiles(spark, sf_dir):
     return est.join(exact, "q").select("q", "est", "exact_val")
 
 
+@register(
+    "a_grouping_sets",
+    """
+    WITH b AS (SELECT event_type, user_id % 3 AS bucket_raw FROM events)
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(bucket_raw AS VARCHAR), '<all>') AS bucket,
+           CAST(GROUPING(event_type) * 2 + GROUPING(bucket_raw) AS INTEGER)
+             AS gid,
+           count(*) AS n
+    FROM b
+    GROUP BY GROUPING SETS ((event_type), (bucket_raw),
+                            (event_type, bucket_raw), ())
+    """,
+)
+def a_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond CUBE/ROLLUP): four chosen
+    marginalizations in ONE pass with a grouping-bit id to
+    disambiguate which NULLs are structural — map-side the grouping-
+    set id expands each row once per set, so partial aggregation
+    still applies.  The DataFrame API only exposes cube/rollup;
+    arbitrary sets go through the SQL surface, same Catalyst plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).alias("bucket_raw")
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(bucket_raw AS STRING), '<all>') AS bucket,
+               CAST(grouping(event_type) * 2 + grouping(bucket_raw) AS INT)
+                 AS gid,
+               count(*) AS n
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (bucket_raw),
+                                (event_type, bucket_raw), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
