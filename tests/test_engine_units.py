@@ -1293,3 +1293,60 @@ def test_stateful_zscore_matches_batch(spark, tmp_path):
     assert len(got) == len(batch) > 0
     mismatches = {k: (got[k], batch[k]) for k in batch if got[k] != batch[k]}
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_stateful_distinct_tws_matches_classic(spark, tmp_path):
+    """transformWithState (Spark 4 typed-state API) twin of
+    stateful_distinct: same exactly-once-per-key emission.  The API's
+    Python driver worker needs google.protobuf, absent from this env —
+    skip (the operator itself is env-blocked, like pydicom/PIL)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+    from dicomdb_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        stateful_distinct_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        src = tmp_path / "tws_src"
+        src.mkdir()
+        df = spark.createDataFrame(
+            [Row(k=1, p="a"), Row(k=2, p="b"), Row(k=1, p="c")],
+            "k long, p string",
+        )
+        df.coalesce(1).write.parquet(str(src / "b1"))
+        stream_df = (
+            spark.readStream.schema("k long, p string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = stateful_distinct_tws(stream_df, "k", ["p"])
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_out")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            df2 = spark.createDataFrame(
+                [Row(k=2, p="x"), Row(k=3, p="y")], "k long, p string"
+            )
+            df2.coalesce(1).write.parquet(str(src / "b2"))
+            q.processAllAvailable()
+            rows = sorted(
+                (r.k, r.p) for r in spark.sql("select * from tws_out").collect()
+            )
+        finally:
+            q.stop()
+        assert rows == [(1, "a"), (2, "b"), (3, "y")]
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
