@@ -51,13 +51,14 @@ def pagerank(
     cache-the-invariant-side discipline GraphX/Pregel loops use.
     """
     base = 1.0 - damping
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # out-degree is loop-invariant: weld it onto the edge list ONCE so
+    # each round joins only the rank table (1 join/round instead of 2)
+    edges = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
         edges = edges.persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    if persist_edges:
         nodes = nodes.persist()
-        deg = deg.persist()
     n = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
@@ -65,7 +66,6 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             edges.join(r, edges["src"] == r["node"])
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("cnode"),
                 F.floor(F.col("r").cast("double") / F.col("outdeg"))
