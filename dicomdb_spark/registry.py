@@ -4910,6 +4910,53 @@ def a_grouping_sets(spark, sf_dir):
     )
 
 
+@register(
+    "j13_skew_salted_join",
+    f"""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 50 END
+               AS skew_key,
+             value
+      FROM events),
+    dim AS (SELECT DISTINCT skew_key,
+                   'grp_' || CAST(skew_key AS VARCHAR) AS label FROM f)
+    SELECT label, count(*) AS n, {_dsum('f.value', 'sum_value')}
+    FROM f JOIN dim USING (skew_key)
+    GROUP BY 1
+    """,
+)
+def j13_skew_salted_join(spark, sf_dir):
+    """Skew-mitigated join: ~70 % of the fact rows share one hot key
+    (the classic power-law reducer killer), joined through
+    operators/skew.replicated_salted_join — fact side salted 8 ways,
+    dim side replicated, co-keyed on (key, salt) so the hot key's rows
+    spread over 8 reducers instead of one straggler.
+
+    The ORACLE is the PLAIN join: salting must be semantically
+    invisible, and the hash match proves it.  Salts are xxhash64-
+    deterministic (retry- and partitioning-safe, no RNG)."""
+    from dicomdb_spark.operators.skew import replicated_salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id") % 50)
+        .alias("skew_key"),
+        "value",
+    )
+    dim = (
+        f.select("skew_key")
+        .distinct()
+        .withColumn(
+            "label", F.concat(F.lit("grp_"), F.col("skew_key").cast("string"))
+        )
+    )
+    j = replicated_salted_join(f, dim, ["skew_key"], salts=8)
+    return j.groupBy("label").agg(
+        F.count("*").alias("n"), agg.dsum("value", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
