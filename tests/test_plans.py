@@ -195,3 +195,12 @@ def test_q9_q20_broadcast_dims(spark):
         df = QUERIES[name](spark, SF)
         assert pi.count_broadcast_joins(df) >= 1, (name, pi.simple_plan(df))
         assert not pi.has_sort_merge_join(df), name
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """The bloom bit table must broadcast onto the probe side — a
+    sort-merge membership join would shuffle the probe stream and
+    defeat the pre-filter's purpose."""
+    df = QUERIES["sketch_bloom_join"](spark, SF)
+    assert pi.count_broadcast_joins(df) >= 2, pi.simple_plan(df)
+    assert not pi.has_sort_merge_join(df)
