@@ -4957,6 +4957,140 @@ def j13_skew_salted_join(spark, sf_dir):
     )
 
 
+@register(
+    "scd_point_in_time",
+    """
+    WITH snap1 AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 3)
+    SELECT s.*, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN s.c_custkey % 7 = 0
+                THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to
+    FROM snap1 s
+    """,
+)
+def scd_point_in_time(spark, sf_dir):
+    """Temporal AS-OF lookup over the SCD2 history: the state of every
+    entity at 2024-01-15 (between the two applied snapshots) — rows
+    whose validity interval covers the timestamp.  The engine RUNS the
+    two-batch SCD2 algorithm then filters; the oracle states the spec
+    directly (all snap1 rows were active then: later-changed entities
+    carry their future close timestamp, batch-2 arrivals are absent).
+    Completes the CDC pattern: scd2_history maintains, this reads."""
+    ts = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    h = scd2_history(spark, sf_dir)
+    return h.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )
+
+
+_BM25_TERMS = ("table", "spark", "hash")
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(len(tk)) AS BIGINT) AS total_dl FROM tk),
+    q AS (SELECT unnest({list(_BM25_TERMS)!r}) AS term),
+    tf AS (
+      SELECT doc_id, len(tk) AS dl, term,
+             len(list_filter(tk, t -> t = term)) AS tf
+      FROM tk CROSS JOIN q),
+    dfreq AS (
+      SELECT term, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+      FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(floor(
+               ((s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                / (CAST(s.total_dl AS DOUBLE) / s.n)))
+               * 1e9) AS BIGINT)) AS BIGINT) AS score_i,
+             CAST(SUM(CASE WHEN t.tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_terms
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN st s
+      WHERE t.tf > 0
+      GROUP BY 1)
+    SELECT doc_id, CAST(score_i AS DOUBLE) / 1e9 AS score, n_terms
+    FROM (SELECT *, row_number() OVER (ORDER BY score_i DESC, doc_id) AS rn
+          FROM scored) z
+    WHERE rn <= 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25-shaped lexical retrieval (k1=1.2, b=0.75) for a fixed
+    3-term query, top-10 documents.  The idf factor uses the rational
+    surrogate (N−df+0.5)/(df+0.5) — the monotone core of BM25's
+    log-idf — because ln() is not correctly-rounded-guaranteed across
+    engines; per-term scores floor-scale to int64 BEFORE the per-doc
+    sum so the 3-term addition is order-independent.
+
+    Plan: tokenize once, per-term tf via row-local array filters (the
+    query is a tiny broadcast explode), one df aggregate (|terms|
+    rows), broadcast stats, one doc aggregate + top-k window — the
+    corpus shuffles only for the final per-doc sum."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    tk = docs.select("doc_id", toks.alias("tk"))
+    st = tk.agg(
+        F.count("*").alias("n"), F.sum(F.size("tk")).alias("total_dl")
+    )
+    tf = tk.select(
+        "doc_id",
+        F.size("tk").alias("dl"),
+        "tk",
+    ).select(
+        "doc_id",
+        "dl",
+        F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"),
+        "tk",
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter(F.col("tk"), lambda t: t == F.col("term"))).alias("tf"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).alias("df")
+    )
+    hits = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(st))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n")
+    term_score = (
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    scored = (
+        hits.select(
+            "doc_id",
+            F.floor(term_score * 1e9).cast("long").alias("si"),
+            F.when(F.col("tf") > 0, 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("si").alias("score_i"), F.sum("hit").alias("n_terms"))
+    )
+    w = Window.orderBy(F.col("score_i").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "doc_id",
+            (F.col("score_i").cast("double") / 1e9).alias("score"),
+            "n_terms",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 8 — TPC-H completion: the 11 query shapes not yet covered
 # (q2 q6 q8 q9 q11 q13 q14 q15 q17 q19 q20), adapted to the star schema
