@@ -2359,7 +2359,43 @@ def o2_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("s3_header_parse", None)  # byte-level Part-10 parse — rows-only
+@register(
+    "s3_header_parse",
+    r"""
+    WITH ids AS (SELECT o_orderkey AS i FROM orders WHERE o_orderkey % 6 = 0)
+    SELECT '/synthetic/' || CAST(i AS VARCHAR) || '.dic' AS path,
+      CASE WHEN i % 13 <> 0
+           THEN '1.2.826.0.1.' || CAST(i % 500 AS VARCHAR) END
+        AS SeriesInstanceUID,
+      CASE WHEN i % 13 <> 0
+           THEN '1.2.826.0.' || CAST(i % 50 AS VARCHAR) END
+        AS StudyInstanceUID,
+      CASE WHEN i % 13 <> 0 THEN CAST(i % 40 + 1 AS INTEGER) END
+        AS SeriesNumber,
+      CASE WHEN i % 13 <> 0 THEN CAST(i % 300 + 1 AS INTEGER) END
+        AS InstanceNumber,
+      CASE WHEN i % 13 <> 0 THEN (i % 50) / 10.0 END AS EchoTime,
+      CASE WHEN i % 13 <> 0 THEN '20240101' END AS AcquisitionDate,
+      CASE WHEN i % 13 <> 0
+           THEN lpad(CAST(i % 24 AS VARCHAR), 2, '0')
+                || lpad(CAST(i % 60 AS VARCHAR), 2, '0') || '00.000000' END
+        AS AcquisitionTimeRaw,
+      CASE WHEN i % 13 <> 0
+           THEN 'ORIGINAL\PRIMARY'
+                || CASE WHEN i % 11 = 0 THEN '\DERIVED' ELSE '' END END
+        AS image_type,
+      CASE WHEN i % 13 <> 0
+           THEN (['tfl3d1', 'epfid2d1_64', 'spc3d1'])[(i % 3) + 1]
+           ELSE '' END AS seq_name,
+      CASE WHEN i % 13 = 0
+           THEN 'ValueError: not a DICOM Part-10 stream (no DICM magic)'
+           ELSE '' END AS corrupt
+    FROM ids
+    """,
+)  # spec oracle: the synthetic generator derives every field from the
+# id, so SQL can state the expected PARSED output — the whole
+# encode→Part-10-bytes→parse loop must reproduce it bit-for-bit
+# (upgraded from rows-only in round 3)
 def s3_header_parse(spark, sf_dir):
     """S3/U1 — real DICOM byte-level header extraction end-to-end
     (Exam_info.py:130,356,458-465): orders keys are serialized into
@@ -2367,8 +2403,10 @@ def s3_header_parse(spark, sf_dir):
     corrupted) by the map-only fixture generator, then parsed back by
     the engine's minimal tag reader through the mapInPandas operator.
     Corrupt files degrade to flagged NULL rows.  Complex columns are
-    re-joined to scalars for comparator safety; rows-only driver check
-    (the generator+parser pair is not SQL-expressible)."""
+    re-joined to scalars for comparator safety.  The oracle is the
+    SPEC: every generated field is a pure function of the id, so SQL
+    states the expected parsed output and the full
+    encode→Part-10-bytes→parse loop must reproduce it bit-for-bit."""
     from dicomdb_spark.sources.dicom import parse_headers, synthetic_part10_from_ids
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -5753,7 +5791,9 @@ R2_DRIVER_PROVEN: tuple[str, ...] = (
     "scd2_history", "text_lang_id_ngram", "text_rolling_hash",
     "tpch_q1_shape", "tpch_q3_shape", "w_running_totals",
     "a_count_distinct", "t4_set_ops", "f9_json_extract",
-    "s3_header_parse", "u3_stack_assembly", "multimodal_decode",
+    # s3_header_parse deliberately absent: upgraded from rows-only to a
+    # spec oracle in round 3, so it re-enters the checked window
+    "u3_stack_assembly", "multimodal_decode",
     "multimodal_ann", "multimodal_features",
 )
 

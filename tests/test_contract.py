@@ -26,7 +26,6 @@ def test_registry_invariants():
     assert set(qs) - set(os_) == {
         "u3_stack_assembly",
         "multimodal_decode",
-        "s3_header_parse",
         "multimodal_features",
         "multimodal_ann",
     }
