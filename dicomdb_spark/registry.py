@@ -2437,14 +2437,70 @@ def s3_header_parse(spark, sf_dir):
     )
 
 
-@register("u3_stack_assembly", None)  # applyInPandas — no SQL oracle
+@register(
+    "u3_stack_assembly",
+    """
+    WITH h AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS sid,
+             printf('/f/%d_%d.dic', l_orderkey, l_linenumber) AS path,
+             CASE WHEN l_orderkey % 11 = 0 AND l_linenumber = 3
+                  THEN 2 ELSE l_linenumber END AS inst,
+             CAST((l_orderkey * 37 + l_linenumber * 251) % 86400 AS DOUBLE)
+               AS secs
+      FROM lineitem),
+    r AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY inst, path)
+                   AS rn
+          FROM h),
+    agg AS (
+      SELECT sid,
+             CAST(count(*) AS INTEGER) AS nb_dic_file,
+             CAST(count(*) - count(DISTINCT inst) AS INTEGER) AS n_duplicates,
+             CAST(greatest(max(inst) - min(inst) + 1 - count(DISTINCT inst), 0)
+                  AS INTEGER) AS n_missing
+      FROM h GROUP BY 1),
+    ff AS (SELECT sid, path AS first_file, secs AS s1 FROM r WHERE rn = 1),
+    lf AS (SELECT sid, path AS last_file
+           FROM (SELECT sid, path,
+                        row_number() OVER (PARTITION BY sid
+                                           ORDER BY inst DESC, path DESC) AS z
+                 FROM h) t WHERE z = 1),
+    s2 AS (SELECT sid, secs AS s2 FROM r WHERE rn = 2)
+    SELECT a.sid AS SeriesInstanceUID,
+           CAST(1 AS INTEGER) AS SeriesNumber,
+           CAST(0.0 AS DOUBLE) AS EchoTime,
+           a.nb_dic_file, ff.first_file, lf.last_file,
+           a.n_duplicates, a.n_missing,
+           CASE WHEN a.n_duplicates > 0 AND a.n_missing > 0
+                THEN CAST(a.n_duplicates AS VARCHAR) || 'Duplicate;'
+                     || 'missingDicomFile_' || CAST(a.n_missing AS VARCHAR)
+                WHEN a.n_duplicates > 0
+                THEN CAST(a.n_duplicates AS VARCHAR) || 'Duplicate'
+                WHEN a.n_missing > 0
+                THEN 'missingDicomFile_' || CAST(a.n_missing AS VARCHAR)
+                ELSE 'ok' END AS corrupt,
+           CASE WHEN s2.s2 IS NOT NULL THEN
+             CASE WHEN s2.s2 - ff.s1 < 0 THEN s2.s2 - ff.s1 + 86400
+                  ELSE s2.s2 - ff.s1 END
+           END AS duration_s
+    FROM agg a
+    JOIN ff ON ff.sid = a.sid
+    JOIN lf ON lf.sid = a.sid
+    LEFT JOIN s2 ON s2.sid = a.sid
+    """,
+)
 def u3_stack_assembly(spark, sf_dir):
     """U3 — grouped-map stack assembly (Exam_info.py:752-857) driven
     from testdata: lineitem rows become per-file header records
-    (orderkey → stack id, linenumber → InstanceNumber), then
-    applyInPandas validates each stack and emits dup/missing audits.
-    Deterministic rows; no oracle because grouped-map semantics are
-    not SQL-expressible (driver records rows-only)."""
+    (orderkey → stack id; linenumber → InstanceNumber, with every
+    11th order's line 3 collapsed onto 2 so duplicate AND gap audits
+    actually fire; acquisition seconds synthesized tz-free so the
+    rollover duration is exercised), then applyInPandas validates each
+    stack and emits dup/missing audits.
+
+    The oracle states the SPEC of the grouped-map operator in SQL —
+    ordered first/second/last picks, distinct-instance audits, flag
+    string, midnight-rollover duration — so the pandas path must
+    reproduce it bit-for-bit (upgraded from rows-only in round 3)."""
     from dicomdb_spark.operators.stacks import assemble_stacks
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2453,8 +2509,15 @@ def u3_stack_assembly(spark, sf_dir):
         F.lit(1).alias("SeriesNumber"),
         F.lit(0.0).alias("EchoTime"),
         F.format_string("/f/%d_%d.dic", "l_orderkey", "l_linenumber").alias("path"),
-        F.col("l_linenumber").alias("InstanceNumber"),
-        (F.unix_timestamp("l_shipdate") % 86400).cast("double").alias("acq_seconds"),
+        F.when(
+            (F.col("l_orderkey") % 11 == 0) & (F.col("l_linenumber") == 3),
+            F.lit(2),
+        )
+        .otherwise(F.col("l_linenumber"))
+        .alias("InstanceNumber"),
+        ((F.col("l_orderkey") * 37 + F.col("l_linenumber") * 251) % 86400)
+        .cast("double")
+        .alias("acq_seconds"),
     )
     return assemble_stacks(headers)
 
@@ -5791,9 +5854,10 @@ R2_DRIVER_PROVEN: tuple[str, ...] = (
     "scd2_history", "text_lang_id_ngram", "text_rolling_hash",
     "tpch_q1_shape", "tpch_q3_shape", "w_running_totals",
     "a_count_distinct", "t4_set_ops", "f9_json_extract",
-    # s3_header_parse deliberately absent: upgraded from rows-only to a
-    # spec oracle in round 3, so it re-enters the checked window
-    "u3_stack_assembly", "multimodal_decode",
+    # s3_header_parse and u3_stack_assembly deliberately absent:
+    # upgraded from rows-only to spec oracles in round 3, so they
+    # re-enter the checked window
+    "multimodal_decode",
     "multimodal_ann", "multimodal_features",
 )
 
