@@ -394,3 +394,33 @@ def test_c4_filter_idempotent(spark):
     )
     for r in twice.collect():
         assert r["p1"] == r["p2"]
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_sql_hex_int_matches_python_md5(tokens_in, n_chars):
+    """The DuckDB strpos-digit hex decoder (functions/sketches.
+    sql_hex_int) must agree with Python's int(md5[:n], 16) — the same
+    value Spark's conv() produces — for arbitrary unicode tokens.
+    This is the shared primitive under KMV, count-min, bloom, and
+    DSIR bucketing; a one-digit drift would silently shift every
+    bucket in one engine only."""
+    import hashlib
+
+    import duckdb
+
+    from dicomdb_spark.functions.sketches import sql_hex_int
+
+    con = duckdb.connect()
+    expr = sql_hex_int("md5(t)", n_chars)
+    got = dict(
+        con.execute(
+            f"SELECT t, {expr} FROM (SELECT unnest(?) AS t)", [tokens_in]
+        ).fetchall()
+    )
+    for t in tokens_in:
+        expect = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:n_chars], 16)
+        assert got[t] == expect, (t, n_chars, got[t], expect)
