@@ -225,6 +225,11 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
+    # sh feeds three consumers (both join sides + sizes) and Spark does
+    # not reuse the exchange across them — materialize the CPU-dense
+    # tokenize/shingle/explode once (same multi-consumer persist
+    # discipline as the PageRank loop invariants)
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -269,6 +274,11 @@ def ngram_containment_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
+    # sh feeds three consumers (both join sides + sizes) and Spark does
+    # not reuse the exchange across them — materialize the CPU-dense
+    # tokenize/shingle/explode once (same multi-consumer persist
+    # discipline as the PageRank loop invariants)
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
