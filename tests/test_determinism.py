@@ -28,6 +28,10 @@ REPRESENTATIVE = [
     "corpus_dsir_sample",     # broadcast ratio table, int score sums
     "w_anomaly_zscore",       # rolling int moments -> IEEE chain
     "sketch_bloom_join",      # salted-md5 bit sets + flag aggregate
+    "sketch_hist_quantiles",  # bin counts + interpolation chain
+    "text_bm25_topk",         # int-scaled per-term score sums
+    "a_string_agg",           # sorted-collect (collect_list order varies!)
+    "u3_stack_assembly",      # grouped-map pandas audits
 ]
 
 
