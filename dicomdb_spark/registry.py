@@ -2522,11 +2522,29 @@ def u3_stack_assembly(spark, sf_dir):
     return assemble_stacks(headers)
 
 
-@register("multimodal_decode", None)  # mapInPandas — no SQL oracle
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'fake/raw' AS format,
+           CAST(octet_length(encode(text)) % 1024 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 1024 + 1 AS INTEGER)
+             AS height,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+)
 def multimodal_decode(spark, sf_dir):
     """Multimodal plumbing on testdata: documents → binary payloads →
     mapInPandas metadata extraction (deterministic fake decoder; real
-    decoder injectable).  Rows-only driver check."""
+    decoder injectable; sha-256 checksum computed JVM-side before
+    Python).  The oracle states the decode SPEC (the fake decoder's
+    metadata is a pure function of the utf-8 byte stream, and DuckDB's
+    sha256 matches Spark's sha2), so the whole binarize→Arrow→pandas
+    →decode loop is value-checked — upgraded from rows-only in
+    round 3.  A real injected decoder keeps the same plumbing and
+    falls back to rows-only."""
     from dicomdb_spark.llm.multimodal import binarize, decode_image_meta
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5854,10 +5872,9 @@ R2_DRIVER_PROVEN: tuple[str, ...] = (
     "scd2_history", "text_lang_id_ngram", "text_rolling_hash",
     "tpch_q1_shape", "tpch_q3_shape", "w_running_totals",
     "a_count_distinct", "t4_set_ops", "f9_json_extract",
-    # s3_header_parse and u3_stack_assembly deliberately absent:
-    # upgraded from rows-only to spec oracles in round 3, so they
-    # re-enter the checked window
-    "multimodal_decode",
+    # s3_header_parse, u3_stack_assembly, and multimodal_decode
+    # deliberately absent: upgraded from rows-only to spec oracles in
+    # round 3, so they re-enter the checked window
     "multimodal_ann", "multimodal_features",
 )
 

@@ -24,7 +24,6 @@ def test_registry_invariants():
     # explicitly-flagged pandas-UDF ops
     assert set(os_) <= set(qs)
     assert set(qs) - set(os_) == {
-        "multimodal_decode",
         "multimodal_features",
         "multimodal_ann",
     }
