@@ -269,6 +269,39 @@ def dsir_weights(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted top-k sample: priority = h / w where h
+    is the uniform 32-bit md5 prefix of the id and w the weight —
+    heavier documents get systematically smaller priorities, so the
+    k smallest-priority rows are a weighted sample (the md5 hash
+    plays the role of Efraimidis–Spirakis's uniform draw; the ratio
+    keeps the arithmetic to one exact int→double division instead of
+    the u^(1/w) power, whose libm rounding differs across engines).
+
+    Deterministic: same corpus → same sample, independent of
+    partitioning, re-runs, and engine — the property that makes
+    pipeline re-runs and engine ports reproducible where RNG sampling
+    is not.  Plan: map-only priority + ONE top-k (TakeOrdered at this
+    size; at 100 TB swap the global limit for a per-partition
+    rank-prefilter then limit — each partition only ever surfaces its
+    own k smallest).
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    pr = h / F.col(weight_col).cast("double")
+    return (
+        df.select(F.col(id_col), F.col(weight_col), pr.alias("priority"))
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -93,3 +93,44 @@ def test_pq_rank_shape_and_positivity(spark):
         assert sorted(r.rank for r in rs) == [1, 2, 3]
         rs = sorted(rs, key=lambda r: r.rank)
         assert rs[0].adc_dist <= rs[1].adc_dist <= rs[2].adc_dist
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """weighted_sample: (a) partition-count invariant, (b) exact md5
+    arithmetic (matches a pure-Python replay), (c) weight-biased —
+    heavier docs are overrepresented vs a uniform id sample."""
+    import hashlib
+
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.llm.corpus import weighted_sample
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    got = [
+        (r.doc_id, r.priority)
+        for r in weighted_sample(docs, "doc_id", "w", 25).collect()
+    ]
+    # pure-Python replay
+    rows = [(r.doc_id, r.w) for r in docs.collect()]
+    replay = sorted(
+        (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / float(w),
+            i,
+        )
+        for i, w in rows
+    )[:25]
+    assert [(i, p) for p, i in replay] == got
+    # partition invariance
+    got2 = [
+        (r.doc_id, r.priority)
+        for r in weighted_sample(
+            docs.repartition(13), "doc_id", "w", 25
+        ).collect()
+    ]
+    assert got2 == got
+    # bias: mean weight of the sample exceeds the corpus mean
+    mean_all = sum(w for _, w in rows) / len(rows)
+    sample_ids = {i for i, _ in got}
+    mean_sample = sum(w for i, w in rows if i in sample_ids) / len(sample_ids)
+    assert mean_sample > mean_all
