@@ -10,9 +10,14 @@ engines, partitionings, and re-runs:
 
 * KMV (k minimum values): the k-th smallest of the distinct 32-bit
   md5 prefixes estimates cardinality as (k−1)·2³² / h_k — the
-  classic bottom-k estimator.  State per group = k hashes.
+  classic bottom-k estimator (Bar-Yossef et al. 2002; Beyer et al.
+  SIGMOD 2007).  State per group = k hashes.
 * Count-min: depth×width integer counters addressed by salted md5;
-  point estimate = min over rows.  Always ≥ the true count.
+  point estimate = min over rows.  Always ≥ the true count
+  (Cormode & Muthukrishnan, J. Algorithms 2005).
+* Bloom filter: k salted hash bits per key, no false negatives
+  (Bloom, CACM 1970); the join pre-filter usage mirrors Spark's own
+  runtime bloom join filters.
 
 Both are plain DataFrame aggregates — the "sketch" is literally a
 small grouped table, so merging across partitions IS the shuffle

@@ -275,7 +275,8 @@ def weighted_sample(
     weight_col: str,
     k: int,
 ) -> DataFrame:
-    """Deterministic weighted top-k sample: priority = h / w where h
+    """Deterministic weighted top-k sample (the Efraimidis–Spirakis
+    A-Res shape, IPL 2006 — public method): priority = h / w where h
     is the uniform 32-bit md5 prefix of the id and w the weight —
     heavier documents get systematically smaller priorities, so the
     k smallest-priority rows are a weighted sample (the md5 hash

@@ -1,6 +1,8 @@
 """Product-quantization ANN: train per-subspace codebooks, encode the
 corpus as tiny code ids, score queries via asymmetric distance
-computation (ADC) — the memory-side scale path for embedding search.
+computation (ADC) — the memory-side scale path for embedding search
+(Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011 — public method).
 
 Why PQ at 100 TB: a 64-dim float64 vector is 512 bytes; its PQ code is
 ``m`` small ints (4 bytes here).  The corpus side of the search touches

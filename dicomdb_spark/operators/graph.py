@@ -1,4 +1,5 @@
-"""Iterative graph computation on DataFrames: deterministic PageRank.
+"""Iterative graph computation on DataFrames: deterministic PageRank
+(Page, Brin, Motwani & Winograd 1999 — public method).
 
 Complements the min-label connected components in llm/dedup.py as the
 second iterative-algorithm shape: a fixed number of join+aggregate
