@@ -134,3 +134,50 @@ def test_weighted_sample_determinism_and_bias(spark):
     sample_ids = {i for i, _ in got}
     mean_sample = sum(w for i, w in rows if i in sample_ids) / len(sample_ids)
     assert mean_sample > mean_all
+
+
+def test_domain_cap_invariants(spark):
+    """Every domain keeps at most `cap` documents, the kept set is
+    exactly the quality-top-cap (unique-id tiebreak), and every input
+    row appears exactly once in the output."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.llm.corpus import domain_cap
+
+    docs = load_table(spark, SF, "documents")
+    u = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = domain_cap(u, "url", "doc_id", "n_chars", cap=2).collect()
+    assert len(out) == docs.count()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    quality = {r.doc_id: r.n_chars for r in u.select("doc_id", "n_chars").collect()}
+    for dom, rows in by_dom.items():
+        kept = [r for r in rows if r.kept]
+        assert len(kept) <= 2
+        # kept = the top-2 by (quality desc, id asc)
+        order = sorted(rows, key=lambda r: (-quality[r.doc_id], r.doc_id))
+        assert {r.doc_id for r in kept} == {r.doc_id for r in order[:2]}
+
+
+def test_dsir_scores_positive_and_target_biased(spark):
+    """DSIR: every score is positive, and the mean score of target-
+    language (en) documents exceeds the mean of the rest — the whole
+    point of importance resampling."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.llm.corpus import dsir_weights
+
+    docs = load_table(spark, SF, "documents")
+    out = dsir_weights(docs, F.col("lang") == "en").collect()
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    assert all(r.dsir_score > 0 for r in out)
+    en = [r.dsir_score for r in out if langs[r.doc_id] == "en"]
+    rest = [r.dsir_score for r in out if langs[r.doc_id] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
