@@ -165,6 +165,8 @@ def main() -> None:
         "sketch_kmv_distinct",
         "sketch_count_min",
         "sketch_bloom_join",
+        "sketch_hist_quantiles",
+        "text_bm25_topk",
     ):
         if name in QUERIES:
             try:
