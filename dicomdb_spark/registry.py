@@ -3265,7 +3265,13 @@ def scd2_history(spark, sf_dir):
     empty = spark.createDataFrame([], hist_schema)
     keys = ["c_custkey"]
     cmp_cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
-    h1 = scd2_apply(empty, snap1, keys, cmp_cols, "2024-01-01 00:00:00", ["c_acctbal"])
+    h1 = scd2_apply(
+        empty, snap1, keys, cmp_cols, "2024-01-01 00:00:00", ["c_acctbal"]
+    ).persist()  # batch-2 references the batch-1 history from several
+    # branches (open-row classify + carried-forward rows); without the
+    # persist the whole batch-1 lineage re-runs once per consumer —
+    # the per-batch persist is exactly how a production CDC loop holds
+    # its current history between merges
     return scd2_apply(h1, snap2, keys, cmp_cols, "2024-02-01 00:00:00", ["c_acctbal"])
 
 
