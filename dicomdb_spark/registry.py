@@ -1938,8 +1938,12 @@ def corpus_clean(spark, sf_dir):
     the scan stage, and the local parquet is one unsplittable row
     group — at real scale the scan parallelism comes free)."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 97 != 0).repartition(
-        spark.sparkContext.defaultParallelism
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()  # four consumers (quality, dup keeper, contamination
+        # grams, verdict join-back) — without the persist each re-runs
+        # the scan+repartition lineage
     )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     quality = corpus.select("doc_id", text.quality_score("text").alias("q"))
