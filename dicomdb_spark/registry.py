@@ -5831,6 +5831,84 @@ def tpch_q20_shape(spark, sf_dir):
     )
 
 
+def _weighted_sample_oracle(k: int = 25) -> str:
+    from dicomdb_spark.functions.sketches import sql_hex_int
+
+    h = sql_hex_int("md5(CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             CAST({h} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents)
+    SELECT doc_id, n_chars, priority
+    FROM p ORDER BY priority, doc_id LIMIT {k}
+    """
+
+
+@register("corpus_weighted_sample", _weighted_sample_oracle())
+def corpus_weighted_sample(spark, sf_dir):
+    """Deterministic weighted top-k document sample (25 docs, weight =
+    n_chars): md5-priority / weight, the Efraimidis–Spirakis shape
+    with the uniform draw replaced by the hash and the libm power by
+    one exact division (llm/corpus.py: weighted_sample).  Same corpus
+    → same sample on any engine, partitioning, or re-run — the
+    reproducibility RNG sampling can't give."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lcorpus.weighted_sample(docs, "doc_id", "n_chars", k=25)
+
+
+@register(
+    "a_salted_hot_agg",
+    f"""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 50 END
+               AS skew_key,
+             CAST(floor(value * 10000) AS BIGINT) AS vi
+      FROM events)
+    SELECT skew_key, count(*) AS n,
+           CAST(CAST(SUM(vi) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
+           CAST(min(vi) AS DOUBLE) / 10000.0 AS min_value,
+           CAST(max(vi) AS DOUBLE) / 10000.0 AS max_value
+    FROM f GROUP BY 1
+    """,
+)
+def a_salted_hot_agg(spark, sf_dir):
+    """Skew-mitigated aggregation: ~70 % of rows share one hot key,
+    aggregated through operators/skew.salted_agg — a (key, salt)
+    partial phase splits the hot reducer across 16 tasks, then a key
+    final phase recombines.  The ORACLE is the plain GROUP BY: salting
+    must be value-invisible.  Sums run over floor-scaled ints so the
+    two-phase recombination is exact (double partials would make the
+    salted sum rounding-order-dependent)."""
+    from dicomdb_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id") % 50)
+        .alias("skew_key"),
+        F.floor(F.col("value") * 10000).cast("long").alias("vi"),
+    )
+    out = salted_agg(
+        f,
+        ["skew_key"],
+        [
+            ("count", "vi", "n"),
+            ("sum", "vi", "svi"),
+            ("min", "vi", "minvi"),
+            ("max", "vi", "maxvi"),
+        ],
+        salts=16,
+    )
+    return out.select(
+        "skew_key",
+        "n",
+        (F.col("svi").cast("double") / 10000.0).alias("sum_value"),
+        (F.col("minvi").cast("double") / 10000.0).alias("min_value"),
+        (F.col("maxvi").cast("double") / 10000.0).alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
