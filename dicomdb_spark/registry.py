@@ -2555,15 +2555,86 @@ def multimodal_decode(spark, sf_dir):
     return decode_image_meta(binarize(docs))
 
 
-@register("multimodal_ann", None)  # mapInPandas feature stage — no SQL oracle
+# The fake multimodal feature extractor (llm/multimodal.extract_features)
+# is a pure function of the utf-8 byte stream: a 16-bin top-nibble byte
+# histogram, L1-normalized in double.  DuckDB can restate it exactly —
+# hex(encode(text)) yields two hex digits per byte and the FIRST digit of
+# each pair IS the top nibble (= the bin index), so per-bin counts are
+# character counts over the odd-position hex digits.  These helpers build
+# the 16-term SQL programmatically; parity with the numpy path is pinned
+# by tests/test_multimodal (floor-scaled outputs on both sides).
+_HEX_DIGITS = "0123456789ABCDEF"
+_MM_NIB_CTE = """
+  SELECT doc_id,
+         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+  FROM documents
+"""
+
+
+def _mm_count(i: int) -> str:
+    d = _HEX_DIGITS[i]
+    return f"(length(nib) - length(replace(nib,'{d}','')))"
+
+
+def _mm_feature(i: int) -> str:
+    """Bin count / total as the identical IEEE double the numpy path makes."""
+    return f"CAST({_mm_count(i)} AS DOUBLE) / GREATEST(n_bytes, 1)"
+
+
+_MM_FEATURES_ORACLE = f"""
+WITH h AS ({_MM_NIB_CTE}),
+f AS (
+  SELECT doc_id, n_bytes,
+         {", ".join(f"CAST(FLOOR(({_mm_feature(i)}) * 1000000.0) AS BIGINT) AS f_{i}" for i in range(16))}
+  FROM h)
+SELECT doc_id, n_bytes,
+       {" + ".join(f"f_{i}" for i in range(16))} AS feat_l1,
+       concat_ws(',', {", ".join(f"f_{i}" for i in range(16))}) AS features
+FROM f
+"""
+
+_MM_ANN_ORACLE = f"""
+WITH h AS ({_MM_NIB_CTE}),
+f AS (
+  SELECT doc_id,
+         {", ".join(f"{_mm_feature(i)} AS f_{i}" for i in range(16))}
+  FROM h),
+v AS (
+  SELECT *,
+         sqrt(({" + ".join(f"CAST(FLOOR((f_{i}*f_{i})*1e12) AS BIGINT)" for i in range(16))}) / 1e12)
+           AS nrm
+  FROM f),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         (({" + ".join(f"CAST(FLOOR((q.f_{i}*c.f_{i})*1e12) AS BIGINT)" for i in range(16))}) / 1e12)
+           / (q.nrm * c.nrm) AS cos
+  FROM v q JOIN v c ON q.doc_id < 20 AND q.doc_id != c.doc_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(FLOOR(cos * 1e9) AS BIGINT) AS cos_e9,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_e9, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("multimodal_ann", _MM_ANN_ORACLE)
 def multimodal_ann(spark, sf_dir):
     """The composed multimodal retrieval pipeline: binary payloads →
     mapInPandas feature extraction (16-bin byte histogram standing in
     for a CLIP-style encoder — identical batch shape) → exact cosine
     top-3 with the 20-query batch broadcast.  Demonstrates that the
-    multimodal feature column feeds the ANN operators unchanged;
-    rows-only driver check (the feature stage is not SQL-expressible).
-    """
+    multimodal feature column feeds the ANN operators unchanged.
+
+    Upgraded from rows-only to a spec oracle in round 4: the fake
+    extractor's histogram is restated in SQL off the hex-digit stream,
+    and the cosine is the same floor-scaled int kernel brute_force_topk
+    uses (dot/(nq·nc) with per-term floor at 1e12) — so the whole
+    binarize → Arrow → numpy → broadcast-join → window-top-k path is
+    value-checked bit-for-bit.  Similarity is emitted floor-scaled
+    (cos_e9) so the comparator never sees a HALF_UP-rounded double."""
     from dicomdb_spark.llm.multimodal import binarize, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2575,30 +2646,35 @@ def multimodal_ann(spark, sf_dir):
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("cosine_sim", 9).alias("cosine_sim"),
+        F.floor(F.col("cosine_sim") * 1e9).cast("long").alias("cos_e9"),
         "rank",
     )
 
 
-@register("multimodal_features", None)  # mapInPandas — no SQL oracle
+@register("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark, sf_dir):
     """Multimodal feature extraction on testdata: binary payloads → a
     16-bin L1-normalized byte histogram (real math, no media lib) via
     mapInPandas; the feature vector is emitted as a comma-joined
-    scalar for comparator safety.  Rows-only driver check."""
+    scalar for comparator safety.
+
+    Upgraded from rows-only to a spec oracle in round 4: features are
+    floor-scaled to ints at 1e6 (floor of the identical IEEE double is
+    engine-portable; round(x, 6) was the HALF_UP-vs-binary trap that
+    kept this rows-only) and feat_l1 is the exact int sum of the same
+    scaled bins."""
     from dicomdb_spark.llm.multimodal import binarize, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(binarize(docs))
+    ints = F.transform("features", lambda x: F.floor(x * 1000000.0).cast("long"))
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feat_l1"
+        F.aggregate(ints, F.lit(0).cast("long"), lambda a, x: a + x).alias("feat_l1"),
+        F.array_join(F.transform(ints, lambda x: x.cast("string")), ",").alias(
+            "features"
         ),
-        F.array_join(
-            F.transform("features", lambda x: F.round(x, 6).cast("string")), ","
-        ).alias("features"),
     )
 
 
@@ -5962,8 +6038,8 @@ R2_DRIVER_PROVEN: tuple[str, ...] = (
     "a_count_distinct", "t4_set_ops", "f9_json_extract",
     # s3_header_parse, u3_stack_assembly, and multimodal_decode
     # deliberately absent: upgraded from rows-only to spec oracles in
-    # round 3, so they re-enter the checked window
-    "multimodal_ann", "multimodal_features",
+    # round 3, so they re-enter the checked window; multimodal_ann and
+    # multimodal_features likewise upgraded in round 4
 )
 
 DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN

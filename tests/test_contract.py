@@ -23,10 +23,8 @@ def test_registry_invariants():
     # every oracle key exists as a query; non-oracle queries are the
     # explicitly-flagged pandas-UDF ops
     assert set(os_) <= set(qs)
-    assert set(qs) - set(os_) == {
-        "multimodal_features",
-        "multimodal_ann",
-    }
+    # round 4: every registered query now carries a DuckDB oracle
+    assert set(qs) - set(os_) == set()
     # names are stable identifiers (driver uses them as filenames/keys)
     assert all(n.replace("_", "").isalnum() for n in qs)
 

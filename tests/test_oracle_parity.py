@@ -93,11 +93,5 @@ def test_all_queries_have_oracles_or_are_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops are allowed to miss an oracle; keep the
     # list explicit so nothing goes missing silently
-    allowed_missing = {
-        "u3_stack_assembly",
-        "multimodal_decode",
-        "s3_header_parse",
-        "multimodal_features",
-        "multimodal_ann",
-    }
+    allowed_missing = set()
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
