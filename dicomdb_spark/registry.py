@@ -4593,7 +4593,12 @@ def graph_pagerank(spark, sf_dir):
     a rank⋈edges join on src + one groupBy(dst) contribution sum + a
     left join back onto the nodes — the loop composes DataFrames only,
     nothing crosses the driver.  Floor-scaled int64 ranks make all
-    three rounds bit-replayable in SQL (operators/graph.py)."""
+    three rounds bit-replayable in SQL (operators/graph.py).
+
+    broadcast_ranks=True because this node space is dimension-bounded
+    (customers + suppliers ≪ purchase edges): the cached edge list
+    never shuffles and each round is one map-side join + one
+    contribution agg (see graph.pagerank)."""
     from dicomdb_spark.operators import graph
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -4608,7 +4613,7 @@ def graph_pagerank(spark, sf_dir):
     ).unionAll(
         e0.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
     )
-    r = graph.pagerank(edges, iters=3, damping=0.85)
+    r = graph.pagerank(edges, iters=3, damping=0.85, broadcast_ranks=True)
     w = Window.orderBy(F.col("r").desc(), F.col("node"))
     return (
         r.withColumn("pos", F.row_number().over(w))
