@@ -55,6 +55,11 @@ def run_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+    # drop this query's persisted datasets before the next one: leaked
+    # cache blocks from earlier queries squeeze executor storage memory
+    # and fake 2-3× regressions on later CPU-bound entries (measured:
+    # dedup_dup_spans 3.5 s inside a full bench run vs 1.9 s clean)
+    spark.catalog.clearCache()
     return best
 
 
