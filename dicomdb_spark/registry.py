@@ -1327,6 +1327,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH {_SQL_DOCS2},
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle FROM tk),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2, inter / (s1.sz + s2.sz - inter) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON pairs.id1 = s1.doc_id
+    JOIN sizes s2 ON pairs.id2 = s2.doc_id
+    WHERE inter * 2 >= s1.sz + s2.sz - inter
+    """,
+)
+def dedup_prefix_jaccard(spark, sf_dir):
+    """3-gram Jaccard ≥ 0.5 with PREFIX-FILTERED candidate generation
+    (dedup.prefix_filter_jaccard_pairs): join keys are only each
+    document's rarest |d|−⌈t·|d|⌉+1 shingles by global document
+    frequency, so frequent-shingle buckets never enter the pair join.
+
+    Same element domain and threshold as dedup_ngram_jaccard, and the
+    ORACLE is deliberately that query's EXHAUSTIVE inverted index —
+    prefix filtering is provably lossless for Jaccard ≥ t, so the
+    pruned engine plan must reproduce the unpruned answer exactly.
+    That makes the driver row a check of the pruning theorem's
+    implementation, not just of arithmetic."""
+    return ldedup.prefix_filter_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=1,
+        threshold_den=2,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 @register("dedup_components", _component_oracle())
 def dedup_components(spark, sf_dir):
     """Near-duplicate CLUSTER resolution: minhash pairs are only

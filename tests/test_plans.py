@@ -41,6 +41,7 @@ def test_band_joins_are_not_nested_loops(spark):
         "dedup_simhash_near",
         "dedup_semantic_kmeans",
         "j12_range_join",
+        "dedup_prefix_jaccard",
     ):
         pi.assert_no_cartesian(QUERIES[name](spark, SF))
 
