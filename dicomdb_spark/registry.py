@@ -6032,6 +6032,84 @@ def a_salted_hot_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batch 12 (round 4) — layout: multi-dimensional clustering keys
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_interleave_sql(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "layout_zorder_key",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day
+      FROM orders),
+    mm AS (SELECT min(o_custkey) AS cmn, max(o_custkey) AS cmx,
+                  min(day) AS dmn, max(day) AS dmx FROM o),
+    b AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(((o_custkey - cmn) * {2**_Z_BITS}) / (cmx - cmn + 1))
+                  AS BIGINT) AS cust_bucket,
+             CAST(FLOOR(((day - dmn) * {2**_Z_BITS}) / (dmx - dmn + 1))
+                  AS BIGINT) AS day_bucket
+      FROM o CROSS JOIN mm)
+    SELECT o_orderkey, cust_bucket, day_bucket,
+           {_z_interleave_sql(["cust_bucket", "day_bucket"], _Z_BITS)} AS zval
+    FROM b
+    """,
+)
+def layout_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order-day) —
+    the layout primitive behind multi-dimensional data skipping
+    (Morton 1966; the standard lakehouse OPTIMIZE ZORDER BY shape).
+
+    Each dimension is min-max bucketized into [0, 2^16) with pure
+    integer arithmetic (the 1-row min/max aggregate broadcasts), then
+    bit-interleaved with shift/and/or Catalyst expressions — fully
+    whole-stage-codegen, no UDF.  Sorting files by zval keeps parquet
+    footer min/max tight on EVERY dimension (tests/test_scd_layout
+    proves the 2-D skipping win against a lexicographic sort from real
+    footer statistics).  The oracle replays the identical bit
+    interleave in SQL."""
+    from dicomdb_spark.sources.layout import bucketize, zorder_key
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))).alias(
+            "day"
+        ),
+    )
+    mm = o.agg(
+        F.min("o_custkey").alias("cmn"),
+        F.max("o_custkey").alias("cmx"),
+        F.min("day").alias("dmn"),
+        F.max("day").alias("dmx"),
+    )
+    j = o.crossJoin(F.broadcast(mm))
+    cb = bucketize(F.col("o_custkey"), F.col("cmn"), F.col("cmx"), bits=_Z_BITS)
+    db = bucketize(F.col("day"), F.col("dmn"), F.col("dmx"), bits=_Z_BITS)
+    return j.select(
+        "o_orderkey",
+        cb.alias("cust_bucket"),
+        db.alias("day_bucket"),
+        zorder_key([cb, db], bits=_Z_BITS).alias("zval"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

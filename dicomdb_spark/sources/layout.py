@@ -14,7 +14,41 @@ property instead of assuming it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketize(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
+    """Map an integer column into [0, 2^bits) by its (min, max) range.
+
+    Pure integer arithmetic — ``floor((x − mn)·2^bits / (mx − mn + 1))``
+    — so the same expression replays exactly in any engine; mn/mx come
+    from a 1-row broadcast aggregate (never a per-row window).
+    """
+    span = mx - mn + F.lit(1)
+    return F.floor(((col - mn) * F.lit(2**bits)) / span).cast("long")
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton / Z-order interleaving of pre-bucketized dimensions
+    (public technique: Morton 1966; used by every lakehouse layout
+    optimizer for multi-dimensional data skipping).
+
+    Each input must already be a non-negative int < 2^bits (see
+    :func:`bucketize`).  Bit b of dimension i lands at position
+    ``b·ndims + i``, so a sort by the key interleaves all dimensions —
+    per-file min/max footer ranges then stay tight on EVERY dimension,
+    where a lexicographic sort keeps them tight only on the first.
+    Pure bitwise Catalyst expressions (shift/and/or), whole-stage
+    codegen friendly, and bit-replayable in SQL.
+    """
+    n = len(cols)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            acc = acc.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return acc
 
 
 def write_sorted(df: DataFrame, path: str, cols: list[str], n_files: int = 8) -> None:

@@ -45,3 +45,38 @@ def test_sorted_layout_enables_skipping(spark, tmp_path):
     assert layout.ranges_are_disjoint(ranges), ranges
     # and the data survives the round trip
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """Footer-statistics PROOF of the z-order win: for a 2-D box
+    predicate, a zval-sorted layout must let MORE files be skipped
+    than a lexicographic (custkey, day) sort, whose second dimension's
+    per-file ranges span everything."""
+    from dicomdb_spark.registry import QUERIES
+    from dicomdb_spark.sources.layout import file_column_ranges, write_sorted
+
+    zdf = QUERIES["layout_zorder_key"](spark, "/root/testdata/sf0.01")
+    n_files = 16
+
+    z_out = str(tmp_path / "zorder")
+    write_sorted(zdf, z_out, ["zval"], n_files=n_files)
+    lex_out = str(tmp_path / "lex")
+    write_sorted(zdf, lex_out, ["cust_bucket", "day_bucket"], n_files=n_files)
+
+    def candidate_files(path, c_box, d_box):
+        crs = file_column_ranges(path, "cust_bucket")
+        drs = file_column_ranges(path, "day_bucket")
+        hit = 0
+        for (cmn, cmx), (dmn, dmx) in zip(crs, drs):
+            if cmx >= c_box[0] and cmn <= c_box[1] and dmx >= d_box[0] and dmn <= d_box[1]:
+                hit += 1
+        return hit, len(crs)
+
+    # a ~1/8 × 1/8 box in bucket space
+    box_c = (8192, 16383)
+    box_d = (8192, 16383)
+    z_hit, z_total = candidate_files(z_out, box_c, box_d)
+    lex_hit, lex_total = candidate_files(lex_out, box_c, box_d)
+    assert z_total >= 8 and lex_total >= 8
+    # the lex layout prunes on dim-1 only; z-order prunes on both
+    assert z_hit < lex_hit, (z_hit, z_total, lex_hit, lex_total)
