@@ -99,6 +99,112 @@ def kmv_oracle(item_sql: str, from_sql: str, group_sql: str, k: int = 256) -> st
     """
 
 
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group deterministic HyperLogLog cardinality estimate
+    (Flajolet, Fusy, Gandouet & Meunier, AofA 2007 — public method)
+    next to the exact count.
+
+    m = 2^p registers; the bucket is the first p bits of md5 (p/4 hex
+    chars) and ρ = 1 + leading-zero count of the next 48 bits —
+    computed from the HEX STRING (4·zero-chars + a first-nonzero-digit
+    table), so both engines read the identical bits without 64-bit
+    casts.  The harmonic-mean denominator Σ 2^(−reg) is kept EXACT by
+    scaling to Σ 2^(Q−reg) integer terms (Q=50; ρ ≤ 49 so every term
+    and the ≤ m·2^50 sum fit int64), with absent registers counting
+    2^Q each; the estimate is then ONE double division of the
+    precomputed α·m²·2^Q numerator — bit-identical everywhere, unlike
+    Spark's engine-private HLL++ register layout
+    (approx_count_distinct), which an oracle cannot replay.
+
+    The raw estimator only (no small/large-range corrections: linear
+    counting needs ln(), and libm transcendentals are not
+    bit-portable across engines); ``zero_regs`` is emitted so a
+    production wrapper can apply corrections downstream.
+
+    Plan: one distinct-(group, hash) aggregate, one (group, bucket)
+    max-ρ aggregate, one per-group sum — constant ≤ m rows of state
+    per group at every point, mergeable across partitions by
+    construction.  Output: (group, n_exact, zero_regs, n_est).
+    """
+    m = 1 << p
+    q = 50
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * float(m) * float(m) * float(2**q)
+    md5c = F.md5(F.col(item_col))
+    d = df.select(F.col(group_col).alias("g"), md5c.alias("h")).distinct()
+    tail = F.substring(F.col("h"), p // 4 + 1, 12)
+    lz = F.length(F.regexp_extract(tail, "^0*", 0))
+    first = tail.substr(lz + 1, F.lit(1))
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    hashed = d.select(
+        "g",
+        _hex_int(F.col("h"), p // 4).alias("b"),
+        (lz * 4 + extra + 1).alias("rho"),
+    )
+    regs = hashed.groupBy("g", "b").agg(F.max("rho").alias("r"))
+    per_g = regs.groupBy("g").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({q} - r AS INT))")).alias(
+            "s_obs"
+        ),
+    )
+    exact = d.groupBy("g").agg(F.count("*").alias("n_exact"))
+    s = F.col("s_obs") + (F.lit(m) - F.col("nb")) * F.lit(2**q).cast("long")
+    return (
+        exact.join(per_g, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_exact",
+            (F.lit(m) - F.col("nb")).cast("long").alias("zero_regs"),
+            (F.lit(num) / s.cast("double")).alias("n_est"),
+        )
+    )
+
+
+def hll_oracle(item_sql: str, from_sql: str, group_sql: str, p: int = 8) -> str:
+    """DuckDB replay of :func:`hll_distinct` — same hex-string bit
+    reads, same exact-integer register sum, same single division."""
+    m = 1 << p
+    q = 50
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * float(m) * float(m) * float(2**q)
+    b = sql_hex_int("h", p // 4)
+    return f"""
+    WITH d AS (SELECT DISTINCT {group_sql} AS g, md5({item_sql}) AS h
+               FROM {from_sql}),
+    tl AS (SELECT g, h, substr(h, {p // 4 + 1}, 12) AS tail FROM d),
+    rho AS (
+      SELECT g, {b} AS b,
+             4 * length(regexp_extract(tail, '^0*')) +
+             CASE substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               ELSE 0 END + 1 AS rho
+      FROM tl),
+    regs AS (SELECT g, b, max(rho) AS r FROM rho GROUP BY 1, 2),
+    per_g AS (
+      SELECT g, count(*) AS nb,
+             CAST(SUM(CAST(1 AS BIGINT) << ({q} - r)) AS BIGINT) AS s_obs
+      FROM regs GROUP BY 1),
+    exact AS (SELECT g, count(*) AS n_exact FROM d GROUP BY 1)
+    SELECT e.g, e.n_exact,
+           CAST({m} - p.nb AS BIGINT) AS zero_regs,
+           {num!r} / CAST(p.s_obs + ({m} - p.nb) * (CAST(1 AS BIGINT) << {q})
+                          AS DOUBLE) AS n_est
+    FROM exact e JOIN per_g p ON p.g = e.g
+    """
+
+
 def count_min(
     items: DataFrame,
     item_col: str = "item",

@@ -4770,6 +4770,38 @@ def sketch_kmv_distinct(spark, sf_dir):
     return sketches.kmv_distinct(sh, "lang", "sh", k=256)
 
 
+def _hll_oracle() -> str:
+    from dicomdb_spark.functions.sketches import hll_oracle
+
+    return hll_oracle(
+        "t.sh",
+        f"""(SELECT lang, unnest(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+             FROM (SELECT lang, {_SQL_TOKS} AS tk FROM documents) d) t""",
+        "t.lang",
+        p=8,
+    ).replace("SELECT e.g,", "SELECT e.g AS lang,")
+
+
+@register("sketch_hll_distinct", _hll_oracle())
+def sketch_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-shingle cardinality per
+    language, next to the exact count and KMV (sketch_kmv_distinct):
+    256 md5-addressed registers, hex-string ρ extraction, exact-int
+    harmonic sum, one portable division (functions/sketches.py:
+    hll_distinct).  Constant 2^p-register state per group — the
+    textbook 100 TB cardinality sketch — while staying bit-replayable
+    where Spark's built-in HLL++ register layout is engine-private."""
+    from dicomdb_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select("lang", F.explode(text.shingles("text", 3)).alias("sh"))
+    return sketches.hll_distinct(sh, "lang", "sh", p=8)
+
+
 def _cms_oracle(depth: int = 4, width_chars: int = 2, topn: int = 20) -> str:
     from dicomdb_spark.functions.sketches import sql_hex_int
 

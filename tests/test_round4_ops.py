@@ -45,3 +45,15 @@ def test_prefix_filter_actually_prunes(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" in plan
     assert full > 0
+
+
+def test_hll_sketch_accuracy_and_determinism(spark):
+    """Raw HLL at p=8 has ~6.5% std error; assert a loose 3-sigma
+    bound vs the exact counts, plus the int-sum structure (zero_regs
+    consistent with the register count cap)."""
+    rows = QUERIES["sketch_hll_distinct"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.zero_regs <= 256
+        if r.n_exact >= 1000:
+            assert abs(r.n_est - r.n_exact) / r.n_exact < 0.25, (r.lang, r.n_est, r.n_exact)
