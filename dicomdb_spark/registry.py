@@ -6063,6 +6063,47 @@ def a_salted_hot_agg(spark, sf_dir):
     )
 
 
+@register(
+    "w_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+    a AS (
+      SELECT DISTINCT
+             CAST(f.first_ts AS DATE) AS cohort_day,
+             CAST(date_diff('day', CAST(f.first_ts AS DATE),
+                            CAST(e.ts AS DATE)) AS BIGINT) AS days_since,
+             e.user_id
+      FROM events e JOIN f USING (user_id))
+    SELECT cohort_day, days_since, count(*) AS active_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def w_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the canonical product-analytics
+    rollup: users grouped by first-activity day, counted as active on
+    each subsequent day (day granularity because the events fixture
+    spans one month).  User-day de-dup before the count so a user's
+    burst of events counts once.  Plan: one per-user min aggregate,
+    one equi-join back (AQE broadcasts the per-user firsts when they
+    fit), one distinct + count shuffle — each keyed on
+    uniformly-distributed ids, nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(first, "user_id")
+    return (
+        j.select(
+            F.to_date("first_ts").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.to_date("first_ts"))
+            .cast("long")
+            .alias("days_since"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "days_since")
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 12 (round 4) — layout: multi-dimensional clustering keys
 # ---------------------------------------------------------------------------
