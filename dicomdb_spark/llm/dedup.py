@@ -309,12 +309,25 @@ def prefix_filter_jaccard_pairs(
         )
         + 1
     )
-    prefix = ranked.filter(F.col("r") <= plen).select("doc", "tok")
+    prefix = ranked.filter(F.col("r") <= plen).select("doc", "tok", "r", "sz")
+    # PPJoin positional filter: a shared prefix token at ranks (rA, rB)
+    # bounds the overlap by 1 + min(szA−rA, szB−rB); J ≥ t needs
+    # overlap ≥ num·(szA+szB)/(num+den), so pairs whose bound falls
+    # short are pruned INSIDE the join (row-local integer test) before
+    # the distinct — candidates drop before they cost a shuffle.
+    o_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.r"), F.col("b.sz") - F.col("b.r")
+    )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                o_bound * (threshold_num + threshold_den)
+                >= threshold_num * (F.col("a.sz") + F.col("b.sz"))
+            ),
         )
         .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
         .distinct()
