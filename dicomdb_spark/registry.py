@@ -6183,6 +6183,201 @@ def layout_zorder_key(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W7 — gaps-and-islands (consecutive-activity runs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_gap_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d)
+    SELECT user_id,
+           MIN(day) AS island_start,
+           MAX(day) AS island_end,
+           count(*) AS island_days
+    FROM r
+    GROUP BY user_id, day - CAST(rn AS INT)
+    """,
+)
+def w_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive purchase-active
+    days per user (the classic date-minus-row_number island key).
+
+    One distinct-(user, day) aggregate, one per-user window over the
+    tiny distinct set, one island aggregate — the window sorts days
+    AFTER the distinct collapse, so at 100 TB of raw events the sort
+    input is bounded by users × days, not event volume.  Generalizes
+    the reference's sessionize-by-day shape (W3) from "bucket by day"
+    to "runs of adjacent days"."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = ev.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count("*").alias("island_days"),
+    ).drop("anchor")
+
+
+# ---------------------------------------------------------------------------
+# A10 — deterministic per-group mode (argmax of the frequency table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_mode_per_group",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+    SELECT user_id, event_type AS mode_event, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def a_mode_per_group(spark, sf_dir):
+    """Deterministic mode: the most frequent event_type per user, ties
+    broken by lexicographically smallest value (never engine-private
+    hash order).  Two hash aggregates + a window over the tiny
+    per-(user, type) frequency table — the window input is bounded by
+    |users| × |types|, not event volume, so the sort never sees raw
+    data.  Extends the A-family (A3 counts, A4 min/max-by) with the
+    argmax-of-counts shape the reference builds by ORDER BY cnt DESC
+    LIMIT 1 per key (Cenir_DB.py top-1 loops)."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — keyset (cursor) pagination
+# ---------------------------------------------------------------------------
+
+_KEYSET_CURSOR = ("1998-03-15 00:00:00", 0)
+
+
+@register(
+    "o5_keyset_pagination",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '{_KEYSET_CURSOR[0]}'
+       OR (o_orderdate = TIMESTAMP '{_KEYSET_CURSOR[0]}'
+           AND o_orderkey > {_KEYSET_CURSOR[1]})
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def o5_keyset_pagination(spark, sf_dir):
+    """Keyset pagination: the page AFTER cursor (o_orderdate,
+    o_orderkey) under a total order with a unique tiebreak.
+
+    Unlike OFFSET (which scans and discards every earlier row — O(page
+    × depth) at scale), the tuple-compare predicate is sargable: it
+    reaches the parquet scan as min/max-prunable filters, so a
+    date-sorted layout reads only trailing row groups no matter how
+    deep the cursor is.  Spark's global TakeOrderedAndProject then
+    keeps 20 rows per partition and merges — no full sort.  O-family
+    completion next to O1 (LIMIT 1) and O2 (top-k)."""
+    d, k = _KEYSET_CURSOR
+    o = load_table(spark, sf_dir, "orders")
+    cursor = F.lit(d).cast("timestamp_ntz")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > cursor)
+            | ((F.col("o_orderdate") == cursor) & (F.col("o_orderkey") > k))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14 — CDC log compaction (last-writer-wins apply with delete tombstones)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_last_writer_state",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS ops_applied
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'view', 'purchase', 'error'))
+    SELECT user_id, ts AS last_ts, event_type AS last_op,
+           value AS last_value, ops_applied
+    FROM log WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_last_writer_state(spark, sf_dir):
+    """CDC log compaction: replay a change log into current state by
+    last-writer-wins per key — 'signup' inserts, 'click'/'view'/
+    'purchase' upsert, 'error' is a delete tombstone that removes the
+    key unless a later op re-creates it (LWW makes only the FINAL op
+    per key authoritative, so out-of-order history collapses in one
+    pass).  The ordering key carries event_id as a unique tiebreak —
+    same-timestamp writers can never flip the result between runs.
+
+    One window over the log partitioned by key — the Delta/Hudi
+    compaction shape; at 100 TB the log shuffles once on user_id and
+    state is one row per key.  Extends S7 (MERGE upsert) to
+    log-replay semantics; the streaming twin is w2_keep_latest's
+    foreachBatch path (streaming/incremental.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("ops_applied", F.count("*").over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+            "ops_applied",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
