@@ -99,6 +99,80 @@ def kmv_oracle(item_sql: str, from_sql: str, group_sql: str, k: int = 256) -> st
     """
 
 
+def _bucket_rho(d: DataFrame, p: int) -> DataFrame:
+    """(g, h=md5-hex) → (g, b, rho): register address from the first
+    p bits, ρ = 1 + leading-zero count of the next 48 bits — all read
+    straight off the hex string (shared by hll_distinct /
+    hll_registers so the sketch and its mergeable-state twin can never
+    drift)."""
+    tail = F.substring(F.col("h"), p // 4 + 1, 12)
+    lz = F.length(F.regexp_extract(tail, "^0*", 0))
+    first = tail.substr(lz + 1, F.lit(1))
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return d.select(
+        "g",
+        _hex_int(F.col("h"), p // 4).alias("b"),
+        (lz * 4 + extra + 1).alias("rho"),
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register state — (group, b, r) rows, ≤ 2^p per
+    group — the MERGEABLE half of :func:`hll_distinct`.
+
+    Registers merge by plain ``max(r)`` per (group, b): the estimate
+    computed from merged registers is *identical* to running the
+    sketch over the union of the inputs (max is associative,
+    commutative, idempotent).  That is the property that lets a
+    100 TB rollup keep one 2^p-row state per partition / day / shard
+    and combine upward without ever re-reading raw data.
+    """
+    md5c = F.md5(F.col(item_col))
+    d = df.select(F.col(group_col).alias("g"), md5c.alias("h")).distinct()
+    return (
+        _bucket_rho(d, p)
+        .groupBy("g", "b")
+        .agg(F.max("rho").alias("r"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """(group, b, r) register rows → (group, zero_regs, n_est) raw-HLL
+    estimate, numerically identical to :func:`hll_distinct`'s (same
+    exact-integer harmonic sum, same single double division)."""
+    m = 1 << p
+    q = 50
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * float(m) * float(m) * float(2**q)
+    per_g = regs.groupBy(group_col).agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({q} - r AS INT))")).alias(
+            "s_obs"
+        ),
+    )
+    s = F.col("s_obs") + (F.lit(m) - F.col("nb")) * F.lit(2**q).cast("long")
+    return per_g.select(
+        group_col,
+        (F.lit(m) - F.col("nb")).cast("long").alias("zero_regs"),
+        (F.lit(num) / s.cast("double")).alias("n_est"),
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str,
@@ -137,21 +211,7 @@ def hll_distinct(
     num = alpha * float(m) * float(m) * float(2**q)
     md5c = F.md5(F.col(item_col))
     d = df.select(F.col(group_col).alias("g"), md5c.alias("h")).distinct()
-    tail = F.substring(F.col("h"), p // 4 + 1, 12)
-    lz = F.length(F.regexp_extract(tail, "^0*", 0))
-    first = tail.substr(lz + 1, F.lit(1))
-    extra = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    hashed = d.select(
-        "g",
-        _hex_int(F.col("h"), p // 4).alias("b"),
-        (lz * 4 + extra + 1).alias("rho"),
-    )
-    regs = hashed.groupBy("g", "b").agg(F.max("rho").alias("r"))
+    regs = _bucket_rho(d, p).groupBy("g", "b").agg(F.max("rho").alias("r"))
     per_g = regs.groupBy("g").agg(
         F.count("*").alias("nb"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({q} - r AS INT))")).alias(

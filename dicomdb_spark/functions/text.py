@@ -79,6 +79,108 @@ def quality_score(col: Column | str) -> Column:
     return (length_sig + punct_sig + sw_sig) / 3.0
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(col: Column | str) -> list[Column]:
+    """Gopher-style document-quality signals (Rae et al. 2021,
+    "Scaling Language Models: … Gopher", App. A — public method) as
+    pure Catalyst expressions: per-row, shuffle-free, 100 TB-safe.
+
+    Emitted columns: n_words, mean_word_len, symbol_ratio (#/… per
+    word), bullet_ratio and ellipsis_ratio (per line), alpha_ratio
+    (words containing a letter), n_stop (hits in the 8-word Gopher
+    stopword list), and the combined gopher_pass boolean.  Every
+    ratio is one IEEE double division of the SAME integer pair on
+    both engines, so the DuckDB twin matches bit-for-bit.
+    """
+    toks = tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = F.size(toks)
+    char_sum = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_word_len = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
+    n_symbols = _substr_count(c, "#") + _substr_count(c, "…")
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    bullet_ratio = n_bullet / n_lines
+    ellipsis_ratio = n_ellipsis / n_lines
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio > 0.8)
+        & (n_stop >= 2)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stop"),
+        gopher_pass.alias("gopher_pass"),
+    ]
+
+
+def gopher_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`gopher_signals` — select-list fragment."""
+    toks = (
+        rf"list_filter(string_split_regex(trim({text_expr}), '\s+'), t -> t <> '')"
+    )
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    lines = f"string_split({text_expr}, chr(10))"
+    n_words = f"len({toks})"
+    char_sum = f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS BIGINT)"
+    n_symbols = (
+        f"((length({text_expr}) - length(replace({text_expr}, '#', '')))"
+        f" + (length({text_expr}) - length(replace({text_expr}, '…', ''))))"
+    )
+    return f"""
+           {n_words} AS n_words,
+           CASE WHEN {n_words} > 0
+             THEN {char_sum} / {n_words} ELSE 0.0 END AS mean_word_len,
+           CASE WHEN {n_words} > 0
+             THEN {n_symbols} / {n_words} ELSE 0.0 END AS symbol_ratio,
+           len(list_filter({lines}, l -> regexp_matches(l, '^\\s*[-*•]')))
+             / len({lines}) AS bullet_ratio,
+           len(list_filter({lines}, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+             / len({lines}) AS ellipsis_ratio,
+           CASE WHEN {n_words} > 0
+             THEN len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))
+                  / {n_words} ELSE 0.0 END AS alpha_ratio,
+           len(list_filter({toks}, t -> list_contains([{sw}], lower(t))))
+             AS n_stop,
+           ({n_words} >= 50 AND {n_words} <= 100000
+            AND (CASE WHEN {n_words} > 0
+                 THEN {char_sum} / {n_words} ELSE 0.0 END) >= 3.0
+            AND (CASE WHEN {n_words} > 0
+                 THEN {char_sum} / {n_words} ELSE 0.0 END) <= 10.0
+            AND (CASE WHEN {n_words} > 0
+                 THEN {n_symbols} / {n_words} ELSE 0.0 END) < 0.1
+            AND len(list_filter({lines}, l -> regexp_matches(l, '^\\s*[-*•]')))
+                / len({lines}) < 0.9
+            AND len(list_filter({lines}, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                / len({lines}) < 0.3
+            AND (CASE WHEN {n_words} > 0
+                 THEN len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))
+                      / {n_words} ELSE 0.0 END) > 0.8
+            AND len(list_filter({toks}, t -> list_contains([{sw}], lower(t)))) >= 2)
+             AS gopher_pass
+    """
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-token language heuristic → language code or 'und'.
 

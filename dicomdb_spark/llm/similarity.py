@@ -166,6 +166,81 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k Maximum-Inner-Product Search (unnormalized dot) —
+    the retrieval scoring used when embedding magnitude carries signal
+    (recommendation scores, learned rerankers), vs cosine's
+    angle-only ranking in :func:`brute_force_topk`.
+
+    Same scale shape as the cosine baseline: broadcast(queries) ⋈
+    corpus (the corpus never shuffles), whole-batch numpy dot, window
+    top-k on (query_id).  For the sublinear path, MIPS reduces to
+    cosine by the norm-augmentation trick (:func:`mips_augment`,
+    Bachrach et al. RecSys 2014) — augment corpus vectors with
+    sqrt(M² − ‖x‖²) and queries with 0, then any cosine index
+    (LSH/IVF here) answers MIPS."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_score", dot_exact_vec(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_score", "rank")
+    )
+
+
+def mips_augment(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The MIPS→cosine reduction: corpus x → [x, sqrt(M²−‖x‖²)]
+    (M = max corpus norm, one 1-row broadcast aggregate), query
+    q → [q, 0].  Augmented-cosine(q̂, x̂) = dot(q, x) / (‖q‖·M):
+    for a fixed query that is a positive constant times the inner
+    product, so cosine ranking over the augmented vectors IS the MIPS
+    ranking — any cosine ANN index becomes a MIPS index
+    (tests/test_round5_ops.py proves rank equivalence).  Pure
+    Catalyst fold/concat expressions — no UDF, no shuffle beyond the
+    broadcast of one scalar."""
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(F.col(id_col), v.alias("__v")).withColumn(
+        "__nsq", F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    m2 = c.agg(F.max("__nsq").alias("__m2"))
+    c_aug = c.crossJoin(F.broadcast(m2)).select(
+        id_col,
+        F.concat(
+            F.col("__v"), F.array(F.sqrt(F.col("__m2") - F.col("__nsq")))
+        ).alias("aug"),
+    )
+    q_aug = queries.select(
+        F.col(id_col),
+        F.concat(v, F.array(F.lit(0.0))).alias("aug"),
+    )
+    return c_aug, q_aug
+
+
 def bucket_by_seed_planes(
     vectors: DataFrame,
     n_planes: int = 8,

@@ -6378,6 +6378,224 @@ def cdc_last_writer_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document-quality rules
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle() -> str:
+    return f"SELECT doc_id, {text.gopher_sql('text')} FROM documents"
+
+
+@register("text_gopher_rules", _gopher_oracle())
+def text_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter signals (Rae et al. 2021, App. A): word
+    count bounds, mean word length, symbol/bullet/ellipsis ratios,
+    alphabetic-word fraction, stopword floor, and the combined pass
+    flag — all pure Catalyst expressions (functions/text.py:
+    gopher_signals), per-row, shuffle-free, whole-stage-codegen at any
+    scale.  Complements quality_score (heuristic composite) with the
+    published rule set used to filter MassiveWeb."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *text.gopher_signals("text"))
+
+
+# ---------------------------------------------------------------------------
+# HLL register merge — distributed sketch rollup
+# ---------------------------------------------------------------------------
+
+
+def _hll_merge_oracle() -> str:
+    from dicomdb_spark.functions.sketches import hll_oracle
+
+    return hll_oracle(
+        "t.ck",
+        """(SELECT CAST(c.c_custkey AS VARCHAR) AS ck, n.n_regionkey AS rk
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey) t""",
+        "t.rk",
+        p=8,
+    ).replace("SELECT e.g,", "SELECT e.g AS n_regionkey,")
+
+
+@register("sketch_hll_merge", _hll_merge_oracle())
+def sketch_hll_merge(spark, sf_dir):
+    """HLL register MERGE: per-nation register state rolled up to
+    per-region estimates by plain max(r) per (region, bucket)
+    (functions/sketches.py: hll_registers / hll_estimate_from_registers).
+
+    The oracle computes the region sketch DIRECTLY from raw items, so
+    a green row PROVES the mergeability law — estimate(merge(states))
+    ≡ estimate(union of inputs) — which is what lets a 100 TB rollup
+    keep one 2^p-row state per shard/day and combine upward without
+    re-reading raw data (the Druid/datasketches pattern).  Exact
+    distinct per region rides along for error inspection."""
+    from dicomdb_spark.functions import sketches
+
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").cast("string").alias("ck"),
+            "n_nationkey",
+            "n_regionkey",
+        )
+    )
+    regs = sketches.hll_registers(cust, "n_nationkey", "ck", p=8)
+    merged = (
+        regs.join(nat, "n_nationkey")
+        .groupBy("n_regionkey", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    est = sketches.hll_estimate_from_registers(merged, "n_regionkey", p=8)
+    exact = (
+        cust.select("n_regionkey", "ck")
+        .distinct()
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(est, "n_regionkey").select(
+        "n_regionkey", "n_exact", "zero_regs", "n_est"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MIPS — maximum-inner-product retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_mips_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST((SELECT SUM(CAST(floor(q.v[i.i] * c.v[i.i] * 1e12) AS BIGINT))
+                   FROM unnest(range(1, len(q.v) + 1)) i(i)) / 1e12 AS DOUBLE)
+               AS dot_score
+      FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, dot_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_score DESC, neighbor_id) AS rank
+      FROM pairs) t
+    WHERE rank <= 5
+    """,
+)
+def ann_mips_topk(spark, sf_dir):
+    """Maximum-inner-product top-5 (unnormalized dot) for query
+    vectors vec_id < 10 — the scoring used when magnitude matters
+    (recommenders, learned rerankers), next to the cosine baseline.
+    Broadcast queries, corpus never shuffles, floor-scaled exact dot.
+    The sublinear path is the norm-augmentation reduction to cosine
+    (llm/similarity.py: mips_augment — rank-equivalence proven in
+    tests), after which LSH/IVF answer MIPS unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsim.mips_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-delta (incremental) dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_snapshot_delta",
+    """
+    WITH old AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+    batch AS (
+      SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 10 >= 8
+      GROUP BY 1)
+    SELECT b.doc_id, b.content_md5
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = b.content_md5)
+    """,
+)
+def dedup_snapshot_delta(spark, sf_dir):
+    """Incremental exact dedup: an arriving batch (doc_id % 10 ≥ 8)
+    is first self-deduped (min doc_id per content hash — one hash
+    aggregate over the SMALL batch), then anti-joined against the
+    accumulated snapshot's hash set.  Only the batch shuffles; the
+    100 TB snapshot contributes one distinct-hash column scan, and the
+    sketch_bloom_join filter composes in front of the anti-join to
+    prune the batch before it ever reaches the shuffle.  This is the
+    daily-ingest shape of dedup_exact — dedup new data against
+    yesterday's corpus without re-deduping the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .select(F.md5("text").alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(
+        old, batch["content_md5"] == old["h"], "left_anti"
+    ).select("doc_id", "content_md5")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mv_incremental",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def corpus_mv_incremental(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-customer
+    revenue MV is computed as merge(partial-agg(base), partial-agg(delta))
+    — base is history before 1998-01-01, delta the arriving tail —
+    while the ORACLE computes the same view directly from all rows.
+    A green row proves the maintenance identity: floor-scaled integer
+    partial sums and counts are associative, so merging partials is
+    EXACTLY the full recompute (the self-maintainable-view property
+    that lets a 100 TB fact table refresh its aggregates from the
+    day's delta alone).  Floating-point partials would break this —
+    double addition is order-dependent — which is why every revenue
+    sum in this engine is an integer at rest (aggregates.dsum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_i"),
+            F.count("*").alias("n_orders"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_i").alias("rev_i"), F.sum("n_orders").alias("n_orders"))
+    )
+    return merged.select(
+        "o_custkey",
+        (F.col("rev_i") / F.lit(100.0)).cast("double").alias("revenue"),
+        "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

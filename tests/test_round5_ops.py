@@ -1,0 +1,204 @@
+"""Round-5 operators: gaps-and-islands, CDC compaction, HLL merge law,
+MIPS + the norm-augmentation reduction, Gopher rules, incremental MV."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vals(df):
+    return sorted(tuple(repr(v) for v in row) for row in df.collect())
+
+
+# -- gaps-and-islands ------------------------------------------------------
+
+
+def test_gap_islands_semantics(spark):
+    """Hand-built day sets → known islands (incl. duplicate days,
+    singletons, and a 2-user interleave)."""
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-02"),
+        (1, "2024-01-05"),
+        (2, "2024-01-02"), (2, "2024-01-03"), (2, "2024-01-04"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, day STRING").select(
+        "user_id", F.to_date("day").alias("day")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    out = (
+        df.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("s"),
+            F.max("day").alias("e"),
+            F.count("*").alias("n"),
+        )
+        .drop("anchor")
+    )
+    got = {(r.user_id, str(r.s), str(r.e), r.n) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01", "2024-01-02", 2),
+        (1, "2024-01-05", "2024-01-05", 1),
+        (2, "2024-01-02", "2024-01-04", 3),
+    }
+
+
+def test_gap_islands_cover_all_purchase_days(spark):
+    """Islands partition the distinct purchase-day set: sum of island
+    lengths == number of distinct (user, day) purchase pairs."""
+    from dicomdb_spark.io import load_table
+
+    islands = QUERIES["w_gap_islands"](spark, SF)
+    n_in_islands = islands.agg(F.sum("island_days")).collect()[0][0]
+    n_days = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert n_in_islands == n_days > 0
+
+
+# -- CDC last-writer-wins --------------------------------------------------
+
+
+def test_cdc_tombstone_removes_key(spark):
+    """A key whose final op is the tombstone disappears; a later
+    re-create survives; same-timestamp writers resolve by event_id."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "signup", 1.0),
+        (1, "2024-01-02 00:00:00", 11, "error", 0.0),   # deleted
+        (2, "2024-01-01 00:00:00", 20, "signup", 1.0),
+        (2, "2024-01-02 00:00:00", 21, "error", 0.0),
+        (2, "2024-01-03 00:00:00", 22, "click", 2.0),   # re-created
+        (3, "2024-01-01 00:00:00", 31, "view", 3.0),    # ts tie:
+        (3, "2024-01-01 00:00:00", 30, "error", 0.0),   # id 31 wins
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts STRING, event_id INT, event_type STRING, value DOUBLE"
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    state = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+    )
+    got = {(r.user_id, r.event_type) for r in state.collect()}
+    assert got == {(2, "click"), (3, "view")}
+
+
+# -- HLL merge law ---------------------------------------------------------
+
+
+def test_hll_merge_equals_direct(spark):
+    """estimate(merge(per-part registers)) == estimate(direct) for an
+    arbitrary 3-way split — the mergeability law the sketch_hll_merge
+    oracle checks end-to-end at region level."""
+    from dicomdb_spark.functions import sketches
+    from dicomdb_spark.io import load_table
+
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        (F.col("c_custkey") % 3).alias("part"),
+        F.lit(1).alias("g"),
+    )
+    per_part = sketches.hll_registers(cust, "part", "ck", p=6)
+    merged = (
+        per_part.withColumn("g", F.lit(1))
+        .groupBy("g", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    est_merged = sketches.hll_estimate_from_registers(merged, "g", p=6).collect()
+    direct = sketches.hll_distinct(cust, "g", "ck", p=6).collect()
+    assert est_merged[0]["n_est"] == direct[0]["n_est"]
+    assert est_merged[0]["zero_regs"] == direct[0]["zero_regs"]
+
+
+# -- MIPS ------------------------------------------------------------------
+
+
+def test_mips_augmentation_rank_equivalence(spark):
+    """Cosine top-k over norm-augmented vectors == MIPS top-k on the
+    raw vectors (Bachrach et al. 2014 reduction), neighbor-for-
+    neighbor in rank order."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.llm import similarity as lsim
+
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    queries = emb.filter(F.col("vec_id") < 5)
+    mips = QUERIES  # noqa: F841 (registry import keeps parity context)
+    direct = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsim.mips_topk(emb, queries, k=4).collect()
+    }
+    c_aug, q_aug = lsim.mips_augment(emb, queries)
+    via_cosine = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsim.brute_force_topk(
+            c_aug, q_aug, id_col="vec_id", vec_col="aug", k=4
+        ).collect()
+    }
+    assert direct == via_cosine
+
+
+# -- Gopher rules ----------------------------------------------------------
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    from dicomdb_spark.functions import text as T
+
+    good = " ".join(["the quick brown foxes jumped over seven lazy dogs and"] * 6)
+    short = "too short"
+    symbols = " ".join(["####"] * 60)
+    rows = [(1, good), (2, short), (3, symbols)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in df.select("doc_id", *T.gopher_signals("text")).collect()}
+    assert out[1].gopher_pass is True
+    assert out[2].gopher_pass is False          # word-count floor
+    assert out[3].gopher_pass is False          # symbol ratio + no letters
+    assert out[1].n_words == 60
+    assert out[3].alpha_ratio == 0.0
+
+
+# -- incremental MV --------------------------------------------------------
+
+
+def test_incremental_mv_split_invariance(spark):
+    """The merged MV is identical no matter how the fact table is
+    split into partials — 1-way (direct) vs the query's 2-way vs a
+    5-way hash split."""
+    from dicomdb_spark.io import load_table
+
+    orders = load_table(spark, SF, "orders")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_i"),
+            F.count("*").alias("n_orders"),
+        )
+
+    direct = partial(orders)
+    five = None
+    for i in range(5):
+        p = partial(orders.filter(F.col("o_orderkey") % 5 == i))
+        five = p if five is None else five.unionByName(p)
+    five = five.groupBy("o_custkey").agg(
+        F.sum("rev_i").alias("rev_i"), F.sum("n_orders").alias("n_orders")
+    )
+    assert _vals(direct) == _vals(five)
