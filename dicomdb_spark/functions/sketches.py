@@ -373,3 +373,107 @@ def count_min_estimate(
         .groupBy("item")
         .agg(F.min("c").alias("est_c"))
     )
+
+
+def kmv_theta_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta, Lang, Rhodes & Thaler,
+    EDBT 2016 — the DataSketches theta framework, public method):
+    estimate |A∪B| and |A∩B| from two k-minimum-value sketches,
+    next to the exact counts.
+
+    θ = min(kth-smallest hash of A, of B; 2^32 when a side holds its
+    whole set).  Union estimate = |{h ∈ sketch_A ∪ sketch_B : h < θ}|
+    · 2^32 / θ; intersection the same over the sketch intersection —
+    set algebra the raw-cardinality sketches (KMV, HLL) cannot do,
+    which is why theta sketches exist.  Every step is an integer
+    compare on md5-derived uint32s; the only float op is one final
+    exact-input division per estimate, so both engines agree
+    bit-for-bit.
+
+    Scale shape: each side is one distinct-hash aggregate + a
+    distributed top-k (TakeOrdered, never a global sort); everything
+    after operates on ≤ k rows and broadcasts.  Exact counts ride
+    along for error inspection (drop them at 100 TB).
+    """
+    two32 = 4294967296
+    ha = df_a.select(_hex_int(F.md5(F.col(item_col)), 8).alias("h")).distinct()
+    hb = df_b.select(_hex_int(F.md5(F.col(item_col)), 8).alias("h")).distinct()
+    ska = ha.orderBy("h").limit(k)
+    skb = hb.orderBy("h").limit(k)
+    ta = ska.agg(
+        F.when(F.count("*") == k, F.max("h")).otherwise(F.lit(two32)).alias("tha")
+    )
+    tb = skb.agg(
+        F.when(F.count("*") == k, F.max("h")).otherwise(F.lit(two32)).alias("thb")
+    )
+    theta = ta.crossJoin(tb).select(F.least("tha", "thb").alias("theta"))
+    sk_union = ska.unionAll(skb).distinct()
+    cu = (
+        sk_union.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("cu"))
+    )
+    ci = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("ci"))
+    )
+    ue = ha.unionAll(hb).distinct().agg(F.count("*").alias("n_union_exact"))
+    ie = ha.join(hb, "h").agg(F.count("*").alias("n_inter_exact"))
+    est = F.lit(4294967296.0)
+    return (
+        ue.crossJoin(ie)
+        .crossJoin(cu)
+        .crossJoin(ci)
+        .crossJoin(theta)
+        .select(
+            "n_union_exact",
+            (F.col("cu").cast("double") * est / F.col("theta").cast("double")).alias(
+                "n_union_est"
+            ),
+            "n_inter_exact",
+            (F.col("ci").cast("double") * est / F.col("theta").cast("double")).alias(
+                "n_inter_est"
+            ),
+        )
+    )
+
+
+def kmv_set_ops_oracle(a_from: str, b_from: str, item_sql: str, k: int = 256) -> str:
+    """DuckDB replay of :func:`kmv_theta_set_ops`.  ``a_from`` /
+    ``b_from`` are FROM-clause bodies producing the item rows."""
+    h = sql_hex_int(f"md5({item_sql})", 8)
+    return f"""
+    WITH A AS (SELECT DISTINCT {h} AS h FROM {a_from}),
+    B AS (SELECT DISTINCT {h} AS h FROM {b_from}),
+    ka AS (SELECT h FROM A ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM B ORDER BY h LIMIT {k}),
+    ta AS (SELECT CASE WHEN count(*) = {k} THEN max(h)
+                       ELSE 4294967296 END AS tha FROM ka),
+    tb AS (SELECT CASE WHEN count(*) = {k} THEN max(h)
+                       ELSE 4294967296 END AS thb FROM kb),
+    th AS (SELECT least(ta.tha, tb.thb) AS theta FROM ta, tb),
+    cu AS (SELECT count(*) AS cu
+           FROM (SELECT DISTINCT h FROM (SELECT h FROM ka
+                                         UNION ALL SELECT h FROM kb) z) u, th
+           WHERE u.h < th.theta),
+    ci AS (SELECT count(*) AS ci
+           FROM ka JOIN kb USING (h), th WHERE ka.h < th.theta),
+    ue AS (SELECT count(*) AS n_union_exact
+           FROM (SELECT DISTINCT h FROM (SELECT h FROM A
+                                         UNION ALL SELECT h FROM B) z) u),
+    ie AS (SELECT count(*) AS n_inter_exact FROM A JOIN B USING (h))
+    SELECT ue.n_union_exact,
+           CAST(cu.cu AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)
+             AS n_union_est,
+           ie.n_inter_exact,
+           CAST(ci.ci AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)
+             AS n_inter_est
+    FROM ue, ie, cu, ci, th
+    """

@@ -375,3 +375,137 @@ def chunk_documents(
         F.col("chunk_start").cast("int").alias("chunk_start"),
         F.substring(F.col(text_col), F.col("chunk_start"), F.lit(chunk_size)).alias("chunk"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+) -> DataFrame:
+    """Train BPE merge rules on a corpus (Sennrich, Haddow & Birch,
+    ACL 2016 — public method): start from character symbol streams,
+    repeatedly count adjacent symbol pairs and merge the most
+    frequent one.  Fully declarative on BOTH engines — the chosen
+    pair never touches the driver (a 1-row argmax broadcasts into the
+    next round's ``replace``), so the loop is the same
+    fixed-iteration join+aggregate shape as PageRank / k-means.
+
+    Determinism: pair counts are exact integer sums; the argmax
+    tiebreak is (count DESC, pair ASC) byte order; ``replace``
+    rewrites leftmost-nonoverlapping in both engines, which is
+    exactly BPE's greedy left-to-right merge application.
+
+    Stream encoding: symbols joined by TWO spaces, the whole stream
+    wrapped in single spaces (`` a  b  a ``).  A merge then replaces
+    ``" A  B "`` with ``" AB "`` — each match consumes only the inner
+    half of its boundary separators, so ADJACENT matches still find
+    their leading space (single-space encoding silently skips every
+    other pair in an ABAB run) while symbol boundaries stay exact
+    (``" a  bc "`` can never half-match a ``b``).
+
+    Scale shape per round: state is the VOCABULARY (distinct word →
+    symbol stream, counts welded on), not the corpus — the classic
+    trick that makes BPE training cheap: the corpus is read once for
+    word counts, then every round is one explode+sum over vocab-sized
+    data, one broadcast of a single row, one map-side rewrite.
+
+    Returns (step, pair, merged, pair_count) — the ordered merge
+    table a tokenizer would apply (functions/text.py:
+    bpe_symbol_stream applies such rules).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy(F.lower("w").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stream = words.select(
+        F.concat(
+            F.lit(" "), F.rtrim(F.regexp_replace("w", "(.)", "$1  ")), F.lit(" ")
+        ).alias("stream"),
+        "cnt",
+    ).persist()
+    out = None
+    for step in range(1, iters + 1):
+        sy = stream.select(F.split(F.trim(F.col("stream")), "  ").alias("sy"), "cnt")
+        pairs = sy.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(sy, 1, greatest(size(sy) - 1, 0)),"
+                    "         slice(sy, 2, greatest(size(sy) - 1, 0)),"
+                    "         (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pr"),
+            "cnt",
+        )
+        counts = pairs.groupBy("pr").agg(F.sum("cnt").alias("c"))
+        best = (
+            counts.orderBy(F.col("c").desc(), F.col("pr"))
+            .limit(1)
+            .select("pr", "c")
+        )
+        row = best.select(
+            F.lit(step).alias("step"),
+            F.col("pr").alias("pair"),
+            F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("c").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        nxt = stream.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("stream"),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pr"), F.lit(" "), F.lit("  ")),
+                    F.lit(" "),
+                ),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pr"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("stream"),
+            "cnt",
+        )
+        stream = nxt.persist() if step < iters else nxt
+    return out
+
+
+def bpe_train_oracle(iters: int = 3) -> str:
+    """DuckDB replay of :func:`bpe_train` — unrolled WITH chain, one
+    (pairs, argmax, rewrite) layer per round, identical arithmetic."""
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+    layers = [
+        f"""w0 AS (
+      SELECT lower(t.t) AS w, count(*) AS cnt
+      FROM (SELECT unnest({toks}) AS t FROM documents) t
+      GROUP BY 1),
+    s0 AS (
+      SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+               AS stream, cnt
+      FROM w0)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        layers.append(
+            f"""p{i} AS (
+      SELECT pr, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(sy)),
+                                         j -> sy[j] || ' ' || sy[j + 1])) AS pr,
+                   cnt
+            FROM (SELECT string_split(trim(stream), '  ') AS sy, cnt
+                  FROM s{p}) t) u
+      GROUP BY 1),
+    b{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1),
+    s{i} AS (
+      SELECT replace(s.stream,
+                     ' ' || replace(b.pr, ' ', '  ') || ' ',
+                     ' ' || replace(b.pr, ' ', '') || ' ') AS stream, s.cnt
+      FROM s{p} s CROSS JOIN b{i} b)"""
+        )
+    chain = ",\n    ".join(layers)
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS step, pr AS pair, replace(pr, ' ', '') AS merged, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(1, iters + 1)
+    )
+    return f"WITH {chain}\n    {selects}"

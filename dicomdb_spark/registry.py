@@ -6596,6 +6596,197 @@ def corpus_mv_incremental(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+@register("corpus_bpe_train", lcorpus.bpe_train_oracle(3))
+def corpus_bpe_train(spark, sf_dir):
+    """BPE merge-rule training (Sennrich et al. 2016), 3 rounds over
+    the document corpus — the missing half of text_bpe_tokens (which
+    APPLIES fixed merges).  Each round: adjacent-pair counts over the
+    vocabulary-sized symbol table (exact integer sums), a 1-row
+    broadcast argmax with (count DESC, pair ASC) tiebreak, and a
+    map-side leftmost-nonoverlapping rewrite — fully declarative, the
+    chosen pair never touches the driver (llm/corpus.py: bpe_train).
+    The oracle unrolls the identical three rounds in SQL, so a green
+    row proves the whole training loop bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lcorpus.bpe_train(docs, "text", iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations
+# ---------------------------------------------------------------------------
+
+
+def _kmv_setops_oracle() -> str:
+    from dicomdb_spark.functions.sketches import kmv_set_ops_oracle
+
+    def side(pred: str) -> str:
+        return (
+            f"(SELECT unnest(sh) AS sh FROM "
+            f"(SELECT {_SQL_SHINGLES} AS sh FROM "
+            f"(SELECT {_SQL_TOKS} AS tk FROM documents WHERE {pred}) a) b) t"
+        )
+
+    return kmv_set_ops_oracle(
+        side("doc_id % 2 = 0"), side("doc_id % 2 = 1"), "t.sh", k=256
+    )
+
+
+@register("sketch_kmv_set_ops", _kmv_setops_oracle())
+def sketch_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch set algebra (Dasgupta et al., EDBT 2016): |A∪B|
+    and |A∩B| estimated from two 256-value KMV sketches of the
+    even-/odd-doc shingle sets, next to exact counts
+    (functions/sketches.py: kmv_theta_set_ops).  Set operations are
+    what raw cardinality sketches (KMV/HLL) can't do and theta
+    sketches exist for; everything after the per-side distributed
+    top-256 operates on ≤ 512 broadcast rows."""
+    from dicomdb_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(text.shingles("text", 3)).alias("sh")
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(text.shingles("text", 3)).alias("sh")
+    )
+    return sketches.kmv_theta_set_ops(a, b, "sh", k=256)
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average (half-life weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_ema_halflife",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS vi
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, ts, vi,
+             lag(vi, 1) OVER w AS v1,
+             lag(vi, 2) OVER w AS v2,
+             lag(vi, 3) OVER w AS v3
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, ts,
+           CAST(8 * vi + coalesce(4 * v1, 0) + coalesce(2 * v2, 0)
+                + coalesce(v3, 0) AS DOUBLE)
+             / (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END)
+             / 1000000.0 AS ema
+    FROM l
+    """,
+)
+def w_ema_halflife(spark, sf_dir):
+    """Half-life exponential moving average over each user's event
+    values (weights 8:4:2:1 across the last 4 events — α = 1/2).
+
+    EMA is the one smoothing shape that stays bit-portable: half-life
+    weights are exact powers of two, values are floor-scaled int64,
+    so the weighted numerator is EXACT integer arithmetic and the
+    only float ops are two final divisions — unlike a general αᵏ
+    recurrence, whose libm pow() differs across engines.  One window
+    per user (shuffle on user_id), three lags, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vi = F.floor(F.col("value") * 1000000).cast("long")
+    d = ev.select("user_id", "event_id", "ts", vi.alias("vi"))
+    d = (
+        d.withColumn("v1", F.lag("vi", 1).over(w))
+        .withColumn("v2", F.lag("vi", 2).over(w))
+        .withColumn("v3", F.lag("vi", 3).over(w))
+    )
+    num = (
+        8 * F.col("vi")
+        + F.coalesce(4 * F.col("v1"), F.lit(0))
+        + F.coalesce(2 * F.col("v2"), F.lit(0))
+        + F.coalesce(F.col("v3"), F.lit(0))
+    )
+    den = (
+        F.lit(8)
+        + F.when(F.col("v1").isNull(), 0).otherwise(4)
+        + F.when(F.col("v2").isNull(), 0).otherwise(2)
+        + F.when(F.col("v3").isNull(), 0).otherwise(1)
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (num.cast("double") / den / F.lit(1000000.0)).alias("ema"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle(iters: int = 3) -> str:
+    """Minhash pairs → min-label components → drop non-keepers,
+    final corpus — the full dedup pipeline over the dup-injected
+    docs2 (same chain as _component_oracle, different final)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT e.dst AS doc_id, l.lbl FROM e JOIN {prev} l ON e.src = l.doc_id) n
+      ON v.doc_id = n.doc_id
+      GROUP BY v.doc_id, v.lbl)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    verts AS (SELECT DISTINCT doc_id FROM (
+      SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) t),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM verts),
+    {chain}
+    SELECT d.doc_id
+    FROM docs2 d
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                      WHERE x.doc_id = d.doc_id AND x.lbl <> d.doc_id)
+    """
+
+
+@register("corpus_dedup_pipeline", _pipeline_oracle())
+def corpus_dedup_pipeline(spark, sf_dir):
+    """The full near-dedup pipeline a training-data run executes,
+    end-to-end in ONE plan: minhash-LSH candidate pairs → min-label
+    connected components (3 rounds) → drop every non-keeper member →
+    surviving corpus.  Exact duplicates need no separate stage —
+    identical text gives identical signatures, so exact dups land in
+    the same component and the min-id keeper policy removes them.
+    Every stage is the already-proven operator (dedup_minhash_lsh,
+    dedup_components); this query pins their COMPOSITION, which is
+    what a user actually runs."""
+    docs2 = _docs_with_dupes(spark, sf_dir)
+    pairs = ldedup.minhash_lsh_pairs(
+        docs2,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    comp = ldedup.min_label_components(pairs, iters=3)
+    dropped = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return docs2.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -202,3 +202,114 @@ def test_incremental_mv_split_invariance(spark):
         F.sum("rev_i").alias("rev_i"), F.sum("n_orders").alias("n_orders")
     )
     assert _vals(direct) == _vals(five)
+
+
+# -- BPE training ----------------------------------------------------------
+
+
+def test_bpe_train_learns_known_merge(spark):
+    """'ab' is the most frequent adjacent pair → first learned merge;
+    the second round counts over REWRITTEN streams."""
+    from dicomdb_spark.llm import corpus as C
+
+    rows = [(1, "abab abab"), (2, "abc abd"), (3, "xy")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r.step: (r.pair, r.merged) for r in C.bpe_train(df, "text", iters=2).collect()}
+    assert got[1] == ("a b", "ab")
+    # after merging 'a b'→'ab': streams are 'ab ab', 'ab c', 'ab d', 'x y'
+    # pair counts: 'ab ab'×2 (two words of corpus? doc1 has two tokens 'abab')
+    assert got[2] == ("ab ab", "abab")
+
+
+def test_bpe_greedy_left_application(spark):
+    """Greedy left-to-right: 'a a a' → ['aa','a']; the ABAB run merges
+    BOTH pairs (the case a single-space encoding silently skips)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(" a  a  a ",), (" a  b  a  b ",)], "stream STRING"
+    )
+    out = sorted(
+        r["s"]
+        for r in df.select(
+            F.replace(F.col("stream"), F.lit(" a  a "), F.lit(" aa ")).alias("s0")
+        ).select(
+            F.replace(F.col("s0"), F.lit(" a  b "), F.lit(" ab ")).alias("s")
+        ).collect()
+    )
+    assert out == [" aa  a ", " ab  ab "]
+
+
+# -- theta set ops ---------------------------------------------------------
+
+
+def test_theta_setops_exact_when_unsaturated(spark):
+    """With fewer than k distinct hashes per side, θ = 2^32 and both
+    estimates are exactly the true counts."""
+    from dicomdb_spark.functions import sketches
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(40)], "it STRING")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(20, 60)], "it STRING")
+    r = sketches.kmv_theta_set_ops(a, b, "it", k=256).collect()[0]
+    assert r.n_union_exact == 60 and r.n_union_est == 60.0
+    assert r.n_inter_exact == 20 and r.n_inter_est == 20.0
+
+
+def test_theta_setops_estimates_in_bounds(spark):
+    """Saturated sketches: estimates land within ~5 standard errors
+    (1/sqrt(k)) of truth on the shingle corpus."""
+    from dicomdb_spark.registry import QUERIES
+
+    r = QUERIES["sketch_kmv_set_ops"](spark, SF).collect()[0]
+    for est, exact in ((r.n_union_est, r.n_union_exact),
+                      (r.n_inter_est, r.n_inter_exact)):
+        if exact > 0:
+            assert abs(est - exact) / exact < 5 / (256 ** 0.5) + 0.05
+
+
+# -- EMA -------------------------------------------------------------------
+
+
+def test_ema_halflife_crafted(spark):
+    """First event: ema == value.  Constant series: ema == constant.
+    Step series: exact 8:4:2:1 weighting."""
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (1, 2, "2024-01-01 00:01:00", 10.0),
+        (2, 3, "2024-01-01 00:00:00", 0.0),
+        (2, 4, "2024-01-01 00:01:00", 0.0),
+        (2, 5, "2024-01-01 00:02:00", 0.0),
+        (2, 6, "2024-01-01 00:03:00", 15.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, ts STRING, value DOUBLE"
+    ).select("user_id", "event_id",
+             F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
+    import dicomdb_spark.registry as R
+
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark_, sf_, name: df
+        out = {r.event_id: r.ema for r in R.QUERIES["w_ema_halflife"](spark, SF).collect()}
+    finally:
+        R.load_table = orig
+    assert out[1] == 10.0 and out[2] == 10.0
+    assert out[5] == 0.0
+    assert out[6] == 15.0 * 8 / 15  # 8·15/(8+4+2+1)
+
+
+# -- dedup pipeline --------------------------------------------------------
+
+
+def test_pipeline_consistent_with_components(spark):
+    """kept = all docs − non-keeper component members, cross-checked
+    against the dedup_components query's keeper/member counts."""
+    from dicomdb_spark.registry import QUERIES, _docs_with_dupes
+
+    kept = QUERIES["corpus_dedup_pipeline"](spark, SF)
+    comps = QUERIES["dedup_components"](spark, SF)
+    n_docs = _docs_with_dupes(spark, SF).count()
+    dropped = comps.agg(
+        F.sum(F.col("n_members") - 1).alias("d")
+    ).collect()[0]["d"] or 0
+    assert kept.count() == n_docs - dropped
