@@ -6787,6 +6787,180 @@ def corpus_dedup_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Rolling-window sketch rollup
+# ---------------------------------------------------------------------------
+
+
+def _hll_rolling_oracle() -> str:
+    from dicomdb_spark.functions.sketches import hll_oracle
+
+    return hll_oracle(
+        "t.u",
+        """(SELECT dd.day AS day, CAST(e.user_id AS VARCHAR) AS u
+            FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) dd
+            JOIN events e
+              ON CAST(e.ts AS DATE) BETWEEN dd.day - 6 AND dd.day) t""",
+        "t.day",
+        p=8,
+    ).replace("SELECT e.g,", "SELECT e.g AS day,")
+
+
+@register("sketch_hll_rolling", _hll_rolling_oracle())
+def sketch_hll_rolling(spark, sf_dir):
+    """Rolling 7-day distinct-user estimates from DAILY register
+    state: one HLL register table per day, then each day's trailing
+    window is a max-merge of ≤ 7 register sets — the raw events are
+    read ONCE, and every window is built from 2^p-row sketch state
+    (functions/sketches.py: hll_registers).  The oracle computes each
+    window's sketch directly from raw items, so a green row proves
+    the rolling rollup identity at every window position.  This is
+    the dashboard pattern at 100 TB: daily sketch partitions,
+    arbitrary window queries without rescanning."""
+    from dicomdb_spark.functions import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("u")
+    )
+    days = ev.select("day").distinct()
+    regs = sketches.hll_registers(ev, "day", "u", p=8)
+    fanned = regs.withColumn(
+        "off", F.explode(F.sequence(F.lit(0), F.lit(6)))
+    ).withColumn("target", F.expr("date_add(day, off)"))
+    merged = (
+        fanned.join(
+            F.broadcast(days.withColumnRenamed("day", "target")), "target"
+        )
+        .groupBy("target", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    est = sketches.hll_estimate_from_registers(merged, "target", p=8)
+    exact = (
+        ev.distinct()
+        .withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("target", F.expr("date_add(day, off)"))
+        .join(F.broadcast(days.withColumnRenamed("day", "target")), "target")
+        .select("target", "u")
+        .distinct()
+        .groupBy("target")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(est, "target").select(
+        F.col("target").alias("day"), "n_exact", "zero_regs", "n_est"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_attribution_linear",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts
+      FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id,
+           count(*) AS n_touches,
+           p.value / count(*) AS credit_per_touch
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.p_ts - INTERVAL 2 HOUR
+     AND c.ts <= p.p_ts
+    GROUP BY 1, 2, p.value
+    """,
+)
+def w_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every click in the 2 h before
+    a purchase (same user) shares the purchase value equally.
+
+    The click↔purchase matching is the bucketed range join
+    (operators/joins.py: interval_range_join — equi-join on
+    (user, hour-bucket) + exact predicate, never a nested loop), then
+    one aggregate per purchase.  credit_per_touch is a single exact
+    division of an unsummed double by a count, so it is bit-stable
+    without scaling.  DuckDB's native range join is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    pairs = oj.interval_range_join(
+        clicks, purch, keys=["user_id"], ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_width_s=3600,
+    )
+    return pairs.groupBy("purchase_id", "user_id", "value").agg(
+        F.count("*").alias("n_touches")
+    ).select(
+        "purchase_id",
+        "user_id",
+        "n_touches",
+        (F.col("value") / F.col("n_touches")).alias("credit_per_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling RANGE-frame aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_rolling_range_sum",
+    """
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS rev_i
+      FROM orders)
+    SELECT o_orderkey, o_custkey, day_num,
+           CAST(SUM(rev_i) OVER (PARTITION BY o_custkey ORDER BY day_num
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) / 100.0 AS rolling_rev
+    FROM d
+    """,
+)
+def w_rolling_range_sum(spark, sf_dir):
+    """Trailing 7-day revenue per customer with a RANGE window frame —
+    every order row sees the sum over [day−6, day] by VALUE distance,
+    so same-day orders always include each other regardless of row
+    order (a ROWS frame would be partition-order-dependent; RANGE is
+    the deterministic choice).  Revenue sums are floor-scaled int64
+    inside the frame — W-family completion next to running totals
+    (cumulative) and EMA (decayed)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+        ).alias("day_num"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("rev_i"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_num",
+        (F.sum("rev_i").over(w) / F.lit(100.0)).alias("rolling_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -313,3 +313,85 @@ def test_pipeline_consistent_with_components(spark):
         F.sum(F.col("n_members") - 1).alias("d")
     ).collect()[0]["d"] or 0
     assert kept.count() == n_docs - dropped
+
+
+# -- rolling HLL -----------------------------------------------------------
+
+
+def test_hll_rolling_dominates_daily(spark):
+    """A 7-day window's register set dominates each member day's, so
+    its estimate is >= every daily estimate in the window; the first
+    day's window (no predecessors) equals its daily sketch exactly."""
+    from dicomdb_spark.functions import sketches
+    from dicomdb_spark.io import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("u")
+    )
+    daily = {r["day"]: r["n_est"]
+             for r in sketches.hll_distinct(ev, "day", "u", p=8).collect()}
+    rolling = {r["day"]: r["n_est"]
+               for r in QUERIES["sketch_hll_rolling"](spark, SF).collect()}
+    first = min(daily)
+    assert rolling[first] == daily[first]
+    for d, est in rolling.items():
+        assert est >= daily[d] - 1e-9
+
+
+# -- attribution -----------------------------------------------------------
+
+
+def test_attribution_window_semantics(spark):
+    """Only clicks in (purchase−2h, purchase] attribute; equal split."""
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (1, 2, "2024-01-01 11:30:00", "click", 0.0),
+        (1, 3, "2024-01-01 12:00:00", "purchase", 30.0),
+        (1, 4, "2024-01-01 09:59:59", "click", 0.0),   # outside 2h
+        (2, 5, "2024-01-01 12:00:00", "purchase", 9.0),  # no touches
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, ts STRING, event_type STRING, value DOUBLE"
+    ).select("user_id", "event_id",
+             F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value")
+    import dicomdb_spark.registry as R
+
+    orig = R.load_table
+    try:
+        R.load_table = lambda s_, sf_, n_: df
+        out = {r.purchase_id: (r.n_touches, r.credit_per_touch)
+               for r in R.QUERIES["w_attribution_linear"](spark, SF).collect()}
+    finally:
+        R.load_table = orig
+    assert out == {3: (2, 15.0)}  # purchase 5 has no touches → absent
+
+
+# -- rolling range sum -----------------------------------------------------
+
+
+def test_rolling_range_frame_includes_same_day(spark):
+    """RANGE frame: same-day rows include each other; day 8 excludes
+    day 1 (distance 7 > 6)."""
+    rows = [
+        (101, 1, "1992-01-01", 10.0),
+        (102, 1, "1992-01-01", 20.0),
+        (103, 1, "1992-01-07", 1.0),
+        (104, 1, "1992-01-08", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey INT, o_custkey INT, o_orderdate STRING, o_totalprice DOUBLE"
+    ).select("o_orderkey", "o_custkey",
+             F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+             "o_totalprice")
+    import dicomdb_spark.registry as R
+
+    orig = R.load_table
+    try:
+        R.load_table = lambda s_, sf_, n_: df
+        out = {r.o_orderkey: r.rolling_rev
+               for r in R.QUERIES["w_rolling_range_sum"](spark, SF).collect()}
+    finally:
+        R.load_table = orig
+    assert out[101] == 30.0 and out[102] == 30.0   # same-day mutual
+    assert out[103] == 31.0                         # days 1..7
+    assert out[104] == 6.0                          # days 2..8: 1+5
