@@ -172,6 +172,14 @@ def main() -> None:
         "sketch_bloom_join",
         "sketch_hist_quantiles",
         "text_bm25_topk",
+        # round-5 operators
+        "corpus_bpe_train",
+        "corpus_dedup_pipeline",
+        "sketch_hll_rolling",
+        "sketch_kmv_set_ops",
+        "text_gopher_rules",
+        "w_attribution_linear",
+        "ann_mips_topk",
     ):
         if name in QUERIES:
             try:

@@ -1384,7 +1384,7 @@ def dedup_components(spark, sf_dir):
         bands=4,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
-    comp = ldedup.min_label_components(pairs, iters=3)
+    comp = ldedup.min_label_components(pairs.persist(), iters=3, broadcast_labels=True)
     return comp.groupBy("component").agg(
         F.count("*").alias("n_members"), F.min("doc_id").alias("keeper_id")
     )
@@ -6781,7 +6781,7 @@ def corpus_dedup_pipeline(spark, sf_dir):
         bands=4,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
-    comp = ldedup.min_label_components(pairs, iters=3)
+    comp = ldedup.min_label_components(pairs.persist(), iters=3, broadcast_labels=True)
     dropped = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return docs2.join(dropped, "doc_id", "left_anti").select("doc_id")
 
