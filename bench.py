@@ -180,6 +180,10 @@ def main() -> None:
         "text_gopher_rules",
         "w_attribution_linear",
         "ann_mips_topk",
+        "a_mad_outliers",
+        "j14_interval_overlap",
+        "text_ccnet_buckets",
+        "corpus_shuffle_batches",
     ):
         if name in QUERIES:
             try:

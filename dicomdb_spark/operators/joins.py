@@ -316,3 +316,50 @@ def interval_range_join(
         )
         .drop("__b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (per key): pairs with
+    ``l_start <= r_end AND r_start <= l_end`` — the temporal-overlap
+    shape (concurrent sessions, conflicting bookings) that
+    interval_range_join's point-in-interval cannot express.
+
+    Grid pattern at scale: both sides explode to the time buckets
+    they cover, candidates meet via equi-join on (keys…, bucket), the
+    exact predicate post-filters, and DISTINCT collapses pairs that
+    share several buckets (an overlapping pair meets in every shared
+    bucket — unlike the point join there is no unique meeting bucket,
+    so the dedup is load-bearing).  Cost follows bucket occupancy ×
+    span/width, never |L|×|R|.
+    """
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+
+    def fan(df, s, e):
+        return df.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(sec(s) / bucket_width_s),
+                    F.floor(sec(e) / bucket_width_s),
+                )
+            ),
+        )
+
+    out = (
+        fan(left, l_start, l_end)
+        .join(fan(right, r_start, r_end), [*keys, "__b"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("__b")
+    )
+    return out.distinct()

@@ -6961,6 +6961,247 @@ def w_rolling_range_sum(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic shuffle → micro-batches
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_batches_oracle(n_batches: int = 16) -> str:
+    from dicomdb_spark.functions.sketches import sql_hex_int
+
+    h = sql_hex_int("md5(CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+    WITH p AS (SELECT doc_id, {h} AS pr FROM documents)
+    SELECT doc_id,
+           CAST(pr % {n_batches} AS BIGINT) AS batch_id,
+           CAST(row_number() OVER (PARTITION BY pr % {n_batches}
+                                   ORDER BY pr, doc_id) AS BIGINT) AS pos
+    FROM p
+    """
+
+
+@register("corpus_shuffle_batches", _shuffle_batches_oracle())
+def corpus_shuffle_batches(spark, sf_dir):
+    """Reproducible global shuffle into training micro-batches:
+    batch = md5(doc_id) mod 16, position = hash-then-id order within
+    the batch.  Same corpus → same batch composition AND intra-batch
+    order on any engine, partitioning, or rerun — the data-order
+    reproducibility an RNG shuffle can't give, which is what makes
+    training runs comparable.  One shuffle on batch_id; each batch
+    sorts independently (no global sort), so batches stream out in
+    parallel at any scale."""
+    from dicomdb_spark.functions.sketches import _hex_int
+
+    n_batches = 16
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", _hex_int(F.md5(F.col("doc_id").cast("string")), 8).alias("pr")
+    )
+    w = Window.partitionBy(F.col("pr") % n_batches).orderBy("pr", "doc_id")
+    return p.select(
+        "doc_id",
+        (F.col("pr") % n_batches).cast("long").alias("batch_id"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, value FROM events),
+    med AS (
+      SELECT event_type, value AS med
+      FROM (SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v) t
+      WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)),
+    dev AS (
+      SELECT v.event_type, v.event_id, abs(v.value - m.med) AS d, m.med
+      FROM v JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, d AS mad
+      FROM (SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev) t
+      WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))
+    SELECT d.event_type, m2.med AS median_low, m3.mad AS mad_low,
+           CAST(SUM(CASE WHEN d.d > 3 * m3.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d
+    JOIN med m2 USING (event_type)
+    JOIN mad m3 USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def a_mad_outliers(spark, sf_dir):
+    """Robust outlier counts per event type: median and MAD (median
+    absolute deviation), both as MEDIAN-LOW — the lower middle
+    element selected by row_number with a unique tiebreak — because
+    interpolated medians hide an engine-specific rounding choice
+    ((lo+hi)/2 vs lo+(hi−lo)/2 differ in IEEE) while order-statistic
+    selection is pure comparison and therefore bit-portable.  Outlier
+    = deviation > 3×MAD (the Hampel rule).  Two window passes per
+    group + one join-back; the only float ops are exact-rounded
+    subtraction/abs/3× on identical operands."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+
+    def median_low(df, val_col, out_col):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wc))
+            .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+            .select("event_type", F.col(val_col).alias(out_col))
+        )
+
+    med = median_low(ev, "value", "median_low")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("median_low"))
+    )
+    mad = median_low(
+        dev.select("event_type", "event_id", F.col("d").alias("value")),
+        "value",
+        "mad_low",
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_low", "mad_low")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_low"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j14_interval_overlap",
+    """
+    WITH s AS (
+      SELECT user_id, event_id AS signup_id, ts AS s_start,
+             ts + INTERVAL 2 HOUR AS s_end
+      FROM events WHERE event_type = 'signup'),
+    e AS (
+      SELECT user_id, event_id AS error_id, ts AS e_start,
+             ts + INTERVAL 1 HOUR AS e_end
+      FROM events WHERE event_type = 'error')
+    SELECT s.signup_id, e.error_id, s.user_id,
+           CAST(date_diff('second', greatest(s.s_start, e.e_start),
+                          least(s.s_end, e.e_end)) AS BIGINT) AS overlap_s
+    FROM s JOIN e
+      ON e.user_id = s.user_id
+     AND s.s_start <= e.e_end AND e.e_start <= s.s_end
+    """,
+)
+def j14_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join: signup activity windows
+    [ts, +2h] against error windows [ts, +1h] of the same user, with
+    the overlap duration in whole seconds (a timestamp difference —
+    exact integer arithmetic, timezone-free).
+
+    The point-in-interval bucket join (J12) cannot express this; the
+    grid shape (operators/joins.py: interval_overlap_join) explodes
+    BOTH sides to covered hour buckets, meets via (user, bucket)
+    equi-join, post-filters the exact predicate, and dedups pairs
+    that share several buckets.  DuckDB's native interval join is the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("s_end"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("e_end"),
+    )
+    pairs = oj.interval_overlap_join(
+        s, e, keys=["user_id"],
+        l_start="s_start", l_end="s_end",
+        r_start="e_start", r_end="e_end", bucket_width_s=3600,
+    )
+    return pairs.select(
+        "signup_id",
+        "error_id",
+        "user_id",
+        (
+            F.least("s_end", "e_end").cast("timestamp").cast("long")
+            - F.greatest("s_start", "e_start").cast("timestamp").cast("long")
+        ).alias("overlap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ccnet_buckets",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i.i] || ' ' || tk[i.i + 1] AS bg
+      FROM tk CROSS JOIN unnest(range(1, greatest(len(tk) - 1, 0) + 1)) i(i)),
+    model AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) / count(*) AS avg_bigram_freq
+      FROM bg JOIN model USING (bg) GROUP BY doc_id)
+    SELECT doc_id, avg_bigram_freq,
+           CASE ntile(3) OVER (ORDER BY avg_bigram_freq DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+    FROM scored
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    documents ranked by how typical they are under the corpus bigram
+    LM (llm/corpus.py: bigram_lm_scores — exact frequency ratios, no
+    transcendental perplexity), then cut into terciles with ntile
+    over a uniquely-tiebroken order.  'head' = most LM-typical, the
+    slice CCNet feeds to training first.  The global ntile sorts only
+    the doc-level score table, never token data."""
+    from dicomdb_spark.llm import corpus as lc
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scored = lc.bigram_lm_scores(docs, "text", "doc_id").select(
+        "doc_id", "avg_bigram_freq"
+    )
+    w = Window.orderBy(F.col("avg_bigram_freq").desc(), "doc_id")
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "avg_bigram_freq",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias(
+            "ppl_bucket"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

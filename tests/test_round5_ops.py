@@ -395,3 +395,82 @@ def test_rolling_range_frame_includes_same_day(spark):
     assert out[101] == 30.0 and out[102] == 30.0   # same-day mutual
     assert out[103] == 31.0                         # days 1..7
     assert out[104] == 6.0                          # days 2..8: 1+5
+
+
+# -- shuffle batches -------------------------------------------------------
+
+
+def test_shuffle_batches_partition_and_positions(spark):
+    """Batches partition the corpus; positions are 1..|batch| dense."""
+    out = QUERIES["corpus_shuffle_batches"](spark, SF).collect()
+    from collections import defaultdict
+
+    by_batch = defaultdict(list)
+    for r in out:
+        by_batch[r.batch_id].append(r.pos)
+    assert sum(len(v) for v in by_batch.values()) == len(out)
+    assert len({r.doc_id for r in out}) == len(out)
+    for poss in by_batch.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+# -- MAD outliers ----------------------------------------------------------
+
+
+def test_mad_median_low_semantics(spark):
+    """Even-sized group → LOWER middle; outlier rule is > 3×MAD."""
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("a", 4, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, event_id INT, value DOUBLE")
+    import dicomdb_spark.registry as R
+
+    orig = R.load_table
+    try:
+        R.load_table = lambda s_, sf_, n_: df
+        r = R.QUERIES["a_mad_outliers"](spark, SF).collect()[0]
+    finally:
+        R.load_table = orig
+    assert r.median_low == 2.0          # lower middle of {1,2,3,100}
+    # deviations {1,0,1,98} → sorted {0,1,1,98} → median-low = 1
+    assert r.mad_low == 1.0
+    assert r.n_outliers == 1            # only 98 > 3
+
+
+# -- interval overlap ------------------------------------------------------
+
+
+def test_interval_overlap_exactness(spark):
+    """Grid join == plain predicate join (pair sets identical), and
+    every reported overlap is positive-length or touching."""
+    from dicomdb_spark.io import load_table
+
+    out = QUERIES["j14_interval_overlap"](spark, SF)
+    rows = out.collect()
+    ev = load_table(spark, SF, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("sid"), F.col("ts").alias("ss"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("se"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("eid"),
+        F.col("ts").alias("es"), (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("ee"))
+    plain = s.join(e, (F.col("user_id") == F.col("u2"))
+                   & (F.col("ss") <= F.col("ee")) & (F.col("es") <= F.col("se")))
+    assert {(r.signup_id, r.error_id) for r in rows} == \
+           {(r.sid, r.eid) for r in plain.collect()}
+    assert all(r.overlap_s >= 0 for r in rows)
+
+
+# -- CCNet buckets ---------------------------------------------------------
+
+
+def test_ccnet_buckets_are_terciles(spark):
+    out = QUERIES["text_ccnet_buckets"](spark, SF).collect()
+    from collections import Counter
+
+    c = Counter(r.ppl_bucket for r in out)
+    assert set(c) == {"head", "middle", "tail"}
+    assert max(c.values()) - min(c.values()) <= 1
+    head_min = min(r.avg_bigram_freq for r in out if r.ppl_bucket == "head")
+    tail_max = max(r.avg_bigram_freq for r in out if r.ppl_bucket == "tail")
+    assert head_min >= tail_max
