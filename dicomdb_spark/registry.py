@@ -7261,9 +7261,26 @@ R2_DRIVER_PROVEN: tuple[str, ...] = (
 DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN
 
 
+# Unproven entries that should claim driver-window slots FIRST: the
+# round-5 flagships (novel algorithmic surface — BPE training, sketch
+# algebra, the composed dedup pipeline) ahead of the older unproven
+# backlog, which carries SELFCHECK evidence and drains in later rounds.
+UNPROVEN_PRIORITY: tuple[str, ...] = (
+    "corpus_bpe_train", "corpus_dedup_pipeline", "sketch_hll_merge",
+    "sketch_hll_rolling", "sketch_kmv_set_ops", "ann_mips_topk",
+    "text_gopher_rules", "dedup_snapshot_delta", "corpus_mv_incremental",
+    "w_gap_islands", "a_mode_per_group", "o5_keyset_pagination",
+    "cdc_last_writer_state", "w_ema_halflife", "w_attribution_linear",
+    "w_rolling_range_sum", "a_mad_outliers", "j14_interval_overlap",
+    "text_ccnet_buckets", "corpus_shuffle_batches",
+)
+
+
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """QUERIES with driver-unproven entries first (see note above)."""
+    """QUERIES with driver-unproven entries first (see note above),
+    the UNPROVEN_PRIORITY flagships leading."""
     proven = set(DRIVER_PROVEN)
-    out = {n: f for n, f in QUERIES.items() if n not in proven}
+    out = {n: QUERIES[n] for n in UNPROVEN_PRIORITY if n in QUERIES and n not in proven}
+    out.update({n: f for n, f in QUERIES.items() if n not in proven})
     out.update({n: QUERIES[n] for n in DRIVER_PROVEN if n in QUERIES})
     return out
