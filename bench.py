@@ -184,6 +184,7 @@ def main() -> None:
         "j14_interval_overlap",
         "text_ccnet_buckets",
         "corpus_shuffle_batches",
+        "ann_ivf_pq_topk",
     ):
         if name in QUERIES:
             try:

@@ -383,8 +383,10 @@ def kmv_theta_set_ops(
 ) -> DataFrame:
     """Theta-sketch set operations (Dasgupta, Lang, Rhodes & Thaler,
     EDBT 2016 — the DataSketches theta framework, public method):
-    estimate |A∪B| and |A∩B| from two k-minimum-value sketches,
-    next to the exact counts.
+    estimate |A∪B|, |A∩B| and |A∖B| from two k-minimum-value
+    sketches, next to the exact counts.  (The difference is sound
+    because θ ≤ θ_B: any B-hash below θ is guaranteed present in B's
+    sketch, so the anti-join never miscounts a sampled A-hash.)
 
     θ = min(kth-smallest hash of A, of B; 2^32 when a side holds its
     whole set).  Union estimate = |{h ∈ sketch_A ∪ sketch_B : h < θ}|
@@ -424,13 +426,22 @@ def kmv_theta_set_ops(
         .filter(F.col("h") < F.col("theta"))
         .agg(F.count("*").alias("ci"))
     )
+    cd = (
+        ska.join(skb, "h", "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("cd"))
+    )
     ue = ha.unionAll(hb).distinct().agg(F.count("*").alias("n_union_exact"))
     ie = ha.join(hb, "h").agg(F.count("*").alias("n_inter_exact"))
+    de = ha.join(hb, "h", "left_anti").agg(F.count("*").alias("n_diff_exact"))
     est = F.lit(4294967296.0)
     return (
         ue.crossJoin(ie)
+        .crossJoin(de)
         .crossJoin(cu)
         .crossJoin(ci)
+        .crossJoin(cd)
         .crossJoin(theta)
         .select(
             "n_union_exact",
@@ -440,6 +451,10 @@ def kmv_theta_set_ops(
             "n_inter_exact",
             (F.col("ci").cast("double") * est / F.col("theta").cast("double")).alias(
                 "n_inter_est"
+            ),
+            "n_diff_exact",
+            (F.col("cd").cast("double") * est / F.col("theta").cast("double")).alias(
+                "n_diff_est"
             ),
         )
     )
@@ -465,15 +480,24 @@ def kmv_set_ops_oracle(a_from: str, b_from: str, item_sql: str, k: int = 256) ->
            WHERE u.h < th.theta),
     ci AS (SELECT count(*) AS ci
            FROM ka JOIN kb USING (h), th WHERE ka.h < th.theta),
+    cd AS (SELECT count(*) AS cd
+           FROM ka, th
+           WHERE ka.h < th.theta
+             AND NOT EXISTS (SELECT 1 FROM kb WHERE kb.h = ka.h)),
     ue AS (SELECT count(*) AS n_union_exact
            FROM (SELECT DISTINCT h FROM (SELECT h FROM A
                                          UNION ALL SELECT h FROM B) z) u),
-    ie AS (SELECT count(*) AS n_inter_exact FROM A JOIN B USING (h))
+    ie AS (SELECT count(*) AS n_inter_exact FROM A JOIN B USING (h)),
+    de AS (SELECT count(*) AS n_diff_exact
+           FROM A WHERE NOT EXISTS (SELECT 1 FROM B WHERE B.h = A.h))
     SELECT ue.n_union_exact,
            CAST(cu.cu AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)
              AS n_union_est,
            ie.n_inter_exact,
            CAST(ci.ci AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)
-             AS n_inter_est
-    FROM ue, ie, cu, ci, th
+             AS n_inter_est,
+           de.n_diff_exact,
+           CAST(cd.cd AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)
+             AS n_diff_est
+    FROM ue, ie, de, cu, ci, cd, th
     """

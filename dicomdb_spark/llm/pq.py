@@ -228,17 +228,22 @@ def pq_topk(
     lut: DataFrame,
     topk: int = 3,
     id_col: str = "vec_id",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """ADC search: corpus codes hash-join the broadcast LUT on
     (sub, code), one exact-int sum per (query, vector), window top-k
     by smallest approximate distance (unique neighbor-id tiebreak).
     The corpus side never shuffles more than the (query × corpus)
     partial-sum aggregate — additive over subspaces, no pairwise
-    vector math anywhere."""
+    vector math anywhere.
+
+    ``extra_keys``: additional equi-join columns present on BOTH
+    sides — e.g. an IVF coarse-cell id, which turns this into IVF-PQ
+    (each query scores only its own inverted-list cell)."""
     scored = (
         codes.join(
             F.broadcast(lut),
-            ["sub", "code"],
+            ["sub", "code", *extra_keys],
         )
         .filter(F.col("query_id") != F.col(id_col))
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))

@@ -4387,10 +4387,30 @@ def _pq_oracle(
     k: int = 8,
     n_queries: int = 10,
     topk: int = 3,
+    ivf_cells: int | None = None,
 ) -> str:
     """DuckDB replay of PQ train(1 k-means round per subspace) →
-    encode → ADC top-k (llm/pq.py), identical floor-scaled ints."""
+    encode → ADC top-k (llm/pq.py), identical floor-scaled ints.
+    With ``ivf_cells``, ADC scoring is restricted to (query, vector)
+    pairs sharing a max-dot seed-centroid cell — the IVF-PQ
+    composition (coarse quantizer from ann_ivf_topk)."""
     ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    if ivf_cells:
+        ctes.append(
+            f"cents AS (SELECT vec_id AS cid0, v FROM base WHERE vec_id < {ivf_cells})"
+        )
+        ctes.append(
+            f"""cellscore AS (
+      SELECT a.vec_id, b.cid0, {_SQL_DOT_AB.replace('b.v', 'b.v')} AS dp
+      FROM base a CROSS JOIN (SELECT cid0, v FROM cents) b)"""
+        )
+        ctes.append(
+            """cell AS (
+      SELECT vec_id, cid0 AS cell FROM (
+        SELECT vec_id, cid0,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid0) AS rn
+        FROM cellscore) t WHERE rn = 1)"""
+        )
     for s in range(m):
         lo, hi = 1 + s * sub_dim, (s + 1) * sub_dim
         ctes.append(f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM base)")
@@ -4442,8 +4462,20 @@ def _pq_oracle(
               FROM unnest(range(1, len(q.v) + 1)) i(i)) AS d_i
       FROM qsub q JOIN cb c ON q.sub = c.sub)"""
     )
-    ctes.append(
-        """scored AS (
+    if ivf_cells:
+        ctes.append(
+            """scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, cc.cell,
+             CAST(SUM(l.d_i) AS BIGINT) AS adc_i
+      FROM codes c
+      JOIN cell cc ON cc.vec_id = c.vec_id
+      JOIN lut l ON l.sub = c.sub AND l.code = c.code AND l.query_id <> c.vec_id
+      JOIN cell qc ON qc.vec_id = l.query_id AND qc.cell = cc.cell
+      GROUP BY 1, 2, 3)"""
+        )
+    else:
+        ctes.append(
+            """scored AS (
       SELECT l.query_id, c.vec_id AS neighbor_id,
              CAST(SUM(l.d_i) AS BIGINT) AS adc_i
       FROM codes c
@@ -7199,6 +7231,60 @@ def text_ccnet_buckets(spark, sf_dir):
             "ppl_bucket"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production ANN composition
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_pq_topk", _pq_oracle(ivf_cells=8))
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ (the FAISS production shape): a coarse quantizer
+    (max-dot seed-centroid cells, ann_ivf_topk's inverted file)
+    restricts which vectors each query scores, and within the cell
+    distances come from PQ codes + the broadcast ADC lookup table
+    (ann_pq_topk's machinery, llm/pq.py).
+
+    At 100 TB this is THE ANN plan: the corpus lives as (cell, m
+    small codes) — >100× smaller than raw floats — partitioned by
+    cell; a query touches one cell partition and scores via a
+    map-side (sub, code, cell) hash-join + additive sum.  Neither
+    half alone gives this: IVF-Flat still shuffles raw vectors, PQ
+    alone scans every code row per query.  The oracle replays coarse
+    assignment + PQ training + encoding + cell-restricted ADC
+    end-to-end."""
+    from dicomdb_spark.llm import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid0"), F.col("v").alias("__cv")
+    )
+    scored_cent = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid0",
+        lsim.dot_exact_vec(F.col("v"), F.col("__cv").cast("array<double>")).alias(
+            "dp"
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dp").desc(), F.col("cid0")
+    )
+    assign = (
+        scored_cent.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid0").alias("cell"))
+    )
+    books = pq.train_codebooks(emb, "vec_id", "v", m=4, sub_dim=16, k=8, iters=1)
+    codes = pq.encode(emb, books, "vec_id", "v", sub_dim=16).join(assign, "vec_id")
+    lut = pq.adc_lut(
+        spark, emb.filter(F.col("vec_id") < 10), books, "vec_id", "v", sub_dim=16
+    ).join(
+        assign.select(F.col("vec_id").alias("query_id"), "cell"), "query_id"
+    )
+    return pq.pq_topk(codes, lut, topk=3, extra_keys=("cell",))
 
 
 # ---------------------------------------------------------------------------

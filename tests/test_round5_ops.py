@@ -474,3 +474,46 @@ def test_ccnet_buckets_are_terciles(spark):
     head_min = min(r.avg_bigram_freq for r in out if r.ppl_bucket == "head")
     tail_max = max(r.avg_bigram_freq for r in out if r.ppl_bucket == "tail")
     assert head_min >= tail_max
+
+
+# -- IVF-PQ ----------------------------------------------------------------
+
+
+def test_ivf_pq_respects_cells(spark):
+    """Every IVF-PQ neighbor shares its query's coarse cell, and per
+    query at most top-3 dense ranks come back."""
+    out = QUERIES["ann_ivf_pq_topk"](spark, SF).collect()
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.llm import similarity as lsim
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid0"), F.col("v").alias("cv"))
+    sc = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid0", lsim.dot_exact_vec(F.col("v"), F.col("cv")).alias("dp"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cid0"))
+    cell = {r.vec_id: r.cid0 for r in sc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).collect()}
+    assert len(out) > 0
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for r in out:
+        assert cell[r.query_id] == cell[r.neighbor_id]
+        ranks[r.query_id].append(r.rank)
+    for rs in ranks.values():
+        assert sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= 3
+
+
+def test_theta_diff_identities(spark):
+    """Exact identities: union = inter + diff(A,B) + diff(B,A); the
+    unsaturated case reports the difference exactly too."""
+    from dicomdb_spark.functions import sketches
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(40)], "it STRING")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(20, 60)], "it STRING")
+    r = sketches.kmv_theta_set_ops(a, b, "it", k=256).collect()[0]
+    assert r.n_diff_exact == 20 and r.n_diff_est == 20.0
+    assert r.n_union_exact == r.n_inter_exact + r.n_diff_exact + 20
