@@ -7352,6 +7352,7 @@ DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN
 # algebra, the composed dedup pipeline) ahead of the older unproven
 # backlog, which carries SELFCHECK evidence and drains in later rounds.
 UNPROVEN_PRIORITY: tuple[str, ...] = (
+    "ann_ivf_pq_topk",
     "corpus_bpe_train", "corpus_dedup_pipeline", "sketch_hll_merge",
     "sketch_hll_rolling", "sketch_kmv_set_ops", "ann_mips_topk",
     "text_gopher_rules", "dedup_snapshot_delta", "corpus_mv_incremental",
