@@ -185,6 +185,9 @@ def main() -> None:
         "text_ccnet_buckets",
         "corpus_shuffle_batches",
         "ann_ivf_pq_topk",
+        "a_benford_audit",
+        "a_key_skew_profile",
+        "layout_compaction_bins",
     ):
         if name in QUERIES:
             try:

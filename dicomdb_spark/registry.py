@@ -7288,6 +7288,178 @@ def ann_ivf_pq_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) rendered once and spliced as IDENTICAL literals into
+# both engines' expressions (the doctrine: constants may come from
+# libm at BUILD time; runtime arithmetic may not)
+_BENFORD_P = {d: repr(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    obs = ", ".join(
+        f"CAST(SUM(CASE WHEN fd = '{d}' THEN 1 ELSE 0 END) AS BIGINT) AS o{d}"
+        for d in range(1, 10)
+    )
+    # CAST the literal: DuckDB parses a 17-digit float literal as
+    # DECIMAL and overflows the squared term; Spark parses it DOUBLE
+    chi = " + ".join(
+        f"((o{d} - n * CAST({_BENFORD_P[d]} AS DOUBLE))"
+        f" * (o{d} - n * CAST({_BENFORD_P[d]} AS DOUBLE))"
+        f" / (n * CAST({_BENFORD_P[d]} AS DOUBLE)))"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH fd AS (
+      SELECT o_orderpriority,
+             substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS fd
+      FROM orders),
+    piv AS (
+      SELECT o_orderpriority, count(*) AS n, {obs}
+      FROM fd GROUP BY 1)
+    SELECT o_orderpriority, n, o1, o2, o3, o4, o5, o6, o7, o8, o9,
+           {chi} AS chi2
+    FROM piv
+    """
+
+
+@register("a_benford_audit", _benford_oracle())
+def a_benford_audit(spark, sf_dir):
+    """Benford first-digit audit per order priority (Newcomb 1881 /
+    Benford 1938 — the classic fabricated-data screen): observed
+    digit counts vs the log10(1+1/d) law, χ² computed as a FIXED
+    nine-term expression tree over the pivoted counts — never a SQL
+    SUM over per-digit float terms, whose accumulation order differs
+    between engines.  First digits come from integer-to-string, not
+    float formatting (engines print doubles differently) and not
+    log10 (libm at runtime is not bit-portable; the Benford constants
+    are baked as shared literals at build time)."""
+    o = load_table(spark, sf_dir, "orders")
+    fd = o.select(
+        "o_orderpriority",
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).alias("fd"),
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.when(F.col("fd") == str(d), 1).otherwise(0)).alias(f"o{d}")
+        for d in range(1, 10)
+    ]
+    piv = fd.groupBy("o_orderpriority").agg(*aggs)
+    chi = None
+    for d in range(1, 10):
+        p = float(_BENFORD_P[d])
+        term = (F.col(f"o{d}") - F.col("n") * F.lit(p)) * (
+            F.col(f"o{d}") - F.col("n") * F.lit(p)
+        ) / (F.col("n") * F.lit(p))
+        chi = term if chi is None else chi + term
+    return piv.select(
+        "o_orderpriority",
+        "n",
+        *[f"o{d}" for d in range(1, 10)],
+        chi.alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_key_skew_profile",
+    """
+    WITH f AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT count(*) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             max(c) AS max_freq,
+             CAST(SUM(CASE WHEN c >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_keys
+      FROM f)
+    SELECT n_keys, n_rows, max_freq, n_hot_keys,
+           CAST(max_freq AS DOUBLE) / n_rows AS top1_share,
+           CAST(n_rows AS DOUBLE) / n_keys AS mean_freq
+    FROM s
+    """,
+)
+def a_key_skew_profile(spark, sf_dir):
+    """Join-key skew profile for lineitem.l_orderkey — the diagnostic
+    a 100 TB operator runs BEFORE choosing a join strategy: key count,
+    row count, hottest-key frequency and share, hot-key count (freq ≥
+    6), mean frequency.  One key-count aggregate + one 1-row rollup;
+    the ratios are single exact divisions.  This is the measurement
+    half of the skew tooling whose action half is
+    operators/skew.py (salted join / salted agg, j13 + a_salted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("c"))
+    s = f.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_freq"),
+        F.sum(F.when(F.col("c") >= 6, 1).otherwise(0)).alias("n_hot_keys"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "n_hot_keys",
+        (F.col("max_freq").cast("double") / F.col("n_rows")).alias("top1_share"),
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("mean_freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_compaction_bins",
+    """
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) - n_chars
+               AS cum_before
+      FROM documents)
+    SELECT doc_id, source, n_chars, cum_before,
+           CAST(floor(cum_before / 65536) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def layout_compaction_bins(spark, sf_dir):
+    """Small-files compaction plan: pack documents into ~64 KiB
+    output bins per source partition by running-size cursor (bin =
+    cumulative-bytes-before ÷ target) — the streaming first-fit every
+    lakehouse OPTIMIZE/compaction pass uses, as pure window
+    arithmetic.  Deterministic: the pack order is the unique doc_id,
+    sizes are exact ints.  Per-source windows keep the sort local to
+    a partition — no global order, so the planner itself scales with
+    the partition, not the table.  Completes the layout family next
+    to zorder keys (layout_zorder_key) and footer-based skipping
+    (sources/layout.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("cum_before"),
+    )
+    return c.withColumn(
+        "bin_id", F.floor(F.col("cum_before") / 65536).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -517,3 +517,39 @@ def test_theta_diff_identities(spark):
     r = sketches.kmv_theta_set_ops(a, b, "it", k=256).collect()[0]
     assert r.n_diff_exact == 20 and r.n_diff_est == 20.0
     assert r.n_union_exact == r.n_inter_exact + r.n_diff_exact + 20
+
+
+# -- Benford / skew / compaction -------------------------------------------
+
+
+def test_benford_counts_partition(spark):
+    """Digit counts partition each group exactly (prices >= 1)."""
+    for r in QUERIES["a_benford_audit"](spark, SF).collect():
+        assert sum(r[f"o{d}"] for d in range(1, 10)) == r.n
+        assert r.chi2 >= 0.0
+
+
+def test_skew_profile_identities(spark):
+    r = QUERIES["a_key_skew_profile"](spark, SF).collect()[0]
+    assert r.n_rows >= r.n_keys >= 1
+    assert r.max_freq >= 1 and 0 < r.top1_share <= 1
+    assert r.mean_freq * r.n_keys == r.n_rows or abs(
+        r.mean_freq - r.n_rows / r.n_keys) < 1e-12
+
+
+def test_compaction_bins_monotone_and_bounded(spark):
+    """Within (source, bin): cum_before windows are contiguous; every
+    bin except possibly the last starts below the 64 KiB target."""
+    rows = QUERIES["layout_compaction_bins"](spark, SF).collect()
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r)
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.cum_before == cum
+            assert r.bin_id == cum // 65536
+            cum += r.n_chars
