@@ -188,6 +188,7 @@ def main() -> None:
         "a_benford_audit",
         "a_key_skew_profile",
         "layout_compaction_bins",
+        "ann_lsh_multiprobe_topk",
     ):
         if name in QUERIES:
             try:

@@ -7460,6 +7460,122 @@ def layout_compaction_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe LSH
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT a.vec_id, b.plane_id,
+             CASE WHEN {{dot}} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e a CROSS JOIN planes b),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY 1),
+    n AS (
+      SELECT e.vec_id, e.v, bk.bucket,
+             sqrt(CAST((SELECT SUM(CAST(floor(e.v[i.i] * e.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(e.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM e JOIN buckets bk ON e.vec_id = bk.vec_id),
+    probes AS (
+      SELECT vec_id, v, nrm,
+             CASE WHEN k.k = 0 THEN bucket
+                  ELSE substr(bucket, 1, k.k - 1)
+                       || (CASE substr(bucket, k.k, 1)
+                             WHEN '1' THEN '0' ELSE '1' END)
+                       || substr(bucket, k.k + 1)
+             END AS probe
+      FROM n CROSS JOIN unnest(range(0, 9)) k(k)
+      WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST((SELECT SUM(CAST(floor(q.v[i.i] * c.v[i.i] * 1e12) AS BIGINT))
+                   FROM unnest(range(1, len(q.v) + 1)) i(i)) / 1e12 AS DOUBLE)
+               / (q.nrm * c.nrm) AS cosine_sim
+      FROM probes q JOIN n c ON q.probe = c.bucket AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored) t
+    WHERE rank <= 3
+    """.replace(
+        "{dot}",
+        "(SELECT SUM(CAST(floor(a.v[i.i] * b.v[i.i] * 1e12) AS BIGINT)) "
+        "FROM unnest(range(1, len(a.v) + 1)) i(i)) / 1e12",
+    ),
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query (vec_id
+    < 10) probes its own sign-bucket PLUS the 8 one-bit-flip
+    neighbors — the recall of ~9 hash tables from ONE table, because
+    near-misses land in buckets at Hamming distance 1.
+
+    Scale shape: the query side fans out 9× (tiny), the corpus keeps
+    one bucket row per vector, candidates meet via a plain equi-join
+    on the probe key — never a cross join, and no extra index beyond
+    the single bucket column.  A (query, neighbor) pair meets at most
+    once: the 9 probe keys are distinct and the neighbor has one
+    bucket, so no dedup is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
+    withb = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(buckets, "vec_id")
+        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
+    )
+    probes = (
+        withb.filter(F.col("vec_id") < 10)
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("__qv"),
+            F.col("nrm").alias("__qn"),
+            F.when(F.col("k") == 0, F.col("bucket"))
+            .otherwise(
+                F.concat(
+                    F.expr("substring(bucket, 1, k - 1)"),
+                    F.when(F.expr("substring(bucket, k, 1)") == "1", "0").otherwise(
+                        "1"
+                    ),
+                    F.expr("substring(bucket, k + 1)"),
+                )
+            )
+            .alias("probe"),
+        )
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.col("nrm").alias("__cn"),
+        F.col("bucket").alias("__cb"),
+    )
+    scored = (
+        probes.join(
+            c,
+            (F.col("probe") == F.col("__cb"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine_sim",
+            lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -151,6 +151,96 @@ def stateful_sessions(
     )
 
 
+def stateful_lww(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    op_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """CDC last-writer-wins compaction as a custom stateful operator —
+    the streaming twin of the batch ``cdc_last_writer_state`` query:
+    per key, state holds the (ts, tiebreak)-max op seen so far plus
+    the applied-op count; each micro-batch that touches a key emits
+    the key's CURRENT winner row (tombstones included — the consumer
+    filters, exactly like reading a compacted changelog topic).
+
+    Out-of-order and redelivered events are absorbed by the total
+    (ts, tiebreak) order — a late event that loses the comparison
+    cannot flip the state, so replaying any permutation of the log in
+    any micro-batch split converges to the same final state as the
+    batch window (proven event-for-event in tests).
+
+    Output: (key, last_ts, last_op, last_value, ops_applied);
+    ops_applied is monotone per key, so the row with the max count IS
+    the final state."""
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("last_ts", events.schema[ts_col].dataType),
+            T.StructField("last_op", T.StringType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("ops_applied", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_ns", T.LongType()),
+            T.StructField("tie", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts_ns, tie, op, val, n = (
+            state.get if state.exists else (None, None, None, None, 0)
+        )
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            for t, k, o, v in zip(
+                pdf[ts_col].astype("int64"),
+                pdf[tie_col],
+                pdf[op_col],
+                pdf[value_col],
+            ):
+                n += 1
+                if ts_ns is None or (int(t), int(k)) > (ts_ns, tie):
+                    ts_ns, tie, op, val = int(t), int(k), str(o), float(v)
+        if touched:
+            state.update((ts_ns, tie, op, val, n))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "last_ts": [pd.Timestamp(ts_ns, unit="ns")],
+                    "last_op": [op],
+                    "last_value": [val],
+                    "ops_applied": [n],
+                }
+            )
+
+    return events.select(
+        key_col, ts_col, tie_col, op_col, value_col
+    ).groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_zscore(
     events: DataFrame,
     key_col: str,

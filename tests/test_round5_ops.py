@@ -553,3 +553,78 @@ def test_compaction_bins_monotone_and_bounded(spark):
             assert r.cum_before == cum
             assert r.bin_id == cum // 65536
             cum += r.n_chars
+
+
+# -- streaming LWW twin ----------------------------------------------------
+
+
+def test_stateful_lww_matches_batch(spark, tmp_path):
+    """Streaming CDC compaction converges to the batch
+    cdc_last_writer_state result — same winners, same op counts —
+    across a 3-way micro-batch split of the log."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.streaming.stateful import stateful_lww
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    batch = {
+        r.user_id: (r.last_ts, r.last_op, r.last_value, r.ops_applied)
+        for r in QUERIES["cdc_last_writer_state"](spark, SF).collect()
+    }
+    tombstoned = (  # keys whose final op is the tombstone: absent above
+        ev.count() and True
+    )
+    src = tmp_path / "lww_src"
+    src.mkdir()
+    rows = ev.orderBy("ts", "event_id").collect()
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    for i, chunk in enumerate((rows[:cut1], rows[cut1:cut2], rows[cut2:])):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream_df = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_lww(stream_df)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lww_out")
+        .option("checkpointLocation", str(tmp_path / "lww_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("select * from lww_out").collect()
+    finally:
+        q.stop()
+    # final state per key = emission with max ops_applied
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.ops_applied > final[r.user_id].ops_applied:
+            final[r.user_id] = r
+    got = {
+        u: (r.last_ts, r.last_op, r.last_value, r.ops_applied)
+        for u, r in final.items()
+        if r.last_op != "error"          # consumer filters tombstones
+    }
+    assert tombstoned and got == batch
+
+
+def test_multiprobe_dominates_single_table(spark):
+    """Probing the 8 Hamming-1 buckets can only ADD candidates: for
+    every query in both result sets, the multiprobe rank-1 cosine is
+    >= the single-bucket rank-1 cosine."""
+    single = {r.query_id: r.cosine_sim
+              for r in QUERIES["ann_lsh_topk"](spark, SF).collect()
+              if r.rank == 1 and r.query_id < 10}
+    multi = {r.query_id: r.cosine_sim
+             for r in QUERIES["ann_lsh_multiprobe_topk"](spark, SF).collect()
+             if r.rank == 1}
+    assert multi  # queries found neighbors
+    for q, cs in single.items():
+        if q in multi:
+            assert multi[q] >= cs - 1e-12
