@@ -205,3 +205,66 @@ def test_bloom_probe_broadcasts_bits(spark):
     df = QUERIES["sketch_bloom_join"](spark, SF)
     assert pi.count_broadcast_joins(df) >= 2, pi.simple_plan(df)
     assert not pi.has_sort_merge_join(df)
+
+
+def test_round5_joins_are_not_nested_loops(spark):
+    """New bucket-grid joins must stay equi-joins: attribution's range
+    join, the interval-overlap grid, multiprobe LSH, snapshot-delta
+    anti-join, and the composed dedup pipeline."""
+    for name in (
+        "w_attribution_linear",
+        "j14_interval_overlap",
+        "ann_lsh_multiprobe_topk",
+        "dedup_snapshot_delta",
+        "corpus_dedup_pipeline",
+    ):
+        pi.assert_no_cartesian(QUERIES[name](spark, SF))
+
+
+def test_mips_corpus_never_shuffles(spark):
+    """MIPS mirrors the cosine baseline contract: broadcast queries,
+    one window shuffle, no sort-merge join."""
+    df = QUERIES["ann_mips_topk"](spark, SF)
+    assert pi.count_shuffles(df) <= 1, pi.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in pi.formatted_plan(df)
+    assert not pi.has_sort_merge_join(df)
+
+
+def test_hll_merge_register_rollup_is_small(spark):
+    """The region rollup joins only broadcast dims (nation both
+    times); no sort-merge join anywhere in the sketch path."""
+    df = QUERIES["sketch_hll_merge"](spark, SF)
+    assert not pi.has_sort_merge_join(df)
+    assert pi.count_broadcast_joins(df) >= 2
+
+
+def test_keyset_pagination_pushes_cursor(spark):
+    """The tuple-compare cursor must reach the parquet scan as
+    pushable filters (the whole point of keyset over OFFSET)."""
+    df = QUERIES["o5_keyset_pagination"](spark, SF)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_bpe_round_state_is_vocab_sized(spark):
+    """BPE training never explodes the corpus after round 0: each
+    round's chosen merge reaches the rewrite as a BROADCAST 1-row
+    side (a broadcast nested-loop cross of exactly one row — the
+    declarative argmax), and nothing sort-merge joins."""
+    df = QUERIES["corpus_bpe_train"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # one per rewrite
+    assert not pi.has_sort_merge_join(df)
+
+
+def test_ivf_pq_adc_is_broadcast_join(spark):
+    """IVF-PQ scoring must join the code table against a BROADCAST
+    LUT (the cell key folded into the equi-join) and never build a
+    cartesian candidate set.  (The cell/code weld joins ARE shuffled
+    — they are corpus-sized on both sides, which is correct.)"""
+    df = QUERIES["ann_ivf_pq_topk"](spark, SF)
+    assert pi.count_broadcast_joins(df) >= 1
+    # the only nested-loop joins allowed are the constant-sized
+    # broadcast centroid crosses of the coarse quantizer (8 rows) —
+    # mirroring ann_ivf_topk's documented shape
+    assert pi.formatted_plan(df).count("BroadcastNestedLoopJoin") <= 2
