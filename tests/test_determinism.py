@@ -32,6 +32,15 @@ REPRESENTATIVE = [
     "text_bm25_topk",         # int-scaled per-term score sums
     "a_string_agg",           # sorted-collect (collect_list order varies!)
     "u3_stack_assembly",      # grouped-map pandas audits
+    # round-5 operators
+    "corpus_bpe_train",       # iterative argmax + rewrite loop
+    "sketch_hll_merge",       # register max-merge rollup
+    "sketch_kmv_set_ops",     # distributed top-k theta sketches
+    "corpus_dedup_pipeline",  # minhash -> components -> anti-join
+    "w_ema_halflife",         # lag-window int numerators
+    "a_mad_outliers",         # order-statistic medians
+    "ann_ivf_pq_topk",        # coarse cells + PQ training + ADC
+    "a_benford_audit",        # fixed-order chi-square expression tree
 ]
 
 
