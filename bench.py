@@ -189,6 +189,8 @@ def main() -> None:
         "a_key_skew_profile",
         "layout_compaction_bins",
         "ann_lsh_multiprobe_topk",
+        "sketch_cms_merge",
+        "dedup_band_tuning",
     ):
         if name in QUERIES:
             try:

@@ -7576,6 +7576,104 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Count-min additive merge law
+# ---------------------------------------------------------------------------
+
+
+@register("sketch_cms_merge", _cms_oracle())
+def sketch_cms_merge(spark, sf_dir):
+    """Count-min MERGE: four per-shard sketches (doc_id mod 4)
+    combined by plain per-cell ADDITION, then the same top-20 point
+    estimates as sketch_count_min.  The oracle is the DIRECT global
+    sketch, so a green row proves the additive merge law —
+    merge(sketches(shards)) ≡ sketch(union) — the counter-table
+    counterpart of the HLL max-merge law (sketch_hll_merge) and the
+    theta min-merge (sketch_kmv_set_ops): together the three cover
+    every mergeable-summary combinator a 100 TB rollup uses."""
+    from dicomdb_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 4).alias("shard"),
+        F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias(
+            "item"
+        ),
+    ).persist()
+    rows = F.explode(F.array(*[F.lit(d) for d in range(4)])).alias("d")
+    e = toks.select("shard", "item", rows)
+    col = sketches._hex_int(
+        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))), 2
+    )
+    per_shard = (
+        e.select("shard", "d", col.alias("col"))
+        .groupBy("shard", "d", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = per_shard.groupBy("d", "col").agg(F.sum("c").alias("c"))
+    true_c = toks.groupBy("item").agg(F.count("*").alias("true_c"))
+    w = Window.orderBy(F.col("true_c").desc(), F.col("item"))
+    top = (
+        true_c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = sketches.count_min_estimate(merged, top, "item", depth=4, width_chars=2)
+    return top.join(est, "item").select(
+        "item", "true_c", F.col("est_c").cast("long").alias("est_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-tuning sweep
+# ---------------------------------------------------------------------------
+
+
+def _band_tuning_oracle() -> str:
+    selects = []
+    for bands in (2, 4, 8):
+        rows = 16 // bands
+        selects.append(
+            f"""SELECT {bands} AS bands, {rows} AS rows_per_band,
+           (WITH {_minhash_pairs_cte(16, bands).split('WITH ', 1)[1]}
+            SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_candidates"""
+        )
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+@register("dedup_band_tuning", _band_tuning_oracle())
+def dedup_band_tuning(spark, sf_dir):
+    """LSH banding parameter sweep in ONE pass: candidate-pair counts
+    for (bands, rows) ∈ {(2,8), (4,4), (8,2)} over the SAME 16
+    minhash values — the S-curve knob every LSH deployment tunes
+    (more bands → higher recall AND more candidates; the counts are
+    the cost side of that trade).  The signature table computes once
+    and is persisted; each configuration re-bands the cached
+    signatures, so the sweep costs three band-joins, not three
+    signature passes."""
+    docs2 = _docs_with_dupes(spark, sf_dir)
+    out = None
+    base = docs2.persist()
+    for bands in (2, 4, 8):
+        pairs = ldedup.minhash_lsh_pairs(
+            base,
+            "doc_id",
+            "text",
+            num_hashes=16,
+            bands=bands,
+            min_parallelism=spark.sparkContext.defaultParallelism,
+        )
+        row = pairs.agg(F.count("*").alias("n_candidates")).select(
+            F.lit(bands).alias("bands"),
+            F.lit(16 // bands).alias("rows_per_band"),
+            F.col("n_candidates"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

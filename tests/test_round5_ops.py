@@ -628,3 +628,41 @@ def test_multiprobe_dominates_single_table(spark):
     for q, cs in single.items():
         if q in multi:
             assert multi[q] >= cs - 1e-12
+
+
+# -- CMS merge / band tuning ----------------------------------------------
+
+
+def test_cms_merge_equals_direct_sketch(spark):
+    """merge(per-shard counter tables) == the direct global sketch,
+    cell for cell — the additive merge law."""
+    from dicomdb_spark.functions import sketches
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.functions import text as T
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 4).alias("shard"),
+        F.explode(F.transform(T.tokens("text"), lambda t: F.lower(t))).alias("item"),
+    )
+    direct = sketches.count_min(toks.select("item"), "item", depth=4, width_chars=2)
+    rows = F.explode(F.array(*[F.lit(d) for d in range(4)])).alias("d")
+    e = toks.select("shard", "item", rows)
+    col = sketches._hex_int(
+        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))), 2
+    )
+    merged = (
+        e.select("shard", "d", col.alias("col"))
+        .groupBy("shard", "d", "col").agg(F.count("*").alias("c"))
+        .groupBy("d", "col").agg(F.sum("c").alias("c"))
+    )
+    assert _vals(direct) == _vals(merged)
+
+
+def test_band_tuning_s_curve(spark):
+    """More bands (fewer rows per band) can only ADD candidates —
+    the monotone cost side of the LSH recall/cost trade."""
+    got = {r.bands: r.n_candidates
+           for r in QUERIES["dedup_band_tuning"](spark, SF).collect()}
+    assert set(got) == {2, 4, 8}
+    assert got[2] <= got[4] <= got[8]
