@@ -191,6 +191,9 @@ def main() -> None:
         "ann_lsh_multiprobe_topk",
         "sketch_cms_merge",
         "dedup_band_tuning",
+        "sketch_join_size",
+        "w_markov_transitions",
+        "graph_triangles",
     ):
         if name in QUERIES:
             try:

@@ -7674,6 +7674,220 @@ def dedup_band_tuning(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Join-size estimation from count-min inner products
+# ---------------------------------------------------------------------------
+
+
+def _join_size_oracle(depth: int = 4, width_chars: int = 2) -> str:
+    from dicomdb_spark.functions.sketches import sql_hex_int
+
+    col_of = lambda item: sql_hex_int(  # noqa: E731
+        f"md5(CAST(d.d AS VARCHAR) || '|' || {item})", width_chars
+    )
+    return f"""
+    WITH rows_ AS (SELECT unnest(range(0, {depth})) AS d),
+    a AS (
+      SELECT d.d, {col_of("CAST(o.o_orderkey AS VARCHAR)")} AS col,
+             count(*) AS c
+      FROM orders o CROSS JOIN rows_ d GROUP BY 1, 2),
+    b AS (
+      SELECT d.d, {col_of("CAST(l.l_orderkey AS VARCHAR)")} AS col,
+             count(*) AS c
+      FROM lineitem l CROSS JOIN rows_ d GROUP BY 1, 2),
+    ip AS (
+      SELECT a.d, CAST(SUM(a.c * b.c) AS BIGINT) AS est
+      FROM a JOIN b ON a.d = b.d AND a.col = b.col
+      GROUP BY 1),
+    est AS (SELECT CAST(min(est) AS BIGINT) AS est_size FROM ip),
+    tru AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_size
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT t.true_size, e.est_size,
+           CAST(e.est_size AS DOUBLE) / t.true_size AS over_ratio
+    FROM tru t, est e
+    """
+
+
+@register("sketch_join_size", _join_size_oracle())
+def sketch_join_size(spark, sf_dir):
+    """Join-size estimation WITHOUT running the join: the inner
+    product of two count-min counter tables over the join key
+    (Alon-Matias-Szegedy 1996 / Cormode-Muthukrishnan 2005 — the
+    classic sketch-based cardinality estimate a cost-based planner
+    uses to choose join strategies).  est = min over rows of
+    Σ_cells a·b, always ≥ truth; the true size rides along for error
+    visibility.  Two constant-size (4×256) sketches join cell-to-cell
+    — the estimate costs O(sketch), not O(data), which is the point
+    at 100 TB: you can afford it per candidate join order."""
+    from dicomdb_spark.functions import sketches
+
+    a_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("item")
+    )
+    b_keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("item")
+    )
+    cms_a = sketches.count_min(a_keys, "item", depth=4, width_chars=2)
+    cms_b = sketches.count_min(b_keys, "item", depth=4, width_chars=2)
+    ip = (
+        cms_a.alias("a")
+        .join(
+            cms_b.alias("b"),
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.col") == F.col("b.col")),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("est"))
+    )
+    est = ip.agg(F.min("est").cast("long").alias("est_size"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    tru = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count("*").alias("true_size")
+    )
+    return tru.crossJoin(F.broadcast(est)).select(
+        "true_size",
+        "est_size",
+        (F.col("est_size").cast("double") / F.col("true_size")).alias("over_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_markov_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / tot.t AS p
+    FROM c JOIN tot USING (prev_type)
+    """,
+)
+def w_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and conditional probabilities P(next | current)
+    — the user-journey / pathing analysis primitive.  One lag window
+    per user (the only data shuffle), one pair count over the
+    |types|² ≤ 25-row state, probabilities as single exact divisions
+    of integer pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return c.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("t")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficients on the dup graph
+# ---------------------------------------------------------------------------
+
+
+def _triangles_oracle() -> str:
+    return f"""
+    {_minhash_pairs_cte()},
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id1 AS doc_id FROM pairs
+        UNION ALL SELECT id2 FROM pairs) t
+      GROUP BY 1),
+    tri AS (
+      SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id1 = e1.id2
+      JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+    pv AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) t
+      GROUP BY 1)
+    SELECT d.doc_id, d.degree,
+           CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.degree >= 2
+             THEN CAST(2 * coalesce(pv.n_tri, 0) AS DOUBLE)
+                  / (d.degree * (d.degree - 1))
+             ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN pv ON pv.doc_id = d.doc_id
+    """
+
+
+@register("graph_triangles", _triangles_oracle())
+def graph_triangles(spark, sf_dir):
+    """Triangle counts and local clustering coefficients over the
+    minhash near-dup graph — the standard oriented-edge algorithm
+    (each triangle a<b<c found exactly once via two ordered-edge
+    joins), which is THE scalable formulation: join fan-out follows
+    degree, never |V|².  Clustering coefficient = 2T/(d(d−1)), one
+    exact division.  High-coefficient vertices sit in dup CLIQUES
+    (true duplicate groups); low ones are chains/stars — hub-like
+    false-positive candidates worth re-verifying.  Complements
+    dedup_components (which answers "which group") with "how
+    clique-like is the group"."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
+    deg = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    e2 = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    pv = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return deg.join(pv, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.coalesce("n_tri", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

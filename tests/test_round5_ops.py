@@ -666,3 +666,38 @@ def test_band_tuning_s_curve(spark):
            for r in QUERIES["dedup_band_tuning"](spark, SF).collect()}
     assert set(got) == {2, 4, 8}
     assert got[2] <= got[4] <= got[8]
+
+
+# -- join size / markov / triangles ---------------------------------------
+
+
+def test_join_size_estimate_upper_bounds_truth(spark):
+    r = QUERIES["sketch_join_size"](spark, SF).collect()[0]
+    assert r.est_size >= r.true_size > 0
+    assert r.over_ratio >= 1.0
+
+
+def test_markov_rows_are_distributions(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["w_markov_transitions"](spark, SF).collect()
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0 < r.p <= 1
+        by_prev[r.prev_type] += r.p
+    for s in by_prev.values():
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_triangles_on_known_graph(spark):
+    """Triangle + coefficient ground truth on a hand graph: one
+    triangle (1,2,3) plus a pendant 4-3."""
+    from dicomdb_spark.llm import dedup as ld  # noqa: F401 (module parity)
+    from pyspark.sql import functions as F
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id1 long, id2 long")
+    e1 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    e2 = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c").collect()
+    assert {(r.a, r.b, r.c) for r in tri} == {(1, 2, 3)}
