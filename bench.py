@@ -194,6 +194,7 @@ def main() -> None:
         "sketch_join_size",
         "w_markov_transitions",
         "graph_triangles",
+        "er_phonetic_pairs",
     ):
         if name in QUERIES:
             try:

@@ -181,6 +181,46 @@ def gopher_sql(text_expr: str = "text") -> str:
     """
 
 
+_PHONETIC_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_PHONETIC_TO = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Soundex-style phonetic blocking key (Russell 1918 — public
+    method), engine-portable variant: first letter + first 3 digit
+    classes of the remainder, adjacent duplicate classes collapsed,
+    vowel class dropped, zero-padded.
+
+    Simplifications vs archival Soundex, applied IDENTICALLY on both
+    engines (this is a blocking key, not a genealogy standard): the
+    H/W separator rule is omitted, and collapsing happens before the
+    vowel-class drop, so consonants separated by a vowel keep their
+    distinct digits.  Collapsing uses two passes of fixed
+    ``replace(dd→d)`` per class — RE2 (DuckDB) has no backreferences,
+    so the regex '(.)\\1+' route would not replay; two passes
+    collapse any run ≤ 4, beyond any real word's repeat run.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.upper(c)
+    first = F.substring(u, 1, 1)
+    rest = F.substring(F.translate(u, _PHONETIC_FROM, _PHONETIC_TO), 2, 1000)
+    for _ in range(2):
+        for d in "0123456":
+            rest = F.replace(rest, F.lit(d + d), F.lit(d))
+    rest = F.replace(rest, F.lit("0"), F.lit(""))
+    return F.concat(first, F.rpad(F.substring(rest, 1, 3), 3, "0"))
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """DuckDB twin of :func:`phonetic_key`."""
+    rest = f"substr(translate(upper({expr}), '{_PHONETIC_FROM}', '{_PHONETIC_TO}'), 2)"
+    for _ in range(2):
+        for d in "0123456":
+            rest = f"replace({rest}, '{d}{d}', '{d}')"
+    rest = f"replace({rest}, '0', '')"
+    return f"substr(upper({expr}), 1, 1) || rpad(substr({rest}, 1, 3), 3, '0')"
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-token language heuristic → language code or 'und'.
 

@@ -701,3 +701,31 @@ def test_triangles_on_known_graph(spark):
     e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c").collect()
     assert {(r.a, r.b, r.c) for r in tri} == {(1, 2, 3)}
+
+
+# -- phonetic ER -----------------------------------------------------------
+
+
+def test_phonetic_key_classics(spark):
+    """Classic Soundex pairs collide; unrelated words do not."""
+    from dicomdb_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("robert",), ("rupert",), ("ashcraft",), ("tymczak",), ("table",)],
+        "w STRING",
+    )
+    keys = {r.w: r.k for r in df.select("w", T.phonetic_key("w").alias("k")).collect()}
+    assert keys["robert"] == keys["rupert"] == "R163"
+    assert keys["table"] != keys["robert"]
+    assert all(len(k) == 4 for k in keys.values())
+
+
+def test_phonetic_pairs_find_injected_typos(spark):
+    """Every emitted pair is distance <= 1 with matching keys; the
+    vowel-swap injections guarantee at least one pair at sf0.01."""
+    from dicomdb_spark.functions import text as T  # noqa: F401
+
+    rows = QUERIES["er_phonetic_pairs"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.dist <= 1 and r.tok1 < r.tok2
