@@ -8044,6 +8044,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "cdc_last_writer_state", "w_ema_halflife", "w_attribution_linear",
     "w_rolling_range_sum", "a_mad_outliers", "j14_interval_overlap",
     "text_ccnet_buckets", "corpus_shuffle_batches",
+    "ann_lsh_multiprobe_topk", "sketch_cms_merge", "dedup_band_tuning",
+    "sketch_join_size", "w_markov_transitions", "graph_triangles",
+    "er_phonetic_pairs", "a_benford_audit", "a_key_skew_profile",
+    "layout_compaction_bins",
 )
 
 
