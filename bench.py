@@ -195,6 +195,8 @@ def main() -> None:
         "w_markov_transitions",
         "graph_triangles",
         "er_phonetic_pairs",
+        "sql_dialect_portable",
+        "corpus_semantic_dedup_pipeline",
     ):
         if name in QUERIES:
             try:

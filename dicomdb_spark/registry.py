@@ -7972,6 +7972,137 @@ def er_phonetic_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dialect-portable SQL surface
+# ---------------------------------------------------------------------------
+
+# ONE SQL text, executed verbatim by BOTH engines: spark.sql() runs it
+# over temp views, DuckDB runs it as the oracle.  Proof that the
+# engine's SQL surface (CTEs, ordinal GROUP BY, window functions,
+# casts, floor-int money math) stays inside the ANSI subset the two
+# dialects share — the portability contract a user migrating SQL
+# workloads onto this engine relies on.
+_PORTABLE_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             count(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_i
+      FROM events
+      GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT day,
+             count(*) AS active_users,
+             CAST(SUM(n_events) AS BIGINT) AS total_events,
+             CAST(CAST(SUM(value_i) AS BIGINT) AS DOUBLE) / 100.0
+               AS total_value
+      FROM daily
+      GROUP BY 1
+    )
+    SELECT day, active_users, total_events, total_value,
+           CAST(row_number() OVER (ORDER BY total_events DESC, day)
+                AS INTEGER) AS busy_rank
+    FROM per_day
+"""
+
+
+@register("sql_dialect_portable", _PORTABLE_SQL)
+def sql_dialect_portable(spark, sf_dir):
+    """The SQL-API surface, dialect-portably: this query's oracle
+    string IS its implementation — the identical text runs through
+    ``spark.sql`` (over a temp view) and through DuckDB, byte for
+    byte.  Daily active users / event counts / floor-int revenue with
+    a window rank: CTE chain, ordinal GROUP BY, window function,
+    explicit casts.  Everything the DataFrame queries guarantee
+    (TIMESTAMP_NTZ inputs, integer money, unique rank tiebreaks)
+    holds in plain SQL too."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PORTABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding) dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+def _semantic_pipeline_oracle(iters: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.vec_id, least(v.lbl, coalesce(min(n2.lbl), v.lbl)) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT e.dst AS vec_id, l.lbl FROM e JOIN {prev} l ON e.src = l.vec_id) n2
+      ON v.vec_id = n2.vec_id
+      GROUP BY v.vec_id, v.lbl)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_SQL_EMB_BASE},
+    n AS (
+      SELECT vec_id, v,
+             sqrt(CAST((SELECT SUM(CAST(floor(v2.v[i.i] * v2.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(v2.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM base v2),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE CAST({_SQL_DOT_AB} AS DOUBLE) / (a.nrm * b.nrm) >= 0.99),
+    verts AS (SELECT DISTINCT vec_id FROM (
+      SELECT id1 AS vec_id FROM pairs UNION ALL SELECT id2 FROM pairs) t),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    l0 AS (SELECT vec_id, vec_id AS lbl FROM verts),
+    {chain}
+    SELECT b.vec_id
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                      WHERE x.vec_id = b.vec_id AND x.lbl <> b.vec_id)
+    """
+
+
+@register("corpus_semantic_dedup_pipeline", _semantic_pipeline_oracle())
+def corpus_semantic_dedup_pipeline(spark, sf_dir):
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (≥ 0.99, exact-int kernels) → min-label connected components →
+    drop non-keepers → surviving vector ids.  The embedding-space
+    twin of corpus_dedup_pipeline (which resolves LEXICAL dups via
+    minhash): at corpus scale the pair stage swaps brute-force for
+    the LSH/IVF candidate paths, and the component/keeper machinery
+    is untouched — the composition contract this query pins."""
+    base = _emb_with_dupes(spark, sf_dir)
+    n = base.withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
+    a = n.select(
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("__av"),
+        F.col("nrm").alias("__an"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("__bv"),
+        F.col("nrm").alias("__bn"),
+    )
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cos",
+            lsim.dot_exact_vec(F.col("__av"), F.col("__bv"))
+            / (F.col("__an") * F.col("__bn")),
+        )
+        .filter(F.col("cos") >= 0.99)
+        .select("id1", "id2")
+    )
+    comp = ldedup.min_label_components(
+        pairs.persist(), iters=3, broadcast_labels=True
+    )
+    dropped = comp.filter(F.col("component") != F.col("doc_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return base.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -729,3 +729,28 @@ def test_phonetic_pairs_find_injected_typos(spark):
     assert len(rows) >= 1
     for r in rows:
         assert r.dist <= 1 and r.tok1 < r.tok2
+
+
+# -- portable SQL / semantic pipeline -------------------------------------
+
+
+def test_portable_sql_text_is_shared(spark):
+    """The oracle string and the spark.sql input are the SAME text."""
+    from dicomdb_spark.registry import ORACLES, _PORTABLE_SQL
+
+    assert ORACLES["sql_dialect_portable"] == _PORTABLE_SQL
+
+
+def test_semantic_pipeline_consistency(spark):
+    """kept ids = all vectors − non-keeper members of cosine
+    components; injected near-dup copies are removed."""
+    from dicomdb_spark.registry import _emb_with_dupes
+
+    kept = {r.vec_id for r in
+            QUERIES["corpus_semantic_dedup_pipeline"](spark, SF).collect()}
+    allv = {r.vec_id for r in _emb_with_dupes(spark, SF).select("vec_id").collect()}
+    assert kept < allv  # something was dropped
+    pairs = QUERIES["dedup_embedding_cosine"](spark, SF).collect()
+    # every >=0.99 pair has at most one survivor
+    for p in pairs:
+        assert not (p.id1 in kept and p.id2 in kept)
