@@ -8178,7 +8178,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ann_lsh_multiprobe_topk", "sketch_cms_merge", "dedup_band_tuning",
     "sketch_join_size", "w_markov_transitions", "graph_triangles",
     "er_phonetic_pairs", "a_benford_audit", "a_key_skew_profile",
-    "layout_compaction_bins",
+    "layout_compaction_bins", "sql_dialect_portable",
+    "corpus_semantic_dedup_pipeline",
 )
 
 
