@@ -409,6 +409,88 @@ def ngram_containment_pairs(
     )
 
 
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` with a LOSSLESS prefix filter —
+    the containment adaptation of the Chaudhuri/PPJoin pruning.
+
+    Containment ≥ t on min(|A|,|B|) means the SMALLER document S must
+    overlap the other by ⌈t·|S|⌉ elements, so S's
+    ``|S| − ⌈t·|S|⌉ + 1`` rarest shingles (global-df order, ties by
+    text) must hit the other document's full set.  Candidates are
+    therefore generated ASYMMETRICALLY: prefix tokens of the
+    smaller-by-size side join the other side's full occurrence list
+    (size ties broken by id).  A hot shingle ranks LAST in every
+    prefix, so hot buckets pair only with rare-token prefixes — the
+    near-quadratic bucket blow-up of the plain inverted index never
+    forms.  Same threshold arithmetic (exact rational), same verify
+    (row-local array_intersect), bit-identical output by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(F.array_distinct(shingles(text_col, n))).alias("shs"),
+    ).persist()
+    tok = sets.select(
+        "doc", F.size("shs").alias("sz"), F.explode("shs").alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "tok")
+    ranked = tok.join(dfreq, "tok").withColumn("r", F.row_number().over(w))
+    plen = (
+        F.col("sz")
+        - F.floor(
+            (F.col("sz") * threshold_num + (threshold_den - 1)) / threshold_den
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("r") <= plen).select("doc", "tok", "sz")
+    full = tok.select(
+        F.col("doc").alias("fdoc"), "tok", F.col("sz").alias("fsz")
+    )
+    cand = (
+        prefix.join(
+            full,
+            (prefix["tok"] == full["tok"])
+            & (
+                (prefix["sz"] < full["fsz"])
+                | ((prefix["sz"] == full["fsz"]) & (prefix["doc"] < full["fdoc"]))
+            ),
+        )
+        .select(
+            F.least(F.col("doc"), F.col("fdoc")).alias("id1"),
+            F.greatest(F.col("doc"), F.col("fdoc")).alias("id2"),
+        )
+        .distinct()
+    )
+    a_sets = sets.select(F.col("doc").alias("id1"), F.col("shs").alias("__sa"))
+    b_sets = sets.select(F.col("doc").alias("id2"), F.col("shs").alias("__sb"))
+    return (
+        cand.join(a_sets, "id1")
+        .join(b_sets, "id2")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("msz", F.least(F.size("__sa"), F.size("__sb")))
+        .withColumn("containment", F.col("inter") / F.col("msz"))
+        # the FINAL test mirrors ngram_containment_pairs bit-for-bit
+        # (double compare against the same literal); the rational
+        # num/den is used only for the prefix length, where 9/10 ≤
+        # the double 0.9 keeps the pruning lossless
+        .filter(F.col("containment") >= threshold_num / threshold_den)
+        .select("id1", "id2", "containment")
+    )
+
+
 def simhash(text_col: Column | str, bits: int = 16) -> Column:
     """SimHash fingerprint over lowercase tokens → long.
 

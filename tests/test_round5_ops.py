@@ -754,3 +754,10 @@ def test_semantic_pipeline_consistency(spark):
     # every >=0.99 pair has at most one survivor
     for p in pairs:
         assert not (p.id1 in kept and p.id2 in kept)
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """The asymmetric containment prefix filter reproduces the plain
+    inverted index exactly (the theorem, not just the arithmetic)."""
+    assert _vals(QUERIES["dedup_prefix_containment"](spark, SF)) == \
+           _vals(QUERIES["dedup_ngram_containment"](spark, SF))
