@@ -8134,6 +8134,628 @@ ORACLES["dedup_prefix_containment"] = ORACLES["dedup_ngram_containment"]
 
 
 # ---------------------------------------------------------------------------
+# Round-6 wave: time-series bars, sweep-line concurrency, k-core,
+# bipartite projection, data profiling / constraint audits, corpus
+# n-gram stats, inverted index, hash splits, embedding statistics and
+# int8 quantization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_ohlc_bars",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_val,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_val,
+           max(value) AS high_val,
+           min(value) AS low_val,
+           count(*) AS n_events
+    FROM d GROUP BY 1, 2
+    """,
+)
+def w_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick bars per (user, day) — the standard
+    downsampling shape for time-series dashboards.  Open/close are
+    first/last by (ts, event_id) via two row_number windows (unique
+    tiebreak ⇒ deterministic); high/low/volume are plain min/max/
+    count.  One shuffle on the bar key; values pass through exactly
+    (no summation), so doubles are bit-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w_a = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    d = (
+        ev.select("user_id", day, "ts", "event_id", "value")
+        .withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+    )
+    return d.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_val"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_val"),
+        F.max("value").alias("high_val"),
+        F.min("value").alias("low_val"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "w_time_weighted_avg",
+    """
+    WITH d AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS vi,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(CAST(SUM(vi * (next_sec - sec)) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(next_sec - sec) AS BIGINT) / 1000000.0 AS twa
+    FROM d
+    WHERE next_sec IS NOT NULL
+    GROUP BY 1
+    HAVING SUM(next_sec - sec) > 0
+    """,
+)
+def w_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of a piecewise-constant signal per user:
+    each event's value holds until the next event, so the average is
+    Σ(vᵢ·Δtᵢ)/ΣΔtᵢ.  Values are floor-scaled int64 and Δt is integer
+    seconds, so the numerator is EXACT integer arithmetic — the only
+    float ops are two final divisions, identical on both engines.
+    One lead window per user, one aggregate; no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("vi"),
+        F.unix_timestamp("ts").alias("sec"),
+        "ts",
+    ).withColumn("next_sec", F.lead(F.unix_timestamp("ts")).over(w))
+    seg = d.filter(F.col("next_sec").isNotNull()).withColumn(
+        "dt", F.col("next_sec") - F.col("sec")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("vi") * F.col("dt")).alias("num"),
+            F.sum("dt").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            (F.col("num").cast("double") / F.col("den") / F.lit(1000000.0)).alias("twa"),
+        )
+    )
+
+
+@register(
+    "w_concurrency_peak",
+    """
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 300 SECOND, -1, event_id FROM events),
+    run AS (
+      SELECT event_type, t,
+             CAST(SUM(delta) OVER (PARTITION BY event_type
+                    ORDER BY t, delta, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS conc
+      FROM pts),
+    peak AS (SELECT event_type, max(conc) AS peak FROM run GROUP BY 1)
+    SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+           min(r.t) AS first_peak_ts
+    FROM run r JOIN peak p
+      ON r.event_type = p.event_type AND r.conc = p.peak
+    GROUP BY 1, 2
+    """,
+)
+def w_concurrency_peak(spark, sf_dir):
+    """Peak concurrency via the sweep-line: each event opens a 300 s
+    session ⇒ emit (+1 at ts, −1 at ts+300), running-sum the deltas
+    in (t, delta, event_id) order — delta sorts −1 before +1 at equal
+    t, giving half-open [ts, ts+300) semantics — and the max prefix
+    is the peak.  This is THE scalable way to answer "max concurrent
+    sessions": two map-only scans, one window per partition key,
+    never an interval self-join (which is O(n²) on hot windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = starts.unionAll(ends).withColumn("conc", F.sum("delta").over(w))
+    peak = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        run.join(F.broadcast(peak), "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("first_peak_ts"))
+    )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 3) -> str:
+    """Unrolled k-core peel: each round drops vertices with degree < k
+    and restricts edges to survivors (same fixed-iteration style as
+    the component oracles)."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY 1),
+    v{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+    e{i} AS (SELECT e.src, e.dst FROM {prev} e
+             JOIN v{i} a ON e.src = a.src
+             JOIN v{i} b ON e.dst = b.src)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    e0 AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+    {chain}
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY 1
+    """
+
+
+@register("graph_kcore", _kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """K-core decomposition (k=2, 3 peel rounds) of the minhash
+    near-dup graph: iteratively remove vertices with degree < k.
+    Survivors are the clique-like duplicate clusters; peeled vertices
+    are chains/stars (likely LSH false positives).  Each round is one
+    degree aggregate + two semi-joins against the (small, shrinking)
+    survivor set — broadcast, so the edge table never reshuffles; the
+    per-round persist() keeps lineage linear in rounds (the same
+    self-loop discipline as min_label_components)."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    e = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .persist()
+    )
+    for _ in range(3):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        v = deg.filter(F.col("deg") >= 2).select("src")
+        e = (
+            e.join(F.broadcast(v), "src")
+            .join(F.broadcast(v.withColumnRenamed("src", "dst")), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+    return e.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )
+
+
+@register(
+    "graph_cooccurrence",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, c.event_type AS type_b,
+           count(*) AS n_users
+    FROM b a JOIN b c
+      ON a.user_id = c.user_id AND a.event_type < c.event_type
+    GROUP BY 1, 2
+    """,
+)
+def graph_cooccurrence(spark, sf_dir):
+    """Bipartite projection: users × event-types → type–type
+    co-occurrence counts (how many users touch both).  Distinct
+    first (one shuffle on user), then an equi-self-join on user_id
+    with a `<` orientation so each pair counts once.  Fan-out per
+    user is bounded by the per-user distinct-type count — the classic
+    item-item co-occurrence plan that survives 100 TB because hot
+    USERS (not hot items) bound the join blow-up, and distinct-first
+    caps each user at |types|."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    a = b.select("user_id", F.col("event_type").alias("type_a"))
+    c = b.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(c, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_num,
+           CAST(max({c}) AS DOUBLE) AS max_num,
+           CAST(NULL AS INTEGER) AS min_len,
+           CAST(NULL AS INTEGER) AS max_len
+    FROM orders"""
+        )
+    for c in _PROFILE_STR_COLS:
+        parts.append(
+            f"""SELECT '{c}', count(*), count(*) - count({c}),
+           count(DISTINCT {c}), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(min(length({c})) AS INTEGER), CAST(max(length({c})) AS INTEGER)
+    FROM orders"""
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@register("a_profile_columns", _profile_oracle())
+def a_profile_columns(spark, sf_dir):
+    """Column profiler — the data-quality report every ingest pipeline
+    runs first: per column, row/null/distinct counts plus numeric
+    min/max or string length bounds.  ALL columns profile in ONE scan
+    + one aggregate row (Catalyst expands the multi-count-distinct),
+    then the row pivots into per-column records driver-side-free via
+    explode of an inline struct array.  At 100 TB swap countDistinct
+    for approx_count_distinct; the shape is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_NUM_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    for c in _PROFILE_STR_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.length(c)).cast("int").alias(f"ln_{c}"),
+            F.max(F.length(c)).cast("int").alias(f"lx_{c}"),
+        ]
+    row = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_i = F.lit(None).cast("int")
+    structs = []
+    for c in _PROFILE_NUM_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_num"),
+                F.col(f"mx_{c}").alias("max_num"),
+                null_i.alias("min_len"),
+                null_i.alias("max_len"),
+            )
+        )
+    for c in _PROFILE_STR_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.col(f"ln_{c}").alias("min_len"),
+                F.col(f"lx_{c}").alias("max_len"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@register(
+    "a_constraint_audit",
+    """
+    SELECT 'orders_custkey_fk' AS constraint_name, count(*) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer_pk_unique', count(*)
+    FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1) t
+    UNION ALL
+    SELECT 'orders_orderkey_not_null', count(*)
+    FROM orders WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_quantity_positive', count(*)
+    FROM lineitem WHERE l_quantity <= 0
+    """,
+)
+def a_constraint_audit(spark, sf_dir):
+    """Constraint audit — referential integrity, uniqueness, nullness
+    and domain checks as ONE report: each rule is an anti-join or
+    filter count, unioned into (constraint_name, n_violations) rows.
+    The FK checks are shuffle anti-joins (never a collect), the PK
+    check a group-count; all five branches evaluate in a single
+    action.  This is the warehouse "data contract" gate a 100 TB
+    ingest runs before publishing a partition."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("constraint_name"), "n_violations"
+        )
+
+    fk1 = one(
+        "orders_custkey_fk",
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"),
+    )
+    fk2 = one(
+        "lineitem_orderkey_fk",
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti"),
+    )
+    pk = one(
+        "customer_pk_unique",
+        c.groupBy("c_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1),
+    )
+    nn = one("orders_orderkey_not_null", o.filter(F.col("o_orderkey").isNull()))
+    dom = one("lineitem_quantity_positive", l.filter(F.col("l_quantity") <= 0))
+    return fk1.unionAll(fk2).unionAll(pk).unionAll(nn).unionAll(dom)
+
+
+@register(
+    "text_ngram_topk",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    g AS (SELECT unnest({_SQL_SHINGLES}) AS gram FROM tk)
+    SELECT gram, count(*) AS n
+    FROM g GROUP BY 1
+    ORDER BY n DESC, gram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-k word 3-grams — the canonical "count the
+    n-grams in 100 TB" job.  Tokenize-once shingling (zip_with folds,
+    functions/text.py:shingles — linear per row), explode, one hash
+    aggregate with map-side partials, global top-k with the gram
+    itself as tiebreak.  The explode output is ~|tokens| rows but the
+    aggregate's partial combine collapses repeats before shuffle, so
+    shuffle bytes scale with DISTINCT grams, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.shingles("text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    t AS (SELECT DISTINCT doc_id, term FROM
+            (SELECT doc_id, unnest(tk) AS term FROM tk) x)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+             AS postings_head
+    FROM t GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index build: term → document frequency + the first 20
+    posting doc_ids (comma-joined, so no array output column).  The
+    posting preview is computed SCALABLY: a per-term row_number window
+    keeps only 20 rows per term BEFORE collect_list, so a hot term
+    never materializes its full posting list on one task — df comes
+    from a separate count over the un-truncated postings.  DuckDB
+    mirrors with list_slice(list_sort(...))."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(text.tokens("text"), lambda x: F.lower(x))).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    df_counts = t.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return (
+        df_counts.filter(F.col("df") >= 2)
+        .join(head, "term")
+        .select("term", "df", "postings_head")
+    )
+
+
+@register(
+    "corpus_split_hash",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM s GROUP BY 1
+    """,
+)
+def corpus_split_hash(spark, sf_dir):
+    """Deterministic train/valid/test split (80/10/10) by md5 hash
+    threshold on the document id — no RNG, no seed state, stable
+    under reruns and appends (a doc's split never changes when other
+    docs arrive, unlike row_number() % 10).  Map-only; the report
+    aggregates per-split counts and char totals as the audit
+    artifact.  0xcccccccc/2³² ≈ 0.8, 0xe6666666 ≈ 0.9."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8)
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "emb_dim_stats",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT i.i AS dim, v[i.i] AS val
+          FROM e, unnest(range(1, len(v) + 1)) i(i))
+    SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+           min(val) AS min_val, max(val) AS max_val,
+           CAST(SUM(CAST(floor(val * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*) AS mean_val
+    FROM d GROUP BY 1
+    """,
+)
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension feature statistics over the embedding column —
+    the normalization/whitening precursor every vector pipeline runs:
+    posexplode to (dim, value), one hash aggregate keyed by dim (64
+    groups ⇒ the shuffle is trivial; the explode is the cost and it's
+    map-local).  Mean via floor-scaled integer sum (exact), min/max
+    pass float32→float64 losslessly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), "val")
+    return d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        (
+            F.sum(F.floor(F.col("val") * 1000000).cast("long")).cast("double")
+            / 1000000.0
+            / F.count("*")
+        ).alias("mean_val"),
+    )
+
+
+@register(
+    "emb_int8_quantize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, i.i AS dim, v[i.i] AS val
+          FROM e, unnest(range(1, len(v) + 1)) i(i)),
+    m AS (SELECT dim, max(abs(val)) AS maxabs FROM d GROUP BY 1
+          HAVING max(abs(val)) > 0),
+    q AS (SELECT d.dim, d.val, m.maxabs,
+                 greatest(least(CAST(floor(d.val * 127.0 / m.maxabs + 0.5)
+                                     AS BIGINT), 127), -127) AS code
+          FROM d JOIN m ON d.dim = m.dim),
+    r AS (SELECT dim, maxabs, code,
+                 val - (code * maxabs / 127.0) AS err
+          FROM q)
+    SELECT CAST(dim AS INTEGER) AS dim, maxabs,
+           CAST(SUM(CAST(floor(err * err * 1000000000000) AS BIGINT)) AS DOUBLE)
+             / 1000000000000.0 / count(*) AS mse,
+           CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_saturated
+    FROM r GROUP BY 1, 2
+    """,
+)
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 scalar quantization — the memory
+    workhorse of large-scale vector search (4× smaller than float32,
+    complementing the PQ codebooks in llm/pq.py): scale = max|x| per
+    dim, code = round(x·127/scale) clamped to ±127, report per-dim
+    scale, reconstruction MSE and saturation count.  Two passes over
+    the exploded values (scale agg keyed by dim → broadcast join of
+    the 64-row scale table), all arithmetic in identical IEEE order on
+    both engines; MSE sums floor-scaled integers so it's exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), "val")
+    m = (
+        d.groupBy("dim")
+        .agg(F.max(F.abs(F.col("val"))).alias("maxabs"))
+        .filter(F.col("maxabs") > 0)
+    )
+    q = d.join(F.broadcast(m), "dim").withColumn(
+        "code",
+        F.greatest(
+            F.least(
+                F.floor(F.col("val") * 127.0 / F.col("maxabs") + 0.5).cast("long"),
+                F.lit(127),
+            ),
+            F.lit(-127),
+        ),
+    )
+    r = q.withColumn("err", F.col("val") - (F.col("code") * F.col("maxabs") / F.lit(127.0)))
+    return r.groupBy("dim", "maxabs").agg(
+        (
+            F.sum(F.floor(F.col("err") * F.col("err") * 1000000000000).cast("long")).cast(
+                "double"
+            )
+            / 1000000000000.0
+            / F.count("*")
+        ).alias("mse"),
+        F.sum(F.when(F.abs(F.col("code")) == 127, 1).otherwise(0)).alias("n_saturated"),
+    ).select("dim", "maxabs", "mse", "n_saturated")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
@@ -8211,6 +8833,11 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "er_phonetic_pairs", "a_benford_audit", "a_key_skew_profile",
     "layout_compaction_bins", "sql_dialect_portable",
     "corpus_semantic_dedup_pipeline",
+    # round-6 wave
+    "w_ohlc_bars", "w_time_weighted_avg", "w_concurrency_peak",
+    "graph_kcore", "graph_cooccurrence", "a_profile_columns",
+    "a_constraint_audit", "text_ngram_topk", "text_inverted_index",
+    "corpus_split_hash", "emb_dim_stats", "emb_int8_quantize",
 )
 
 
