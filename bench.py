@@ -197,6 +197,19 @@ def main() -> None:
         "er_phonetic_pairs",
         "sql_dialect_portable",
         "corpus_semantic_dedup_pipeline",
+        # round-6 operators
+        "w_ohlc_bars",
+        "w_time_weighted_avg",
+        "w_concurrency_peak",
+        "graph_kcore",
+        "graph_cooccurrence",
+        "a_profile_columns",
+        "a_constraint_audit",
+        "text_ngram_topk",
+        "text_inverted_index",
+        "corpus_split_hash",
+        "emb_dim_stats",
+        "emb_int8_quantize",
     ):
         if name in QUERIES:
             try:

@@ -104,6 +104,13 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if persist_edges:
+            # per-round rank-state persist: the next round's broadcast
+            # (and the final consumer) materialize from this round's
+            # cache instead of replaying all prior rounds — the same
+            # linear-lineage fix as min_label_components (O(iters²) →
+            # O(iters) jobs; rank state is 16 B/node)
+            r = r.persist()
     return r
 
 

@@ -223,9 +223,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, the LATEST right row per key with
     ``right_ts <= left_ts`` (NULL values when no prior right row).
+    ``direction="forward"`` flips the inequality: the EARLIEST right
+    row with ``right_ts >= left_ts`` — the same single-shuffle
+    union-and-carry plan traversed in descending time order.
 
     Spark has no asof operator; the scalable relational form is the
     union-and-carry-forward plan: tag both sides, sort each key\'s
@@ -259,9 +263,10 @@ def asof_join(
         F.lit(1).alias("__is_r"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+        .orderBy(t_order, F.col("__is_r").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(

@@ -8755,6 +8755,257 @@ def emb_int8_quantize(spark, sf_dir):
     ).select("dim", "maxabs", "mse", "n_saturated")
 
 
+@register(
+    "j16_asof_forward",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'error')
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.event_id AS event_id_asof, r.value AS value_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def j16_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — for each purchase, the user's NEXT error
+    at or after it (did the purchase precede a failure?).  The same
+    union-and-carry-forward plan as j11 traversed in descending time
+    order: one shuffle on user_id, one sort, no range-join blowup.
+    Checked against DuckDB's native forward ASOF (l.ts <= r.ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return oj.asof_join(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id", "value"], direction="forward",
+    )
+
+
+@register(
+    "a_ab_test_zscore",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       < '80000000' THEN 'a' ELSE 'b' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1
+                      ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 'a' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN arm = 'b' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM assign)
+    SELECT n_a, n_b, conv_a, conv_b,
+           conv_a / CAST(n_a AS DOUBLE) AS rate_a,
+           conv_b / CAST(n_b AS DOUBLE) AS rate_b,
+           (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z
+    FROM c
+    """,
+)
+def a_ab_test_zscore(spark, sf_dir):
+    """Two-proportion z-test between deterministically-assigned
+    experiment arms: users hash-split 50/50 (md5 threshold — stable
+    under reruns, the same discipline as corpus_split_hash), converted
+    = had ≥1 purchase; z = (p̂ₐ−p̂ᵦ)/√(p̂(1−p̂)(1/nₐ+1/nᵦ)).  All inputs
+    are exact integer counts from ONE aggregation over one shuffle on
+    user_id; the z statistic is a fixed tree of IEEE double ops
+    written identically on both engines, so it is bit-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8)
+    assign = (
+        ev.select(
+            "user_id",
+            F.when(h < "80000000", "a").otherwise("b").alias("arm"),
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0).alias("cv"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.max("cv").alias("converted"))
+    )
+    c = assign.agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "a", F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "b", F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return c.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"), z.alias("z"),
+    )
+
+
+@register(
+    "w_session_paths",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM s),
+    rn AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sess),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM rn WHERE rn <= 5 GROUP BY 1, 2)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def w_session_paths(spark, sf_dir):
+    """Top user-journey paths: sessionize by 30-minute inactivity gap
+    (the w3/w6 machinery), take each session's first ≤5 event types in
+    order, and count path frequencies.  The ordered concat is
+    row_number → filter rn≤5 → collect_list of (rn, type) structs →
+    array_sort → join: the pre-truncation bounds every session's
+    collected state at 5 entries, so a pathological always-on user
+    can't blow up a task (the same cap discipline as
+    text_inverted_index).  Two windows and two aggregates, all on the
+    same user_id shuffle key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    rn = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = rn.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+_FUNNEL_STAGES = (
+    ("total", "TRUE"),
+    ("min_chars_100", "n_chars >= 100"),
+    ("min_tokens_20", "n_toks >= 20"),
+    ("lang_known", "lang IN ('en', 'fr', 'de', 'es')"),
+    ("first_of_dup_group", "dup_rn = 1"),
+)
+
+
+def _funnel_oracle() -> str:
+    flags = []
+    conds = []
+    for name, cond in _FUNNEL_STAGES:
+        conds.append(cond)
+        flags.append(
+            f"SELECT '{name}' AS stage, CAST(SUM(CASE WHEN "
+            + " AND ".join(conds)
+            + " THEN 1 ELSE 0 END) AS BIGINT) AS n_pass FROM f"
+        )
+    body = "\n    UNION ALL\n    ".join(flags)
+    return rf"""
+    WITH f AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_toks,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS dup_rn
+      FROM documents)
+    {body}
+    """
+
+
+@register("corpus_quality_funnel", _funnel_oracle())
+def corpus_quality_funnel(spark, sf_dir):
+    """Quality-filter funnel report — how many documents survive each
+    successive cleaning rule (min length → min tokens → known language
+    → exact-dup keep-first).  All cumulative stage counts come from
+    ONE pass: per-doc flags (one window for the dup rank), then a
+    single aggregate of nested conditional sums, pivoted to (stage,
+    n_pass) rows.  This is the observability artifact every corpus
+    pipeline publishes next to its output — at 100 TB you cannot
+    afford one scan per rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(text.tokens("text")).cast("long").alias("n_toks"),
+        F.row_number().over(w).alias("dup_rn"),
+    )
+    conds = []
+    aggs = []
+    stage_conds = {
+        "total": F.lit(True),
+        "min_chars_100": F.col("n_chars") >= 100,
+        "min_tokens_20": F.col("n_toks") >= 20,
+        "lang_known": F.col("lang").isin("en", "fr", "de", "es"),
+        "first_of_dup_group": F.col("dup_rn") == 1,
+    }
+    acc = F.lit(True)
+    for name, _ in _FUNNEL_STAGES:
+        acc = acc & stage_conds[name]
+        aggs.append(F.sum(F.when(acc, 1).otherwise(0)).alias(f"n_{name}"))
+        conds.append(name)
+    row = f.agg(*aggs)
+    structs = [
+        F.struct(F.lit(name).alias("stage"), F.col(f"n_{name}").alias("n_pass"))
+        for name, _ in _FUNNEL_STAGES
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -8838,6 +9089,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "graph_kcore", "graph_cooccurrence", "a_profile_columns",
     "a_constraint_audit", "text_ngram_topk", "text_inverted_index",
     "corpus_split_hash", "emb_dim_stats", "emb_int8_quantize",
+    # round-6 wave 2
+    "j16_asof_forward", "a_ab_test_zscore", "w_session_paths",
+    "corpus_quality_funnel",
 )
 
 

@@ -297,3 +297,74 @@ def test_int8_quantize_error_bounded(spark):
     for r in out:
         assert 0 <= r.mse <= (r.maxabs / 127.0) ** 2 + 1e-12
         assert r.n_saturated >= 1
+
+
+# -- wave 2: forward asof, A/B z-test, session paths, quality funnel -------
+
+
+def test_asof_forward_crafted(spark):
+    """Forward as-of picks the EARLIEST right row at-or-after each
+    left timestamp; equal timestamps match (>= semantics)."""
+    from dicomdb_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 100), (1, "2024-01-01 00:00:20", 101)],
+        "user_id INT, ts STRING, event_id INT",
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_id")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 7), (1, "2024-01-01 00:00:07", 8),
+         (1, "2024-01-01 00:00:30", 9)],
+        "user_id INT, ts STRING, rid INT",
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "rid")
+    out = asof_join(left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+                    value_cols=["rid"], direction="forward")
+    got = {r.event_id: r.rid_asof for r in out.collect()}
+    assert got == {100: 7, 101: 9}
+
+
+def test_asof_forward_none_after(spark):
+    """A left row after every right row gets NULL."""
+    from dicomdb_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 1)], "user_id INT, ts STRING, event_id INT"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_id")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5)], "user_id INT, ts STRING, rid INT"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "rid")
+    out = asof_join(left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+                    value_cols=["rid"], direction="forward").collect()
+    assert out[0].rid_asof is None
+
+
+def test_ab_test_counts_partition_users(spark):
+    row = QUERIES["a_ab_test_zscore"](spark, SF).collect()[0]
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert row.n_a + row.n_b == n_users
+    assert 0 <= row.conv_a <= row.n_a and 0 <= row.conv_b <= row.n_b
+    assert abs(row.rate_a - row.conv_a / row.n_a) < 1e-12
+
+
+def test_session_paths_bounded(spark):
+    rows = QUERIES["w_session_paths"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    types = {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 5
+        assert set(steps) <= types
+        assert r.n_sessions >= 1
+    ns = [r.n_sessions for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_quality_funnel_monotone(spark):
+    rows = {r.stage: r.n_pass for r in QUERIES["corpus_quality_funnel"](spark, SF).collect()}
+    order = ["total", "min_chars_100", "min_tokens_20", "lang_known",
+             "first_of_dup_group"]
+    assert set(rows) == set(order)
+    vals = [rows[s] for s in order]
+    assert vals == sorted(vals, reverse=True)  # monotone non-increasing
+    n_docs = load_table(spark, SF, "documents").count()
+    assert vals[0] == n_docs
+    assert vals[-1] > 0
