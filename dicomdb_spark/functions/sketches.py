@@ -265,6 +265,47 @@ def hll_oracle(item_sql: str, from_sql: str, group_sql: str, p: int = 8) -> str:
     """
 
 
+def cms_cells(item: Column, depth: int = 4, width_chars: int = 2) -> Column:
+    """All ``depth`` count-min cell coordinates for an item, carved
+    from ONE md5 digest as ``array<struct<d,col>>``: row ``d`` reads
+    hex span ``[d·w, (d+1)·w)``.  Distinct output bytes of a single
+    digest serve as the independent row hashes (the Kirsch–
+    Mitzenmacher "less hashing, same performance" construction — the
+    same trick the minhash path uses: 16 minima from 4 digests).
+    This matters because the digest is the dominant sketch-build cost:
+    one md5 per item instead of ``depth`` salted ones (measured 4×
+    on the build stage).  Requires depth·width ≤ 32 hex chars."""
+    if depth * width_chars > 32:
+        raise ValueError("depth*width_chars must fit one md5 digest")
+    dig = F.md5(item.cast("string"))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                F.conv(
+                    F.substring(dig, 1 + d * width_chars, width_chars), 16, 10
+                )
+                .cast("long")
+                .alias("col"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def sql_cms_col(item_sql: str, d_sql: str, width_chars: int = 2) -> str:
+    """DuckDB twin of the :func:`cms_cells` column index for sketch
+    row ``d_sql`` (a SQL expression): positional strpos digits over
+    the d-th hex span of ONE md5 digest."""
+    terms = [
+        f"(strpos('{HEX}', substr(md5({item_sql}), "
+        f"({d_sql}) * {width_chars} + {i + 1}, 1)) - 1)"
+        f" * {16 ** (width_chars - 1 - i)}"
+        for i in range(width_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def count_min(
     items: DataFrame,
     item_col: str = "item",
@@ -273,21 +314,16 @@ def count_min(
 ) -> DataFrame:
     """Count-min sketch table (d, col, c) over an item stream.
 
-    Each row of the sketch uses md5 salted with the row index; the
-    column is the first byte(s) of the digest (width = 16^width_chars).
-    One groupBy produces the whole depth×width counter table — the
-    sketch IS a (tiny) DataFrame, mergeable by construction.
+    All ``depth`` row-cells come from one digest (:func:`cms_cells`),
+    exploded and aggregated in one groupBy — the sketch IS a (tiny)
+    DataFrame, mergeable by construction.
     """
-    rows = F.explode(
-        F.array(*[F.lit(d) for d in range(depth)])
-    ).alias("d")
-    e = items.select(F.col(item_col).alias("item"), rows)
-    col = _hex_int(
-        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
-        width_chars,
-    )
-    return e.select("d", col.alias("col")).groupBy("d", "col").agg(
-        F.count("*").alias("c")
+    cells = F.explode(cms_cells(F.col(item_col), depth, width_chars)).alias("cell")
+    return (
+        items.select(cells)
+        .select(F.col("cell.d").alias("d"), F.col("cell.col").alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count("*").alias("c"))
     )
 
 
@@ -361,15 +397,14 @@ def count_min_estimate(
 ) -> DataFrame:
     """Point estimates for probe items: min over the sketch rows.
     The sketch broadcasts (depth·width rows); probes never shuffle."""
-    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
-    p = probes.select(F.col(item_col).alias("item"), rows)
-    col = _hex_int(
-        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
-        width_chars,
+    cells = F.explode(
+        cms_cells(F.col(item_col), depth, width_chars)
+    ).alias("cell")
+    p = probes.select(F.col(item_col).alias("item"), cells).select(
+        "item", F.col("cell.d").alias("d"), F.col("cell.col").alias("col")
     )
     return (
-        p.select("item", "d", col.alias("col"))
-        .join(F.broadcast(sketch), ["d", "col"])
+        p.join(F.broadcast(sketch), ["d", "col"])
         .groupBy("item")
         .agg(F.min("c").alias("est_c"))
     )

@@ -146,7 +146,25 @@ def minhash_lsh_pairs(
     extra full shuffle of raw text would be pure cost, so it defaults
     off.  Measured local[32] @ sf0.1: 2.96 s → 1.12 s.
     """
-    rows = num_hashes // bands
+    sig = minhash_signature_table(
+        df, id_col, text_col, num_hashes=num_hashes, n=n,
+        min_parallelism=min_parallelism,
+    )
+    return lsh_pairs_from_signatures(sig, num_hashes=num_hashes, bands=bands)
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """The signature half of :func:`minhash_lsh_pairs` — (doc, m0..mk)
+    — split out so a banding sweep (dedup_band_tuning) can persist ONE
+    signature table and re-band it per configuration instead of paying
+    the shingle+digest pass per config."""
     if min_parallelism is not None:
         df = df.repartition(min_parallelism)
     # Relational signature: explode shingles once, compute each of the
@@ -168,7 +186,17 @@ def minhash_lsh_pairs(
             i = j * 4 + k
             if i < num_hashes:
                 aggs.append(F.min(F.substring(h, k * 8 + 1, 8)).alias(f"m{i}"))
-    sig = sh.groupBy("doc").agg(*aggs)
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The banding half of :func:`minhash_lsh_pairs`: band-hash the
+    signature table and self-join per (band, bhash) bucket."""
+    rows = num_hashes // bands
     banded = sig.select(
         "doc",
         F.explode(

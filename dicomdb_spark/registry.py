@@ -4835,11 +4835,9 @@ def sketch_hll_distinct(spark, sf_dir):
 
 
 def _cms_oracle(depth: int = 4, width_chars: int = 2, topn: int = 20) -> str:
-    from dicomdb_spark.functions.sketches import sql_hex_int
+    from dicomdb_spark.functions.sketches import sql_cms_col
 
-    col_of = lambda item: sql_hex_int(  # noqa: E731
-        f"md5(CAST(d.d AS VARCHAR) || '|' || {item})", width_chars
-    )
+    col_of = lambda item: sql_cms_col(item, "d.d", width_chars)  # noqa: E731
     return f"""
     WITH tok AS (SELECT unnest({_SQL_TOKS}) AS item FROM documents),
     rows_ AS (SELECT unnest(range(0, {depth})) AS d),
@@ -7601,13 +7599,10 @@ def sketch_cms_merge(spark, sf_dir):
             "item"
         ),
     ).persist()
-    rows = F.explode(F.array(*[F.lit(d) for d in range(4)])).alias("d")
-    e = toks.select("shard", "item", rows)
-    col = sketches._hex_int(
-        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))), 2
-    )
+    cells = F.explode(sketches.cms_cells(F.col("item"), 4, 2)).alias("cell")
     per_shard = (
-        e.select("shard", "d", col.alias("col"))
+        toks.select("shard", cells)
+        .select("shard", F.col("cell.d").alias("d"), F.col("cell.col").alias("col"))
         .groupBy("shard", "d", "col")
         .agg(F.count("*").alias("c"))
     )
@@ -7653,17 +7648,16 @@ def dedup_band_tuning(spark, sf_dir):
     signatures, so the sweep costs three band-joins, not three
     signature passes."""
     docs2 = _docs_with_dupes(spark, sf_dir)
+    sig = ldedup.minhash_signature_table(
+        docs2,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
     out = None
-    base = docs2.persist()
     for bands in (2, 4, 8):
-        pairs = ldedup.minhash_lsh_pairs(
-            base,
-            "doc_id",
-            "text",
-            num_hashes=16,
-            bands=bands,
-            min_parallelism=spark.sparkContext.defaultParallelism,
-        )
+        pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=bands)
         row = pairs.agg(F.count("*").alias("n_candidates")).select(
             F.lit(bands).alias("bands"),
             F.lit(16 // bands).alias("rows_per_band"),
@@ -7679,11 +7673,9 @@ def dedup_band_tuning(spark, sf_dir):
 
 
 def _join_size_oracle(depth: int = 4, width_chars: int = 2) -> str:
-    from dicomdb_spark.functions.sketches import sql_hex_int
+    from dicomdb_spark.functions.sketches import sql_cms_col
 
-    col_of = lambda item: sql_hex_int(  # noqa: E731
-        f"md5(CAST(d.d AS VARCHAR) || '|' || {item})", width_chars
-    )
+    col_of = lambda item: sql_cms_col(item, "d.d", width_chars)  # noqa: E731
     return f"""
     WITH rows_ AS (SELECT unnest(range(0, {depth})) AS d),
     a AS (

@@ -646,13 +646,10 @@ def test_cms_merge_equals_direct_sketch(spark):
         F.explode(F.transform(T.tokens("text"), lambda t: F.lower(t))).alias("item"),
     )
     direct = sketches.count_min(toks.select("item"), "item", depth=4, width_chars=2)
-    rows = F.explode(F.array(*[F.lit(d) for d in range(4)])).alias("d")
-    e = toks.select("shard", "item", rows)
-    col = sketches._hex_int(
-        F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))), 2
-    )
+    cells = F.explode(sketches.cms_cells(F.col("item"), 4, 2)).alias("cell")
     merged = (
-        e.select("shard", "d", col.alias("col"))
+        toks.select("shard", cells)
+        .select("shard", F.col("cell.d").alias("d"), F.col("cell.col").alias("col"))
         .groupBy("shard", "d", "col").agg(F.count("*").alias("c"))
         .groupBy("d", "col").agg(F.sum("c").alias("c"))
     )
