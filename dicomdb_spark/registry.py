@@ -8999,6 +8999,706 @@ def corpus_quality_funnel(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batch 8 — round-7 wave: graph analytics (BFS distances, link
+# prediction), market-basket rules, CUSUM drift / max drawdown,
+# nearest-neighbor temporal join, gains/lift tables, TF-IDF terms,
+# k-anonymity risk audit
+# ---------------------------------------------------------------------------
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Unrolled multi-source BFS relaxation over the minhash near-dup
+    graph (same fixed-iteration discipline as the component oracles):
+    h_i(v) = min(h_{i-1}(v), min over neighbors u of h_{i-1}(u)+1)."""
+    steps = []
+    prev = "h0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""h{i} AS (SELECT node, min(hop) AS hop FROM (
+      SELECT node, hop FROM {prev}
+      UNION ALL
+      SELECT e.dst AS node, p.hop + 1 AS hop
+      FROM {prev} p JOIN e ON e.src = p.node) t GROUP BY 1)"""
+        )
+        prev = f"h{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    v AS (SELECT DISTINCT src AS node FROM e),
+    h0 AS (SELECT node, 0 AS hop FROM v WHERE node % 7 = 0),
+    {chain}
+    SELECT node AS doc_id, CAST(hop AS BIGINT) AS hop FROM {prev}
+    """
+
+
+@register("graph_bfs_hops", _bfs_oracle())
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source unweighted shortest paths (BFS, 4 relaxation
+    rounds) over the minhash near-dup graph; sources are every vertex
+    with doc_id % 7 == 0.  Each round is ONE equi-join (frontier ⋈
+    edges on src) plus a min-aggregate — the Pregel message pattern as
+    DataFrames — and the per-round persist keeps lineage linear in
+    rounds (the min_label_components discipline).  Unreached vertices
+    simply stay absent from the dist table, so state is bounded by the
+    reached set, not the graph.  At 100 TB the edge list is the only
+    large shuffle and it is hash-partitioned once on src, then reused
+    by every round."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    e = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .persist()
+    )
+    dist = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 7 == 0)
+        .withColumn("hop", F.lit(0))
+    )
+    for _ in range(4):
+        msg = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = (
+            dist.unionAll(msg).groupBy("node").agg(F.min("hop").alias("hop")).persist()
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("hop").cast("long").alias("hop")
+    )
+
+
+@register(
+    "graph_link_predict_ra",
+    f"""
+    {_minhash_pairs_cte()},
+    obs AS (SELECT id1, id2 FROM pairs WHERE (id1 + id2) % 3 <> 0),
+    e AS (SELECT id1 AS src, id2 AS dst FROM obs
+          UNION ALL SELECT id2, id1 FROM obs),
+    deg AS (SELECT src AS z, 1000000 // count(*) AS w FROM e GROUP BY 1),
+    wedge AS (
+      SELECT e1.dst AS a, e1.src AS z, e2.dst AS b
+      FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+    cand AS (
+      SELECT w.a, w.b, w.z FROM wedge w
+      LEFT JOIN obs p ON w.a = p.id1 AND w.b = p.id2
+      WHERE p.id1 IS NULL),
+    sc AS (
+      SELECT a AS id1, b AS id2,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(w) AS BIGINT) AS ra_score_scaled
+      FROM cand JOIN deg USING (z)
+      GROUP BY 1, 2)
+    SELECT sc.id1, sc.id2, common_neighbors, ra_score_scaled,
+           CASE WHEN p.id1 IS NULL THEN 0 ELSE 1 END AS held_out_edge
+    FROM sc LEFT JOIN pairs p ON sc.id1 = p.id1 AND sc.id2 = p.id2
+    ORDER BY ra_score_scaled DESC, sc.id1, sc.id2
+    LIMIT 20
+    """,
+)
+def graph_link_predict_ra(spark, sf_dir):
+    """Held-out link prediction by the resource-allocation index:
+    hold out every near-dup edge with (id1+id2) % 3 == 0, then for
+    each NON-adjacent 2-hop pair (a, b) of the observed graph score
+    Σ_z 1/deg(z) over shared neighbors z — held exact as the integer
+    Σ floor(1e6/deg(z)) so the ranking is partition-invariant (a
+    float Σ of 1/deg would be order-dependent).  Candidates come from
+    the wedge join e(z→a) ⋈ e(z→b) on the shared endpoint — only
+    2-hop pairs ever materialize, bounded by Σ_z deg(z)², never
+    all-pairs — minus observed edges via anti-join.  The held_out_edge
+    flag marks predictions that recover a true held-out edge (dup
+    groups are cliques, so top RA scores should): the standard
+    link-prediction evaluation, entirely in-plan."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
+    obs = pairs.filter((F.col("id1") + F.col("id2")) % 3 != 0)
+    e = obs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        obs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("z")).agg(
+        F.expr("CAST(1000000 AS BIGINT) div count(*)").alias("w")
+    )
+    wedge = (
+        e.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+        .join(e.select(F.col("src").alias("z"), F.col("dst").alias("b")), "z")
+        .filter(F.col("a") < F.col("b"))
+    )
+    cand = wedge.join(
+        obs, (wedge.a == obs.id1) & (wedge.b == obs.id2), "left_anti"
+    )
+    sc = (
+        cand.join(F.broadcast(deg), "z")
+        .groupBy(F.col("a").alias("id1"), F.col("b").alias("id2"))
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w").cast("long").alias("ra_score_scaled"),
+        )
+    )
+    return (
+        sc.join(
+            pairs.select(
+                F.col("id1").alias("p1"), F.col("id2").alias("p2"), F.lit(1).alias("hit")
+            ),
+            (sc.id1 == F.col("p1")) & (sc.id2 == F.col("p2")),
+            "left",
+        )
+        .select(
+            "id1",
+            "id2",
+            "common_neighbors",
+            "ra_score_scaled",
+            F.coalesce("hit", F.lit(0)).alias("held_out_edge"),
+        )
+        .orderBy(F.col("ra_score_scaled").desc(), "id1", "id2")
+        .limit(20)
+    )
+
+
+@register(
+    "a_market_basket",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+    ac AS (SELECT p_brand, count(*) AS cnt FROM b GROUP BY 1),
+    pr AS (SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+                  count(*) AS pair_n
+           FROM b a JOIN b c
+             ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+           GROUP BY 1, 2)
+    SELECT brand_a, brand_b, CAST(pair_n AS BIGINT) AS pair_n,
+           CAST(x.cnt AS BIGINT) AS n_a, CAST(y.cnt AS BIGINT) AS n_b,
+           CAST(pair_n AS DOUBLE) / CAST(x.cnt AS DOUBLE) AS conf_ab,
+           CAST(pair_n AS DOUBLE) / CAST(y.cnt AS DOUBLE) AS conf_ba,
+           CAST(pair_n * nb.n AS DOUBLE) / CAST(x.cnt * y.cnt AS DOUBLE)
+             AS lift
+    FROM pr
+    JOIN ac x ON pr.brand_a = x.p_brand
+    JOIN ac y ON pr.brand_b = y.p_brand
+    CROSS JOIN nb
+    WHERE pair_n >= 20
+    """,
+)
+def a_market_basket(spark, sf_dir):
+    """Market-basket association rules over order baskets (items =
+    part brands): pair support, both confidences, and lift.  Baskets
+    are DISTINCT (order, brand) first — one shuffle on orderkey — so
+    the within-basket pair join fans out by basket SIZE (≤ |brands|),
+    not line count; the item-count and total-basket tables are
+    broadcast back onto the pair counts.  Every ratio is ONE IEEE
+    division of exact integer products on both engines (lift's
+    numerator pair_n·N and denominator n_a·n_b stay < 2^53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    ac = b.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    pr = (
+        b.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+        .join(b.select("l_orderkey", F.col("p_brand").alias("brand_b")), "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 20)
+    )
+    return (
+        pr.join(
+            F.broadcast(ac.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(ac.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("pair_n").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_ab"
+            ),
+            (F.col("pair_n").cast("double") / F.col("n_b").cast("double")).alias(
+                "conf_ba"
+            ),
+            (
+                (F.col("pair_n") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "w_cusum_drift",
+    """
+    WITH x AS (SELECT event_type, event_id, ts,
+                      CAST(floor(value * 10000) AS BIGINT) AS xi
+               FROM events),
+    g AS (SELECT event_type, SUM(xi) AS sx, count(*) AS n
+          FROM x GROUP BY 1),
+    d AS (SELECT x.event_type, x.event_id, x.ts,
+                 g.n * x.xi - g.sx AS di
+          FROM x JOIN g USING (event_type)),
+    c1 AS (SELECT event_type, event_id, ts, SUM(di) OVER w AS ci
+           FROM d
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT event_type, ts,
+                 ci - least(min(ci) OVER w2, 0) AS si
+          FROM c1
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (SELECT event_type, max(si) AS mx FROM s GROUP BY 1)
+    SELECT s.event_type, CAST(m.mx AS BIGINT) AS max_cusum,
+           min(s.ts) AS first_alarm_ts
+    FROM s JOIN m ON s.event_type = m.event_type AND s.si = m.mx
+    GROUP BY 1, 2
+    """,
+)
+def w_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift statistic per event_type.  The textbook
+    recursion S_i = max(0, S_{i-1} + d_i) is NOT window-expressible,
+    but its closed form is: S_i = C_i − min(0, min_{j≤i} C_j) where C
+    is the running sum of deviations — two stacked windows over the
+    same sort, no recursion.  Deviations are held exact as integers by
+    the n·x − Σx trick (deviation from the mean scaled by n), so the
+    statistic is partition-invariant with zero float summation.
+    Output: the max CUSUM excursion and the first timestamp attaining
+    it — the classic change-point alarm."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("long").alias("xi"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.sum("xi").alias("sx"), F.count("*").alias("n")
+    )
+    d = ev.join(F.broadcast(g), "event_type").withColumn(
+        "di", F.col("n") * F.col("xi") - F.col("sx")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("ci", F.sum("di").over(w))
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = c.select(
+        "event_type",
+        "ts",
+        (F.col("ci") - F.least(F.min("ci").over(w2), F.lit(0))).alias("si"),
+    )
+    m = s.groupBy("event_type").agg(F.max("si").alias("mx"))
+    return (
+        s.join(F.broadcast(m), "event_type")
+        .filter(F.col("si") == F.col("mx"))
+        .groupBy("event_type", F.col("mx").cast("long").alias("max_cusum"))
+        .agg(F.min("ts").alias("first_alarm_ts"))
+    )
+
+
+@register(
+    "w_max_drawdown",
+    """
+    WITH x AS (SELECT user_id, event_id, ts,
+                      CAST(floor(value * 10000) AS BIGINT) AS xi
+               FROM events),
+    g AS (SELECT user_id, SUM(xi) AS sx, count(*) AS n FROM x GROUP BY 1),
+    d AS (SELECT x.user_id, x.event_id, x.ts, g.n * x.xi - g.sx AS di
+          FROM x JOIN g USING (user_id)),
+    c1 AS (SELECT user_id, event_id, ts, SUM(di) OVER w AS ci
+           FROM d
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    c AS (SELECT user_id, max(ci) OVER w2 - ci AS dd
+          FROM c1
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, CAST(max(dd) AS BIGINT) AS max_drawdown
+    FROM c GROUP BY 1
+    ORDER BY max_drawdown DESC, user_id
+    LIMIT 20
+    """,
+)
+def w_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's zero-mean value walk: running
+    peak minus current equity, maximized — the standard risk metric,
+    as two stacked windows over one sort (running sum, then running
+    max of it).  The walk uses the same exact-integer n·x − Σx
+    centering as w_cusum_drift, so the answer is bit-stable under any
+    partitioning.  Top-20 with user_id tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("long").alias("xi"),
+    )
+    g = ev.groupBy("user_id").agg(F.sum("xi").alias("sx"), F.count("*").alias("n"))
+    d = ev.join(F.broadcast(g), "user_id").withColumn(
+        "di", F.col("n") * F.col("xi") - F.col("sx")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c1 = d.withColumn("ci", F.sum("di").over(w))
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = c1.withColumn("dd", F.max("ci").over(w2) - F.col("ci"))
+    return (
+        c.groupBy("user_id")
+        .agg(F.max("dd").cast("long").alias("max_drawdown"))
+        .orderBy(F.col("max_drawdown").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "j17_nearest_event",
+    """
+    WITH u AS (
+      SELECT user_id, ts AS t, 0 AS kind, event_id AS bid,
+             CAST(NULL AS BIGINT) AS pid, event_id AS tid
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id, event_id
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT user_id, t, kind, pid,
+             last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER wb
+               AS prev_t,
+             last_value(CASE WHEN kind = 0 THEN bid END IGNORE NULLS) OVER wb
+               AS prev_id,
+             first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER wf
+               AS next_t,
+             first_value(CASE WHEN kind = 0 THEN bid END IGNORE NULLS) OVER wf
+               AS next_id
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY t, kind, tid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY t, kind, tid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    p AS (
+      SELECT user_id, pid, prev_id, next_id,
+             CAST(floor(epoch(t)) AS BIGINT)
+               - CAST(floor(epoch(prev_t)) AS BIGINT) AS gp,
+             CAST(floor(epoch(next_t)) AS BIGINT)
+               - CAST(floor(epoch(t)) AS BIGINT) AS gn
+      FROM m WHERE kind = 1)
+    SELECT user_id, pid AS purchase_id,
+           CASE WHEN gp IS NULL THEN next_id
+                WHEN gn IS NULL THEN prev_id
+                WHEN gp <= gn THEN prev_id ELSE next_id END AS error_id,
+           CASE WHEN gp IS NULL THEN gn
+                WHEN gn IS NULL THEN gp
+                WHEN gp <= gn THEN gp ELSE gn END AS gap_s
+    FROM p
+    WHERE coalesce(gp, gn) IS NOT NULL
+    """,
+)
+def j17_nearest_event(spark, sf_dir):
+    """Nearest-neighbor 1-D temporal join: for every purchase, the
+    closest error event by the same user on EITHER side (ties →
+    earlier).  Plan: tag-union both streams, ONE sort per user
+    carrying last-error-before (backward frame, IGNORE NULLS) and
+    first-error-after (forward frame) — the scalable merge-join shape
+    for nearest-event queries.  An interval self-join would be O(n·m)
+    per user on hot windows; this is O((n+m) log) via the sort, and
+    the sort key is the (user, time) layout the events table should
+    already be bucketed by at scale.  Builds sort before probes at
+    equal t (kind 0 < 1), so a same-timestamp error counts as
+    gap-0 'before'."""
+    ev = load_table(spark, sf_dir, "events")
+    builds = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("bid"),
+        F.lit(None).cast("long").alias("pid"),
+        F.col("event_id").alias("tid"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("bid"),
+        F.col("event_id").alias("pid"),
+        F.col("event_id").alias("tid"),
+    )
+    u = builds.unionAll(probes)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "tid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "tid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_b = F.col("kind") == 0
+    m = (
+        u.withColumn("prev_t", F.last(F.when(is_b, F.col("t")), ignorenulls=True).over(wb))
+        .withColumn("prev_id", F.last(F.when(is_b, F.col("bid")), ignorenulls=True).over(wb))
+        .withColumn("next_t", F.first(F.when(is_b, F.col("t")), ignorenulls=True).over(wf))
+        .withColumn("next_id", F.first(F.when(is_b, F.col("bid")), ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    gp = F.unix_timestamp("t") - F.unix_timestamp("prev_t")
+    gn = F.unix_timestamp("next_t") - F.unix_timestamp("t")
+    p = m.select(
+        "user_id",
+        F.col("pid").alias("purchase_id"),
+        "prev_id",
+        "next_id",
+        gp.alias("gp"),
+        gn.alias("gn"),
+    )
+    return p.filter(F.coalesce("gp", "gn").isNotNull()).select(
+        "user_id",
+        "purchase_id",
+        F.when(F.col("gp").isNull(), F.col("next_id"))
+        .when(F.col("gn").isNull(), F.col("prev_id"))
+        .when(F.col("gp") <= F.col("gn"), F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("error_id"),
+        F.when(F.col("gp").isNull(), F.col("gn"))
+        .when(F.col("gn").isNull(), F.col("gp"))
+        .when(F.col("gp") <= F.col("gn"), F.col("gp"))
+        .otherwise(F.col("gn"))
+        .alias("gap_s"),
+    )
+
+
+@register(
+    "a_decile_lift",
+    """
+    WITH conv AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderstatus = 'F'),
+    c AS (SELECT c_custkey, c_acctbal,
+                 CASE WHEN conv.o_custkey IS NULL THEN 0 ELSE 1 END AS cv
+          FROM customer LEFT JOIN conv ON c_custkey = conv.o_custkey),
+    d AS (SELECT cv, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS decile
+          FROM c),
+    g AS (SELECT decile, count(*) AS n, CAST(SUM(cv) AS BIGINT) AS conv_n
+          FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                 CAST(SUM(conv_n) AS BIGINT) AS tot_conv FROM g)
+    SELECT decile, CAST(n AS BIGINT) AS n, conv_n,
+           CAST(SUM(conv_n) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_conv,
+           CAST(SUM(conv_n) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                AS DOUBLE) / CAST(tot_conv AS DOUBLE) AS gain_pct,
+           CAST(conv_n * tot_n AS DOUBLE) / CAST(n * tot_conv AS DOUBLE)
+             AS lift
+    FROM g CROSS JOIN t
+    """,
+)
+def a_decile_lift(spark, sf_dir):
+    """Gains/lift table: customers ranked by account balance into
+    deciles (ntile with c_custkey tiebreak — deterministic), outcome =
+    ever placed a fulfilled order.  Per decile: size, conversions,
+    cumulative gains %, and lift — each ratio ONE IEEE division of
+    exact integer products.  The global ntile sorts the CUSTOMER DIM
+    (small by star-schema construction); for a fact-sized score column
+    the same table falls out of the 9-boundary broadcast join used by
+    a_quantiles' order-statistic selection."""
+    cust = load_table(spark, sf_dir, "customer")
+    conv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    c = cust.join(conv, cust.c_custkey == conv.o_custkey, "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("cv"),
+    )
+    d = c.select(
+        "cv",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("cv").cast("long").alias("conv_n")
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("conv_n").cast("long").alias("tot_conv"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("cum_conv", F.sum("conv_n").over(wc).cast("long"))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n"),
+            "conv_n",
+            "cum_conv",
+            (
+                (F.col("cum_conv") * F.lit(100)).cast("double")
+                / F.col("tot_conv").cast("double")
+            ).alias("gain_pct"),
+            (
+                (F.col("conv_n") * F.col("tot_n")).cast("double")
+                / (F.col("n") * F.col("tot_conv")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per document by rational TF-IDF
+    score tf·N/df — ONE division of exact integers, so the ranking is
+    engine-portable without trusting log() bit-parity (idf's log is
+    monotone in N/df, so rankings agree).  tf is one hash aggregate on
+    (doc, term); df is a vocabulary-sized aggregate broadcast back;
+    the per-doc top-3 is a window over each doc's own terms with the
+    term string as tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.transform(text.tokens("text"), lambda x: F.lower(x))).alias("term"),
+    )
+    tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    s = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    r = s.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+        ),
+    )
+    return r.filter(F.col("rnk") <= 3).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+@register(
+    "a_kanonymity_risk",
+    """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                      count(*) AS k
+               FROM customer GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+    b AS (SELECT CASE WHEN k = 1 THEN 'k=1'
+                      WHEN k < 5 THEN 'k=2-4'
+                      WHEN k < 10 THEN 'k=5-9'
+                      ELSE 'k>=10' END AS k_bucket,
+                 count(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_records
+          FROM q GROUP BY 1)
+    SELECT k_bucket, CAST(n_groups AS BIGINT) AS n_groups, n_records,
+           CAST(n_records * 100 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+             AS pct_records
+    FROM b CROSS JOIN tot
+    """,
+)
+def a_kanonymity_risk(spark, sf_dir):
+    """K-anonymity risk audit over the quasi-identifier (nation,
+    market segment, $1000 balance band): how many equivalence classes
+    — and what share of records — sit below re-identification
+    thresholds k∈{1, 5, 10}.  One hash aggregate on the QI tuple, a
+    constant-size bucket rollup, and a 1-row total broadcast; the
+    privacy-engineering counterpart of the constraint audit."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    tot = cust.agg(F.count("*").cast("long").alias("n"))
+    b = q.groupBy(
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("k_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_records"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "k_bucket",
+        "n_groups",
+        "n_records",
+        (
+            (F.col("n_records") * F.lit(100)).cast("double")
+            / F.col("n").cast("double")
+        ).alias("pct_records"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
@@ -9084,6 +9784,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-6 wave 2
     "j16_asof_forward", "a_ab_test_zscore", "w_session_paths",
     "corpus_quality_funnel",
+    # round-7 wave
+    "graph_bfs_hops", "graph_link_predict_ra", "a_market_basket",
+    "w_cusum_drift", "w_max_drawdown", "j17_nearest_event",
+    "a_decile_lift", "text_tfidf_topterms", "a_kanonymity_risk",
 )
 
 

@@ -1,0 +1,219 @@
+"""Round-7 operators: BFS hop distances, held-out link prediction,
+market-basket rules, CUSUM drift, max drawdown, nearest-event join,
+decile lift, TF-IDF top terms, k-anonymity risk."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dicomdb_spark.io import load_table
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- BFS hops --------------------------------------------------------------
+
+
+def test_bfs_crafted_path(spark):
+    """Path 0-1-2-3-4 with source {0}: hops are the path distances,
+    capped at 4 rounds."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    pairs = spark.createDataFrame(edges, "id1 INT, id2 INT")
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    dist = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") == 0)
+        .withColumn("hop", F.lit(0))
+    )
+    for _ in range(4):
+        msg = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = dist.unionAll(msg).groupBy("node").agg(F.min("hop").alias("hop"))
+    got = {r.node: r.hop for r in dist.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_sources_zero_neighbors_bounded(spark):
+    out = QUERIES["graph_bfs_hops"](spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_hop = {}
+    for r in rows:
+        assert 0 <= r.hop <= 4
+        by_hop.setdefault(r.hop, []).append(r.doc_id)
+    for d in by_hop.get(0, []):
+        assert d % 7 == 0  # sources are exactly the %7 vertices reached at 0
+
+
+# -- link prediction -------------------------------------------------------
+
+
+def test_link_predict_recovers_held_out(spark):
+    """Dup groups are cliques, so RA scoring over the 2/3-observed
+    graph should surface at least one held-out true edge in its
+    top-20."""
+    rows = QUERIES["graph_link_predict_ra"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.id1 < r.id2
+        assert r.common_neighbors >= 1
+        assert r.ra_score_scaled >= 1
+        assert r.held_out_edge in (0, 1)
+    scores = [r.ra_score_scaled for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r.held_out_edge == 1 for r in rows)
+
+
+# -- market basket ---------------------------------------------------------
+
+
+def test_market_basket_identities(spark):
+    rows = QUERIES["a_market_basket"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.pair_n >= 20
+        assert r.pair_n <= min(r.n_a, r.n_b)
+        assert abs(r.conf_ab - r.pair_n / r.n_a) < 1e-12
+        assert abs(r.conf_ba - r.pair_n / r.n_b) < 1e-12
+        assert r.lift > 0
+
+
+# -- CUSUM / drawdown ------------------------------------------------------
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """S_i = max(0, S_{i-1} + d_i) ≡ C_i − min(0, min_{j≤i} C_j):
+    check the identity on a crafted series with sign changes."""
+    ds = [3, -5, 2, 2, -1, 4, -10, 6]
+    s, expect = 0, []
+    for d in ds:
+        s = max(0, s + d)
+        expect.append(s)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(ds)], "i INT, di INT"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = df.withColumn("ci", F.sum("di").over(w))
+    out = c.withColumn(
+        "si", F.col("ci") - F.least(F.min("ci").over(w), F.lit(0))
+    ).orderBy("i")
+    assert [r.si for r in out.collect()] == expect
+
+
+def test_cusum_drift_per_type(spark):
+    rows = QUERIES["w_cusum_drift"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n_types = ev.select("event_type").distinct().count()
+    assert len(rows) == n_types
+    for r in rows:
+        assert r.max_cusum >= 0
+
+
+def test_max_drawdown_crafted(spark):
+    """Walk 0,+5,−3,−4,+2 → equity 5,2,-2,0; peak 5; max dd = 7."""
+    ds = [5, -3, -4, 2]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(ds)], "i INT, di INT")
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = df.withColumn("ci", F.sum("di").over(w))
+    dd = c.withColumn("dd", F.max("ci").over(w) - F.col("ci"))
+    assert dd.agg(F.max("dd")).collect()[0][0] == 7
+
+
+def test_max_drawdown_query_nonneg(spark):
+    rows = QUERIES["w_max_drawdown"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    vals = [r.max_drawdown for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 0 for v in vals)
+
+
+# -- nearest event ---------------------------------------------------------
+
+
+def test_nearest_event_picks_closer_side(spark):
+    out = QUERIES["j17_nearest_event"](spark, SF)
+    ev = load_table(spark, SF, "events")
+    # verify a sample row against a brute-force scan of that user
+    row = out.orderBy("purchase_id").limit(1).collect()[0]
+    p = ev.filter(F.col("event_id") == row.purchase_id).collect()[0]
+    errs = ev.filter(
+        (F.col("user_id") == row.user_id) & (F.col("event_type") == "error")
+    ).collect()
+    assert errs, "picked user has no errors yet query emitted a row?"
+    best = min(
+        errs,
+        key=lambda r: (abs((r.ts - p.ts).total_seconds()), r.ts, r.event_id),
+    )
+    got_gap = row.gap_s
+    best_gap = abs(int((best.ts - p.ts).total_seconds()))
+    assert got_gap <= best_gap + 1  # epoch-floor rounding slack
+
+
+def test_nearest_event_no_purchase_without_error_user(spark):
+    out = QUERIES["j17_nearest_event"](spark, SF)
+    ev = load_table(spark, SF, "events")
+    users_with_err = {
+        r.user_id for r in ev.filter(F.col("event_type") == "error").select("user_id").distinct().collect()
+    }
+    for r in out.select("user_id").distinct().collect():
+        assert r.user_id in users_with_err
+
+
+# -- decile lift -----------------------------------------------------------
+
+
+def test_decile_lift_invariants(spark):
+    rows = sorted(QUERIES["a_decile_lift"](spark, SF).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_cust = load_table(spark, SF, "customer").count()
+    assert sum(r.n for r in rows) == n_cust
+    cum = 0
+    for r in rows:
+        cum += r.conv_n
+        assert r.cum_conv == cum
+        assert 0 <= r.conv_n <= r.n
+    assert abs(rows[-1].gain_pct - 100.0) < 1e-9
+    # Σ n_i · lift_i = N  (lift is conversion-share reweighted)
+    tot_conv = cum
+    s = sum(r.n * r.lift for r in rows)
+    assert abs(s - n_cust) < 1e-6 * n_cust or tot_conv == 0
+
+
+# -- tf-idf ----------------------------------------------------------------
+
+
+def test_tfidf_rank_and_bounds(spark):
+    out = QUERIES["text_tfidf_topterms"](spark, SF)
+    rows = out.collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    per_doc = {}
+    for r in rows:
+        assert 1 <= r.rnk <= 3
+        assert 1 <= r.df <= n_docs
+        assert r.tf >= 1
+        assert abs(r.tfidf - r.tf * n_docs / r.df) < 1e-9
+        per_doc.setdefault(r.doc_id, []).append((r.rnk, r.tfidf))
+    for doc, rs in per_doc.items():
+        rs.sort()
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+# -- k-anonymity -----------------------------------------------------------
+
+
+def test_kanonymity_partitions_customers(spark):
+    rows = QUERIES["a_kanonymity_risk"](spark, SF).collect()
+    n = load_table(spark, SF, "customer").count()
+    assert sum(r.n_records for r in rows) == n
+    assert abs(sum(r.pct_records for r in rows) - 100.0) < 1e-9
+    for r in rows:
+        assert r.k_bucket in {"k=1", "k=2-4", "k=5-9", "k>=10"}
+        assert r.n_groups <= r.n_records

@@ -72,11 +72,17 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
                 hit += 1
         return hit, len(crs)
 
-    # a ~1/8 × 1/8 box in bucket space
-    box_c = (8192, 16383)
+    # A box selective ONLY on the second lex dimension (all cust, 1/8
+    # of day): the lex layout cannot prune at all — every file's
+    # day_bucket range spans ~everything — while the z-curve confines
+    # the day constraint to ≤ 8 aligned fragments of total measure
+    # 1/8.  (A box also selective on dim-1 would let lex prune too,
+    # and the margin would sit inside range-sampler noise.)
+    box_c = (0, 65535)
     box_d = (8192, 16383)
     z_hit, z_total = candidate_files(z_out, box_c, box_d)
     lex_hit, lex_total = candidate_files(lex_out, box_c, box_d)
     assert z_total >= 8 and lex_total >= 8
-    # the lex layout prunes on dim-1 only; z-order prunes on both
+    # lex: no pruning on a dim-2-only predicate; z-order: real pruning
     assert z_hit < lex_hit, (z_hit, z_total, lex_hit, lex_total)
+    assert z_hit < z_total, (z_hit, z_total)
