@@ -9698,6 +9698,336 @@ def a_kanonymity_risk(spark, sf_dir):
     )
 
 
+@register(
+    "a_corr_matrix",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    p AS (SELECT a.day, a.event_type AS type_a, b.event_type AS type_b,
+                 a.x AS xa, b.x AS xb
+          FROM daily a JOIN daily b
+            ON a.day = b.day AND a.event_type < b.event_type),
+    m AS (SELECT type_a, type_b, count(*) AS n,
+                 CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(xb * xb) AS BIGINT) AS syy
+          FROM p GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM m
+    """,
+)
+def a_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix between event types over their daily
+    value totals.  Co-moments (Σx, Σy, Σxy, Σx², Σy², n) are EXACT
+    integers (cent-scaled daily sums), so the only float work is the
+    final closed-form expression — int64→double casts, sqrt, one
+    divide — all IEEE-deterministic on identical inputs, which is what
+    makes a float statistic hash-portable across engines.  Plan: one
+    daily aggregate (map-side partial), a day-aligned self-join that
+    fans out to |types|² pairs per day (bounded), one moment
+    aggregate.  At 100 TB the daily table is tiny — the heavy lifting
+    is the first aggregate, which is the same shape as any rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("x"))
+    a = daily.select("day", F.col("event_type").alias("type_a"), F.col("x").alias("xa"))
+    b = daily.select("day", F.col("event_type").alias("type_b"), F.col("x").alias("xb"))
+    p = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    m = p.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "type_a", "type_b", F.col("n").cast("long").alias("n_days"), (num / den).alias("r")
+    )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    f"""
+    {_minhash_pairs_cte()},
+    truth AS (
+      SELECT doc_id AS id1, doc_id + 1000000 AS id2, 'exact' AS dup_class
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 2000000, 'near'
+      FROM documents WHERE doc_id % 9 = 0),
+    hits AS (
+      SELECT t.dup_class, count(*) AS n_found
+      FROM truth t JOIN pairs p ON t.id1 = p.id1 AND t.id2 = p.id2
+      GROUP BY 1),
+    tot AS (SELECT dup_class, count(*) AS n_truth FROM truth GROUP BY 1),
+    cand AS (SELECT count(*) AS n_cand FROM pairs)
+    SELECT tot.dup_class, CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(n_found, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
+             AS recall,
+           CAST(n_cand AS BIGINT) AS n_candidates
+    FROM tot LEFT JOIN hits USING (dup_class) CROSS JOIN cand
+    """,
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    """LSH evaluation harness: recall of the minhash candidate pairs
+    against the KNOWN injected duplicate structure (exact copies at
+    id+1e6 for id%5==0, near copies at id+2e6 for id%9==0) — the
+    measurement loop every production dedup pipeline needs before
+    trusting (bands, rows) settings at scale.  Truth is derived
+    in-plan from the injection rule (no side files); recall is one
+    exact-integer division per class; the candidate total rides along
+    as the cost denominator.  Complements dedup_band_tuning: that
+    query predicts the S-curve, this one measures ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
+    truth = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id1"),
+            (F.col("doc_id") + 1000000).alias("id2"),
+            F.lit("exact").alias("dup_class"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 9 == 0).select(
+                F.col("doc_id").alias("id1"),
+                (F.col("doc_id") + 2000000).alias("id2"),
+                F.lit("near").alias("dup_class"),
+            )
+        )
+    )
+    hits = (
+        truth.join(pairs, ["id1", "id2"])
+        .groupBy("dup_class")
+        .agg(F.count("*").alias("n_found"))
+    )
+    tot = truth.groupBy("dup_class").agg(F.count("*").alias("n_truth"))
+    cand = pairs.agg(F.count("*").alias("n_candidates"))
+    return (
+        tot.join(F.broadcast(hits), "dup_class", "left")
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "dup_class",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            (
+                F.coalesce("n_found", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH docs_b AS (
+      SELECT doc_id, source,
+             text || ' subscribe to the ' || source ||
+             ' newsletter for daily updates today' AS text
+      FROM documents),
+    tk AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM docs_b),
+    sh AS (SELECT doc_id, source,
+                  list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                         tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+                         tk[i+6] || ' ' || tk[i+7]) AS gs
+           FROM tk),
+    g AS (SELECT doc_id, source, unnest(gs) AS gram FROM sh),
+    bp AS (SELECT source, gram
+           FROM (SELECT source, gram, count(DISTINCT doc_id) AS df
+                 FROM g GROUP BY 1, 2) t
+           WHERE df >= 3),
+    per_doc AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(SUM(CASE WHEN bp.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_boiler
+      FROM g LEFT JOIN bp ON g.source = bp.source AND g.gram = bp.gram
+      GROUP BY 1)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_boiler,
+           CAST(n_boiler * 10000 AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             AS boiler_bp
+    FROM per_doc
+    """,
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection without line structure: a word 8-gram
+    repeated in ≥ 3 DISTINCT documents of the same source is
+    boilerplate (the n-gram generalization of CCNet/RefinedWeb
+    repeated-line removal — headers, footers, templates).  Per
+    document: total 8-gram positions, boilerplate positions, and the
+    rate in basis points (one exact-integer division).  Plan:
+    tokenize-once shingling, one (source, gram) distinct-doc count —
+    shuffle scales with DISTINCT grams, not corpus — and an equi-join
+    back on (source, gram); no UDFs anywhere.
+
+    The synthetic corpus has no shared templates, so a per-source
+    newsletter suffix is injected in-plan (the _docs_with_dupes
+    discipline) — every doc of a source then shares the
+    template-internal 8-grams and the detector must find exactly
+    those."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" subscribe to the "),
+            F.col("source"),
+            F.lit(" newsletter for daily updates today"),
+        ).alias("text"),
+    )
+    g = docs.select(
+        "doc_id", "source", F.explode(text.shingles("text", 8)).alias("gram")
+    )
+    bp = (
+        g.groupBy("source", "gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("source", "gram", F.lit(1).alias("is_bp"))
+    )
+    per_doc = (
+        g.join(bp, ["source", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("is_bp", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_boiler",
+        (
+            (F.col("n_boiler") * F.lit(10000)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("boiler_bp"),
+    )
+
+
+@register(
+    "w_seasonal_dow_index",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             -- DuckDB dayofweek: 0=Sunday..6; Spark: 1=Sunday..7
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    byd AS (SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS n_ev,
+                   count(*) AS n_days
+            FROM daily GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n_ev) AS BIGINT) AS tot_ev,
+                   CAST(SUM(n_days) AS BIGINT) AS tot_days
+            FROM byd GROUP BY 1)
+    SELECT b.event_type, b.dow, n_ev, CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_ev * tot_days AS DOUBLE) / CAST(n_days * tot_ev AS DOUBLE)
+             AS seasonal_index
+    FROM byd b JOIN tot USING (event_type)
+    """,
+)
+def w_seasonal_dow_index(spark, sf_dir):
+    """Day-of-week seasonal index per event type: (mean daily count on
+    that weekday) / (overall mean daily count), computed as ONE
+    division of exact integer products — the multiplicative
+    seasonality profile used to deseasonalize metrics before anomaly
+    detection.  Two stacked aggregates (day, then weekday) plus a
+    per-type total broadcast; everything partial-aggregates
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    byd = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").cast("long").alias("n_ev"), F.count("*").alias("n_days")
+    )
+    tot = byd.groupBy("event_type").agg(
+        F.sum("n_ev").cast("long").alias("tot_ev"),
+        F.sum("n_days").cast("long").alias("tot_days"),
+    )
+    return (
+        byd.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_ev",
+            F.col("n_days").cast("long").alias("n_days"),
+            (
+                (F.col("n_ev") * F.col("tot_days")).cast("double")
+                / (F.col("n_days") * F.col("tot_ev")).cast("double")
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+@register(
+    "o6_hypothetical_rank",
+    """
+    WITH probe AS (SELECT unnest(CAST([0.0, 5000.0, 9000.0] AS DOUBLE[]))
+                     AS hyp_bal),
+    agg AS (
+      SELECT hyp_bal,
+             CAST(count(CASE WHEN c_acctbal < hyp_bal THEN 1 END) AS BIGINT)
+               AS n_below,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer CROSS JOIN probe
+      GROUP BY 1)
+    SELECT hyp_bal, n_below + 1 AS hyp_rank,
+           CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE) AS hyp_percentile
+    FROM agg
+    """,
+)
+def o6_hypothetical_rank(spark, sf_dir):
+    """Hypothetical-set rank (SQL's RANK(x) WITHIN GROUP (ORDER BY
+    ...)): where would a candidate balance rank among all customers?
+    Rank = 1 + count(existing < x), as a broadcast cross of the 3-row
+    probe set against one counting aggregate — no global sort, no
+    window; the fact side partial-aggregates map-side, so this costs
+    one scan regardless of probe count."""
+    cust = load_table(spark, sf_dir, "customer")
+    probe = spark.createDataFrame(
+        [(0.0,), (5000.0,), (9000.0,)], "hyp_bal double"
+    )
+    agg = (
+        cust.crossJoin(F.broadcast(probe))
+        .groupBy("hyp_bal")
+        .agg(
+            F.count(F.when(F.col("c_acctbal") < F.col("hyp_bal"), 1))
+            .cast("long")
+            .alias("n_below"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    return agg.select(
+        "hyp_bal",
+        (F.col("n_below") + 1).alias("hyp_rank"),
+        (F.col("n_below").cast("double") / F.col("n").cast("double")).alias(
+            "hyp_percentile"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -9788,6 +10118,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "graph_bfs_hops", "graph_link_predict_ra", "a_market_basket",
     "w_cusum_drift", "w_max_drawdown", "j17_nearest_event",
     "a_decile_lift", "text_tfidf_topterms", "a_kanonymity_risk",
+    # round-7 wave 2
+    "a_corr_matrix", "dedup_lsh_recall_eval", "text_boilerplate_ngrams",
+    "w_seasonal_dow_index", "o6_hypothetical_rank",
 )
 
 

@@ -217,3 +217,78 @@ def test_kanonymity_partitions_customers(spark):
     for r in rows:
         assert r.k_bucket in {"k=1", "k=2-4", "k=5-9", "k>=10"}
         assert r.n_groups <= r.n_records
+
+
+# -- wave 2: corr matrix, LSH eval, boilerplate, seasonality, hyp rank -----
+
+
+def test_corr_matrix_bounds_and_pairs(spark):
+    rows = QUERIES["a_corr_matrix"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+        assert r.n_days >= 2
+
+
+def test_corr_matrix_perfect_on_crafted(spark):
+    """x and 2x+1 correlate exactly 1 via the co-moment formula."""
+    df = spark.createDataFrame(
+        [(1, 10, 21), (2, 20, 41), (3, 30, 61)], "d INT, xa LONG, xb LONG"
+    )
+    m = df.agg(
+        F.count("*").alias("n"),
+        F.sum("xa").alias("sx"), F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    ).collect()[0]
+    num = m.n * m.sxy - m.sx * m.sy
+    den = ((m.n * m.sxx - m.sx**2) ** 0.5) * ((m.n * m.syy - m.sy**2) ** 0.5)
+    assert abs(num / den - 1.0) < 1e-12
+
+
+def test_lsh_recall_eval_exact_class_perfect(spark):
+    """Identical copies share every shingle, so every exact dup pair
+    must be found: recall('exact') == 1.0; candidates ≥ truth hits."""
+    rows = {r.dup_class: r for r in QUERIES["dedup_lsh_recall_eval"](spark, SF).collect()}
+    assert set(rows) == {"exact", "near"}
+    assert rows["exact"].recall == 1.0
+    for r in rows.values():
+        assert 0 <= r.n_found <= r.n_truth
+        assert r.n_candidates >= r.n_found
+
+
+def test_boilerplate_rates_bounded(spark):
+    rows = QUERIES["text_boilerplate_ngrams"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs
+    assert any(r.n_boiler > 0 for r in rows)  # sources share template grams
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_grams
+        assert 0 <= r.boiler_bp <= 10000.0
+
+
+def test_seasonal_index_mean_one(spark):
+    """Σ (n_days · index) over dows = tot_days for each type — the
+    weighted mean of a seasonal index is 1 by construction."""
+    rows = QUERIES["w_seasonal_dow_index"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        assert 1 <= r.dow <= 7
+        assert r.seasonal_index > 0
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        tot_days = sum(r.n_days for r in rs)
+        s = sum(r.n_days * r.seasonal_index for r in rs)
+        assert abs(s - tot_days) < 1e-6 * tot_days
+
+
+def test_hypothetical_rank_against_sort(spark):
+    rows = {r.hyp_bal: r for r in QUERIES["o6_hypothetical_rank"](spark, SF).collect()}
+    cust = load_table(spark, SF, "customer")
+    n = cust.count()
+    for bal, r in rows.items():
+        below = cust.filter(F.col("c_acctbal") < bal).count()
+        assert r.hyp_rank == below + 1
+        assert abs(r.hyp_percentile - below / n) < 1e-12
