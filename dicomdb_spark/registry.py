@@ -10028,6 +10028,321 @@ def o6_hypothetical_rank(spark, sf_dir):
     )
 
 
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT a.vec_id, b.plane_id,
+             CASE WHEN {_SQL_DOT} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e a CROSS JOIN planes b),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY 1),
+    n AS (
+      SELECT e.vec_id, e.v, bk.bucket,
+             sqrt(CAST((SELECT SUM(CAST(floor(e.v[i.i] * e.v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(e.v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM e JOIN buckets bk ON e.vec_id = bk.vec_id),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST({_SQL_DOT} AS DOUBLE) / (a.nrm * b.nrm) DESC,
+                          b.vec_id) AS rank
+        FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+      WHERE rank <= 5),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST({_SQL_DOT} AS DOUBLE) / (a.nrm * b.nrm) DESC,
+                          b.vec_id) AS rank
+        FROM n a JOIN n b
+          ON a.vec_id < 10 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+      WHERE rank <= 5),
+    ap AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY 1),
+    ov AS (SELECT t.query_id, count(*) AS n_overlap
+           FROM truth t JOIN approx a
+             ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+    SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(max(ap.n_approx), 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(max(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(max(ov.n_overlap), 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS recall_at_5
+    FROM truth t
+    LEFT JOIN ap ON t.query_id = ap.query_id
+    LEFT JOIN ov ON t.query_id = ov.query_id
+    GROUP BY 1
+    """,
+)
+def ann_recall_eval(spark, sf_dir):
+    """ANN evaluation harness: recall@5 of the hyperplane-LSH index
+    against exact brute-force ground truth, per query — the
+    measurement loop that decides whether an index's (planes, probes)
+    setting is shippable, computed entirely in-plan.  Ground truth
+    reuses the broadcast-queries × corpus exact scorer (bounded by the
+    10-query probe set); the approx side reuses the bucket equi-join;
+    both rankings share the exact-integer dot products, so overlap
+    counting is a plain equi-join on (query, neighbor).  recall@5 is
+    one exact-integer division.  Complements dedup_lsh_recall_eval on
+    the embedding side of the house."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = lsim.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
+    withb = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(buckets, "vec_id")
+        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
+    )
+    q = withb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+        "bucket",
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.col("nrm").alias("__cn"),
+        F.col("bucket").alias("__cb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        q.join(
+            c,
+            (F.col("bucket") == F.col("__cb"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine_sim",
+            lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ap = approx.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    ov = truth.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_truth"))
+        .join(F.broadcast(ap), "query_id", "left")
+        .join(F.broadcast(ov), "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+def _er_merge_oracle(iters: int = 3) -> str:
+    """Min-label components over the phonetic-variant pair graph, then
+    one canonical row per multi-variant entity."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.tok, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT e.dst AS tok, l.lbl FROM e JOIN {prev} l ON e.src = l.tok) n
+      ON v.tok = n.tok
+      GROUP BY v.tok, v.lbl)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pp AS ({_phonetic_er_oracle()}),
+    e AS (SELECT tok1 AS src, tok2 AS dst FROM pp
+          UNION ALL SELECT tok2, tok1 FROM pp),
+    verts AS (SELECT DISTINCT src AS tok FROM e),
+    l0 AS (SELECT tok, tok AS lbl FROM verts),
+    {chain}
+    SELECT lbl AS canonical, CAST(count(*) AS BIGINT) AS n_variants,
+           array_to_string(list_sort(list(tok)), ',') AS variants
+    FROM {prev} GROUP BY 1
+    """
+
+
+@register("er_transitive_merge", None)  # oracle attached below
+def er_transitive_merge(spark, sf_dir):
+    """End-to-end entity resolution: phonetic-blocked candidate pairs
+    (er_phonetic_pairs' plan) → transitive closure via min-label
+    propagation (3 rounds, the components discipline: one join + one
+    min-aggregate per round, per-round persist for linear lineage) →
+    one canonical record per entity: the lexicographically-least
+    variant, the variant count, and the comma-joined sorted variant
+    list (scalar, never an array column).  This is the full
+    Fellegi-Sunter merge step a record-linkage pipeline runs after
+    pairing — the ER twin of corpus_dedup_pipeline."""
+    pairs = (
+        QUERIES["er_phonetic_pairs"](spark, sf_dir).select("tok1", "tok2").persist()
+    )
+    e = pairs.select(F.col("tok1").alias("src"), F.col("tok2").alias("dst")).unionAll(
+        pairs.select(F.col("tok2").alias("src"), F.col("tok1").alias("dst"))
+    ).persist()
+    lbl = e.select(F.col("src").alias("tok")).distinct().withColumn(
+        "lbl", F.col("tok")
+    )
+    for _ in range(3):
+        msg = (
+            e.join(lbl.withColumnRenamed("tok", "src"), "src")
+            .groupBy(F.col("dst").alias("tok"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        lbl = (
+            lbl.join(msg, "tok", "left")
+            .select(
+                "tok", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            .persist()
+        )
+    return lbl.groupBy(F.col("lbl").alias("canonical")).agg(
+        F.count("*").cast("long").alias("n_variants"),
+        F.array_join(F.sort_array(F.collect_list("tok")), ",").alias("variants"),
+    )
+
+
+ORACLES["er_transitive_merge"] = _er_merge_oracle()
+
+
+@register(
+    "w_ratio_to_report",
+    """
+    WITH r AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS grand FROM r)
+    SELECT o_orderstatus, o_orderpriority, rev_c,
+           CAST(rev_c AS DOUBLE)
+             / CAST(SUM(rev_c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+             AS share_in_status,
+           CAST(rev_c AS DOUBLE) / CAST(grand AS DOUBLE) AS share_total
+    FROM r CROSS JOIN t
+    """,
+)
+def w_ratio_to_report(spark, sf_dir):
+    """Share-of-total reporting (Oracle's RATIO_TO_REPORT): each
+    (status, priority) cell's cent-exact revenue as a fraction of its
+    status group and of the grand total.  One aggregate to the
+    30-cell report table, then a window over that TINY table plus a
+    1-row grand-total broadcast — the fact table is scanned once and
+    every division is a single IEEE op on exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    t = r.agg(F.sum("rev_c").cast("long").alias("grand"))
+    ws = Window.partitionBy("o_orderstatus")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "rev_c",
+            (
+                F.col("rev_c").cast("double")
+                / F.sum("rev_c").over(ws).cast("double")
+            ).alias("share_in_status"),
+            (F.col("rev_c").cast("double") / F.col("grand").cast("double")).alias(
+                "share_total"
+            ),
+        )
+    )
+
+
+@register(
+    "w_funnel_ttc",
+    """
+    WITH fc AS (SELECT user_id, min(ts) AS first_click
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+    fp AS (SELECT e.user_id, min(e.ts) AS first_purchase
+           FROM events e JOIN fc ON e.user_id = fc.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+           GROUP BY 1),
+    d AS (SELECT fc.user_id,
+                 CAST(floor(epoch(fp.first_purchase)) AS BIGINT)
+                   - CAST(floor(epoch(fc.first_click)) AS BIGINT) AS ttc_s
+          FROM fc JOIN fp ON fc.user_id = fp.user_id),
+    r AS (SELECT ttc_s,
+                 row_number() OVER (ORDER BY ttc_s, user_id) AS rn,
+                 count(*) OVER () AS n
+          FROM d)
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN ttc_s END) AS BIGINT)
+             AS median_ttc_s,
+           CAST(max(CASE WHEN rn = greatest((n * 9) // 10, 1) THEN ttc_s END)
+                AS BIGINT) AS p90_ttc_s
+    FROM r
+    """,
+)
+def w_funnel_ttc(spark, sf_dir):
+    """Funnel time-to-convert: per user, first click → first purchase
+    AT-OR-AFTER it; report converted-user count with median-low and
+    p90-low latency via order-statistic SELECTION (rank = ⌊(n+1)/2⌋,
+    ⌊9n/10⌋) — never interpolation, which differs in IEEE between
+    engines.  Two per-user min-aggregates and one ranking over the
+    (small) converted-user set; the user_id tiebreak pins equal
+    latencies."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = fc.join(fp, "user_id").select(
+        "user_id",
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+        ).alias("ttc_s"),
+    )
+    w = Window.orderBy("ttc_s", "user_id")
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ttc_s")))
+        .cast("long")
+        .alias("median_ttc_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest((n * 9) div 10, 1)"), F.col("ttc_s"))
+        )
+        .cast("long")
+        .alias("p90_ttc_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -10121,6 +10436,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-7 wave 2
     "a_corr_matrix", "dedup_lsh_recall_eval", "text_boilerplate_ngrams",
     "w_seasonal_dow_index", "o6_hypothetical_rank",
+    # round-7 wave 3
+    "ann_recall_eval", "er_transitive_merge", "w_ratio_to_report",
+    "w_funnel_ttc",
 )
 
 

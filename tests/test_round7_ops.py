@@ -292,3 +292,48 @@ def test_hypothetical_rank_against_sort(spark):
         below = cust.filter(F.col("c_acctbal") < bal).count()
         assert r.hyp_rank == below + 1
         assert abs(r.hyp_percentile - below / n) < 1e-12
+
+
+# -- wave 3: ANN recall eval, ER merge, ratio-to-report, funnel TTC --------
+
+
+def test_ann_recall_eval_bounds(spark):
+    rows = QUERIES["ann_recall_eval"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_truth == 5
+        assert 0 <= r.n_overlap <= min(r.n_truth, r.n_approx)
+        assert abs(r.recall_at_5 - r.n_overlap / r.n_truth) < 1e-12
+        assert r.n_approx <= 5
+
+
+def test_er_merge_components_consistent(spark):
+    pairs = QUERIES["er_phonetic_pairs"](spark, SF).collect()
+    ents = QUERIES["er_transitive_merge"](spark, SF).collect()
+    toks = {t for p in pairs for t in (p.tok1, p.tok2)}
+    covered = set()
+    for e in ents:
+        vs = e.variants.split(",")
+        assert e.n_variants == len(vs) >= 2
+        assert e.canonical == min(vs)
+        assert vs == sorted(vs)
+        covered.update(vs)
+    assert covered == toks  # every paired token lands in exactly one entity
+    assert sum(e.n_variants for e in ents) == len(toks)
+
+
+def test_ratio_to_report_sums_to_one(spark):
+    rows = QUERIES["w_ratio_to_report"](spark, SF).collect()
+    assert abs(sum(r.share_total for r in rows) - 1.0) < 1e-9
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.o_orderstatus, 0.0)
+        by_status[r.o_orderstatus] += r.share_in_status
+    for s, tot in by_status.items():
+        assert abs(tot - 1.0) < 1e-9
+
+
+def test_funnel_ttc_order_stats(spark):
+    row = QUERIES["w_funnel_ttc"](spark, SF).collect()[0]
+    assert row.n_converted > 0
+    assert 0 <= row.median_ttc_s <= row.p90_ttc_s
