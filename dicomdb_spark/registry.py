@@ -10343,6 +10343,227 @@ def w_funnel_ttc(spark, sf_dir):
     )
 
 
+def _power_iter_oracle(rounds: int = 4) -> str:
+    """Unrolled power iteration v ← normalize(XᵀXv): the matrix is
+    only ever touched via per-row dot products (s = Xv) and one
+    per-dim aggregate (w = Xᵀs) — never materialized."""
+    steps = []
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""s{r} AS (
+      SELECT d.vec_id,
+             CAST(SUM(CAST(floor(d.val * {prev}.vv * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS s
+      FROM d JOIN {prev} ON d.dim = {prev}.dim GROUP BY 1),
+    w{r} AS (
+      SELECT d.dim,
+             SUM(CAST(floor(s{r}.s * d.val * 1000000) AS BIGINT)) AS w
+      FROM d JOIN s{r} ON d.vec_id = s{r}.vec_id GROUP BY 1),
+    m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+    v{r} AS (SELECT dim, CAST(w AS DOUBLE) / CAST(m AS DOUBLE) AS vv
+             FROM w{r} CROSS JOIN m{r})"""
+        )
+        prev = f"v{r}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, i.i AS dim, v[i.i] AS val
+          FROM e, unnest(range(1, len(v) + 1)) i(i)),
+    v0 AS (SELECT DISTINCT dim, 1.0 AS vv FROM d),
+    {chain}
+    SELECT CAST(dim AS INTEGER) AS dim, vv AS loading FROM {prev}
+    """
+
+
+@register("emb_top_pc_power", _power_iter_oracle())
+def emb_top_pc_power(spark, sf_dir):
+    """Top principal direction of the embedding matrix by MATRIX-FREE
+    power iteration (4 rounds of v ← normalize(XᵀXv)) — distributed
+    linear algebra with the matrix touched only through two
+    aggregates per round: s = Xv is one broadcast join (v is 64 rows)
+    + per-row dot, w = Xᵀs is one 64-group aggregate.  X never
+    shuffles; per-round state is the 64-row direction vector, kept
+    RELATIONAL (no driver collect), persisted per round for linear
+    lineage.  Parity: every dot term is floor-scaled to int64 before
+    summation and the ∞-norm normalization is one exact-int division
+    per dim, so both engines walk the identical IEEE sequence.
+    Convergence to the top eigenvector follows from the power method
+    (fixed 4 rounds keeps the oracle replayable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+        .persist()
+    )
+    v = d.select("dim").distinct().withColumn("vv", F.lit(1.0))
+    for _ in range(4):
+        s = (
+            d.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("val") * F.col("vv") * 1000000).cast("long")
+                    ).cast("double")
+                    / 1000000.0
+                ).alias("s")
+            )
+        )
+        w = (
+            d.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("s") * F.col("val") * 1000000).cast("long")
+                ).alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim", (F.col("w").cast("double") / F.col("m").cast("double")).alias("vv")
+            )
+            .persist()
+        )
+    return v.select(F.col("dim").cast("int").alias("dim"), F.col("vv").alias("loading"))
+
+
+@register(
+    "emb_covariance_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, i.i AS dim, v[i.i] AS val
+          FROM e, unnest(range(1, len(v) + 1)) i(i)),
+    p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                 count(*) AS n,
+                 CAST(SUM(CAST(floor(a.val * 10000) AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(SUM(CAST(floor(b.val * 10000) AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(floor(a.val * b.val * 100000000) AS BIGINT))
+                      AS BIGINT) AS sxy
+          FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.dim < b.dim
+          GROUP BY 1, 2)
+    SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100000000.0) AS cov
+    FROM p
+    ORDER BY abs(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100000000.0)) DESC,
+             dim_i, dim_j
+    LIMIT 20
+    """,
+)
+def emb_covariance_topk(spark, sf_dir):
+    """The 20 most-correlated embedding dimension pairs by |population
+    covariance| — the redundancy screen run before whitening/PQ
+    subspace splits.  Co-moments are exact integers (1e4-scaled
+    singles, 1e8-scaled products — consistent units, int64-safe to
+    ~1e5× this corpus), combined by the n·Σxy − ΣxΣy identity and ONE
+    division chain per pair.  Plan: posexplode then a per-vector
+    self-join fanning each row to d(d−1)/2 = 2016 pairs — bounded by
+    the DIMENSION, not the corpus — into a 2016-group aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    a = d.select("vec_id", F.col("dim").alias("dim_i"), F.col("val").alias("xa"))
+    b = d.select("vec_id", F.col("dim").alias("dim_j"), F.col("val").alias("xb"))
+    p = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") < F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("xa") * 10000).cast("long")).cast("long").alias("sx"),
+            F.sum(F.floor(F.col("xb") * 10000).cast("long")).cast("long").alias("sy"),
+            F.sum(F.floor(F.col("xa") * F.col("xb") * 100000000).cast("long"))
+            .cast("long")
+            .alias("sxy"),
+        )
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double") * 100000000.0
+    )
+    return (
+        p.select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            cov.alias("cov"),
+        )
+        .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_length_batching",
+    f"""
+    WITH t AS (SELECT doc_id, len({_SQL_TOKS_RAW}) AS n_tok FROM documents),
+    strat AS (
+      SELECT doc_id, n_tok, 'hash_order' AS strategy,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM t
+      UNION ALL
+      SELECT doc_id, n_tok, 'length_sorted',
+             row_number() OVER (ORDER BY n_tok, doc_id)
+      FROM t),
+    b AS (SELECT strategy, (rn - 1) // 32 AS batch_id,
+                 count(*) AS bsz, CAST(SUM(n_tok) AS BIGINT) AS real_tok,
+                 max(n_tok) AS mx
+          FROM strat GROUP BY 1, 2)
+    SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(SUM(real_tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(mx * bsz) AS BIGINT) AS padded_tokens,
+           CAST((SUM(mx * bsz) - SUM(real_tok)) * 10000 AS DOUBLE)
+             / CAST(SUM(mx * bsz) AS DOUBLE) AS waste_bp
+    FROM b GROUP BY 1
+    """,
+)
+def corpus_length_batching(spark, sf_dir):
+    """Training-batch padding efficiency: pack documents into
+    32-row batches under (a) hash order — the naive shuffled loader —
+    and (b) length-sorted order (bucketed batching), then report
+    padded-token waste (each batch pads to its longest member).  The
+    quantified case for length bucketing in a tokenizer pipeline,
+    from one token-count scan and two rankings.  Waste is one
+    exact-integer division in basis points.  The global sort is over
+    (n_tok, doc_id) — at 100 TB the same report falls out of a
+    range-partitioned sort, batches being per-range."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok"))
+    hash_rn = F.row_number().over(
+        Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    len_rn = F.row_number().over(Window.orderBy("n_tok", "doc_id"))
+    strat = t.select(
+        "n_tok", F.lit("hash_order").alias("strategy"), hash_rn.alias("rn")
+    ).unionAll(t.select("n_tok", F.lit("length_sorted").alias("strategy"), len_rn.alias("rn")))
+    b = strat.groupBy(
+        "strategy", F.expr("(rn - 1) div 32").alias("batch_id")
+    ).agg(
+        F.count("*").alias("bsz"),
+        F.sum("n_tok").cast("long").alias("real_tok"),
+        F.max("n_tok").alias("mx"),
+    )
+    return b.groupBy("strategy").agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("real_tok").cast("long").alias("real_tokens"),
+        F.sum(F.col("mx") * F.col("bsz")).cast("long").alias("padded_tokens"),
+        (
+            (
+                (F.sum(F.col("mx") * F.col("bsz")) - F.sum("real_tok")) * F.lit(10000)
+            ).cast("double")
+            / F.sum(F.col("mx") * F.col("bsz")).cast("double")
+        ).alias("waste_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -10439,6 +10660,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-7 wave 3
     "ann_recall_eval", "er_transitive_merge", "w_ratio_to_report",
     "w_funnel_ttc",
+    # round-7 wave 4
+    "emb_top_pc_power", "emb_covariance_topk", "corpus_length_batching",
 )
 
 

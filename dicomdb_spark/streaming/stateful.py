@@ -322,6 +322,78 @@ def stateful_zscore(
     )
 
 
+def stateful_cusum(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    ref: float = 250.0,
+    threshold_scaled: int = 50_000_000,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift detector — the stateful twin of
+    the batch closed form (registry.w_cusum_drift): per key, state is
+    a single int64 S; each event applies S ← max(0, S + (⌊v·10⁴⌋ −
+    ⌊ref·10⁴⌋)) and emits (id, cusum, alarm).  Because S and every
+    deviation are exact integers, the streaming recursion and the
+    batch running-sum/running-min identity produce the SAME value at
+    every event regardless of micro-batch boundaries — the
+    equivalence test compares event-for-event.  State is 8 bytes per
+    key, forever."""
+    import math
+
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            events.schema[id_col],
+            T.StructField("cusum", T.LongType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("s", T.LongType())])
+    ref_scaled = math.floor(ref * 10000)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s = state.get[0] if state.exists else 0
+        ids, cs, al = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            for _, row in pdf.iterrows():
+                d = math.floor(row[value_col] * 10000) - ref_scaled
+                s = max(0, s + d)
+                ids.append(row[id_col])
+                cs.append(s)
+                al.append(s > threshold_scaled)
+        state.update((s,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(ids),
+                    id_col: ids,
+                    "cusum": pd.array(cs, dtype="int64"),
+                    "alarm": al,
+                }
+            )
+
+    return events.select(key_col, ts_col, id_col, value_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # UDF closures in this module must ship by value (see package __init__)
 import sys as _sys  # noqa: E402
 

@@ -337,3 +337,110 @@ def test_funnel_ttc_order_stats(spark):
     row = QUERIES["w_funnel_ttc"](spark, SF).collect()[0]
     assert row.n_converted > 0
     assert 0 <= row.median_ttc_s <= row.p90_ttc_s
+
+
+# -- wave 4: power iteration, covariance, batching, streaming CUSUM --------
+
+
+def test_power_iteration_is_dominant_direction(spark):
+    """The returned direction must be a fixed point under one more
+    X^T X multiply (up to normalization): cosine(v3, v4) ≈ 1 — and
+    ∞-norm 1 by construction."""
+    import numpy as np
+
+    out = QUERIES["emb_top_pc_power"](spark, SF).collect()
+    assert len(out) == 64
+    v = np.zeros(64)
+    for r in out:
+        v[r.dim - 1] = r.loading
+    assert abs(np.abs(v).max() - 1.0) < 1e-12
+    emb = load_table(spark, SF, "embeddings").collect()
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    w = X.T @ (X @ v)
+    cos = abs(w @ v) / (np.linalg.norm(w) * np.linalg.norm(v))
+    assert cos > 0.98
+
+
+def test_covariance_topk_matches_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["emb_covariance_topk"](spark, SF).collect()
+    assert len(rows) == 20
+    emb = load_table(spark, SF, "embeddings").collect()
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    C = np.cov(X.T, bias=True)
+    for r in rows[:5]:
+        assert abs(r.cov - C[r.dim_i - 1, r.dim_j - 1]) < 1e-3
+    mags = [abs(r.cov) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_length_batching_sorted_wastes_less(spark):
+    rows = {r.strategy: r for r in QUERIES["corpus_length_batching"](spark, SF).collect()}
+    assert set(rows) == {"hash_order", "length_sorted"}
+    for r in rows.values():
+        assert r.real_tokens <= r.padded_tokens
+        assert 0 <= r.waste_bp <= 10000
+    assert rows["length_sorted"].waste_bp <= rows["hash_order"].waste_bp
+    assert rows["length_sorted"].real_tokens == rows["hash_order"].real_tokens
+
+
+def test_stateful_cusum_matches_batch_recursion(spark, tmp_path):
+    """Streaming CUSUM (8-byte state) must equal the batch closed form
+    C - min(0, running-min C) event-for-event across micro-batches."""
+    from pyspark.sql import Window
+
+    from dicomdb_spark.streaming.stateful import stateful_cusum
+
+    SFDIR = "/root/testdata/sf0.001"
+    ev = load_table(spark, SFDIR, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    REF = 2500000  # floor(250.0 * 10000)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = ev.withColumn(
+        "di", F.floor(F.col("value") * 10000).cast("long") - F.lit(REF)
+    ).withColumn("ci", F.sum("di").over(w))
+    batch = {
+        r.event_id: r.si
+        for r in d.select(
+            "event_id",
+            (F.col("ci") - F.least(F.min("ci").over(w), F.lit(0))).alias("si"),
+        ).collect()
+    }
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    rows = ev.orderBy("ts", "event_id").collect()
+    cut = len(rows) // 2
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream_df = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_cusum(stream_df, "event_type", "ts", "event_id", "value")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: r.cusum
+            for r in spark.sql("select * from cusum_out").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == len(batch) > 0
+    mism = {k: (got[k], batch[k]) for k in batch if got[k] != batch[k]}
+    assert not mism, list(mism.items())[:5]
