@@ -51,6 +51,19 @@ def count_broadcast_joins(df: DataFrame) -> int:
     )
 
 
+def count_nested_loop_joins(df: DataFrame) -> int:
+    # detail-section entries only, like count_broadcast_joins; note a
+    # persisted loop-carried table re-renders its lineage per
+    # reference, so iterative queries over-count RELATIVE TO EXECUTION
+    # — bound those loosely or assert on broadcasts instead
+    return sum(
+        1
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("(")
+        and line.strip().split(" ", 1)[-1].startswith("BroadcastNestedLoopJoin")
+    )
+
+
 def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in formatted_plan(df)
 

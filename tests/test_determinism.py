@@ -41,6 +41,13 @@ REPRESENTATIVE = [
     "a_mad_outliers",         # order-statistic medians
     "ann_ivf_pq_topk",        # coarse cells + PQ training + ADC
     "a_benford_audit",        # fixed-order chi-square expression tree
+    # round-7 operators
+    "w_cusum_drift",          # stacked windows over exact-int walks
+    "w_max_drawdown",         # running-max-of-running-sum windows
+    "a_corr_matrix",          # exact co-moments -> one IEEE chain
+    "graph_bfs_hops",         # iterative frontier min-aggregate
+    "er_transitive_merge",    # string min-label + sorted collect
+    "emb_top_pc_power",       # relational power iteration
 ]
 
 

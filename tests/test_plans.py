@@ -269,3 +269,45 @@ def test_ivf_pq_adc_is_broadcast_join(spark):
     # re-derived on the code and LUT branches (2) and PQ training
     # scores against broadcast codebook seeds (2) — all bounded sides
     assert pi.formatted_plan(df).count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_market_basket_pair_join_no_cartesian(spark):
+    """The within-basket pair join is an equi-join on orderkey; the
+    only nested-loop join allowed is the 1-row basket-total cross."""
+    df = QUERIES["a_market_basket"](spark, SF)
+    assert pi.count_nested_loop_joins(df) <= 1
+    assert pi.count_broadcast_joins(df) >= 2  # both item-count sides
+
+
+def test_nearest_event_single_sort_per_direction(spark):
+    """The tag-union nearest join must never self-join events: no
+    nested loops, and the two direction windows share the (user, t)
+    sort — plan has no join at all beyond window exchanges."""
+    df = QUERIES["j17_nearest_event"](spark, SF)
+    assert pi.count_nested_loop_joins(df) == 0
+    assert not pi.has_sort_merge_join(df)
+    assert pi.count_shuffles(df) <= 2, pi.simple_plan(df)
+
+
+def test_tfidf_df_table_broadcasts(spark):
+    """The vocabulary-sized df table and the 1-row N both broadcast
+    back onto tf — the fact-side (doc, term) rows never reshuffle for
+    the joins."""
+    df = QUERIES["text_tfidf_topterms"](spark, SF)
+    assert pi.count_broadcast_joins(df) >= 1
+    assert pi.count_nested_loop_joins(df) <= 1
+
+
+def test_power_iteration_bounded_nested_loops(spark):
+    """Each of the 4 power-iteration rounds crosses only the 1-row
+    ∞-norm; the direction vector itself broadcasts every round."""
+    df = QUERIES["emb_top_pc_power"](spark, SF)
+    assert pi.count_nested_loop_joins(df) <= 4
+    assert pi.count_broadcast_joins(df) >= 4
+
+
+def test_link_predict_wedge_is_equi_join(spark):
+    """The 2-hop candidate generator joins on the shared endpoint —
+    never a cartesian — and the degree table broadcasts."""
+    df = QUERIES["graph_link_predict_ra"](spark, SF)
+    assert pi.count_nested_loop_joins(df) == 0
