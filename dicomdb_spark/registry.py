@@ -10564,6 +10564,236 @@ def corpus_length_batching(spark, sf_dir):
     )
 
 
+@register(
+    "w_window_funnel",
+    """
+    WITH c AS (SELECT user_id, min(ts) AS t1
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    v AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'view' AND e.ts > c.t1
+            AND e.ts <= c.t1 + INTERVAL 24 HOURS
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e
+          JOIN c ON e.user_id = c.user_id
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t2
+            AND e.ts <= c.t1 + INTERVAL 24 HOURS
+          GROUP BY 1),
+    lv AS (SELECT c.user_id,
+                  CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN v.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS level
+           FROM c LEFT JOIN v ON c.user_id = v.user_id
+                  LEFT JOIN p ON c.user_id = p.user_id)
+    SELECT level, CAST(count(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY 1
+    """,
+)
+def w_window_funnel(spark, sf_dir):
+    """Strict-order windowed funnel (ClickHouse's windowFunnel):
+    click → view → purchase, each step STRICTLY after the previous
+    and the whole chain inside 24 hours of the first click.  Levels are
+    computed by chained conditional min-aggregates — one keyed
+    aggregate per stage, each joined back broadcast-style on the
+    (shrinking) user set — never a per-user sort or UDF.  Output:
+    users reaching each funnel depth.  Differs from
+    w_funnel_conversion (unordered ever-did-X) by enforcing order and
+    the window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lv = (
+        c.join(v.select("user_id", F.lit(1).alias("__v")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("__p").isNotNull(), 3)
+            .when(F.col("__v").isNotNull(), 2)
+            .otherwise(1)
+            .alias("level"),
+        )
+    )
+    return lv.groupBy("level").agg(F.count("*").cast("long").alias("n_users"))
+
+
+@register(
+    "w_interval_union",
+    """
+    WITH b AS (
+      SELECT user_id, ts AS t, 1 AS delta, event_id AS tid FROM events
+      UNION ALL
+      SELECT user_id, ts + INTERVAL 300 SECONDS, -1, event_id FROM events),
+    r AS (SELECT user_id, t, delta,
+                 SUM(delta) OVER w AS conc,
+                 lead(t) OVER (PARTITION BY user_id ORDER BY t, delta, tid)
+                   AS next_t
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, delta, tid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           CAST(SUM(CASE WHEN conc > 0 AND next_t IS NOT NULL
+                         THEN CAST(floor(epoch(next_t)) AS BIGINT)
+                              - CAST(floor(epoch(t)) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS covered_s
+    FROM r GROUP BY 1
+    """,
+)
+def w_interval_union(spark, sf_dir):
+    """Total covered time of the union of overlapping intervals (each
+    event opens a 300 s activity window): the sweep-line again, but
+    summing segment lengths wherever running coverage > 0 instead of
+    taking the max — "how long was the user active at all", the
+    companion metric to w_concurrency_peak.  One sort per user, two
+    windows sharing it, integer second arithmetic; an interval-merge
+    self-join would be quadratic on dense users."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"),
+        F.col("event_id").alias("tid"),
+    )
+    ends = ev.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.col("event_id").alias("tid"),
+    )
+    b = starts.unionAll(ends)
+    wsort = Window.partitionBy("user_id").orderBy("t", "delta", "tid")
+    w = wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = b.withColumn("conc", F.sum("delta").over(w)).withColumn(
+        "next_t", F.lead("t").over(wsort)
+    )
+    seg = F.when(
+        (F.col("conc") > 0) & F.col("next_t").isNotNull(),
+        F.unix_timestamp("next_t") - F.unix_timestamp("t"),
+    ).otherwise(F.lit(0))
+    return r.groupBy("user_id").agg(F.sum(seg).cast("long").alias("covered_s"))
+
+
+@register(
+    "dedup_prefix_hash",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    p AS (SELECT doc_id,
+                 md5(array_to_string(list_slice(tk, 1, 16), ' ')) AS prefix_md5
+          FROM tk WHERE len(tk) >= 16)
+    SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM p GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_prefix_hash(spark, sf_dir):
+    """Prefix-duplicate detection: documents sharing an identical
+    first-16-token prefix (md5 of the joined prefix) — the cheap
+    screen scraped corpora run for mirror pages and templated
+    boilerplate heads before any minhash (RefinedWeb-style
+    URL+prefix dedup).  Map-only hashing, one count aggregate on a
+    128-bit key, min-id keeper — the same keeper discipline as
+    dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    p = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(toks, 1, 16), " ")).alias("prefix_md5"),
+        F.size(toks).alias("n_tok"),
+    ).filter(F.col("n_tok") >= 16)
+    return (
+        p.groupBy("prefix_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "a_sla_percentiles",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+               - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS lead_s,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    r AS (SELECT o_orderpriority, lead_s,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY lead_s, l_orderkey, l_linenumber)
+                   AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM d)
+    SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lead_s END) AS BIGINT)
+             AS p50_lead_s,
+           CAST(max(CASE WHEN rn = greatest((n * 9) // 10, 1) THEN lead_s END)
+                AS BIGINT) AS p90_lead_s
+    FROM r GROUP BY 1
+    """,
+)
+def a_sla_percentiles(spark, sf_dir):
+    """Per-group SLA latency percentiles: order-to-ship lead time
+    p50/p90 per order priority by order-statistic SELECTION inside
+    each group (rank ⌊(n+1)/2⌋ / ⌊9n/10⌋ over one per-group sort with
+    a unique tiebreak) — the per-group generalization of
+    w_funnel_ttc's global selection, and the everyday ops question
+    'are URGENT orders actually faster?'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")).alias(
+            "lead_s"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "lead_s", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = d.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lead_s")))
+        .cast("long")
+        .alias("p50_lead_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest((n * 9) div 10, 1)"), F.col("lead_s"))
+        )
+        .cast("long")
+        .alias("p90_lead_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -10662,6 +10892,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "w_funnel_ttc",
     # round-7 wave 4
     "emb_top_pc_power", "emb_covariance_topk", "corpus_length_batching",
+    # round-7 wave 5
+    "w_window_funnel", "w_interval_union", "dedup_prefix_hash",
+    "a_sla_percentiles",
 )
 
 

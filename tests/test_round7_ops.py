@@ -444,3 +444,114 @@ def test_stateful_cusum_matches_batch_recursion(spark, tmp_path):
     assert len(got) == len(batch) > 0
     mism = {k: (got[k], batch[k]) for k in batch if got[k] != batch[k]}
     assert not mism, list(mism.items())[:5]
+
+
+# -- wave 5: window funnel, interval union, prefix dedup, SLA pctiles ------
+
+
+def test_window_funnel_strict_order_crafted(spark):
+    """view BEFORE the click must not count; view after click within
+    the window reaches level 2; purchase before the view does not
+    reach level 3."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),      # before click: ignored
+        (1, "2024-01-01 01:00:00", 2, "click"),
+        (1, "2024-01-01 02:00:00", 3, "purchase"),  # before view: no level 3
+        (1, "2024-01-01 03:00:00", 4, "view"),      # level 2
+        (2, "2024-01-01 00:00:00", 5, "click"),
+        (2, "2024-01-01 00:10:00", 6, "view"),
+        (2, "2024-01-01 00:20:00", 7, "purchase"),  # full chain: level 3
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts STRING, event_id INT, event_type STRING"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_id", "event_type")
+    c = df.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    v = (
+        df.filter(F.col("event_type") == "view").join(c, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        df.filter(F.col("event_type") == "purchase").join(c, "user_id").join(v, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    lv = {
+        r.user_id: r.level
+        for r in c.join(v.select("user_id", F.lit(1).alias("__v")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("__p").isNotNull(), 3).when(F.col("__v").isNotNull(), 2).otherwise(1).alias("level"),
+        )
+        .collect()
+    }
+    assert lv == {1: 2, 2: 3}
+
+
+def test_window_funnel_counts_partition_clickers(spark):
+    rows = QUERIES["w_window_funnel"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n_clickers = (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_clickers
+    assert all(r.level in (1, 2, 3) for r in rows)
+
+
+def test_interval_union_bounds(spark):
+    rows = QUERIES["w_interval_union"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    span = ev.agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("s")
+    ).collect()[0].s
+    for r in rows:
+        # union length ≤ min(n·300, total span + 300), ≥ 300 (one interval)
+        assert 300 <= r.covered_s <= min(per_user[r.user_id] * 300, span + 300)
+
+
+def test_interval_union_crafted_merge(spark):
+    """Two overlapping intervals [0,300) and [100,400) cover 400 s;
+    a distant third [1000,1300) adds 300 → 700 total."""
+    rows = [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:01:40", 2),
+            (1, "2024-01-01 00:16:40", 3)]
+    df = spark.createDataFrame(rows, "user_id INT, ts STRING, event_id INT").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), F.col("event_id").alias("tid")
+    )
+    from pyspark.sql import Window as W
+    starts = df.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"), "tid")
+    ends = df.select("user_id", (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+                     F.lit(-1).alias("delta"), "tid")
+    b = starts.unionAll(ends)
+    ws = W.partitionBy("user_id").orderBy("t", "delta", "tid")
+    w = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = b.withColumn("conc", F.sum("delta").over(w)).withColumn("next_t", F.lead("t").over(ws))
+    seg = F.when((F.col("conc") > 0) & F.col("next_t").isNotNull(),
+                 F.unix_timestamp("next_t") - F.unix_timestamp("t")).otherwise(F.lit(0))
+    got = r.groupBy("user_id").agg(F.sum(seg).alias("cov")).collect()[0].cov
+    assert got == 700
+
+
+def test_prefix_hash_groups_are_real_prefix_dups(spark):
+    rows = QUERIES["dedup_prefix_hash"](spark, SF).collect()
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    assert len(rows) > 0
+    # verify one group end-to-end: all members share the 16-token prefix
+    import hashlib
+    target = rows[0].prefix_md5
+    members = [
+        d for d, t in docs.items()
+        if len(t.split()) >= 16
+        and hashlib.md5(" ".join(w.lower() for w in t.split()[:16]).encode()).hexdigest() == target
+    ]
+    assert len(members) == rows[0].n_docs
+    assert min(members) == rows[0].keeper_id
+
+
+def test_sla_percentiles_ordered(spark):
+    rows = QUERIES["a_sla_percentiles"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p50_lead_s <= r.p90_lead_s
+        assert r.n_lines > 0
