@@ -10794,6 +10794,330 @@ def a_sla_percentiles(spark, sf_dir):
     )
 
 
+def _modularity_oracle(iters: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT e.dst AS doc_id, l.lbl FROM e JOIN {prev} l ON e.src = l.doc_id) n
+      ON v.doc_id = n.doc_id
+      GROUP BY v.doc_id, v.lbl)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    verts AS (SELECT DISTINCT doc_id FROM (
+      SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) t),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM verts),
+    {chain},
+    lab AS (SELECT doc_id, lbl FROM {prev}),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    intra AS (
+      SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS lc
+      FROM pairs p
+      JOIN lab la ON p.id1 = la.doc_id
+      JOIN lab lb ON p.id2 = lb.doc_id
+      WHERE la.lbl = lb.lbl GROUP BY 1),
+    deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS dg
+            FROM e GROUP BY 1),
+    dc AS (SELECT lab.lbl AS c, CAST(SUM(dg) AS BIGINT) AS dcs
+           FROM deg JOIN lab USING (doc_id) GROUP BY 1),
+    terms AS (SELECT dc.c, CAST(coalesce(intra.lc, 0) AS BIGINT) AS lc, dc.dcs
+              FROM dc LEFT JOIN intra ON dc.c = intra.c)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(mm.m) AS BIGINT) AS m_edges,
+           CAST(CAST(SUM(4 * mm.m * lc - dcs * dcs) AS BIGINT) AS DOUBLE)
+             / CAST(4 * max(mm.m) * max(mm.m) AS DOUBLE) AS modularity
+    FROM terms CROSS JOIN mm
+    """
+
+
+@register("graph_modularity", _modularity_oracle())
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the min-label community partition over the
+    near-dup graph: Q = Σ_c [L_c/m − (D_c/2m)²], held exact by the
+    rearrangement Q = Σ_c(4·m·L_c − D_c²) / (4m²) — the numerator is
+    an exact INTEGER sum over communities (a float Σ of per-community
+    terms would be order-dependent), divided once.  Inputs are three
+    small aggregates off the persisted edge list: within-community
+    edge counts, per-community degree mass, and |E|.  The quality
+    gate for any clustering step: Q ≈ 0 means the partition is no
+    better than random wiring."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
+    lab = ldedup.min_label_components(pairs, iters=3, broadcast_labels=True).select(
+        "doc_id", F.col("component").alias("lbl")
+    )
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    mm = pairs.agg(F.count("*").cast("long").alias("m"))
+    la = lab.select(F.col("doc_id").alias("id1"), F.col("lbl").alias("c1"))
+    lb = lab.select(F.col("doc_id").alias("id2"), F.col("lbl").alias("c2"))
+    intra = (
+        pairs.join(F.broadcast(la), "id1")
+        .join(F.broadcast(lb), "id2")
+        .filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("c"))
+        .agg(F.count("*").cast("long").alias("lc"))
+    )
+    deg = e.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("dg")
+    )
+    dc = (
+        deg.join(F.broadcast(lab), "doc_id")
+        .groupBy(F.col("lbl").alias("c"))
+        .agg(F.sum("dg").cast("long").alias("dcs"))
+    )
+    terms = dc.join(intra, "c", "left").select(
+        "c", F.coalesce("lc", F.lit(0)).cast("long").alias("lc"), "dcs"
+    )
+    return (
+        terms.crossJoin(F.broadcast(mm))
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.max("m").cast("long").alias("m_edges"),
+            (
+                F.sum(
+                    F.lit(4) * F.col("m") * F.col("lc") - F.col("dcs") * F.col("dcs")
+                )
+                .cast("long")
+                .cast("double")
+                / (F.lit(4) * F.max("m") * F.max("m")).cast("double")
+            ).alias("modularity"),
+        )
+    )
+
+
+@register(
+    "a_gini_skew",
+    """
+    WITH x AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY 1),
+    r AS (SELECT cnt,
+                 row_number() OVER (ORDER BY cnt, o_custkey) AS i,
+                 count(*) OVER () AS n,
+                 CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+          FROM x)
+    SELECT CAST(max(n) AS BIGINT) AS n_keys,
+           CAST(max(tot) AS BIGINT) AS total_rows,
+           CAST(CAST(SUM(2 * i * cnt) AS BIGINT)
+                - (max(n) + 1) * max(tot) AS DOUBLE)
+             / CAST(max(n) * max(tot) AS DOUBLE) AS gini
+    FROM r
+    """,
+)
+def a_gini_skew(spark, sf_dir):
+    """Gini coefficient of the per-customer order-count distribution —
+    the single-number inequality metric that tells you whether a join
+    key is salting-worthy before you profile partitions.  Closed form
+    on counts sorted ascending (custkey tiebreak):
+    G = (2Σᵢ i·xᵢ − (n+1)Σx) / (nΣx) — every term an exact integer,
+    one final division.  The rank is over the KEY dimension (customers),
+    not the fact table; complements a_key_skew_profile's per-partition
+    view."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(F.count("*").cast("long").alias("cnt"))
+    wr = Window.orderBy("cnt", "o_custkey")
+    wall = Window.partitionBy()
+    r = (
+        x.withColumn("i", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wall))
+        .withColumn("tot", F.sum("cnt").over(wall).cast("long"))
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.max("tot").cast("long").alias("total_rows"),
+        (
+            (
+                F.sum(F.lit(2) * F.col("i") * F.col("cnt")).cast("long")
+                - (F.max("n") + 1) * F.max("tot")
+            ).cast("double")
+            / (F.max("n") * F.max("tot")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "sketch_cms_error_audit",
+    None,  # oracle attached below (reuses the count-min SQL fragments)
+)
+def sketch_cms_error_audit(spark, sf_dir):
+    """Count-min sketch ERROR AUDIT over the full vocabulary: verify
+    the one-sided guarantee (no estimate below truth — n_underest must
+    be 0), and report how many estimates are exact, the worst
+    overestimate, and the εN = ⌈e/w · N⌉ theoretical bound it must
+    stay under.  The sketch-trust measurement loop, sibling of
+    dedup_lsh_recall_eval and ann_recall_eval: sketches you haven't
+    audited are sketches you can't ship."""
+    from dicomdb_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("item")
+    )
+    sketch = sketches.count_min(toks, "item", depth=4, width_chars=2)
+    true_c = toks.groupBy("item").agg(F.count("*").cast("long").alias("true_c"))
+    est = sketches.count_min_estimate(
+        sketch, true_c.select("item"), "item", depth=4, width_chars=2
+    )
+    j = true_c.join(est, "item").withColumn(
+        "over", F.col("est_c") - F.col("true_c")
+    )
+    n_tot = toks.agg(F.count("*").cast("long").alias("n_stream"))
+    return (
+        j.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.max("n_stream").cast("long").alias("n_stream"),
+            F.sum(F.when(F.col("over") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_underest"),
+            F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact"),
+            F.max("over").cast("long").alias("max_over"),
+            # ceil(e/w · N) with e≈2.718282, w=256: exact integer arithmetic
+            F.expr(
+                "CAST(-((-2718282 * CAST(max(n_stream) AS BIGINT)) div 256000000) AS BIGINT)"
+            ).alias("eps_n_bound"),
+        )
+    )
+
+
+from dicomdb_spark.functions.sketches import sql_hex_int as _sql_hex_int
+
+_SQL_HEX8_DOCID = _sql_hex_int("md5(CAST(d.doc_id AS VARCHAR))", 8)
+
+
+@register(
+    "corpus_mix_rebalance",
+    f"""
+    WITH tgt AS (
+      SELECT * FROM (VALUES ('en', 3000), ('es', 2000), ('fr', 2000),
+                            ('de', 1500), ('zh', 1500)) t(lang, target_bp)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+    per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1),
+    plan AS (
+      SELECT per.lang, per.n_docs, tgt.target_bp,
+             (n.total * tgt.target_bp) // 10000 AS target_count,
+             least(((n.total * tgt.target_bp) // 10000) * 10000
+                     // per.n_docs, 10000) AS rate_bp
+      FROM per JOIN tgt USING (lang) CROSS JOIN n),
+    sel AS (
+      SELECT d.lang, count(*) AS n_selected
+      FROM documents d JOIN plan p ON d.lang = p.lang
+      WHERE {_SQL_HEX8_DOCID} % 10000 < p.rate_bp
+      GROUP BY 1)
+    SELECT p.lang, p.n_docs, CAST(p.target_bp AS INTEGER) AS target_bp,
+           CAST(p.target_count AS BIGINT) AS target_count,
+           CAST(p.rate_bp AS BIGINT) AS rate_bp,
+           CAST(coalesce(sel.n_selected, 0) AS BIGINT) AS n_selected
+    FROM plan p LEFT JOIN sel ON p.lang = sel.lang
+    """,
+)
+def corpus_mix_rebalance(spark, sf_dir):
+    """Rebalance the corpus to a TARGET language mix (basis points):
+    from observed per-language counts, derive deterministic md5-
+    threshold sampling rates (over-represented strata downsample,
+    under-represented ones cap at keep-all) and report the selected
+    counts the thresholds actually yield.  All plan arithmetic is
+    integer (shares in bp, rates via integer division); selection is
+    the same hash-threshold idiom as corpus_split_hash, so reruns and
+    late-arriving data keep identical membership.  This is the mixing
+    step of corpus curation (targets from DoReMi-style tuning) with
+    zero RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        [("en", 3000), ("es", 2000), ("fr", 2000), ("de", 1500), ("zh", 1500)],
+        "lang string, target_bp int",
+    )
+    n = docs.agg(F.count("*").cast("long").alias("total"))
+    per = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    plan = (
+        per.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(n))
+        .withColumn("target_count", F.expr("(total * target_bp) div 10000"))
+        .withColumn(
+            "rate_bp",
+            F.least(F.expr("(target_count * 10000) div n_docs"), F.lit(10000).cast("long")),
+        )
+    )
+    hash_bp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 10000
+    )
+    sel = (
+        docs.select("lang", hash_bp.alias("hbp"))
+        .join(F.broadcast(plan.select("lang", "rate_bp")), "lang")
+        .filter(F.col("hbp") < F.col("rate_bp"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_selected"))
+    )
+    return (
+        plan.join(sel, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("target_bp").cast("int").alias("target_bp"),
+            F.col("target_count").cast("long").alias("target_count"),
+            F.col("rate_bp").cast("long").alias("rate_bp"),
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+        )
+    )
+
+
+def _cms_audit_oracle(depth: int = 4, width_chars: int = 2) -> str:
+    from dicomdb_spark.functions.sketches import sql_cms_col
+
+    col_of = lambda item: sql_cms_col(item, "d.d", width_chars)  # noqa: E731
+    return f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS item FROM documents),
+    rows_ AS (SELECT unnest(range(0, {depth})) AS d),
+    cms AS (
+      SELECT d.d, {col_of('e.item')} AS col, count(*) AS c
+      FROM tok e CROSS JOIN rows_ d GROUP BY 1, 2),
+    truec AS (SELECT item, CAST(count(*) AS BIGINT) AS true_c
+              FROM tok GROUP BY 1),
+    pe AS (SELECT t.item, t.true_c, d.d, {col_of('t.item')} AS col
+           FROM truec t CROSS JOIN rows_ d),
+    est AS (SELECT pe.item, pe.true_c, CAST(min(cms.c) AS BIGINT) AS est_c
+            FROM pe JOIN cms ON cms.d = pe.d AND cms.col = pe.col
+            GROUP BY 1, 2),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM tok)
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(max(ns.n_stream) AS BIGINT) AS n_stream,
+           CAST(SUM(CASE WHEN est_c - true_c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underest,
+           CAST(SUM(CASE WHEN est_c = true_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(max(est_c - true_c) AS BIGINT) AS max_over,
+           CAST(-((-2718282 * max(ns.n_stream)) // 256000000) AS BIGINT)
+             AS eps_n_bound
+    FROM est CROSS JOIN ns
+    """
+
+
+ORACLES["sketch_cms_error_audit"] = _cms_audit_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -10895,6 +11219,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-7 wave 5
     "w_window_funnel", "w_interval_union", "dedup_prefix_hash",
     "a_sla_percentiles",
+    # round-7 wave 6
+    "graph_modularity", "a_gini_skew", "sketch_cms_error_audit",
+    "corpus_mix_rebalance",
 )
 
 

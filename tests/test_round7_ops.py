@@ -555,3 +555,54 @@ def test_sla_percentiles_ordered(spark):
     for r in rows:
         assert r.p50_lead_s <= r.p90_lead_s
         assert r.n_lines > 0
+
+
+# -- wave 6: modularity, Gini skew, CMS audit, mix rebalance ---------------
+
+
+def test_modularity_bounds_and_crafted(spark):
+    """Two disjoint triangles are a perfect 2-community partition:
+    Q = Σ(4mL_c − D_c²)/4m² with m=6, L_c=3, D_c=6 → 2·(72−36)/144 =
+    0.5; the query's value over the dup graph must sit in [-0.5, 1]."""
+    m, terms = 6, [(3, 6), (3, 6)]
+    q = sum(4 * m * lc - dc * dc for lc, dc in terms) / (4 * m * m)
+    assert abs(q - 0.5) < 1e-12
+    row = QUERIES["graph_modularity"](spark, SF).collect()[0]
+    assert row.n_communities >= 1
+    assert row.m_edges >= 1
+    assert -0.5 - 1e-9 <= row.modularity <= 1.0 + 1e-9
+
+
+def test_gini_matches_reference_formula(spark):
+    row = QUERIES["a_gini_skew"](spark, SF).collect()[0]
+    o = load_table(spark, SF, "orders")
+    counts = sorted(
+        r.n for r in o.groupBy("o_custkey").agg(F.count("*").alias("n")).collect()
+    )
+    n, tot = len(counts), sum(counts)
+    gini = (2 * sum(i * x for i, x in enumerate(counts, 1)) - (n + 1) * tot) / (n * tot)
+    assert row.n_keys == n and row.total_rows == tot
+    assert abs(row.gini - gini) < 1e-12
+    assert 0 <= row.gini < 1
+
+
+def test_cms_audit_guarantees(spark):
+    row = QUERIES["sketch_cms_error_audit"](spark, SF).collect()[0]
+    assert row.n_underest == 0          # one-sided guarantee holds
+    assert 0 <= row.max_over <= row.eps_n_bound
+    assert 0 < row.n_exact <= row.n_items
+
+
+def test_mix_rebalance_rates_and_selection(spark):
+    rows = {r.lang: r for r in QUERIES["corpus_mix_rebalance"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    per = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(per.values())
+    assert set(rows) <= {"en", "es", "fr", "de", "zh"}
+    for lang, r in rows.items():
+        assert r.n_docs == per[lang]
+        assert r.target_count == (total * r.target_bp) // 10000
+        assert 0 <= r.rate_bp <= 10000
+        assert 0 <= r.n_selected <= r.n_docs
+        if r.rate_bp == 10000:
+            assert r.n_selected == r.n_docs  # keep-all stratum
