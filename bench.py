@@ -210,6 +210,27 @@ def main() -> None:
         "corpus_split_hash",
         "emb_dim_stats",
         "emb_int8_quantize",
+        # round-7 operators
+        "a_corr_matrix",
+        "w_cusum_drift",
+        "j17_nearest_event",
+        "a_market_basket",
+        "text_tfidf_topterms",
+        "graph_bfs_hops",
+        "ann_recall_eval",
+        "er_transitive_merge",
+        "emb_top_pc_power",
+        "emb_covariance_topk",
+        "corpus_length_batching",
+        "w_window_funnel",
+        "w_interval_union",
+        "dedup_prefix_hash",
+        "a_sla_percentiles",
+        "graph_modularity",
+        "a_gini_skew",
+        "sketch_cms_error_audit",
+        "corpus_mix_rebalance",
+        "text_boilerplate_ngrams",
     ):
         if name in QUERIES:
             try:

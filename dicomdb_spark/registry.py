@@ -9204,10 +9204,13 @@ def a_market_basket(spark, sf_dir):
     numerator pair_n·N and denominator n_a·n_b stay < 2^53)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # four consumers (total, item counts, both pair sides) — persist so
+    # the join+distinct runs once
     b = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .persist()
     )
     nb = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     ac = b.groupBy("p_brand").agg(F.count("*").alias("cnt"))
@@ -9886,19 +9889,25 @@ def text_boilerplate_ngrams(spark, sf_dir):
     discipline) — every doc of a source then shares the
     template-internal 8-grams and the detector must find exactly
     those."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.col("text"),
-            F.lit(" subscribe to the "),
-            F.col("source"),
-            F.lit(" newsletter for daily updates today"),
-        ).alias("text"),
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter for daily updates today"),
+            ).alias("text"),
+        )
     )
+    # two consumers (the df aggregate and the join-back) — persist so the
+    # 8-gram explode runs once, not twice (the multi-consumer discipline)
     g = docs.select(
         "doc_id", "source", F.explode(text.shingles("text", 8)).alias("gram")
-    )
+    ).persist()
     bp = (
         g.groupBy("source", "gram")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -10766,7 +10775,7 @@ def a_sla_percentiles(spark, sf_dir):
     'are URGENT orders actually faster?'."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+    d = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
         "o_orderpriority",
         (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")).alias(
             "lead_s"
@@ -10967,9 +10976,11 @@ def sketch_cms_error_audit(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # three consumers (sketch build, exact counts, stream total) — persist
+    # so the tokenizing explode runs once
     toks = docs.select(
         F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias("item")
-    )
+    ).persist()
     sketch = sketches.count_min(toks, "item", depth=4, width_chars=2)
     true_c = toks.groupBy("item").agg(F.count("*").cast("long").alias("true_c"))
     est = sketches.count_min_estimate(
