@@ -11129,6 +11129,330 @@ def _cms_audit_oracle(depth: int = 4, width_chars: int = 2) -> str:
 ORACLES["sketch_cms_error_audit"] = _cms_audit_oracle()
 
 
+@register(
+    "w_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, x,
+             lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+             lead(x, 3) OVER w AS x3, lead(x, 7) OVER w AS x7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    u AS (
+      SELECT event_type, 1 AS lag, x AS xa, x1 AS xb FROM lagged WHERE x1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2, x, x2 FROM lagged WHERE x2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3, x, x3 FROM lagged WHERE x3 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 7, x, x7 FROM lagged WHERE x7 IS NOT NULL),
+    m AS (SELECT event_type, lag, count(*) AS n,
+                 CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(xb * xb) AS BIGINT) AS syy
+          FROM u GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+    FROM m
+    """,
+)
+def w_autocorrelation(spark, sf_dir):
+    """Autocorrelation function of daily value totals at lags 1/2/3/7
+    per event type — the seasonality detector run before choosing a
+    forecast model (a spike at lag 7 = weekly cycle).  The series
+    aligns with its own lead via ONE window per type; each lag's
+    Pearson r uses the same exact-integer co-moment identity as
+    a_corr_matrix, so a float statistic stays engine-portable.  Four
+    lags share one sort — the lead() columns are free once the window
+    is materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+        F.lead("x", 3).over(w).alias("x3"),
+        F.lead("x", 7).over(w).alias("x7"),
+    )
+    parts = []
+    for lag, c in [(1, "x1"), (2, "x2"), (3, "x3"), (7, "x7")]:
+        parts.append(
+            lagged.filter(F.col(c).isNotNull()).select(
+                "event_type",
+                F.lit(lag).alias("lag"),
+                F.col("x").alias("xa"),
+                F.col(c).alias("xb"),
+            )
+        )
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3])
+    m = u.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        (num / den).alias("acf"),
+    )
+
+
+@register(
+    "text_simpson_diversity",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * c) AS BIGINT) AS s2,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM tf GROUP BY 1)
+    SELECT doc_id, n AS n_tokens, n_distinct,
+           CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson_div
+    FROM agg WHERE n > 0
+    """,
+)
+def text_simpson_diversity(spark, sf_dir):
+    """Gini–Simpson lexical diversity per document: 1 − Σ(nᵢ/n)² =
+    (n² − Σnᵢ²)/n², the probability two random tokens differ — a
+    repetitiveness/quality signal that needs NO logarithm (token
+    entropy's ln is not bit-portable across libm implementations;
+    this is the standard log-free diversity index).  Exact integers
+    until one final division; one (doc, term) aggregate then a per-doc
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(text.tokens("text"), lambda x: F.lower(x))).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    return agg.filter(F.col("n") > 0).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        (
+            (F.col("n") * F.col("n") - F.col("s2")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("simpson_div"),
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    f"""
+    {_minhash_pairs_cte()},
+    src AS (
+      SELECT doc_id, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, source FROM documents WHERE doc_id % 9 = 0),
+    lab AS (
+      SELECT p.id1, p.id2,
+             least(a.source, b.source) AS src_a,
+             greatest(a.source, b.source) AS src_b
+      FROM pairs p
+      JOIN src a ON p.id1 = a.doc_id
+      JOIN src b ON p.id2 = b.doc_id)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Near-duplicate leakage matrix between sources: every minhash
+    candidate pair labeled with its endpoints' (sorted) source pair
+    and counted — the within-source diagonal is template reuse, the
+    off-diagonal is cross-source contamination (mirrors, syndication)
+    that a per-source dedup would MISS.  Two broadcast dimension
+    joins onto the pair list; the matrix is |sources|² at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    src = (
+        docs.select("doc_id", "source")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "source"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "source"
+            )
+        )
+    )
+    a = src.select(F.col("doc_id").alias("id1"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id2"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(a), "id1")
+        .join(F.broadcast(b), "id2")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= 2)
+    )
+
+
+@register(
+    "corpus_span_corruption",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    pos AS (SELECT doc_id, i.i AS p, len(tk) AS n_tok
+            FROM tk, unnest(range(1, len(tk) + 1)) i(i)),
+    starts AS (
+      SELECT doc_id, p, n_tok,
+             1 + {_sql_hex_int("md5('len:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))", 2)} % 5
+               AS span_len
+      FROM pos
+      WHERE {_sql_hex_int("md5('start:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))", 2)} % 10 = 0),
+    b AS (
+      SELECT doc_id, p AS t, 1 AS delta, p AS tid FROM starts
+      UNION ALL
+      SELECT doc_id, least(p + span_len, n_tok + 1), -1, p FROM starts),
+    r AS (SELECT doc_id, t, delta,
+                 SUM(delta) OVER w AS conc,
+                 lead(t) OVER (PARTITION BY doc_id ORDER BY t, delta, tid)
+                   AS next_t
+          FROM b
+          WINDOW w AS (PARTITION BY doc_id ORDER BY t, delta, tid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    agg AS (
+      SELECT r.doc_id,
+             CAST(SUM(CASE WHEN conc > 0 AND next_t IS NOT NULL
+                           THEN next_t - t ELSE 0 END) AS BIGINT) AS masked,
+             -- a merged span begins exactly when a +1 lands on conc=1
+             CAST(SUM(CASE WHEN delta = 1 AND conc = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spans
+      FROM r GROUP BY 1),
+    nt AS (SELECT doc_id, len(tk) AS n_tok FROM tk)
+    SELECT nt.doc_id, CAST(nt.n_tok AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(agg.masked, 0) AS BIGINT) AS masked_tokens,
+           CAST(coalesce(agg.masked, 0) * 10000 AS DOUBLE)
+             / CAST(nt.n_tok AS DOUBLE) AS mask_ratio_bp
+    FROM nt LEFT JOIN agg ON nt.doc_id = agg.doc_id
+    WHERE nt.n_tok > 0
+    """,
+)
+def corpus_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask statistics: deterministic
+    md5-driven span starts (10 % of positions) with hash-chosen
+    lengths 1–5, overlaps merged by the SAME sweep-line used in
+    w_interval_union (runs = maximal merged spans, counted by rises
+    from coverage 0) — per doc: span count, masked tokens, mask ratio.
+    Zero RNG, so the mask is reproducible across reruns and engines —
+    the property a distributed pretraining pipeline needs to resume
+    mid-epoch.  Map-only hashing + one per-doc sweep window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    tk = docs.select("doc_id", F.size(toks).alias("n_tok"), toks.alias("tk"))
+    pos = tk.select(
+        "doc_id", "n_tok", F.posexplode("tk").alias("p0", "_tok")
+    ).select("doc_id", "n_tok", (F.col("p0") + 1).alias("p"))
+    hx = lambda tag: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(tag + ":"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = pos.filter(hx("start") % 10 == 0).select(
+        "doc_id",
+        "p",
+        "n_tok",
+        (F.lit(1) + hx("len") % 5).alias("span_len"),
+    )
+    b = starts.select(
+        "doc_id", F.col("p").alias("t"), F.lit(1).alias("delta"), F.col("p").alias("tid")
+    ).unionAll(
+        starts.select(
+            "doc_id",
+            F.least(F.col("p") + F.col("span_len"), F.col("n_tok") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            F.col("p").alias("tid"),
+        )
+    )
+    wsort = Window.partitionBy("doc_id").orderBy("t", "delta", "tid")
+    w = wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = b.withColumn("conc", F.sum("delta").over(w)).withColumn(
+        "next_t", F.lead("t").over(wsort)
+    )
+    agg = r.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                (F.col("conc") > 0) & F.col("next_t").isNotNull(),
+                F.col("next_t") - F.col("t"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("masked"),
+        F.sum(F.when((F.col("delta") == 1) & (F.col("conc") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    nt = tk.select("doc_id", F.col("n_tok").cast("long").alias("n_tokens"))
+    return (
+        nt.filter(F.col("n_tokens") > 0)
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("masked", F.lit(0)).cast("long").alias("masked_tokens"),
+            (
+                (F.coalesce("masked", F.lit(0)) * F.lit(10000)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mask_ratio_bp"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -11233,6 +11557,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-7 wave 6
     "graph_modularity", "a_gini_skew", "sketch_cms_error_audit",
     "corpus_mix_rebalance",
+    # round-7 wave 7
+    "w_autocorrelation", "text_simpson_diversity",
+    "dedup_cross_source_matrix", "corpus_span_corruption",
 )
 
 

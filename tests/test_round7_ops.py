@@ -606,3 +606,63 @@ def test_mix_rebalance_rates_and_selection(spark):
         assert 0 <= r.n_selected <= r.n_docs
         if r.rate_bp == 10000:
             assert r.n_selected == r.n_docs  # keep-all stratum
+
+
+# -- wave 7: autocorrelation, diversity, cross-source matrix, span masks ---
+
+
+def test_autocorrelation_bounds_and_lags(spark):
+    rows = QUERIES["w_autocorrelation"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.lag in (1, 2, 3, 7)
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+        assert r.n >= 2
+    # every type present at every lag the data supports
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, set()).add(r.lag)
+    for lags in by_type.values():
+        assert 1 in lags
+
+
+def test_simpson_diversity_identities(spark):
+    rows = QUERIES["text_simpson_diversity"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert 0 <= r.simpson_div < 1
+        # all-identical doc → 0; all-distinct doc → 1 - 1/n
+        if r.n_distinct == r.n_tokens:
+            assert abs(r.simpson_div - (1 - 1 / r.n_tokens)) < 1e-12
+
+
+def test_cross_source_matrix_sorted_and_counted(spark):
+    rows = QUERIES["dedup_cross_source_matrix"](spark, SF).collect()
+    assert len(rows) > 0
+    total_pairs = QUERIES["dedup_minhash_lsh"](spark, SF).count()
+    assert sum(r.n_pairs for r in rows) <= total_pairs
+    for r in rows:
+        assert r.src_a <= r.src_b
+        assert r.n_pairs >= 2
+    # injected dup pairs keep their source → diagonal must dominate
+    diag = sum(r.n_pairs for r in rows if r.src_a == r.src_b)
+    off = sum(r.n_pairs for r in rows if r.src_a != r.src_b)
+    assert diag > off
+
+
+def test_span_corruption_mask_invariants(spark):
+    rows = QUERIES["corpus_span_corruption"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == docs
+    masked_any = 0
+    for r in rows:
+        assert 0 <= r.masked_tokens <= r.n_tokens
+        assert r.n_spans <= r.masked_tokens  # spans are ≥1 token
+        assert abs(r.mask_ratio_bp - r.masked_tokens * 10000 / r.n_tokens) < 1e-9
+        masked_any += r.masked_tokens > 0
+    assert masked_any > docs // 2  # ~10% start rate ⇒ most docs masked
+    # determinism across re-runs (no RNG anywhere)
+    again = {r.doc_id: r.masked_tokens for r in QUERIES["corpus_span_corruption"](spark, SF).collect()}
+    assert all(again[r.doc_id] == r.masked_tokens for r in rows)
