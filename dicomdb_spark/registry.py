@@ -11453,6 +11453,318 @@ def corpus_span_corruption(spark, sf_dir):
     )
 
 
+@register(
+    "emb_random_projection_jl",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, i.i AS dim,
+                 CAST(floor(v[i.i] * 1000000) AS BIGINT) AS xs
+          FROM e, unnest(range(1, len(v) + 1)) i(i)),
+    rmat AS (
+      SELECT j.j AS dim, k.k,
+             CASE WHEN substr(md5('jl:' || CAST(j.j AS VARCHAR) || ':'
+                                  || CAST(k.k AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE -1 END AS s
+      FROM unnest(range(1, 65)) j(j) CROSS JOIN unnest(range(1, 17)) k(k)),
+    proj AS (
+      SELECT d.vec_id, r.k, CAST(SUM(d.xs * r.s) AS BIGINT) AS ys
+      FROM d JOIN rmat r ON d.dim = r.dim
+      GROUP BY 1, 2),
+    probe AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+    od AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST((SELECT SUM(CAST(floor((a.v[i.i] - b.v[i.i])
+                                         * (a.v[i.i] - b.v[i.i]) * 1e12)
+                                   AS BIGINT))
+                   FROM unnest(range(1, len(a.v) + 1)) i(i)) AS BIGINT)
+               AS dorig2
+      FROM probe a JOIN probe b ON a.vec_id < b.vec_id),
+    pd AS (
+      SELECT pa.vec_id AS ia, pb.vec_id AS ib,
+             CAST(SUM((pa.ys - pb.ys) * (pa.ys - pb.ys)) AS BIGINT) AS dproj2
+      FROM proj pa JOIN proj pb
+        ON pa.k = pb.k AND pa.vec_id < 8 AND pb.vec_id < 8
+           AND pa.vec_id < pb.vec_id
+      GROUP BY 1, 2)
+    SELECT od.ia, od.ib, od.dorig2, pd.dproj2,
+           CAST(pd.dproj2 AS DOUBLE) / CAST(16 * od.dorig2 AS DOUBLE)
+             AS distortion
+    FROM od JOIN pd ON od.ia = pd.ia AND od.ib = pd.ib
+    """,
+)
+def emb_random_projection_jl(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→16 dims with a
+    DETERMINISTIC ±1 matrix (sign = md5 hexit of (row, col) — no RNG,
+    so every executor and every engine builds the same matrix), plus
+    the distortion audit JL promises: ‖proj(a)−proj(b)‖²/(k·‖a−b‖²)
+    ≈ 1 on probe pairs.  Projection is one posexplode + a broadcast
+    join against the 1024-row sign matrix + a (vec, k) sum — ALL
+    integer (1e6-scaled inputs, ±1 weights), so the projected table
+    is bit-stable under any partitioning; distortion is one division
+    of exact integers per pair.  The dimensionality-reduction
+    primitive ahead of LSH/IVF when 64 dims is already too many."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val") * 1000000).cast("long").alias("xs"),
+    )
+    dims = spark.range(1, 65).select(F.col("id").alias("dim"))
+    ks = spark.range(1, 17).select(F.col("id").alias("k"))
+    rmat = dims.crossJoin(ks).select(
+        "dim",
+        "k",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("jl:"),
+                        F.col("dim").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    proj = (
+        d.join(F.broadcast(rmat), "dim")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("xs") * F.col("s")).cast("long").alias("ys"))
+    )
+    probe = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pa = probe.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    pb = probe.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    od = (
+        pa.join(pb, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.aggregate(
+                F.zip_with(
+                    "va",
+                    "vb",
+                    lambda a, b: F.floor((a - b) * (a - b) * 1e12).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dorig2"),
+        )
+    )
+    qa = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("ia"), "k", F.col("ys").alias("ya")
+    )
+    qb = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("ib"), F.col("k").alias("k2"), F.col("ys").alias("yb")
+    )
+    pd_ = (
+        qa.join(qb, (F.col("k") == F.col("k2")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("long")
+            .alias("dproj2")
+        )
+    )
+    return od.join(pd_, ["ia", "ib"]).select(
+        "ia",
+        "ib",
+        "dorig2",
+        "dproj2",
+        (
+            F.col("dproj2").cast("double")
+            / (F.lit(16) * F.col("dorig2")).cast("double")
+        ).alias("distortion"),
+    )
+
+
+@register(
+    "w_weighted_median",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(floor(l.l_quantity) AS BIGINT) AS wgt,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    r AS (SELECT o_orderpriority, price_c, wgt,
+                 SUM(wgt) OVER (PARTITION BY o_orderpriority
+                                ORDER BY price_c, l_orderkey, l_linenumber
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cumw,
+                 SUM(wgt) OVER (PARTITION BY o_orderpriority) AS tot
+          FROM d)
+    SELECT o_orderpriority, CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(CAST(min(CASE WHEN 2 * cumw >= tot THEN price_c END)
+                     AS BIGINT) AS DOUBLE) / 100.0 AS wmedian_price
+    FROM r GROUP BY 1
+    """,
+)
+def w_weighted_median(spark, sf_dir):
+    """Weighted median (low) of line price with quantity weights, per
+    order priority: the first row in (price, tiebreak) order whose
+    running weight reaches half the total — order-statistic SELECTION
+    on a cumulative-weight window, never interpolation.  Because the
+    running weight is monotone along the sort, that first qualifying
+    row is exactly min(price) over qualifying rows — a plain
+    aggregate, no second pass.  All weights exact integers; the /100
+    de-scaling is the single float op."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    r = d.withColumn("cumw", F.sum("wgt").over(wc)).withColumn(
+        "tot", F.sum("wgt").over(wt)
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        (
+            F.min(
+                F.when(F.lit(2) * F.col("cumw") >= F.col("tot"), F.col("price_c"))
+            )
+            .cast("long")
+            .cast("double")
+            / 100.0
+        ).alias("wmedian_price"),
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
+    vocab AS (SELECT term FROM (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM freq) t
+      WHERE rn <= 100)
+    SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_in_vocab,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END) * 10000
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage_bp
+    FROM tk LEFT JOIN vocab v ON tk.term = v.term
+    GROUP BY 1
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage / OOV audit: what share of each document's
+    tokens falls in the corpus top-100 vocabulary — the
+    tokenizer-sizing question ("how big must the vocab be before OOV
+    is rare?") answered with one frequency aggregate, a top-k
+    selection, and a broadcast membership join back onto the token
+    stream.  Coverage is one exact-integer division in basis
+    points."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.transform(text.tokens("text"), lambda x: F.lower(x))).alias("term"),
+    ).persist()
+    freq = tk.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("c").desc(), "term"))
+        )
+        .filter(F.col("rn") <= 100)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    return (
+        tk.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("in_v", F.lit(0))).cast("long").alias("n_in_vocab"),
+            (
+                (F.sum(F.coalesce("in_v", F.lit(0))) * F.lit(10000)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("coverage_bp"),
+        )
+    )
+
+
+@register(
+    "scd_bitemporal_asof",
+    """
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             l_shipdate AS valid_from,
+             l_shipdate + to_days(CAST(l_linenumber AS INTEGER))
+               AS recorded_at
+      FROM lineitem),
+    vis AS (
+      SELECT * FROM v
+      WHERE valid_from <= TIMESTAMP '1996-06-01 00:00:00'
+        AND recorded_at <= TIMESTAMP '1996-06-15 00:00:00'),
+    pick AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY valid_from DESC, l_linenumber DESC) AS rn
+      FROM vis)
+    SELECT l_orderkey, l_linenumber AS version_line,
+           valid_from, recorded_at, l_quantity
+    FROM pick WHERE rn = 1
+    """,
+)
+def scd_bitemporal_asof(spark, sf_dir):
+    """Bitemporal point query — state AS OF valid time V (what was
+    true) AS AT transaction time T (what we knew): versions are line
+    rows with valid_from = shipdate and recorded_at = shipdate +
+    linenumber days (late-arriving bookings).  Both temporal filters
+    are sargable scan predicates; the per-key pick is one keep-latest
+    window over the doubly-visible rows — the same W2 discipline,
+    extended to two time axes.  Complements scd_point_in_time
+    (valid-time only) and scd2_history (current-state maintenance)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_shipdate").alias("valid_from"),
+        F.expr("l_shipdate + make_interval(0, 0, 0, l_linenumber, 0, 0, 0)").alias(
+            "recorded_at"
+        ),
+    )
+    vis = v.filter(
+        (F.col("valid_from") <= F.lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("recorded_at") <= F.lit("1996-06-15 00:00:00").cast("timestamp_ntz"))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        vis.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("version_line"),
+            "valid_from",
+            "recorded_at",
+            "l_quantity",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -11560,6 +11872,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-7 wave 7
     "w_autocorrelation", "text_simpson_diversity",
     "dedup_cross_source_matrix", "corpus_span_corruption",
+    # round-7 wave 8
+    "emb_random_projection_jl", "w_weighted_median", "text_vocab_coverage",
+    "scd_bitemporal_asof",
 )
 
 

@@ -666,3 +666,65 @@ def test_span_corruption_mask_invariants(spark):
     # determinism across re-runs (no RNG anywhere)
     again = {r.doc_id: r.masked_tokens for r in QUERIES["corpus_span_corruption"](spark, SF).collect()}
     assert all(again[r.doc_id] == r.masked_tokens for r in rows)
+
+
+# -- wave 8: JL projection, weighted median, vocab coverage, bitemporal ----
+
+
+def test_jl_distortion_concentrates(spark):
+    """JL with k=16: E[distortion] = 1; all 28 probe-pair ratios must
+    land in a generous concentration band and average near 1."""
+    rows = QUERIES["emb_random_projection_jl"](spark, SF).collect()
+    assert len(rows) == 28
+    for r in rows:
+        assert r.ia < r.ib < 8
+        assert r.dorig2 > 0 and r.dproj2 > 0
+        assert 0.2 < r.distortion < 5.0
+    mean = sum(r.distortion for r in rows) / len(rows)
+    assert 0.6 < mean < 1.6
+
+
+def test_weighted_median_crafted_and_bounds(spark):
+    """Values 1(w1), 2(w1), 3(w10): half of 12 is 6 → weighted median
+    = 3, not the unweighted 2."""
+    vals = [(1, 1), (2, 1), (3, 10)]
+    tot = sum(w for _, w in vals)
+    cum, wm = 0, None
+    for v, w in sorted(vals):
+        cum += w
+        if 2 * cum >= tot:
+            wm = v
+            break
+    assert wm == 3
+    rows = QUERIES["w_weighted_median"](spark, SF).collect()
+    assert len(rows) == 5
+    li = load_table(spark, SF, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    for r in rows:
+        assert lo - 0.01 <= r.wmedian_price <= hi + 0.01
+        assert r.total_weight > 0
+
+
+def test_vocab_coverage_bounds(spark):
+    rows = QUERIES["text_vocab_coverage"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_in_vocab <= r.n_tokens
+        assert abs(r.coverage_bp - r.n_in_vocab * 10000 / r.n_tokens) < 1e-9
+    # the synthetic vocab is tiny, so top-100 should cover nearly all
+    mean_cov = sum(r.coverage_bp for r in rows) / len(rows)
+    assert mean_cov > 9000
+
+
+def test_bitemporal_respects_both_axes(spark):
+    rows = QUERIES["scd_bitemporal_asof"](spark, SF).collect()
+    assert len(rows) > 0
+    import datetime
+
+    V = datetime.datetime(1996, 6, 1)
+    T = datetime.datetime(1996, 6, 15)
+    for r in rows[:50]:
+        assert r.valid_from <= V
+        assert r.recorded_at <= T
+        assert r.recorded_at == r.valid_from + datetime.timedelta(days=r.version_line)
