@@ -48,6 +48,9 @@ REPRESENTATIVE = [
     "graph_bfs_hops",         # iterative frontier min-aggregate
     "er_transitive_merge",    # string min-label + sorted collect
     "emb_top_pc_power",       # relational power iteration
+    "corpus_span_corruption", # md5 spans + sweep-line merge
+    "emb_random_projection_jl",  # integer JL projection + pair audit
+    "w_weighted_median",      # cumulative-weight selection
 ]
 
 
