@@ -11765,6 +11765,337 @@ def scd_bitemporal_asof(spark, sf_dir):
     )
 
 
+@register(
+    "a_abtest_cuped",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+               AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(floor(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(floor(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM u),
+    th AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+           FROM g),
+    arm_m AS (
+      SELECT arm, count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM u GROUP BY 1)
+    SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_post,
+           th.theta,
+           (CAST(n * syy - sy * sy AS DOUBLE)
+            - 2 * th.theta * CAST(n * sxy - sx * sy AS DOUBLE)
+            + th.theta * th.theta * CAST(n * sxx - sx * sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS var_cuped,
+           CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST(n AS DOUBLE) AS var_raw
+    FROM arm_m CROSS JOIN th
+    """,
+)
+def a_abtest_cuped(spark, sf_dir):
+    """CUPED variance reduction for A/B tests (Deng et al., WSDM'13):
+    adjust the experiment metric by the pre-period covariate, y' =
+    y − θx with θ = cov(x,y)/var(x), and report per-arm raw vs
+    adjusted variance.  The float trap: var(y') needs Σy'², an
+    order-dependent float sum — so it is REARRANGED to the closed
+    form var(y) − 2θcov(x,y) + θ²var(x), every co-moment an exact
+    integer and the arithmetic ONE fixed float chain.  Pre/post
+    periods are conditional sums in a single scan; arms are
+    md5-assigned as in a_ab_test_zscore."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.when(F.col("ts") < cut, F.floor(F.col("value")).cast("long")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.floor(F.col("value")).cast("long")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    )
+    g = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("theta")
+    )
+    arm_m = u.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    ncov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nvarx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    nvary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    return arm_m.crossJoin(F.broadcast(th)).select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("sy").cast("double") / nd).alias("mean_post"),
+        "theta",
+        (
+            (
+                nvary
+                - F.lit(2) * F.col("theta") * ncov
+                + F.col("theta") * F.col("theta") * nvarx
+            )
+            / nd
+            / nd
+        ).alias("var_cuped"),
+        (nvary / nd / nd).alias("var_raw"),
+    )
+
+
+@register(
+    "w_hopping_windows",
+    """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+             event_type, CAST(floor(value * 100) AS BIGINT) AS vi
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 6 HOURS, ts - INTERVAL 3 HOURS)
+               + INTERVAL 3 HOURS,
+             event_type, CAST(floor(value * 100) AS BIGINT)
+      FROM events)
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(vi) AS BIGINT) AS DOUBLE) / 100.0 AS value_sum
+    FROM h GROUP BY 1, 2
+    """,
+)
+def w_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) time-window aggregation — 6-hour windows
+    every 3 hours — via Spark's built-in ``window()`` table function
+    (each event lands in 2 overlapping windows; the streaming
+    windowed-agg primitive, exercised in batch).  The oracle replays
+    it as the union of two offset tumbling grids, which is exactly
+    what a hop of width/2 is.  Sums are cent-exact integers
+    de-scaled once."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .cast("double")
+                / 100.0
+            ).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "er_blocking_recall",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT t.t AS tok
+      FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents) t
+      WHERE regexp_matches(t.t, '^[a-z]+$') AND length(t.t) >= 4),
+    truth AS (
+      SELECT substr(tok, 1, strpos(substr(tok, 2), 'e'))
+             || 'a' || substr(tok, strpos(substr(tok, 2), 'e') + 2) AS tok1,
+             tok AS tok2
+      FROM vocab
+      WHERE strpos(substr(tok, 2), 'e') > 0
+        AND substr(md5(tok), 1, 1) IN ('0', '1', '2', '3')),
+    t2 AS (SELECT tok1, tok2 FROM truth WHERE tok1 < tok2
+           UNION SELECT tok2, tok1 FROM truth WHERE tok2 < tok1),
+    found AS ({{PAIRS}}),
+    hit AS (SELECT count(*) AS n_found
+            FROM t2 JOIN found f ON t2.tok1 = f.tok1 AND t2.tok2 = f.tok2),
+    tot AS (SELECT count(*) AS n_truth FROM t2),
+    cand AS (SELECT count(*) AS n_candidates FROM found)
+    SELECT CAST(tot.n_truth AS BIGINT) AS n_truth,
+           CAST(hit.n_found AS BIGINT) AS n_found,
+           CAST(hit.n_found AS DOUBLE) / CAST(tot.n_truth AS DOUBLE) AS recall,
+           CAST(cand.n_candidates AS BIGINT) AS n_candidates
+    FROM tot CROSS JOIN hit CROSS JOIN cand
+    """.replace(
+        "{PAIRS}", "SELECT tok1, tok2 FROM (" + "{INNER}" + ") q"
+    ).replace(
+        "{INNER}", _phonetic_er_oracle()
+    ),
+)
+def er_blocking_recall(spark, sf_dir):
+    """Blocking-quality evaluation for the ER pipeline: recall of the
+    phonetic-blocked candidate pairs against the KNOWN injected typo
+    pairs (the e→a substitutions er_phonetic_pairs plants) — the
+    record-linkage counterpart of dedup_lsh_recall_eval, closing the
+    eval trio (LSH dedup / ANN / ER blocking).  Truth derives
+    in-plan from the injection rule; the comparison is one equi-join
+    on the sorted token pair; recall is one exact-integer division.
+    Phonetic keys collapse the vowel substitution, so a healthy
+    blocker scores 1.0 — anything lower is a blocking bug."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    vocab = (
+        docs.select(
+            F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias(
+                "tok"
+            )
+        )
+        .filter(F.col("tok").rlike("^[a-z]+$") & (F.length("tok") >= 4))
+        .distinct()
+    )
+    pos = F.instr(F.expr("substring(tok, 2)"), "e")
+    typo = F.concat(
+        F.expr("substring(tok, 1, instr(substring(tok, 2), 'e'))"),
+        F.lit("a"),
+        F.expr("substring(tok, instr(substring(tok, 2), 'e') + 2)"),
+    )
+    truth = (
+        vocab.filter(
+            (pos > 0) & F.substring(F.md5("tok"), 1, 1).isin("0", "1", "2", "3")
+        )
+        .select(typo.alias("ta"), F.col("tok").alias("tb"))
+        .select(
+            F.least("ta", "tb").alias("tok1"), F.greatest("ta", "tb").alias("tok2")
+        )
+        .distinct()
+    )
+    found = QUERIES["er_phonetic_pairs"](spark, sf_dir).select("tok1", "tok2").persist()
+    hit = truth.join(found, ["tok1", "tok2"]).agg(F.count("*").alias("n_found"))
+    tot = truth.agg(F.count("*").alias("n_truth"))
+    cand = found.agg(F.count("*").alias("n_candidates"))
+    return (
+        tot.crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(cand))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_found").cast("long").alias("n_found"),
+            (
+                F.col("n_found").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+
+
+@register(
+    "corpus_dataset_card",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, source, md5(text) AS h,
+                       len({_SQL_TOKS_RAW}) AS n_tok
+                FROM documents),
+    r AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rn,
+                 count(*) OVER () AS n
+          FROM tk)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_tokens,
+           CAST((SELECT max(CASE WHEN rn = (n + 1) // 2 THEN n_tok END)
+                 FROM r) AS BIGINT) AS p50_tokens,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pct_en_bp,
+           CAST((count(*) - count(DISTINCT h)) * 10000 AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS exact_dup_bp
+    FROM tk
+    """,
+)
+def corpus_dataset_card(spark, sf_dir):
+    """One-row dataset card — the summary block a dataset release
+    ships: doc/source/language counts, token totals, mean and
+    median-low tokens per doc, English share, and exact-duplicate
+    rate (1 − distinct md5 share).  One scan feeds a global aggregate
+    plus an order-statistic selection; every ratio is a single
+    exact-integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(text.tokens("text")).cast("long").alias("n_tok"),
+    ).persist()
+    r = tk.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_tok", "doc_id"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    p50 = r.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_tok"))
+        ).alias("p50_tokens")
+    )
+    return (
+        tk.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            (
+                F.sum("n_tok").cast("long").cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_tokens"),
+            (
+                (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) * F.lit(10000))
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("pct_en_bp"),
+            (
+                ((F.count("*") - F.countDistinct("h")) * F.lit(10000)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("exact_dup_bp"),
+        )
+        .crossJoin(F.broadcast(p50))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            "mean_tokens",
+            F.col("p50_tokens").cast("long").alias("p50_tokens"),
+            "pct_en_bp",
+            "exact_dup_bp",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -11875,6 +12206,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-7 wave 8
     "emb_random_projection_jl", "w_weighted_median", "text_vocab_coverage",
     "scd_bitemporal_asof",
+    # round-7 wave 9
+    "a_abtest_cuped", "w_hopping_windows", "er_blocking_recall",
+    "corpus_dataset_card",
 )
 
 

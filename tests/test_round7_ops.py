@@ -728,3 +728,65 @@ def test_bitemporal_respects_both_axes(spark):
         assert r.valid_from <= V
         assert r.recorded_at <= T
         assert r.recorded_at == r.valid_from + datetime.timedelta(days=r.version_line)
+
+
+# -- wave 9: CUPED, hopping windows, blocking recall, dataset card ---------
+
+
+def test_cuped_reduces_variance(spark):
+    rows = QUERIES["a_abtest_cuped"](spark, SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_users > 0
+        assert r.var_raw >= 0 and r.var_cuped >= 0
+        # CUPED with the pooled optimal theta cannot inflate variance
+        # beyond float wiggle when x,y correlate; allow tiny slack
+        assert r.var_cuped <= r.var_raw * 1.05 + 1e-9
+
+
+def test_cuped_closed_form_matches_residual(spark):
+    """var(y−θx) computed per-row equals the rearranged moment form."""
+    import numpy as np
+
+    rng = [(i, (i * 7) % 13, (i * 5) % 11) for i in range(50)]
+    x = np.array([a for _, a, _ in rng], dtype=float)
+    y = np.array([b for _, _, b in rng], dtype=float)
+    n = len(x)
+    theta = (n * (x * y).sum() - x.sum() * y.sum()) / (n * (x * x).sum() - x.sum() ** 2)
+    direct = np.var(y - theta * x)
+    nvary = n * (y * y).sum() - y.sum() ** 2
+    ncov = n * (x * y).sum() - x.sum() * y.sum()
+    nvarx = n * (x * x).sum() - x.sum() ** 2
+    closed = (nvary - 2 * theta * ncov + theta * theta * nvarx) / n / n
+    assert abs(direct - closed) < 1e-9
+
+
+def test_hopping_windows_double_count(spark):
+    rows = QUERIES["w_hopping_windows"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n = ev.count()
+    # every event lands in exactly 2 hopping windows
+    assert sum(r.n_events for r in rows) == 2 * n
+    starts = {r.window_start for r in rows}
+    for s in starts:
+        assert s.hour % 3 == 0 and s.minute == 0 and s.second == 0
+
+
+def test_blocking_recall_perfect(spark):
+    row = QUERIES["er_blocking_recall"](spark, SF).collect()[0]
+    assert row.n_truth > 0
+    assert row.n_found == row.n_truth  # phonetic key collapses e→a
+    assert row.recall == 1.0
+    assert row.n_candidates >= row.n_found
+
+
+def test_dataset_card_consistency(spark):
+    row = QUERIES["corpus_dataset_card"](spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents")
+    assert row.n_docs == docs.count()
+    assert row.n_sources == docs.select("source").distinct().count()
+    assert row.n_langs == docs.select("lang").distinct().count()
+    assert abs(row.mean_tokens - row.total_tokens / row.n_docs) < 1e-9
+    assert 0 <= row.pct_en_bp <= 10000
+    assert 0 <= row.exact_dup_bp <= 10000
+    assert 1 <= row.p50_tokens <= row.total_tokens
