@@ -12160,55 +12160,49 @@ DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN
 # round-5 flagships (novel algorithmic surface — BPE training, sketch
 # algebra, the composed dedup pipeline) ahead of the older unproven
 # backlog, which carries SELFCHECK evidence and drains in later rounds.
+# Curated so a ~50-query driver window lands on the most NOVEL
+# algorithmic surface across rounds 5-7 first (iterative linear
+# algebra, sketch algebra, eval harnesses, closed-form recursions),
+# then the remaining unproven backlog in round order.  Every entry
+# already carries SELFCHECK evidence; the window converts the best of
+# them into hard driver rows.
 UNPROVEN_PRIORITY: tuple[str, ...] = (
-    "ann_ivf_pq_topk",
-    "corpus_bpe_train", "corpus_dedup_pipeline", "sketch_hll_merge",
-    "sketch_hll_rolling", "sketch_kmv_set_ops", "ann_mips_topk",
-    "text_gopher_rules", "dedup_snapshot_delta", "corpus_mv_incremental",
-    "w_gap_islands", "a_mode_per_group", "o5_keyset_pagination",
-    "cdc_last_writer_state", "w_ema_halflife", "w_attribution_linear",
-    "w_rolling_range_sum", "a_mad_outliers", "j14_interval_overlap",
+    # -- window head: round-5/6/7 flagships (≈48 entries) --
+    "ann_ivf_pq_topk", "corpus_bpe_train", "corpus_dedup_pipeline",
+    "sketch_hll_merge", "sketch_kmv_set_ops", "ann_mips_topk",
+    "text_gopher_rules", "corpus_mv_incremental",
+    "cdc_last_writer_state", "w_ema_halflife", "w_rolling_range_sum",
+    "a_mad_outliers", "j14_interval_overlap", "sketch_cms_merge",
+    "dedup_band_tuning", "sketch_join_size", "w_markov_transitions",
+    "graph_triangles", "er_phonetic_pairs", "a_benford_audit",
+    "sql_dialect_portable", "corpus_semantic_dedup_pipeline",
+    "w_time_weighted_avg", "w_concurrency_peak", "graph_kcore",
+    "a_constraint_audit", "text_inverted_index", "emb_int8_quantize",
+    "j16_asof_forward", "a_ab_test_zscore",
+    "emb_top_pc_power", "w_cusum_drift", "graph_bfs_hops",
+    "ann_recall_eval", "emb_random_projection_jl", "graph_modularity",
+    "a_abtest_cuped", "corpus_span_corruption", "w_window_funnel",
+    "er_transitive_merge", "dedup_lsh_recall_eval", "a_corr_matrix",
+    "w_autocorrelation", "w_weighted_median", "a_market_basket",
+    "j17_nearest_event", "graph_link_predict_ra", "w_max_drawdown",
+    # -- backlog: remaining round-5/6 --
+    "sketch_hll_rolling", "dedup_snapshot_delta", "w_gap_islands",
+    "a_mode_per_group", "o5_keyset_pagination", "w_attribution_linear",
     "text_ccnet_buckets", "corpus_shuffle_batches",
-    "ann_lsh_multiprobe_topk", "sketch_cms_merge", "dedup_band_tuning",
-    "sketch_join_size", "w_markov_transitions", "graph_triangles",
-    "er_phonetic_pairs", "a_benford_audit", "a_key_skew_profile",
-    "layout_compaction_bins", "sql_dialect_portable",
-    "corpus_semantic_dedup_pipeline",
-    # round-6 wave
-    "w_ohlc_bars", "w_time_weighted_avg", "w_concurrency_peak",
-    "graph_kcore", "graph_cooccurrence", "a_profile_columns",
-    "a_constraint_audit", "text_ngram_topk", "text_inverted_index",
-    "corpus_split_hash", "emb_dim_stats", "emb_int8_quantize",
-    # round-6 wave 2
-    "j16_asof_forward", "a_ab_test_zscore", "w_session_paths",
-    "corpus_quality_funnel",
-    # round-7 wave
-    "graph_bfs_hops", "graph_link_predict_ra", "a_market_basket",
-    "w_cusum_drift", "w_max_drawdown", "j17_nearest_event",
+    "ann_lsh_multiprobe_topk", "a_key_skew_profile",
+    "layout_compaction_bins", "w_ohlc_bars", "graph_cooccurrence",
+    "a_profile_columns", "text_ngram_topk", "corpus_split_hash",
+    "emb_dim_stats", "w_session_paths", "corpus_quality_funnel",
+    # -- backlog: remaining round-7 --
     "a_decile_lift", "text_tfidf_topterms", "a_kanonymity_risk",
-    # round-7 wave 2
-    "a_corr_matrix", "dedup_lsh_recall_eval", "text_boilerplate_ngrams",
-    "w_seasonal_dow_index", "o6_hypothetical_rank",
-    # round-7 wave 3
-    "ann_recall_eval", "er_transitive_merge", "w_ratio_to_report",
-    "w_funnel_ttc",
-    # round-7 wave 4
-    "emb_top_pc_power", "emb_covariance_topk", "corpus_length_batching",
-    # round-7 wave 5
-    "w_window_funnel", "w_interval_union", "dedup_prefix_hash",
-    "a_sla_percentiles",
-    # round-7 wave 6
-    "graph_modularity", "a_gini_skew", "sketch_cms_error_audit",
-    "corpus_mix_rebalance",
-    # round-7 wave 7
-    "w_autocorrelation", "text_simpson_diversity",
-    "dedup_cross_source_matrix", "corpus_span_corruption",
-    # round-7 wave 8
-    "emb_random_projection_jl", "w_weighted_median", "text_vocab_coverage",
-    "scd_bitemporal_asof",
-    # round-7 wave 9
-    "a_abtest_cuped", "w_hopping_windows", "er_blocking_recall",
-    "corpus_dataset_card",
+    "text_boilerplate_ngrams", "w_seasonal_dow_index",
+    "o6_hypothetical_rank", "w_ratio_to_report", "w_funnel_ttc",
+    "emb_covariance_topk", "corpus_length_batching",
+    "w_interval_union", "dedup_prefix_hash", "a_sla_percentiles",
+    "a_gini_skew", "sketch_cms_error_audit", "corpus_mix_rebalance",
+    "text_simpson_diversity", "dedup_cross_source_matrix",
+    "text_vocab_coverage", "scd_bitemporal_asof", "w_hopping_windows",
+    "er_blocking_recall", "corpus_dataset_card",
 )
 
 
