@@ -12096,6 +12096,165 @@ def corpus_dataset_card(spark, sf_dir):
     )
 
 
+@register(
+    "a_mannwhitney_u",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+               AS arm,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT arm, x,
+                 rank() OVER (ORDER BY x) AS rk,
+                 count(*) OVER (PARTITION BY x) AS cnt
+          FROM u),
+    m AS (SELECT arm, CAST(SUM(2 * rk + cnt - 1) AS BIGINT) AS w2,
+                 count(*) AS n
+          FROM r GROUP BY 1),
+    s AS (SELECT
+            max(CASE WHEN arm = 0 THEN w2 END) AS w2a,
+            max(CASE WHEN arm = 0 THEN n END) AS na,
+            max(CASE WHEN arm = 1 THEN n END) AS nb
+          FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(w2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+           (CAST(w2a - na * (na + 1) AS DOUBLE)
+            - CAST(na * nb AS DOUBLE)) / 2.0
+             / sqrt(CAST(na * nb * (na + nb + 1) AS DOUBLE) / 12.0) AS z
+    FROM s
+    """,
+)
+def a_mannwhitney_u(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) test between md5-assigned arms over
+    per-user value totals — the NONPARAMETRIC sibling of
+    a_ab_test_zscore for skewed metrics.  The float trap is the rank
+    sum with midrank ties (halves): kept exact by summing
+    2·rank + (ties−1) as an INTEGER (W2 = 2W), so the statistic is
+    partition-invariant; U and z come from one fixed float chain at
+    the end.  One global rank over the user dimension (tiny next to
+    the fact scan that produced it)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("x")
+    )
+    r = u.select(
+        "arm",
+        F.rank().over(Window.orderBy("x")).alias("rk"),
+        F.count("*").over(Window.partitionBy("x")).alias("cnt"),
+    )
+    m = r.groupBy("arm").agg(
+        F.sum(F.lit(2) * F.col("rk") + F.col("cnt") - 1).cast("long").alias("w2"),
+        F.count("*").alias("n"),
+    )
+    s = m.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("w2"))).alias("w2a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+    )
+    u2 = F.col("w2a") - F.col("na") * (F.col("na") + 1)
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (u2.cast("double") / 2.0).alias("u_stat"),
+        (
+            (u2.cast("double") - (F.col("na") * F.col("nb")).cast("double"))
+            / 2.0
+            / F.sqrt(
+                (F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1)).cast(
+                    "double"
+                )
+                / 12.0
+            )
+        ).alias("z"),
+    )
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM e GROUP BY 1),
+    s AS (SELECT da.dg AS dx, db.dg AS dy
+          FROM e JOIN deg da ON e.src = da.node
+                 JOIN deg db ON e.dst = db.node),
+    m AS (SELECT count(*) AS n, CAST(SUM(dx) AS BIGINT) AS sx,
+                 CAST(SUM(dy) AS BIGINT) AS sy,
+                 CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                 CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                 CAST(SUM(dy * dy) AS BIGINT) AS syy
+          FROM s)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup graph (Newman 2002):
+    Pearson correlation of endpoint degrees over directed edges —
+    positive means hubs attach to hubs (dup mega-clusters), negative
+    means star-like contamination.  Two broadcast degree joins onto
+    the edge list and ONE exact-integer co-moment aggregate (the same
+    portability discipline as a_corr_matrix); both edge orientations
+    are present, making the statistic symmetric by construction."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("dg")
+    )
+    s = (
+        e.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("dg").alias("dx"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("dg").alias("dy"))),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    m = s.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        (num / den).alias("assortativity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

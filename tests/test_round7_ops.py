@@ -790,3 +790,27 @@ def test_dataset_card_consistency(spark):
     assert 0 <= row.pct_en_bp <= 10000
     assert 0 <= row.exact_dup_bp <= 10000
     assert 1 <= row.p50_tokens <= row.total_tokens
+
+
+# -- wave 10: Mann-Whitney U, assortativity --------------------------------
+
+
+def test_mannwhitney_crafted(spark):
+    """Arms [1,2] vs [3,4]: ranks 1,2 vs 3,4; W_a=3, U_a=0 —
+    replicate the W2 integer encoding used by the query."""
+    vals = [(0, 1), (0, 2), (1, 3), (1, 4)]
+    ranked = sorted(vals, key=lambda t: t[1])
+    w2a = sum(2 * (i + 1) + 0 for i, (arm, _) in enumerate(ranked) if arm == 0)
+    na = 2
+    u2 = w2a - na * (na + 1)
+    assert u2 / 2.0 == 0.0
+    row = QUERIES["a_mannwhitney_u"](spark, SF).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0 <= row.u_stat <= row.n_a * row.n_b
+    assert abs(row.z) < 10
+
+
+def test_assortativity_in_range(spark):
+    row = QUERIES["graph_assortativity"](spark, SF).collect()[0]
+    assert row.n_directed_edges >= 2
+    assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
