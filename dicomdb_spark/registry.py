@@ -12362,6 +12362,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_simpson_diversity", "dedup_cross_source_matrix",
     "text_vocab_coverage", "scd_bitemporal_asof", "w_hopping_windows",
     "er_blocking_recall", "corpus_dataset_card",
+    "a_mannwhitney_u", "graph_assortativity",
 )
 
 
