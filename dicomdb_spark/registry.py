@@ -12255,6 +12255,240 @@ def graph_assortativity(spark, sf_dir):
     )
 
 
+@register(
+    "a_ks_test",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+               AS arm,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+          FROM u),
+    c AS (SELECT x, user_id,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) OVER w AS ca,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) OVER w AS cb,
+                 lead(x) OVER (ORDER BY x, user_id) AS nx
+          FROM u
+          WINDOW w AS (ORDER BY x, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (SELECT CAST(max(abs(ca * n.nb - cb * n.na)) AS BIGINT) AS dnum
+          FROM c CROSS JOIN n
+          WHERE nx IS NULL OR nx <> x)
+    SELECT n.na AS n_a, n.nb AS n_b,
+           CAST(d.dnum AS DOUBLE) / CAST(n.na * n.nb AS DOUBLE) AS d_stat,
+           sqrt(CAST(n.na * n.nb AS DOUBLE) / CAST(n.na + n.nb AS DOUBLE))
+             * (CAST(d.dnum AS DOUBLE) / CAST(n.na * n.nb AS DOUBLE))
+             AS ks_scaled
+    FROM d CROSS JOIN n
+    """,
+)
+def a_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D between md5-assigned arms over
+    per-user totals — the distribution-shape test the rank tests
+    can't do.  D = max|F₀−F₁| is held EXACT: the ECDF difference at
+    each distinct value is |cum₀·n₁ − cum₁·n₀| (an integer on the
+    common n₀n₁ denominator), evaluated only at value boundaries
+    (last row of each tie group), with ONE division at the end.  One
+    pooled sort over the user dimension; the max is a plain
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("x")
+    )
+    n = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    wsort = Window.orderBy("x", "user_id")
+    w = wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = u.select(
+        "x",
+        "user_id",
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).over(w).alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).over(w).alias("cb"),
+        F.lead("x").over(wsort).alias("nx"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(n))
+        .filter(F.col("nx").isNull() | (F.col("nx") != F.col("x")))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            )
+            .cast("long")
+            .alias("dnum")
+        )
+    )
+    dstat = F.col("dnum").cast("double") / (F.col("na") * F.col("nb")).cast("double")
+    return d.crossJoin(F.broadcast(n)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        dstat.alias("d_stat"),
+        (
+            F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double")
+                / (F.col("na") + F.col("nb")).cast("double")
+            )
+            * dstat
+        ).alias("ks_scaled"),
+    )
+
+
+@register(
+    "a_permutation_test",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+               AS arm,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM u),
+    perms AS (SELECT unnest(range(1, 201)) AS pid),
+    pa AS (
+      SELECT p.pid,
+             CAST(SUM(CASE WHEN {_sql_hex_int(
+                 "md5('perm:' || CAST(p.pid AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))",
+                 2)} % 2 = 0 THEN u.x ELSE 0 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN {_sql_hex_int(
+                 "md5('perm:' || CAST(p.pid AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))",
+                 2)} % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(u.x) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM perms p CROSS JOIN u
+      GROUP BY 1),
+    stat AS (
+      SELECT pid,
+             abs(CAST(sa * (nt - na) - (st - sa) * na AS DOUBLE)
+                 / CAST(na * (nt - na) AS DOUBLE)) AS s
+      FROM pa WHERE na > 0 AND na < nt),
+    o AS (SELECT abs(CAST(s0 * n1 - s1 * n0 AS DOUBLE)
+                     / CAST(n0 * n1 AS DOUBLE)) AS s_obs
+          FROM obs),
+    e AS (SELECT count(*) AS n_perms,
+                 CAST(SUM(CASE WHEN stat.s >= o.s_obs THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_extreme
+          FROM stat CROSS JOIN o)
+    SELECT CAST(e.n_perms AS BIGINT) AS n_perms, o.s_obs,
+           e.n_extreme,
+           CAST(1 + e.n_extreme AS DOUBLE) / CAST(1 + e.n_perms AS DOUBLE)
+             AS p_value
+    FROM e CROSS JOIN o
+    """,
+)
+def a_permutation_test(spark, sf_dir):
+    """Permutation test of the arm mean difference with DETERMINISTIC
+    md5-derived permutations (200 relabelings — no RNG, so every
+    engine, executor, and rerun agrees on every permutation).  The
+    200× fan-out is a broadcast cross of the permutation ids against
+    the user totals — compute-parallel, shuffle scales with
+    |perms|·|users| aggregated map-side to 200 rows.  Each
+    permutation's |mean diff| is one exact-integer division; the
+    p-value uses the add-one estimator.  The assumption-free
+    companion to a_ab_test_zscore / a_mannwhitney_u / a_ks_test."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("x")
+    ).persist()
+    obs = u.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).cast("long").alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    perms = spark.range(1, 201).select(F.col("id").alias("pid"))
+    parm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("pid").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    pa = (
+        u.crossJoin(F.broadcast(perms))
+        .groupBy("pid")
+        .agg(
+            F.sum(F.when(parm == 0, F.col("x")).otherwise(0)).cast("long").alias("sa"),
+            F.sum(F.when(parm == 0, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum("x").cast("long").alias("st"),
+            F.count("*").cast("long").alias("nt"),
+        )
+    )
+    stat = pa.filter((F.col("na") > 0) & (F.col("na") < F.col("nt"))).select(
+        "pid",
+        F.abs(
+            (
+                F.col("sa") * (F.col("nt") - F.col("na"))
+                - (F.col("st") - F.col("sa")) * F.col("na")
+            ).cast("double")
+            / (F.col("na") * (F.col("nt") - F.col("na"))).cast("double")
+        ).alias("s"),
+    )
+    o = obs.select(
+        F.abs(
+            (F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")).cast("double")
+            / (F.col("n0") * F.col("n1")).cast("double")
+        ).alias("s_obs")
+    )
+    e = stat.crossJoin(F.broadcast(o)).agg(
+        F.count("*").alias("n_perms"),
+        F.sum(F.when(F.col("s") >= F.col("s_obs"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return e.crossJoin(F.broadcast(o)).select(
+        F.col("n_perms").cast("long").alias("n_perms"),
+        "s_obs",
+        "n_extreme",
+        (
+            (F.lit(1) + F.col("n_extreme")).cast("double")
+            / (F.lit(1) + F.col("n_perms")).cast("double")
+        ).alias("p_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -12363,6 +12597,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_vocab_coverage", "scd_bitemporal_asof", "w_hopping_windows",
     "er_blocking_recall", "corpus_dataset_card",
     "a_mannwhitney_u", "graph_assortativity",
+    "a_ks_test", "a_permutation_test",
 )
 
 

@@ -814,3 +814,42 @@ def test_assortativity_in_range(spark):
     row = QUERIES["graph_assortativity"](spark, SF).collect()[0]
     assert row.n_directed_edges >= 2
     assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+
+
+# -- wave 11: KS test, permutation test ------------------------------------
+
+
+def test_ks_crafted_disjoint_supports(spark):
+    """Fully separated samples ([1,2] vs [10,20]) give D = 1 via the
+    integer cum formulation."""
+    vals = [(0, 1), (0, 2), (1, 10), (1, 20)]
+    na = nb = 2
+    ca = cb = 0
+    best = 0
+    for arm, _ in sorted(vals, key=lambda t: t[1]):
+        if arm == 0:
+            ca += 1
+        else:
+            cb += 1
+        best = max(best, abs(ca * nb - cb * na))
+    assert best / (na * nb) == 1.0
+    row = QUERIES["a_ks_test"](spark, SF).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0 <= row.d_stat <= 1
+    assert row.ks_scaled >= 0
+
+
+def test_permutation_test_pvalue_range(spark):
+    row = QUERIES["a_permutation_test"](spark, SF).collect()[0]
+    assert row.n_perms <= 200
+    assert 0 <= row.n_extreme <= row.n_perms
+    assert 0 < row.p_value <= 1
+    # arms are themselves hash-assigned (a true null), so the observed
+    # diff should NOT be extreme: p comfortably above the 1/201 floor
+    assert row.p_value > 1 / 201
+
+
+def test_permutation_test_deterministic(spark):
+    a = QUERIES["a_permutation_test"](spark, SF).collect()[0]
+    b = QUERIES["a_permutation_test"](spark, SF).collect()[0]
+    assert a.p_value == b.p_value and a.n_extreme == b.n_extreme
