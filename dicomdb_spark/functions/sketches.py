@@ -440,8 +440,13 @@ def kmv_theta_set_ops(
     two32 = 4294967296
     ha = df_a.select(_hex_int(F.md5(F.col(item_col)), 8).alias("h")).distinct()
     hb = df_b.select(_hex_int(F.md5(F.col(item_col)), 8).alias("h")).distinct()
-    ska = ha.orderBy("h").limit(k)
-    skb = hb.orderBy("h").limit(k)
+    # each side's distinct hash set feeds the sketch, the threshold,
+    # and three exact-count joins — persist so the upstream explode
+    # and distinct run once per side, not four times
+    ha = ha.persist()
+    hb = hb.persist()
+    ska = ha.orderBy("h").limit(k).persist()
+    skb = hb.orderBy("h").limit(k).persist()
     ta = ska.agg(
         F.when(F.count("*") == k, F.max("h")).otherwise(F.lit(two32)).alias("tha")
     )
