@@ -12489,6 +12489,309 @@ def a_permutation_test(spark, sf_dir):
     )
 
 
+@register(
+    "a_survival_hazard",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' THEN ts END),
+                    TIMESTAMP '2024-01-31 00:00:00') AS DATE)) AS BIGINT) AS d,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NULL THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY 1),
+    g AS (SELECT d, censored, CAST(count(*) AS BIGINT) AS c
+          FROM u GROUP BY 1, 2),
+    t AS (SELECT DISTINCT d FROM g),
+    risk AS (
+      SELECT t.d,
+             CAST((SELECT SUM(c) FROM g WHERE g.d >= t.d) AS BIGINT)
+               AS n_at_risk,
+             CAST(coalesce((SELECT SUM(c) FROM g
+                            WHERE g.d = t.d AND g.censored = 0), 0) AS BIGINT)
+               AS n_events,
+             CAST(coalesce((SELECT SUM(c) FROM g
+                            WHERE g.d = t.d AND g.censored = 1), 0) AS BIGINT)
+               AS n_censored
+      FROM t)
+    SELECT d AS day, n_at_risk, n_events, n_censored,
+           CAST(n_events * 10000 AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+             AS hazard_bp
+    FROM risk WHERE n_at_risk > 0
+    """,
+)
+def a_survival_hazard(spark, sf_dir):
+    """Discrete-time survival hazard table for time-to-first-purchase:
+    per user, duration = days from first event to first purchase,
+    right-censored at the window end if no purchase ever occurs.  For
+    each observed duration day: the risk set (users surviving ≥ d — a
+    reverse cumulative sum over the tiny duration histogram, NOT a
+    per-day rescan), event and censor counts, and the discrete hazard
+    in basis points (one exact division).  Kaplan–Meier's Π(1−h) is a
+    cumulative float product, deliberately NOT emitted — the hazard
+    table is the engine-portable artifact; any client can fold it."""
+    ev = load_table(spark, sf_dir, "events")
+    wend = F.lit("2024-01-31 00:00:00").cast("timestamp_ntz")
+    first_p = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.coalesce(first_p, wend).cast("date"), F.min("ts").cast("date")
+        ).cast("long").alias("d"),
+        F.when(first_p.isNull(), 1).otherwise(0).alias("censored"),
+    )
+    g = u.groupBy("d", "censored").agg(F.count("*").cast("long").alias("c"))
+    byday = g.groupBy("d").agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("censored") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_events"),
+        F.sum(F.when(F.col("censored") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    wrev = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byday.withColumn("n_at_risk", F.sum("n_total").over(wrev).cast("long"))
+    return risk.filter(F.col("n_at_risk") > 0).select(
+        F.col("d").alias("day"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        (
+            (F.col("n_events") * F.lit(10000)).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ).alias("hazard_bp"),
+    )
+
+
+@register(
+    "ml_decision_stump",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS f_len,
+             CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS f_uniq
+      FROM documents),
+    u AS (
+      SELECT doc_id, y, 'n_tokens' AS feature, f_len AS v FROM tk
+      UNION ALL
+      SELECT doc_id, y, 'n_distinct', f_uniq FROM tk),
+    c AS (SELECT feature, v, doc_id, y,
+                 SUM(y) OVER w AS pl,
+                 SUM(1 - y) OVER w AS nl,
+                 SUM(y) OVER (PARTITION BY feature) AS pt,
+                 SUM(1 - y) OVER (PARTITION BY feature) AS nt,
+                 lead(v) OVER (PARTITION BY feature ORDER BY v, doc_id) AS nv
+          FROM u
+          WINDOW w AS (PARTITION BY feature ORDER BY v, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT feature, v AS threshold, pl, nl, pt - pl AS pr, nt - nl AS nr,
+             pt + nt AS tot,
+             (CAST(pl + nl AS DOUBLE)
+              - CAST(pl * pl + nl * nl AS DOUBLE) / CAST(pl + nl AS DOUBLE)
+              + CAST(pr + nr AS DOUBLE)
+              - CAST(pr * pr + nr * nr AS DOUBLE)
+                / CAST((pt - pl) + (nt - nl) AS DOUBLE))
+               / CAST(pt + nt AS DOUBLE) AS gini
+      FROM c
+      WHERE (nv IS NULL OR nv <> v) AND pl + nl > 0
+        AND (pt - pl) + (nt - nl) > 0),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY gini, feature, threshold) AS rn
+      FROM s)
+    SELECT feature, CAST(threshold AS BIGINT) AS threshold, gini,
+           CAST((greatest(pl, nl) + greatest(pr, nr)) * 10000 AS DOUBLE)
+             / CAST(tot AS DOUBLE) AS train_acc_bp
+    FROM best WHERE rn = 1
+    """,
+)
+def ml_decision_stump(spark, sf_dir):
+    """Train a depth-1 decision tree (stump) for 'is English' from two
+    integer text features — distributed ML TRAINING as a relational
+    plan: candidate splits are the sorted distinct feature values
+    (evaluated at tie-group boundaries), each split's weighted Gini
+    impurity comes from cumulative positive/negative counts (exact
+    integers; the impurity itself is one fixed float chain), and the
+    argmin is a rank with (feature, threshold) tiebreak.  One sort
+    per feature, one pass — the building block CART repeats per node,
+    here as a single declarative query with the chosen split's
+    training accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(text.tokens("text"), lambda t: F.lower(t))
+    tk = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(text.tokens("text")).cast("long").alias("f_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("f_uniq"),
+    )
+    u = tk.select(
+        "doc_id", "y", F.lit("n_tokens").alias("feature"), F.col("f_len").alias("v")
+    ).unionAll(
+        tk.select("doc_id", "y", F.lit("n_distinct").alias("feature"), F.col("f_uniq").alias("v"))
+    )
+    wsort = Window.partitionBy("feature").orderBy("v", "doc_id")
+    w = wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.partitionBy("feature")
+    c = u.select(
+        "feature",
+        "v",
+        F.sum("y").over(w).alias("pl"),
+        F.sum(F.lit(1) - F.col("y")).over(w).alias("nl"),
+        F.sum("y").over(wf).alias("pt"),
+        F.sum(F.lit(1) - F.col("y")).over(wf).alias("nt"),
+        F.lead("v").over(wsort).alias("nv"),
+    )
+    pr = F.col("pt") - F.col("pl")
+    nr = F.col("nt") - F.col("nl")
+    tl = (F.col("pl") + F.col("nl")).cast("double")
+    tr = (pr + nr).cast("double")
+    gini = (
+        tl
+        - (F.col("pl") * F.col("pl") + F.col("nl") * F.col("nl")).cast("double") / tl
+        + tr
+        - (pr * pr + nr * nr).cast("double") / tr
+    ) / (F.col("pt") + F.col("nt")).cast("double")
+    s = (
+        c.filter(
+            (F.col("nv").isNull() | (F.col("nv") != F.col("v")))
+            & (F.col("pl") + F.col("nl") > 0)
+            & (pr + nr > 0)
+        )
+        .select(
+            "feature",
+            F.col("v").alias("threshold"),
+            "pl",
+            "nl",
+            pr.alias("pr"),
+            nr.alias("nr"),
+            (F.col("pt") + F.col("nt")).alias("tot"),
+            gini.alias("gini"),
+        )
+    )
+    best = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy("gini", "feature", "threshold"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "feature",
+        F.col("threshold").cast("long").alias("threshold"),
+        "gini",
+        (
+            (
+                (F.greatest("pl", "nl") + F.greatest("pr", "nr")) * F.lit(10000)
+            ).cast("double")
+            / F.col("tot").cast("double")
+        ).alias("train_acc_bp"),
+    )
+
+
+@register(
+    "ml_knn_classify",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    lab AS (
+      SELECT e.vec_id, e.v, d.lang
+      FROM e JOIN documents d ON e.vec_id = d.doc_id),
+    n AS (
+      SELECT vec_id, v, lang,
+             sqrt(CAST((SELECT SUM(CAST(floor(v[i.i] * v[i.i] * 1e12) AS BIGINT))
+                        FROM unnest(range(1, len(v) + 1)) i(i)) / 1e12 AS DOUBLE)) AS nrm
+      FROM lab),
+    sc AS (
+      SELECT a.vec_id AS query_id, a.lang AS true_lang,
+             b.vec_id AS neighbor_id, b.lang AS nb_lang,
+             CAST({_SQL_DOT} AS DOUBLE) / (a.nrm * b.nrm) AS cs
+      FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+    top AS (
+      SELECT query_id, true_lang, nb_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) AS rn
+        FROM sc) t WHERE rn <= 5),
+    votes AS (
+      SELECT query_id, true_lang, nb_lang, count(*) AS n_votes
+      FROM top GROUP BY 1, 2, 3),
+    pick AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nb_lang) AS rn
+      FROM votes)
+    SELECT query_id, nb_lang AS pred_lang, true_lang,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CASE WHEN nb_lang = true_lang THEN 1 ELSE 0 END AS correct
+    FROM pick WHERE rn = 1
+    """,
+)
+def ml_knn_classify(spark, sf_dir):
+    """5-NN classification of embedding vectors with REAL labels (the
+    documents table's language, joined on vec_id = doc_id): exact
+    cosine neighbors among the labeled corpus, majority vote with
+    deterministic (count, label) tiebreak, per-query correctness
+    flag.  The lazy-learning classic as three relational stages —
+    score (broadcast probes), top-k window, vote argmax — reusing the
+    decimal-exact dot products the whole ANN suite shares."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    lab = emb.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "lang")), "vec_id"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "lang")
+    n = lab.withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+        F.col("lang").alias("true_lang"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.col("nrm").alias("__cn"),
+        F.col("lang").alias("nb_lang"),
+    )
+    sc = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cs",
+            lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    top = (
+        sc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cs").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "true_lang", "nb_lang")
+    )
+    votes = top.groupBy("query_id", "true_lang", "nb_lang").agg(
+        F.count("*").alias("n_votes")
+    )
+    pick = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("n_votes").desc(), "nb_lang"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return pick.select(
+        "query_id",
+        F.col("nb_lang").alias("pred_lang"),
+        "true_lang",
+        F.col("n_votes").cast("long").alias("n_votes"),
+        F.when(F.col("nb_lang") == F.col("true_lang"), 1).otherwise(0).alias(
+            "correct"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -12598,6 +12901,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "er_blocking_recall", "corpus_dataset_card",
     "a_mannwhitney_u", "graph_assortativity",
     "a_ks_test", "a_permutation_test",
+    "a_survival_hazard", "ml_decision_stump", "ml_knn_classify",
 )
 
 

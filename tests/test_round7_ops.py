@@ -853,3 +853,41 @@ def test_permutation_test_deterministic(spark):
     a = QUERIES["a_permutation_test"](spark, SF).collect()[0]
     b = QUERIES["a_permutation_test"](spark, SF).collect()[0]
     assert a.p_value == b.p_value and a.n_extreme == b.n_extreme
+
+
+# -- wave 12: survival hazard, decision stump, kNN classify ----------------
+
+
+def test_survival_hazard_risk_set_monotone(spark):
+    rows = sorted(QUERIES["a_survival_hazard"](spark, SF).collect(), key=lambda r: r.day)
+    assert len(rows) > 0
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert rows[0].n_at_risk <= n_users
+    # risk set only shrinks as duration grows; accounting closes
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk <= a.n_at_risk - a.n_events - a.n_censored
+    for r in rows:
+        assert 0 <= r.n_events + r.n_censored <= r.n_at_risk
+        assert abs(r.hazard_bp - r.n_events * 10000 / r.n_at_risk) < 1e-9
+    assert sum(r.n_events for r in rows) > 0  # non-vacuous events
+
+
+def test_decision_stump_beats_majority(spark):
+    row = QUERIES["ml_decision_stump"](spark, SF).collect()[0]
+    assert row.feature in ("n_tokens", "n_distinct")
+    assert 0 <= row.gini <= 0.5 + 1e-9
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    majority_bp = max(n_en, n - n_en) * 10000 / n
+    assert row.train_acc_bp >= majority_bp - 1e-9  # a stump can't lose to majority
+
+
+def test_knn_classify_votes_consistent(spark):
+    rows = QUERIES["ml_knn_classify"](spark, SF).collect()
+    assert len(rows) == 10
+    langs = {"en", "fr", "de", "es", "zh"}
+    for r in rows:
+        assert r.pred_lang in langs and r.true_lang in langs
+        assert 1 <= r.n_votes <= 5
+        assert r.correct == (1 if r.pred_lang == r.true_lang else 0)
