@@ -45,10 +45,14 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+def run_query(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     """min-of-N execution time: the first run pays per-query codegen
     (a fixed cost irrelevant at real scale), min strips that plus GC
-    noise so round-over-round numbers are comparable."""
+    noise so round-over-round numbers are comparable.  reps=3: for
+    codegen-heavy plans (the 16-min-agg minhash signature) rep 2 still
+    carries residual JIT — measured 4.8 / 1.3 / 1.0 s — so min-of-2
+    overstates steady state by ~30 % exactly on the plans where it
+    matters most."""
     df = QUERIES[name](spark, sf_dir)
     best = float("inf")
     for _ in range(reps):
