@@ -153,3 +153,125 @@ def pagerank_oracle_ctes(
       FROM nodes nd LEFT JOIN s{t} ON s{t}.node = nd.node CROSS JOIN nn)"""
         )
     return ",\n    ".join(ctes), f"r{iters}"
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    persist_edges: bool = True,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass returns to the SEED
+    set instead of all nodes (the recommendation / similar-entities
+    primitive — rank concentrates around the seeds' neighborhood).
+
+    ``seeds`` is a 1-column DataFrame (node); only seeds that appear
+    in the edge list count.  Same determinism doctrine as
+    :func:`pagerank` — floor-scaled int64 ranks, per-edge
+    floor(r/outdeg) contributions — and the same per-round shapes;
+    the only change is the base term: floor((1−d)·SCALE/|S|) paid to
+    seeds, zero elsewhere."""
+    base = 1.0 - damping
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if persist_edges:
+        edges = edges.persist()
+        nodes = nodes.persist()
+    sset = nodes.join(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(), "node"
+    )
+    ns = sset.agg(F.count("*").alias("n_seeds"))
+    flagged = nodes.join(
+        F.broadcast(sset.withColumn("is_seed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    if persist_edges:
+        flagged = flagged.persist()
+    r = flagged.crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.when(
+            F.col("is_seed") == 1,
+            F.floor(F.lit(float(SCALE)) / F.col("n_seeds")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r"),
+    )
+    for _ in range(iters):
+        contrib = edges.join(hint(r), edges["src"] == r["node"]).select(
+            F.col("dst").alias("cnode"),
+            F.floor(F.col("r").cast("double") / F.col("outdeg"))
+            .cast("long")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("cnode").agg(F.sum("c").alias("s"))
+        r = (
+            flagged.join(hint(sums), flagged["node"] == sums["cnode"], "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("is_seed") == 1,
+                        F.floor(
+                            F.lit(base) * F.lit(float(SCALE)) / F.col("n_seeds")
+                        ).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                    ).cast("long")
+                ).alias("r"),
+            )
+            .persist()
+        )
+    return r
+
+
+def ppr_oracle_ctes(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> tuple[str, str]:
+    """DuckDB replay of :func:`personalized_pagerank`.  ``seeds_cte``
+    must have a single column named node."""
+    base = repr(1.0 - damping)
+    damp = repr(float(damping))
+    scale = f"{float(SCALE)!r}"
+    ctes = [
+        f"nodes AS (SELECT DISTINCT src AS node FROM {edges_cte})",
+        f"deg AS (SELECT src, count(*) AS outdeg FROM {edges_cte} GROUP BY 1)",
+        f"sset AS (SELECT DISTINCT n.node FROM nodes n JOIN {seeds_cte} s"
+        " ON n.node = s.node)",
+        "nseed AS (SELECT count(*) AS n_seeds FROM sset)",
+        "flg AS (SELECT n.node,"
+        " CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed"
+        " FROM nodes n LEFT JOIN sset s ON n.node = s.node)",
+        f"r0 AS (SELECT node, CASE WHEN is_seed = 1"
+        f" THEN CAST(floor({scale} / n_seeds) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS r"
+        " FROM flg CROSS JOIN nseed)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(CAST(r.r AS DOUBLE) / d.outdeg) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM {edges_cte} e
+      JOIN r{t - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+      SELECT f.node,
+             CASE WHEN f.is_seed = 1
+                  THEN CAST(floor({base} * {scale} / nseed.n_seeds) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+             + CAST(floor({damp} * coalesce(s{t}.s, 0)) AS BIGINT) AS r
+      FROM flg f LEFT JOIN s{t} ON s{t}.node = f.node CROSS JOIN nseed)"""
+        )
+    return ",\n    ".join(ctes), f"r{iters}"

@@ -12792,6 +12792,220 @@ def ml_knn_classify(spark, sf_dir):
     )
 
 
+def _ppr_oracle() -> str:
+    from dicomdb_spark.operators.graph import ppr_oracle_ctes
+
+    ctes, final = ppr_oracle_ctes("edges", "seedset", iters=3, damping=0.85)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT c AS src, 1000000 + s AS dst FROM e0
+              UNION ALL SELECT 1000000 + s AS src, c AS dst FROM e0),
+    seedset AS (SELECT DISTINCT c AS node FROM e0 WHERE c % 100 = 0),
+    {ctes}
+    SELECT node, CAST(r AS DOUBLE) / 1000000000000.0 AS ppr,
+           CAST(pos AS INTEGER) AS pos
+    FROM (SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS pos
+          FROM {final}) t
+    WHERE pos <= 20
+    """
+
+
+@register("graph_ppr_seeds", _ppr_oracle())
+def graph_ppr_seeds(spark, sf_dir):
+    """Personalized PageRank from the customer seed set custkey%100==0
+    over the customer↔supplier purchase graph (3 rounds, damping
+    0.85): teleport mass returns only to the seeds, so rank
+    concentrates on suppliers the seed cohort buys from — the
+    "similar entities / recommend for this segment" primitive.  Same
+    loop shapes and floor-int determinism as graph_pagerank
+    (operators/graph.py: personalized_pagerank); top-20."""
+    from dicomdb_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst")
+    ).unionAll(
+        e0.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = e0.filter(F.col("c") % 100 == 0).select(F.col("c").alias("node"))
+    r = graph.personalized_pagerank(
+        edges, seeds, iters=3, damping=0.85, broadcast_ranks=True
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        r.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select("node", (F.col("r").cast("double") / 1e12).alias("ppr"), "pos")
+    )
+
+
+@register(
+    "corpus_split_leakage",
+    f"""
+    {_minhash_pairs_cte()},
+    ids AS (
+      SELECT doc_id FROM documents
+      UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 9 = 0),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM ids),
+    lab AS (
+      SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b
+      FROM pairs p
+      JOIN sp a ON p.id1 = a.doc_id
+      JOIN sp b ON p.id2 = b.doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lab)
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN split_a = split_b THEN 0 ELSE 1 END AS is_leakage,
+           CAST(count(*) * 10000 AS DOUBLE) / CAST(max(tot.n_total) AS DOUBLE)
+             AS share_bp
+    FROM lab CROSS JOIN tot
+    GROUP BY 1, 2
+    """,
+)
+def corpus_split_leakage(spark, sf_dir):
+    """Train/valid/test LEAKAGE audit: near-duplicate pairs whose
+    endpoints land in DIFFERENT hash splits are contamination a
+    per-split dedup can never see — the eval-hygiene check every
+    benchmark pipeline should run before reporting numbers.  Pair
+    endpoints get their corpus_split_hash assignment via two
+    broadcast joins; output is the split×split pair matrix with a
+    leakage flag and basis-point shares (one exact division)."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id")
+            )
+        )
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    sp = ids.select(
+        "doc_id",
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    lab = (
+        pairs.join(
+            F.broadcast(sp.select(F.col("doc_id").alias("id1"), F.col("split").alias("sa"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(sp.select(F.col("doc_id").alias("id2"), F.col("split").alias("sb"))),
+            "id2",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"), F.greatest("sa", "sb").alias("split_b")
+        )
+        .persist()
+    )
+    tot = lab.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max(
+                F.when(F.col("split_a") == F.col("split_b"), 0).otherwise(1)
+            ).alias("is_leakage"),
+            (
+                (F.count("*") * F.lit(10000)).cast("double")
+                / F.max("n_total").cast("double")
+            ).alias("share_bp"),
+        )
+        .select("split_a", "split_b", "n_pairs", "is_leakage", "share_bp")
+    )
+
+
+@register(
+    "a_ab_srm_check",
+    f"""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+               AS arm
+      FROM events),
+    c AS (SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          FROM u)
+    SELECT na AS n_a, nb AS n_b,
+           CAST((na - nb) * (na - nb) AS DOUBLE) / CAST(na + nb AS DOUBLE)
+             AS chi2,
+           CASE WHEN CAST((na - nb) * (na - nb) AS DOUBLE)
+                     / CAST(na + nb AS DOUBLE) > 3.841 THEN 1 ELSE 0 END
+             AS srm_flag
+    FROM c
+    """,
+)
+def a_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail for the md5 arm assignment: the
+    1-df chi-square against the expected 50/50 split reduces to
+    (n₀−n₁)²/(n₀+n₁) — one fixed float expression over two exact
+    counts — flagged at the 95 % critical value 3.841.  The first
+    check every experimentation platform runs before reading ANY
+    metric; a tripped flag means the assignment or logging pipeline
+    is biased and all downstream stats are void."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.select("user_id", arm.alias("arm")).distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    chi2 = ((F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))).cast(
+        "double"
+    ) / (F.col("na") + F.col("nb")).cast("double")
+    return c.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        chi2.alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -12902,6 +13116,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "a_mannwhitney_u", "graph_assortativity",
     "a_ks_test", "a_permutation_test",
     "a_survival_hazard", "ml_decision_stump", "ml_knn_classify",
+    "graph_ppr_seeds", "corpus_split_leakage", "a_ab_srm_check",
 )
 
 

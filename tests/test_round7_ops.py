@@ -891,3 +891,54 @@ def test_knn_classify_votes_consistent(spark):
         assert r.pred_lang in langs and r.true_lang in langs
         assert 1 <= r.n_votes <= 5
         assert r.correct == (1 if r.pred_lang == r.true_lang else 0)
+
+
+# -- wave 13: personalized PageRank, split leakage, SRM check --------------
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark):
+    rows = QUERIES["graph_ppr_seeds"](spark, SF).collect()
+    assert len(rows) == 20
+    ps = [r.ppr for r in rows]
+    assert ps == sorted(ps, reverse=True)
+    assert all(p >= 0 for p in ps)
+    # seeds are customers (node < 1e6); suppliers they buy from rank too
+    assert any(r.node < 1000000 for r in rows)
+    assert any(r.node >= 1000000 for r in rows)
+
+
+def test_ppr_mass_at_seeds_only_round0(spark):
+    """With damping<1 and teleport only to seeds, a node with NO path
+    from any seed keeps rank 0 — check on a crafted 2-component
+    graph."""
+    from dicomdb_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(1,)], "node LONG")
+    r = {row.node: row.r for row in personalized_pagerank(edges, seeds, iters=3).collect()}
+    assert r[1] > 0 and r[2] > 0
+    assert r[3] == 0 and r[4] == 0
+
+
+def test_split_leakage_partitions_pairs(spark):
+    rows = QUERIES["corpus_split_leakage"](spark, SF).collect()
+    total_pairs = QUERIES["dedup_minhash_lsh"](spark, SF).count()
+    assert sum(r.n_pairs for r in rows) == total_pairs
+    assert abs(sum(r.share_bp for r in rows) - 10000.0) < 1e-6
+    for r in rows:
+        assert r.split_a <= r.split_b
+        assert r.is_leakage == (0 if r.split_a == r.split_b else 1)
+    # hash splits ignore duplicate structure → leakage MUST exist here
+    assert any(r.is_leakage == 1 for r in rows)
+
+
+def test_srm_check_healthy_assignment(spark):
+    row = QUERIES["a_ab_srm_check"](spark, SF).collect()[0]
+    n = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert row.n_a + row.n_b == n
+    assert row.chi2 >= 0
+    assert row.srm_flag in (0, 1)
+    # md5 assignment is unbiased: chi2 should not trip at this n
+    assert row.srm_flag == 0
