@@ -13006,6 +13006,226 @@ def a_ab_srm_check(spark, sf_dir):
     )
 
 
+@register(
+    "w_rolling_median",
+    """
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    probe AS (SELECT * FROM x WHERE rn % 97 = 0),
+    frame AS (
+      SELECT p.event_type, p.event_id AS center_id, p.rn AS crn,
+             b.v AS fv, b.event_id AS fid
+      FROM probe p JOIN x b
+        ON p.event_type = b.event_type
+       AND b.rn BETWEEN p.rn - 10 AND p.rn + 10),
+    ranked AS (
+      SELECT f.event_type, f.center_id, f.fv, f.fid,
+             (SELECT count(*) FROM frame g
+              WHERE g.event_type = f.event_type
+                AND g.center_id = f.center_id
+                AND (g.fv < f.fv OR (g.fv = f.fv AND g.fid <= f.fid)))
+               AS pos,
+             (SELECT count(*) FROM frame g
+              WHERE g.event_type = f.event_type
+                AND g.center_id = f.center_id) AS nf
+      FROM frame f)
+    SELECT event_type, center_id, CAST(max(nf) AS BIGINT) AS n_frame,
+           CAST(CAST(max(CASE WHEN pos = (nf + 1) // 2 THEN fv END)
+                     AS BIGINT) AS DOUBLE) / 10000.0 AS rolling_median
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def w_rolling_median(spark, sf_dir):
+    """Rolling MEDIAN over a ±10-row frame (the Hampel filter's
+    center statistic — rolling means exist as windows, rolling ORDER
+    STATISTICS do not): for every 97th probe row, the frame is
+    materialized by a banded rn self-join and the median-low is
+    order-statistic selection via an exact in-frame rank (tuple
+    (v, id) count — the same selection convention as every quantile
+    here).  The frame join is rn-banded — 21 rows per probe, never a
+    cross join — and cost scales with probes × frame², all integer.
+    Probing every row would multiply cost by 97 with the same plan;
+    the stride keeps the oracle cheap while exercising every edge
+    (frame truncation at both partition ends included)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).persist()
+    probe = x.filter(F.col("rn") % 97 == 0).select(
+        "event_type",
+        F.col("event_id").alias("center_id"),
+        F.col("rn").alias("crn"),
+    )
+    b = x.select(
+        F.col("event_type").alias("et"),
+        F.col("v").alias("fv"),
+        F.col("event_id").alias("fid"),
+        F.col("rn").alias("brn"),
+    )
+    frame = probe.join(
+        b,
+        (F.col("event_type") == F.col("et"))
+        & F.col("brn").between(F.col("crn") - 10, F.col("crn") + 10),
+    ).select("event_type", "center_id", "fv", "fid")
+    fa = frame.select(
+        "event_type", "center_id", F.col("fv").alias("av"), F.col("fid").alias("aid")
+    )
+    ranked = (
+        fa.join(frame, ["event_type", "center_id"])
+        .groupBy("event_type", "center_id", "av", "aid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("fv") < F.col("av"))
+                    | ((F.col("fv") == F.col("av")) & (F.col("fid") <= F.col("aid"))),
+                    1,
+                ).otherwise(0)
+            ).alias("pos"),
+            F.count("*").alias("nf"),
+        )
+    )
+    return ranked.groupBy("event_type", "center_id").agg(
+        F.max("nf").cast("long").alias("n_frame"),
+        (
+            F.max(
+                F.when(F.col("pos") == F.expr("(nf + 1) div 2"), F.col("av"))
+            )
+            .cast("long")
+            .cast("double")
+            / 10000.0
+        ).alias("rolling_median"),
+    )
+
+
+@register(
+    "a_winsorized_mean",
+    """
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS v
+      FROM events),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY v, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM x),
+    b AS (SELECT event_type,
+                 CAST(max(CASE WHEN rn = greatest((n * 5) // 100, 1)
+                               THEN v END) AS BIGINT) AS lo,
+                 CAST(max(CASE WHEN rn = least((n * 95) // 100 + 1, n)
+                               THEN v END) AS BIGINT) AS hi,
+                 CAST(max(n) AS BIGINT) AS n
+          FROM r GROUP BY 1)
+    SELECT x.event_type, b.n,
+           CAST(b.lo AS DOUBLE) / 10000.0 AS lo_bound,
+           CAST(b.hi AS DOUBLE) / 10000.0 AS hi_bound,
+           CAST(CAST(SUM(least(greatest(x.v, b.lo), b.hi)) AS BIGINT)
+                AS DOUBLE) / 10000.0 / CAST(b.n AS DOUBLE) AS winsor_mean
+    FROM x JOIN b ON x.event_type = b.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def a_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per event type: clamp every value into the
+    [p05, p95] band (bounds by order-statistic selection — rank
+    ⌊5n/100⌋ low / ⌊95n/100⌋+1 high, never interpolation) and average
+    the clamped EXACT integers — the robust-location statistic that,
+    unlike trimming, keeps n constant.  One ranking pass for the
+    bounds, one broadcast join back, one integer sum, one division."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = x.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    b = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest((n * 5) div 100, 1)"), F.col("v"))
+        )
+        .cast("long")
+        .alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("least((n * 95) div 100 + 1, n)"), F.col("v"))
+        )
+        .cast("long")
+        .alias("hi"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return (
+        x.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n",
+                 (F.col("lo").cast("double") / 10000.0).alias("lo_bound"),
+                 (F.col("hi").cast("double") / 10000.0).alias("hi_bound"))
+        .agg(
+            (
+                F.sum(F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")))
+                .cast("long")
+                .cast("double")
+                / 10000.0
+                / F.max("n").cast("double")
+            ).alias("winsor_mean")
+        )
+    )
+
+
+@register(
+    "w_streak_longest",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+    i AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INTEGER)
+                   AS island
+          FROM d),
+    runs AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+             FROM i GROUP BY 1, 2)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM runs GROUP BY 1
+    """,
+)
+def w_streak_longest(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands derivative every engagement dashboard asks for:
+    distinct active days, the day − row_number island key (constant
+    within a consecutive run), run lengths, then max/count/sum per
+    user.  Two aggregates and one per-user sort over the DAYS
+    dimension — never the raw event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    i = d.withColumn(
+        "island",
+        F.date_sub(
+            "day",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("int"),
+        ),
+    )
+    runs = i.groupBy("user_id", "island").agg(F.count("*").cast("long").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -13117,6 +13337,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "a_ks_test", "a_permutation_test",
     "a_survival_hazard", "ml_decision_stump", "ml_knn_classify",
     "graph_ppr_seeds", "corpus_split_leakage", "a_ab_srm_check",
+    "w_rolling_median", "a_winsorized_mean", "w_streak_longest",
 )
 
 

@@ -942,3 +942,64 @@ def test_srm_check_healthy_assignment(spark):
     assert row.srm_flag in (0, 1)
     # md5 assignment is unbiased: chi2 should not trip at this n
     assert row.srm_flag == 0
+
+
+# -- wave 14: rolling median, winsorized mean, longest streak --------------
+
+
+def test_rolling_median_within_frame_bounds(spark):
+    rows = QUERIES["w_rolling_median"](spark, SF).collect()
+    assert len(rows) > 0
+    ev = load_table(spark, SF, "events")
+    mm = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type").agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        ).collect()
+    }
+    for r in rows:
+        assert 1 <= r.n_frame <= 21
+        lo, hi = mm[r.event_type]
+        assert lo - 1e-4 <= r.rolling_median <= hi + 1e-4
+
+
+def test_winsorized_mean_between_bounds(spark):
+    rows = QUERIES["a_winsorized_mean"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.lo_bound <= r.winsor_mean <= r.hi_bound
+        assert r.n > 0
+
+
+def test_winsorized_vs_raw_mean_robust(spark):
+    """Winsorizing pulls the mean toward the median band — it must
+    differ from the raw mean whenever the tails are asymmetric, and
+    stay within the raw min/max regardless."""
+    rows = {r.event_type: r for r in QUERIES["a_winsorized_mean"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    raw = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+    }
+    for t, r in rows.items():
+        assert abs(r.winsor_mean - raw[t]) < (r.hi_bound - r.lo_bound)
+
+
+def test_streak_longest_identities(spark):
+    rows = QUERIES["w_streak_longest"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    days = {
+        r.user_id: r.n
+        for r in ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(days)
+    for r in rows:
+        assert r.active_days == days[r.user_id]
+        assert 1 <= r.longest_streak <= r.active_days
+        assert r.n_streaks >= 1
+        # streaks × min-length + slack ≥ total days
+        assert r.longest_streak * r.n_streaks >= r.active_days / r.n_streaks
