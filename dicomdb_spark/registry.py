@@ -13226,6 +13226,278 @@ def w_streak_longest(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_temperature_mix",
+    """
+    WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS w_scaled
+          FROM per),
+    t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS wt,
+                 CAST(SUM(n_docs) AS BIGINT) AS nt FROM w)
+    SELECT source, n_docs, w_scaled,
+           CAST(w_scaled AS DOUBLE) / CAST(t.wt AS DOUBLE) AS share,
+           CAST((t.nt * w_scaled) // t.wt AS BIGINT) AS expected_count
+    FROM w CROSS JOIN t
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-T sampling weights for multilingual/multi-source
+    mixing at T=2 (the mT5/XLM-R upsampling rule p_s^(1/T)): weight =
+    √n per source.  General p^(1/T) needs pow(), which is NOT
+    bit-portable across libm — but T=2 is sqrt (correctly rounded in
+    IEEE), and the weight is floored to an INTEGER before the
+    normalizing sum, so the shares survive any summation order.  One
+    source aggregate, one 1-row total broadcast, one division per
+    source; expected counts by integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w = per.withColumn(
+        "w_scaled",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast("long"),
+    )
+    t = w.agg(
+        F.sum("w_scaled").cast("long").alias("wt"),
+        F.sum("n_docs").cast("long").alias("nt"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "w_scaled",
+        (F.col("w_scaled").cast("double") / F.col("wt").cast("double")).alias("share"),
+        F.expr("(nt * w_scaled) div wt").cast("long").alias("expected_count"),
+    )
+
+
+@register(
+    "graph_edge_jaccard",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM e GROUP BY 1),
+    common AS (
+      SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS cn
+      FROM pairs p
+      JOIN e ea ON ea.dst = p.id1
+      JOIN e eb ON eb.dst = p.id2 AND eb.src = ea.src
+      WHERE ea.src <> p.id1 AND ea.src <> p.id2
+      GROUP BY 1, 2)
+    SELECT p.id1, p.id2,
+           CAST(coalesce(c.cn, 0) AS BIGINT) AS common_neighbors,
+           CAST(coalesce(c.cn, 0) AS DOUBLE)
+             / CAST(da.dg + db.dg - coalesce(c.cn, 0) AS DOUBLE)
+             AS edge_jaccard
+    FROM pairs p
+    JOIN deg da ON p.id1 = da.node
+    JOIN deg db ON p.id2 = db.node
+    LEFT JOIN common c ON p.id1 = c.id1 AND p.id2 = c.id2
+    ORDER BY edge_jaccard DESC, p.id1, p.id2
+    LIMIT 50
+    """,
+)
+def graph_edge_jaccard(spark, sf_dir):
+    """Edge strength by neighbor-set Jaccard (|N(a)∩N(b)| /
+    |N(a)∪N(b)|): near-1 edges sit inside dup cliques, near-0 edges
+    are bridges (likely LSH false positives) — the tie-strength
+    metric used to prune candidate graphs before clustering.  Common
+    neighbors come from the wedge join restricted to EXISTING edges;
+    the union size is degree arithmetic (da + db − common, the
+    endpoints themselves excluded from both sides symmetrically);
+    one division per edge.  Complements graph_link_predict_ra (which
+    scores NON-adjacent pairs)."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).persist()
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("dg")
+    )
+    ea = e.select(F.col("src").alias("z"), F.col("dst").alias("id1"))
+    eb = e.select(F.col("src").alias("z2"), F.col("dst").alias("id2b"))
+    common = (
+        pairs.join(ea, "id1")
+        .join(eb, (F.col("z") == F.col("z2")) & (F.col("id2") == F.col("id2b")))
+        .filter((F.col("z") != F.col("id1")) & (F.col("z") != F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("node").alias("id1"), F.col("dg").alias("da"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("id2"), F.col("dg").alias("db"))),
+            "id2",
+        )
+        .join(common, ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            F.coalesce("cn", F.lit(0)).cast("long").alias("common_neighbors"),
+            (
+                F.coalesce("cn", F.lit(0)).cast("double")
+                / (F.col("da") + F.col("db") - F.coalesce("cn", F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("edge_jaccard"),
+        )
+        .orderBy(F.col("edge_jaccard").desc(), "id1", "id2")
+        .limit(50)
+    )
+
+
+@register(
+    "a_revenue_calendarized",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m0,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    s AS (
+      SELECT o.o_orderkey, k.k,
+             CAST(o.m0 + to_months(CAST(k.k AS INTEGER)) AS DATE) AS rec_month,
+             CASE WHEN k.k = 0
+                  THEN o.cents - 2 * (o.cents // 3)
+                  ELSE o.cents // 3 END AS rec_cents
+      FROM o CROSS JOIN unnest(range(0, 3)) k(k))
+    SELECT rec_month, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(rec_cents) AS BIGINT) AS DOUBLE) / 100.0
+             AS recognized_revenue
+    FROM s GROUP BY 1
+    """,
+)
+def a_revenue_calendarized(spark, sf_dir):
+    """Revenue calendarization (recognition spread): each order's
+    total recognizes over 3 months starting at its order month — a
+    3-row explode per order with EXACT integer cent allocation (month
+    0 takes the division remainder, so the three slices always sum to
+    the original cents: the accounting invariant).  One explode + one
+    month rollup; the calendar grid never joins the fact, the fact
+    expands onto the grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m0"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = o.select(
+        "o_orderkey",
+        F.posexplode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_p", "k"),
+        "m0",
+        "cents",
+    ).select(
+        "o_orderkey",
+        F.add_months("m0", F.col("k")).alias("rec_month"),
+        F.when(
+            F.col("k") == 0,
+            F.col("cents") - 2 * F.expr("cents div 3"),
+        )
+        .otherwise(F.expr("cents div 3"))
+        .alias("rec_cents"),
+    )
+    return s.groupBy("rec_month").agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        (
+            F.sum("rec_cents").cast("long").cast("double") / 100.0
+        ).alias("recognized_revenue"),
+    )
+
+
+@register(
+    "a_pareto_8020",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1),
+    c AS (SELECT o_custkey, rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                 row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+                 count(*) OVER () AS n,
+                 SUM(rev) OVER () AS tot
+          FROM r),
+    k AS (SELECT min(rn) AS top_k FROM c WHERE 10 * cum >= 8 * tot),
+    j AS (SELECT c.rn, c.n, c.tot, c.cum, CAST(k.top_k AS BIGINT) AS top_k
+          FROM c CROSS JOIN k)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers, top_k,
+           CAST(max(top_k) * 10000 AS DOUBLE) / CAST(max(n) AS DOUBLE)
+             AS share_of_customers_bp,
+           CAST(max(CASE WHEN rn = top_k THEN cum END) * 10000
+                AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS revenue_share_bp
+    FROM j
+    GROUP BY top_k
+    """,
+)
+def a_pareto_8020(spark, sf_dir):
+    """Pareto concentration report: the smallest customer prefix (by
+    descending revenue, custkey tiebreak) covering ≥ 80 % of total
+    revenue — 'do 20 % of customers drive 80 %?'.  The 80 % trigger
+    is an INTEGER comparison (10·cum ≥ 8·total — no float threshold),
+    k is a min over qualifying ranks, and the two shares are one
+    division each.  One revenue aggregate + one ranking over the
+    customer dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wsort = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    wall = Window.partitionBy()
+    c = (
+        r.withColumn(
+            "cum",
+            F.sum("rev").over(
+                wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wsort))
+        .withColumn("n", F.count("*").over(wall))
+        .withColumn("tot", F.sum("rev").over(wall))
+    )
+    k = c.filter(10 * F.col("cum") >= 8 * F.col("tot")).agg(
+        F.min("rn").alias("top_k")
+    )
+    j = c.crossJoin(F.broadcast(k)).select(
+        "rn", "n", "tot", "cum", F.col("top_k").cast("long").alias("top_k")
+    )
+    return (
+        j.groupBy("top_k")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            (
+                (F.max("top_k") * F.lit(10000)).cast("double")
+                / F.max("n").cast("double")
+            ).alias("share_of_customers_bp"),
+            (
+                (
+                    F.max(F.when(F.col("rn") == F.col("top_k"), F.col("cum")))
+                    * F.lit(10000)
+                ).cast("double")
+                / F.max("tot").cast("double")
+            ).alias("revenue_share_bp"),
+        )
+        .select(
+            "n_customers", "top_k", "share_of_customers_bp", "revenue_share_bp"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -13338,6 +13610,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "a_survival_hazard", "ml_decision_stump", "ml_knn_classify",
     "graph_ppr_seeds", "corpus_split_leakage", "a_ab_srm_check",
     "w_rolling_median", "a_winsorized_mean", "w_streak_longest",
+    "corpus_temperature_mix", "graph_edge_jaccard",
+    "a_revenue_calendarized", "a_pareto_8020",
 )
 
 

@@ -1003,3 +1003,50 @@ def test_streak_longest_identities(spark):
         assert r.n_streaks >= 1
         # streaks × min-length + slack ≥ total days
         assert r.longest_streak * r.n_streaks >= r.active_days / r.n_streaks
+
+
+# -- wave 15: temperature mix, edge jaccard, calendarization, pareto -------
+
+
+def test_temperature_mix_flattens_shares(spark):
+    rows = QUERIES["corpus_temperature_mix"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    total = docs.count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert sum(r.n_docs for r in rows) == total
+    # sqrt weighting compresses: small sources gain share, big lose
+    for r in rows:
+        raw = r.n_docs / total
+        if raw > 1 / len(rows):
+            assert r.share <= raw + 1e-9
+        assert 0 <= r.expected_count <= total
+
+
+def test_edge_jaccard_bounds(spark):
+    rows = QUERIES["graph_edge_jaccard"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    js = [r.edge_jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
+    for r in rows:
+        assert r.id1 < r.id2
+        assert 0 <= r.edge_jaccard <= 1 + 1e-9
+        assert r.common_neighbors >= 0
+
+
+def test_calendarized_conserves_cents(spark):
+    rows = QUERIES["a_revenue_calendarized"](spark, SF).collect()
+    o = load_table(spark, SF, "orders")
+    total_cents = o.select(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).collect()[0].c
+    recognized = round(sum(r.recognized_revenue for r in rows) * 100)
+    assert recognized == total_cents  # the accounting invariant
+    for r in rows:
+        assert r.n_orders >= 1
+
+
+def test_pareto_8020_thresholds(spark):
+    row = QUERIES["a_pareto_8020"](spark, SF).collect()[0]
+    assert 1 <= row.top_k <= row.n_customers
+    assert row.revenue_share_bp >= 8000.0 - 1e-6
+    assert 0 < row.share_of_customers_bp <= 10000.0
