@@ -1050,3 +1050,50 @@ def test_pareto_8020_thresholds(spark):
     assert 1 <= row.top_k <= row.n_customers
     assert row.revenue_share_bp >= 8000.0 - 1e-6
     assert 0 < row.share_of_customers_bp <= 10000.0
+
+
+# -- wave 16: stickiness, best-match join, skew/kurtosis -------------------
+
+
+def test_stickiness_bounds(spark):
+    row = QUERIES["a_cohort_stickiness"](spark, SF).collect()[0]
+    assert 1 <= row.min_dau <= row.max_dau <= row.mau
+    assert row.dau_sum <= row.n_days * row.mau
+    assert 0 < row.stickiness_bp <= 10000.0
+    assert abs(row.stickiness_bp - row.dau_sum * 10000 / (row.n_days * row.mau)) < 1e-9
+
+
+def test_best_match_unique_and_closest(spark):
+    rows = QUERIES["j21_best_match_join"](spark, SF).collect()
+    pairs = QUERIES["er_phonetic_pairs"](spark, SF).collect()
+    probes = {r.probe for r in rows}
+    # every token touched by a pair appears exactly once as a probe
+    toks = {t for p in pairs for t in (p.tok1, p.tok2)}
+    assert probes == toks
+    assert len(rows) == len(probes)
+    # the reported dist is the minimum among that probe's candidates
+    byprobe = {}
+    for p in pairs:
+        byprobe.setdefault(p.tok1, []).append(p.dist)
+        byprobe.setdefault(p.tok2, []).append(p.dist)
+    for r in rows:
+        assert r.dist == min(byprobe[r.probe])
+
+
+def test_skew_kurtosis_vs_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["a_skew_kurtosis"](spark, SF).collect()
+    ev = load_table(spark, SF, "events").collect()
+    byt = {}
+    for e in ev:
+        byt.setdefault(e.event_type, []).append(float(int(e.value)))
+    for r in rows:
+        x = np.array(byt[r.event_type])
+        m1 = x.mean()
+        c = x - m1
+        skew = (c**3).mean() / (c**2).mean() ** 1.5
+        kurt = (c**4).mean() / (c**2).mean() ** 2 - 3
+        assert abs(r.mean - m1) < 1e-9
+        assert abs(r.skewness - skew) < 1e-6
+        assert abs(r.kurtosis_excess - kurt) < 1e-6
