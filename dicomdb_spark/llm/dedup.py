@@ -823,6 +823,7 @@ def min_label_components(
         ).persist()
     hint = F.broadcast if broadcast_labels else (lambda df: df)
     labels = verts.select("doc_id", F.col("doc_id").alias("lbl"))
+    rounds = []
     for _ in range(iters):
         labels = (
             edges.join(hint(labels), edges["src"] == labels["doc_id"])
@@ -842,4 +843,14 @@ def min_label_components(
             # state; entries are LRU-evicted, and callers running
             # many queries per session clear the cache between them.
             labels = labels.persist()
+            rounds.append(labels)
+    if rounds:
+        # one materializing job fills every round's cache along the
+        # linear lineage; superseded rounds are then freed so repeated
+        # invocations keep at most ONE label table cached (the final
+        # one — downstream consumers read it repeatedly)
+        rounds[-1].count()
+        for old in rounds[:-1]:
+            old.unpersist()
+        edges.unpersist()
     return labels.select("doc_id", F.col("lbl").alias("component"))

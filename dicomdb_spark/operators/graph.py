@@ -74,6 +74,7 @@ def pagerank(
     if persist_edges:
         edges = edges.persist()
         nodes = nodes.persist()
+    rounds: list[DataFrame] = []
     n = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
@@ -111,6 +112,18 @@ def pagerank(
             # linear-lineage fix as min_label_components (O(iters²) →
             # O(iters) jobs; rank state is 16 B/node)
             r = r.persist()
+            rounds.append(r)
+    if rounds:
+        # materialize the final round once (populating every round's
+        # cache along the linear lineage in a single job), then free
+        # the superseded rounds and the helper tables — without this,
+        # each invocation leaks iters-1 cached rank tables and storage
+        # memory grows across a session (bench runs each query 3×)
+        rounds[-1].count()
+        for old in rounds[:-1]:
+            old.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
     return r
 
 
@@ -190,6 +203,7 @@ def personalized_pagerank(
     ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     if persist_edges:
         flagged = flagged.persist()
+    rounds: list[DataFrame] = []
     r = flagged.crossJoin(F.broadcast(ns)).select(
         "node",
         F.when(
@@ -226,6 +240,18 @@ def personalized_pagerank(
             )
             .persist()
         )
+        rounds.append(r)
+    if rounds:
+        # single materializing job, then drop superseded rank rounds
+        # and helper caches — bounds storage at 1 rank table per
+        # invocation instead of iters (see pagerank for rationale)
+        rounds[-1].count()
+        for old in rounds[:-1]:
+            old.unpersist()
+        if persist_edges:
+            edges.unpersist()
+            nodes.unpersist()
+            flagged.unpersist()
     return r
 
 

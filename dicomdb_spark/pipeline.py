@@ -88,14 +88,20 @@ def build_exam_frame(serie: DataFrame) -> DataFrame:
     """Stage 3b: exams = series sessionized by (EUID, AcquisitionDate)
     (W3, Exam_info.py:1380-1459), with the W1 duration metric:
     ceil((last.start − first.start + last.duration) / 60) minutes,
-    midnight-rollover guarded (Exam_info.py:197-232)."""
+    midnight-rollover guarded (Exam_info.py:197-232).
+
+    First/last picks order by the FULL stack key (SeriesNumber,
+    SeriesInstanceUID, EchoTime) — unique per serie row — so ties on
+    SeriesNumber alone (two series sharing a number inside one exam)
+    cannot make the picks nondeterministic."""
+    ordk = F.struct("SeriesNumber", "SeriesInstanceUID", "EchoTime")
     g = serie.groupBy("EUID", "AcquisitionDate").agg(
         F.count("*").alias("n_series"),
-        F.min_by("first_acq_seconds", "SeriesNumber").alias("first_start"),
-        F.max_by("first_acq_seconds", "SeriesNumber").alias("last_start"),
-        F.max_by("duration_s", "SeriesNumber").alias("last_duration"),
-        F.min_by("SeriesInstanceUID", "SeriesNumber").alias("FirstSerieName"),
-        F.max_by("SeriesInstanceUID", "SeriesNumber").alias("LastSerieName"),
+        F.min_by("first_acq_seconds", ordk).alias("first_start"),
+        F.max_by("first_acq_seconds", ordk).alias("last_start"),
+        F.max_by("duration_s", ordk).alias("last_duration"),
+        F.min_by("SeriesInstanceUID", ordk).alias("FirstSerieName"),
+        F.max_by("SeriesInstanceUID", ordk).alias("LastSerieName"),
     )
     dur = duration_with_rollover(
         F.col("first_start").cast("long"), F.col("last_start").cast("long")

@@ -1384,7 +1384,10 @@ def dedup_components(spark, sf_dir):
         bands=4,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
-    comp = ldedup.min_label_components(pairs.persist(), iters=3, broadcast_labels=True)
+    # scale-mode default: labels shuffle-join on doc_id — a per-vertex
+    # broadcast is a scale-killer on a web-sized graph (broadcast stays
+    # an opt-in hint in min_label_components for provably small graphs)
+    comp = ldedup.min_label_components(pairs.persist(), iters=3)
     return comp.groupBy("component").agg(
         F.count("*").alias("n_members"), F.min("doc_id").alias("keeper_id")
     )
@@ -6811,7 +6814,10 @@ def corpus_dedup_pipeline(spark, sf_dir):
         bands=4,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
-    comp = ldedup.min_label_components(pairs.persist(), iters=3, broadcast_labels=True)
+    # scale-mode default: labels shuffle-join on doc_id — a per-vertex
+    # broadcast is a scale-killer on a web-sized graph (broadcast stays
+    # an opt-in hint in min_label_components for provably small graphs)
+    comp = ldedup.min_label_components(pairs.persist(), iters=3)
     dropped = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return docs2.join(dropped, "doc_id", "left_anti").select("doc_id")
 
@@ -8085,9 +8091,7 @@ def corpus_semantic_dedup_pipeline(spark, sf_dir):
         .filter(F.col("cos") >= 0.99)
         .select("id1", "id2")
     )
-    comp = ldedup.min_label_components(
-        pairs.persist(), iters=3, broadcast_labels=True
-    )
+    comp = ldedup.min_label_components(pairs.persist(), iters=3)
     dropped = comp.filter(F.col("component") != F.col("doc_id")).select(
         F.col("doc_id").alias("vec_id")
     )
@@ -9064,6 +9068,7 @@ def graph_bfs_hops(spark, sf_dir):
         .filter(F.col("node") % 7 == 0)
         .withColumn("hop", F.lit(0))
     )
+    rounds = []
     for _ in range(4):
         msg = dist.join(e, dist.node == e.src).select(
             F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
@@ -9071,6 +9076,14 @@ def graph_bfs_hops(spark, sf_dir):
         dist = (
             dist.unionAll(msg).groupBy("node").agg(F.min("hop").alias("hop")).persist()
         )
+        rounds.append(dist)
+    # one materializing job fills every round's cache along the linear
+    # lineage; then the superseded rounds and the edge cache are freed
+    # so repeated invocations don't accumulate storage memory
+    rounds[-1].count()
+    for old in rounds[:-1]:
+        old.unpersist()
+    e.unpersist()
     return dist.select(
         F.col("node").alias("doc_id"), F.col("hop").cast("long").alias("hop")
     )
@@ -10212,6 +10225,7 @@ def er_transitive_merge(spark, sf_dir):
     lbl = e.select(F.col("src").alias("tok")).distinct().withColumn(
         "lbl", F.col("tok")
     )
+    rounds = []
     for _ in range(3):
         msg = (
             e.join(lbl.withColumnRenamed("tok", "src"), "src")
@@ -10225,6 +10239,14 @@ def er_transitive_merge(spark, sf_dir):
             )
             .persist()
         )
+        rounds.append(lbl)
+    # materialize once, then free superseded rounds + helper caches
+    # (bounded storage per invocation — see graph.pagerank)
+    rounds[-1].count()
+    for old in rounds[:-1]:
+        old.unpersist()
+    pairs.unpersist()
+    e.unpersist()
     return lbl.groupBy(F.col("lbl").alias("canonical")).agg(
         F.count("*").cast("long").alias("n_variants"),
         F.array_join(F.sort_array(F.collect_list("tok")), ",").alias("variants"),
@@ -10409,6 +10431,7 @@ def emb_top_pc_power(spark, sf_dir):
         .persist()
     )
     v = d.select("dim").distinct().withColumn("vv", F.lit(1.0))
+    rounds = []
     for _ in range(4):
         s = (
             d.join(F.broadcast(v), "dim")
@@ -10439,6 +10462,13 @@ def emb_top_pc_power(spark, sf_dir):
             )
             .persist()
         )
+        rounds.append(v)
+    # one materializing job, then free superseded direction vectors +
+    # the exploded matrix cache (bounded storage per invocation)
+    rounds[-1].count()
+    for old in rounds[:-1]:
+        old.unpersist()
+    d.unpersist()
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("vv").alias("loading"))
 
 
@@ -10866,7 +10896,9 @@ def graph_modularity(spark, sf_dir):
         bands=4,
         min_parallelism=spark.sparkContext.defaultParallelism,
     ).persist()
-    lab = ldedup.min_label_components(pairs, iters=3, broadcast_labels=True).select(
+    # min_label_components eagerly caches its final label state, so the
+    # three consumers below each read a cheap select over that cache
+    lab = ldedup.min_label_components(pairs, iters=3).select(
         "doc_id", F.col("component").alias("lbl")
     )
     e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
@@ -10875,9 +10907,13 @@ def graph_modularity(spark, sf_dir):
     mm = pairs.agg(F.count("*").cast("long").alias("m"))
     la = lab.select(F.col("doc_id").alias("id1"), F.col("lbl").alias("c1"))
     lb = lab.select(F.col("doc_id").alias("id2"), F.col("lbl").alias("c2"))
+    # label joins are SHUFFLE equi-joins on the vertex key: the label
+    # table is per-vertex-sized, so broadcasting it caps the operator
+    # at driver/executor memory on a 100×-vertex graph; at sf0.1 the
+    # persisted label cache makes the three consumers equally cheap
     intra = (
-        pairs.join(F.broadcast(la), "id1")
-        .join(F.broadcast(lb), "id2")
+        pairs.join(la, "id1")
+        .join(lb, "id2")
         .filter(F.col("c1") == F.col("c2"))
         .groupBy(F.col("c1").alias("c"))
         .agg(F.count("*").cast("long").alias("lc"))
@@ -10886,7 +10922,7 @@ def graph_modularity(spark, sf_dir):
         F.count("*").cast("long").alias("dg")
     )
     dc = (
-        deg.join(F.broadcast(lab), "doc_id")
+        deg.join(lab, "doc_id")
         .groupBy(F.col("lbl").alias("c"))
         .agg(F.sum("dg").cast("long").alias("dcs"))
     )
@@ -11002,9 +11038,12 @@ def sketch_cms_error_audit(spark, sf_dir):
             .cast("long")
             .alias("n_exact"),
             F.max("over").cast("long").alias("max_over"),
-            # ceil(e/w · N) with e≈2.718282, w=256: exact integer arithmetic
+            # ceil(e/w · N) with e≈2.718282, w=256: exact integer
+            # arithmetic via (a + b - 1) div b (a > 0) — Spark `div`
+            # and DuckDB `//` both truncate toward zero, so the
+            # negate-divide-negate idiom would compute FLOOR, not ceil
             F.expr(
-                "CAST(-((-2718282 * CAST(max(n_stream) AS BIGINT)) div 256000000) AS BIGINT)"
+                "CAST((2718282 * CAST(max(n_stream) AS BIGINT) + 255999999) div 256000000 AS BIGINT)"
             ).alias("eps_n_bound"),
         )
     )
@@ -11120,7 +11159,7 @@ def _cms_audit_oracle(depth: int = 4, width_chars: int = 2) -> str:
            CAST(SUM(CASE WHEN est_c = true_c THEN 1 ELSE 0 END) AS BIGINT)
              AS n_exact,
            CAST(max(est_c - true_c) AS BIGINT) AS max_over,
-           CAST(-((-2718282 * max(ns.n_stream)) // 256000000) AS BIGINT)
+           CAST((2718282 * max(ns.n_stream) + 255999999) // 256000000 AS BIGINT)
              AS eps_n_bound
     FROM est CROSS JOIN ns
     """
@@ -13723,7 +13762,31 @@ R2_DRIVER_PROVEN: tuple[str, ...] = (
     # multimodal_features likewise upgraded in round 4
 )
 
-DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN
+# Round-3 driver rows (CORRECTNESS_r03.json): 50/50 hash-green — the
+# entire round-3 window converted.
+R3_DRIVER_PROVEN: tuple[str, ...] = (
+    "ann_ivf_pq_topk", "corpus_bpe_train", "corpus_dedup_pipeline",
+    "sketch_hll_merge", "sketch_kmv_set_ops", "ann_mips_topk",
+    "text_gopher_rules", "corpus_mv_incremental", "cdc_last_writer_state",
+    "w_ema_halflife", "w_rolling_range_sum", "a_mad_outliers",
+    "j14_interval_overlap", "sketch_cms_merge", "dedup_band_tuning",
+    "sketch_join_size", "w_markov_transitions", "graph_triangles",
+    "er_phonetic_pairs", "a_benford_audit", "sql_dialect_portable",
+    "corpus_semantic_dedup_pipeline", "w_time_weighted_avg",
+    "w_concurrency_peak", "graph_kcore", "a_constraint_audit",
+    "text_inverted_index", "emb_int8_quantize", "j16_asof_forward",
+    "a_ab_test_zscore", "emb_top_pc_power", "w_cusum_drift",
+    "graph_bfs_hops", "ann_recall_eval", "emb_random_projection_jl",
+    "graph_modularity", "a_abtest_cuped", "corpus_span_corruption",
+    "w_window_funnel", "er_transitive_merge", "dedup_lsh_recall_eval",
+    "a_corr_matrix", "w_autocorrelation", "w_weighted_median",
+    "a_market_basket", "j17_nearest_event", "graph_link_predict_ra",
+    "w_max_drawdown", "sketch_hll_rolling", "dedup_snapshot_delta",
+)
+
+DRIVER_PROVEN: tuple[str, ...] = (
+    R1_DRIVER_PROVEN + R2_DRIVER_PROVEN + R3_DRIVER_PROVEN
+)
 
 
 # Unproven entries that should claim driver-window slots FIRST: the
@@ -13737,41 +13800,48 @@ DRIVER_PROVEN: tuple[str, ...] = R1_DRIVER_PROVEN + R2_DRIVER_PROVEN
 # already carries SELFCHECK evidence; the window converts the best of
 # them into hard driver rows.
 UNPROVEN_PRIORITY: tuple[str, ...] = (
-    # -- window head: round-5/6/7 flagships (≈48 entries) --
-    "ann_ivf_pq_topk", "corpus_bpe_train", "corpus_dedup_pipeline",
-    "sketch_hll_merge", "sketch_kmv_set_ops", "ann_mips_topk",
-    "text_gopher_rules", "corpus_mv_incremental",
-    "cdc_last_writer_state", "w_ema_halflife", "w_rolling_range_sum",
-    "a_mad_outliers", "j14_interval_overlap", "sketch_cms_merge",
-    "dedup_band_tuning", "sketch_join_size", "w_markov_transitions",
-    "graph_triangles", "er_phonetic_pairs", "a_benford_audit",
-    "sql_dialect_portable", "corpus_semantic_dedup_pipeline",
-    "w_time_weighted_avg", "w_concurrency_peak", "graph_kcore",
-    "a_constraint_audit", "text_inverted_index", "emb_int8_quantize",
-    "j16_asof_forward", "a_ab_test_zscore",
-    "emb_top_pc_power", "w_cusum_drift", "graph_bfs_hops",
-    "ann_recall_eval", "emb_random_projection_jl", "graph_modularity",
-    "a_abtest_cuped", "corpus_span_corruption", "w_window_funnel",
-    "er_transitive_merge", "dedup_lsh_recall_eval", "a_corr_matrix",
-    "w_autocorrelation", "w_weighted_median", "a_market_basket",
-    "j17_nearest_event", "graph_link_predict_ra", "w_max_drawdown",
-    # -- backlog: remaining round-5/6 --
-    "sketch_hll_rolling", "dedup_snapshot_delta", "w_gap_islands",
-    "a_mode_per_group", "o5_keyset_pagination", "w_attribution_linear",
-    "text_ccnet_buckets", "corpus_shuffle_batches",
-    "ann_lsh_multiprobe_topk", "a_key_skew_profile",
-    "layout_compaction_bins", "w_ohlc_bars", "graph_cooccurrence",
-    "a_profile_columns", "text_ngram_topk", "corpus_split_hash",
-    "emb_dim_stats", "w_session_paths", "corpus_quality_funnel",
-    # -- backlog: remaining round-7 --
-    "a_decile_lift", "text_tfidf_topterms", "a_kanonymity_risk",
-    "text_boilerplate_ngrams", "w_seasonal_dow_index",
-    "o6_hypothetical_rank", "w_ratio_to_report", "w_funnel_ttc",
+    # -- window head (round 4, ≈50 entries): lead with the 6 rows whose
+    # only driver evidence is r2's rows-only/red (oracles upgraded to
+    # spec oracles in r3; judge-verified green, need a hard driver row),
+    # then this round's new composed pipelines, then the most novel
+    # unproven algorithmic surface --
+    "corpus_pack", "s3_header_parse", "u3_stack_assembly",
+    "multimodal_decode", "multimodal_features", "multimodal_ann",
+    "e1_import_pipeline",
+    "dedup_dup_spans", "dedup_edit_distance", "dedup_ngram_containment",
+    "dedup_url_domain", "ann_pq_topk", "corpus_dsir_sample",
+    "text_bigram_lm_score", "graph_pagerank", "w_anomaly_zscore",
+    "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_count_min",
+    "sketch_bloom_join", "sketch_hist_quantiles", "text_bm25_topk",
+    "j12_range_join", "j13_skew_salted_join", "scd_point_in_time",
+    "w_funnel_conversion", "a_cohort_retention", "w_rank_family",
+    "w_forward_fill", "a_string_agg", "a_grouping_sets",
+    "a_cube_counts", "a_unpivot", "dedup_prefix_jaccard",
+    "dedup_prefix_containment", "corpus_weighted_sample",
+    "a_salted_hot_agg", "w_retention_cohorts", "layout_zorder_key",
+    "w_session_paths", "corpus_quality_funnel", "a_decile_lift",
+    "a_kanonymity_risk", "w_seasonal_dow_index", "o6_hypothetical_rank",
+    "w_ratio_to_report", "w_funnel_ttc", "text_simpson_diversity",
+    "dedup_cross_source_matrix", "text_vocab_coverage",
+    # -- backlog: TPC-H shapes (well-trodden plans; SELFCHECK-green) --
+    "tpch_q2_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
+    "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
+    "tpch_q17_shape", "tpch_q18_shape", "tpch_q19_shape",
+    "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
+    # -- backlog: remaining round-5/6/7 --
+    "w_gap_islands", "a_mode_per_group", "o5_keyset_pagination",
+    "w_attribution_linear", "text_ccnet_buckets",
+    "corpus_shuffle_batches", "ann_lsh_multiprobe_topk",
+    "a_key_skew_profile", "layout_compaction_bins", "w_ohlc_bars",
+    "graph_cooccurrence", "a_profile_columns", "text_ngram_topk",
+    "corpus_split_hash", "emb_dim_stats",
+    "text_tfidf_topterms", "text_boilerplate_ngrams",
     "emb_covariance_topk", "corpus_length_batching",
     "w_interval_union", "dedup_prefix_hash", "a_sla_percentiles",
     "a_gini_skew", "sketch_cms_error_audit", "corpus_mix_rebalance",
-    "text_simpson_diversity", "dedup_cross_source_matrix",
-    "text_vocab_coverage", "scd_bitemporal_asof", "w_hopping_windows",
+    "scd_bitemporal_asof", "w_hopping_windows",
     "er_blocking_recall", "corpus_dataset_card",
     "a_mannwhitney_u", "graph_assortativity",
     "a_ks_test", "a_permutation_test",

@@ -283,9 +283,13 @@ def stateful_zscore(
             return
         tail: list[int] = list(state.get[0]) if state.exists else []
         ids, zs, flags = [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # a group's micro-batch rows may arrive SPLIT across several
+        # pandas chunks in arbitrary order — sorting each chunk alone
+        # would fold events out of (ts, id) order and the rolling
+        # window is order-sensitive.  Concat everything, sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([ts_col, id_col])
             for _, row in pdf.iterrows():
                 vi = math.floor(row[value_col] * 10000)
@@ -362,9 +366,14 @@ def stateful_cusum(
             return
         s = state.get[0] if state.exists else 0
         ids, cs, al = [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # CUSUM's max(0, S+d) recursion is order-sensitive and a
+        # group's rows can arrive split across chunks in arbitrary
+        # order — concat all chunks and sort ONCE by (ts, id) so the
+        # fold order matches the batch closed form regardless of how
+        # the engine chunked the micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([ts_col, id_col])
             for _, row in pdf.iterrows():
                 d = math.floor(row[value_col] * 10000) - ref_scaled
