@@ -239,6 +239,8 @@ def main() -> None:
         "sketch_cms_error_audit",
         "corpus_mix_rebalance",
         "text_boilerplate_ngrams",
+        # round-4 operators
+        "e1_import_pipeline",
     ):
         if name in QUERIES:
             try:

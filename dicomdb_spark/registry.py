@@ -29,6 +29,16 @@ from dicomdb_spark.llm import similarity as lsim
 from dicomdb_spark.operators import aggregates as agg
 from dicomdb_spark.operators import joins as oj
 from dicomdb_spark.operators import windows as ow
+from dicomdb_spark.session import local_fanout
+
+
+def _fanout(spark):
+    """Composable form of the session-level local_fanout policy: a
+    DataFrame.transform that repartitions for local small-file fan-out
+    and is the identity on a cluster master."""
+    n = local_fanout(spark)
+    return lambda df: df.repartition(n) if n else df
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1296,7 +1306,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -1323,7 +1333,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (inverted-index join — never O(n²))."""
     return ldedup.ngram_jaccard_pairs(
         _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -1364,7 +1374,7 @@ def dedup_prefix_jaccard(spark, sf_dir):
         n=3,
         threshold_num=1,
         threshold_den=2,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -1382,7 +1392,7 @@ def dedup_components(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
     # scale-mode default: labels shuffle-join on doc_id — a per-vertex
     # broadcast is a scale-killer on a web-sized graph (broadcast stays
@@ -1464,7 +1474,7 @@ def dedup_simhash_near(spark, sf_dir):
     docs = _docs_with_dupes(spark, sf_dir).filter(text.token_count("text") > 0)
     return ldedup.simhash_near_pairs(
         docs, "doc_id", "text", bits=16, k=2,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -1984,7 +1994,7 @@ def corpus_clean(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus = (
         docs.filter(F.col("doc_id") % 97 != 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(_fanout(spark))
         .persist()  # four consumers (quality, dup keeper, contamination
         # grams, verdict join-back) — without the persist each re-runs
         # the scan+repartition lineage
@@ -2468,7 +2478,7 @@ def s3_header_parse(spark, sf_dir):
     orders = orders.filter(F.col("id") % 6 == 0)
     # the id column is tiny — repartition it so Part-10 generation and
     # parsing fan out to every core (single-row-group local input)
-    orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    orders = orders.transform(_fanout(spark))
     parsed = parse_headers(synthetic_part10_from_ids(orders))
     return parsed.select(
         "path",
@@ -3049,7 +3059,7 @@ def dedup_semantic_kmeans(spark, sf_dir):
     # worker reuse amortizes — pass full width there.
     return semantic_dedup_pairs(
         _emb_with_dupes(spark, sf_dir), "vec_id", "v", k=8, iters=2, threshold=0.99,
-        min_parallelism=max(4, spark.sparkContext.defaultParallelism // 4),
+        min_parallelism=local_fanout(spark, divisor=4),
     )
 
 
@@ -3731,7 +3741,7 @@ def dedup_ngram_containment(spark, sf_dir):
     inverted-index join shape as dedup_ngram_jaccard."""
     return ldedup.ngram_containment_pairs(
         _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.9,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -4370,7 +4380,7 @@ def dedup_dup_spans(spark, sf_dir):
         "doc_id",
         "text",
         n=_DUPSPAN_N,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -4605,7 +4615,7 @@ def corpus_dsir_sample(spark, sf_dir):
         "text",
         "doc_id",
         64,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -4946,13 +4956,13 @@ def sketch_bloom_join(spark, sf_dir):
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(_fanout(spark))
     )
     bits = sketches.bloom_bits(urgent, "o_custkey", m_bits=4096, k_hashes=3)
     cust = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_mktsegment")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(_fanout(spark))
     )
     probed = sketches.bloom_probe(cust, bits, "c_custkey", m_bits=4096, k_hashes=3)
     truth = urgent.distinct().select(
@@ -6812,7 +6822,7 @@ def corpus_dedup_pipeline(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
     # scale-mode default: labels shuffle-join on doc_id — a per-vertex
     # broadcast is a scale-killer on a web-sized graph (broadcast stays
@@ -7659,7 +7669,7 @@ def dedup_band_tuning(spark, sf_dir):
         "doc_id",
         "text",
         num_hashes=16,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     out = None
     for bands in (2, 4, 8):
@@ -7848,7 +7858,7 @@ def graph_triangles(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     deg = (
         pairs.select(F.col("id1").alias("doc_id"))
@@ -8122,7 +8132,7 @@ def dedup_prefix_containment(spark, sf_dir):
     return ldedup.prefix_filter_containment_pairs(
         _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3,
         threshold_num=9, threshold_den=10,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
 
 
@@ -8333,7 +8343,7 @@ def graph_kcore(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
     e = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
@@ -9055,7 +9065,7 @@ def graph_bfs_hops(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
     e = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
@@ -9136,7 +9146,7 @@ def graph_link_predict_ra(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     obs = pairs.filter((F.col("id1") + F.col("id2")) % 3 != 0)
     e = obs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
@@ -9814,7 +9824,7 @@ def dedup_lsh_recall_eval(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     truth = (
         docs.filter(F.col("doc_id") % 5 == 0)
@@ -9904,7 +9914,7 @@ def text_boilerplate_ngrams(spark, sf_dir):
     those."""
     docs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(_fanout(spark))
         .select(
             "doc_id",
             "source",
@@ -10894,7 +10904,7 @@ def graph_modularity(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     # min_label_components eagerly caches its final label state, so the
     # three consumers below each read a cheap select over that cache
@@ -11340,7 +11350,7 @@ def dedup_cross_source_matrix(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
     src = (
         docs.select("doc_id", "source")
@@ -12257,7 +12267,7 @@ def graph_assortativity(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
@@ -12931,7 +12941,7 @@ def corpus_split_leakage(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     )
     docs = load_table(spark, sf_dir, "documents")
     ids = (
@@ -13354,7 +13364,7 @@ def graph_edge_jaccard(spark, sf_dir):
         "text",
         num_hashes=16,
         bands=4,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+        min_parallelism=local_fanout(spark),
     ).persist()
     e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
@@ -13702,6 +13712,159 @@ def a_skew_kurtosis(spark, sf_dir):
         m1.alias("mean"),
         skew.alias("skewness"),
         kurt.alias("kurtosis_excess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — the E1 import pipeline, end-to-end as ONE query
+# ---------------------------------------------------------------------------
+
+from dicomdb_spark.functions.sketches import sql_hex_int as _e1_hex
+
+_E1_HEX3_EUID = _e1_hex("md5(euid)", 8)
+
+_E1_ORACLE = f"""
+    WITH ids AS (SELECT o_orderkey AS i FROM orders
+                 WHERE o_orderkey % 6 = 0 AND o_orderkey % 13 <> 0),
+    h AS (SELECT i,
+            '1.2.826.0.1.' || CAST(i % 500 AS VARCHAR) AS sid,
+            CAST(i % 40 + 1 AS INTEGER) AS snum,
+            (i % 50) / 10.0 AS echo,
+            '1.2.826.0.' || CAST(i % 50 AS VARCHAR) AS euid,
+            '20240101' AS adate,
+            CAST(i % 300 + 1 AS INTEGER) AS inst,
+            '/synthetic/' || CAST(i AS VARCHAR) || '.dic' AS path,
+            CAST((i % 24) * 3600 + (i % 60) * 60 AS DOUBLE) AS secs
+          FROM ids),
+    r AS (SELECT *, row_number() OVER (PARTITION BY sid, snum, echo
+                                       ORDER BY inst, path) AS rn
+          FROM h),
+    dd AS (SELECT sid, snum, echo,
+             max(CASE WHEN rn = 1 THEN secs END) AS s1,
+             max(CASE WHEN rn = 2 THEN secs END) AS s2
+           FROM r GROUP BY 1, 2, 3),
+    serie AS (SELECT h.sid, h.snum, h.echo,
+             min(h.euid) AS euid, min(h.adate) AS adate,
+             min(h.secs) AS first_acq,
+             min(CASE WHEN dd.s2 IS NOT NULL THEN
+                   CASE WHEN dd.s2 - dd.s1 < 0 THEN dd.s2 - dd.s1 + 86400
+                        ELSE dd.s2 - dd.s1 END END) AS duration_s
+           FROM h JOIN dd ON h.sid = dd.sid AND h.snum = dd.snum
+                          AND h.echo = dd.echo
+           GROUP BY 1, 2, 3),
+    sr AS (SELECT *,
+             row_number() OVER (PARTITION BY euid, adate
+                                ORDER BY snum, sid, echo) AS ra,
+             row_number() OVER (PARTITION BY euid, adate
+                                ORDER BY snum DESC, sid DESC, echo DESC) AS rd
+           FROM serie),
+    ex AS (SELECT euid, adate,
+             CAST(count(*) AS BIGINT) AS n_series,
+             max(CASE WHEN ra = 1 THEN first_acq END) AS first_start,
+             max(CASE WHEN rd = 1 THEN first_acq END) AS last_start,
+             max(CASE WHEN rd = 1 THEN duration_s END) AS last_duration,
+             max(CASE WHEN ra = 1 THEN sid END) AS first_serie,
+             max(CASE WHEN rd = 1 THEN sid END) AS last_serie
+           FROM sr GROUP BY 1, 2),
+    exd AS (SELECT *,
+             CAST(ceil(((CASE WHEN CAST(last_start AS BIGINT)
+                                   - CAST(first_start AS BIGINT) < 0
+                         THEN CAST(last_start AS BIGINT)
+                              - CAST(first_start AS BIGINT) + 86400
+                         ELSE CAST(last_start AS BIGINT)
+                              - CAST(first_start AS BIGINT) END)
+                       + coalesce(CAST(last_duration AS BIGINT), 0)) / 60.0)
+                  AS BIGINT) AS exam_minutes
+            FROM ex),
+    old AS (SELECT euid, adate, n_series, first_start, first_serie,
+              CASE WHEN hh = 1 THEN exam_minutes + 1
+                   ELSE exam_minutes END AS exam_minutes
+            FROM (SELECT *, {_E1_HEX3_EUID} % 3 AS hh FROM exd)
+            WHERE hh <> 0)
+    SELECT n.euid AS EUID, n.adate AS AcquisitionDate,
+           n.n_series, n.exam_minutes AS ExamDuration,
+           n.first_serie AS FirstSerieName,
+           CASE WHEN o.euid IS NULL THEN 'insert'
+                WHEN n.n_series IS DISTINCT FROM o.n_series
+                  OR n.exam_minutes IS DISTINCT FROM o.exam_minutes
+                  OR n.first_serie IS DISTINCT FROM o.first_serie
+                  OR round(n.first_start * 100000)
+                     IS DISTINCT FROM round(o.first_start * 100000)
+                THEN 'update' ELSE 'noop' END AS action
+    FROM exd n LEFT JOIN old o ON n.euid = o.euid AND n.adate = o.adate
+    """
+
+
+@register("e1_import_pipeline", _E1_ORACLE)
+def e1_import_pipeline(spark, sf_dir):
+    """E1 — the reference's main entry point (do_dicom_series_DB.py,
+    SURVEY §3 E1) END-TO-END as one composed query: synthetic Part-10
+    byte streams (S3 fixture generator) → byte-level header parse (U1,
+    mapInPandas) → per-stack serie assembly (U3, applyInPandas) →
+    exam sessionization + rollover duration (W3/W1/F4) → MERGE
+    classification against the previous DB snapshot (S7/P3/P4).
+
+    The 'existing DB' snapshot is a deterministic perturbation of the
+    computed exams (md5(EUID)%3: 0 → absent ⇒ insert, 1 → duration
+    drifted ⇒ update, 2 → identical ⇒ noop) so all three MERGE classes
+    are non-vacuous.  The oracle is the full pipeline SPEC: every
+    synthetic header field is a pure function of the id, so SQL can
+    restate parse → stack → exam → classify and the engine's
+    Arrow/pandas path must reproduce it bit-for-bit.
+
+    Scale shape: parse and serie assembly shuffle once on the stack
+    key, exams once on (EUID, day), classification is one equi-join
+    against the snapshot — no driver loops, no collects."""
+    from dicomdb_spark import pipeline as P
+    from dicomdb_spark.sources.dicom import parse_headers, synthetic_part10_from_ids
+
+    ids = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 6 == 0)
+        .transform(_fanout(spark))
+    )
+    headers = parse_headers(synthetic_part10_from_ids(ids)).filter(
+        F.col("SeriesInstanceUID").isNotNull()
+    )
+    serie = P.build_serie_frame(headers)
+    # exams feed BOTH merge sides — persist before the fan-out
+    exams = P.build_exam_frame(serie).persist()
+    h3 = (
+        F.conv(F.substring(F.md5(F.col("EUID")), 1, 8), 16, 10).cast("long") % 3
+    )
+    existing = (
+        exams.withColumn("__h", h3)
+        .filter(F.col("__h") != 0)
+        .withColumn(
+            "ExamDuration",
+            F.when(F.col("__h") == 1, F.col("ExamDuration") + 1).otherwise(
+                F.col("ExamDuration")
+            ),
+        )
+        .drop("__h")
+    )
+    classified = P.classify_against_db(
+        exams,
+        existing,
+        keys=["EUID", "AcquisitionDate"],
+        compare_cols=[
+            "n_series",
+            "ExamDuration",
+            "FirstSerieName",
+            "LastSerieName",
+            "first_start",
+        ],
+        float_cols=["first_start"],
+        exclude_cols=["LastSerieName"],  # the Cenir_DB.py:97 exclude list
+    )
+    return classified.select(
+        "EUID",
+        "AcquisitionDate",
+        F.col("n_series").cast("long").alias("n_series"),
+        F.col("ExamDuration").cast("long").alias("ExamDuration"),
+        "FirstSerieName",
+        "action",
     )
 
 

@@ -70,3 +70,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_fanout(spark: SparkSession, divisor: int = 1, floor: int = 4) -> int | None:
+    """Session-level policy for the local-small-file repartition knob.
+
+    The CPU-dense map stages (minhash, corpus cleaning, BPE, edit
+    distance, Part-10 parsing) take a ``min_parallelism`` opt-in that
+    repartitions raw text before the map — necessary on ``local[N]``
+    where the sf0.1 parquet is ONE unsplittable row group, but pure
+    shuffle cost on a real cluster whose scans already split into
+    thousands of tasks.  Call sites route through this ONE policy
+    instead of passing ``defaultParallelism`` ad hoc, so the knob can
+    never ship to a cluster: returns ``defaultParallelism // divisor``
+    (min ``floor``) under a ``local[...]`` master, ``None`` (= no
+    repartition) otherwise.  ``SPARK_GRAFT_FORCE_FANOUT=0/1``
+    overrides both directions for experiments.
+    """
+    force = os.environ.get("SPARK_GRAFT_FORCE_FANOUT")
+    if force == "0":
+        return None
+    is_local = spark.sparkContext.master.startswith("local")
+    if not is_local and force != "1":
+        return None
+    return max(floor, spark.sparkContext.defaultParallelism // divisor)

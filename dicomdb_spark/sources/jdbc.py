@@ -30,7 +30,7 @@ def append_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = N
     df.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v, dialect: str = "mysql") -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -42,38 +42,70 @@ def _sql_literal(v) -> str:
         return repr(v) if math.isfinite(v) else "NULL"
     if isinstance(v, int):
         return repr(v)
-    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    if dialect == "mysql":
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    else:  # standard SQL: quote-doubling, backslash not special
+        s = str(v).replace("'", "''")
     return f"'{s}'"
 
 
-def _sql_ident(name: str) -> str:
-    """Backtick-quote a MySQL identifier (table/column name)."""
-    return "`" + str(name).replace("`", "``") + "`"
+def _sql_ident(name: str, dialect: str = "mysql") -> str:
+    """Quote an identifier: backticks (MySQL) or double quotes (ANSI)."""
+    if dialect == "mysql":
+        return "`" + str(name).replace("`", "``") + "`"
+    return '"' + str(name).replace('"', '""') + '"'
 
 
-def render_upsert_sql(table: str, row: Row | dict, key_cols: Iterable[str]) -> str:
-    """S7 — one ``INSERT ... ON DUPLICATE KEY UPDATE`` statement.
+def render_upsert_sql(
+    table: str,
+    row: Row | dict,
+    key_cols: Iterable[str],
+    dialect: str = "mysql",
+) -> str:
+    """S7 — one upsert statement.
 
-    The non-key columns mirror the reference's update builder
-    (Cenir_DB.py:994-1024); pure function so it is testable without a
-    database.
+    ``dialect="mysql"`` (default): ``INSERT ... ON DUPLICATE KEY
+    UPDATE`` exactly as the reference's update builder emitted it
+    (Cenir_DB.py:994-1024).  ``dialect="ansi"`` (DuckDB/Postgres):
+    ``INSERT ... ON CONFLICT (keys) DO UPDATE SET c = excluded.c`` —
+    same classification semantics, lets the integration test drive the
+    REAL writer round-trip against DuckDB when no MySQL exists.
+    Pure function so both renderings are testable without a database.
     """
     d = row.asDict() if isinstance(row, Row) else dict(row)
-    keys = set(key_cols)
+    key_list = list(key_cols)
+    keys = set(key_list)
     cols = list(d)
-    col_sql = ", ".join(_sql_ident(c) for c in cols)
-    val_sql = ", ".join(_sql_literal(d[c]) for c in cols)
+    col_sql = ", ".join(_sql_ident(c, dialect) for c in cols)
+    val_sql = ", ".join(_sql_literal(d[c], dialect) for c in cols)
+    if dialect == "mysql":
+        upd_sql = ", ".join(
+            f"{_sql_ident(c)} = VALUES({_sql_ident(c)})"
+            for c in cols
+            if c not in keys
+        )
+        return (
+            f"INSERT INTO {_sql_ident(table)} ({col_sql}) VALUES ({val_sql}) "
+            f"ON DUPLICATE KEY UPDATE {upd_sql}"
+        )
+    conflict = ", ".join(_sql_ident(c, dialect) for c in key_list)
     upd_sql = ", ".join(
-        f"{_sql_ident(c)} = VALUES({_sql_ident(c)})" for c in cols if c not in keys
+        f"{_sql_ident(c, dialect)} = excluded.{_sql_ident(c, dialect)}"
+        for c in cols
+        if c not in keys
     )
     return (
-        f"INSERT INTO {_sql_ident(table)} ({col_sql}) VALUES ({val_sql}) "
-        f"ON DUPLICATE KEY UPDATE {upd_sql}"
+        f"INSERT INTO {_sql_ident(table, dialect)} ({col_sql}) "
+        f"VALUES ({val_sql}) ON CONFLICT ({conflict}) DO UPDATE SET {upd_sql}"
     )
 
 
 def upsert_partition_writer(
-    table: str, key_cols: list[str], connect, batch_size: int = 500
+    table: str,
+    key_cols: list[str],
+    connect,
+    batch_size: int = 500,
+    dialect: str = "mysql",
 ):
     """Build a ``foreachPartition`` callable executing upserts.
 
@@ -91,7 +123,7 @@ def upsert_partition_writer(
             cur = conn.cursor()
             n = 0
             for row in rows:
-                cur.execute(render_upsert_sql(table, row, key_cols))
+                cur.execute(render_upsert_sql(table, row, key_cols, dialect))
                 n += 1
                 if n % batch_size == 0:
                     conn.commit()
