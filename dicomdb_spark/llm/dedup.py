@@ -815,11 +815,15 @@ def min_label_components(
         .unionAll(verts.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
     )
     if persist_edges:
-        # the 3-way union carries 3× the upstream partition count into
-        # every round; rebalance once at cache time so each round's
-        # scan is one wave, not three
+        # hash-partition the cached edges BY THE JOIN KEY, not round-
+        # robin: every round equi-joins on src, and a keyed cache
+        # means the per-round join reuses this partitioning (zero edge
+        # exchanges across the loop) instead of re-shuffling the edge
+        # list each round — the property that makes shuffle-join label
+        # propagation viable at web scale, and locally it also
+        # rebalances the 3-way union's partition blowup
         edges = edges.repartition(
-            pairs.sparkSession.sparkContext.defaultParallelism
+            pairs.sparkSession.sparkContext.defaultParallelism, "src"
         ).persist()
     hint = F.broadcast if broadcast_labels else (lambda df: df)
     labels = verts.select("doc_id", F.col("doc_id").alias("lbl"))

@@ -109,6 +109,96 @@ def build_exam_frame(serie: DataFrame) -> DataFrame:
     return g.withColumn("ExamDuration", ceil_minutes(dur))
 
 
+EXAM_DB_COLS = (
+    "EUID",
+    "AcquisitionDate",
+    "n_series",
+    "ExamDuration",
+    "FirstSerieName",
+)
+
+
+def incremental_import_stream(
+    spark: SparkSession,
+    landing_root: str,
+    checkpoint: str,
+    connect,
+    table: str = "exam",
+    parser: HeaderParser | None = None,
+):
+    """E1 as a CONTINUOUS incremental import (Structured Streaming).
+
+    The reference ran E1 from cron, re-scanning for files newer than
+    the last logfile mtime (common.py:267-306); the streaming twin
+    replaces the mtime watermark with the file source's checkpoint
+    (exactly-once file tracking) and the exist-check upserts with
+    ``foreachBatch`` → MERGE classification → the S7 writer.
+
+    Each micro-batch runs the batch pipeline stages UNCHANGED (parse →
+    stacks → exams) — the standard foreachBatch pattern for grouped-map
+    stages that Structured Streaming can't run incrementally — then
+    classifies against the CURRENT DB snapshot and upserts only
+    insert/update rows, so redelivered or re-scanned files classify as
+    noop and the sink stays idempotent.
+
+    ``connect`` is the zero-arg DB-API factory (DuckDB in tests, MySQL
+    in production).  The single-partition coalesce before the write is
+    the DuckDB single-writer constraint; against MySQL every partition
+    would open its own connection.
+
+    Returns the ``DataStreamWriter`` (caller starts it; tests use
+    ``trigger(availableNow=True)``).
+    """
+    from pyspark.sql import types as T
+
+    from dicomdb_spark.operators.joins import merge_classify
+    from dicomdb_spark.sources.jdbc import upsert_partition_writer
+    from dicomdb_spark.streaming.incremental import stream_inventory
+
+    inv_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = stream_inventory(spark, landing_root, inv_schema, fmt="parquet")
+    keys = ["EUID", "AcquisitionDate"]
+    compare = ["n_series", "ExamDuration", "FirstSerieName"]
+    col_sql = ", ".join(f'"{c}"' for c in EXAM_DB_COLS)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        headers = parse_headers(batch_df, parser=parser).filter(
+            F.col("SeriesInstanceUID").isNotNull()
+        )
+        exams = build_exam_frame(build_serie_frame(headers)).select(
+            "EUID",
+            "AcquisitionDate",
+            F.col("n_series").cast("long").alias("n_series"),
+            F.col("ExamDuration").cast("long").alias("ExamDuration"),
+            "FirstSerieName",
+        )
+        con = connect()
+        try:
+            rows = con.execute(f'SELECT {col_sql} FROM "{table}"').fetchall()
+        finally:
+            con.close()
+        existing = sess.createDataFrame(rows, exams.schema)
+        classified = merge_classify(existing, exams, keys, compare)
+        (
+            classified.filter(F.col("action") != "noop")
+            .drop("action")
+            .coalesce(1)
+            .foreachPartition(
+                upsert_partition_writer(table, keys, connect, dialect="ansi")
+            )
+        )
+
+    return stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def classify_against_db(
     exam_new: DataFrame,
     exam_existing: DataFrame,

@@ -8348,6 +8348,10 @@ def graph_kcore(spark, sf_dir):
     e = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        # keyed cache: every loop round equi-joins on src, so a
+        # hash-partitioned cache is reused by each round (zero edge
+        # exchanges across the loop)
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .persist()
     )
     for _ in range(3):
@@ -9070,6 +9074,10 @@ def graph_bfs_hops(spark, sf_dir):
     e = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        # keyed cache: every loop round equi-joins on src, so a
+        # hash-partitioned cache is reused by each round (zero edge
+        # exchanges across the loop)
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .persist()
     )
     dist = (

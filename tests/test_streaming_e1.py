@@ -1,0 +1,99 @@
+"""E1 incremental import, streaming end-to-end.
+
+Drives ``pipeline.incremental_import_stream`` — file-source checkpoint
+(only NEW files per run), the unchanged batch stages inside
+foreachBatch, MERGE classification, and the REAL S7 writer against a
+DuckDB stand-in — across two arrival waves plus a redelivery pass,
+then asserts the DB end-state equals the batch pipeline run over ALL
+files at once.  This is the reference's cron + mtime + exist-check
+loop (common.py:267-306, do_dicom.py:741-753) as one streaming query.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dicomdb_spark import pipeline as P
+from dicomdb_spark.sources.dicom import parse_headers, synthetic_part10_from_ids
+
+
+@pytest.fixture()
+def db_path(tmp_path):
+    path = str(tmp_path / "standin.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        'CREATE TABLE exam ("EUID" VARCHAR, "AcquisitionDate" VARCHAR,'
+        ' "n_series" BIGINT, "ExamDuration" BIGINT, "FirstSerieName" VARCHAR,'
+        ' PRIMARY KEY ("EUID", "AcquisitionDate"))'
+    )
+    con.close()
+    return path
+
+
+def _wave(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return synthetic_part10_from_ids(df)
+
+
+def _db_state(db_path):
+    con = duckdb.connect(db_path, read_only=True)
+    rows = sorted(con.execute("SELECT * FROM exam").fetchall())
+    con.close()
+    return rows
+
+
+def test_incremental_import_two_waves_matches_batch(spark, tmp_path, db_path):
+    landing = str(tmp_path / "landing")
+    checkpoint = str(tmp_path / "ckpt")
+    # exam-disjoint waves (exams group by EUID = id % 50; multiples of
+    # 6 only hit EVEN residues): wave 1 lands studies with residue
+    # < 25, wave 2 the rest — days arriving in order
+    all_ids = [i for i in range(6, 1200, 6) if i % 13 != 0]
+    wave1 = [i for i in all_ids if i % 50 < 25]
+    wave2 = [i for i in all_ids if i % 50 >= 25]
+    assert wave1 and wave2
+    connect = lambda: duckdb.connect(db_path)  # noqa: E731
+
+    def run_stream():
+        writer = P.incremental_import_stream(
+            spark, landing, checkpoint, connect
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    _wave(spark, wave1).write.mode("append").parquet(landing)
+    run_stream()
+    state1 = _db_state(db_path)
+    assert len(state1) > 0
+    euids1 = {r[0] for r in state1}
+    assert all(int(e.rsplit(".", 1)[-1]) < 25 for e in euids1)
+
+    # wave 2 arrives; the checkpoint must skip wave-1 files
+    _wave(spark, wave2).write.mode("append").parquet(landing)
+    run_stream()
+    state2 = _db_state(db_path)
+    assert len(state2) > len(state1)
+
+    # redelivery pass: no new files -> no state change
+    run_stream()
+    assert _db_state(db_path) == state2
+
+    # end-state == the batch pipeline over ALL files at once
+    headers = parse_headers(_wave(spark, all_ids)).filter(
+        F.col("SeriesInstanceUID").isNotNull()
+    )
+    batch = (
+        P.build_exam_frame(P.build_serie_frame(headers))
+        .select(
+            "EUID",
+            "AcquisitionDate",
+            F.col("n_series").cast("long"),
+            F.col("ExamDuration").cast("long"),
+            "FirstSerieName",
+        )
+        .collect()
+    )
+    assert sorted(tuple(r) for r in batch) == state2
