@@ -10923,29 +10923,28 @@ def graph_modularity(spark, sf_dir):
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
     )
     mm = pairs.agg(F.count("*").cast("long").alias("m"))
-    la = lab.select(F.col("doc_id").alias("id1"), F.col("lbl").alias("c1"))
-    lb = lab.select(F.col("doc_id").alias("id2"), F.col("lbl").alias("c2"))
-    # label joins are SHUFFLE equi-joins on the vertex key: the label
+    # Label joins are SHUFFLE equi-joins on the vertex key: the label
     # table is per-vertex-sized, so broadcasting it caps the operator
-    # at driver/executor memory on a 100×-vertex graph; at sf0.1 the
-    # persisted label cache makes the three consumers equally cheap
-    intra = (
-        pairs.join(la, "id1")
-        .join(lb, "id2")
-        .filter(F.col("c1") == F.col("c2"))
+    # at driver/executor memory on a 100×-vertex graph.  ONE edge-label
+    # pipeline (label both endpoints of the directed edge list, persist,
+    # aggregate twice) supplies both modularity terms: within-community
+    # edge count L_c = same-label directed rows / 2 (exact — each
+    # undirected edge appears in both directions), and degree mass
+    # D_c = directed rows with src in c (= Σ_{v∈c} deg v).
+    lsrc = lab.select(F.col("doc_id").alias("src"), F.col("lbl").alias("c1"))
+    ldst = lab.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("c2"))
+    terms = (
+        e.join(lsrc, "src")
+        .join(ldst, "dst")
         .groupBy(F.col("c1").alias("c"))
-        .agg(F.count("*").cast("long").alias("lc"))
-    )
-    deg = e.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count("*").cast("long").alias("dg")
-    )
-    dc = (
-        deg.join(lab, "doc_id")
-        .groupBy(F.col("lbl").alias("c"))
-        .agg(F.sum("dg").cast("long").alias("dcs"))
-    )
-    terms = dc.join(intra, "c", "left").select(
-        "c", F.coalesce("lc", F.lit(0)).cast("long").alias("lc"), "dcs"
+        .agg(
+            (
+                F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0)) / 2
+            )
+            .cast("long")
+            .alias("lc"),
+            F.count("*").cast("long").alias("dcs"),
+        )
     )
     return (
         terms.crossJoin(F.broadcast(mm))
