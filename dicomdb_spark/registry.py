@@ -8333,8 +8333,9 @@ def graph_kcore(spark, sf_dir):
     near-dup graph: iteratively remove vertices with degree < k.
     Survivors are the clique-like duplicate clusters; peeled vertices
     are chains/stars (likely LSH false positives).  Each round is one
-    degree aggregate + two semi-joins against the (small, shrinking)
-    survivor set — broadcast, so the edge table never reshuffles; the
+    degree aggregate + two semi-joins against the (shrinking) survivor
+    set — shuffle semi-joins on the keyed edge cache (AQE upgrades to
+    broadcast at runtime when the survivor side is measured small); the
     per-round persist() keeps lineage linear in rounds (the same
     self-loop discipline as min_label_components)."""
     pairs = ldedup.minhash_lsh_pairs(
@@ -8354,15 +8355,28 @@ def graph_kcore(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism, "src")
         .persist()
     )
+    e0 = e
+    rounds = []
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         v = deg.filter(F.col("deg") >= 2).select("src")
+        # survivor-set joins are SEMI joins with no broadcast hint: the
+        # survivor table is vertex-sized (the label-table rule), so the
+        # pinned broadcast would cap the peel at driver memory on a
+        # 100×-vertex graph; AQE still picks broadcast at runtime when
+        # the measured side is genuinely small
         e = (
-            e.join(F.broadcast(v), "src")
-            .join(F.broadcast(v.withColumnRenamed("src", "dst")), "dst")
-            .select("src", "dst")
+            e.join(v, "src", "left_semi")
+            .join(v.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .persist()
         )
+        rounds.append(e)
+    # one materializing job, then free superseded peels (bounded cache
+    # per invocation — see graph.pagerank)
+    rounds[-1].count()
+    for old in rounds[:-1]:
+        old.unpersist()
+    e0.unpersist()
     return e.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").cast("long").alias("core_degree")
     )
