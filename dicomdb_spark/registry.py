@@ -4957,6 +4957,7 @@ def sketch_bloom_join(spark, sf_dir):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
         .transform(_fanout(spark))
+        .persist()  # TWO consumers (bit build + exact truth): one scan
     )
     bits = sketches.bloom_bits(urgent, "o_custkey", m_bits=4096, k_hashes=3)
     cust = (
