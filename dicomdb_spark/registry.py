@@ -13969,67 +13969,66 @@ R3_DRIVER_PROVEN: tuple[str, ...] = (
     "w_max_drawdown", "sketch_hll_rolling", "dedup_snapshot_delta",
 )
 
+# Round-4 driver rows (CORRECTNESS_r04.json): 50/50 hash-green — the
+# entire round-4 window converted, including the six re-windowed
+# spec-oracle upgrades (corpus_pack, s3_header_parse, u3_stack_assembly,
+# multimodal_*) and the e1_import_pipeline composition.
+R4_DRIVER_PROVEN: tuple[str, ...] = (
+    "corpus_pack", "s3_header_parse", "u3_stack_assembly",
+    "multimodal_decode", "multimodal_features", "multimodal_ann",
+    "e1_import_pipeline", "dedup_dup_spans", "dedup_edit_distance",
+    "dedup_ngram_containment", "dedup_url_domain", "ann_pq_topk",
+    "corpus_dsir_sample", "text_bigram_lm_score", "graph_pagerank",
+    "w_anomaly_zscore", "sketch_kmv_distinct", "sketch_hll_distinct",
+    "sketch_count_min", "sketch_bloom_join", "sketch_hist_quantiles",
+    "text_bm25_topk", "j12_range_join", "j13_skew_salted_join",
+    "scd_point_in_time", "w_funnel_conversion", "a_cohort_retention",
+    "w_rank_family", "w_forward_fill", "a_string_agg",
+    "a_grouping_sets", "a_cube_counts", "a_unpivot",
+    "dedup_prefix_jaccard", "dedup_prefix_containment",
+    "corpus_weighted_sample", "a_salted_hot_agg", "w_retention_cohorts",
+    "layout_zorder_key", "w_session_paths", "corpus_quality_funnel",
+    "a_decile_lift", "a_kanonymity_risk", "w_seasonal_dow_index",
+    "o6_hypothetical_rank", "w_ratio_to_report", "w_funnel_ttc",
+    "text_simpson_diversity", "dedup_cross_source_matrix",
+    "text_vocab_coverage",
+)
+
 DRIVER_PROVEN: tuple[str, ...] = (
     R1_DRIVER_PROVEN + R2_DRIVER_PROVEN + R3_DRIVER_PROVEN
+    + R4_DRIVER_PROVEN
 )
 
 
-# Unproven entries that should claim driver-window slots FIRST: the
-# round-5 flagships (novel algorithmic surface — BPE training, sketch
-# algebra, the composed dedup pipeline) ahead of the older unproven
-# backlog, which carries SELFCHECK evidence and drains in later rounds.
-# Curated so a ~50-query driver window lands on the most NOVEL
-# algorithmic surface across rounds 5-7 first (iterative linear
-# algebra, sketch algebra, eval harnesses, closed-form recursions),
-# then the remaining unproven backlog in round order.  Every entry
-# already carries SELFCHECK evidence; the window converts the best of
-# them into hard driver rows.
+# Unproven entries that should claim driver-window slots FIRST.
+# Round-5 curation: 69 never-windowed entries remain (~50 fit the
+# window).  Lead with the 20 TPC-H shapes (the largest uniform block
+# of never-windowed names) and the two VERDICT-named stragglers, then
+# the remaining round-5/6/7 backlog.  All 69 are oracle-parity green
+# locally; the window converts them into hard driver rows.  New
+# round-5 registrations auto-append after this list via
+# ordered_queries() and drain in round 6.
 UNPROVEN_PRIORITY: tuple[str, ...] = (
-    # -- window head (round 4, ≈50 entries): lead with the 6 rows whose
-    # only driver evidence is r2's rows-only/red (oracles upgraded to
-    # spec oracles in r3; judge-verified green, need a hard driver row),
-    # then this round's new composed pipelines, then the most novel
-    # unproven algorithmic surface --
-    "corpus_pack", "s3_header_parse", "u3_stack_assembly",
-    "multimodal_decode", "multimodal_features", "multimodal_ann",
-    "e1_import_pipeline",
-    "dedup_dup_spans", "dedup_edit_distance", "dedup_ngram_containment",
-    "dedup_url_domain", "ann_pq_topk", "corpus_dsir_sample",
-    "text_bigram_lm_score", "graph_pagerank", "w_anomaly_zscore",
-    "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_count_min",
-    "sketch_bloom_join", "sketch_hist_quantiles", "text_bm25_topk",
-    "j12_range_join", "j13_skew_salted_join", "scd_point_in_time",
-    "w_funnel_conversion", "a_cohort_retention", "w_rank_family",
-    "w_forward_fill", "a_string_agg", "a_grouping_sets",
-    "a_cube_counts", "a_unpivot", "dedup_prefix_jaccard",
-    "dedup_prefix_containment", "corpus_weighted_sample",
-    "a_salted_hot_agg", "w_retention_cohorts", "layout_zorder_key",
-    "w_session_paths", "corpus_quality_funnel", "a_decile_lift",
-    "a_kanonymity_risk", "w_seasonal_dow_index", "o6_hypothetical_rank",
-    "w_ratio_to_report", "w_funnel_ttc", "text_simpson_diversity",
-    "dedup_cross_source_matrix", "text_vocab_coverage",
-    # -- backlog: TPC-H shapes (well-trodden plans; SELFCHECK-green) --
     "tpch_q2_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
     "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
     "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
     "tpch_q17_shape", "tpch_q18_shape", "tpch_q19_shape",
     "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
-    # -- backlog: remaining round-5/6/7 --
+    "dedup_prefix_hash", "ann_lsh_multiprobe_topk",
     "w_gap_islands", "a_mode_per_group", "o5_keyset_pagination",
     "w_attribution_linear", "text_ccnet_buckets",
-    "corpus_shuffle_batches", "ann_lsh_multiprobe_topk",
-    "a_key_skew_profile", "layout_compaction_bins", "w_ohlc_bars",
-    "graph_cooccurrence", "a_profile_columns", "text_ngram_topk",
-    "corpus_split_hash", "emb_dim_stats",
-    "text_tfidf_topterms", "text_boilerplate_ngrams",
+    "corpus_shuffle_batches", "a_key_skew_profile",
+    "layout_compaction_bins", "w_ohlc_bars", "graph_cooccurrence",
+    "a_profile_columns", "text_ngram_topk", "corpus_split_hash",
+    "emb_dim_stats", "text_tfidf_topterms", "text_boilerplate_ngrams",
     "emb_covariance_topk", "corpus_length_batching",
-    "w_interval_union", "dedup_prefix_hash", "a_sla_percentiles",
-    "a_gini_skew", "sketch_cms_error_audit", "corpus_mix_rebalance",
-    "scd_bitemporal_asof", "w_hopping_windows",
-    "er_blocking_recall", "corpus_dataset_card",
-    "a_mannwhitney_u", "graph_assortativity",
-    "a_ks_test", "a_permutation_test",
+    "w_interval_union", "a_sla_percentiles", "a_gini_skew",
+    "sketch_cms_error_audit", "corpus_mix_rebalance",
+    "scd_bitemporal_asof", "w_hopping_windows", "er_blocking_recall",
+    "corpus_dataset_card", "a_mannwhitney_u",
+    # -- past the ~50 window: drains in round 6 --
+    "graph_assortativity", "a_ks_test", "a_permutation_test",
     "a_survival_hazard", "ml_decision_stump", "ml_knn_classify",
     "graph_ppr_seeds", "corpus_split_leakage", "a_ab_srm_check",
     "w_rolling_median", "a_winsorized_mean", "w_streak_longest",
