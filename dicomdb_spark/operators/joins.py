@@ -2,8 +2,12 @@
 
 Join-strategy policy at scale:
 
-* fact ⋈ dimension → ``F.broadcast`` the dimension (region/nation/
-  customer-sized sides); no shuffle of the fact table.
+* fact ⋈ dimension → leave the strategy to planner stats + AQE:
+  constant-size dims (region/nation) broadcast from file statistics;
+  SF-scaling sides (customer, exam) broadcast only while measured
+  small and degrade to shuffled hash joins at scale.  Pinned
+  ``F.broadcast`` hints are reserved for provably bounded sets
+  (single-row aggregates, fixed salt ranges, top-k id lists).
 * fact ⋈ fact on the same key across stages → hash-partition once and
   reuse (AQE keeps the exchange if the key matches).
 * band/self joins (J3) are pre-bucketed by their coarse key (same
@@ -22,11 +26,12 @@ from pyspark.sql import functions as F
 def exam_series(exam: DataFrame, serie: DataFrame, exam_key: str, serie_fk: str) -> DataFrame:
     """J1 — the ``ExamSeries`` denormalized view (cenir_view.sql:8).
 
-    Inner equi-join; the exam side is the small one (19k rows in the
-    reference production dump) → broadcast it so the series fact table
-    never shuffles.
+    Inner equi-join; the exam side is the smaller one (19k rows in
+    the reference production dump) but grows with the archive, so the
+    strategy is left to stats + AQE: broadcast while measured under
+    the threshold, shuffled hash join beyond it.
     """
-    return serie.join(F.broadcast(exam), exam[exam_key] == serie[serie_fk], "inner")
+    return serie.join(exam, exam[exam_key] == serie[serie_fk], "inner")
 
 
 def orphans(parent: DataFrame, child: DataFrame, parent_key: str, child_fk: str) -> DataFrame:
@@ -115,8 +120,9 @@ def two_key_lookup(
     """J6 — existence probe on a composite key (Cenir_DB.py:778-788).
 
     left_semi == the reference's "select ... fetchone() is not None".
+    Probe-side size is caller data — strategy left to stats + AQE.
     """
-    return df.join(F.broadcast(dim), list(keys), how)
+    return df.join(dim, list(keys), how)
 
 
 def anti_by_keys(df: DataFrame, processed: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -59,7 +59,7 @@ def scd2_apply(
 
     # close open rows whose key changed
     still_open = open_rows.join(changed_keys, list(keys), "left_anti")
-    newly_closed = open_rows.join(F.broadcast(changed_keys), list(keys), "left_semi").withColumn(
+    newly_closed = open_rows.join(changed_keys, list(keys), "left_semi").withColumn(
         valid_to, ts
     )
     opened = new_rows.withColumn(valid_from, ts).withColumn(

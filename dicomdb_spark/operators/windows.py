@@ -52,7 +52,9 @@ def representative_rows(
         .agg(F.count("*").alias(count_alias))
         .filter(F.col(count_alias) >= min_count)
     )
-    pruned = out.join(F.broadcast(dup_keys), names, "inner")
+    # dup_keys scales with the duplicate population — AQE picks the
+    # strategy (broadcast while measured small, shuffle at scale)
+    pruned = out.join(dup_keys, names, "inner")
     wo = Window.partitionBy(*names).orderBy(*order_by)
     result = (
         pruned.withColumn("__rn", F.row_number().over(wo))

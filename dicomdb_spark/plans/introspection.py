@@ -102,3 +102,33 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
         "plan contains a nested-loop/cartesian join"
     )
+
+
+def pinned_hint_count(df: DataFrame) -> int:
+    """Number of explicit join-strategy hints (``F.broadcast`` et al.)
+    surviving analysis.  Pinned hints bypass both planner statistics
+    and AQE's runtime size measurement, so they are reserved for
+    provably bounded relations (constant-size dims like nation/region,
+    single-row aggregates, fixed salt ranges, top-k id lists).  A hint
+    on an SF-scaling table wins the local bench and OOMs the executors
+    at 100× — tests budget these per query."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def aqe_final_plan(df: DataFrame) -> str:
+    """Execute the query and return ONLY the adaptive final plan
+    (everything before the ``== Initial Plan ==`` section).  This is
+    the assertion surface for joins whose strategy is deliberately
+    left to AQE: the static plan may show a conservative sort-merge
+    (join-output size estimates compound multiplicatively), while the
+    runtime plan upgrades to broadcast-hash once the build side is
+    measured small.  Asserting on the final plan checks the contract
+    that actually executes — at any scale.
+
+    NOTE: must execute THIS DataFrame's own plan (``collect``) —
+    ``df.count()`` builds a different query and leaves this plan's
+    AQE state at ``isFinalPlan=false``."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in s or "AdaptiveSparkPlan" not in s, s[:200]
+    return s.split("== Initial Plan ==")[0]

@@ -431,15 +431,19 @@ def o3_top1_per_type(spark, sf_dir):
 )
 def j1_exam_series_revenue(spark, sf_dir):
     """J1 — the ExamSeries denormalizing equi-join shape
-    (cenir_view.sql:8) extended through the dimension chain; dimensions
-    broadcast, fact never shuffles for the join."""
+    (cenir_view.sql:8) extended through the dimension chain.  No
+    pinned broadcast hints: at bench SF the planner's size stats (and
+    AQE at runtime) pick broadcast-hash for every build side; at 100x
+    orders/customer outgrow the threshold and the same plan degrades
+    gracefully to shuffled joins on the key — a pinned hint would be
+    an executor OOM there.  nation (25 rows) alone is constant-size."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -3527,8 +3531,10 @@ def tpch_q1_shape(spark, sf_dir):
 )
 def tpch_q3_shape(spark, sf_dir):
     """TPC-H Q3 shipping-priority shape: selective dimension filters
-    pushed to scans, broadcast joins, top-k by aggregated revenue with
-    a deterministic tiebreak."""
+    pushed to scans, top-k by aggregated revenue with a deterministic
+    tiebreak.  Join strategy is left to stats + AQE: the date-filtered
+    orders side is ~half the table, so a pinned broadcast would scale
+    linearly with SF — broadcast locally, shuffle join at 100x."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
@@ -3537,8 +3543,8 @@ def tpch_q3_shape(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -3764,7 +3770,8 @@ def tpch_q18_shape(spark, sf_dir):
     """TPC-H Q18 large-volume-customer shape: semi-join against a
     HAVING-filtered aggregate, then a 3-table join + regroup.  Plan:
     the HAVING aggregate and the semi-join share the l_orderkey
-    partitioning; customer is broadcast."""
+    partitioning; customer join strategy is AQE-chosen (SF-scaling
+    side, so no pinned hint)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -3776,7 +3783,7 @@ def tpch_q18_shape(spark, sf_dir):
     )
     return (
         orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, orders["o_orderkey"] == li["l_orderkey"])
         .groupBy(
             "c_name",
@@ -3810,7 +3817,8 @@ def tpch_q18_shape(spark, sf_dir):
 def tpch_q5_shape(spark, sf_dir):
     """TPC-H Q5 local-supplier revenue: the 6-table join with a
     same-nation equality between two fact-side dimensions.  Plan:
-    region/nation/supplier/customer broadcast; lineitem and orders meet
+    region/nation broadcast (constant-size); supplier/customer scale
+    with SF so their strategy is AQE-chosen; lineitem and orders meet
     on the orderkey; the date filter pushes into the orders scan."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -3824,9 +3832,9 @@ def tpch_q5_shape(spark, sf_dir):
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -3887,8 +3895,8 @@ def tpch_q7_shape(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -3933,7 +3941,7 @@ def tpch_q10_shape(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -4050,9 +4058,9 @@ def tpch_q16_shape(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
+            bad_supp, li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
         )
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -4109,7 +4117,7 @@ def tpch_q21_shape(spark, sf_dir):
         )
     )
     return (
-        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        waiting.join(supp, waiting["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -4273,7 +4281,7 @@ def a_cohort_retention(spark, sf_dir):
     """Cohort retention triangle: users grouped by first-seen day,
     activity rolled to ISO weeks, counted per weeks-since-cohort — the
     standard growth-analytics rollup.  Two user_id aggregates + one
-    broadcast join; truncations and the floor'd day/7 delta are exact
+    user-keyed join (user-count-sized — strategy left to AQE); truncations and the floor'd day/7 delta are exact
     integers in both engines."""
     ev = load_table(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(
@@ -4283,7 +4291,7 @@ def a_cohort_retention(spark, sf_dir):
         "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
     ).distinct()
     return (
-        act.join(F.broadcast(first), "user_id")
+        act.join(first, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -4969,7 +4977,7 @@ def sketch_bloom_join(spark, sf_dir):
     truth = urgent.distinct().select(
         F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_true")
     )
-    flags = probed.join(F.broadcast(truth), "c_custkey", "left").select(
+    flags = probed.join(truth, "c_custkey", "left").select(
         "c_mktsegment",
         "bloom_pass",
         F.coalesce("is_true", F.lit(False)).alias("is_true"),
@@ -5530,7 +5538,7 @@ def tpch_q14_shape(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
     agged = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(F.lit(0))).alias(
                 "promo_i"
@@ -5593,7 +5601,7 @@ def tpch_q15_shape(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(top), F.col("rev_i") == F.col("max_i"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -5639,7 +5647,7 @@ def tpch_q17_shape(spark, sf_dir):
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(part_avg.withColumnRenamed("l_partkey", "pa_key"),
               F.col("l_partkey") == F.col("pa_key"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
@@ -5678,7 +5686,7 @@ def tpch_q19_shape(spark, sf_dir):
     turn into three unioned scans."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
     q = F.col("l_quantity")
     cond = (
         (
@@ -5753,7 +5761,7 @@ def tpch_q2_shape(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
     )
     eu_cost = cost.join(
-        F.broadcast(eu.select("s_suppkey")),
+        eu.select("s_suppkey"),
         cost["l_suppkey"] == F.col("s_suppkey"),
     ).drop("s_suppkey")
     best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
@@ -5770,7 +5778,7 @@ def tpch_q2_shape(spark, sf_dir):
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_brand", "p_size", "min_cost")
         .agg(F.min("l_suppkey").alias("s_suppkey"))
         .select(
@@ -5837,10 +5845,10 @@ def tpch_q8_shape(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
     hits = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust_am), orders["o_custkey"] == cust_am["c_custkey"])
-        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        .join(cust_am, orders["o_custkey"] == cust_am["c_custkey"])
+        .join(supp_n, li["l_suppkey"] == supp_n["s_suppkey"])
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             rev_i.alias("rev_i"),
@@ -5905,8 +5913,8 @@ def tpch_q9_shape(spark, sf_dir):
         * 10000
     ).cast("long")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp_n, li["l_suppkey"] == supp_n["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((F.sum(profit_i).cast("double") / 10000.0).alias("sum_profit"))
@@ -5950,7 +5958,7 @@ def tpch_q11_shape(spark, sf_dir):
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long")).alias("val_i"))
     )
@@ -6003,7 +6011,7 @@ def tpch_q20_shape(spark, sf_dir):
         .select("p_partkey")
     )
     shipped = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.floor(F.col("l_quantity") * 10000).cast("long")).alias("qty_i"))
     )
@@ -6025,7 +6033,7 @@ def tpch_q20_shape(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
     )
     return supp.join(
-        F.broadcast(excess), supp["s_suppkey"] == excess["l_suppkey"], "left_semi"
+        excess, supp["s_suppkey"] == excess["l_suppkey"], "left_semi"
     )
 
 

@@ -15,15 +15,16 @@ from pyspark.sql import functions as F
 def exam_series(exam: DataFrame, serie: DataFrame) -> DataFrame:
     """cenir_view.sql:8 — the workhorse denormalized relation.
 
-    The exam side is small (19k rows in the reference's production
-    dump) → broadcast; the serie fact side never shuffles.  Exam's
-    duplicated column names keep an ``e_`` prefix where they collide.
+    The exam side is the smaller one (19k rows in the reference's
+    production dump) but archive-sized, so no pinned hint: stats/AQE
+    broadcast it while small and shuffle at scale.  Exam's duplicated
+    column names keep an ``e_`` prefix where they collide.
     """
     collisions = set(exam.columns) & set(serie.columns)
     e = exam
     for c in collisions:
         e = e.withColumnRenamed(c, f"e_{c}")
-    return serie.join(F.broadcast(e), e["Eid"] == serie["ExamRef"], "inner")
+    return serie.join(e, e["Eid"] == serie["ExamRef"], "inner")
 
 
 def seqname_catalog(serie: DataFrame) -> DataFrame:

@@ -183,11 +183,15 @@ def test_q6_all_predicates_reach_scan(spark):
 
 
 def test_q8_fact_meets_only_orders(spark):
-    """Q8's 8-table tree: every dimension broadcasts; the only
-    shuffled join is lineitem↔orders (no sort-merge anywhere)."""
+    """Q8's 8-table tree: constant dims broadcast statically; the
+    SF-scaling sides (orders↔derived-customer) are AQE-chosen — the
+    STATIC plan may conservatively sort-merge them (join-output size
+    estimates compound), but the runtime final plan must upgrade to
+    broadcast-hash at this SF.  At 100× the same query keeps the
+    shuffled join — which is the point of de-pinning."""
     df = QUERIES["tpch_q8_shape"](spark, SF)
     assert pi.count_broadcast_joins(df) >= 4, pi.simple_plan(df)
-    assert not pi.has_sort_merge_join(df)
+    assert "SortMergeJoin" not in pi.aqe_final_plan(df)
 
 
 def test_q9_q20_broadcast_dims(spark):
@@ -195,7 +199,9 @@ def test_q9_q20_broadcast_dims(spark):
                  "tpch_q17_shape", "tpch_q19_shape"):
         df = QUERIES[name](spark, SF)
         assert pi.count_broadcast_joins(df) >= 1, (name, pi.simple_plan(df))
-        assert not pi.has_sort_merge_join(df), name
+        # strategy for SF-scaling sides is AQE-chosen: assert the
+        # RUNTIME plan broadcasts at this SF (static plan may SMJ)
+        assert "SortMergeJoin" not in pi.aqe_final_plan(df), name
 
 
 def test_bloom_probe_broadcasts_bits(spark):
@@ -338,3 +344,41 @@ def test_min_label_components_labels_never_broadcast(spark):
     # shuffled-hash), never a broadcast of the label side
     assert pi.count_broadcast_joins(comp) == 0, pi.simple_plan(comp)
     assert pi.count_nested_loop_joins(comp) == 0
+
+
+def test_scaling_tables_carry_no_pinned_broadcast(spark):
+    """Round-5 scale fix: every F.broadcast on an SF-scaling side
+    (orders/customer/supplier/part and derived subsets) was removed in
+    favor of stats+AQE selection.  The budget below is the number of
+    hints each query may still pin — exclusively on provably bounded
+    relations (nation=25/region=5 rows, single-row aggregates,
+    fixed-size query batches).  A budget regression here means someone
+    re-pinned a fact-sized broadcast that OOMs at 100×."""
+    budgets = {
+        "j1_exam_series_revenue": 1,   # nation
+        "tpch_q3_shape": 0,
+        "tpch_q18_shape": 0,
+        "tpch_q5_shape": 2,            # nation, region
+        "tpch_q7_shape": 2,            # n1, n2
+        "tpch_q10_shape": 1,           # nation
+        "tpch_q16_shape": 0,
+        "tpch_q21_shape": 0,
+        "tpch_q22_shape": 1,           # 1-row avg-balance threshold
+        "tpch_q14_shape": 0,
+        "tpch_q15_shape": 1,           # 1-row max-revenue agg
+        "tpch_q17_shape": 0,
+        "tpch_q19_shape": 0,
+        # re-referenced lineage renders shared subtree hints twice:
+        # q2's eu (nation+region) feeds both best and the final join
+        "tpch_q2_shape": 4,            # nation×2, region×2 (shared eu)
+        "tpch_q8_shape": 3,            # nation ×2, region
+        "tpch_q9_shape": 1,            # nation
+        "tpch_q11_shape": 3,           # nation×2 (shared val), 1-row total
+        "tpch_q20_shape": 1,           # nation
+        "a_cohort_retention": 0,
+        "sketch_bloom_join": 1,  # 4096-bit bloom register row (bounded)
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = pi.pinned_hint_count(df)
+        assert n <= budget, (name, n, budget)
