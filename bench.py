@@ -78,6 +78,10 @@ SCALE_QUERIES = [
     "j3_time_proximity",
     "w2_keep_latest",
     "dedup_minhash_lsh",
+    # df-capped inverted index: replication multiplies every shingle's
+    # document frequency by the factor, so the ratio proves the cap
+    # bounds bucket growth (the uncapped join would scale ~factor²)
+    "dedup_ngram_jaccard",
     "tpch_q1_shape",
 ]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))

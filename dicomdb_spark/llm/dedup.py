@@ -229,6 +229,108 @@ def lsh_pairs_from_signatures(
     )
 
 
+def _df_capped_pair_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int,
+    ub_keep,
+) -> DataFrame:
+    """Shared df-capped inverted-index core for the exact n-gram
+    similarity joins: (id1, id2, inter, sz1, sz2) for every pair that
+    shares at least one shingle with document frequency ≤ ``max_df``.
+
+    The plain inverted index generates a candidate row per shared
+    shingle OCCURRENCE, so its cost is Σ df(s)² — quadratic in bucket
+    size, and web-scale corpora have pathological hot shingles
+    (boilerplate trigrams in 10⁶+ docs).  The cap bounds every bucket:
+    candidate generation costs ≤ |shingles|·max_df², and a hot shingle
+    (df > max_df, carrying ~no similarity signal — it fails to
+    discriminate by definition) never enters the pair join.
+
+    Exactness: the cap gates only CANDIDATE GENERATION.  Scores are
+    recomputed row-locally from the full per-doc shingle arrays
+    (``array_intersect``, the PPJoin-style verify), so a surviving
+    pair's inter/sz values are exact — the cap's only semantic effect
+    is dropping pairs whose every shared shingle is hot, which is the
+    documented contract (mirrored in the DuckDB oracles).
+
+    Between candidate generation and the array verify sits a LOSSLESS
+    upper-bound prune: the capped join yields each pair's exact count
+    of shared COLD shingles, and the hot contribution is bounded by
+    min(hot₁, hot₂) (hotᵢ = doc i's shingles above the cap), so
+    true_inter ≤ cold_inter + min(hot₁, hot₂).  ``ub_keep(ub, sz1,
+    sz2)`` decides with that bound; callers phrase the metric's
+    threshold test over the bound (monotone in inter), subtracting an
+    epsilon so float roundoff can only keep, never drop.  On dense
+    small-vocabulary corpora this prunes ~99.9% of candidates before
+    any array touches a shuffle (measured 1.96 M → ~2 k at sf0.1).
+    """
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(text_col, n)).alias("__shs"),
+    )
+    # sets feeds the explode AND both verify sides — materialize the
+    # CPU-dense tokenize/shingle once (multi-consumer persist
+    # discipline, same as the PageRank loop invariants)
+    sets = sets.persist()
+    sh = sets.select("doc", F.explode("__shs").alias("shingle"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    cold = sh.join(keep, "shingle")
+    # per-doc totals (full distinct-shingle size, hot count) are
+    # annotated onto the COLD rows *before* the pair join, so the pair
+    # aggregate can carry them via max() and the prune runs directly on
+    # the aggregate output — zero per-pair stat joins downstream
+    # (measured: the post-agg s1/s2 joins over the ~2M-pair set cost
+    # more than the whole pair aggregate)
+    stats = (
+        cold.groupBy("doc")
+        .agg(F.count("*").alias("__csz"))
+        .join(sets.select("doc", F.size("__shs").alias("__sz")), "doc")
+        .select("doc", "__sz", (F.col("__sz") - F.col("__csz")).alias("__hot"))
+    )
+    cold_ann = cold.join(stats, "doc")
+    # exact shared-COLD-shingle count per pair — one map-side-combining
+    # aggregate over the bounded expansion (≤ |shingles|·max_df² rows)
+    cold_pairs = (
+        cold_ann.alias("a")
+        .join(
+            cold_ann.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(
+            F.count("*").alias("__ci"),
+            F.max(F.col("a.__sz")).alias("sz1"),
+            F.max(F.col("a.__hot")).alias("__h1"),
+            F.max(F.col("b.__sz")).alias("sz2"),
+            F.max(F.col("b.__hot")).alias("__h2"),
+        )
+    )
+    ub = F.col("__ci") + F.least(F.col("__h1"), F.col("__h2"))
+    survivors = cold_pairs.filter(ub_keep(ub, F.col("sz1"), F.col("sz2"))).select(
+        "id1", "id2"
+    )
+    return (
+        survivors.join(sets.select(F.col("doc").alias("id1"), F.col("__shs").alias("__sa")), "id1")
+        .join(sets.select(F.col("doc").alias("id2"), F.col("__shs").alias("__sb")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("__sa", "__sb")).alias("inter"),
+            F.size("__sa").alias("sz1"),
+            F.size("__sb").alias("sz2"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -236,6 +338,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     min_parallelism: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -246,9 +349,29 @@ def ngram_jaccard_pairs(
     n².  Returns (id1, id2, jaccard) above threshold.
     ``min_parallelism``: see minhash_lsh_pairs — local small-file
     fan-out for the CPU-bound shingle stage only.
+    ``max_df``: document-frequency cap on the candidate join (see
+    :func:`_df_capped_pair_scores`) — REQUIRED at corpus scale, where
+    hot boilerplate shingles make the uncapped self-join quadratic;
+    pairs sharing only hot shingles are dropped, surviving scores are
+    exact.  ``None`` keeps the exhaustive join (small/curated sets).
     """
     if min_parallelism is not None:
         df = df.repartition(min_parallelism)
+    if max_df is not None:
+        # jaccard is monotone in inter: J(inter) = inter/(sz1+sz2-inter),
+        # so the bound test J(ub) ≥ t − ε is a lossless prune
+        def ub_keep(ub, sz1, sz2):
+            return ub * (1.0 + threshold) >= threshold * (sz1 + sz2) - 1e-9
+
+        scored = _df_capped_pair_scores(df, id_col, text_col, n, max_df, ub_keep)
+        return (
+            scored.withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
@@ -392,6 +515,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     min_parallelism: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-superset pairs: shingle containment |A∩B| / min(|A|,|B|).
 
@@ -401,9 +525,27 @@ def ngram_containment_pairs(
     shape as ``ngram_jaccard_pairs`` (cost follows shingle-bucket
     sizes, never n²).  Returns (id1, id2, containment).
     ``min_parallelism``: see minhash_lsh_pairs.
+    ``max_df``: document-frequency cap on the candidate join (see
+    :func:`_df_capped_pair_scores`) — bounds hot-shingle buckets at
+    corpus scale; surviving scores stay exact.
     """
     if min_parallelism is not None:
         df = df.repartition(min_parallelism)
+    if max_df is not None:
+        # containment is monotone in inter with a fixed denominator, so
+        # ub/min(sz) ≥ t − ε is a lossless prune
+        def ub_keep(ub, sz1, sz2):
+            return ub >= threshold * F.least(sz1, sz2) - 1e-9
+
+        scored = _df_capped_pair_scores(df, id_col, text_col, n, max_df, ub_keep)
+        return (
+            scored.withColumn(
+                "containment",
+                F.col("inter") / F.least(F.col("sz1"), F.col("sz2")),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id1", "id2", "containment")
+        )
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),

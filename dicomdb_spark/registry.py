@@ -1321,23 +1321,37 @@ def dedup_minhash_lsh(spark, sf_dir):
     tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
     sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle FROM tk),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 32),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a
+      JOIN keep k ON a.shingle = k.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
     pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
-    SELECT id1, id2, inter / (s1.sz + s2.sz - inter) AS jaccard
-    FROM pairs
+    SELECT pairs.id1, pairs.id2, inter / (s1.sz + s2.sz - inter) AS jaccard
+    FROM cand
+    JOIN pairs ON cand.id1 = pairs.id1 AND cand.id2 = pairs.id2
     JOIN sizes s1 ON pairs.id1 = s1.doc_id
     JOIN sizes s2 ON pairs.id2 = s2.doc_id
     WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard over shingle-sharing candidate pairs
-    (inverted-index join — never O(n²))."""
+    """Exact 3-gram Jaccard over shingle-sharing candidate pairs, with
+    the df ≤ 32 hot-shingle cap on candidate generation
+    (dedup._df_capped_pair_scores): bucket cost is bounded by
+    |shingles|·32² instead of Σdf² — the round-5 fix for the
+    web-scale boilerplate-trigram blow-up.  Scores of surviving pairs
+    are exact (row-local array_intersect verify); a pair is dropped
+    only when EVERY shared shingle is hot, mirrored in the oracle's
+    cand CTE.  The cap genuinely binds at driver SF (max df 56 at
+    sf0.01, 556 at sf0.1), so the capped path is what's verified."""
     return ldedup.ngram_jaccard_pairs(
         _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
-        min_parallelism=local_fanout(spark),
+        min_parallelism=local_fanout(spark), max_df=32,
     )
 
 
@@ -1366,7 +1380,7 @@ def dedup_prefix_jaccard(spark, sf_dir):
     frequency, so frequent-shingle buckets never enter the pair join.
 
     Same element domain and threshold as dedup_ngram_jaccard, and the
-    ORACLE is deliberately that query's EXHAUSTIVE inverted index —
+    ORACLE is deliberately the EXHAUSTIVE (uncapped) inverted index —
     prefix filtering is provably lossless for Jaccard ≥ t, so the
     pruned engine plan must reproduce the unpruned answer exactly.
     That makes the driver row a check of the pruning theorem's
@@ -3722,9 +3736,10 @@ def j12_range_join(spark, sf_dir):
     ).select("user_id", "click_id", "ts", "signup_id", "start_ts", "end_ts")
 
 
-@register(
-    "dedup_ngram_containment",
-    f"""
+# uncapped containment oracle text: kept verbatim for
+# dedup_prefix_containment, whose LOSSLESS prefix filter must
+# reproduce the full exhaustive answer (no df-cap in its contract)
+_CONTAINMENT_ORACLE_UNCAPPED = f"""
     WITH {_SQL_DOCS2},
     tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
     sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle FROM tk),
@@ -3738,16 +3753,44 @@ def j12_range_join(spark, sf_dir):
     JOIN sizes s1 ON pairs.id1 = s1.doc_id
     JOIN sizes s2 ON pairs.id2 = s2.doc_id
     WHERE inter / least(s1.sz, s2.sz) >= 0.9
+    """
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SQL_DOCS2},
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM docs2),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle FROM tk),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 32),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a
+      JOIN keep k ON a.shingle = k.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT pairs.id1, pairs.id2, inter / least(s1.sz, s2.sz) AS containment
+    FROM cand
+    JOIN pairs ON cand.id1 = pairs.id1 AND cand.id2 = pairs.id2
+    JOIN sizes s1 ON pairs.id1 = s1.doc_id
+    JOIN sizes s2 ON pairs.id2 = s2.doc_id
+    WHERE inter / least(s1.sz, s2.sz) >= 0.9
     """,
 )
 def dedup_ngram_containment(spark, sf_dir):
     """Shingle containment |A∩B| / min(|A|,|B|) ≥ 0.9 — catches
     substring-style near-supersets (short doc wholly inside a longer
     one scores 1.0 where Jaccard can be arbitrarily low).  Same
-    inverted-index join shape as dedup_ngram_jaccard."""
+    df ≤ 32 capped candidate generation as dedup_ngram_jaccard
+    (hot-shingle buckets never enter the pair join; surviving scores
+    exact via row-local array_intersect)."""
     return ldedup.ngram_containment_pairs(
         _docs_with_dupes(spark, sf_dir), "doc_id", "text", n=3, threshold=0.9,
-        min_parallelism=local_fanout(spark),
+        min_parallelism=local_fanout(spark), max_df=32,
     )
 
 
@@ -8127,9 +8170,10 @@ def dedup_prefix_containment(spark, sf_dir):
     """Containment join with the LOSSLESS asymmetric prefix filter
     (llm/dedup.py: prefix_filter_containment_pairs): the smaller
     side's rarest |S|−⌈t·|S|⌉+1 shingles are the only join keys, so
-    hot-shingle bucket² blow-ups can't form.  Output is bit-identical
-    to dedup_ngram_containment (same oracle SQL proves it through the
-    driver).
+    hot-shingle bucket² blow-ups can't form.  The pruning is LOSSLESS,
+    so its oracle is the UNCAPPED exhaustive inverted index (unlike
+    dedup_ngram_containment, whose contract now carries the df ≤ 32
+    candidate cap).
 
     Measured trade at sf0.1: the synthetic corpus has a ~30-word
     uniform vocabulary, so "rare" shingles still hit large buckets
@@ -8145,7 +8189,10 @@ def dedup_prefix_containment(spark, sf_dir):
     )
 
 
-ORACLES["dedup_prefix_containment"] = ORACLES["dedup_ngram_containment"]
+# the prefix filter is LOSSLESS, so its oracle is the UNCAPPED
+# exhaustive inverted index — dedup_ngram_containment's own oracle now
+# carries the df-cap semantics and would differ where the cap binds
+ORACLES["dedup_prefix_containment"] = _CONTAINMENT_ORACLE_UNCAPPED
 
 
 # ---------------------------------------------------------------------------

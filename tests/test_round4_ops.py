@@ -16,7 +16,11 @@ def _vals(df):
 def test_prefix_filter_is_lossless(spark):
     """Prefix filtering must reproduce the exhaustive inverted index
     exactly (same shingle domain, same threshold) — the theorem, not
-    just the arithmetic."""
+    just the arithmetic.  dedup_ngram_jaccard now carries the df ≤ 32
+    candidate cap, so this equality ALSO witnesses that the cap drops
+    no qualifying pair on this corpus (qualifying pairs always share a
+    rare shingle here; see tests/test_dfcap.py for where they don't).
+    """
     pruned = _vals(QUERIES["dedup_prefix_jaccard"](spark, SF))
     exhaustive = _vals(QUERIES["dedup_ngram_jaccard"](spark, SF))
     assert pruned == exhaustive

@@ -755,6 +755,10 @@ def test_semantic_pipeline_consistency(spark):
 
 def test_containment_prefix_filter_is_lossless(spark):
     """The asymmetric containment prefix filter reproduces the plain
-    inverted index exactly (the theorem, not just the arithmetic)."""
+    inverted index exactly (the theorem, not just the arithmetic).
+    dedup_ngram_containment now carries the df ≤ 32 candidate cap, so
+    the equality also witnesses the cap binding no qualifying pair on
+    this corpus (see tests/test_dfcap.py for the cap's own contract).
+    """
     assert _vals(QUERIES["dedup_prefix_containment"](spark, SF)) == \
            _vals(QUERIES["dedup_ngram_containment"](spark, SF))
