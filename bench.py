@@ -91,6 +91,14 @@ SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))
 SF1_FACTOR = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
 
 
+def _scaled_dir(sf_dir: str, factor: int) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.environ.get(
+        f"SPARK_GRAFT_SCALE_DIR_X{factor}",
+        f"/tmp/dicomdb_spark_scale/{tag}_x{factor}",
+    )
+
+
 def scale_ratios(spark, sf_dir: str, factor: int) -> dict[str, float] | None:
     """1× vs factor× wall ratios, or None when disabled/failed."""
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "0":
@@ -98,11 +106,7 @@ def scale_ratios(spark, sf_dir: str, factor: int) -> dict[str, float] | None:
     try:
         from dicomdb_spark.fixtures import replicate_scaled
 
-        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        scaled = os.environ.get(
-            f"SPARK_GRAFT_SCALE_DIR_X{factor}",
-            f"/tmp/dicomdb_spark_scale/{tag}_x{factor}",
-        )
+        scaled = _scaled_dir(sf_dir, factor)
         if not os.path.isdir(scaled):
             replicate_scaled(spark, sf_dir, scaled, factor=factor)
         ratios = {}
@@ -270,6 +274,25 @@ def main() -> None:
             out["sf1_factor"] = SF1_FACTOR
             out["sf1_max_ratio"] = max(sf1.values())
             detail["sf1_ratios"] = sf1
+    # absolute sf1 tier: the full 19-query headline against the 10×
+    # replica (≈ sf1 — 6M-row lineitem).  At sf0.1 the 8-second total
+    # drowns round-over-round deltas in noise; the sf1 wall is the
+    # number cross-round comparisons should use.  Per-query times ride
+    # the detail line; only the one-number total joins the (size-
+    # capped) final headline line.
+    if os.environ.get("SPARK_GRAFT_SF1_HEADLINE", "1") != "0":
+        scaled = _scaled_dir(sf_dir, SF1_FACTOR)
+        if os.path.isdir(scaled):
+            sf1_q: dict[str, float] = {}
+            sf1_total = 0.0
+            for name in HEADLINE:
+                try:
+                    sf1_q[name] = round(run_query(spark, name, scaled, reps=2), 4)
+                    sf1_total += sf1_q[name]
+                except Exception:
+                    sf1_q[name] = -1.0
+            detail["sf1_queries"] = sf1_q
+            out["sf1_value"] = round(sf1_total, 4)
     print(json.dumps(detail))
     line = json.dumps(out)
     assert len(line) < 1900, f"headline line too long ({len(line)} bytes)"
