@@ -118,13 +118,28 @@ EXAM_DB_COLS = (
 )
 
 
+SERIE_DB_COLS = (
+    "SeriesInstanceUID",
+    "SeriesNumber",
+    "EchoTime",
+    "EUID",
+    "AcquisitionDate",
+    "first_acq_seconds",
+    "duration_s",
+)
+
+SERIE_DB_KEYS = ("SeriesInstanceUID", "SeriesNumber", "EchoTime")
+
+
 def incremental_import_stream(
     spark: SparkSession,
     landing_root: str,
     checkpoint: str,
     connect,
     table: str = "exam",
+    serie_table: str = "serie",
     parser: HeaderParser | None = None,
+    dialect: str = "ansi",
 ):
     """E1 as a CONTINUOUS incremental import (Structured Streaming).
 
@@ -135,16 +150,32 @@ def incremental_import_stream(
     ``foreachBatch`` → MERGE classification → the S7 writer.
 
     Each micro-batch runs the batch pipeline stages UNCHANGED (parse →
-    stacks → exams) — the standard foreachBatch pattern for grouped-map
-    stages that Structured Streaming can't run incrementally — then
-    classifies against the CURRENT DB snapshot and upserts only
-    insert/update rows, so redelivered or re-scanned files classify as
-    noop and the sink stays idempotent.
+    stacks → series) — the standard foreachBatch pattern for
+    grouped-map stages that Structured Streaming can't run
+    incrementally.  Exam rows are then recomputed the way the
+    reference did it (Cenir_DB.py:839-868 reads serie rows back from
+    SQL to update ExamDuration): the batch's serie rows upsert into
+    ``serie_table`` first, and each affected exam's aggregate rebuilds
+    from the DB's FULL serie state for that exam — so an exam whose
+    series arrive across several micro-batches converges to the same
+    row the batch pipeline would produce, instead of being overwritten
+    with the latest batch's partial view.  Arrival atomicity is
+    assumed at the SERIE level (one scanner acquisition = one
+    directory = one landing file set), the reference's own processing
+    granularity — a single serie split across micro-batches would
+    still yield a partial stack row for that serie.
+
+    Driver traffic per batch is bounded: the affected (EUID,
+    AcquisitionDate) key list (≤ the batch's exam count) goes up, and
+    the serie/exam snapshots fetched back are restricted to exactly
+    those keys — never the whole table.
 
     ``connect`` is the zero-arg DB-API factory (DuckDB in tests, MySQL
-    in production).  The single-partition coalesce before the write is
-    the DuckDB single-writer constraint; against MySQL every partition
-    would open its own connection.
+    in production — pass ``dialect="mysql"`` there so identifier
+    quoting and the upsert statement render for MySQL).  The
+    single-partition coalesce before each write is the DuckDB
+    single-writer constraint; against MySQL every partition would open
+    its own connection.
 
     Returns the ``DataStreamWriter`` (caller starts it; tests use
     ``trigger(availableNow=True)``).
@@ -152,7 +183,11 @@ def incremental_import_stream(
     from pyspark.sql import types as T
 
     from dicomdb_spark.operators.joins import merge_classify
-    from dicomdb_spark.sources.jdbc import upsert_partition_writer
+    from dicomdb_spark.sources.jdbc import (
+        _sql_ident,
+        _sql_literal,
+        upsert_partition_writer,
+    )
     from dicomdb_spark.streaming.incremental import stream_inventory
 
     inv_schema = T.StructType(
@@ -164,33 +199,89 @@ def incremental_import_stream(
     stream = stream_inventory(spark, landing_root, inv_schema, fmt="parquet")
     keys = ["EUID", "AcquisitionDate"]
     compare = ["n_series", "ExamDuration", "FirstSerieName"]
-    col_sql = ", ".join(f'"{c}"' for c in EXAM_DB_COLS)
+    exam_col_sql = ", ".join(_sql_ident(c, dialect) for c in EXAM_DB_COLS)
+    serie_col_sql = ", ".join(_sql_ident(c, dialect) for c in SERIE_DB_COLS)
+    key_tuple_sql = "({}, {})".format(
+        _sql_ident("EUID", dialect), _sql_ident("AcquisitionDate", dialect)
+    )
+
+    serie_schema = T.StructType(
+        [
+            T.StructField("SeriesInstanceUID", T.StringType()),
+            T.StructField("SeriesNumber", T.IntegerType()),
+            T.StructField("EchoTime", T.DoubleType()),
+            T.StructField("EUID", T.StringType()),
+            T.StructField("AcquisitionDate", T.StringType()),
+            T.StructField("first_acq_seconds", T.DoubleType()),
+            T.StructField("duration_s", T.DoubleType()),
+        ]
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
         headers = parse_headers(batch_df, parser=parser).filter(
             F.col("SeriesInstanceUID").isNotNull()
         )
-        exams = build_exam_frame(build_serie_frame(headers)).select(
+        serie_b = build_serie_frame(headers).select(
+            "SeriesInstanceUID",
+            F.col("SeriesNumber").cast("int").alias("SeriesNumber"),
+            F.col("EchoTime").cast("double").alias("EchoTime"),
+            "EUID",
+            F.col("AcquisitionDate").cast("string").alias("AcquisitionDate"),
+            F.col("first_acq_seconds").cast("double").alias("first_acq_seconds"),
+            F.col("duration_s").cast("double").alias("duration_s"),
+        )
+        # 1) land the batch's serie rows (idempotent upsert on the
+        #    stack key — redelivery overwrites with identical values)
+        serie_b.coalesce(1).foreachPartition(
+            upsert_partition_writer(
+                serie_table, list(SERIE_DB_KEYS), connect, dialect=dialect
+            )
+        )
+        # 2) affected exams: bounded key list (≤ batch exam count)
+        key_rows = [
+            (r["EUID"], r["AcquisitionDate"])
+            for r in serie_b.select(*keys).distinct().collect()
+        ]
+        if not key_rows:
+            return
+        in_sql = ", ".join(
+            "({}, {})".format(
+                _sql_literal(e, dialect), _sql_literal(a, dialect)
+            )
+            for e, a in key_rows
+        )
+        con = connect()
+        try:
+            serie_rows = con.execute(
+                f"SELECT {serie_col_sql} FROM {_sql_ident(serie_table, dialect)}"
+                f" WHERE {key_tuple_sql} IN ({in_sql})"
+            ).fetchall()
+            exam_rows = con.execute(
+                f"SELECT {exam_col_sql} FROM {_sql_ident(table, dialect)}"
+                f" WHERE {key_tuple_sql} IN ({in_sql})"
+            ).fetchall()
+        finally:
+            con.close()
+        # 3) rebuild the affected exams from the FULL landed serie
+        #    state (reference semantics: exam stats derive from the
+        #    serie table, Cenir_DB.py:844-863)
+        serie_all = sess.createDataFrame(serie_rows, serie_schema)
+        exams = build_exam_frame(serie_all).select(
             "EUID",
             "AcquisitionDate",
             F.col("n_series").cast("long").alias("n_series"),
             F.col("ExamDuration").cast("long").alias("ExamDuration"),
             "FirstSerieName",
         )
-        con = connect()
-        try:
-            rows = con.execute(f'SELECT {col_sql} FROM "{table}"').fetchall()
-        finally:
-            con.close()
-        existing = sess.createDataFrame(rows, exams.schema)
+        existing = sess.createDataFrame(exam_rows, exams.schema)
         classified = merge_classify(existing, exams, keys, compare)
         (
             classified.filter(F.col("action") != "noop")
             .drop("action")
             .coalesce(1)
             .foreachPartition(
-                upsert_partition_writer(table, keys, connect, dialect="ansi")
+                upsert_partition_writer(table, keys, connect, dialect=dialect)
             )
         )
 

@@ -90,7 +90,10 @@ def local_fanout(spark: SparkSession, divisor: int = 1, floor: int = 4) -> int |
     force = os.environ.get("SPARK_GRAFT_FORCE_FANOUT")
     if force == "0":
         return None
-    is_local = spark.sparkContext.master.startswith("local")
+    m = spark.sparkContext.master
+    # 'local' / 'local[N]' only — NOT 'local-cluster[...]', which is a
+    # multi-JVM test cluster and must behave like a real one
+    is_local = m == "local" or m.startswith("local[")
     if not is_local and force != "1":
         return None
     return max(floor, spark.sparkContext.defaultParallelism // divisor)

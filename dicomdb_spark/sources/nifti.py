@@ -120,6 +120,14 @@ def write_nifti_volumes(
                     if fh.read() == blob
                     else "duplicate_but_different"
                 )
+            # crash-recovery backfill: a prior run dying between the
+            # .nii.gz write and the sidecar write would otherwise leave
+            # the sidecar permanently missing (every re-run skips)
+            if status == "skipped_identical" and not os.path.exists(sidecar):
+                with open(sidecar, "w") as fh:
+                    json.dump(
+                        json.loads(pdf["meta_json"].iloc[0]), fh, sort_keys=True
+                    )
         else:
             os.makedirs(out_dir, exist_ok=True)
             with open(nii, "wb") as fh:

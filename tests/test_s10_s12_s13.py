@@ -75,6 +75,18 @@ def test_nifti_sink_idempotence_and_conflict(spark, tmp_path):
     flagged = write_nifti_volumes(df2, out).collect()
     assert flagged[0]["status"] == "duplicate_but_different"
 
+    # crash recovery: a run that died between the .nii.gz write and the
+    # sidecar write left the sidecar missing — a skipped_identical
+    # re-run must backfill it rather than skip forever
+    import os
+
+    os.remove(first["1.2.3"]["json_path"])
+    backfilled = {
+        r["SeriesInstanceUID"]: r for r in write_nifti_volumes(df, out).collect()
+    }
+    assert backfilled["1.2.3"]["status"] == "skipped_identical"
+    assert json.load(open(first["1.2.3"]["json_path"]))["TR"] == 2000
+
 
 # ---------------------------------------------------------------------- S13
 def test_tar_command_generation(spark, tmp_path):

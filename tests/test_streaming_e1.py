@@ -29,6 +29,16 @@ def db_path(tmp_path):
         ' "n_series" BIGINT, "ExamDuration" BIGINT, "FirstSerieName" VARCHAR,'
         ' PRIMARY KEY ("EUID", "AcquisitionDate"))'
     )
+    # serie-level state: the stream recomputes exam aggregates from the
+    # DB's full serie set per affected exam (Cenir_DB.py:839-868
+    # semantics), so exams may arrive split across micro-batches
+    con.execute(
+        'CREATE TABLE serie ("SeriesInstanceUID" VARCHAR,'
+        ' "SeriesNumber" INTEGER, "EchoTime" DOUBLE, "EUID" VARCHAR,'
+        ' "AcquisitionDate" VARCHAR, "first_acq_seconds" DOUBLE,'
+        ' "duration_s" DOUBLE,'
+        ' PRIMARY KEY ("SeriesInstanceUID", "SeriesNumber", "EchoTime"))'
+    )
     con.close()
     return path
 
@@ -97,3 +107,52 @@ def test_incremental_import_two_waves_matches_batch(spark, tmp_path, db_path):
         .collect()
     )
     assert sorted(tuple(r) for r in batch) == state2
+
+
+def test_exam_split_across_batches_converges(spark, tmp_path, db_path):
+    """The round-5 fix for cross-batch exams: waves split by SERIE
+    (i % 500 — serie-atomic, the documented arrival contract) so every
+    exam (i % 50) has series in BOTH waves.  The old implementation
+    overwrote each exam with the latest batch's partial n_series /
+    ExamDuration; the serie-state recompute must converge to the batch
+    answer."""
+    landing = str(tmp_path / "landing")
+    checkpoint = str(tmp_path / "ckpt")
+    all_ids = [i for i in range(6, 1200, 6) if i % 13 != 0]
+    wave1 = [i for i in all_ids if i % 500 < 250]
+    wave2 = [i for i in all_ids if i % 500 >= 250]
+    assert wave1 and wave2
+    # non-vacuous: at least one exam must have series on both sides
+    exams1 = {i % 50 for i in wave1}
+    exams2 = {i % 50 for i in wave2}
+    assert exams1 & exams2
+    connect = lambda: duckdb.connect(db_path)  # noqa: E731
+
+    def run_stream():
+        writer = P.incremental_import_stream(
+            spark, landing, checkpoint, connect
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    _wave(spark, wave1).write.mode("append").parquet(landing)
+    run_stream()
+    _wave(spark, wave2).write.mode("append").parquet(landing)
+    run_stream()
+    state = _db_state(db_path)
+
+    headers = parse_headers(_wave(spark, all_ids)).filter(
+        F.col("SeriesInstanceUID").isNotNull()
+    )
+    batch = (
+        P.build_exam_frame(P.build_serie_frame(headers))
+        .select(
+            "EUID",
+            "AcquisitionDate",
+            F.col("n_series").cast("long"),
+            F.col("ExamDuration").cast("long"),
+            "FirstSerieName",
+        )
+        .collect()
+    )
+    assert sorted(tuple(r) for r in batch) == state
