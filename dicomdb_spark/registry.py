@@ -2514,6 +2514,98 @@ def s3_header_parse(spark, sf_dir):
 
 
 @register(
+    "u4_bvec_rotation",
+    """
+    WITH v AS (
+      SELECT CAST(o_orderkey % 40 AS VARCHAR) AS sid,
+             o_orderkey AS vi,
+             CAST(o_orderkey % 7 - 3 AS DOUBLE) AS v1,
+             CAST(o_orderkey % 5 - 2 AS DOUBLE) AS v2,
+             CAST(o_orderkey % 3 - 1 AS DOUBLE) AS v3,
+             CAST(o_orderkey % 4 * 1000 AS DOUBLE) AS bval,
+             (o_orderkey % 40) % 4 AS perm,
+             CASE WHEN (o_orderkey % 40) % 2 = 0 THEN 1.0 ELSE -1.0 END AS f1
+      FROM orders),
+    r AS (
+      SELECT sid, vi, bval,
+             CASE perm WHEN 0 THEN v1 WHEN 1 THEN v2 WHEN 2 THEN v3
+                       ELSE v1 END * f1 AS r1,
+             CASE perm WHEN 0 THEN v2 WHEN 1 THEN v1 WHEN 2 THEN v2
+                       ELSE v3 END AS r2,
+             CASE perm WHEN 0 THEN v3 WHEN 1 THEN 0.0 - v3
+                       WHEN 2 THEN 0.0 - v1 ELSE 0.0 - v2 END AS r3
+      FROM v)
+    SELECT sid AS SeriesInstanceUID,
+           CAST(row_number() OVER (PARTITION BY sid ORDER BY vi) - 1
+                AS INTEGER) AS idx,
+           r1, r2, r3, bval
+    FROM r
+    """,
+)
+def u4_bvec_rotation(spark, sf_dir):
+    """U4/F7 — the bvec rotation grouped-map kernel
+    (operators/stacks.py:_rotate_bvecs_one; Exam_info.py:1148-1220)
+    under a SPEC oracle, the same upgrade u3_stack_assembly got:
+    synthetic per-series affines are SIGNED PERMUTATIONS of the axes
+    (rows x,y = ± unit basis vectors, row z = their cross product), so
+    ``np.linalg.inv`` of the rotation part is numerically EXACT
+    (pivots ±1 — no roundoff) and each rotated gradient is a closed-
+    form component swap/negation the SQL states literally per
+    permutation code.  The manufacturer sign-flip multiplies after
+    rotation on both sides (keeping IEEE -0.0 agreement: negations are
+    written ``0.0 - x`` exactly where numpy's dot produces +0.0, and
+    the flip as a multiplication where numpy multiplies).  Orders rows
+    become volumes: 40 series (o_orderkey % 40), per-volume integer
+    bvecs, bvals, and volume_index = o_orderkey, so the kernel's sort,
+    grouping, rotation, flip, and list assembly are all value-checked
+    bit-for-bit.  The kernel's ARRAY outputs posexplode back to scalar
+    rows for the compare (idx = position in the kernel's ordered list,
+    matched to the oracle's row_number over volume_index) — the driver
+    hash and the dtype-parity guard are defined over scalar repr
+    classes, not nested lists."""
+    from dicomdb_spark.operators.stacks import rotate_bvecs
+
+    o = F.col("o_orderkey")
+    sid = o % 40
+    perm = sid % 4
+    row_xy = (
+        F.when(perm == 0, F.array(*[F.lit(x) for x in (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)]))
+        .when(perm == 1, F.array(*[F.lit(x) for x in (0.0, 1.0, 0.0, 1.0, 0.0, 0.0)]))
+        .when(perm == 2, F.array(*[F.lit(x) for x in (0.0, 0.0, 1.0, 0.0, 1.0, 0.0)]))
+        .otherwise(F.array(*[F.lit(x) for x in (1.0, 0.0, 0.0, 0.0, 0.0, 1.0)]))
+    )
+    flip = F.when(
+        sid % 2 == 0, F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0))
+    ).otherwise(F.array(F.lit(-1.0), F.lit(1.0), F.lit(1.0)))
+    vols = load_table(spark, sf_dir, "orders").select(
+        sid.cast("string").alias("SeriesInstanceUID"),
+        o.alias("volume_index"),
+        F.array(
+            (o % 7 - 3).cast("double"),
+            (o % 5 - 2).cast("double"),
+            (o % 3 - 1).cast("double"),
+        ).alias("bvec"),
+        (o % 4 * 1000).cast("double").alias("bval"),
+        row_xy.alias("affine"),
+        flip.alias("flip_sign"),
+    )
+    out = rotate_bvecs(vols)
+    e = out.select(
+        "SeriesInstanceUID",
+        F.posexplode("bvecs_rotated").alias("idx", "vec"),
+        "bvals",
+    )
+    return e.select(
+        "SeriesInstanceUID",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("vec")[0].alias("r1"),
+        F.col("vec")[1].alias("r2"),
+        F.col("vec")[2].alias("r3"),
+        F.element_at("bvals", F.col("idx") + 1).alias("bval"),
+    )
+
+
+@register(
     "u3_stack_assembly",
     """
     WITH h AS (
