@@ -249,6 +249,9 @@ def main() -> None:
         "text_boilerplate_ngrams",
         # round-4 operators
         "e1_import_pipeline",
+        # round-5 operators
+        "u4_bvec_rotation",
+        "dedup_ngram_jaccard",
     ):
         if name in QUERIES:
             try:

@@ -26,19 +26,27 @@ def representative_rows(
 
     MySQL's ``select count(*) as doublon, e.* ... group by k`` picks an
     arbitrary representative row per group (Cenir_DB.py:271,453;
-    cenir_view.sql:20).  ANSI/Spark equivalent: count per key +
-    ``row_number() == 1`` under an explicit ``order_by`` so the
-    representative is *deterministic* (SURVEY §7 risk (a)).
+    cenir_view.sql:20).  ANSI/Spark equivalent: count per key plus a
+    *deterministic* representative under an explicit ascending
+    ``order_by`` (SURVEY §7 risk (a)).
 
-    Scale shape: duplicate keys are rare (~2% in the reference's
-    production data), so the expensive part — the per-key sort for
-    row_number — runs only over rows belonging to duplicate groups:
-    first a cheap hash aggregate finds those keys, a (broadcast-able)
-    semi-join keeps their rows, and only then does the window sort.
-    A windows-over-everything formulation would sort the full table.
+    Scale shape (round-5 rewrite): ONE hash aggregate — ``min_by`` of
+    the payload struct keyed on the order tuple picks the
+    representative inside the same aggregation that counts the group,
+    so the whole operator is a single shuffle with map-side partial
+    aggregation and NO sort anywhere.  The previous formulation
+    (dup-key agg → semi-join → windowed row_number) paid a second
+    shuffle plus a per-key sort; min_by is associative, so it also
+    partial-aggregates before the exchange — at 100 TB the shuffle
+    carries one row per (mapper, key), not the duplicate population.
+
+    ``order_by`` must be plain ascending column expressions (struct
+    ordering is lexicographic; no SortOrder wrappers) and must be
+    unique within a group for the pick to be deterministic — both true
+    for every reference call site (primary-key order).
     """
-    # materialize expression keys as named columns so the aggregate,
-    # the join, and the window all share one key definition
+    # materialize expression keys as named columns so the aggregate
+    # groups on exactly what the caller asked
     names: list[str] = []
     out = df
     for i, k in enumerate(keys):
@@ -47,21 +55,21 @@ def representative_rows(
         else:
             out = out.withColumn(f"__k{i}", k)
             names.append(f"__k{i}")
-    dup_keys = (
+    payload = [c for c in df.columns if c not in names]
+    rep = (
         out.groupBy(*names)
-        .agg(F.count("*").alias(count_alias))
+        .agg(
+            F.count("*").alias(count_alias),
+            F.min_by(F.struct(*payload), F.struct(*order_by)).alias("__rep"),
+        )
         .filter(F.col(count_alias) >= min_count)
     )
-    # dup_keys scales with the duplicate population — AQE picks the
-    # strategy (broadcast while measured small, shuffle at scale)
-    pruned = out.join(dup_keys, names, "inner")
-    wo = Window.partitionBy(*names).orderBy(*order_by)
-    result = (
-        pruned.withColumn("__rn", F.row_number().over(wo))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    result = rep.select(
+        *[n for n in names if not n.startswith("__k")],
+        *[F.col("__rep")[c].alias(c) for c in payload],
+        count_alias,
     )
-    return result.drop(*[n for n in names if n.startswith("__k")])
+    return result
 
 
 def first_last_duration(
