@@ -4065,7 +4065,8 @@ def tpch_q7_shape(spark, sf_dir):
 def tpch_q10_shape(spark, sf_dir):
     """TPC-H Q10 returned-item report: the classic "top complaining
     customers" — returnflag filter pushed to the lineitem scan, date
-    filter to orders, customer/nation broadcast, global top-20 with a
+    filter to orders, nation broadcast (customer's strategy is
+    stats/AQE-chosen — it scales with SF), global top-20 with a
     deterministic key tiebreak (TakeOrdered, no full sort)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -4179,8 +4180,9 @@ def tpch_q12_shape(spark, sf_dir):
 def tpch_q16_shape(spark, sf_dir):
     """TPC-H Q16 supplier-cnt shape: NOT IN over a subquery (the
     "complaint suppliers" exclusion) → left-anti join against the
-    tiny broadcast exclusion list (s_suppkey is non-null, so NOT IN ≡
-    anti-join), then COUNT(DISTINCT) per part attribute triple —
+    exclusion list (s_suppkey is non-null, so NOT IN ≡ anti-join;
+    the list scales with supplier, so its broadcast is AQE-chosen,
+    not pinned), then COUNT(DISTINCT) per part attribute triple —
     Spark expands the distinct into a two-phase partial/final agg."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
@@ -5661,7 +5663,7 @@ def tpch_q13_shape(spark, sf_dir):
 def tpch_q14_shape(spark, sf_dir):
     """TPC-H Q14 promotion-revenue share: conditional aggregate ratio
     (promo revenue / total revenue) out of ONE pass over the month's
-    lineitem joined to a broadcast part dim.  Both sums are
+    lineitem joined to part (strategy stats/AQE-chosen).  Both sums are
     floor-scaled exact integers, so the final double division is
     bit-identical across engines and partitionings."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -5716,8 +5718,8 @@ def tpch_q15_shape(spark, sf_dir):
     """TPC-H Q15 top supplier: aggregate view + scalar-max subquery +
     equality join back on the aggregate value.  The revenue aggregate
     is an exact integer, so the max-equality match is safe (no
-    double==double comparison); the 1-row max broadcasts, and the
-    supplier dim is broadcast onto the tiny winners set."""
+    double==double comparison); the 1-row max broadcasts (pinned —
+    provably bounded); the supplier join strategy is AQE-chosen."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
@@ -5766,9 +5768,10 @@ def tpch_q17_shape(spark, sf_dir):
     """TPC-H Q17 small-quantity-order revenue: correlated per-part AVG
     subquery decorrelated into a groupBy + join back onto the fact.
     The per-part average is exact-int / count, so the 0.2·avg
-    threshold compare is bit-identical; brand filter joins against the
-    broadcast part dim; one partkey shuffle for the avg, one for the
-    join (AQE coalesces the tiny agg side)."""
+    threshold compare is bit-identical; the brand-filtered part join
+    strategy is stats/AQE-chosen (part scales with SF); one partkey
+    shuffle for the avg, one for the join (AQE coalesces the tiny agg
+    side)."""
     li = load_table(spark, sf_dir, "lineitem")
     part_avg = li.groupBy("l_partkey").agg(
         (
@@ -5816,7 +5819,7 @@ def tpch_q19_shape(spark, sf_dir):
     """TPC-H Q19 disjunctive-predicate revenue: OR-of-AND residual
     spanning both join sides.  The part-only conjuncts
     (brand ∈ {{1,7,20}}) are implied by the disjunction and pushed to
-    the broadcast dim scan; the mixed quantity×brand residual
+    the part scan (join strategy stats/AQE-chosen); the residual
     evaluates post-join inside codegen — the shape optimizers must NOT
     turn into three unioned scans."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -5947,10 +5950,12 @@ def tpch_q2_shape(spark, sf_dir):
     """,
 )
 def tpch_q8_shape(spark, sf_dir):
-    """TPC-H Q8 national market share: 8-table join tree where every
-    dimension (part, customer→nation→region, supplier→nation) is
-    broadcast — the orders↔lineitem edge is the only shuffled join —
-    followed by a conditional-ratio aggregate per order year.  Both
+    """TPC-H Q8 national market share: 8-table join tree — nation/region
+    broadcast from stats, the SF-scaling sides (part, derived
+    customer/supplier dims) AQE-chosen (the static plan sort-merges
+    the derived-customer edge; the runtime plan broadcasts it at
+    bench SF, asserted via aqe_final_plan) — followed by a
+    conditional-ratio aggregate per order year.  Both
     ratio terms are exact integer sums, so the share double is
     engine- and partitioning-identical."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -6022,8 +6027,8 @@ def tpch_q9_shape(spark, sf_dir):
     """TPC-H Q9 product-type profit: profit = revenue − cost per
     (supplier nation, order year), cost modeled as
     0.001·retailprice·qty (no partsupp.supplycost in this schema).
-    part/supplier/nation broadcast; orders↔lineitem is the one
-    shuffled join; the profit expression floor-scales BEFORE summing
+    nation broadcast; part/supplier strategy AQE-chosen;
+    orders↔lineitem shuffles; the profit expression floor-scales BEFORE summing
     so the per-nation totals are exact."""
     li = load_table(spark, sf_dir, "lineitem")
     part = (
@@ -6135,7 +6140,8 @@ def tpch_q20_shape(spark, sf_dir):
     per-(supplier, promo-part) shipped quantity above a threshold →
     DISTINCT supplier set → EXISTS semi-join against the
     nation-filtered supplier dim.  Thresholds compare floor-scaled
-    integers; the semi-join side is tiny and broadcasts."""
+    integers; the semi-join side scales with lineitem density, so its
+    strategy is AQE-chosen (runtime-broadcast at bench SF)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
