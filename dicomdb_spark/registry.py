@@ -2514,6 +2514,209 @@ def s3_header_parse(spark, sf_dir):
 
 
 @register(
+    "s4_xlsx_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+    """,
+)
+def s4_xlsx_roundtrip(spark, sf_dir):
+    """S4 — the pure-stdlib OOXML codec (sources/xlsx.py) under a
+    driver-checkable round-trip: every partition batch renders its
+    orders rows into a REAL workbook (zip container, workbook/rels
+    XML, inline strings, numeric cells) with ``write_xlsx``, parses
+    the bytes back with ``read_xlsx_rows`` (the S4 reader the
+    reference used for review sheets, do_results_DB.py:36-63), and
+    emits the recovered rows.  The oracle is simply the source table —
+    any drift in cell-ref math, XML escaping, zip layout, or numeric
+    canonicalization breaks value parity.  Map-only; the workbook
+    lives per batch in memory (review sheets are KB-scale artifacts;
+    the codec is not a bulk-data path)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dicomdb_spark.sources.xlsx import read_xlsx_rows, write_xlsx
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                [int(k), str(s), str(p), int(c)]
+                for k, s, p, c in zip(
+                    pdf["o_orderkey"], pdf["o_orderstatus"],
+                    pdf["o_orderpriority"], pdf["price_c"],
+                )
+            ]
+            blob = write_xlsx({"orders": rows})
+            parsed = read_xlsx_rows(blob)
+            out = [
+                {
+                    "o_orderkey": int(cells[0]),
+                    "o_orderstatus": cells[1],
+                    "o_orderpriority": cells[2],
+                    "price_c": int(cells[3]),
+                }
+                for _sheet, _rn, cells in parsed
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "o_orderkey", "o_orderstatus", "o_orderpriority", "price_c",
+                ],
+            )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return orders.transform(_fanout(spark)).mapInPandas(
+        run,
+        schema="o_orderkey long, o_orderstatus string,"
+        " o_orderpriority string, price_c long",
+    )
+
+
+@register(
+    "s12_nifti_roundtrip",
+    """
+    WITH g AS (
+      SELECT o_orderkey % 8 AS grp, o_orderkey AS k,
+             row_number() OVER (PARTITION BY o_orderkey % 8
+                                ORDER BY o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey % 8) AS nz
+      FROM orders),
+    vox AS (
+      SELECT g.grp, g.k, g.rn, g.nz,
+             (g.k * 13 + x.range * 17 + y.range * 29) % 32768 - 16384 AS v
+      FROM g, range(4) x, range(4) y)
+    SELECT CAST(grp AS VARCHAR) AS grp,
+           CAST(4 AS INTEGER) AS nx, CAST(4 AS INTEGER) AS ny,
+           CAST(max(nz) AS INTEGER) AS nz,
+           CAST(SUM(v) AS BIGINT) AS voxel_sum,
+           CAST(SUM(CASE WHEN rn = 1 THEN v ELSE 0 END) AS BIGINT)
+             AS first_slice_sum
+    FROM vox GROUP BY grp
+    """,
+)
+def s12_nifti_roundtrip(spark, sf_dir):
+    """S12 — the pure-stdlib NIfTI-1 codec (sources/nifti.py) under a
+    driver-checkable round-trip: one volume per group, voxels derived
+    deterministically from order keys ((k·13 + x·17 + y·29) mod 2¹⁵ −
+    2¹⁴, int16-exact), ``encode_nifti1`` → gzip bytes →
+    ``decode_nifti1``, and the DECODED array's dims and sums are what
+    the query emits — so header field packing (dim/pixdim/vox_offset),
+    Fortran-order serialization, and the gzip container must all
+    round-trip exactly for the oracle (which computes the same sums
+    straight from SQL) to match.  applyInPandas per series, the same
+    distribution shape as the real S12 sink (write_nifti_volumes)."""
+    from collections.abc import Iterator  # noqa: F401
+
+    import numpy as np
+    import pandas as pd
+
+    from dicomdb_spark.sources.nifti import decode_nifti1, encode_nifti1
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k", kind="mergesort")
+        ks = pdf["k"].to_numpy()
+        x = np.arange(4).reshape(4, 1, 1)
+        y = np.arange(4).reshape(1, 4, 1)
+        kk = ks.reshape(1, 1, -1)
+        vol = ((kk * 13 + x * 17 + y * 29) % 32768 - 16384).astype("int16")
+        dec = decode_nifti1(encode_nifti1(vol))
+        return pd.DataFrame(
+            [
+                {
+                    "grp": str(int(pdf["grp"].iloc[0])),
+                    "nx": int(dec.shape[0]),
+                    "ny": int(dec.shape[1]),
+                    "nz": int(dec.shape[2]),
+                    "voxel_sum": int(dec.astype("int64").sum()),
+                    "first_slice_sum": int(
+                        dec[:, :, 0].astype("int64").sum()
+                    ),
+                }
+            ]
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 8).alias("grp"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return orders.groupBy("grp").applyInPandas(
+        one,
+        schema="grp string, nx int, ny int, nz int,"
+        " voxel_sum long, first_slice_sum long",
+    )
+
+
+@register(
+    "s13_tar_roundtrip",
+    """
+    SELECT CAST(o_orderkey % 8 AS VARCHAR) AS grp,
+           CAST(count(*) AS INTEGER) AS n_members,
+           CAST(count(*) AS INTEGER) AS content_ok,
+           CAST(SUM(length(CAST(o_orderkey AS VARCHAR)) + 1
+                    + o_orderkey % 50) AS BIGINT) AS sum_sizes
+    FROM orders GROUP BY 1
+    """,
+)
+def s13_tar_roundtrip(spark, sf_dir):
+    """S13 — the deterministic tar codec (sources/tar_sink.py:
+    tar_gz_bytes / read_tar_gz) under a driver-checkable round-trip:
+    per group, synthesize one member per order key (name
+    ``d/<k>.dic``, content ``<k>:xxx…`` with k%50 filler), archive →
+    gzip'd tar bytes → extract, and emit what the EXTRACTED members
+    say: member count, how many members carry exactly the expected
+    name AND content (content_ok must equal n_members — the oracle
+    states it as count(*)), and the sum of extracted TarInfo sizes
+    (oracle recomputes the same lengths in SQL).  Any corruption in
+    header packing, name normalization, or payload ordering breaks
+    parity.  applyInPandas per group, the same distribution shape as
+    write_tar_archives."""
+    import pandas as pd
+
+    from dicomdb_spark.sources.tar_sink import read_tar_gz, tar_gz_bytes
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k", kind="mergesort")
+        items = []
+        expected = {}
+        for k in pdf["k"]:
+            k = int(k)
+            name = f"d/{k}.dic"
+            content = (str(k) + ":" + "x" * (k % 50)).encode()
+            items.append((f"/d/{k}.dic", content))
+            expected[name] = content
+        blob = tar_gz_bytes(items)
+        members = read_tar_gz(blob)
+        ok = sum(
+            1 for name, _sz, data in members if expected.get(name) == data
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "grp": str(int(pdf["grp"].iloc[0])),
+                    "n_members": len(members),
+                    "content_ok": ok,
+                    "sum_sizes": int(sum(sz for _n, sz, _d in members)),
+                }
+            ]
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 8).alias("grp"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return orders.groupBy("grp").applyInPandas(
+        one, schema="grp string, n_members int, content_ok int, sum_sizes long"
+    )
+
+
+@register(
     "u4_bvec_rotation",
     """
     WITH v AS (

@@ -60,6 +60,36 @@ def tar_commands(
     )
 
 
+def tar_gz_bytes(items) -> bytes:
+    """Deterministic ``.tar.gz`` bytes from (name, content) pairs.
+    gzip mtime pinned to 0 ("w:gz" would embed wall-clock time in the
+    stream header) and member mtime 0, so identical content yields
+    identical BYTES — the same idempotence discipline as the NIfTI
+    sink.  Caller orders the pairs (name-sorted at the call sites)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(
+        filename="", mode="wb", fileobj=buf, mtime=0
+    ) as gz, tarfile.open(fileobj=gz, mode="w") as tf:
+        for name, content in items:
+            data = bytes(content)
+            info = tarfile.TarInfo(name=str(name).lstrip("/"))
+            info.size = len(data)
+            info.mtime = 0  # deterministic bytes
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def read_tar_gz(blob: bytes):
+    """Inverse of :func:`tar_gz_bytes` — [(name, size, content)] in
+    archive order (round-trip support)."""
+    out = []
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz") as tf:
+        for m in tf.getmembers():
+            f = tf.extractfile(m)
+            out.append((m.name, int(m.size), f.read() if f else b""))
+    return out
+
+
 def write_tar_archives(files: DataFrame, out_dir: str) -> DataFrame:
     """Archive each series' files into ``<uid>.tar.gz`` on shared
     storage.  Input columns: SeriesInstanceUID, path, content
@@ -71,17 +101,9 @@ def write_tar_archives(files: DataFrame, out_dir: str) -> DataFrame:
         safe = "".join(c if c.isalnum() or c in "_.-" else "_" for c in sid)
         os.makedirs(out_dir, exist_ok=True)
         tar_path = os.path.join(out_dir, f"{safe}.tar.gz")
-        # gzip mtime pinned to 0 ("w:gz" would embed wall-clock time in
-        # the stream header, breaking byte determinism)
-        with open(tar_path, "wb") as raw, gzip.GzipFile(
-            filename="", mode="wb", fileobj=raw, mtime=0
-        ) as gz, tarfile.open(fileobj=gz, mode="w") as tf:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                info = tarfile.TarInfo(name=str(path).lstrip("/"))
-                info.size = len(data)
-                info.mtime = 0  # deterministic bytes
-                tf.addfile(info, io.BytesIO(data))
+        blob = tar_gz_bytes(zip(pdf["path"], pdf["content"]))
+        with open(tar_path, "wb") as raw:
+            raw.write(blob)
         return pd.DataFrame(
             [
                 {
