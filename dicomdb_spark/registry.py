@@ -2514,6 +2514,88 @@ def s3_header_parse(spark, sf_dir):
 
 
 @register(
+    "s1_scan_roundtrip",
+    """
+    SELECT 'PROTO_' || CAST(o_orderkey % 5 AS VARCHAR) AS proto,
+           'Subj_' || CAST(o_orderkey % 11 AS VARCHAR) AS suj,
+           'S' || CAST(o_orderkey % 7 AS VARCHAR) || '_ser' AS ser,
+           'f_' || CAST(o_orderkey AS VARCHAR) || '.dic' AS fname,
+           CAST(132 AS BIGINT) AS size
+    FROM orders
+    WHERE o_orderkey % 600 = 0 AND o_orderkey % 9 <> 0
+    """,
+)
+def s1_scan_roundtrip(spark, sf_dir):
+    """S1/S2/P8/S3-sniff — the inventory scan pipeline against a REAL
+    directory tree, driver-checked: a bounded deterministic fixture
+    (keys ≡ 0 mod 600; ~100 files at sf0.01) is materialized under
+    /tmp as ``<proto>/<suj>/<ser>/f_<k>.dic`` with DICM magic at
+    offset 128, salted with one decoy per exclusion rule — a dotfile,
+    an ``.xml``, a ``dicom_info*`` name (P8, do_dicom.py:276-288), a
+    series directory failing the '^S' regex (Exam_info.py:57), and a
+    no-magic payload for keys ≡ 0 mod 9 (Exam_info.py:1673-1679).
+    The query then runs the production pipeline — binaryFile recursive
+    scan → level split → P8 name filters → S1 regex descent → DICM
+    sniff — and the oracle states the exact survivor set from SQL:
+    every decoy must be dropped and every real file found, or parity
+    breaks.  Fixture creation is idempotent (content-addressed names,
+    rewrite-same-bytes) and bounded regardless of SF (key-value
+    filter, not a fraction)."""
+    import os
+
+    from dicomdb_spark.sources.inventory import (
+        is_dicom_magic,
+        path_name_filters,
+        regex_descent,
+        scan_files,
+        split_tree_levels,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/dicomdb_spark_scan_fixture/{tag}"
+    keys = [
+        int(r[0])
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 600 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    magic = b"\x00" * 128 + b"DICM"
+    for k in sorted(keys):
+        d = os.path.join(
+            root, f"PROTO_{k % 5}", f"Subj_{k % 11}", f"S{k % 7}_ser"
+        )
+        os.makedirs(d, exist_ok=True)
+        body = (b"\x00" * 132) if k % 9 == 0 else magic
+        with open(os.path.join(d, f"f_{k}.dic"), "wb") as fh:
+            fh.write(body)
+        if k % 10 == 0:  # decoys, one per exclusion rule
+            with open(os.path.join(d, f".hidden_{k}"), "wb") as fh:
+                fh.write(magic)
+            with open(os.path.join(d, f"info_{k}.xml"), "wb") as fh:
+                fh.write(magic)
+            with open(os.path.join(d, f"dicom_info_{k}"), "wb") as fh:
+                fh.write(magic)
+            xd = os.path.join(
+                root, f"PROTO_{k % 5}", f"Subj_{k % 11}", f"X{k % 7}_ser"
+            )
+            os.makedirs(xd, exist_ok=True)
+            with open(os.path.join(xd, f"f_{k}_x.dic"), "wb") as fh:
+                fh.write(magic)
+    inv = scan_files(spark, root, glob="*")
+    inv = path_name_filters(split_tree_levels(inv))
+    inv = regex_descent(inv, proto_reg="^PROTO_", suj_reg="^Subj_", ser_reg="^S")
+    inv = inv.filter(is_dicom_magic())
+    return inv.select(
+        "proto",
+        "suj",
+        "ser",
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("size"),
+    )
+
+
+@register(
     "s4_xlsx_roundtrip",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority,
