@@ -2596,6 +2596,240 @@ def s1_scan_roundtrip(spark, sf_dir):
 
 
 @register(
+    "s5_list_roundtrip",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           '/data/f_' || CAST(o_orderkey AS VARCHAR) || '.nii' AS path
+    FROM orders WHERE o_orderkey % 600 = 0
+    """,
+)
+def s5_list_roundtrip(spark, sf_dir):
+    """S5 — the ``id,path`` list-file source (``readList``,
+    common.py:470-494) driver-checked end-to-end: a bounded
+    deterministic CSV list file is written under /tmp from order keys,
+    read back through ``read_id_path_list`` (including its distributed
+    duplicate-id aggregate in strict mode), and the oracle states the
+    exact expected rows in SQL.  Idempotent, bounded regardless of SF
+    (key-value filter)."""
+    import os
+
+    from dicomdb_spark.sources.inventory import read_id_path_list
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/dicomdb_spark_list_fixture/{tag}"
+    os.makedirs(root, exist_ok=True)
+    keys = sorted(
+        int(r[0])
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 600 == 0)
+        .select("o_orderkey")
+        .collect()
+    )
+    with open(os.path.join(root, "list.csv"), "w") as fh:
+        for k in keys:
+            fh.write(f"{k},/data/f_{k}.nii\n")
+    return read_id_path_list(spark, os.path.join(root, "list.csv"))
+
+
+@register(
+    "s11_results_harvest_roundtrip",
+    """
+    SELECT 'PROTO_' || CAST(o_orderkey % 5 AS VARCHAR) AS proto,
+           'Subj_' || CAST(o_orderkey % 11 AS VARCHAR) AS suj,
+           'S' || CAST(o_orderkey % 7 AS VARCHAR) || '_ser' AS ser,
+           CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey % 8 AS DOUBLE) / 4 AS FLOAT)
+           END AS vbmgrayvol,
+           CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey % 6 AS DOUBLE) / 4 AS FLOAT)
+           END AS vbmwhitevol,
+           CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey % 4 AS DOUBLE) / 4 AS FLOAT)
+           END AS vbmcsfvol,
+           CAST(CASE WHEN o_orderkey % 9 = 0 THEN 0 ELSE 1 END
+                AS INTEGER) AS status
+    FROM orders WHERE o_orderkey % 600 = 0
+    """,
+)
+def s11_results_harvest_roundtrip(spark, sf_dir):
+    """S11/R9 — the seg8 results harvest (do_results_DB.py:83-153)
+    driver-checked against a REAL results tree: bounded fixture
+    ``<proto>/<suj>/<ser>/vbm8/res_seg8.txt`` files carry three
+    tab-separated dyadic-exact volumes (corrupt text for keys ≡ 0
+    mod 9 — the reference's tolerated-parse-failure path,
+    :120-131), ``read_seg8_files`` scans the whole tree in ONE text
+    read with input_file_name keying and try_cast parsing, and the
+    oracle states every parsed value and status flag in SQL.  Any
+    drift in glob matching, path algebra, tab splitting, or the
+    malformed-row policy breaks parity."""
+    import os
+
+    from dicomdb_spark.sources.results import read_seg8_files
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/dicomdb_spark_seg8_fixture/{tag}"
+    keys = sorted(
+        int(r[0])
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 600 == 0)
+        .select("o_orderkey")
+        .collect()
+    )
+    for k in keys:
+        d = os.path.join(
+            root, f"PROTO_{k % 5}", f"Subj_{k % 11}", f"S{k % 7}_ser", "vbm8"
+        )
+        os.makedirs(d, exist_ok=True)
+        if k % 9 == 0:
+            line = "not\ta\tnumber"
+        else:
+            line = f"{(k % 8) / 4.0}\t{(k % 6) / 4.0}\t{(k % 4) / 4.0}"
+        with open(os.path.join(d, "res_seg8.txt"), "w") as fh:
+            fh.write(line + "\n")
+    seg8 = read_seg8_files(spark, root)
+    parts = F.split(F.col("proc_dir"), "/")
+    n = F.size(parts)
+    return seg8.select(
+        F.element_at(parts, n - 3).alias("proto"),
+        F.element_at(parts, n - 2).alias("suj"),
+        F.element_at(parts, n - 1).alias("ser"),
+        "vbmgrayvol",
+        "vbmwhitevol",
+        "vbmcsfvol",
+        "status",
+    )
+
+
+@register(
+    "s2_incremental_scan",
+    """
+    SELECT 'f_' || CAST(o_orderkey AS VARCHAR) || '.dic' AS fname,
+           CAST(1000000000 + o_orderkey * 172800 AS BIGINT) AS mtime_epoch
+    FROM orders
+    WHERE o_orderkey % 600 = 0
+      AND o_orderkey > 4200
+    """,
+)
+def s2_incremental_scan(spark, sf_dir):
+    """S2 — the mtime-delta incremental contract
+    (``get_all_newer_subdir``, common.py:267-306) driver-checked: the
+    fixture files' mtimes are SET deterministically (epoch 10⁹ +
+    k·2 days via os.utime), the scan runs with ``modifiedAfter`` at a
+    cutoff midway between keys 4200 and 4800, and the oracle states
+    exactly which files a correct pushdown admits (k > 4200).  Keys
+    are spaced two days apart and the cutoff sits a full day from both
+    neighbors, so the session-timezone interpretation of the option
+    string (max ±14 h) can never flip a boundary file — tz-robust by
+    construction.  Pruning happens at FILE LISTING time (binaryFile
+    ``modifiedAfter``), so excluded files are never opened — the
+    reference's whole point: don't re-read the archive to import a
+    day's arrivals."""
+    import datetime
+    import os
+
+    from dicomdb_spark.sources.inventory import scan_files
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/dicomdb_spark_mtime_fixture/{tag}"
+    os.makedirs(root, exist_ok=True)
+    keys = sorted(
+        int(r[0])
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 600 == 0)
+        .select("o_orderkey")
+        .collect()
+    )
+    for k in keys:
+        p = os.path.join(root, f"f_{k}.dic")
+        with open(p, "wb") as fh:
+            fh.write(b"\x00" * 16)
+        epoch = 1_000_000_000 + k * 172_800
+        os.utime(p, (epoch, epoch))
+    # midway between k=4200 and k=4800 in mtime space: 4500·2 days
+    cutoff_epoch = 1_000_000_000 + 4_500 * 172_800
+    cutoff = datetime.datetime.fromtimestamp(cutoff_epoch).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    inv = scan_files(spark, root, glob="*.dic", modified_after=cutoff)
+    return inv.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        (F.unix_timestamp("mtime")).cast("long").alias("mtime_epoch"),
+    )
+
+
+@register(
+    "s6_upsert_render",
+    """
+    WITH r AS (
+      SELECT o_orderkey AS k,
+             'it' || chr(39) || 's ' || o_orderpriority AS note
+      FROM orders WHERE o_orderkey % 600 = 0)
+    SELECT k,
+           'INSERT INTO `exam` (`Eid`, `note`) VALUES ('
+             || CAST(k AS VARCHAR) || ', ' || chr(39)
+             || replace(replace(note, chr(92), chr(92) || chr(92)),
+                        chr(39), chr(92) || chr(39))
+             || chr(39)
+             || ') ON DUPLICATE KEY UPDATE `note` = VALUES(`note`)'
+             AS mysql_sql,
+           'INSERT INTO ' || chr(34) || 'exam' || chr(34) || ' ('
+             || chr(34) || 'Eid' || chr(34) || ', '
+             || chr(34) || 'note' || chr(34) || ') VALUES ('
+             || CAST(k AS VARCHAR) || ', ' || chr(39)
+             || replace(note, chr(39), chr(39) || chr(39)) || chr(39)
+             || ') ON CONFLICT (' || chr(34) || 'Eid' || chr(34)
+             || ') DO UPDATE SET ' || chr(34) || 'note' || chr(34)
+             || ' = excluded.' || chr(34) || 'note' || chr(34)
+             AS ansi_sql
+    FROM r
+    """,
+)
+def s6_upsert_render(spark, sf_dir):
+    """S6/S7 writer-side SQL generation (Cenir_DB.py:994-1024)
+    driver-checked: every row renders its upsert statement through the
+    REAL ``render_upsert_sql`` in BOTH dialects (MySQL backtick
+    idents + backslash escaping + ON DUPLICATE KEY UPDATE; ANSI
+    double-quote idents + quote-doubling + ON CONFLICT DO UPDATE),
+    and the oracle reconstructs the exact statement text with SQL
+    string algebra (chr(39)/chr(92) spell the quote and backslash) —
+    an embedded single quote is planted in every value, so both
+    escaping policies are value-checked byte-for-byte."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dicomdb_spark.sources.jdbc import render_upsert_sql
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, note in zip(pdf["k"], pdf["note"]):
+                d = {"Eid": int(k), "note": str(note)}
+                rows.append(
+                    {
+                        "k": int(k),
+                        "mysql_sql": render_upsert_sql(
+                            "exam", d, ["Eid"], dialect="mysql"
+                        ),
+                        "ansi_sql": render_upsert_sql(
+                            "exam", d, ["Eid"], dialect="ansi"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["k", "mysql_sql", "ansi_sql"])
+
+    rows = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 600 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("it's "), F.col("o_orderpriority")).alias("note"),
+    )
+    return rows.mapInPandas(
+        run, schema="k long, mysql_sql string, ansi_sql string"
+    )
+
+
+@register(
     "s4_xlsx_roundtrip",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority,
