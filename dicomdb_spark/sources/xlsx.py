@@ -61,7 +61,11 @@ def _canon_number(text: str) -> str:
         f = float(text)
     except ValueError:
         return text
-    if f == int(f) and abs(f) < 1e15:
+    # 2^53 = the double exact-integer bound: below it, f == int(f)
+    # means the cell genuinely holds that integer (an arbitrary 1e15
+    # cutoff left 16-digit IDs rendered as "...0.0" — caught by
+    # tests/test_codec_properties.py)
+    if f == int(f) and abs(f) <= 2**53:
         return str(int(f))
     return repr(f)
 
