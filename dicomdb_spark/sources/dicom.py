@@ -173,7 +173,9 @@ def parse_csa2(blob: bytes) -> dict[str, str]:
     if len(blob) < 16 or blob[:4] != b"SV10":
         raise ValueError("not a CSA2 (SV10) block")
     n_tags = int.from_bytes(blob[8:12], "little")
-    if not 0 < n_tags < 1024:
+    # 0 is a well-formed (empty) block — only absurd counts are
+    # corrupt (caught by tests/test_codec_properties.py round-trip)
+    if not 0 <= n_tags < 1024:
         raise ValueError(f"implausible CSA tag count {n_tags}")
     out: dict[str, str] = {}
     pos = 16

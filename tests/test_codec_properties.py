@@ -109,3 +109,95 @@ def test_nifti_roundtrip_identity(nx, ny, nz, seed):
     dec = decode_nifti1(blob1)
     assert dec.shape == (nx, ny, nz)
     assert (dec == vol).all()
+
+
+# --- Part-10 DICOM + CSA2 codec properties ------------------------------
+
+# DICOM string values: printable ASCII minus backslash (the multi-value
+# separator) with no leading/trailing whitespace (PS3.5 padding strips)
+_dicom_text = (
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=30,
+    )
+    .filter(lambda s: "\\" not in s)
+)
+
+
+@given(
+    uid=st.from_regex(r"[0-9.]{1,30}", fullmatch=True).filter(
+        lambda s: s.strip(".") != ""
+    ),
+    study=st.from_regex(r"[0-9.]{1,30}", fullmatch=True),
+    sn=st.integers(min_value=0, max_value=9999),
+    inst=st.integers(min_value=0, max_value=99999),
+    te=st.integers(min_value=0, max_value=500),
+    manu=_dicom_text,
+    seq=_dicom_text,
+    itype=st.lists(_dicom_text, min_size=1, max_size=4),
+    explicit=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_part10_header_roundtrip(
+    uid, study, sn, inst, te, manu, seq, itype, explicit
+):
+    """encode_minimal_dicom → minimal_parser preserves every field in
+    BOTH transfer syntaxes (explicit and implicit VR little-endian),
+    including odd-length values that require PS3.5 §6.2 padding."""
+    from dicomdb_spark.sources.dicom import (
+        _TS_EXPLICIT_LE,
+        _TS_IMPLICIT_LE,
+        encode_minimal_dicom,
+        minimal_parser,
+    )
+
+    fields = {
+        "SeriesInstanceUID": uid,
+        "StudyInstanceUID": study,
+        "SeriesNumber": sn,
+        "InstanceNumber": inst,
+        "EchoTime": te,
+        "Manufacturer": manu,
+        "SequenceName": seq,
+        "ImageType": itype,
+        "AcquisitionDate": "20240101",
+        "AcquisitionTimeRaw": "120000.000000",
+    }
+    ts = _TS_EXPLICIT_LE if explicit else _TS_IMPLICIT_LE
+    out = minimal_parser(encode_minimal_dicom(fields, transfer_syntax=ts))
+    assert out["SeriesInstanceUID"] == uid
+    assert out["StudyInstanceUID"] == study
+    assert out["SeriesNumber"] == sn
+    assert out["InstanceNumber"] == inst
+    assert out["EchoTime"] == float(te)
+    assert out["AcquisitionDate"] == "20240101"
+    assert out["ImageType"] == itype
+    csa = out["csa_meta"] or {}
+    assert csa.get("Manufacturer") == manu
+    assert csa.get("SequenceName") == seq
+
+
+@given(
+    st.dictionaries(
+        keys=st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            min_size=1,
+            max_size=40,
+        ),
+        values=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_csa2_roundtrip(tags):
+    """encode_csa2 → parse_csa2 preserves every (name, value) pair —
+    the Siemens private-header path the reference depended on for
+    SequenceName/FlipAngle fallbacks (Exam_info.py:533-554)."""
+    from dicomdb_spark.sources.dicom import encode_csa2, parse_csa2
+
+    assert parse_csa2(encode_csa2(tags)) == tags
