@@ -2701,6 +2701,94 @@ def s11_results_harvest_roundtrip(spark, sf_dir):
 
 
 @register(
+    "s10_cfind_reconcile",
+    """
+    WITH st AS (SELECT DISTINCT o_orderkey % 40 AS r FROM orders),
+    remote AS (
+      SELECT 'ST.' || CAST(r AS VARCHAR) AS study,
+             'ST.' || CAST(r AS VARCHAR) || '.SE.' || CAST(j.range AS VARCHAR)
+               AS serie,
+             CAST((r * 7 + j.range * 3) % 50 + 1 AS INTEGER) AS remote_n
+      FROM st, range(5) j WHERE j.range <= r % 5),
+    disk AS (
+      SELECT 'ST.' || CAST(r AS VARCHAR) AS study,
+             'ST.' || CAST(r AS VARCHAR) || '.SE.' || CAST(j.range AS VARCHAR)
+               AS serie,
+             CAST((r * 7 + j.range * 3) % 50 + 1
+                  + CASE WHEN r % 6 = 0 AND j.range = 0 THEN 1 ELSE 0 END
+                  AS INTEGER) AS disk_n
+      FROM st, range(5) j WHERE j.range <= r % 5)
+    SELECT remote.study, remote.serie, remote_n, disk_n,
+           CASE WHEN remote_n = disk_n THEN 'match'
+                ELSE 'count_mismatch' END AS status
+    FROM remote JOIN disk
+      ON remote.study = disk.study AND remote.serie = disk.serie
+    """,
+)
+def s10_cfind_reconcile(spark, sf_dir):
+    """S10/J9/R4 — the C-FIND fan-out feeding the scanner↔disk
+    reconciliation, driver-checked through the injectable-client seam
+    with a DETERMINISTIC fake (the multimodal-decode discipline:
+    the transport is faked, the Spark-side distribution — mapInPandas
+    per-study association batching, schema, fan-out shape — is real
+    and value-checked).  Studies derive from order keys; the fake
+    PACS answers each SERIES-level query with a per-study series list
+    and instance counts from a closed-form formula; the disk side
+    recomputes the same counts with a planted +1 drift on every
+    6th study's first series, and the J9 count join labels
+    match / count_mismatch.  The oracle restates fake-PACS, disk
+    derivation, and reconciliation entirely in SQL — so the executor-
+    side client protocol (one client per batch, per-study query loop,
+    record field extraction) must behave exactly for parity."""
+    from dicomdb_spark.sources.cfind import cfind_series_counts
+
+    def fake_pacs(level, keys):
+        assert level == "SERIES"
+        r = int(keys["StudyInstanceUID"].rsplit(".", 1)[-1])
+        return [
+            {
+                "SeriesInstanceUID": f"ST.{r}.SE.{j}",
+                "SeriesNumber": j + 1,
+                "NumberOfSeriesRelatedInstances": (r * 7 + j * 3) % 50 + 1,
+            }
+            for j in range(r % 5 + 1)
+        ]
+
+    studies = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("ST."), (F.col("o_orderkey") % 40).cast("string")).alias(
+            "StudyInstanceUID"
+        )
+    )
+    remote = cfind_series_counts(studies, fake_pacs).select(
+        F.col("StudyInstanceUID").alias("study"),
+        F.col("SeriesInstanceUID").alias("serie"),
+        F.col("NumberOfSeriesRelatedInstances").alias("remote_n"),
+    )
+    r = F.element_at(F.split(F.col("study"), "\\."), -1).cast("int")
+    j = F.element_at(F.split(F.col("serie"), "\\."), -1).cast("int")
+    disk = remote.select(
+        "study",
+        "serie",
+        (
+            (r * 7 + j * 3) % 50 + 1
+            + F.when((r % 6 == 0) & (j == 0), 1).otherwise(0)
+        ).cast("int").alias("disk_n"),
+    )
+    return (
+        remote.join(disk, ["study", "serie"])
+        .select(
+            "study",
+            "serie",
+            "remote_n",
+            "disk_n",
+            F.when(F.col("remote_n") == F.col("disk_n"), F.lit("match"))
+            .otherwise(F.lit("count_mismatch"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
     "s2_incremental_scan",
     """
     SELECT 'f_' || CAST(o_orderkey AS VARCHAR) || '.dic' AS fname,
