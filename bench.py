@@ -63,6 +63,9 @@ def run_query(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     # cache blocks from earlier queries squeeze executor storage memory
     # and fake 2-3× regressions on later CPU-bound entries (measured:
     # dedup_dup_spans 3.5 s inside a full bench run vs 1.9 s clean)
+    from dicomdb_spark.llm.dedup import release_pair_caches
+
+    release_pair_caches()
     spark.catalog.clearCache()
     return best
 

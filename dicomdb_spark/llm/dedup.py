@@ -27,6 +27,36 @@ from dicomdb_spark.functions.text import shingles, tokens
 
 HEX = "0123456789abcdef"
 
+# The pair-scoring operators persist their multi-consumer shingle
+# frames (the explode feeds df-counts AND both verify sides), but the
+# operator returns a LAZY DataFrame — there is no in-function point
+# where the cache can be dropped without losing the reuse.  Handles
+# are tracked here instead; long-running sessions (bench reps,
+# repeated registry queries) call :func:`release_pair_caches` after
+# materializing a result so superseded shingle caches don't pin
+# storage memory until LRU eviction.
+_PAIR_CACHES: list[DataFrame] = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    _PAIR_CACHES.append(df)
+    return df
+
+
+def release_pair_caches(blocking: bool = False) -> int:
+    """Unpersist every tracked pair-operator cache; returns the count.
+    Safe at any time — unpersisting before an action only forfeits
+    reuse, never correctness."""
+    n = 0
+    while _PAIR_CACHES:
+        df = _PAIR_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n
+
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: md5(content) groups with >1 member.
@@ -274,7 +304,7 @@ def _df_capped_pair_scores(
     # sets feeds the explode AND both verify sides — materialize the
     # CPU-dense tokenize/shingle once (multi-consumer persist
     # discipline, same as the PageRank loop invariants)
-    sets = sets.persist()
+    sets = _track_cache(sets.persist())
     sh = sets.select("doc", F.explode("__shs").alias("shingle"))
     keep = (
         sh.groupBy("shingle")
@@ -380,7 +410,7 @@ def ngram_jaccard_pairs(
     # not reuse the exchange across them — materialize the CPU-dense
     # tokenize/shingle/explode once (same multi-consumer persist
     # discipline as the PageRank loop invariants)
-    sh = sh.persist()
+    sh = _track_cache(sh.persist())
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -447,6 +477,7 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.array_sort(F.array_distinct(shingles(text_col, n))).alias("shs"),
     ).persist()
+    _track_cache(sets)
     tok = sets.select("doc", F.size("shs").alias("sz"), F.explode("shs").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "tok")
@@ -554,7 +585,7 @@ def ngram_containment_pairs(
     # not reuse the exchange across them — materialize the CPU-dense
     # tokenize/shingle/explode once (same multi-consumer persist
     # discipline as the PageRank loop invariants)
-    sh = sh.persist()
+    sh = _track_cache(sh.persist())
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -612,6 +643,7 @@ def prefix_filter_containment_pairs(
         F.col(id_col).alias("doc"),
         F.array_sort(F.array_distinct(shingles(text_col, n))).alias("shs"),
     ).persist()
+    _track_cache(sets)
     tok = sets.select(
         "doc", F.size("shs").alias("sz"), F.explode("shs").alias("tok")
     )

@@ -77,13 +77,19 @@ def rerank_topk(
     text_col: str = "text",
     k: int = 3,
     scorer: Callable[[Column, Column, Column], Column] | None = None,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Stages 2+3: payload gather + rerank over a candidate set of
     (query_id, neighbor_id, cosine_sim) rows.
 
-    The candidate frame is the small side — it is broadcast against
-    the document table twice (query payload, then candidate payload),
-    so the doc table is read map-side only and never shuffles.
+    ``broadcast_candidates``: the candidate set is k rows PER QUERY —
+    bounded for an interactive batch but linear in the query-workload
+    size, so an offline rerank of millions of queries would OOM a
+    pinned build side.  Default False lets stats + AQE pick the
+    strategy (mirroring ``similarity.brute_force_topk``'s
+    ``broadcast_queries`` knob); pass True only when the query batch
+    is known-small and you want the map-side payload gather
+    guaranteed (the doc table then never shuffles).
     """
     score = scorer or fusion_score
     qd = docs.select(
@@ -92,11 +98,13 @@ def rerank_topk(
     cd = docs.select(
         F.col(doc_id_col).alias("neighbor_id"), F.col(text_col).alias("__ct")
     )
-    # two map-side passes over docs: each join streams the doc table
-    # against a broadcast candidate set, so payload gather never
-    # shuffles the corpus
-    with_q = qd.join(F.broadcast(candidates), "query_id")
-    pairs = cd.join(F.broadcast(with_q), "neighbor_id")
+    # two passes over docs: with the hint each join streams the doc
+    # table against a broadcast candidate set (payload gather never
+    # shuffles the corpus); without it AQE measures the candidate side
+    # at runtime and still broadcasts when it is genuinely small
+    hint = F.broadcast if broadcast_candidates else (lambda d: d)
+    with_q = qd.join(hint(candidates), "query_id")
+    pairs = cd.join(hint(with_q), "neighbor_id")
     scored = pairs.withColumn(
         "rerank_score",
         score(F.col("__qt"), F.col("__ct"), F.col("cosine_sim")).cast("double"),

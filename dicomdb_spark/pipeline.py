@@ -14,6 +14,8 @@ stages, three shuffles, no driver-side loops.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,8 @@ from dicomdb_spark.sources.inventory import (
     scan_files,
     split_tree_levels,
 )
+
+_LOG = logging.getLogger(__name__)
 
 
 def extract_headers(
@@ -140,6 +144,8 @@ def incremental_import_stream(
     serie_table: str = "serie",
     parser: HeaderParser | None = None,
     dialect: str = "ansi",
+    quarantine_table: str | None = None,
+    in_list_batch: int = 500,
 ):
     """E1 as a CONTINUOUS incremental import (Structured Streaming).
 
@@ -169,6 +175,18 @@ def incremental_import_stream(
     AcquisitionDate) key list (≤ the batch's exam count) goes up, and
     the serie/exam snapshots fetched back are restricted to exactly
     those keys — never the whole table.
+
+    A serie whose exam key is incomplete (NULL EUID or
+    AcquisitionDate — corrupt headers missing StudyInstanceUID) can
+    never match the key-tuple IN fetch under SQL NULL semantics, so
+    no exam row could ever be rebuilt for it.  Rather than landing it
+    into ``serie_table`` and silently never building its exam, such
+    rows are routed to ``quarantine_table`` when given (same upsert
+    writer, same stack key) and are ALWAYS counted in a WARNING log
+    line per batch — corrupt input stays visible either way.  The
+    key-tuple IN fetch itself is issued in chunks of
+    ``in_list_batch`` keys so a large catch-up batch never renders an
+    oversized statement.
 
     ``connect`` is the zero-arg DB-API factory (DuckDB in tests, MySQL
     in production — pass ``dialect="mysql"`` there so identifier
@@ -231,6 +249,32 @@ def incremental_import_stream(
             F.col("first_acq_seconds").cast("double").alias("first_acq_seconds"),
             F.col("duration_s").cast("double").alias("duration_s"),
         )
+        # 0) quarantine NULL-keyed series: a NULL EUID/AcquisitionDate
+        #    tuple never matches an IN list (SQL NULL semantics), so
+        #    its exam could never rebuild — keep it OUT of the serie
+        #    table and visibly counted instead of silently examless
+        null_key = F.col("EUID").isNull() | F.col("AcquisitionDate").isNull()
+        serie_bad = serie_b.filter(null_key)
+        n_bad = serie_bad.count()
+        if n_bad:
+            _LOG.warning(
+                "epoch %s: %d serie row(s) with NULL exam key %s",
+                epoch_id,
+                n_bad,
+                f"quarantined to {quarantine_table!r}"
+                if quarantine_table
+                else "dropped (no quarantine_table configured)",
+            )
+            if quarantine_table is not None:
+                serie_bad.coalesce(1).foreachPartition(
+                    upsert_partition_writer(
+                        quarantine_table,
+                        list(SERIE_DB_KEYS),
+                        connect,
+                        dialect=dialect,
+                    )
+                )
+            serie_b = serie_b.filter(~null_key)
         # 1) land the batch's serie rows (idempotent upsert on the
         #    stack key — redelivery overwrites with identical values)
         serie_b.coalesce(1).foreachPartition(
@@ -245,22 +289,32 @@ def incremental_import_stream(
         ]
         if not key_rows:
             return
-        in_sql = ", ".join(
-            "({}, {})".format(
-                _sql_literal(e, dialect), _sql_literal(a, dialect)
-            )
-            for e, a in key_rows
-        )
+        serie_rows: list = []
+        exam_rows: list = []
         con = connect()
         try:
-            serie_rows = con.execute(
-                f"SELECT {serie_col_sql} FROM {_sql_ident(serie_table, dialect)}"
-                f" WHERE {key_tuple_sql} IN ({in_sql})"
-            ).fetchall()
-            exam_rows = con.execute(
-                f"SELECT {exam_col_sql} FROM {_sql_ident(table, dialect)}"
-                f" WHERE {key_tuple_sql} IN ({in_sql})"
-            ).fetchall()
+            # chunked IN lists: bounded statement size on catch-up
+            for lo in range(0, len(key_rows), in_list_batch):
+                in_sql = ", ".join(
+                    "({}, {})".format(
+                        _sql_literal(e, dialect), _sql_literal(a, dialect)
+                    )
+                    for e, a in key_rows[lo : lo + in_list_batch]
+                )
+                serie_rows.extend(
+                    con.execute(
+                        f"SELECT {serie_col_sql}"
+                        f" FROM {_sql_ident(serie_table, dialect)}"
+                        f" WHERE {key_tuple_sql} IN ({in_sql})"
+                    ).fetchall()
+                )
+                exam_rows.extend(
+                    con.execute(
+                        f"SELECT {exam_col_sql}"
+                        f" FROM {_sql_ident(table, dialect)}"
+                        f" WHERE {key_tuple_sql} IN ({in_sql})"
+                    ).fetchall()
+                )
         finally:
             con.close()
         # 3) rebuild the affected exams from the FULL landed serie

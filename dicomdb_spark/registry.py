@@ -9946,8 +9946,12 @@ def graph_link_predict_ra(spark, sf_dir):
     cand = wedge.join(
         obs, (wedge.a == obs.id1) & (wedge.b == obs.id2), "left_anti"
     )
+    # deg is vertex-sized (grows with the corpus) — no pinned
+    # broadcast; the wedge join already partitions by z, so AQE can
+    # either reuse that exchange or measure deg small enough to
+    # broadcast at runtime.
     sc = (
-        cand.join(F.broadcast(deg), "z")
+        cand.join(deg, "z")
         .groupBy(F.col("a").alias("id1"), F.col("b").alias("id2"))
         .agg(
             F.count("*").cast("long").alias("common_neighbors"),
@@ -10010,10 +10014,13 @@ def a_market_basket(spark, sf_dir):
     numerator pair_n·N and denominator n_a·n_b stay < 2^53)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # part is SF-scaling (200k·SF rows) — no pinned broadcast; AQE
+    # picks the strategy from runtime stats.  Only the provably
+    # bounded sides below (ac = |brands| rows, nb = 1 row) stay hinted.
     # four consumers (total, item counts, both pair sides) — persist so
     # the join+distinct runs once
     b = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
         .persist()
@@ -14754,40 +14761,45 @@ R4_DRIVER_PROVEN: tuple[str, ...] = (
     "text_vocab_coverage",
 )
 
+# Round-5 driver rows (CORRECTNESS_r05.json): 50/50 hash-green — the
+# entire round-5 window converted (all 20 remaining TPC-H shapes, the
+# two VERDICT-named stragglers, and 28 beyond-reference analytics).
+R5_DRIVER_PROVEN: tuple[str, ...] = (
+    "tpch_q2_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
+    "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape", "tpch_q14_shape",
+    "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape", "tpch_q18_shape",
+    "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "dedup_prefix_hash", "ann_lsh_multiprobe_topk", "w_gap_islands",
+    "a_mode_per_group", "o5_keyset_pagination", "w_attribution_linear",
+    "text_ccnet_buckets", "corpus_shuffle_batches", "a_key_skew_profile",
+    "layout_compaction_bins", "w_ohlc_bars", "graph_cooccurrence",
+    "a_profile_columns", "text_ngram_topk", "corpus_split_hash",
+    "emb_dim_stats", "text_tfidf_topterms", "text_boilerplate_ngrams",
+    "emb_covariance_topk", "corpus_length_batching", "w_interval_union",
+    "a_sla_percentiles", "a_gini_skew", "sketch_cms_error_audit",
+    "corpus_mix_rebalance", "scd_bitemporal_asof", "w_hopping_windows",
+    "er_blocking_recall", "corpus_dataset_card", "a_mannwhitney_u",
+)
+
 DRIVER_PROVEN: tuple[str, ...] = (
     R1_DRIVER_PROVEN + R2_DRIVER_PROVEN + R3_DRIVER_PROVEN
-    + R4_DRIVER_PROVEN
+    + R4_DRIVER_PROVEN + R5_DRIVER_PROVEN
 )
 
 
 # Unproven entries that should claim driver-window slots FIRST.
-# Round-5 curation: 69 never-windowed entries remain (~50 fit the
-# window).  Lead with the 20 TPC-H shapes (the largest uniform block
-# of never-windowed names) and the two VERDICT-named stragglers, then
-# the remaining round-5/6/7 backlog.  All 69 are oracle-parity green
-# locally; the window converts them into hard driver rows.  New
-# round-5 registrations auto-append after this list via
-# ordered_queries() and drain in round 6.
+# Round-6 curation: exactly 29 never-windowed entries remain — they
+# ALL fit in one ~50 window, finishing the bar "every query has a
+# driver row".  Lead with the 10 §2-mapped connector/kernel
+# round-trips (VERDICT r5 ask #1), then the 19 beyond-reference
+# analytics.  New round-6 registrations auto-append after this list
+# via ordered_queries() and fill the window's remaining ~21 slots.
 UNPROVEN_PRIORITY: tuple[str, ...] = (
-    "tpch_q2_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
-    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
-    "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
-    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
-    "tpch_q17_shape", "tpch_q18_shape", "tpch_q19_shape",
-    "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
-    "dedup_prefix_hash", "ann_lsh_multiprobe_topk",
-    "w_gap_islands", "a_mode_per_group", "o5_keyset_pagination",
-    "w_attribution_linear", "text_ccnet_buckets",
-    "corpus_shuffle_batches", "a_key_skew_profile",
-    "layout_compaction_bins", "w_ohlc_bars", "graph_cooccurrence",
-    "a_profile_columns", "text_ngram_topk", "corpus_split_hash",
-    "emb_dim_stats", "text_tfidf_topterms", "text_boilerplate_ngrams",
-    "emb_covariance_topk", "corpus_length_batching",
-    "w_interval_union", "a_sla_percentiles", "a_gini_skew",
-    "sketch_cms_error_audit", "corpus_mix_rebalance",
-    "scd_bitemporal_asof", "w_hopping_windows", "er_blocking_recall",
-    "corpus_dataset_card", "a_mannwhitney_u",
-    # -- past the ~50 window: drains in round 6 --
+    "s1_scan_roundtrip", "s2_incremental_scan", "s4_xlsx_roundtrip",
+    "s5_list_roundtrip", "s6_upsert_render", "s10_cfind_reconcile",
+    "s11_results_harvest_roundtrip", "s12_nifti_roundtrip",
+    "s13_tar_roundtrip", "u4_bvec_rotation",
     "graph_assortativity", "a_ks_test", "a_permutation_test",
     "a_survival_hazard", "ml_decision_stump", "ml_knn_classify",
     "graph_ppr_seeds", "corpus_split_leakage", "a_ab_srm_check",

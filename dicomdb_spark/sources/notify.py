@@ -30,6 +30,7 @@ corrupt) cannot OOM the driver.
 
 from __future__ import annotations
 
+import itertools
 import os
 from collections.abc import Iterator, Sequence
 
@@ -113,7 +114,9 @@ def smtp_partition_writer(
                 s.starttls()
             if username is not None:
                 s.login(username, password)
-            for row in (first, *it):
+            # chain keeps the partition lazily iterated — a starred
+            # unpack would materialize the whole audit partition
+            for row in itertools.chain([first], it):
                 msg = format_mime(row[subject_col], row[body_col], sender, to)
                 s.sendmail(sender, [to], msg)
         finally:
@@ -132,12 +135,19 @@ def file_partition_writer(
     ``out_dir``.  The reference timestamped names (common.py:441-443),
     so every re-run duplicated the drop; deriving the name from a key
     column makes redelivery overwrite the same file (idempotent, the
-    NIfTI-sink discipline)."""
+    NIfTI-sink discipline).  Keys derive from DICOM exam/series IDs —
+    external data — so the name is whitelist-sanitized (the tar-sink
+    discipline, tar_sink.py:101): a key containing ``/`` or ``..``
+    must not escape ``out_dir``."""
 
     def write(rows: Iterator[Row]) -> None:
         os.makedirs(out_dir, exist_ok=True)
         for row in rows:
-            path = os.path.join(out_dir, f"{row[name_col]}.txt")
+            safe = "".join(
+                c if c.isalnum() or c in "_.-" else "_"
+                for c in str(row[name_col])
+            ).lstrip(".") or "_"
+            path = os.path.join(out_dir, f"{safe}.txt")
             with open(path, "w") as fh:
                 fh.write(f"{row[subject_col]}\n{row[body_col]}\n")
 

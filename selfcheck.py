@@ -93,6 +93,11 @@ def main() -> None:
         detail[name] = entry
         status = {True: "MATCH", False: "FAIL", None: "rows-only"}[entry.get("match")]
         print(f"{name}: {status} ({entry['rows']})", flush=True)
+        # 270 queries in one session: drop each query's tracked pair
+        # caches so storage memory never accumulates across the run
+        from dicomdb_spark.llm.dedup import release_pair_caches
+
+        release_pair_caches()
 
     oracle_checked = sum(1 for v in detail.values() if v["check"] == "oracle")
     out = {

@@ -139,3 +139,20 @@ def test_format_mime_is_deterministic():
     m1 = notify.format_mime("sub", "body", "a@x", "b@x")
     assert m1 == notify.format_mime("sub", "body", "a@x", "b@x")
     assert "Subject: sub" in m1 and m1.endswith("body")
+
+
+def test_file_writer_sanitizes_traversal_names(tmp_path):
+    """Keys derive from DICOM exam/series IDs (external data): a key
+    containing '/' or '..' must not write outside out_dir — same
+    whitelist as the tar sink (tar_sink.py:101)."""
+    out = tmp_path / "drop"
+    writer = notify.file_partition_writer(str(out), name_col="key")
+    writer(iter([
+        Row(key="../escape", subject="s", body="b"),
+        Row(key="a/b/c", subject="s", body="b"),
+        Row(key="..", subject="s", body="b"),
+    ]))
+    # nothing escaped out_dir
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["drop"]
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["_.txt", "_escape.txt", "a_b_c.txt"]

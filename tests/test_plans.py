@@ -134,14 +134,19 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
 
 
 def test_rerank_payload_gather_is_broadcast(spark):
-    """Stage-2 payload joins must broadcast the pruned candidate set —
-    the document table never shuffles for payload gather."""
+    """Stage-2 payload joins broadcast the pruned candidate set at
+    this SF — but since round 6 the candidate-side hints are GONE
+    (``rerank_topk(broadcast_candidates=False)`` default): a pinned
+    candidate broadcast is linear in the query-workload size and OOMs
+    an offline million-query rerank.  Only the bounded q-side bucket
+    hint may remain pinned; the payload joins are AQE-chosen and must
+    still broadcast at runtime here."""
     df = QUERIES["ann_rerank_topk"](spark, SF)
     pi.assert_no_cartesian(df)
+    assert pi.pinned_hint_count(df) <= 1, pi.simple_plan(df)
     plan = pi.formatted_plan(df)
-    # at least: q-side bucket broadcast + two payload-gather broadcasts
     assert plan.count("BroadcastHashJoin") >= 2, pi.simple_plan(df)
-    assert not pi.has_sort_merge_join(df)
+    assert "SortMergeJoin" not in pi.aqe_final_plan(df)
 
 
 def test_pq_scoring_is_broadcast_no_cartesian(spark):
@@ -377,8 +382,24 @@ def test_scaling_tables_carry_no_pinned_broadcast(spark):
         "tpch_q20_shape": 1,           # nation
         "a_cohort_retention": 0,
         "sketch_bloom_join": 1,  # 4096-bit bloom register row (bounded)
+        # round-6 de-pins: part (SF-scaling) and deg (vertex-sized)
+        # hints dropped; remaining allowances are bounded only
+        "a_market_basket": 3,          # ac×2 (|brands| rows), nb (1 row)
+        "graph_link_predict_ra": 0,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)
         n = pi.pinned_hint_count(df)
         assert n <= budget, (name, n, budget)
+
+
+def test_round6_depins_upgrade_at_runtime(spark):
+    """Round-6 de-pins: a_market_basket's part join and
+    graph_link_predict_ra's deg join lost their pinned broadcasts
+    (part is SF-scaling, deg is vertex-sized).  At this SF the runtime
+    plan must still broadcast them — AQE measures the build side small
+    — proving the de-pin costs nothing locally while removing the
+    100×-OOM hint."""
+    for name in ("a_market_basket", "graph_link_predict_ra"):
+        df = QUERIES[name](spark, SF)
+        assert "SortMergeJoin" not in pi.aqe_final_plan(df), name

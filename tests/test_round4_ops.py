@@ -16,13 +16,25 @@ def _vals(df):
 def test_prefix_filter_is_lossless(spark):
     """Prefix filtering must reproduce the exhaustive inverted index
     exactly (same shingle domain, same threshold) — the theorem, not
-    just the arithmetic.  dedup_ngram_jaccard now carries the df ≤ 32
-    candidate cap, so this equality ALSO witnesses that the cap drops
-    no qualifying pair on this corpus (qualifying pairs always share a
-    rare shingle here; see tests/test_dfcap.py for where they don't).
+    just the arithmetic.  The comparison target is an UNCAPPED engine
+    run (max_df=None), NOT the registry's dedup_ngram_jaccard: that
+    entry carries the df ≤ 32 candidate cap, and equality against it
+    would only hold as long as no qualifying pair on this corpus
+    shares exclusively hot shingles — a fixture accident, not the
+    theorem (the cap's own contract lives in tests/test_dfcap.py).
     """
+    from dicomdb_spark.llm import dedup as ldedup
+    from dicomdb_spark.registry import _docs_with_dupes
+    from dicomdb_spark.session import local_fanout
+
     pruned = _vals(QUERIES["dedup_prefix_jaccard"](spark, SF))
-    exhaustive = _vals(QUERIES["dedup_ngram_jaccard"](spark, SF))
+    exhaustive = _vals(
+        ldedup.ngram_jaccard_pairs(
+            _docs_with_dupes(spark, SF), "doc_id", "text", n=3,
+            threshold=0.5, min_parallelism=local_fanout(spark),
+            max_df=None,
+        )
+    )
     assert pruned == exhaustive
     assert len(pruned) > 0  # non-vacuous: the dup-injected corpus pairs up
 

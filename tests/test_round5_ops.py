@@ -756,9 +756,18 @@ def test_semantic_pipeline_consistency(spark):
 def test_containment_prefix_filter_is_lossless(spark):
     """The asymmetric containment prefix filter reproduces the plain
     inverted index exactly (the theorem, not just the arithmetic).
-    dedup_ngram_containment now carries the df ≤ 32 candidate cap, so
-    the equality also witnesses the cap binding no qualifying pair on
-    this corpus (see tests/test_dfcap.py for the cap's own contract).
-    """
+    Target = an UNCAPPED engine run (max_df=None), not the registry's
+    dedup_ngram_containment — that entry carries the df ≤ 32 cap, and
+    equality against it only holds while no qualifying pair shares
+    exclusively hot shingles on this fixture (the cap's own contract
+    is tests/test_dfcap.py)."""
+    from dicomdb_spark.llm import dedup as ldedup
+    from dicomdb_spark.registry import _docs_with_dupes
+    from dicomdb_spark.session import local_fanout
+
+    uncapped = ldedup.ngram_containment_pairs(
+        _docs_with_dupes(spark, SF), "doc_id", "text", n=3,
+        threshold=0.9, min_parallelism=local_fanout(spark), max_df=None,
+    )
     assert _vals(QUERIES["dedup_prefix_containment"](spark, SF)) == \
-           _vals(QUERIES["dedup_ngram_containment"](spark, SF))
+           _vals(uncapped)

@@ -156,3 +156,67 @@ def test_exam_split_across_batches_converges(spark, tmp_path, db_path):
         .collect()
     )
     assert sorted(tuple(r) for r in batch) == state
+
+
+def test_null_keyed_series_quarantined_not_silently_lost(spark, tmp_path, db_path):
+    """Round-6 ADVICE fix: a serie with a NULL exam key (header missing
+    StudyInstanceUID) can never match the key-tuple IN fetch, so its
+    exam is never rebuilt.  Instead of landing it in the serie table
+    with no exam (silent loss), it must be routed to the quarantine
+    table and counted — while valid series in the same batch import
+    normally."""
+    from dicomdb_spark.sources.dicom import encode_minimal_dicom
+
+    landing = str(tmp_path / "landing")
+    checkpoint = str(tmp_path / "ckpt")
+    con = duckdb.connect(db_path)
+    con.execute(
+        'CREATE TABLE serie_quarantine ("SeriesInstanceUID" VARCHAR,'
+        ' "SeriesNumber" INTEGER, "EchoTime" DOUBLE, "EUID" VARCHAR,'
+        ' "AcquisitionDate" VARCHAR, "first_acq_seconds" DOUBLE,'
+        ' "duration_s" DOUBLE,'
+        ' PRIMARY KEY ("SeriesInstanceUID", "SeriesNumber", "EchoTime"))'
+    )
+    con.close()
+
+    corrupt = encode_minimal_dicom(
+        {
+            "SeriesInstanceUID": "9.9.9.1",
+            # StudyInstanceUID deliberately absent -> EUID NULL
+            "SeriesNumber": "7",
+            "EchoTime": "3.0",
+            "AcquisitionDate": "20240101",
+            "AcquisitionTimeRaw": "120000.000000",
+            "SequenceName": "tfl3d1",
+        }
+    )
+    good_ids = [6, 12, 24]
+    files = _wave(spark, good_ids).unionAll(
+        spark.createDataFrame(
+            [("/synthetic/corrupt_no_study.dic", corrupt)],
+            "path string, content binary",
+        )
+    )
+    files.write.mode("append").parquet(landing)
+    connect = lambda: duckdb.connect(db_path)  # noqa: E731
+    writer = P.incremental_import_stream(
+        spark, landing, checkpoint, connect,
+        quarantine_table="serie_quarantine",
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db_path, read_only=True)
+    quarantined = con.execute(
+        'SELECT "SeriesInstanceUID", "EUID" FROM serie_quarantine'
+    ).fetchall()
+    null_in_serie = con.execute(
+        'SELECT count(*) FROM serie WHERE "EUID" IS NULL'
+        ' OR "AcquisitionDate" IS NULL'
+    ).fetchone()[0]
+    n_serie = con.execute("SELECT count(*) FROM serie").fetchone()[0]
+    n_exam = con.execute("SELECT count(*) FROM exam").fetchone()[0]
+    con.close()
+    assert quarantined == [("9.9.9.1", None)]
+    assert null_in_serie == 0
+    assert n_serie > 0 and n_exam > 0
