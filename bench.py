@@ -102,8 +102,19 @@ def _scaled_dir(sf_dir: str, factor: int) -> str:
     )
 
 
-def scale_ratios(spark, sf_dir: str, factor: int) -> dict[str, float] | None:
-    """1× vs factor× wall ratios, or None when disabled/failed."""
+def scale_ratios(
+    spark, sf_dir: str, factor: int
+) -> tuple[dict[str, float], dict[str, dict]] | None:
+    """1× vs factor× wall ratios plus per-query OUTPUT row counts, or
+    None when disabled/failed.
+
+    rows_out makes output-quadratic artifacts machine-distinguishable
+    from genuinely super-linear compute: a band self-join over a
+    key-dense replica (j3) grows its RESULT quadratically, so its wall
+    ratio legitimately exceeds the replication factor — the tell is
+    rows_ratio tracking the wall ratio.  A query whose wall ratio
+    exceeds factor while rows_ratio stays ≈ factor is the real
+    scale-design bug."""
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "0":
         return None
     try:
@@ -113,6 +124,7 @@ def scale_ratios(spark, sf_dir: str, factor: int) -> dict[str, float] | None:
         if not os.path.isdir(scaled):
             replicate_scaled(spark, sf_dir, scaled, factor=factor)
         ratios = {}
+        rows_out: dict[str, dict] = {}
         for name in SCALE_QUERIES:
             # min-of-3: the ratio divides two small wall times, so one
             # GC pause or page-cache miss can fake a super-linear scaling
@@ -121,7 +133,15 @@ def scale_ratios(spark, sf_dir: str, factor: int) -> dict[str, float] | None:
             base = run_query(spark, name, sf_dir, reps=3)
             big = run_query(spark, name, scaled, reps=3)
             ratios[name] = round(big / base, 2) if base > 0 else -1.0
-        return ratios
+            nb = QUERIES[name](spark, sf_dir).count()
+            ng = QUERIES[name](spark, scaled).count()
+            rows_out[name] = {
+                "rows_base": nb,
+                "rows_scaled": ng,
+                "rows_ratio": round(ng / nb, 2) if nb > 0 else -1.0,
+            }
+            spark.catalog.clearCache()
+        return ratios, rows_out
     except Exception:  # the guard must never break the headline metric
         return None
 
@@ -269,17 +289,21 @@ def main() -> None:
     # tail capture).  The FINAL line is the compact headline JSON and
     # must stay well under 2000 bytes.
     detail: dict = {"detail": "extended", "extended_queries": extended}
-    ratios = scale_ratios(spark, sf_dir, SCALE_FACTOR)
-    if ratios is not None:
+    scale = scale_ratios(spark, sf_dir, SCALE_FACTOR)
+    if scale is not None:
+        ratios, rows_out = scale
         out["scale_factor"] = SCALE_FACTOR
         out["scale_max_ratio"] = max(ratios.values())
         detail["scale_ratios"] = ratios
+        detail["scale_rows_out"] = rows_out
     if os.environ.get("SPARK_GRAFT_SF1_CHECK", "1") != "0":
         sf1 = scale_ratios(spark, sf_dir, SF1_FACTOR)
         if sf1 is not None:
+            sf1_ratios, sf1_rows = sf1
             out["sf1_factor"] = SF1_FACTOR
-            out["sf1_max_ratio"] = max(sf1.values())
-            detail["sf1_ratios"] = sf1
+            out["sf1_max_ratio"] = max(sf1_ratios.values())
+            detail["sf1_ratios"] = sf1_ratios
+            detail["sf1_rows_out"] = sf1_rows
     # absolute sf1 tier: the full 19-query headline against the 10×
     # replica (≈ sf1 — 6M-row lineitem).  At sf0.1 the 8-second total
     # drowns round-over-round deltas in noise; the sf1 wall is the
