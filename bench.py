@@ -275,6 +275,17 @@ def main() -> None:
         # round-5 operators
         "u4_bvec_rotation",
         "dedup_ngram_jaccard",
+        # round-6 operators
+        "a_chi_square",
+        "w_bollinger_bands",
+        "w_kadane_max_subarray",
+        "text_rake_keywords",
+        "ml_rocchio_classify",
+        "corpus_dedup_survivorship",
+        "emb_mahalanobis_diag",
+        "multimodal_frame_sample",
+        "a_calendar_gap_fill",
+        "a_price_elasticity_ols",
     ):
         if name in QUERIES:
             try:

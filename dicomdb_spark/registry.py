@@ -14658,6 +14658,1514 @@ def e1_import_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions — statistics, finance-window, and concentration ops.
+# Shared float discipline: every multi-row sum of a double expression is
+# floor-scaled to int64 FIRST (partition-invariant, engine-portable);
+# the only double arithmetic is a fixed single-expression chain over
+# exact integer aggregates, written identically on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_chi_square",
+    """
+    WITH o AS (SELECT event_type, CAST(date_part('dow', ts) AS BIGINT) AS dow,
+                      count(*) AS o
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 count(*) AS n_cells FROM o),
+    rc AS (SELECT (SELECT count(*) FROM r) AS n_rows,
+                  (SELECT count(*) FROM c) AS n_cols),
+    t AS (SELECT o.o, r.r, c.c, n.n,
+                 CAST(r.r * c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+          FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n)
+    SELECT CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(max(rc.n_rows) AS BIGINT) AS n_rows,
+           CAST(max(rc.n_cols) AS BIGINT) AS n_cols,
+           CAST((max(rc.n_rows) - 1) * (max(rc.n_cols) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                               / e * 1000000.0) AS BIGINT)) / 1000000.0
+                AS DOUBLE) AS chi2
+    FROM t CROSS JOIN rc
+    """,
+)
+def a_chi_square(spark, sf_dir):
+    """Pearson chi-square test of independence (event_type x
+    day-of-week).  ONE fact scan builds the contingency table O; row
+    totals, column totals, and N all derive from O (group-bounded:
+    |types| x 7 cells), so the test costs one shuffle regardless of
+    corpus size.  Each cell's (O-E)^2/E term is floor-scaled to int64
+    before the cross-cell sum — the statistic is partition-invariant
+    even though E is fractional."""
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        ev.groupBy(
+            "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    r = o.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    n = o.agg(F.sum("o").cast("long").alias("n"))
+    rc = r.agg(F.count("*").alias("n_rows")).crossJoin(
+        c.agg(F.count("*").alias("n_cols"))
+    )
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    t = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", e)
+    )
+    od = F.col("o").cast("double")
+    return (
+        t.crossJoin(F.broadcast(rc))
+        .agg(
+            F.max("n").cast("long").alias("n_obs"),
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.max("n_cols").cast("long").alias("n_cols"),
+            ((F.max("n_rows") - 1) * (F.max("n_cols") - 1))
+            .cast("long")
+            .alias("dof"),
+            (
+                F.sum(
+                    F.floor(
+                        (od - F.col("e")) * (od - F.col("e")) / F.col("e")
+                        * 1000000.0
+                    ).cast("long")
+                )
+                / 1000000.0
+            )
+            .cast("double")
+            .alias("chi2"),
+        )
+    )
+
+
+@register(
+    "a_welch_ttest",
+    """
+    WITH g AS (SELECT event_type AS grp, count(*) AS n,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS s1,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                               * CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS s2
+               FROM events WHERE event_type IN ('purchase', 'click')
+               GROUP BY 1),
+    s AS (SELECT
+            max(CASE WHEN grp = 'purchase' THEN n END) AS na,
+            max(CASE WHEN grp = 'purchase' THEN s1 END) AS s1a,
+            max(CASE WHEN grp = 'purchase' THEN s2 END) AS s2a,
+            max(CASE WHEN grp = 'click' THEN n END) AS nb,
+            max(CASE WHEN grp = 'click' THEN s1 END) AS s1b,
+            max(CASE WHEN grp = 'click' THEN s2 END) AS s2b
+          FROM g),
+    v AS (SELECT na, nb,
+            CAST(s1a AS DOUBLE) / na AS ma,
+            CAST(s1b AS DOUBLE) / nb AS mb,
+            (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+             / na) / (na - 1) AS va,
+            (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+             / nb) / (nb - 1) AS vb
+          FROM s)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ma / 100.0 AS mean_a, mb / 100.0 AS mean_b,
+           (ma - mb) / sqrt(va / na + vb / nb) AS t_stat,
+           (va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)) AS welch_dof
+    FROM v
+    """,
+)
+def a_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (purchase vs click values).
+    Group means and sample variances come from exact integer (n, sum,
+    sum-of-squares) aggregates — one map-side-combining pass over the
+    filtered fact — so the t statistic and Welch–Satterthwaite dof are
+    ONE deterministic float chain, independent of partitioning.  The
+    cent scaling keeps s2 < 2^53 far past sf100."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    vs = F.floor(F.col("value") * 100).cast("long")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(vs).cast("long").alias("s1"),
+        F.sum(vs * vs).cast("long").alias("s2"),
+    )
+
+    def pick(grp, col):
+        return F.max(F.when(F.col("grp") == grp, F.col(col)))
+
+    s = g.agg(
+        pick("purchase", "n").alias("na"),
+        pick("purchase", "s1").alias("s1a"),
+        pick("purchase", "s2").alias("s2a"),
+        pick("click", "n").alias("nb"),
+        pick("click", "s1").alias("s1b"),
+        pick("click", "s2").alias("s2b"),
+    )
+    v = s.select(
+        "na",
+        "nb",
+        (F.col("s1a").cast("double") / F.col("na")).alias("ma"),
+        (F.col("s1b").cast("double") / F.col("nb")).alias("mb"),
+        (
+            (
+                F.col("s2a").cast("double")
+                - F.col("s1a").cast("double") * F.col("s1a").cast("double")
+                / F.col("na")
+            )
+            / (F.col("na") - 1)
+        ).alias("va"),
+        (
+            (
+                F.col("s2b").cast("double")
+                - F.col("s1b").cast("double") * F.col("s1b").cast("double")
+                / F.col("nb")
+            )
+            / (F.col("nb") - 1)
+        ).alias("vb"),
+    )
+    sea = F.col("va") / F.col("na")
+    seb = F.col("vb") / F.col("nb")
+    return v.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.col("ma") / 100.0).alias("mean_a"),
+        (F.col("mb") / 100.0).alias("mean_b"),
+        ((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb)).alias("t_stat"),
+        (
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1))
+        ).alias("welch_dof"),
+    )
+
+
+@register(
+    "w_bollinger_bands",
+    """
+    WITH v AS (SELECT event_type, ts, event_id,
+                      CAST(floor(value * 10000) AS BIGINT) AS vs
+               FROM events),
+    w AS (SELECT event_type, ts, event_id, vs,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(SUM(vs) OVER win AS BIGINT) AS s1,
+                 CAST(SUM(vs * vs) OVER win AS BIGINT) AS s2
+          FROM v
+          WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    b AS (SELECT event_type, event_id, vs,
+                 CAST(s1 AS DOUBLE) / n AS m,
+                 (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n AS var
+          FROM w WHERE n = 20)
+    SELECT event_type, event_id,
+           CAST(vs AS DOUBLE) / 10000.0 AS value,
+           m / 10000.0 AS sma20,
+           (m + 2.0 * sqrt(greatest(var, 0.0))) / 10000.0 AS upper_band,
+           (m - 2.0 * sqrt(greatest(var, 0.0))) / 10000.0 AS lower_band,
+           CASE WHEN CAST(vs AS DOUBLE) > m + 2.0 * sqrt(greatest(var, 0.0))
+                THEN 1 ELSE -1 END AS breakout
+    FROM b
+    WHERE CAST(vs AS DOUBLE) > m + 2.0 * sqrt(greatest(var, 0.0))
+       OR CAST(vs AS DOUBLE) < m - 2.0 * sqrt(greatest(var, 0.0))
+    """,
+)
+def w_bollinger_bands(spark, sf_dir):
+    """Bollinger-band breakouts: 20-row rolling mean ± 2σ per
+    event_type stream, emitting only band-crossing rows.  The rolling
+    mean/variance derive from integer window sums (value scaled 1e4;
+    vs² ≤ 2.5e13·20 per frame, exact), so bands are identical under
+    any partitioning; σ and both bands are a single float chain per
+    row.  One window shuffle on the stream key — the same cost shape
+    as w_ohlc_bars."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("vs"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    w = v.select(
+        "event_type", "ts", "event_id", "vs",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("vs").over(win).cast("long").alias("s1"),
+        F.sum(F.col("vs") * F.col("vs")).over(win).cast("long").alias("s2"),
+    )
+    b = w.filter(F.col("n") == 20).select(
+        "event_type", "event_id", "vs",
+        (F.col("s1").cast("double") / F.col("n")).alias("m"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / F.col("n")
+        ).alias("var"),
+    )
+    sd2 = 2.0 * F.sqrt(F.greatest(F.col("var"), F.lit(0.0)))
+    vd = F.col("vs").cast("double")
+    return (
+        b.filter((vd > F.col("m") + sd2) | (vd < F.col("m") - sd2))
+        .select(
+            "event_type", "event_id",
+            (vd / 10000.0).alias("value"),
+            (F.col("m") / 10000.0).alias("sma20"),
+            ((F.col("m") + sd2) / 10000.0).alias("upper_band"),
+            ((F.col("m") - sd2) / 10000.0).alias("lower_band"),
+            F.when(vd > F.col("m") + sd2, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("breakout"),
+        )
+    )
+
+
+@register(
+    "w_kadane_max_subarray",
+    """
+    WITH v AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value * 100) AS BIGINT) AS vs
+               FROM events),
+    d AS (SELECT user_id, ts, event_id,
+                 vs - lag(vs) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS d
+          FROM v),
+    s AS (SELECT user_id, ts, event_id,
+                 CAST(SUM(COALESCE(d, 0)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS ps
+          FROM d),
+    m AS (SELECT user_id, ps,
+                 CAST(min(ps) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS BIGINT) AS minprev
+          FROM s)
+    SELECT user_id,
+           CAST(max(ps - least(COALESCE(minprev, 0), 0)) AS BIGINT)
+             AS max_runup_scaled,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM m GROUP BY 1
+    """,
+)
+def w_kadane_max_subarray(spark, sf_dir):
+    """Maximum-sum contiguous run of value deltas per user (Kadane's
+    problem) — the largest cumulative run-up any contiguous event
+    window achieved.  Relational Kadane: prefix sums of the deltas,
+    then max(ps − min(prefix before)) with the empty prefix as 0 —
+    three window passes over ONE (user, time) sort order, so the
+    whole thing is a single shuffle; every quantity is an exact
+    scaled integer."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vs"),
+    )
+    ord_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = v.select(
+        "user_id", "ts", "event_id",
+        (F.col("vs") - F.lag("vs").over(ord_w)).alias("d"),
+    )
+    s = d.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.coalesce(F.col("d"), F.lit(0)))
+        .over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("ps"),
+    )
+    m = s.select(
+        "user_id", "ps",
+        F.min("ps")
+        .over(ord_w.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("minprev"),
+    )
+    return m.groupBy("user_id").agg(
+        F.max(
+            F.col("ps")
+            - F.least(F.coalesce(F.col("minprev"), F.lit(0)), F.lit(0))
+        )
+        .cast("long")
+        .alias("max_runup_scaled"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "a_hhi_concentration",
+    """
+    WITH rev AS (SELECT s.s_nationkey AS nk, l.l_suppkey,
+                        CAST(SUM(CAST(floor(l.l_extendedprice
+                             * (1.0 - l.l_discount) * 100.0) AS BIGINT))
+                             AS BIGINT) AS cents
+                 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 GROUP BY 1, 2),
+    tot AS (SELECT nk, CAST(SUM(cents) AS BIGINT) AS tot,
+                   count(*) AS n_suppliers
+            FROM rev GROUP BY 1)
+    SELECT n.n_name, CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(floor((CAST(r.cents AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                * (CAST(r.cents AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                * 100000000.0) AS BIGINT)) / 100000000.0 AS DOUBLE) AS hhi
+    FROM rev r JOIN tot t ON r.nk = t.nk
+    JOIN nation n ON n.n_nationkey = r.nk
+    GROUP BY 1, 2
+    """,
+)
+def a_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    Σ shareᵢ² over each supplier's exact revenue cents.  The fact
+    join (lineitem↔supplier) is AQE-chosen — supplier scales with SF,
+    so no pinned hint; the per-nation totals (≤ 25 rows) and nation
+    broadcast back onto the supplier-sized rev table.  Each share²
+    term is floor-scaled before the per-nation sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+    ).cast("long")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), "l_suppkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("nk").agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("tot").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "nk")
+        .join(
+            F.broadcast(nat), F.col("nk") == F.col("n_nationkey")
+        )
+        .groupBy("n_name", F.col("n_suppliers").cast("long").alias("n_suppliers"))
+        .agg(
+            (
+                F.sum(F.floor(share * share * 100000000.0).cast("long"))
+                / 100000000.0
+            )
+            .cast("double")
+            .alias("hhi")
+        )
+    )
+
+
+@register(
+    "sketch_ams_f2",
+    f"""
+    WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f
+               FROM events GROUP BY 1),
+    sg AS (SELECT k.range AS k, f.user_id, f.f,
+                  1 - 2 * ({_sql_hex_int("md5('ams:' || CAST(k.range AS VARCHAR) || ':' || CAST(f.user_id AS VARCHAR))", 1)} % 2)
+                    AS sign
+           FROM f CROSS JOIN range(32) k),
+    est AS (SELECT k, CAST(SUM(sign * f) AS BIGINT) AS s
+            FROM sg GROUP BY 1),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM f)
+    SELECT ex.n_users, ex.f2_exact,
+           CAST(SUM(s * s) AS DOUBLE) / 32.0 AS f2_est,
+           (CAST(SUM(s * s) AS DOUBLE) / 32.0
+            - CAST(ex.f2_exact AS DOUBLE)) / CAST(ex.f2_exact AS DOUBLE)
+             AS rel_err
+    FROM est CROSS JOIN ex
+    GROUP BY 1, 2
+    """,
+)
+def sketch_ams_f2(spark, sf_dir):
+    """AMS second-moment (F2) sketch (Alon–Matias–Szegedy, STOC'96):
+    32 independent ±1-hash estimators of Σf² over the user-frequency
+    vector, averaged, against the exact F2.  Each estimator is an
+    integer Σ sign·f — mergeable register state like the other
+    sketches, one pass over the frequency table; the 32× cross join
+    touches the BOUNDED user aggregate, never the fact."""
+    from dicomdb_spark.functions.sketches import _hex_int
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("f"))
+    sg = f.select(
+        "user_id", "f",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("k"),
+    ).withColumn(
+        "sign",
+        F.lit(1)
+        - 2
+        * (
+            _hex_int(
+                F.md5(
+                    F.concat(
+                        F.lit("ams:"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+            )
+            % 2
+        ),
+    )
+    est = sg.groupBy("k").agg(
+        F.sum(F.col("sign") * F.col("f")).cast("long").alias("s")
+    )
+    ex = f.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"),
+    )
+    f2e = F.sum(F.col("s") * F.col("s")).cast("double") / 32.0
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .groupBy("n_users", "f2_exact")
+        .agg(
+            f2e.alias("f2_est"),
+            (
+                (f2e - F.col("f2_exact").cast("double"))
+                / F.col("f2_exact").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "graph_degree_ccdf",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS v FROM pairs UNION ALL SELECT id2 FROM pairs),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+    h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+          FROM deg GROUP BY 1),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg)
+    SELECT h.degree, h.n_vertices,
+           CAST(CAST(SUM(h.n_vertices) OVER (ORDER BY h.degree DESC) AS BIGINT)
+                AS DOUBLE) / CAST(nv.nv AS DOUBLE) AS ccdf
+    FROM h CROSS JOIN nv
+    """,
+)
+def graph_degree_ccdf(spark, sf_dir):
+    """Degree distribution + complementary CDF of the near-dup
+    similarity graph — the standard heavy-tail diagnostic (is the dup
+    graph scale-free? how big are the largest cliques?).  Degrees are
+    one count per vertex, the histogram is group-bounded, and the
+    CCDF is a running integer sum over the TINY histogram — the only
+    fact-scale work is the LSH pair generation itself."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    )
+    e = pairs.select(F.col("id1").alias("v")).unionAll(
+        pairs.select(F.col("id2").alias("v"))
+    )
+    deg = e.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
+    h = deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_vertices")
+    )
+    nv = deg.agg(F.count("*").cast("long").alias("nv"))
+    run = (
+        F.sum("n_vertices")
+        .over(Window.orderBy(F.col("degree").desc()))
+        .cast("long")
+    )
+    return h.crossJoin(F.broadcast(nv)).select(
+        "degree",
+        "n_vertices",
+        (run.cast("double") / F.col("nv").cast("double")).alias("ccdf"),
+    )
+
+
+@register(
+    "a_runs_test",
+    """
+    WITH v AS (SELECT event_type, ts, event_id,
+                      CAST(floor(value * 100) AS BIGINT) AS vs
+               FROM events),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(vs) AS BIGINT) AS s1
+          FROM v GROUP BY 1),
+    sgn AS (SELECT v.event_type, v.ts, v.event_id,
+                   CASE WHEN v.vs * g.n > g.s1 THEN 1 ELSE 0 END AS sign
+            FROM v JOIN g USING (event_type)),
+    r AS (SELECT event_type, sign,
+                 CASE WHEN sign <> lag(sign) OVER
+                      (PARTITION BY event_type ORDER BY ts, event_id)
+                      THEN 1 ELSE 0 END AS brk
+          FROM sgn),
+    st AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(sign) AS BIGINT) AS n_above,
+                  CAST(count(*) - SUM(sign) AS BIGINT) AS n_below,
+                  CAST(1 + SUM(COALESCE(brk, 0)) AS BIGINT) AS runs
+           FROM r GROUP BY 1)
+    SELECT event_type, n, n_above, n_below, runs,
+           1.0 + CAST(2 * n_above * n_below AS DOUBLE) / CAST(n AS DOUBLE)
+             AS expected_runs,
+           (CAST(runs AS DOUBLE)
+            - (1.0 + CAST(2 * n_above * n_below AS DOUBLE) / CAST(n AS DOUBLE)))
+           / sqrt(CAST(2 * n_above * n_below AS DOUBLE)
+                  * (CAST(2 * n_above * n_below AS DOUBLE) - CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n - 1 AS DOUBLE))) AS z
+    FROM st
+    """,
+)
+def a_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test for serial randomness per event
+    stream: sign = above/below the group mean (decided by the exact
+    integer cross-product vs·n > s1 — no fractional mean ever
+    compared), runs counted by one lag pass over the (type, time)
+    order, then the classic normal approximation as a single float
+    chain.  Two shuffles total (group stats + the ordered window),
+    both on the stream key."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vs"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vs").cast("long").alias("s1"),
+    )
+    sgn = v.join(F.broadcast(g), "event_type").select(
+        "event_type", "ts", "event_id",
+        F.when(F.col("vs") * F.col("n") > F.col("s1"), 1).otherwise(0).alias("sign"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = sgn.select(
+        "event_type", "sign",
+        F.when(F.col("sign") != F.lag("sign").over(w), 1).otherwise(0).alias("brk"),
+    )
+    st = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("sign").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("sign")).cast("long").alias("n_below"),
+        (F.lit(1) + F.sum(F.coalesce(F.col("brk"), F.lit(0))))
+        .cast("long")
+        .alias("runs"),
+    )
+    num = (2 * F.col("n_above") * F.col("n_below")).cast("double")
+    nd = F.col("n").cast("double")
+    exp_r = F.lit(1.0) + num / nd
+    return st.select(
+        "event_type", "n", "n_above", "n_below", "runs",
+        exp_r.alias("expected_runs"),
+        (
+            (F.col("runs").cast("double") - exp_r)
+            / F.sqrt(num * (num - nd) / (nd * nd * (F.col("n") - 1).cast("double")))
+        ).alias("z"),
+    )
+
+
+@register(
+    "emb_mahalanobis_diag",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, i.i AS dim,
+                 CAST(floor(v[i.i] * 1000000) AS BIGINT) AS xs
+          FROM e, unnest(range(1, len(v) + 1)) i(i)),
+    st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(xs) AS BIGINT) AS s1,
+                  CAST(SUM(xs * xs) AS BIGINT) AS s2
+           FROM d GROUP BY 1),
+    t AS (SELECT d.vec_id,
+                 CAST(floor(
+                   (CAST(d.xs AS DOUBLE) - CAST(st.s1 AS DOUBLE) / st.n)
+                   * (CAST(d.xs AS DOUBLE) - CAST(st.s1 AS DOUBLE) / st.n)
+                   / ((CAST(st.s2 AS DOUBLE)
+                       - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) / st.n)
+                      / st.n)
+                   * 10000.0) AS BIGINT) AS term
+          FROM d JOIN st USING (dim))
+    SELECT vec_id,
+           CAST(SUM(term) AS DOUBLE) / 10000.0 AS md2
+    FROM t GROUP BY 1
+    ORDER BY CAST(SUM(term) AS BIGINT) DESC, vec_id
+    LIMIT 20
+    """,
+)
+def emb_mahalanobis_diag(spark, sf_dir):
+    """Top-20 embedding outliers by diagonal-covariance Mahalanobis
+    distance: per-dimension mean/variance from exact integer sums
+    (one bounded-group aggregate), each (x−μ)²/σ² term floor-scaled
+    BEFORE the per-vector sum so the distance — and therefore the
+    ranking — is partition-invariant.  The per-dim stats table (≤
+    |dims| rows) broadcasts back onto the exploded vectors: map-side
+    join, one aggregate per vector, one bounded top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val") * 1000000).cast("long").alias("xs"),
+    )
+    st = d.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xs").cast("long").alias("s1"),
+        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / F.col("n")
+    term = F.floor(
+        (F.col("xs").cast("double") - mu)
+        * (F.col("xs").cast("double") - mu)
+        / var
+        * 10000.0
+    ).cast("long")
+    t = d.join(F.broadcast(st), "dim").select("vec_id", term.alias("term"))
+    return (
+        t.groupBy("vec_id")
+        .agg(F.sum("term").cast("long").alias("__s"))
+        .orderBy(F.col("__s").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", (F.col("__s").cast("double") / 10000.0).alias("md2"))
+    )
+
+
+@register(
+    "ml_rocchio_classify",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents),
+    toks AS (SELECT doc_id, lang, t.t AS tok FROM tk, unnest(tk) t(t)),
+    split AS (SELECT doc_id,
+                     {_sql_hex_int("md5('split:' || CAST(doc_id AS VARCHAR))", 2)} % 5 = 0
+                       AS is_test
+              FROM tk),
+    cent AS (SELECT t.lang, t.tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks t JOIN split s USING (doc_id)
+             WHERE NOT s.is_test GROUP BY 1, 2),
+    nrm AS (SELECT lang, CAST(SUM(cnt * cnt) AS BIGINT) AS norm2
+            FROM cent GROUP BY 1),
+    tf AS (SELECT t.doc_id, t.lang AS true_lang, t.tok,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM toks t JOIN split s USING (doc_id)
+           WHERE s.is_test GROUP BY 1, 2, 3),
+    dot AS (SELECT tf.doc_id, tf.true_lang, c.lang AS cand,
+                   CAST(SUM(tf.tf * c.cnt) AS BIGINT) AS dot
+            FROM tf JOIN cent c ON tf.tok = c.tok
+            GROUP BY 1, 2, 3),
+    sc AS (SELECT d.doc_id, d.true_lang, d.cand,
+                  CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE))
+                    AS score,
+                  row_number() OVER (PARTITION BY d.doc_id
+                                     ORDER BY CAST(d.dot AS DOUBLE)
+                                       / sqrt(CAST(n.norm2 AS DOUBLE)) DESC,
+                                       d.cand) AS rn
+           FROM dot d JOIN nrm n ON d.cand = n.lang)
+    SELECT doc_id, cand AS pred_lang, true_lang,
+           CASE WHEN cand = true_lang THEN 1 ELSE 0 END AS correct
+    FROM sc WHERE rn = 1
+    """,
+)
+def ml_rocchio_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) text classifier: train one
+    token-count centroid per language on the md5-held-out train
+    split, classify each test doc by the norm-scaled integer dot
+    product (cosine up to a constant per doc).  All similarity
+    arithmetic is an exact integer dot / one sqrt — rank ties broken
+    by class name.  The candidate join is token-keyed (inverted-index
+    shape, vocab-bounded buckets); centroids are a bounded table
+    (|langs|·|vocab|) that would broadcast at any corpus size."""
+    from dicomdb_spark.functions.sketches import _hex_int
+    from dicomdb_spark.functions.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.transform(_tok("text"), lambda t: F.lower(t))).alias("tok"),
+    )
+    is_test = (
+        _hex_int(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 2
+        )
+        % 5
+        == 0
+    )
+    split = docs.select("doc_id", is_test.alias("is_test"))
+    cent = (
+        toks.join(split, "doc_id")
+        .filter(~F.col("is_test"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nrm = cent.groupBy("lang").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("norm2")
+    )
+    tf = (
+        toks.join(split, "doc_id")
+        .filter(F.col("is_test"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dot = (
+        tf.join(cent.select(F.col("lang").alias("cand"), "tok", "cnt"), "tok")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum(F.col("tf") * F.col("cnt")).cast("long").alias("dot"))
+    )
+    score = F.col("dot").cast("double") / F.sqrt(F.col("norm2").cast("double"))
+    sc = dot.join(
+        F.broadcast(nrm.select(F.col("lang").alias("cand"), "norm2")), "cand"
+    ).select(
+        "doc_id", "true_lang", "cand", score.alias("score"),
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(score.desc(), "cand")
+        )
+        .alias("rn"),
+    )
+    return sc.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("cand").alias("pred_lang"),
+        "true_lang",
+        F.when(F.col("cand") == F.col("true_lang"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+@register(
+    "corpus_tokenizer_fertility",
+    f"""
+    WITH d AS (SELECT lang,
+                      len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          t -> t <> '')) AS words,
+                      len(list_filter(string_split_regex(
+                          trim({text.bpe_sql('text')}), ' +'), t -> t <> ''))
+                        AS bpe,
+                      length(text) AS chars
+               FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(chars) AS BIGINT) AS chars,
+           CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(words) AS DOUBLE) AS fertility,
+           CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE)
+             AS chars_per_token
+    FROM d GROUP BY 1
+    """,
+)
+def corpus_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language — the budgeting metric
+    every multilingual training mix needs (how many BPE tokens a
+    language pays per word, and bytes-per-token efficiency).  Word,
+    BPE (real merge-table algebra, functions.text.bpe_symbol_stream),
+    and char counts are exact integers from a map-only pass; the two
+    ratios are single divisions over the per-lang sums."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = docs.select(
+        "lang",
+        text.token_count("text").alias("words"),
+        text.bpe_token_count("text").alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("chars").cast("long").alias("chars"),
+        (F.sum("bpe").cast("double") / F.sum("words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.sum("chars").cast("double") / F.sum("bpe").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_RAKE_STOPS = ("a", "the", "and", "of", "to", "in", "is", "on", "for")
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    tt AS (SELECT doc_id, i.i AS pos, tk[i.i] AS tok
+           FROM tk, unnest(range(1, len(tk) + 1)) i(i)),
+    fl AS (SELECT doc_id, pos, tok,
+                  CASE WHEN tok IN {str(_RAKE_STOPS)} THEN 1 ELSE 0 END AS st
+           FROM tt),
+    ph0 AS (SELECT doc_id, pos, tok, st,
+                   CAST(SUM(st) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS BIGINT) AS pid
+            FROM fl),
+    ph AS (SELECT doc_id, pos, tok, pid FROM ph0 WHERE st = 0),
+    inst AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+                    string_agg(tok, ' ' ORDER BY pos) AS phrase
+             FROM ph GROUP BY 1, 2),
+    wstat AS (SELECT p.tok, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(SUM(i.plen) AS BIGINT) AS deg
+              FROM ph p JOIN inst i USING (doc_id, pid)
+              GROUP BY 1),
+    scored AS (SELECT i.doc_id, i.pid, i.phrase, i.plen,
+                      CAST(SUM(CAST(floor(CAST(w.deg AS DOUBLE)
+                           / CAST(w.freq AS DOUBLE) * 1000000.0) AS BIGINT))
+                           AS BIGINT) AS score_scaled
+               FROM inst i JOIN ph p USING (doc_id, pid)
+               JOIN wstat w ON p.tok = w.tok
+               GROUP BY 1, 2, 3, 4)
+    SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+           CAST(max(score_scaled) AS BIGINT) AS score_scaled,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM scored GROUP BY 1
+    ORDER BY max(score_scaled) DESC, phrase LIMIT 25
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010, public method):
+    stopword-delimited candidate phrases, word scores deg(w)/freq(w)
+    over the corpus co-occurrence graph, phrase score = Σ word
+    scores.  Phrase assembly is a running stop-count window (one
+    (doc, pos) sort); each deg/freq ratio is floor-scaled BEFORE the
+    per-phrase sum so scores and the global top-25 ranking are exact.
+    Word stats are vocab-bounded; nothing quadratic anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tt = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(text.tokens("text"), lambda t: F.lower(t))
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    fl = tt.withColumn(
+        "st", F.when(F.col("tok").isin(*_RAKE_STOPS), 1).otherwise(0)
+    )
+    ph = (
+        fl.withColumn(
+            "pid",
+            F.sum("st")
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .cast("long"),
+        )
+        .filter(F.col("st") == 0)
+        .select("doc_id", "pos", "tok", "pid")
+    )
+    inst = ph.groupBy("doc_id", "pid").agg(
+        F.count("*").cast("long").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        ph.join(inst.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    term = F.floor(
+        F.col("deg").cast("double") / F.col("freq").cast("double") * 1000000.0
+    ).cast("long")
+    scored = (
+        inst.join(ph.select("doc_id", "pid", "tok"), ["doc_id", "pid"])
+        .join(wstat, "tok")
+        .groupBy("doc_id", "pid", "phrase", "plen")
+        .agg(F.sum(term).cast("long").alias("score_scaled"))
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.max("score_scaled").cast("long").alias("score_scaled"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "phrase")
+        .limit(25)
+    )
+
+
+@register(
+    "o7_stratified_sample",
+    f"""
+    WITH q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    r AS (SELECT e.event_type, e.event_id,
+                 CAST(row_number() OVER (PARTITION BY e.event_type
+                      ORDER BY md5('samp:' || CAST(e.event_id AS VARCHAR)),
+                               e.event_id) AS BIGINT) AS rk,
+                 greatest(1, cnt // 100) AS quota
+          FROM events e JOIN q USING (event_type))
+    SELECT event_type, event_id, rk
+    FROM r WHERE rk <= quota
+    """,
+)
+def o7_stratified_sample(spark, sf_dir):
+    """Proportional stratified sampling without RNG: per stratum,
+    rank by a salted md5 of the row key (a deterministic uniform
+    permutation — identical on every engine and every run) and keep
+    the first ⌊n/100⌋ rows.  The standard reproducible-eval-split
+    shape; one window shuffle on the stratum key, quota table is
+    group-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("samp:"), F.col("event_id").cast("string"))),
+        "event_id",
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.greatest(F.lit(1), (F.col("cnt") / 100).cast("long")).alias(
+                "quota"
+            ),
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("event_type", "event_id", "rk")
+    )
+
+
+@register(
+    "a_sequential_rules",
+    """
+    WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                      event_type FROM events),
+    p AS (SELECT event_type AS a,
+                 lead(event_type) OVER (PARTITION BY user_id, day
+                                        ORDER BY ts, event_id) AS b
+          FROM s),
+    ab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+           FROM p WHERE b IS NOT NULL GROUP BY 1, 2),
+    base AS (SELECT a, CAST(SUM(support) AS BIGINT) AS base FROM ab
+             GROUP BY 1)
+    SELECT ab.a, ab.b, ab.support, base.base,
+           CAST(ab.support AS DOUBLE) / CAST(base.base AS DOUBLE)
+             AS confidence
+    FROM ab JOIN base USING (a)
+    """,
+)
+def a_sequential_rules(spark, sf_dir):
+    """Sequential association rules A→B over consecutive events
+    within a (user, day) session: support counts from ONE lead()
+    window pass, confidence = support / out-degree of A as a single
+    integer division.  Never materializes event pairs beyond the
+    lead() adjacency — the classic market-basket-over-time shape at
+    stream cost."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    p = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    ab = p.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+    base = ab.groupBy("a").agg(F.sum("support").cast("long").alias("base"))
+    return ab.join(F.broadcast(base), "a").select(
+        "a", "b", "support", "base",
+        (F.col("support").cast("double") / F.col("base").cast("double")).alias(
+            "confidence"
+        ),
+    )
+
+
+@register(
+    "a_waterfall_contribution",
+    """
+    WITH f AS (SELECT p.p_brand, year(o.o_orderdate) AS yr,
+                      CAST(SUM(CAST(floor(l.l_extendedprice
+                           * (1.0 - l.l_discount) * 100.0) AS BIGINT))
+                           AS BIGINT) AS cents,
+                      CAST(SUM(CAST(floor(l.l_quantity * 100.0) AS BIGINT))
+                           AS BIGINT) AS q
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE year(o.o_orderdate) IN (1999, 2000)
+               GROUP BY 1, 2),
+    s AS (SELECT p_brand,
+                 max(CASE WHEN yr = 1999 THEN cents END) AS r1,
+                 max(CASE WHEN yr = 1999 THEN q END) AS q1,
+                 max(CASE WHEN yr = 2000 THEN cents END) AS r2,
+                 max(CASE WHEN yr = 2000 THEN q END) AS q2
+          FROM f GROUP BY 1)
+    SELECT p_brand,
+           CAST(r1 AS DOUBLE) / 100.0 AS rev_prev,
+           CAST(r2 AS DOUBLE) / 100.0 AS rev_curr,
+           (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))
+             * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) / 100.0
+             AS volume_effect,
+           (CAST(r2 AS DOUBLE) - CAST(q2 AS DOUBLE)
+             * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))) / 100.0
+             AS price_effect
+    FROM s
+    WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+    """,
+)
+def a_waterfall_contribution(spark, sf_dir):
+    """Year-over-year revenue-bridge (waterfall) decomposition per
+    brand: ΔR split into volume effect (Δq at prior-year realized
+    price) and price effect (the residual) — volume_effect +
+    price_effect ≡ rev_curr − rev_prev by construction.  Revenue and
+    quantity are exact integer sums (one fact aggregate over the
+    two-year slice, date filter pushed to the scan); the realized
+    price r1/q1 appears only inside the final single-chain float
+    expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    yr = F.year("o_orderdate")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+    ).cast("long")
+    qs = F.floor(F.col("l_quantity") * 100.0).cast("long")
+    f = (
+        li.join(orders.filter(yr.isin(1999, 2000)), li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", yr.alias("yr"))
+        .agg(
+            F.sum(cents).cast("long").alias("cents"),
+            F.sum(qs).cast("long").alias("q"),
+        )
+    )
+
+    def pick(y, col):
+        return F.max(F.when(F.col("yr") == y, F.col(col)))
+
+    s = f.groupBy("p_brand").agg(
+        pick(1999, "cents").alias("r1"),
+        pick(1999, "q").alias("q1"),
+        pick(2000, "cents").alias("r2"),
+        pick(2000, "q").alias("q2"),
+    )
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    return s.filter(
+        F.col("r1").isNotNull() & F.col("r2").isNotNull()
+    ).select(
+        "p_brand",
+        (F.col("r1").cast("double") / 100.0).alias("rev_prev"),
+        (F.col("r2").cast("double") / 100.0).alias("rev_curr"),
+        (
+            (F.col("q2").cast("double") - F.col("q1").cast("double")) * p1 / 100.0
+        ).alias("volume_effect"),
+        (
+            (F.col("r2").cast("double") - F.col("q2").cast("double") * p1)
+            / 100.0
+        ).alias("price_effect"),
+    )
+
+
+@register(
+    "w_true_range_atr",
+    """
+    WITH v AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                      CAST(floor(value * 10000) AS BIGINT) AS vs
+               FROM events),
+    r AS (SELECT event_type, day, ts, event_id, vs,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM v),
+    bar AS (SELECT event_type, day,
+                   CAST(max(vs) AS BIGINT) AS h,
+                   CAST(min(vs) AS BIGINT) AS l,
+                   CAST(max(CASE WHEN rd = 1 THEN vs END) AS BIGINT) AS c
+            FROM r GROUP BY 1, 2),
+    tr AS (SELECT event_type, day, h, l, c,
+                  lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+           FROM bar),
+    t2 AS (SELECT event_type, day,
+                  CAST(greatest(h - l, abs(h - COALESCE(pc, c)),
+                                abs(l - COALESCE(pc, c))) AS BIGINT) AS tr
+           FROM tr),
+    w AS (SELECT event_type, day, tr,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(SUM(tr) OVER win AS BIGINT) AS s
+          FROM t2
+          WINDOW win AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           CAST(tr AS DOUBLE) / 10000.0 AS true_range,
+           CAST(s AS DOUBLE) / n / 10000.0 AS atr14
+    FROM w WHERE n = 14
+    """,
+)
+def w_true_range_atr(spark, sf_dir):
+    """Average True Range over daily bars per stream: TR =
+    max(H−L, |H−prevClose|, |L−prevClose|), ATR = 14-bar rolling mean
+    (simple-mean variant — Wilder's recursive EMA is order-serial and
+    deliberately avoided).  Bars are min/max/last aggregates of
+    scaled-integer values; TR and the window sums stay integer, so
+    the only float is the final mean division.  Two window passes
+    over the SAME (stream, day) order — one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("vs"),
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = v.withColumn("rd", F.row_number().over(wd))
+    bar = r.groupBy("event_type", "day").agg(
+        F.max("vs").cast("long").alias("h"),
+        F.min("vs").cast("long").alias("l"),
+        F.max(F.when(F.col("rd") == 1, F.col("vs"))).cast("long").alias("c"),
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    tr = bar.withColumn("pc", F.lag("c").over(wday))
+    t2 = tr.select(
+        "event_type", "day",
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.coalesce(F.col("pc"), F.col("c"))),
+            F.abs(F.col("l") - F.coalesce(F.col("pc"), F.col("c"))),
+        )
+        .cast("long")
+        .alias("tr"),
+    )
+    win = wday.rowsBetween(-13, 0)
+    w = t2.select(
+        "event_type", "day", "tr",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("tr").over(win).cast("long").alias("s"),
+    )
+    return w.filter(F.col("n") == 14).select(
+        "event_type", "day",
+        (F.col("tr").cast("double") / 10000.0).alias("true_range"),
+        (F.col("s").cast("double") / F.col("n") / 10000.0).alias("atr14"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (SELECT doc_id, CAST(i.i AS INTEGER) AS frame_index,
+                 substr(text, CAST(i.i AS BIGINT) * 64 + 1, 64) AS frame
+          FROM d,
+          unnest(range(CAST(ceil(CAST(n AS DOUBLE) / 64.0) AS BIGINT))) i(i))
+    SELECT doc_id, frame_index,
+           CAST(length(frame) AS BIGINT) AS frame_bytes,
+           sha256(frame) AS frame_sha
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: 1 binary payload → N frame
+    rows via the row-expanding mapInPandas UDTF
+    (llm/multimodal.frame_sample; a real ffmpeg slicer injects with
+    the same signature).  The payload is the utf-8 byte stream
+    (ASCII corpus ⇒ byte == char), so the oracle restates the
+    64-byte slicing with substr and value-checks each frame by
+    sha-256 — computed JVM-side AFTER the Python expansion, proving
+    the Arrow round-trip byte-exact.  Payload bytes never shuffle:
+    the expansion is map-only and only (id, index, sha) move."""
+    from dicomdb_spark.llm.multimodal import binarize, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(binarize(docs), every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+        F.sha2("frame_payload", 256).alias("frame_sha"),
+    )
+
+
+@register(
+    "a_price_elasticity_ols",
+    """
+    WITH d AS (SELECT p.p_brand,
+                      CAST(floor(l.l_extendedprice / l.l_quantity * 10.0)
+                           AS BIGINT) AS x,
+                      CAST(floor(l.l_quantity * 100.0) AS BIGINT) AS y
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM d GROUP BY 1)
+    SELECT p_brand, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) AS elasticity
+    FROM s
+    """,
+)
+def a_price_elasticity_ols(spark, sf_dir):
+    """Closed-form OLS of quantity on unit price per brand (demand
+    curve slope + point elasticity at the means).  The five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact integer
+    aggregates of floor-scaled values — ONE map-side-combining pass
+    over the fact join — and slope/intercept/elasticity are fixed
+    float chains over them, so a 1000-executor run returns the same
+    bits as one core.  The slope expression is repeated verbatim
+    rather than bound to a name so both engines evaluate the
+    identical tree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10.0).cast(
+        "long"
+    )
+    y = F.floor(F.col("l_quantity") * 100.0).cast("long")
+    s = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+        (slope * (sxd / syd)).alias("elasticity"),
+    )
+
+
+@register(
+    "w_zscore_peer_loo",
+    """
+    WITH v AS (SELECT event_type, event_id,
+                      CAST(floor(value * 100) AS BIGINT) AS vs
+               FROM events),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(vs) AS BIGINT) AS s1,
+                 CAST(SUM(vs * vs) AS BIGINT) AS s2
+          FROM v GROUP BY 1),
+    z AS (SELECT v.event_type, v.event_id, v.vs,
+                 (CAST(v.vs AS DOUBLE)
+                  - CAST(g.s1 - v.vs AS DOUBLE) / CAST(g.n - 1 AS DOUBLE))
+                 / sqrt((CAST(g.s2 - v.vs * v.vs AS DOUBLE)
+                         - CAST(g.s1 - v.vs AS DOUBLE)
+                           * CAST(g.s1 - v.vs AS DOUBLE)
+                           / CAST(g.n - 1 AS DOUBLE))
+                        / CAST(g.n - 1 AS DOUBLE)) AS z
+          FROM v JOIN g USING (event_type))
+    SELECT event_type, event_id, CAST(vs AS DOUBLE) / 100.0 AS value, z
+    FROM z WHERE abs(z) > 3.0
+    """,
+)
+def w_zscore_peer_loo(spark, sf_dir):
+    """Leave-one-out peer z-score anomalies: each event scored
+    against its peer group EXCLUDING itself — the unbiased version of
+    w_anomaly_zscore (a gross outlier inflates the naive group σ and
+    masks itself).  The LOO mean/variance need no second pass: they
+    are algebra over the group's exact integer (n, Σ, Σ²) minus the
+    row's own contribution, so the fact is scanned once and the
+    bounded stats table broadcasts back."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vs"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vs").cast("long").alias("s1"),
+        F.sum(F.col("vs") * F.col("vs")).cast("long").alias("s2"),
+    )
+    s1l = (F.col("s1") - F.col("vs")).cast("double")
+    n1 = (F.col("n") - 1).cast("double")
+    z = (F.col("vs").cast("double") - s1l / n1) / F.sqrt(
+        ((F.col("s2") - F.col("vs") * F.col("vs")).cast("double")
+         - s1l * s1l / n1)
+        / n1
+    )
+    return (
+        v.join(F.broadcast(g), "event_type")
+        .select(
+            "event_type", "event_id",
+            (F.col("vs").cast("double") / 100.0).alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+def _survivor_oracle(iters: int = 3) -> str:
+    """Label-propagation chain (the dedup_components replay) extended
+    with the survivorship policy: canonical = longest text, tie min
+    doc_id."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT e.dst AS doc_id, l.lbl FROM e JOIN {prev} l ON e.src = l.doc_id) n
+      ON v.doc_id = n.doc_id
+      GROUP BY v.doc_id, v.lbl)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    verts AS (SELECT DISTINCT doc_id FROM (
+      SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) t),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM verts),
+    {chain},
+    m AS (SELECT l.lbl AS component, l.doc_id,
+                 CAST(length(d.text) AS BIGINT) AS chars,
+                 row_number() OVER (PARTITION BY l.lbl
+                                    ORDER BY length(d.text) DESC, l.doc_id)
+                   AS rn
+          FROM {prev} l JOIN docs2 d USING (doc_id))
+    SELECT component,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_id,
+           CAST(max(CASE WHEN rn = 1 THEN chars END) AS BIGINT)
+             AS survivor_chars,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM m GROUP BY 1
+    """
+
+
+@register("corpus_dedup_survivorship", _survivor_oracle())
+def corpus_dedup_survivorship(spark, sf_dir):
+    """Survivorship resolution over near-dup clusters: after
+    components, the dedup ACTION keeps one canonical doc per cluster
+    — here the LONGEST text (ties → min doc_id), the content-richness
+    policy real pipelines use instead of dedup_components' min-id.
+    max_by over a (chars, -doc_id) struct picks the survivor in the
+    same single hash aggregate that counts members — no window sort
+    over the cluster."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    )
+    comp = ldedup.min_label_components(pairs.persist(), iters=3)
+    docs = _docs_with_dupes(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("chars")
+    )
+    m = comp.join(docs, "doc_id")
+    return m.groupBy("component").agg(
+        F.expr("max_by(doc_id, struct(chars, -doc_id))")
+        .cast("long")
+        .alias("survivor_id"),
+        F.max("chars").cast("long").alias("survivor_chars"),
+        F.count("*").cast("long").alias("n_members"),
+        (F.count("*") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+@register(
+    "a_calendar_gap_fill",
+    """
+    WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+               FROM events),
+    days AS (SELECT CAST(b.lo + CAST(i.i AS INTEGER) * INTERVAL 1 DAY AS DATE)
+                      AS day
+             FROM b, unnest(range(0, (b.hi - b.lo) + 1)) i(i)),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day,
+                    COALESCE(x.cents, 0) AS cents
+             FROM types t CROSS JOIN days d
+             LEFT JOIN daily x
+               ON x.event_type = t.event_type AND x.day = d.day)
+    SELECT event_type, day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS DOUBLE) / 100.0 AS trailing_7d
+    FROM grid
+    """,
+)
+def a_calendar_gap_fill(spark, sf_dir):
+    """Zero-filled calendar grid + trailing 7-day revenue: the
+    report shape every BI layer needs and naive GROUP BY day gets
+    wrong (a missing day silently shortens the trailing window).
+    The calendar generates from the data's own bounds with
+    sequence(); the grid is |types|·|days| — bounded, never
+    fact-sized — and the trailing sum runs on exact integer cents
+    over the gap-free ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    return grid.select(
+        "event_type", "day",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("cents").over(win).cast("long").cast("double") / 100.0).alias(
+            "trailing_7d"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
