@@ -14706,41 +14706,41 @@ def a_chi_square(spark, sf_dir):
         )
         .agg(F.count("*").alias("o"))
     )
-    r = o.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    c = o.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
-    n = o.agg(F.sum("o").cast("long").alias("n"))
-    rc = r.agg(F.count("*").alias("n_rows")).crossJoin(
-        c.agg(F.count("*").alias("n_cols"))
-    )
-    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
-    t = (
-        o.join(F.broadcast(r), "event_type")
-        .join(F.broadcast(c), "dow")
-        .crossJoin(F.broadcast(n))
-        .withColumn("e", e)
+    # row/column/grand totals as WINDOWS over the bounded contingency
+    # frame — ONE fact scan + one shuffle total; the margin windows
+    # run on |types|·7 rows, never the fact (the join/branch
+    # formulation would re-derive the fact aggregate per margin)
+    t = o.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("long").alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("long").alias("c"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    ).withColumn(
+        "e",
+        (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double"),
     )
     od = F.col("o").cast("double")
-    return (
-        t.crossJoin(F.broadcast(rc))
-        .agg(
-            F.max("n").cast("long").alias("n_obs"),
-            F.max("n_rows").cast("long").alias("n_rows"),
-            F.max("n_cols").cast("long").alias("n_cols"),
-            ((F.max("n_rows") - 1) * (F.max("n_cols") - 1))
-            .cast("long")
-            .alias("dof"),
-            (
-                F.sum(
-                    F.floor(
-                        (od - F.col("e")) * (od - F.col("e")) / F.col("e")
-                        * 1000000.0
-                    ).cast("long")
-                )
-                / 1000000.0
-            )
-            .cast("double")
-            .alias("chi2"),
+    return t.agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("dow").cast("long").alias("n_cols"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
         )
+        .cast("long")
+        .alias("dof"),
+        (
+            F.sum(
+                F.floor(
+                    (od - F.col("e")) * (od - F.col("e")) / F.col("e")
+                    * 1000000.0
+                ).cast("long")
+            )
+            / 1000000.0
+        )
+        .cast("double")
+        .alias("chi2"),
     )
 
 
@@ -15735,8 +15735,16 @@ def a_waterfall_contribution(spark, sf_dir):
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
     ).cast("long")
     qs = F.floor(F.col("l_quantity") * 100.0).cast("long")
+    # the year filter as a RANGE predicate so it pushes to the parquet
+    # scan (year(col) IN (...) wraps the column and defeats pushdown)
+    in_range = (
+        F.col("o_orderdate")
+        >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    ) & (
+        F.col("o_orderdate") < F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+    )
     f = (
-        li.join(orders.filter(yr.isin(1999, 2000)), li.l_orderkey == orders.o_orderkey)
+        li.join(orders.filter(in_range), li.l_orderkey == orders.o_orderkey)
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", yr.alias("yr"))
         .agg(
@@ -16162,6 +16170,256 @@ def a_calendar_gap_fill(spark, sf_dir):
         (F.sum("cents").over(win).cast("long").cast("double") / 100.0).alias(
             "trailing_7d"
         ),
+    )
+
+
+_HILBERT_ORDER = 8  # 256 x 256 grid → 16-bit key
+
+
+def _hilbert_sql_ctes(order: int = _HILBERT_ORDER) -> str:
+    """Chained CTEs l1..l{order} unrolling the xy→d Hilbert walk
+    (the public iterative algorithm: reflect+swap per level).  Each
+    level consumes (x, y, d) from the previous one; the CASE algebra
+    below is the same tree the Spark side builds, so both engines
+    compute identical integers with no xor/bit builtins needed."""
+    ctes = []
+    prev = "l0"
+    for lvl in range(order):
+        s = 1 << (order - 1 - lvl)
+        cur = f"l{lvl + 1}"
+        quad = (
+            f"(CASE WHEN (x // {s}) % 2 = 1 AND (y // {s}) % 2 = 0 THEN 3 "
+            f"WHEN (x // {s}) % 2 = 1 AND (y // {s}) % 2 = 1 THEN 2 "
+            f"ELSE (y // {s}) % 2 END)"
+        )
+        ctes.append(
+            f"""{cur} AS (
+      SELECT event_id, gx, gy,
+             d + {s * s} * {quad} AS d,
+             CASE WHEN (y // {s}) % 2 = 0 THEN
+               CASE WHEN (x // {s}) % 2 = 1 THEN {s} - 1 - (y % {s})
+                    ELSE y % {s} END
+             ELSE x END AS x,
+             CASE WHEN (y // {s}) % 2 = 0 THEN
+               CASE WHEN (x // {s}) % 2 = 1 THEN {s} - 1 - (x % {s})
+                    ELSE x % {s} END
+             ELSE y END AS y
+      FROM {prev})"""
+        )
+        prev = cur
+    return ",\n    ".join(ctes), prev
+
+
+def _hilbert_spark(df, order: int = _HILBERT_ORDER):
+    """Spark twin of :func:`_hilbert_sql_ctes` — the same unrolled
+    reflect+swap levels as Catalyst integer CASE expressions (whole-
+    stage codegen, no UDF).  ``df`` carries (event_id, gx, gy); x/y/d
+    state columns evolve per level."""
+    df = df.withColumn("x", F.col("gx")).withColumn("y", F.col("gy")).withColumn(
+        "d", F.lit(0).cast("long")
+    )
+    for lvl in range(order):
+        s = 1 << (order - 1 - lvl)
+        rx = (F.col("x") / s).cast("long") % 2
+        ry = (F.col("y") / s).cast("long") % 2
+        quad = (
+            F.when((rx == 1) & (ry == 0), 3)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(ry)
+        )
+        new_x = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - (F.col("y") % s)).otherwise(
+                F.col("y") % s
+            ),
+        ).otherwise(F.col("x"))
+        new_y = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - (F.col("x") % s)).otherwise(
+                F.col("x") % s
+            ),
+        ).otherwise(F.col("y"))
+        df = (
+            df.withColumn("__d", F.col("d") + F.lit(s * s) * quad)
+            .withColumn("__x", new_x)
+            .withColumn("__y", new_y)
+            .drop("x", "y", "d")
+            .withColumnRenamed("__x", "x")
+            .withColumnRenamed("__y", "y")
+            .withColumnRenamed("__d", "d")
+        )
+    return df
+
+
+_HILBERT_CHAIN, _HILBERT_LAST = _hilbert_sql_ctes()
+
+
+@register(
+    "layout_hilbert_key",
+    f"""
+    WITH l0 AS (SELECT event_id,
+                       CAST(user_id % 256 AS BIGINT) AS gx,
+                       CAST((event_id // 7) % 256 AS BIGINT) AS gy,
+                       CAST(user_id % 256 AS BIGINT) AS x,
+                       CAST((event_id // 7) % 256 AS BIGINT) AS y,
+                       CAST(0 AS BIGINT) AS d
+                FROM events),
+    {_HILBERT_CHAIN}
+    SELECT event_id, gx, gy, CAST(d AS BIGINT) AS hilbert_key
+    FROM {_HILBERT_LAST}
+    """,
+)
+def layout_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key over a (user, id-stride) grid —
+    the better-locality successor to layout_zorder_key (Hilbert 1891;
+    the space-filling-curve OPTIMIZE shape: unlike Morton, adjacent
+    keys are always adjacent cells, so file min/max stay tight on
+    both dimensions with no Z-jump seams).  The 8-level reflect+swap
+    walk is UNROLLED into pure integer CASE arithmetic — one
+    generator emits both the Catalyst expression tree and the SQL
+    CTE chain, so parity is structural.  Map-only: zero shuffles,
+    zero UDFs; sort-by-key is the caller's write step."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("gx"),
+        ((F.col("event_id") / 7).cast("long") % 256).cast("long").alias("gy"),
+    )
+    out = _hilbert_spark(base)
+    return out.select(
+        "event_id", "gx", "gy", F.col("d").cast("long").alias("hilbert_key")
+    )
+
+
+@register(
+    "dedup_sorted_neighbor_lcp",
+    f"""
+    WITH {_SQL_DOCS2},
+    s AS (SELECT doc_id, text,
+                 lead(doc_id) OVER (ORDER BY text, doc_id) AS nid,
+                 lead(text) OVER (ORDER BY text, doc_id) AS ntext
+          FROM docs2),
+    p AS (SELECT doc_id, nid,
+                 least(length(text), length(ntext)) AS ml,
+                 text, ntext
+          FROM s WHERE nid IS NOT NULL),
+    diff AS (SELECT doc_id, nid, ml,
+                    min(CASE WHEN substr(text, CAST(i.i AS BIGINT), 1)
+                             <> substr(ntext, CAST(i.i AS BIGINT), 1)
+                             THEN i.i END) AS first_diff
+             FROM p, unnest(range(1, ml + 1)) i(i)
+             GROUP BY 1, 2, 3)
+    SELECT doc_id AS id1, nid AS id2,
+           CAST(COALESCE(first_diff - 1, ml) AS BIGINT) AS lcp
+    FROM diff
+    WHERE COALESCE(first_diff - 1, ml) >= 40
+    """,
+)
+def dedup_sorted_neighbor_lcp(spark, sf_dir):
+    """Sorted-neighbor prefix dedup (the suffix-array-lite sibling of
+    dedup_prefix_hash): sort the corpus by text, compute the longest
+    common prefix of each ADJACENT pair, and emit pairs with lcp ≥ 40
+    chars — catching truncation/prefix dups that shingle Jaccard
+    misses on short docs.  Only n−1 comparisons ever happen (the sort
+    does the candidate generation); the LCP itself is a first-diff
+    position scan bounded by the shorter doc.  At scale the global
+    order becomes a range partitioning with boundary-row exchange —
+    the window here states the same semantics."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    w = Window.orderBy("text", "doc_id")
+    s = docs.select(
+        "doc_id", "text",
+        F.lead("doc_id").over(w).alias("nid"),
+        F.lead("text").over(w).alias("ntext"),
+    ).filter(F.col("nid").isNotNull())
+    p = s.select(
+        "doc_id", "nid", "text", "ntext",
+        F.least(F.length("text"), F.length("ntext")).alias("ml"),
+    )
+    d = p.select(
+        "doc_id", "nid", "ml",
+        F.posexplode(F.sequence(F.lit(1), F.col("ml"))).alias("__k", "i"),
+        "text", "ntext",
+    ).groupBy("doc_id", "nid", "ml").agg(
+        F.min(
+            F.when(
+                F.col("text").substr(F.col("i"), F.lit(1))
+                != F.col("ntext").substr(F.col("i"), F.lit(1)),
+                F.col("i"),
+            )
+        ).alias("first_diff")
+    )
+    lcp = F.coalesce(F.col("first_diff") - 1, F.col("ml"))
+    return (
+        d.select(
+            F.col("doc_id").alias("id1"),
+            F.col("nid").alias("id2"),
+            lcp.cast("long").alias("lcp"),
+        )
+        .filter(F.col("lcp") >= 40)
+    )
+
+
+@register(
+    "w_interarrival_stats",
+    """
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CAST(epoch_us(ts) AS BIGINT)
+                      - lag(CAST(epoch_us(ts) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS gap_us
+               FROM events),
+    s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap_us // 1000) AS BIGINT) AS s1,
+                 CAST(SUM((gap_us // 1000) * (gap_us // 1000)) AS BIGINT)
+                   AS s2,
+                 CAST(max(gap_us // 1000) AS BIGINT) AS max_gap_ms
+          FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+    SELECT user_id, n_gaps, max_gap_ms,
+           CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000.0
+             AS mean_gap_s,
+           sqrt((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+           / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv
+    FROM s WHERE n_gaps >= 5
+    """,
+)
+def w_interarrival_stats(spark, sf_dir):
+    """Inter-arrival process statistics per user: mean gap, max gap,
+    and the coefficient of variation (CV ≈ 1 ⇒ Poisson arrivals,
+    ≫ 1 ⇒ bursty) — the session-boundary tuning diagnostic for W3's
+    gap parameter.  Gaps in integer milliseconds from ONE lag pass;
+    CV is a single float chain over (n, Σ, Σ²)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer epoch-microseconds (io.prepare pins UTC, so the
+    # NTZ→TZ cast is the identity and matches DuckDB's epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    ms = (F.col("gap_us") / 1000).cast("long")
+    s = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(ms).cast("long").alias("s1"),
+        F.sum(ms * ms).cast("long").alias("s2"),
+        F.max(ms).cast("long").alias("max_gap_ms"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mean_ms = F.col("s1").cast("double") / nd
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+        )
+        / nd
+    )
+    return s.filter(F.col("n_gaps") >= 5).select(
+        "user_id", "n_gaps", "max_gap_ms",
+        (mean_ms / 1000.0).alias("mean_gap_s"),
+        (sd / mean_ms).alias("cv"),
     )
 
 

@@ -311,3 +311,79 @@ def test_calendar_grid_is_gap_free(spark):
     for t, days in by_type.items():
         days = sorted(days)
         assert (days[-1] - days[0]).days + 1 == len(days)  # no gaps
+
+
+def test_hilbert_key_matches_reference_and_is_adjacent(spark):
+    """Engine key == canonical xy2d bit-twiddling; and the curve
+    property: consecutive d values map to 4-adjacent grid cells."""
+    rows = QUERIES["layout_hilbert_key"](spark, SF).collect()
+
+    def hil(x, y, order=8):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    assert all(hil(r.gx, r.gy) == r.hilbert_key for r in rows)
+
+    def d2xy(d, order=8):
+        x = y = 0
+        t = d
+        s = 1
+        while s < (1 << order):
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        return x, y
+
+    # successive curve positions are unit-Manhattan neighbors
+    for d in range(0, 200):
+        x1, y1 = d2xy(d)
+        x2, y2 = d2xy(d + 1)
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_lcp_bruteforce(spark):
+    """Engine LCP == os.path.commonprefix length over the sorted
+    neighbor pairs."""
+    from dicomdb_spark.registry import _docs_with_dupes
+
+    docs = sorted(
+        _docs_with_dupes(spark, SF).collect(),
+        key=lambda r: (r.text, r.doc_id),
+    )
+    import os.path as osp
+
+    expect = {}
+    for a, b in zip(docs, docs[1:]):
+        lcp = len(osp.commonprefix([a.text, b.text]))
+        if lcp >= 40:
+            expect[(a.doc_id, b.doc_id)] = lcp
+    got = {
+        (r.id1, r.id2): r.lcp
+        for r in QUERIES["dedup_sorted_neighbor_lcp"](spark, SF).collect()
+    }
+    assert got == expect
+    assert got  # non-vacuous: injected dups share 40+ char prefixes
+
+
+def test_interarrival_cv_nonnegative(spark):
+    rows = QUERIES["w_interarrival_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cv >= 0 and r.mean_gap_s > 0
+        assert r.max_gap_ms >= r.mean_gap_s * 1000 - 1
