@@ -231,3 +231,128 @@ def sessionize_by_gap(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn("session_seq", seq.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed global order statistics (no single-partition sorts)
+# ---------------------------------------------------------------------------
+# ``Window.orderBy`` with no ``partitionBy`` executes the WHOLE input on
+# ONE task — fine for a 128-row histogram, a scale killer for an
+# entity-grain table (10^8-row customer dim at 100 TB).  The two helpers
+# below give the same global row_number / rank / running sums with the
+# classic two-phase plan every distributed sort uses:
+#
+#   1. bucket each row by a BOUNDED-cardinality integer/string key that
+#      is monotone non-decreasing in the target sort order (range
+#      buckets of the leading sort column, or an order-preserving
+#      prefix of a hash/text column);
+#   2. aggregate per-bucket counts/sums (a bucket-cardinality table,
+#      e.g. 64 rows), turn them into EXCLUSIVE prefix offsets with a
+#      window over that tiny table (the only global sort left, bounded
+#      by construction), broadcast the offsets back;
+#   3. rank/cumsum WITHIN each bucket with an ordinary partitioned
+#      window, and add the bucket offset.
+#
+# Every task sorts one bucket (~n/buckets rows); nothing global ever
+# materializes on a single executor.  Ties are safe because rows equal
+# on the leading sort column land in the same bucket by monotonicity.
+
+
+def monotone_range_bucket(
+    df: DataFrame,
+    col: Column | str,
+    n_buckets: int = 64,
+    ascending: bool = True,
+    out_col: str = "__bkt",
+) -> DataFrame:
+    """Add an integer bucket column monotone in ``col``'s sort
+    direction via a min/max affine map (one 1-row aggregate broadcast
+    back — the same stats pass sketch_hist_quantiles already pays).
+    ``col`` must be numeric and non-null.  Equal values always share a
+    bucket, so tiebreak columns never straddle a boundary."""
+    c = F.col(col) if isinstance(col, str) else col
+    st = df.agg(F.min(c).alias("__bk_mn"), F.max(c).alias("__bk_mx"))
+    b = df.crossJoin(F.broadcast(st))
+    span = (F.col("__bk_mx") - F.col("__bk_mn")).cast("double")
+    raw = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (c - F.col("__bk_mn")).cast("double") * n_buckets / span
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bkt = raw if ascending else (F.lit(n_buckets - 1) - raw)
+    return b.withColumn(out_col, bkt.cast("int")).drop("__bk_mn", "__bk_mx")
+
+
+def bucketed_running(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    bucket_col: str = "__bkt",
+    sum_cols: Sequence[str] = (),
+    rn_col: str | None = None,
+    rank_col: str | None = None,
+    cum_prefix: str = "cum_",
+    drop_bucket: bool = True,
+) -> DataFrame:
+    """Global ``row_number`` / ``rank`` / inclusive running ``sum`` over
+    ``order_cols`` WITHOUT a single-partition sort (see module note).
+
+    ``bucket_col`` must already be on ``df`` and monotone non-decreasing
+    in the ``order_cols`` ordering with bounded cardinality.  Running
+    sums land as ``{cum_prefix}{col}``; ranks are int64.  The window
+    over the per-bucket offsets table is the one remaining global sort
+    — bounded by the bucket count, never the data.
+    """
+    aggs = [F.count("*").alias("__bk_c")] + [
+        F.sum(s).alias(f"__bk_s_{s}") for s in sum_cols
+    ]
+    per = df.groupBy(bucket_col).agg(*aggs)
+    wprev = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bounded: one row per bucket
+    offs = per.select(
+        bucket_col,
+        F.coalesce(F.sum("__bk_c").over(wprev), F.lit(0)).alias("__bk_off_c"),
+        *[
+            F.coalesce(F.sum(f"__bk_s_{s}").over(wprev), F.lit(0)).alias(
+                f"__bk_off_{s}"
+            )
+            for s in sum_cols
+        ],
+    )
+    w = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.join(F.broadcast(offs), bucket_col)
+    if rn_col is not None:
+        out = out.withColumn(
+            rn_col,
+            (F.col("__bk_off_c") + F.row_number().over(w)).cast("long"),
+        )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.col("__bk_off_c") + F.rank().over(w)).cast("long"),
+        )
+    for s in sum_cols:
+        out = out.withColumn(
+            cum_prefix + s, F.col(f"__bk_off_{s}") + F.sum(s).over(wrun)
+        )
+    out = out.drop("__bk_off_c", *[f"__bk_off_{s}" for s in sum_cols])
+    return out.drop(bucket_col) if drop_bucket else out
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` reconstructed from a global rank:
+    bucket sizes differ by at most one, larger buckets first — the
+    exact assignment Spark and DuckDB both produce over a uniquely
+    tiebroken order.  Lets deciles/terciles ride the distributed rank
+    instead of a single-partition ntile window."""
+    # n = k*b + r: first r tiles have b+1 rows, the rest b rows.
+    b = F.floor(n.cast("long") / k).cast("long")
+    r = (n.cast("long") % k).cast("long")
+    cut = r * (b + 1)
+    big = F.floor((rn - 1) / (b + 1)).cast("long") + 1
+    small = r + F.floor((rn - cut - 1) / F.greatest(b, F.lit(1))).cast("long") + 1
+    return F.when(rn <= cut, big).otherwise(small)

@@ -403,3 +403,86 @@ def test_round6_depins_upgrade_at_runtime(spark):
     for name in ("a_market_basket", "graph_link_predict_ra"):
         df = QUERIES[name](spark, SF)
         assert "SortMergeJoin" not in pi.aqe_final_plan(df), name
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide guards (round 7): every query — present AND future — is
+# covered by default, instead of a named subset.
+# ---------------------------------------------------------------------------
+
+# Global-order window allowlist: (file suffix, enclosing function) → why
+# the single-partition sort is bounded by construction.  ANY other
+# `Window.orderBy(...)` without a partitionBy, or empty
+# `Window.partitionBy()`, anywhere in dicomdb_spark/ fails the lint —
+# new queries must either use ow.bucketed_running / orderBy().limit()
+# or consciously add an entry here with a boundedness argument.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # the one remaining global sort inside the distributed-rank helper
+    # itself: the per-bucket offsets table, one row per bucket
+    ("operators/windows.py", "bucketed_running"): "offsets table ≤ n_buckets rows",
+    ("registry.py", "sketch_hist_quantiles"): "cumsum over the 128-bin histogram",
+    ("registry.py", "a_decile_lift"): "cum_conv over the 10-row decile table",
+    ("registry.py", "a_survival_hazard"): "reverse cumsum over the day grain (bounded calendar)",
+    ("registry.py", "a_chi_square"): "margin windows over the |types|·7 contingency frame",
+    ("registry.py", "dedup_sorted_neighbor_lcp"): "boundary exchange over per-leading-char firsts (≤ alphabet)",
+    ("registry.py", "graph_pagerank"): "pos over a LIMIT(20) result",
+    ("registry.py", "graph_ppr_seeds"): "pos over a LIMIT(20) result",
+}
+
+
+def test_no_unbounded_global_windows_in_source():
+    """Scale lint (VERDICT r6 #1/#5): `Window.orderBy` with no
+    partitionBy executes the whole input as ONE task — a 100×-scale
+    killer unless the input is provably bounded.  Round 7 rewrote all
+    13 entity-grain offenders onto ow.bucketed_running /
+    orderBy().limit(); this lint pins the invariant for every future
+    query."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "dicomdb_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        lines = path.read_text().splitlines()
+        defs = [
+            (i + 1, m.group(1))
+            for i, l in enumerate(lines)
+            if (m := re.match(r"\s*def\s+(\w+)", l))
+        ]
+        for i, line in enumerate(lines, 1):
+            code = line.split("#", 1)[0]
+            if "Window.orderBy" not in code and "Window.partitionBy()" not in code:
+                continue
+            fn = next((n for ln, n in reversed(defs) if ln <= i), "<module>")
+            if (rel, fn) not in _GLOBAL_WINDOW_ALLOWLIST:
+                offenders.append((rel, i, fn, line.strip()))
+    assert not offenders, (
+        "unallowlisted global-order windows (single-partition sorts):\n"
+        + "\n".join(f"{r}:{i} in {f}(): {t}" for r, i, f, t in offenders)
+    )
+
+
+def test_all_registry_queries_within_hint_budget(spark):
+    """Every registry entry's pinned-broadcast count is bounded by the
+    recorded budget (tests/hint_budgets.json, measured when each query
+    was verified bounded-only).  A NEW query defaults to budget 0 —
+    pinning any broadcast requires a conscious fixture entry, the same
+    discipline test_scaling_tables_carry_no_pinned_broadcast applies
+    to its curated subset."""
+    import json
+    from pathlib import Path
+
+    budgets = json.loads(
+        (Path(__file__).resolve().parent / "hint_budgets.json").read_text()
+    )
+    sf = "/root/testdata/sf0.001"
+    from dicomdb_spark.llm.dedup import release_pair_caches
+
+    over = []
+    for name, fn in QUERIES.items():
+        n = pi.pinned_hint_count(fn(spark, sf))
+        if n > budgets.get(name, 0):
+            over.append((name, n, budgets.get(name, 0)))
+        release_pair_caches()
+    assert not over, f"hint budget exceeded: {over}"
