@@ -37,8 +37,20 @@ HEX = "0123456789abcdef"
 # storage memory until LRU eviction.
 _PAIR_CACHES: list[DataFrame] = []
 
+# Bound for sessions that never call release_pair_caches (ADVICE r6):
+# once the tracked list exceeds this, the OLDEST handles are
+# unpersisted and dropped on the next _track_cache — superseded
+# shingle caches can't pin storage memory (or DataFrame refs) forever.
+_PAIR_CACHE_CAP = 8
+
 
 def _track_cache(df: DataFrame) -> DataFrame:
+    while len(_PAIR_CACHES) >= _PAIR_CACHE_CAP:
+        old = _PAIR_CACHES.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:  # session already stopped
+            pass
     _PAIR_CACHES.append(df)
     return df
 

@@ -146,6 +146,7 @@ def incremental_import_stream(
     dialect: str = "ansi",
     quarantine_table: str | None = None,
     in_list_batch: int = 500,
+    num_writer_partitions: int = 1,
 ):
     """E1 as a CONTINUOUS incremental import (Structured Streaming).
 
@@ -179,21 +180,27 @@ def incremental_import_stream(
     A serie whose exam key is incomplete (NULL EUID or
     AcquisitionDate — corrupt headers missing StudyInstanceUID) can
     never match the key-tuple IN fetch under SQL NULL semantics, so
-    no exam row could ever be rebuilt for it.  Rather than landing it
-    into ``serie_table`` and silently never building its exam, such
-    rows are routed to ``quarantine_table`` when given (same upsert
-    writer, same stack key) and are ALWAYS counted in a WARNING log
-    line per batch — corrupt input stays visible either way.  The
+    no exam row could ever be rebuilt for it.  When
+    ``quarantine_table`` is configured such rows are routed there
+    (same upsert writer, same stack key) instead of ``serie_table``;
+    by DEFAULT (no quarantine table) they still LAND in
+    ``serie_table`` — the reference pipeline persisted them too, so
+    dropping serie metadata is strictly opt-in via the quarantine
+    path.  Either way every batch logs a WARNING count, so corrupt
+    input stays visible and the never-rebuildable exam is named.  The
     key-tuple IN fetch itself is issued in chunks of
     ``in_list_batch`` keys so a large catch-up batch never renders an
     oversized statement.
 
     ``connect`` is the zero-arg DB-API factory (DuckDB in tests, MySQL
     in production — pass ``dialect="mysql"`` there so identifier
-    quoting and the upsert statement render for MySQL).  The
-    single-partition coalesce before each write is the DuckDB
-    single-writer constraint; against MySQL every partition would open
-    its own connection.
+    quoting and the upsert statement render for MySQL).
+    ``num_writer_partitions`` sets how many partitions (one DB
+    connection each) every write uses: the default 1 is the DuckDB
+    single-writer constraint; against MySQL raise it so a large
+    catch-up batch doesn't funnel through one task — rows hash across
+    writers, upsert keys stay disjoint, so the final DB state is
+    identical at any writer count.
 
     Returns the ``DataStreamWriter`` (caller starts it; tests use
     ``trigger(availableNow=True)``).
@@ -235,6 +242,14 @@ def incremental_import_stream(
         ]
     )
 
+    def for_writing(df: DataFrame) -> DataFrame:
+        # one DB connection per partition: 1 = DuckDB single-writer
+        # default (plain coalesce, no shuffle); >1 = hash repartition
+        # so a catch-up batch spreads across that many writers
+        if num_writer_partitions <= 1:
+            return df.coalesce(1)
+        return df.repartition(num_writer_partitions)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
         headers = parse_headers(batch_df, parser=parser).filter(
@@ -248,11 +263,14 @@ def incremental_import_stream(
             F.col("AcquisitionDate").cast("string").alias("AcquisitionDate"),
             F.col("first_acq_seconds").cast("double").alias("first_acq_seconds"),
             F.col("duration_s").cast("double").alias("duration_s"),
-        )
-        # 0) quarantine NULL-keyed series: a NULL EUID/AcquisitionDate
-        #    tuple never matches an IN list (SQL NULL semantics), so
-        #    its exam could never rebuild — keep it OUT of the serie
-        #    table and visibly counted instead of silently examless
+        ).persist()  # 2-3 consumers: null-key count, landing, key list
+        serie_cached = serie_b  # unpersist handle (serie_b may be re-filtered)
+        # 0) NULL-keyed series (corrupt headers): a NULL
+        #    EUID/AcquisitionDate tuple never matches an IN list (SQL
+        #    NULL semantics), so its exam can never rebuild.  Count +
+        #    WARN always; ROUTE AWAY from serie_table only when a
+        #    quarantine table is configured — the default keeps
+        #    landing them (reference behavior), never silent loss.
         null_key = F.col("EUID").isNull() | F.col("AcquisitionDate").isNull()
         serie_bad = serie_b.filter(null_key)
         n_bad = serie_bad.count()
@@ -263,10 +281,11 @@ def incremental_import_stream(
                 n_bad,
                 f"quarantined to {quarantine_table!r}"
                 if quarantine_table
-                else "dropped (no quarantine_table configured)",
+                else "landed in serie_table (no exam will rebuild; "
+                "configure quarantine_table to divert them)",
             )
             if quarantine_table is not None:
-                serie_bad.coalesce(1).foreachPartition(
+                for_writing(serie_bad).foreachPartition(
                     upsert_partition_writer(
                         quarantine_table,
                         list(SERIE_DB_KEYS),
@@ -274,19 +293,22 @@ def incremental_import_stream(
                         dialect=dialect,
                     )
                 )
-            serie_b = serie_b.filter(~null_key)
+                serie_b = serie_b.filter(~null_key)
         # 1) land the batch's serie rows (idempotent upsert on the
         #    stack key — redelivery overwrites with identical values)
-        serie_b.coalesce(1).foreachPartition(
+        for_writing(serie_b).foreachPartition(
             upsert_partition_writer(
                 serie_table, list(SERIE_DB_KEYS), connect, dialect=dialect
             )
         )
-        # 2) affected exams: bounded key list (≤ batch exam count)
+        # 2) affected exams: bounded key list (≤ batch exam count) —
+        #    NULL-keyed rows can't match an IN tuple, so they never
+        #    enter the fetch even when the default lands them above
         key_rows = [
             (r["EUID"], r["AcquisitionDate"])
-            for r in serie_b.select(*keys).distinct().collect()
+            for r in serie_b.filter(~null_key).select(*keys).distinct().collect()
         ]
+        serie_cached.unpersist()
         if not key_rows:
             return
         serie_rows: list = []
@@ -331,9 +353,7 @@ def incremental_import_stream(
         existing = sess.createDataFrame(exam_rows, exams.schema)
         classified = merge_classify(existing, exams, keys, compare)
         (
-            classified.filter(F.col("action") != "noop")
-            .drop("action")
-            .coalesce(1)
+            for_writing(classified.filter(F.col("action") != "noop").drop("action"))
             .foreachPartition(
                 upsert_partition_writer(table, keys, connect, dialect=dialect)
             )

@@ -138,16 +138,21 @@ def file_partition_writer(
     NIfTI-sink discipline).  Keys derive from DICOM exam/series IDs —
     external data — so the name is whitelist-sanitized (the tar-sink
     discipline, tar_sink.py:101): a key containing ``/`` or ``..``
-    must not escape ``out_dir``."""
+    must not escape ``out_dir``.  Sanitization maps distinct keys like
+    ``a/b`` and ``a_b`` to the same stem, so an 8-hex md5 of the RAW
+    key is appended — per-key idempotent overwrite survives, cross-key
+    collisions can't."""
+    import hashlib
 
     def write(rows: Iterator[Row]) -> None:
         os.makedirs(out_dir, exist_ok=True)
         for row in rows:
+            raw = str(row[name_col])
             safe = "".join(
-                c if c.isalnum() or c in "_.-" else "_"
-                for c in str(row[name_col])
+                c if c.isalnum() or c in "_.-" else "_" for c in raw
             ).lstrip(".") or "_"
-            path = os.path.join(out_dir, f"{safe}.txt")
+            tag = hashlib.md5(raw.encode("utf-8")).hexdigest()[:8]
+            path = os.path.join(out_dir, f"{safe}.{tag}.txt")
             with open(path, "w") as fh:
                 fh.write(f"{row[subject_col]}\n{row[body_col]}\n")
 

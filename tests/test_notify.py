@@ -101,6 +101,17 @@ def test_smtp_writer_quits_on_failure():
     assert ("quit",) in _RecordingSMTP.instances[0].calls
 
 
+def _fname(key: str) -> str:
+    """Expected sink name: sanitized stem + 8-hex md5 of the RAW key
+    (collision-proof, still per-key idempotent)."""
+    import hashlib
+
+    safe = "".join(
+        c if c.isalnum() or c in "_.-" else "_" for c in key
+    ).lstrip(".") or "_"
+    return f"{safe}.{hashlib.md5(key.encode()).hexdigest()[:8]}.txt"
+
+
 def test_file_writer_idempotent_redelivery(tmp_path):
     writer = notify.file_partition_writer(str(tmp_path), name_col="key")
     rows = [Row(key="E1_S1_Ser3", subject="s", body="first")]
@@ -109,8 +120,22 @@ def test_file_writer_idempotent_redelivery(tmp_path):
     files = sorted(p.name for p in tmp_path.iterdir())
     # redelivery overwrote — no timestamped duplicates (unlike
     # common.py:441's time.time() names)
-    assert files == ["E1_S1_Ser3.txt"]
-    assert (tmp_path / "E1_S1_Ser3.txt").read_text() == "s\nsecond\n"
+    assert files == [_fname("E1_S1_Ser3")]
+    assert (tmp_path / _fname("E1_S1_Ser3")).read_text() == "s\nsecond\n"
+
+
+def test_file_writer_distinct_keys_never_collide(tmp_path):
+    """Round-7 ADVICE fix: 'a/b' and 'a_b' sanitize to the same stem;
+    the raw-key hash suffix must keep their files distinct."""
+    writer = notify.file_partition_writer(str(tmp_path), name_col="key")
+    writer(iter([
+        Row(key="a/b", subject="s", body="slash"),
+        Row(key="a_b", subject="s", body="underscore"),
+    ]))
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert len(files) == 2
+    assert (tmp_path / _fname("a/b")).read_text() == "s\nslash\n"
+    assert (tmp_path / _fname("a_b")).read_text() == "s\nunderscore\n"
 
 
 def test_notify_end_to_end_from_executors(spark, tmp_path):
@@ -127,11 +152,10 @@ def test_notify_end_to_end_from_executors(spark, tmp_path):
         ["exam", "suj", "ser"],
         notify.file_partition_writer(str(tmp_path), name_col="key"),
     )
-    assert sorted(p.name for p in tmp_path.iterdir()) == [
-        "E1_S1_a.txt",
-        "E2_S2_b.txt",
-    ]
-    body = (tmp_path / "E1_S1_a.txt").read_text()
+    assert sorted(p.name for p in tmp_path.iterdir()) == sorted(
+        [_fname("E1_S1_a"), _fname("E2_S2_b")]
+    )
+    body = (tmp_path / _fname("E1_S1_a")).read_text()
     assert "Please check \tE1 \tS1 \ta" in body
 
 
@@ -155,4 +179,5 @@ def test_file_writer_sanitizes_traversal_names(tmp_path):
     # nothing escaped out_dir
     assert sorted(p.name for p in tmp_path.iterdir()) == ["drop"]
     names = sorted(p.name for p in out.iterdir())
-    assert names == ["_.txt", "_escape.txt", "a_b_c.txt"]
+    assert names == sorted([_fname(".."), _fname("../escape"), _fname("a/b/c")])
+    assert all(n.endswith(".txt") and "/" not in n for n in names)
