@@ -16529,6 +16529,814 @@ def w_interarrival_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7, batch A — rank/association statistics + classifier evaluation.
+# Discipline unchanged: exact integer sufficient statistics (floor-scaled
+# where the input is double), ONE identical float chain at the end on
+# both engines (+ − × ÷ sqrt are correctly rounded; ln/exp stay banned),
+# global ranks via ow.bucketed_running (never single-partition sorts).
+# ---------------------------------------------------------------------------
+
+
+def _arm_expr(prefix: str = "arm:"):
+    """md5-derived deterministic A/B arm for user_id (shared by the
+    test-statistic family — same assignment as a_mannwhitney_u)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+
+
+@register(
+    "a_kendall_tau_b",
+    """
+    WITH b AS (SELECT CAST(date_part('dow', ts) AS BIGINT) AS x,
+                      CAST(date_part('hour', ts) // 6 AS BIGINT) AS y
+               FROM events),
+    g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+    cd AS (SELECT
+             CAST(SUM(CASE WHEN g2.y > g1.y THEN g1.n * g2.n ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g2.y < g1.y THEN g1.n * g2.n ELSE 0 END)
+                  AS BIGINT) AS d
+           FROM g g1 JOIN g g2 ON g2.x > g1.x),
+    tx AS (SELECT CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS n1
+           FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g GROUP BY x) z),
+    ty AS (SELECT CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS n2
+           FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g GROUP BY y) z),
+    nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g)
+    SELECT nn.n AS n_obs, cd.c AS concordant, cd.d AS discordant,
+           CAST(cd.c - cd.d AS DOUBLE)
+             / sqrt(CAST((nn.n * (nn.n - 1)) // 2 - tx.n1 AS DOUBLE)
+                    * CAST((nn.n * (nn.n - 1)) // 2 - ty.n2 AS DOUBLE)) AS tau_b
+    FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn
+    """,
+)
+def a_kendall_tau_b(spark, sf_dir):
+    """Kendall tau-b rank association between two BOUNDED ordinal
+    variables (weekday × 6-hour slot) by MERGE-COUNTING over the
+    contingency grid — the parked round-6 idea: with g = |X|·|Y| cells
+    (≤ 28 here) every concordant/discordant pair count is Σ n₁n₂ over
+    g² ordered cell pairs, so the fact table is touched ONCE (a hash
+    aggregate) and the quadratic work is grid-sized, never row-sized.
+    Tie corrections n₁/n₂ are exact integers from the grid margins;
+    tau-b's denominator multiplies as double to dodge int64 overflow
+    at 100× (n₀ ~ n²/2).  The cell-pair join is a bounded non-equi
+    join (g rows per side), not a row-level cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        (F.dayofweek("ts") - 1).cast("long").alias("x"),
+        F.expr("hour(ts) div 6").cast("long").alias("y"),
+    )
+    g = b.groupBy("x", "y").agg(F.count("*").cast("long").alias("n"))
+    g2 = g.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    cd = g.join(g2, F.col("x2") > F.col("x")).agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y"), F.col("n") * F.col("n2")).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(F.col("y2") < F.col("y"), F.col("n") * F.col("n2")).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    tx = (
+        g.groupBy("x")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(F.sum(F.expr("(t * (t - 1)) div 2")).cast("long").alias("n1"))
+    )
+    ty = (
+        g.groupBy("y")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(F.sum(F.expr("(t * (t - 1)) div 2")).cast("long").alias("n2"))
+    )
+    nn = g.agg(F.sum("n").cast("long").alias("n"))
+    n0 = F.expr("(n * (n - 1)) div 2")
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_obs"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            (
+                (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "a_spearman_rho",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    gx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM u GROUP BY 1),
+    cx AS (SELECT x, 2 * (CAST(SUM(t) OVER (ORDER BY x) AS BIGINT) - t) + t + 1
+                  AS mx2
+           FROM gx),
+    gy AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM u GROUP BY 1),
+    cy AS (SELECT y, 2 * (CAST(SUM(t) OVER (ORDER BY y) AS BIGINT) - t) + t + 1
+                  AS my2
+           FROM gy),
+    r AS (SELECT cx.mx2 AS a, cy.my2 AS b
+          FROM u JOIN cx USING (x) JOIN cy USING (y)),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                 CAST(SUM(a * b) AS BIGINT) AS sab,
+                 CAST(SUM(a * a) AS BIGINT) AS saa,
+                 CAST(SUM(b * b) AS BIGINT) AS sbb
+          FROM r)
+    SELECT n AS n_users,
+           (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rho
+    FROM m
+    """,
+)
+def a_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation (per-user total value vs activity
+    count) with EXACT midrank ties: every row with value v has midrank
+    p + (t+1)/2, so DOUBLED midranks 2p+t+1 are integers — Pearson
+    over those is integer co-moments with one final float chain (the
+    ×2 cancels in rho).  Ranks come from per-value counts + an
+    exclusive running count, range-bucketed (ow.bucketed_running), so
+    the user dimension never sorts on one task; co-moment products
+    are multiplied as doubles to dodge int64 overflow at 100×."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+
+    def doubled_midranks(df, col, out):
+        g = df.groupBy(col).agg(F.count("*").cast("long").alias("t"))
+        c = ow.bucketed_running(
+            ow.monotone_range_bucket(g, col), order_cols=[col], sum_cols=["t"]
+        )
+        return c.select(
+            col,
+            (
+                F.lit(2) * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+            ).alias(out),
+        )
+
+    r = (
+        u.join(doubled_midranks(u, "x", "a"), "x")
+        .join(doubled_midranks(u, "y", "b"), "y")
+        .select("a", "b")
+    )
+    m = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    return m.select(
+        F.col("n").alias("n_users"),
+        (
+            (nd * F.col("sab").cast("double") - sa * sb)
+            / (
+                F.sqrt(nd * F.col("saa").cast("double") - sa * sa)
+                * F.sqrt(nd * F.col("sbb").cast("double") - sb * sb)
+            )
+        ).alias("rho"),
+    )
+
+
+@register(
+    "a_cohens_d",
+    f"""
+    WITH b AS (SELECT {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+                 AS arm,
+               CAST(floor(value) AS BIGINT) AS x
+               FROM events),
+    m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s1,
+                 CAST(SUM(x * x) AS BIGINT) AS s2
+          FROM b GROUP BY 1),
+    s AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+                 max(CASE WHEN arm = 0 THEN s1 END) AS a1,
+                 max(CASE WHEN arm = 0 THEN s2 END) AS a2,
+                 max(CASE WHEN arm = 1 THEN n END) AS n1,
+                 max(CASE WHEN arm = 1 THEN s1 END) AS b1,
+                 max(CASE WHEN arm = 1 THEN s2 END) AS b2
+          FROM m)
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CAST(a1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_a,
+           CAST(b1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_b,
+           (CAST(b1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(a1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / sqrt(((CAST(a2 AS DOUBLE)
+                    - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   + (CAST(b2 AS DOUBLE)
+                      - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                  / CAST(n0 + n1 - 2 AS DOUBLE)) AS cohens_d
+    FROM s
+    """,
+)
+def a_cohens_d(spark, sf_dir):
+    """Cohen's d effect size between md5-assigned arms — the
+    practical-significance companion to a_ab_test_zscore (a
+    significant z with d ≈ 0 is a launch you skip).  Pooled-SD
+    denominator from exact integer (n, Σx, Σx²) per arm; the entire
+    float chain is one fixed expression of those six integers,
+    identical on both engines.  One hash aggregate over the fact
+    table, a 2-row reshape, zero sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        _arm_expr().alias("arm"), F.floor(F.col("value")).cast("long").alias("x")
+    )
+    m = b.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    s = m.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("b2"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    a1d, a2d = F.col("a1").cast("double"), F.col("a2").cast("double")
+    b1d, b2d = F.col("b1").cast("double"), F.col("b2").cast("double")
+    return s.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        (a1d / n0d).alias("mean_a"),
+        (b1d / n1d).alias("mean_b"),
+        (
+            (b1d / n1d - a1d / n0d)
+            / F.sqrt(
+                ((a2d - a1d * a1d / n0d) + (b2d - b1d * b1d / n1d))
+                / (F.col("n0") + F.col("n1") - 2).cast("double")
+            )
+        ).alias("cohens_d"),
+    )
+
+
+@register(
+    "a_poisson_dispersion",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(c) AS BIGINT) AS s1,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM d GROUP BY 1)
+    SELECT event_type, n_days, s1 AS n_events,
+           CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+           (CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n_days AS DOUBLE) * CAST(s1 AS DOUBLE)) AS dispersion_index
+    FROM m
+    """,
+)
+def a_poisson_dispersion(spark, sf_dir):
+    """Variance-to-mean dispersion index of daily event counts per
+    type — the burstiness screen (≈1 ⇒ Poisson arrivals, ≫1 ⇒
+    overdispersed/bursty — pick windowed vs sessionized processing
+    accordingly).  Two stacked hash aggregates (day grain, then type);
+    the index is (n·Σc² − (Σc)²)/(n·Σc), multiplied as doubles from
+    exact integers so 100× day counts can't overflow the products."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        (s1d / nd).alias("mean_daily"),
+        ((nd * s2d - s1d * s1d) / (nd * s1d)).alias("dispersion_index"),
+    )
+
+
+@register(
+    "a_jarque_bera",
+    """
+    WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s1,
+                 CAST(SUM(x * x) AS BIGINT) AS s2,
+                 CAST(SUM(x * x * x) AS BIGINT) AS s3,
+                 CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+          FROM b GROUP BY 1),
+    c AS (SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM m),
+    k AS (SELECT event_type, n,
+                 r2 - m1 * m1 AS m2,
+                 r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                 r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                    - 3.0 * m1 * m1 * m1 * m1 AS m4
+          FROM c)
+    SELECT event_type, n,
+           m3 / sqrt(m2 * m2 * m2) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS excess_kurtosis,
+           CAST(n AS DOUBLE)
+             * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2)) / 6.0
+                + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 24.0)
+             AS jb_stat
+    FROM k
+    """,
+)
+def a_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality statistic per event stream — the
+    gatekeeper before any z-test family query is trusted: JB =
+    n·(S²/6 + K²/24).  Raw power sums Σx..Σx⁴ are EXACT int64 (x =
+    floor(value) keeps x⁴·n within range at 100×); central moments,
+    skewness, kurtosis and JB are one fixed float expression of those
+    five integers, written token-identically on both engines so every
+    IEEE intermediate matches.  One map-side-combining aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("event_type", F.floor(F.col("value")).cast("long").alias("x"))
+    x = F.col("x")
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    c = m.select("event_type", "n", m1.alias("m1"), r2.alias("r2"),
+                 r3.alias("r3"), r4.alias("r4"))
+    m1c = F.col("m1")
+    m2 = F.col("r2") - m1c * m1c
+    m3 = F.col("r3") - F.lit(3.0) * m1c * F.col("r2") + F.lit(2.0) * m1c * m1c * m1c
+    m4 = (
+        F.col("r4")
+        - F.lit(4.0) * m1c * F.col("r3")
+        + F.lit(6.0) * m1c * m1c * F.col("r2")
+        - F.lit(3.0) * m1c * m1c * m1c * m1c
+    )
+    k = c.select("event_type", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    skew = F.col("m3") / F.sqrt(F.col("m2") * F.col("m2") * F.col("m2"))
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)
+    return k.select(
+        "event_type",
+        "n",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+        (
+            F.col("n").cast("double")
+            * (skew * skew / F.lit(6.0) + kurt * kurt / F.lit(24.0))
+        ).alias("jb_stat"),
+    )
+
+
+@register(
+    "a_grubbs_outlier",
+    """
+    WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s1,
+                 CAST(SUM(x * x) AS BIGINT) AS s2
+          FROM b GROUP BY 1),
+    d AS (SELECT b.event_type,
+                 CAST(max(abs(b.x * m.n - m.s1)) AS BIGINT) AS mxdev
+          FROM b JOIN m USING (event_type) GROUP BY 1)
+    SELECT m.event_type, m.n,
+           CAST(d.mxdev AS DOUBLE) / CAST(m.n AS DOUBLE)
+             / sqrt((CAST(m.s2 AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+                       / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)) AS g_stat
+    FROM m JOIN d USING (event_type)
+    """,
+)
+def a_grubbs_outlier(spark, sf_dir):
+    """Grubbs' max-outlier statistic per event stream: G =
+    max|x−x̄|/s.  The mean never materializes as a float during the
+    max — |x·n − Σx| is an EXACT integer deviation on the common
+    denominator n, so the argmax is partition-invariant; the single
+    float chain divides at the end.  Two passes over the fact table
+    (moments, then deviations against the broadcast 1-row-per-group
+    moment table) — both plain hash aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("event_type", F.floor(F.col("value")).cast("long").alias("x"))
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    d = (
+        b.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.abs(F.col("x") * F.col("n") - F.col("s1")))
+            .cast("long")
+            .alias("mxdev")
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return m.join(d, "event_type").select(
+        "event_type",
+        "n",
+        (
+            F.col("mxdev").cast("double") / nd
+            / F.sqrt((s2d - s1d * s1d / nd) / nd)
+        ).alias("g_stat"),
+    )
+
+
+@register(
+    "a_odds_ratio",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2
+               AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= 90
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1),
+    t AS (SELECT
+            CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM u)
+    SELECT a AS exposed_conv, b AS exposed_noconv,
+           c AS control_conv, d AS control_noconv,
+           CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS odds_ratio,
+           CAST(a * (c + d) AS DOUBLE) / CAST(c * (a + b) AS DOUBLE) AS risk_ratio
+    FROM t
+    """,
+)
+def a_odds_ratio(spark, sf_dir):
+    """Odds ratio + risk ratio of conversion (any high-value
+    purchase, ≥90) between md5-assigned arms — the epidemiology-style 2×2 readout
+    behind every experiment dashboard.  One per-user aggregate, one
+    4-cell reshape; both ratios are single divisions of exact integer
+    products (doubles only at the final cast)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", _arm_expr().alias("arm")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 90), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    t = u.agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    return t.select(
+        F.col("a").alias("exposed_conv"),
+        F.col("b").alias("exposed_noconv"),
+        F.col("c").alias("control_conv"),
+        F.col("d").alias("control_noconv"),
+        (
+            (F.col("a") * F.col("d")).cast("double")
+            / (F.col("b") * F.col("c")).cast("double")
+        ).alias("odds_ratio"),
+        (
+            (F.col("a") * (F.col("c") + F.col("d"))).cast("double")
+            / (F.col("c") * (F.col("a") + F.col("b"))).cast("double")
+        ).alias("risk_ratio"),
+    )
+
+
+@register(
+    "a_bootstrap_ci_mean",
+    f"""
+    WITH u AS (SELECT user_id,
+                      CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    reps AS (SELECT unnest(range(1, 65)) AS b),
+    w AS (SELECT r.b,
+                 CAST(SUM(u.x * ({_sql_hex_int(
+                     "md5('bs:' || CAST(r.b AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))",
+                     2)} % 4)) AS BIGINT) AS sw,
+                 CAST(SUM({_sql_hex_int(
+                     "md5('bs:' || CAST(r.b AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))",
+                     2)} % 4) AS BIGINT) AS nw
+          FROM reps r CROSS JOIN u GROUP BY 1),
+    means AS (SELECT CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m FROM w),
+    s AS (SELECT list_sort(list(m)) AS ms,
+                 CAST(count(*) AS BIGINT) AS n_reps FROM means),
+    base AS (SELECT CAST(SUM(x) AS BIGINT) AS sx,
+                    CAST(count(*) AS BIGINT) AS n FROM u)
+    SELECT base.n AS n_users, s.n_reps,
+           CAST(base.sx AS DOUBLE) / CAST(base.n AS DOUBLE) AS mean_obs,
+           ms[4] AS ci_lo, ms[61] AS ci_hi
+    FROM s CROSS JOIN base
+    """,
+)
+def a_bootstrap_ci_mean(spark, sf_dir):
+    """Deterministic multiplier bootstrap CI for the mean per-user
+    total: 64 replicates reweight every user by an md5-derived
+    multiplier in {{0..3}} (the Poisson-bootstrap shape with a
+    replayable hash in place of RNG), each replicate mean is ONE
+    division of exact integers, and the CI is an order-statistic
+    SELECTION (4th/61st of 64 sorted replicate means — sort_array
+    over a 64-element aggregate, never a data-sized sort).  The
+    replicate fan-out is a 64× map-side expansion of the USER
+    dimension with map-side partial aggregation — at 100 TB the fact
+    scan still happens once, and per-replicate state is one (Σwx, Σw)
+    pair."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("x")
+    )
+    reps = spark.range(1, 65).select(F.col("id").alias("b"))
+    mult = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    w = (
+        u.crossJoin(F.broadcast(reps))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("x") * mult).cast("long").alias("sw"),
+            F.sum(mult).cast("long").alias("nw"),
+        )
+    )
+    means = w.select(
+        (F.col("sw").cast("double") / F.col("nw").cast("double")).alias("m")
+    )
+    s = means.agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count("*").cast("long").alias("n_reps"),
+    )
+    base = u.agg(
+        F.sum("x").cast("long").alias("sx"), F.count("*").cast("long").alias("n")
+    )
+    return s.crossJoin(F.broadcast(base)).select(
+        F.col("n").alias("n_users"),
+        "n_reps",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mean_obs"),
+        F.element_at("ms", 4).alias("ci_lo"),
+        F.element_at("ms", 61).alias("ci_hi"),
+    )
+
+
+_SQL_NORMSQ = (
+    "CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+    "v -> CAST(floor(v * v * 1000000) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _normsq_col():
+    """Exact int64 1e6-scaled squared norm of the embedding column —
+    the shared deterministic 'score' for the classifier-eval family."""
+    return F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.floor(v * v * 1000000).cast("long"),
+    )
+
+
+@register(
+    "ml_roc_auc",
+    f"""
+    WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+                      {_SQL_NORMSQ} AS s
+               FROM embeddings),
+    g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos_x,
+                 CAST(count(*) AS BIGINT) AS t
+          FROM e GROUP BY 1),
+    c AS (SELECT pos_x, t,
+                 CAST(SUM(t) OVER (ORDER BY s) AS BIGINT) - t AS p
+          FROM g),
+    m AS (SELECT CAST(SUM(pos_x * (2 * p + t + 1)) AS BIGINT) AS w2,
+                 CAST(SUM(pos_x) AS BIGINT) AS n1,
+                 CAST(SUM(t - pos_x) AS BIGINT) AS n0
+          FROM c)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(w2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+    FROM m
+    """,
+)
+def ml_roc_auc(spark, sf_dir):
+    """ROC AUC of the squared-norm score against the parity label —
+    the rank-based classifier metric, computed as the tie-corrected
+    Mann–Whitney identity AUC = (W − n₁(n₁+1)/2)/(n₁n₀).  Midrank
+    sums stay EXACT integers via the doubled-midrank trick (2p+t+1)
+    over PER-SCORE-VALUE counts; the cumulative runs over |distinct
+    scores| rows, range-bucketed (ow.bucketed_running) — never a
+    single-partition sort of the corpus.  The score itself is an
+    exact int64 fold of the vector (floor-scaled v², fixed order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"), _normsq_col().alias("s")
+    )
+    g = e.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos_x"),
+        F.count("*").cast("long").alias("t"),
+    )
+    c = ow.bucketed_running(
+        ow.monotone_range_bucket(g, "s"), order_cols=["s"], sum_cols=["t"]
+    ).withColumn("p", F.col("cum_t") - F.col("t"))
+    m = c.agg(
+        F.sum(F.col("pos_x") * (F.lit(2) * F.col("p") + F.col("t") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum("pos_x").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("pos_x")).cast("long").alias("n0"),
+    )
+    return m.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        (
+            (F.col("w2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (F.lit(2) * F.col("n1") * F.col("n0")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    f"""
+    WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+                      {_SQL_NORMSQ} AS s
+               FROM embeddings),
+    st AS (SELECT min(s) AS mn, max(s) AS mx FROM e),
+    b AS (SELECT y, s,
+                 CASE WHEN st.mx = st.mn THEN 0
+                      ELSE least(CAST(floor(CAST((s - st.mn) AS DOUBLE) * 8
+                                 / CAST((st.mx - st.mn) AS DOUBLE)) AS BIGINT), 7)
+                 END AS bin
+          FROM e CROSS JOIN st)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(s) AS BIGINT) AS sum_score,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+    FROM b GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins: the squared-norm score split into 8
+    equal-width bins (min/max affine map, same monotone-bucket shape
+    as ow.monotone_range_bucket), per-bin positive rate vs score mass
+    — the calibration readout behind every scored-classifier audit.
+    One stats pass + one hash aggregate; rates are single exact-int
+    divisions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"), _normsq_col().alias("s")
+    )
+    st = e.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    bin_c = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("s") - F.col("mn")).cast("double")
+                * 8
+                / (F.col("mx") - F.col("mn")).cast("double")
+            ).cast("long"),
+            F.lit(7),
+        )
+    )
+    b = e.crossJoin(F.broadcast(st)).select("y", "s", bin_c.alias("bin"))
+    return b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("sum_score"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.sum("y").cast("double") / F.count("*").cast("double")).alias("pos_rate"),
+    )
+
+
+@register(
+    "ml_confusion_metrics",
+    f"""
+    WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+                      {_SQL_NORMSQ} AS s
+               FROM embeddings),
+    st AS (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS n FROM e),
+    p AS (SELECT y, CASE WHEN e.s * st.n > st.tot THEN 1 ELSE 0 END AS yhat
+          FROM e CROSS JOIN st),
+    t AS (SELECT
+            CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM p)
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_,
+           CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+    FROM t
+    """,
+)
+def ml_confusion_metrics(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1 for the
+    above-mean-score classifier: the decision s·n > Σs is an EXACT
+    integer comparison (the mean never materializes as a float), so
+    the matrix is partition-invariant; the three metrics are single
+    divisions of exact integers.  One stats pass + one aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"), _normsq_col().alias("s")
+    )
+    st = e.agg(
+        F.sum("s").cast("long").alias("tot"), F.count("*").cast("long").alias("n")
+    )
+    p = e.crossJoin(F.broadcast(st)).select(
+        "y",
+        F.when(F.col("s") * F.col("n") > F.col("tot"), 1).otherwise(0).alias("yhat"),
+    )
+    t = p.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return t.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias(
+            "precision_"
+        ),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")).alias(
+            "recall_"
+        ),
+        (
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
