@@ -17337,6 +17337,623 @@ def ml_confusion_metrics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7, batch B — financial/time-series window analytics over the
+# per-type daily "bar" series (day grain, PARTITIONED by event_type —
+# every window below keys on the series id, so no global sorts; the
+# bar-building aggregate is the only fact-table pass).
+# ---------------------------------------------------------------------------
+
+_SQL_BARS = """
+    bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS vol,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS p,
+             CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS hi,
+             CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS lo
+      FROM events GROUP BY 1, 2)
+"""
+
+
+def _bars(spark, sf_dir):
+    """Per-(event_type, day) bar: volume, 1e2-scaled value total (the
+    'price' series), intraday hi/lo — exact integers, one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("vol"),
+        F.sum(v).cast("long").alias("p"),
+        F.max(v).cast("long").alias("hi"),
+        F.min(v).cast("long").alias("lo"),
+    )
+
+
+@register(
+    "w_vwap_daily",
+    """
+    SELECT CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS volume,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS pv_c,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
+             AS vwap
+    FROM lineitem GROUP BY 1
+    """,
+)
+def w_vwap_daily(spark, sf_dir):
+    """Daily volume-weighted average price over shipments — the
+    execution-quality benchmark every trading/replenishment report
+    anchors on.  Σ(price·qty) and Σqty are exact integers (1e2-scaled
+    price), VWAP is ONE division — a single map-side-combining hash
+    aggregate on the fact table, no window, no sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    q = F.floor(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(q).cast("long").alias("volume"),
+            F.sum(pc * q).cast("long").alias("pv_c"),
+        )
+        .select(
+            "day",
+            "volume",
+            "pv_c",
+            (
+                F.col("pv_c").cast("double") / F.col("volume").cast("double") / 100.0
+            ).alias("vwap"),
+        )
+    )
+
+
+@register(
+    "w_rsi_simple",
+    f"""
+    WITH {_SQL_BARS},
+    d AS (SELECT event_type, day, p,
+                 p - lag(p) OVER (PARTITION BY event_type ORDER BY day) AS ch
+          FROM bars),
+    gl AS (SELECT event_type, day,
+                  CAST(SUM(CASE WHEN ch > 0 THEN ch ELSE 0 END) OVER w AS BIGINT)
+                    AS ag,
+                  CAST(SUM(CASE WHEN ch < 0 THEN -ch ELSE 0 END) OVER w AS BIGINT)
+                    AS al,
+                  CAST(count(ch) OVER w AS BIGINT) AS nch
+           FROM d
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, ag AS gain_sum, al AS loss_sum,
+           CAST(ag * 100 AS DOUBLE) / CAST(ag + al AS DOUBLE) AS rsi
+    FROM gl WHERE nch = 14 AND ag + al > 0
+    """,
+)
+def w_rsi_simple(spark, sf_dir):
+    """14-day RSI (simple-average Cutler variant — Wilder's EMA needs
+    a recurrence; the SMA form is window-expressible and
+    partition-safe) per event-type price series: RSI = 100·G/(G+L)
+    over rolling gain/loss sums.  All integers until the single final
+    division; windows are PARTITIONED by series id over the bounded
+    day grain."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    w14 = wl.rowsBetween(-13, Window.currentRow)
+    d = bars.select(
+        "event_type", "day", "p", (F.col("p") - F.lag("p").over(wl)).alias("ch")
+    )
+    gl = d.select(
+        "event_type",
+        "day",
+        F.sum(F.when(F.col("ch") > 0, F.col("ch")).otherwise(0))
+        .over(w14)
+        .cast("long")
+        .alias("ag"),
+        F.sum(F.when(F.col("ch") < 0, -F.col("ch")).otherwise(0))
+        .over(w14)
+        .cast("long")
+        .alias("al"),
+        F.count("ch").over(w14).cast("long").alias("nch"),
+    )
+    return gl.filter((F.col("nch") == 14) & (F.col("ag") + F.col("al") > 0)).select(
+        "event_type",
+        "day",
+        F.col("ag").alias("gain_sum"),
+        F.col("al").alias("loss_sum"),
+        (
+            (F.col("ag") * F.lit(100)).cast("double")
+            / (F.col("ag") + F.col("al")).cast("double")
+        ).alias("rsi"),
+    )
+
+
+@register(
+    "w_stochastic_k",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day, p,
+                 CAST(min(p) OVER w AS BIGINT) AS lo14,
+                 CAST(max(p) OVER w AS BIGINT) AS hi14,
+                 CAST(count(*) OVER w AS BIGINT) AS nw
+          FROM bars
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, p, lo14, hi14,
+           CAST((p - lo14) * 100 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE)
+             AS pct_k
+    FROM r WHERE nw = 14 AND hi14 > lo14
+    """,
+)
+def w_stochastic_k(spark, sf_dir):
+    """Stochastic oscillator %K (14-day) per event-type price series:
+    where today's value sits inside the rolling 14-day range —
+    rolling min/max windows PARTITIONED by series id, %K one exact-
+    integer division.  The classic overbought/oversold normalization
+    for any bounded-drift daily metric."""
+    bars = _bars(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, Window.currentRow)
+    )
+    r = bars.select(
+        "event_type",
+        "day",
+        "p",
+        F.min("p").over(w14).cast("long").alias("lo14"),
+        F.max("p").over(w14).cast("long").alias("hi14"),
+        F.count("*").over(w14).cast("long").alias("nw"),
+    )
+    return r.filter((F.col("nw") == 14) & (F.col("hi14") > F.col("lo14"))).select(
+        "event_type",
+        "day",
+        "p",
+        "lo14",
+        "hi14",
+        (
+            ((F.col("p") - F.col("lo14")) * F.lit(100)).cast("double")
+            / (F.col("hi14") - F.col("lo14")).cast("double")
+        ).alias("pct_k"),
+    )
+
+
+@register(
+    "w_donchian_breakout",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day, p,
+                 CAST(max(p) OVER w AS BIGINT) AS hi20,
+                 CAST(min(p) OVER w AS BIGINT) AS lo20,
+                 CAST(count(*) OVER w AS BIGINT) AS nw
+          FROM bars
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN p > hi20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breakouts_up,
+           CAST(SUM(CASE WHEN p < lo20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breakouts_down,
+           CAST(max(CASE WHEN p > hi20 THEN day END) AS DATE)
+             AS last_breakout_up
+    FROM r WHERE nw = 20 GROUP BY 1
+    """,
+)
+def w_donchian_breakout(spark, sf_dir):
+    """Donchian-channel breakouts: days where the price series
+    exceeds its PRIOR 20-day high (or low) — the turtle-trader channel
+    as an anomaly counter for daily metrics.  The exclusive frame
+    (ROWS 20 PRECEDING .. 1 PRECEDING) keeps today out of its own
+    channel; all comparisons are exact integers, windows partitioned
+    by series id."""
+    bars = _bars(spark, sf_dir)
+    w20 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-20, -1)
+    r = bars.select(
+        "event_type",
+        "day",
+        "p",
+        F.max("p").over(w20).cast("long").alias("hi20"),
+        F.min("p").over(w20).cast("long").alias("lo20"),
+        F.count("*").over(w20).cast("long").alias("nw"),
+    )
+    return (
+        r.filter(F.col("nw") == 20)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.when(F.col("p") > F.col("hi20"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_breakouts_up"),
+            F.sum(F.when(F.col("p") < F.col("lo20"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_breakouts_down"),
+            F.max(F.when(F.col("p") > F.col("hi20"), F.col("day")))
+            .cast("date")
+            .alias("last_breakout_up"),
+        )
+    )
+
+
+@register(
+    "w_obv_flow",
+    f"""
+    WITH {_SQL_BARS},
+    d AS (SELECT event_type, day, vol,
+                 CASE WHEN p > lag(p) OVER w THEN 1
+                      WHEN p < lag(p) OVER w THEN -1 ELSE 0 END AS sgn
+          FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    o AS (SELECT event_type, day,
+                 CAST(SUM(sgn * vol) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS obv
+          FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN day = (SELECT max(day) FROM o o2
+                                     WHERE o2.event_type = o.event_type)
+                    THEN obv END) AS BIGINT) AS obv_final,
+           CAST(min(obv) AS BIGINT) AS obv_min,
+           CAST(max(obv) AS BIGINT) AS obv_max
+    FROM o GROUP BY event_type
+    """,
+)
+def w_obv_flow(spark, sf_dir):
+    """On-balance volume per series: running Σ sign(Δprice)·volume —
+    the classic accumulation/distribution flow detector, here reading
+    'is rising engagement carried by rising activity'.  One lag + one
+    running sum, both PARTITIONED by series id; final/min/max per
+    series in one aggregate (exact integers throughout)."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("p").over(wl)
+    d = bars.select(
+        "event_type",
+        "day",
+        "vol",
+        F.when(F.col("p") > prev, 1)
+        .when(F.col("p") < prev, -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    o = d.select(
+        "event_type",
+        "day",
+        F.sum(F.col("sgn") * F.col("vol")).over(wrun).cast("long").alias("obv"),
+    )
+    return o.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max_by("obv", "day").cast("long").alias("obv_final"),
+        F.min("obv").cast("long").alias("obv_min"),
+        F.max("obv").cast("long").alias("obv_max"),
+    )
+
+
+@register(
+    "w_rolling_corr",
+    f"""
+    WITH {_SQL_BARS},
+    pairs AS (
+      SELECT 'click~purchase' AS pair, a.day, a.p AS pa, b.p AS pb
+      FROM bars a JOIN bars b ON a.day = b.day
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      UNION ALL
+      SELECT 'view~click', a.day, a.p, b.p
+      FROM bars a JOIN bars b ON a.day = b.day
+      WHERE a.event_type = 'view' AND b.event_type = 'click'),
+    r AS (SELECT pair, day,
+                 CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(SUM(pa) OVER w AS BIGINT) AS sa,
+                 CAST(SUM(pb) OVER w AS BIGINT) AS sb,
+                 CAST(SUM(pa * pb) OVER w AS BIGINT) AS sab,
+                 CAST(SUM(pa * pa) OVER w AS BIGINT) AS saa,
+                 CAST(SUM(pb * pb) OVER w AS BIGINT) AS sbb
+          FROM pairs
+          WINDOW w AS (PARTITION BY pair ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT pair, day,
+           (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS corr14
+    FROM r WHERE n = 14
+    """,
+)
+def w_rolling_corr(spark, sf_dir):
+    """14-day rolling Pearson correlation between paired daily series
+    (click↔purchase, view↔click) — the co-movement monitor behind
+    'did engagement decouple from conversion this week'.  Rolling
+    co-moments are exact-integer window sums PARTITIONED by pair id;
+    the correlation is one fixed float chain per row (double
+    multiplies to dodge overflow at 100×)."""
+    bars = _bars(spark, sf_dir)
+
+    def pair(name, ta, tb):
+        a = bars.filter(F.col("event_type") == ta).select(
+            "day", F.col("p").alias("pa")
+        )
+        b = bars.filter(F.col("event_type") == tb).select(
+            "day", F.col("p").alias("pb")
+        )
+        return a.join(b, "day").select(
+            F.lit(name).alias("pair"), "day", "pa", "pb"
+        )
+
+    pairs = pair("click~purchase", "click", "purchase").unionAll(
+        pair("view~click", "view", "click")
+    )
+    w14 = Window.partitionBy("pair").orderBy("day").rowsBetween(-13, Window.currentRow)
+    r = pairs.select(
+        "pair",
+        "day",
+        F.count("*").over(w14).cast("long").alias("n"),
+        F.sum("pa").over(w14).cast("long").alias("sa"),
+        F.sum("pb").over(w14).cast("long").alias("sb"),
+        F.sum(F.col("pa") * F.col("pb")).over(w14).cast("long").alias("sab"),
+        F.sum(F.col("pa") * F.col("pa")).over(w14).cast("long").alias("saa"),
+        F.sum(F.col("pb") * F.col("pb")).over(w14).cast("long").alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    return r.filter(F.col("n") == 14).select(
+        "pair",
+        "day",
+        (
+            (nd * F.col("sab").cast("double") - sa * sb)
+            / (
+                F.sqrt(nd * F.col("saa").cast("double") - sa * sa)
+                * F.sqrt(nd * F.col("sbb").cast("double") - sb * sb)
+            )
+        ).alias("corr14"),
+    )
+
+
+@register(
+    "w_sharpe_sortino",
+    f"""
+    WITH {_SQL_BARS},
+    d AS (SELECT event_type,
+                 p - lag(p) OVER (PARTITION BY event_type ORDER BY day) AS ch
+          FROM bars),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(ch) AS BIGINT) AS s1,
+                 CAST(SUM(ch * ch) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN ch < 0 THEN ch * ch ELSE 0 END) AS BIGINT)
+                   AS sd2
+          FROM d WHERE ch IS NOT NULL GROUP BY 1)
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_change,
+           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sharpe,
+           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)) AS sortino
+    FROM m
+    """,
+)
+def w_sharpe_sortino(spark, sf_dir):
+    """Sharpe and Sortino ratios of each series' daily changes —
+    reward-per-volatility with the Sortino variant penalizing ONLY
+    downside moves (the asymmetric risk view).  One lag pass
+    (partitioned), one aggregate of exact integer (n, Σ, Σ²,
+    Σ_downside²), one float chain per series."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    d = bars.select(
+        "event_type", (F.col("p") - F.lag("p").over(wl)).alias("ch")
+    ).filter(F.col("ch").isNotNull())
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ch").cast("long").alias("s1"),
+        F.sum(F.col("ch") * F.col("ch")).cast("long").alias("s2"),
+        F.sum(F.when(F.col("ch") < 0, F.col("ch") * F.col("ch")).otherwise(0))
+        .cast("long")
+        .alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1d / nd
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_change"),
+        (mean / F.sqrt((s2d - s1d * s1d / nd) / nd)).alias("sharpe"),
+        (mean / F.sqrt(F.col("sd2").cast("double") / nd)).alias("sortino"),
+    )
+
+
+@register(
+    "w_ulcer_index",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day, p,
+                 CAST(max(p) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS runmax
+          FROM bars),
+    dd AS (SELECT event_type,
+                  ((runmax - p) * 10000) // runmax AS ddbp
+           FROM r),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(max(ddbp) AS BIGINT) AS max_dd_bp,
+                 CAST(SUM(ddbp * ddbp) AS BIGINT) AS sdd2
+          FROM dd GROUP BY 1)
+    SELECT event_type, n_days, max_dd_bp,
+           sqrt(CAST(sdd2 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS ulcer_bp
+    FROM m
+    """,
+)
+def w_ulcer_index(spark, sf_dir):
+    """Ulcer index per series: RMS of the running drawdown — unlike
+    max-drawdown (w_max_drawdown) it weights how LONG the series sat
+    below its peak, the pain metric for sustained metric regressions.
+    Each row's drawdown is floor-scaled to integer basis points via
+    exact integer div BEFORE squaring/summing, so the aggregation is
+    order-invariant; running max is a partitioned window."""
+    bars = _bars(spark, sf_dir)
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = bars.select(
+        "event_type", "p", F.max("p").over(wrun).cast("long").alias("runmax")
+    )
+    dd = r.select(
+        "event_type",
+        F.expr("((runmax - p) * 10000) div runmax").alias("ddbp"),
+    )
+    m = dd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("ddbp").cast("long").alias("max_dd_bp"),
+        F.sum(F.col("ddbp") * F.col("ddbp")).cast("long").alias("sdd2"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        "max_dd_bp",
+        F.sqrt(F.col("sdd2").cast("double") / F.col("n_days").cast("double")).alias(
+            "ulcer_bp"
+        ),
+    )
+
+
+@register(
+    "w_change_point_mean_shift",
+    f"""
+    WITH {_SQL_BARS},
+    c AS (SELECT event_type, day, p,
+                 CAST(SUM(p) OVER w AS BIGINT) AS cs,
+                 CAST(count(*) OVER w AS BIGINT) AS k,
+                 CAST(SUM(p) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM bars
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    g AS (SELECT event_type, day, k, n,
+                 (CAST(cs AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(k AS DOUBLE))
+                 * (CAST(cs AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(k AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)) AS gk
+          FROM c WHERE k < n),
+    best AS (SELECT event_type, day, k, n, gk,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY gk DESC, day) AS rn
+             FROM g)
+    SELECT event_type, day AS split_day, CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right, gk AS shift_score
+    FROM best WHERE rn = 1
+    """,
+)
+def w_change_point_mean_shift(spark, sf_dir):
+    """Single change-point detection per series (binary segmentation,
+    step 1): the split day maximizing the scaled between-segment
+    mean-shift score (Σ_left·n − Σ_total·k)²/(k(n−k)) — the CUSUM-max
+    identity, so NO per-candidate rescan: one cumulative window pass
+    gives every candidate's score.  The argmax is a per-series
+    (PARTITIONED) rank; score doubles come from exact integer
+    cumulative sums with an identical expression chain both engines."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    c = bars.select(
+        "event_type",
+        "day",
+        F.sum("p").over(wrun).cast("long").alias("cs"),
+        F.count("*").over(wrun).cast("long").alias("k"),
+        F.sum("p").over(wall).cast("long").alias("st"),
+        F.count("*").over(wall).cast("long").alias("n"),
+    )
+    num = F.col("cs").cast("double") * F.col("n").cast("double") - F.col(
+        "st"
+    ).cast("double") * F.col("k").cast("double")
+    g = c.filter(F.col("k") < F.col("n")).select(
+        "event_type",
+        "day",
+        "k",
+        "n",
+        (num * num / (F.col("k").cast("double") * (F.col("n") - F.col("k")).cast("double"))).alias(
+            "gk"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("gk").desc(), "day")
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("k").cast("long").alias("n_left"),
+            (F.col("n") - F.col("k")).cast("long").alias("n_right"),
+            F.col("gk").alias("shift_score"),
+        )
+    )
+
+
+@register(
+    "w_watermark_late_audit",
+    """
+    WITH a AS (SELECT event_type, event_id, ts,
+                      max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS high_ts
+               FROM events),
+    l AS (SELECT event_type,
+                 CASE WHEN ts < high_ts - INTERVAL 300 SECONDS
+                      THEN 1 ELSE 0 END AS late,
+                 CASE WHEN ts < high_ts - INTERVAL 300 SECONDS
+                      THEN CAST(floor(epoch(high_ts)) AS BIGINT)
+                           - CAST(floor(epoch(ts)) AS BIGINT)
+                      ELSE NULL END AS late_s
+          FROM a WHERE high_ts IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(late) AS BIGINT) AS n_late,
+           CAST(SUM(late) * 10000 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS late_bp,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM l GROUP BY 1
+    """,
+)
+def w_watermark_late_audit(spark, sf_dir):
+    """Watermark tuning audit: replaying each stream in ARRIVAL order
+    (event_id), how many events would a 300 s watermark have dropped,
+    and how late was the worst straggler?  The running high-water mark
+    is a partitioned window over arrival order (exclusive frame — an
+    event can't lateness-check against itself); the answer tells you
+    what `withWatermark` threshold the streaming twins (W3/hopping)
+    can afford.  Exact integer second arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = ev.select(
+        "event_type", "ts", F.max("ts").over(wprev).alias("high_ts")
+    ).filter(F.col("high_ts").isNotNull())
+    late = F.col("ts") < F.col("high_ts") - F.expr("INTERVAL 300 SECONDS")
+    l = a.select(
+        "event_type",
+        F.when(late, 1).otherwise(0).alias("late"),
+        F.when(
+            late,
+            F.unix_timestamp("high_ts") - F.unix_timestamp("ts"),
+        ).alias("late_s"),
+    )
+    return l.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("late").cast("long").alias("n_late"),
+        (
+            (F.sum("late") * F.lit(10000)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("late_bp"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
