@@ -17954,6 +17954,303 @@ def w_watermark_late_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7, batch C — graph analytics: bounded-depth centralities over
+# the customer↔supplier purchase graph (dimension-bounded node space,
+# join-per-hop — never an adjacency matrix), edge-truss support over
+# the near-dup graph, and the bipartite type-overlap projection.
+# ---------------------------------------------------------------------------
+
+_SQL_CS_EDGES = """
+    e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT c AS src, 1000000 + s AS dst FROM e0
+              UNION ALL SELECT 1000000 + s AS src, c AS dst FROM e0)
+"""
+
+
+def _cs_edges(spark, sf_dir):
+    """Undirected customer↔supplier purchase graph as a directed edge
+    list (both orientations; supplier ids offset by 1e6) — the shared
+    input of the pagerank/katz/HITS family."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    return e0.select(
+        F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst")
+    ).unionAll(
+        e0.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
+    )
+
+
+@register(
+    "graph_katz_bounded",
+    f"""
+    WITH {_SQL_CS_EDGES},
+    p1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS p FROM edges
+           GROUP BY 1),
+    p2 AS (SELECT e.dst AS node, CAST(SUM(p1.p) AS BIGINT) AS p
+           FROM edges e JOIN p1 ON p1.node = e.src GROUP BY 1),
+    p3 AS (SELECT e.dst AS node, CAST(SUM(p2.p) AS BIGINT) AS p
+           FROM edges e JOIN p2 ON p2.node = e.src GROUP BY 1),
+    k AS (SELECT p1.node,
+                 CAST(4 * p1.p + 2 * coalesce(p2.p, 0)
+                      + coalesce(p3.p, 0) AS BIGINT) AS katz8
+          FROM p1 LEFT JOIN p2 ON p2.node = p1.node
+                  LEFT JOIN p3 ON p3.node = p1.node)
+    SELECT node, katz8,
+           CAST(katz8 AS DOUBLE) / 8.0 AS katz,
+           CAST(row_number() OVER (ORDER BY katz8 DESC, node) AS INTEGER) AS pos
+    FROM k
+    ORDER BY katz8 DESC, node
+    LIMIT 20
+    """,
+)
+def graph_katz_bounded(spark, sf_dir):
+    """Katz centrality truncated at path length 3 with the DYADIC
+    attenuation β = 1/2: katz = Σ_k β^k·(paths of length k ending at
+    v), held EXACT as the integer 8·katz = 4p₁+2p₂+p₃ because every
+    β^k is a power of two — no float accumulates, no ln/exp.  Each
+    hop is one edges⋈counts join + aggregate (cost follows |E|, the
+    node table stays dimension-bounded); top-20 via distributed
+    TakeOrdered with the pos window on the LIMIT(20) result."""
+    edges = _cs_edges(spark, sf_dir).persist()
+    p1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("p")
+    )
+    def hop(prev):
+        return (
+            edges.join(prev.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("p").cast("long").alias("p"))
+        )
+    p2, p3 = hop(p1), hop(hop(p1))
+    k = (
+        p1.withColumnRenamed("p", "pp1")
+        .join(p2.withColumnRenamed("p", "pp2"), "node", "left")
+        .join(p3.withColumnRenamed("p", "pp3"), "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(4) * F.col("pp1")
+                + F.lit(2) * F.coalesce("pp2", F.lit(0))
+                + F.coalesce("pp3", F.lit(0))
+            )
+            .cast("long")
+            .alias("katz8"),
+        )
+    )
+    w = Window.orderBy(F.col("katz8").desc(), F.col("node"))
+    return (
+        k.orderBy(F.col("katz8").desc(), "node")
+        .limit(20)
+        .select(
+            "node",
+            "katz8",
+            (F.col("katz8").cast("double") / 8.0).alias("katz"),
+            F.row_number().over(w).cast("int").alias("pos"),
+        )
+    )
+
+
+@register(
+    "graph_hits_unrolled",
+    f"""
+    WITH {_SQL_CS_EDGES},
+    h1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS h FROM edges
+           GROUP BY 1),
+    h1m AS (SELECT CAST(max(h) AS BIGINT) AS m FROM h1),
+    h1n AS (SELECT node, (h * 1000000) // h1m.m AS h FROM h1 CROSS JOIN h1m),
+    a1 AS (SELECT e.dst AS node, CAST(SUM(h1n.h) AS BIGINT) AS a
+           FROM edges e JOIN h1n ON h1n.node = e.src GROUP BY 1),
+    a1m AS (SELECT CAST(max(a) AS BIGINT) AS m FROM a1),
+    a1n AS (SELECT node, (a * 1000000) // a1m.m AS a FROM a1 CROSS JOIN a1m),
+    h2 AS (SELECT e.src AS node, CAST(SUM(a1n.a) AS BIGINT) AS h
+           FROM edges e JOIN a1n ON a1n.node = e.dst GROUP BY 1),
+    h2m AS (SELECT CAST(max(h) AS BIGINT) AS m FROM h2),
+    h2n AS (SELECT node, (h * 1000000) // h2m.m AS h FROM h2 CROSS JOIN h2m),
+    a2 AS (SELECT e.dst AS node, CAST(SUM(h2n.h) AS BIGINT) AS a
+           FROM edges e JOIN h2n ON h2n.node = e.src GROUP BY 1),
+    a2m AS (SELECT CAST(max(a) AS BIGINT) AS m FROM a2),
+    a2n AS (SELECT node, (a * 1000000) // a2m.m AS a FROM a2 CROSS JOIN a2m)
+    SELECT a2n.node, CAST(a2n.a AS BIGINT) AS auth_ppm,
+           CAST(h2n.h AS BIGINT) AS hub_ppm
+    FROM a2n JOIN h2n ON h2n.node = a2n.node
+    ORDER BY a2n.a DESC, a2n.node
+    LIMIT 10
+    """,
+)
+def graph_hits_unrolled(spark, sf_dir):
+    """HITS hubs & authorities, 2 fixed rounds, all-INTEGER: each
+    normalization is (score·10⁶) div max(score) — exact integer
+    parts-per-million in place of the usual L2 normalize, so both
+    engines walk identical arithmetic with zero float accumulation.
+    Each half-round is one edges⋈scores join + aggregate (|E| cost);
+    the max is a 1-row broadcast; top-10 authorities via distributed
+    TakeOrdered."""
+    edges = _cs_edges(spark, sf_dir).persist()
+
+    def normalize(df, col):
+        m = df.agg(F.max(col).alias("__m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            "node", F.expr(f"({col} * 1000000) div __m").alias(col)
+        )
+
+    def push(scores, col, src_side, out):
+        # sum scores of the src_side endpoint onto the other endpoint
+        key, other = ("src", "dst") if src_side else ("dst", "src")
+        return (
+            edges.join(scores.withColumnRenamed("node", key), key)
+            .groupBy(F.col(other).alias("node"))
+            .agg(F.sum(col).cast("long").alias(out))
+        )
+
+    h1 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("h")
+    )
+    h1n = normalize(h1, "h")
+    a1n = normalize(push(h1n, "h", True, "a"), "a")
+    h2n = normalize(push(a1n, "a", False, "h"), "h")
+    a2n = normalize(push(h2n, "h", True, "a"), "a")
+    return (
+        a2n.join(h2n, "node")
+        .select(
+            "node",
+            F.col("a").cast("long").alias("auth_ppm"),
+            F.col("h").cast("long").alias("hub_ppm"),
+        )
+        .orderBy(F.col("auth_ppm").desc(), "node")
+        .limit(10)
+    )
+
+
+@register(
+    "graph_type_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+    b AS (SELECT a.event_type AS t1, c.event_type AS t2,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM ut a JOIN ut c ON a.user_id = c.user_id
+                    AND a.event_type < c.event_type
+          GROUP BY 1, 2)
+    SELECT b.t1, b.t2, b.n_both, n1.n AS n_t1, n2.n AS n_t2,
+           CAST(b.n_both AS DOUBLE)
+             / CAST(n1.n + n2.n - b.n_both AS DOUBLE) AS jaccard
+    FROM b JOIN n n1 ON n1.event_type = b.t1
+           JOIN n n2 ON n2.event_type = b.t2
+    """,
+)
+def graph_type_overlap(spark, sf_dir):
+    """Bipartite projection of the user↔event-type graph onto the
+    TYPE side: per type pair, co-active user counts and audience
+    Jaccard — the segment-overlap matrix.  Projecting onto the
+    BOUNDED side is the scale rule: the self-join through user_id
+    fans out ≤ |types|² per user (≤ 25 here), never user×user;
+    output is |types|² rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    b = (
+        ut.alias("a")
+        .join(
+            ut.alias("c"),
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("c.event_type").alias("t2")
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        b.join(
+            F.broadcast(n.select(F.col("event_type").alias("t1"), F.col("n").alias("n_t1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(n.select(F.col("event_type").alias("t2"), F.col("n").alias("n_t2"))),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n_t1",
+            "n_t2",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_t1") + F.col("n_t2") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "graph_truss_support",
+    f"""
+    {_minhash_pairs_cte()},
+    tri AS (
+      SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id1 = e1.id2
+      JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+    sup AS (
+      SELECT id1, id2, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a AS id1, b AS id2 FROM tri
+        UNION ALL SELECT b, c FROM tri
+        UNION ALL SELECT a, c FROM tri) t
+      GROUP BY 1, 2),
+    se AS (SELECT p.id1, p.id2, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+           FROM pairs p LEFT JOIN sup s ON s.id1 = p.id1 AND s.id2 = p.id2)
+    SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(support + 2 AS BIGINT) AS trussness
+    FROM se GROUP BY 1
+    """,
+)
+def graph_truss_support(spark, sf_dir):
+    """Edge truss support over the near-dup graph: per edge, how many
+    triangles contain it (= |N(u)∩N(v)|); an edge with support ≥ k−2
+    survives in the k-truss — the cohesion ladder between plain
+    components (2-truss) and cliques.  Reuses the oriented-edge
+    triangle enumeration (each triangle found once, fan-out follows
+    degree); each triangle credits its 3 edges, one aggregate, and a
+    left join restores support-0 edges.  Output: support histogram —
+    dup clusters that are true cliques show up as high-trussness
+    plateaus, chain-shaped false positives sit at support 0."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).persist()
+    e1 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    e2 = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    sup = (
+        tri.select(F.col("a").alias("id1"), F.col("b").alias("id2"))
+        .unionAll(tri.select(F.col("b").alias("id1"), F.col("c").alias("id2")))
+        .unionAll(tri.select(F.col("a").alias("id1"), F.col("c").alias("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    se = pairs.join(sup, ["id1", "id2"], "left").select(
+        F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+    return se.groupBy("support").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        (F.col("support") + 2).cast("long").alias("trussness"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
