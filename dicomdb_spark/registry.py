@@ -18251,6 +18251,497 @@ def graph_truss_support(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7, batch D — text profiling + corpus curation analytics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    f"""
+    WITH tk AS (SELECT source, unnest({_SQL_TOKS}) AS term FROM documents),
+    f AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax,
+                 CAST(SUM(c) AS BIGINT) AS tokens
+          FROM f GROUP BY 1)
+    SELECT source, vocab, hapax, tokens,
+           CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_ratio,
+           CAST(vocab AS DOUBLE) / CAST(tokens AS DOUBLE) AS type_token_ratio
+    FROM s
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Per-source lexical richness: vocabulary size, hapax legomena
+    (once-only terms — the OCR-garbage / boilerplate-flood indicator:
+    too many means noise, too few means templated text), hapax share
+    and type-token ratio.  One tokenize-explode + two stacked hash
+    aggregates; ratios are single exact-integer divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    )
+    f = tk.groupBy("source", "term").agg(F.count("*").cast("long").alias("c"))
+    s = f.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.sum("c").cast("long").alias("tokens"),
+    )
+    return s.select(
+        "source",
+        "vocab",
+        "hapax",
+        "tokens",
+        (F.col("hapax").cast("double") / F.col("vocab").cast("double")).alias(
+            "hapax_ratio"
+        ),
+        (F.col("vocab").cast("double") / F.col("tokens").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@register(
+    "text_zipf_topk_ratio",
+    f"""
+    WITH tk AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    f AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+    top AS (SELECT term, c FROM f ORDER BY c DESC, term LIMIT 50),
+    r AS (SELECT term, c,
+                 CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+                   AS rnk
+          FROM top)
+    SELECT rnk, term, c AS freq, CAST(rnk * c AS BIGINT) AS rank_freq
+    FROM r
+    """,
+)
+def text_zipf_topk_ratio(spark, sf_dir):
+    """Zipf's-law check without logarithms: for the top-50 vocabulary
+    terms, rank·frequency should be roughly constant — the product
+    column IS the diagnostic (a flat rank_freq column ≈ Zipfian, a
+    collapsing one ≈ templated/synthetic text).  Top-k via
+    distributed TakeOrdered; the rank window runs on the LIMIT(50)
+    result only.  Exact integers end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            F.explode(
+                F.transform(text.tokens("text"), lambda t: F.lower(t))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = f.orderBy(F.col("c").desc(), "term").limit(50)
+    w = Window.orderBy(F.col("c").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "term",
+        F.col("c").alias("freq"),
+    ).select("rnk", "term", "freq", (F.col("rnk") * F.col("freq")).cast("long").alias("rank_freq"))
+
+
+@register(
+    "text_sentence_stats",
+    r"""
+    WITH s AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '[.!?]+'),
+                                  x -> length(trim(x)) > 0) AS sents
+               FROM documents),
+    m AS (SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+                 CAST(list_sum(list_transform(sents,
+                      x -> CAST(length(trim(x)) AS BIGINT))) AS BIGINT)
+                   AS total_chars,
+                 CAST(list_max(list_transform(sents,
+                      x -> CAST(length(trim(x)) AS BIGINT))) AS BIGINT)
+                   AS max_chars
+          FROM s WHERE len(sents) > 0)
+    SELECT doc_id, n_sentences, total_chars, max_chars,
+           CAST(total_chars AS DOUBLE) / CAST(n_sentences AS BIGINT) AS mean_chars
+    FROM m
+    """,
+)
+def text_sentence_stats(spark, sf_dir):
+    """Sentence-segmentation profile per document (count, total/mean/
+    max trimmed sentence length) — the quality signal Gopher-style
+    filters read before token-level rules (no sentence boundary at
+    all ⇒ log spam / code; absurdly long ⇒ boilerplate).  Entirely
+    row-local array math (split + filter + fold) — map-only, no
+    shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda x: F.length(F.trim(x)) > 0
+    )
+    lens = F.transform(F.col("sents"), lambda x: F.length(F.trim(x)).cast("long"))
+    s = docs.select("doc_id", sents.alias("sents")).filter(F.size("sents") > 0)
+    m = s.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "total_chars"
+        ),
+        F.array_max(lens).cast("long").alias("max_chars"),
+    )
+    return m.select(
+        "doc_id",
+        "n_sentences",
+        "total_chars",
+        "max_chars",
+        (
+            F.col("total_chars").cast("double") / F.col("n_sentences")
+        ).alias("mean_chars"),
+    )
+
+
+@register(
+    "text_vocab_jaccard_sources",
+    f"""
+    WITH tk AS (SELECT DISTINCT source, unnest({_SQL_TOKS}) AS term
+                FROM documents),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM tk GROUP BY 1),
+    b AS (SELECT a.source AS s1, c.source AS s2,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM tk a JOIN tk c ON a.term = c.term AND a.source < c.source
+          GROUP BY 1, 2)
+    SELECT b.s1, b.s2, b.n_common, n1.v AS v1, n2.v AS v2,
+           CAST(b.n_common AS DOUBLE)
+             / CAST(n1.v + n2.v - b.n_common AS DOUBLE) AS jaccard
+    FROM b JOIN n n1 ON n1.source = b.s1 JOIN n n2 ON n2.source = b.s2
+    """,
+)
+def text_vocab_jaccard_sources(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    redundancy matrix (two sources sharing 95 % vocabulary are
+    near-mirrors; decontaminate or down-weight one).  The join runs
+    THROUGH the term key, fanning each term to ≤ |sources|² pairs —
+    bounded by the source dimension, never vocab² — and the output is
+    |sources|² rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(F.transform(text.tokens("text"), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    ).distinct()
+    n = tk.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    b = (
+        tk.alias("a")
+        .join(
+            tk.alias("c"),
+            (F.col("a.term") == F.col("c.term"))
+            & (F.col("a.source") < F.col("c.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("c.source").alias("s2"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        b.join(F.broadcast(n.select(F.col("source").alias("s1"), F.col("v").alias("v1"))), "s1")
+        .join(F.broadcast(n.select(F.col("source").alias("s2"), F.col("v").alias("v2"))), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "v1",
+            "v2",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("v1") + F.col("v2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "text_kwic_window",
+    """
+    WITH h AS (SELECT doc_id, text, strpos(text, 'spark') AS pos
+               FROM documents WHERE strpos(text, 'spark') > 0)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           substr(text, CASE WHEN pos > 20 THEN pos - 20 ELSE 1 END,
+                  (pos - CASE WHEN pos > 20 THEN pos - 20 ELSE 1 END) + 25)
+             AS kwic
+    FROM h
+    """,
+)
+def text_kwic_window(spark, sf_dir):
+    """Keyword-in-context extraction: the first occurrence of a query
+    term with ±20 characters of context — the concordance view a
+    corpus audit pulls before deciding whether a term is signal or
+    boilerplate.  Pure row-local string ops (locate + substr), map-
+    only, filter pushed to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.locate("spark", F.col("text"))
+    h = docs.select("doc_id", "text", pos.alias("pos")).filter(F.col("pos") > 0)
+    start = F.when(F.col("pos") > 20, F.col("pos") - 20).otherwise(F.lit(1))
+    return h.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("text").substr(start, (F.col("pos") - start) + 25).alias("kwic"),
+    )
+
+
+@register(
+    "text_char_trigram_profile",
+    """
+    WITH g AS (SELECT lang, substr(text, i.i, 3) AS tg
+               FROM documents
+               CROSS JOIN unnest(range(1, greatest(length(text) - 2, 0) + 1)) i(i)),
+    f AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2),
+    r AS (SELECT lang, tg, c,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY c DESC, tg) AS rn
+          FROM f)
+    SELECT lang, CAST(rn AS BIGINT) AS rnk, tg, c AS freq
+    FROM r WHERE rn <= 5
+    """,
+)
+def text_char_trigram_profile(spark, sf_dir):
+    """Top-5 character trigrams per language — the classic langid
+    fingerprint table (cf. text_lang_id_ngram, which CONSUMES such a
+    profile; this query TRAINS one from labeled data).  Trigram
+    expansion is a row-local sequence+posexplode (no shuffle until
+    the count), the per-language top-k is a window PARTITIONED by
+    lang — bounded fan-in per partition at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+        ).alias("__k", "i"),
+        "text",
+    ).select("lang", F.col("text").substr(F.col("i"), F.lit(3)).alias("tg"))
+    f = g.groupBy("lang", "tg").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tg")
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("rn").cast("long").alias("rnk"), "tg", F.col("c").alias("freq"))
+    )
+
+
+@register(
+    "corpus_curriculum_phases",
+    f"""
+    WITH t AS (SELECT doc_id, len({_SQL_TOKS_RAW}) AS n_tok FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    r AS (SELECT doc_id, n_tok,
+                 ntile(4) OVER (ORDER BY n_tok DESC, doc_id) AS phase
+          FROM t)
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM r GROUP BY 1
+    """,
+)
+def corpus_curriculum_phases(spark, sf_dir):
+    """Curriculum-learning phase assignment: documents quartiled by
+    token count (longest-first — the common long-context curriculum),
+    with per-phase size/token budgets — what a training scheduler
+    consumes.  The quartile is DISTRIBUTED: range-bucket on n_tok +
+    per-bucket offsets + partitioned row_number (ow.bucketed_running),
+    then ntile(4) reconstructed arithmetically from the global rank
+    (ow.ntile_from_rank) — no single-partition sort at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok")
+    )
+    nrow = t.agg(F.count("*").alias("__n"))
+    ranked = ow.bucketed_running(
+        ow.monotone_range_bucket(t, "n_tok", ascending=False),
+        order_cols=[F.col("n_tok").desc(), "doc_id"],
+        rn_col="__rn",
+    ).crossJoin(F.broadcast(nrow))
+    r = ranked.select(
+        "n_tok",
+        ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 4).alias("phase"),
+    )
+    return r.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    """Histogram wrapper over the unrolled label-propagation chain."""
+    return f"""
+    SELECT CAST(n_members AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(n_members * count(*) AS BIGINT) AS n_docs
+    FROM ({_component_oracle()}) comp
+    GROUP BY n_members
+    """
+
+
+@register(
+    "corpus_dup_cluster_sizes",
+    None,  # oracle attached below (reuses the component CTE chain)
+)
+def corpus_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster SIZE DISTRIBUTION — the one-line answer to
+    'is dedup worth it and is anything pathological': many 2-clusters
+    is normal near-dup noise, one giant cluster means a template
+    flood (and a skew hazard for any per-cluster work).  Reuses the
+    min-label component resolution (3 shuffle-join rounds) and adds
+    one histogram aggregate; docs-per-size = size × cluster count,
+    exact integers."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    )
+    comp = ldedup.min_label_components(pairs.persist(), iters=3)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("n_members") * F.count("*")).cast("long").alias("n_docs"),
+    )
+
+
+ORACLES["corpus_dup_cluster_sizes"] = _cluster_sizes_oracle()
+
+
+@register(
+    "corpus_oversample_plan",
+    """
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    m AS (SELECT CAST(max(n_docs) AS BIGINT) AS mx FROM s)
+    SELECT s.source, s.n_docs,
+           CAST(m.mx // s.n_docs AS BIGINT) AS full_repeats,
+           CAST(m.mx % s.n_docs AS BIGINT) AS remainder_docs,
+           CAST(m.mx AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS target_factor
+    FROM s CROSS JOIN m
+    """,
+)
+def corpus_oversample_plan(spark, sf_dir):
+    """Source-balancing oversample plan: to equalize every source to
+    the majority source's size, each needs ⌊max/n⌋ full repeats plus
+    a max-mod-n document remainder — the exact-integer recipe a
+    weighted dataloader executes (corpus_mix/corpus_temperature_mix
+    choose TARGETS; this emits the integer REPLAY PLAN).  One
+    aggregate + a 1-row broadcast; all integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    m = s.agg(F.max("n_docs").cast("long").alias("mx"))
+    return s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        F.expr("mx div n_docs").cast("long").alias("full_repeats"),
+        (F.col("mx") % F.col("n_docs")).cast("long").alias("remainder_docs"),
+        (F.col("mx").cast("double") / F.col("n_docs").cast("double")).alias(
+            "target_factor"
+        ),
+    )
+
+
+_NB_TOKENS = ("spark", "hash", "vector")
+
+
+@register(
+    "ml_naive_bayes_tokens",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                      {', '.join(
+                          f"CASE WHEN strpos(text, '{t}') > 0 THEN 1 ELSE 0 END AS f{i}"
+                          for i, t in enumerate(_NB_TOKENS))}
+               FROM documents),
+    tr AS (SELECT CAST(SUM(y) AS BIGINT) AS n1,
+                  CAST(SUM(1 - y) AS BIGINT) AS n0,
+                  {', '.join(
+                      f"CAST(SUM(CASE WHEN y = 1 THEN f{i} ELSE 0 END) AS BIGINT) AS c1{i},"
+                      f" CAST(SUM(CASE WHEN y = 0 THEN f{i} ELSE 0 END) AS BIGINT) AS c0{i}"
+                      for i in range(len(_NB_TOKENS)))}
+           FROM d),
+    p AS (SELECT d.y,
+                 CAST(tr.n1 AS DOUBLE)
+                 {' '.join(
+                     f"* (CASE WHEN d.f{i} = 1 THEN CAST(tr.c1{i} + 1 AS DOUBLE) ELSE CAST(tr.n1 - tr.c1{i} + 1 AS DOUBLE) END / CAST(tr.n1 + 2 AS DOUBLE))"
+                     for i in range(len(_NB_TOKENS)))} AS s1,
+                 CAST(tr.n0 AS DOUBLE)
+                 {' '.join(
+                     f"* (CASE WHEN d.f{i} = 1 THEN CAST(tr.c0{i} + 1 AS DOUBLE) ELSE CAST(tr.n0 - tr.c0{i} + 1 AS DOUBLE) END / CAST(tr.n0 + 2 AS DOUBLE))"
+                     for i in range(len(_NB_TOKENS)))} AS s0
+          FROM d CROSS JOIN tr)
+    SELECT y AS true_en,
+           CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS pred_en,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes_tokens(spark, sf_dir):
+    """Bernoulli naive Bayes over three fixed token-presence features
+    (is-English classifier), trained and applied in TWO aggregates —
+    no logs: with a FIXED small feature count the posterior is a
+    product of 4 factors evaluated in one fixed expression order, so
+    both engines walk the identical IEEE chain (the usual log-sum
+    trick exists only to avoid underflow at large feature counts).
+    Laplace +1 smoothing; training counts ride a 1-row broadcast;
+    output is the 2×2 self-classification matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        F.when(F.locate(t, F.col("text")) > 0, 1).otherwise(0).alias(f"f{i}")
+        for i, t in enumerate(_NB_TOKENS)
+    ]
+    d = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"), *feats
+    )
+    aggs = [
+        F.sum("y").cast("long").alias("n1"),
+        F.sum(1 - F.col("y")).cast("long").alias("n0"),
+    ]
+    for i in range(len(_NB_TOKENS)):
+        aggs.append(
+            F.sum(F.when(F.col("y") == 1, F.col(f"f{i}")).otherwise(0))
+            .cast("long")
+            .alias(f"c1{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("y") == 0, F.col(f"f{i}")).otherwise(0))
+            .cast("long")
+            .alias(f"c0{i}")
+        )
+    tr = d.agg(*aggs)
+    s1 = F.col("n1").cast("double")
+    s0 = F.col("n0").cast("double")
+    for i in range(len(_NB_TOKENS)):
+        s1 = s1 * (
+            F.when(
+                F.col(f"f{i}") == 1, (F.col(f"c1{i}") + 1).cast("double")
+            ).otherwise((F.col("n1") - F.col(f"c1{i}") + 1).cast("double"))
+            / (F.col("n1") + 2).cast("double")
+        )
+        s0 = s0 * (
+            F.when(
+                F.col(f"f{i}") == 1, (F.col(f"c0{i}") + 1).cast("double")
+            ).otherwise((F.col("n0") - F.col(f"c0{i}") + 1).cast("double"))
+            / (F.col("n0") + 2).cast("double")
+        )
+    p = d.crossJoin(F.broadcast(tr)).select(
+        "y", s1.alias("s1"), s0.alias("s0")
+    )
+    return p.groupBy(
+        F.col("y").alias("true_en"),
+        F.when(F.col("s1") > F.col("s0"), 1).otherwise(0).alias("pred_en"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
