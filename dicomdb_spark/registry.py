@@ -18742,6 +18742,621 @@ def ml_naive_bayes_tokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7, batch E — sketch audits, embedding-space diagnostics,
+# layout simulation, and data-ops health checks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_bloom_fpr_audit",
+    f"""
+    WITH salts AS (SELECT unnest([0, 1, 2]) AS salt),
+    bits AS (SELECT DISTINCT
+               {_sql_hex_int("md5(CAST(salt AS VARCHAR) || '#' || CAST(p_partkey AS VARCHAR))", 8)}
+                 % 4096 AS pos
+             FROM part CROSS JOIN salts),
+    probes AS (SELECT 'ghost:' || CAST(unnest(range(1, 2001)) AS VARCHAR) AS key),
+    ph AS (SELECT p.key,
+                  CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_hit
+           FROM (SELECT key, {_sql_hex_int("md5(CAST(salt AS VARCHAR) || '#' || key)", 8)}
+                        % 4096 AS pos
+                 FROM probes CROSS JOIN salts) p
+           LEFT JOIN bits b ON b.pos = p.pos
+           GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos
+          FROM ph),
+    load AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+    SELECT s.n_probes, s.n_false_pos, load.bits_set,
+           CAST(s.n_false_pos * 10000 AS DOUBLE)
+             / CAST(s.n_probes AS DOUBLE) AS fpr_bp,
+           CAST(load.bits_set AS DOUBLE) / 4096.0 AS fill_ratio
+    FROM s CROSS JOIN load
+    """,
+)
+def sketch_bloom_fpr_audit(spark, sf_dir):
+    """Bloom-filter false-positive audit: 2000 PLANTED non-members
+    ('ghost:i' keys, disjoint from the integer key space) probe the
+    part-key bloom; observed FPR and bit-fill ratio tell you whether
+    the m/k sizing holds before trusting it as a join pre-filter —
+    the sketch-trust loop of sketch_cms_error_audit applied to bloom.
+    Build is one distinct aggregate (≤ m rows); probes never shuffle
+    (bit table broadcasts)."""
+    from dicomdb_spark.functions import sketches
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    bits = sketches.bloom_bits(part, "p_partkey", m_bits=4096, k_hashes=3)
+    probes = spark.range(1, 2001).select(
+        F.concat(F.lit("ghost:"), F.col("id").cast("string")).alias("key")
+    )
+    probed = sketches.bloom_probe(probes, bits, "key", m_bits=4096, k_hashes=3)
+    s = probed.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    load = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    return s.crossJoin(F.broadcast(load)).select(
+        "n_probes",
+        "n_false_pos",
+        "bits_set",
+        (
+            (F.col("n_false_pos") * F.lit(10000)).cast("double")
+            / F.col("n_probes").cast("double")
+        ).alias("fpr_bp"),
+        (F.col("bits_set").cast("double") / 4096.0).alias("fill_ratio"),
+    )
+
+
+_SQL_V = "CAST(embedding AS DOUBLE[]) "
+
+
+@register(
+    "emb_norm_outliers",
+    f"""
+    WITH e AS (SELECT vec_id, {_SQL_NORMSQ} AS s FROM embeddings),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(s) AS BIGINT) AS s1 FROM e),
+    v AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sdev2
+          FROM (SELECT e.s * m.n - m.s1 AS d FROM e CROSS JOIN m) z)
+    SELECT vec_id, s AS normsq_scaled,
+           CAST(e.s * m.n - m.s1 AS DOUBLE)
+             / sqrt(CAST(v.sdev2 AS DOUBLE) / CAST(m.n AS DOUBLE)) AS z
+    FROM e CROSS JOIN m CROSS JOIN v
+    ORDER BY abs(CAST(e.s * m.n - m.s1 AS DOUBLE)
+                 / sqrt(CAST(v.sdev2 AS DOUBLE) / CAST(m.n AS DOUBLE))) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def emb_norm_outliers(spark, sf_dir):
+    """Top-10 vector-norm outliers by z-score — the embedding-space
+    health check that catches unnormalized batches, dead encoders
+    (near-zero norms) and exploded vectors before they poison ANN
+    recall.  Deviations are held on the exact common-denominator
+    integer form s·n − Σs (same discipline as a_grubbs_outlier); the
+    top-10 is a distributed TakeOrdered on the |z| expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _normsq_col().alias("s"))
+    m = e.agg(
+        F.count("*").cast("long").alias("n"), F.sum("s").cast("long").alias("s1")
+    )
+    dev = F.col("s") * F.col("n") - F.col("s1")
+    withm = e.crossJoin(F.broadcast(m))
+    v = withm.agg(F.sum(dev * dev).cast("long").alias("sdev2"))
+    z = dev.cast("double") / F.sqrt(
+        F.col("sdev2").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        withm.crossJoin(F.broadcast(v))
+        .select("vec_id", F.col("s").alias("normsq_scaled"), z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "emb_centroid_shift",
+    f"""
+    WITH d AS (SELECT label, i.i AS dim,
+                      CAST(floor(v[i.i] * 1000000) AS BIGINT) AS x
+               FROM (SELECT label, {_SQL_V} AS v FROM embeddings) e,
+                    unnest(range(1, len(v) + 1)) i(i)),
+    l AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s
+          FROM d GROUP BY 1, 2),
+    g AS (SELECT dim, CAST(SUM(n) AS BIGINT) AS ng,
+                 CAST(SUM(s) AS BIGINT) AS sg
+          FROM l GROUP BY 1),
+    sq AS (SELECT l.label, CAST(max(l.n) AS BIGINT) AS n_vecs,
+                  CAST(SUM(CAST(floor(
+                    (CAST(l.s AS DOUBLE) / CAST(l.n AS DOUBLE)
+                     - CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE))
+                    * (CAST(l.s AS DOUBLE) / CAST(l.n AS DOUBLE)
+                       - CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE))
+                    / 1000000.0) AS BIGINT)) AS BIGINT) AS shift2_scaled
+           FROM l JOIN g USING (dim) GROUP BY 1)
+    SELECT label, n_vecs, shift2_scaled,
+           sqrt(CAST(shift2_scaled AS DOUBLE) / 1000000.0) AS centroid_shift
+    FROM sq
+    """,
+)
+def emb_centroid_shift(spark, sf_dir):
+    """Per-label centroid distance from the GLOBAL centroid — the
+    cluster-separation / dataset-drift readout (labels whose centroid
+    sits at the global mean carry no signal; one far-off label = a
+    domain shard).  Per-(label, dim) sums are exact ints; each dim's
+    squared gap floor-scales to int64 BEFORE the cross-dim sum, so
+    the 64-term addition is order-invariant; one sqrt at the end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val") * 1000000).cast("long").alias("x"),
+    )
+    l = d.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    g = l.groupBy("dim").agg(
+        F.sum("n").cast("long").alias("ng"), F.sum("s").cast("long").alias("sg")
+    )
+    gap = F.col("s").cast("double") / F.col("n").cast("double") - F.col(
+        "sg"
+    ).cast("double") / F.col("ng").cast("double")
+    sq = (
+        l.join(F.broadcast(g), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sum(F.floor(gap * gap / 1000000.0).cast("long"))
+            .cast("long")
+            .alias("shift2_scaled"),
+        )
+    )
+    return sq.select(
+        "label",
+        "n_vecs",
+        "shift2_scaled",
+        F.sqrt(F.col("shift2_scaled").cast("double") / 1000000.0).alias(
+            "centroid_shift"
+        ),
+    )
+
+
+@register(
+    "emb_cosine_hist",
+    f"""
+    WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> CAST(floor(a.v[i] * b.v[i] * 1000000) AS BIGINT)))
+                      AS BIGINT) AS dot,
+                 CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> CAST(floor(a.v[i] * a.v[i] * 1000000) AS BIGINT)))
+                      AS BIGINT) AS na,
+                 CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                      i -> CAST(floor(b.v[i] * b.v[i] * 1000000) AS BIGINT)))
+                      AS BIGINT) AS nb
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+    c AS (SELECT CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                   AS cos FROM p)
+    SELECT CAST(greatest(least(CAST(floor((cos + 1.0) * 8) AS BIGINT), 15), 0)
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM c GROUP BY 1
+    """,
+)
+def emb_cosine_hist(spark, sf_dir):
+    """Cosine-similarity histogram over a deterministic linear pair
+    sample (consecutive vec_ids — n−1 pairs, never n²): the
+    embedding-space geometry fingerprint (anisotropic encoders pile
+    mass near one bin; a healthy space spreads).  Dot and norms are
+    exact per-term-floored int64 folds; one float chain per pair,
+    16-bin histogram aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
+    def fold(u, w):
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: F.floor(x * y * 1000000).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+    p = e.join(b, "vec_id").select(
+        fold(F.col("v"), F.col("vb")).alias("dot"),
+        fold(F.col("v"), F.col("v")).alias("na"),
+        fold(F.col("vb"), F.col("vb")).alias("nb"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    c = p.select(cos.alias("cos"))
+    return c.groupBy(
+        F.greatest(
+            F.least(F.floor((F.col("cos") + 1.0) * 8).cast("long"), F.lit(15)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bin")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
+@register(
+    "emb_triplet_margin",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+    ap AS (SELECT vec_id, label, v,
+                  lead(v) OVER (PARTITION BY label ORDER BY vec_id) AS pv
+           FROM e),
+    t AS (SELECT a.vec_id, a.v, a.pv, n.v AS nv
+          FROM ap a JOIN e n ON n.vec_id = a.vec_id + 1
+                             AND n.label <> a.label
+          WHERE a.pv IS NOT NULL),
+    d AS (SELECT vec_id,
+                 CAST(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> CAST(floor((v[i] - pv[i]) * (v[i] - pv[i])
+                                      * 1000000) AS BIGINT))) AS BIGINT) AS dap,
+                 CAST(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> CAST(floor((v[i] - nv[i]) * (v[i] - nv[i])
+                                      * 1000000) AS BIGINT))) AS BIGINT) AS dan
+          FROM t)
+    SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(SUM(CASE WHEN dap >= dan THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(SUM(CASE WHEN dap >= dan THEN 1 ELSE 0 END) * 10000 AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS violation_bp
+    FROM d
+    """,
+)
+def emb_triplet_margin(spark, sf_dir):
+    """Triplet-margin audit: anchor/positive = consecutive same-label
+    vectors (a PARTITIONED lead — no global sort), negative = the
+    next differently-labeled vec_id; a violation is d(a,p) ≥ d(a,n) —
+    the metric-learning sanity check 'same label should sit closer
+    than different label'.  Squared distances are exact per-term-
+    floored int64 folds, the verdict an integer comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    wlab = Window.partitionBy("label").orderBy("vec_id")
+    ap = e.select(
+        "vec_id", "label", "v", F.lead("v").over(wlab).alias("pv")
+    ).filter(F.col("pv").isNotNull())
+    neg = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    t = ap.join(neg, "vec_id").filter(F.col("nlabel") != F.col("label"))
+    def d2(u, w):
+        return F.aggregate(
+            F.zip_with(
+                u, w, lambda x, y: F.floor((x - y) * (x - y) * 1000000).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+    d = t.select(
+        d2(F.col("v"), F.col("pv")).alias("dap"),
+        d2(F.col("v"), F.col("nv")).alias("dan"),
+    )
+    viol = F.when(F.col("dap") >= F.col("dan"), 1).otherwise(0)
+    return d.agg(
+        F.count("*").cast("long").alias("n_triplets"),
+        F.sum(viol).cast("long").alias("n_violations"),
+        (
+            (F.sum(viol) * F.lit(10000)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("violation_bp"),
+    )
+
+
+@register(
+    "layout_skipping_sim",
+    f"""
+    WITH l0 AS (SELECT event_id,
+                       CAST(user_id % 256 AS BIGINT) AS gx,
+                       CAST((event_id // 7) % 256 AS BIGINT) AS gy,
+                       CAST(user_id % 256 AS BIGINT) AS x,
+                       CAST((event_id // 7) % 256 AS BIGINT) AS y,
+                       CAST(0 AS BIGINT) AS d
+                FROM events),
+    {_HILBERT_CHAIN},
+    keyed AS (
+      SELECT 'a_natural' AS layout, CAST(event_id AS BIGINT) AS key, gx
+      FROM {_HILBERT_LAST}
+      UNION ALL
+      SELECT 'b_dim_sorted', CAST(gx AS BIGINT), gx FROM {_HILBERT_LAST}
+      UNION ALL
+      SELECT 'c_hilbert', CAST(d AS BIGINT), gx FROM {_HILBERT_LAST}),
+    st AS (SELECT layout, CAST(min(key) AS BIGINT) AS mn,
+                  CAST(max(key) AS BIGINT) AS mx
+           FROM keyed GROUP BY 1),
+    fb AS (SELECT k.layout, k.gx,
+                  CASE WHEN st.mx = st.mn THEN 0
+                       ELSE least(CAST(floor(CAST(k.key - st.mn AS DOUBLE) * 32
+                                  / CAST(st.mx - st.mn AS DOUBLE)) AS BIGINT),
+                                  31) END AS f
+           FROM keyed k JOIN st USING (layout)),
+    files AS (SELECT layout, f, CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(gx) AS BIGINT) AS gmn,
+                     CAST(max(gx) AS BIGINT) AS gmx,
+                     CAST(SUM(CASE WHEN gx BETWEEN 100 AND 120
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+              FROM fb GROUP BY 1, 2)
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN gmx >= 100 AND gmn <= 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_hit,
+           CAST(SUM(CASE WHEN gmx >= 100 AND gmn <= 120 THEN n ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched
+    FROM files GROUP BY 1
+    """,
+)
+def layout_skipping_sim(spark, sf_dir):
+    """Min/max file-skipping SIMULATION: the same events laid out
+    three ways — arrival order, sorted by the filter column, and
+    Hilbert-clustered on (user, id-stride) — each cut into 32
+    equal-key-width 'files' whose min/max footer stats then prune a
+    `user-bucket BETWEEN 100 AND 120` predicate.  The quantified
+    answer to 'what does OPTIMIZE buy this table': rows_scanned vs
+    rows_matched per layout, from ONE scan + per-layout bucket
+    aggregates (the Hilbert walk is the layout_hilbert_key CASE
+    arithmetic — map-only).  Natural order scans everything; the 1-D
+    sort is optimal for this 1-D predicate; Hilbert pays a bounded
+    multi-dimensional tax — the tradeoff you weigh before choosing a
+    cluster key."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("gx"),
+        ((F.col("event_id") / 7).cast("long") % 256).cast("long").alias("gy"),
+    )
+    out = _hilbert_spark(base).select(
+        "event_id", "gx", F.col("d").cast("long").alias("hd")
+    )
+    keyed = (
+        out.select(
+            F.lit("a_natural").alias("layout"),
+            F.col("event_id").cast("long").alias("key"),
+            "gx",
+        )
+        .unionAll(
+            out.select(
+                F.lit("b_dim_sorted").alias("layout"),
+                F.col("gx").cast("long").alias("key"),
+                "gx",
+            )
+        )
+        .unionAll(
+            out.select(
+                F.lit("c_hilbert").alias("layout"),
+                F.col("hd").cast("long").alias("key"),
+                "gx",
+            )
+        )
+    )
+    st = keyed.groupBy("layout").agg(
+        F.min("key").cast("long").alias("mn"), F.max("key").cast("long").alias("mx")
+    )
+    fcol = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("key") - F.col("mn")).cast("double")
+                * 32
+                / (F.col("mx") - F.col("mn")).cast("double")
+            ).cast("long"),
+            F.lit(31),
+        )
+    )
+    fb = keyed.join(F.broadcast(st), "layout").select(
+        "layout", "gx", fcol.alias("f")
+    )
+    match = F.col("gx").between(100, 120)
+    files = fb.groupBy("layout", "f").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("gx").cast("long").alias("gmn"),
+        F.max("gx").cast("long").alias("gmx"),
+        F.sum(F.when(match, 1).otherwise(0)).cast("long").alias("n_match"),
+    )
+    hit = (F.col("gmx") >= 100) & (F.col("gmn") <= 120)
+    return files.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_hit"),
+        F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("long").alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matched"),
+    )
+
+
+@register(
+    "a_freshness_lag",
+    """
+    WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                      max(ts) AS latest
+               FROM events GROUP BY 1),
+    g AS (SELECT max(latest) AS global_latest FROM s)
+    SELECT s.event_type, s.n_events, s.latest,
+           CAST(floor(epoch(g.global_latest)) AS BIGINT)
+             - CAST(floor(epoch(s.latest)) AS BIGINT) AS lag_s
+    FROM s CROSS JOIN g
+    """,
+)
+def a_freshness_lag(spark, sf_dir):
+    """Per-stream freshness: each event type's latest timestamp and
+    its lag behind the freshest stream — the first thing an
+    ingestion-health dashboard shows (a type lagging hours = a stuck
+    upstream producer).  One aggregate + a 1-row broadcast; lag in
+    exact integer seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"), F.max("ts").alias("latest")
+    )
+    g = s.agg(F.max("latest").alias("global_latest"))
+    return s.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "latest",
+        (
+            F.unix_timestamp("global_latest") - F.unix_timestamp("latest")
+        ).cast("long").alias("lag_s"),
+    )
+
+
+@register(
+    "a_segment_share_drift",
+    """
+    WITH b AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events),
+    h AS (SELECT event_type,
+                 CASE WHEN (event_id - b.mn) * 2 <= (b.mx - b.mn)
+                      THEN 0 ELSE 1 END AS half,
+                 CAST(floor(value) AS BIGINT) AS x
+          FROM events CROSS JOIN b),
+    m AS (SELECT event_type, half, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s
+          FROM h GROUP BY 1, 2),
+    t AS (SELECT half, CAST(SUM(n) AS BIGINT) AS tot FROM m GROUP BY 1),
+    w AS (SELECT m.event_type,
+                 max(CASE WHEN m.half = 0 THEN m.n END) AS n0,
+                 max(CASE WHEN m.half = 0 THEN m.s END) AS s0,
+                 max(CASE WHEN m.half = 0 THEN t.tot END) AS t0,
+                 max(CASE WHEN m.half = 1 THEN m.n END) AS n1,
+                 max(CASE WHEN m.half = 1 THEN m.s END) AS s1,
+                 max(CASE WHEN m.half = 1 THEN t.tot END) AS t1
+          FROM m JOIN t USING (half) GROUP BY 1)
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_first, CAST(n1 AS BIGINT) AS n_second,
+           CAST(n1 * t0 - n0 * t1 AS DOUBLE) * 10000.0
+             / (CAST(t0 AS DOUBLE) * CAST(t1 AS DOUBLE)) AS share_drift_bp,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_value_drift
+    FROM w
+    """,
+)
+def a_segment_share_drift(spark, sf_dir):
+    """Segment drift between the first and second half of the stream
+    (split at the event_id midpoint — a deterministic time proxy):
+    per type, traffic-share drift in basis points and mean-value
+    drift — the lightweight PSI stand-in that needs no logarithm.
+    Share drift is the exact cross-product form n₁t₀ − n₀t₁ over a
+    common denominator; one fact aggregate + 2-row reshape."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+    h = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(
+            (F.col("event_id") - F.col("mn")) * 2 <= (F.col("mx") - F.col("mn")), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.floor(F.col("value")).cast("long").alias("x"),
+    )
+    m = h.groupBy("event_type", "half").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    t = m.groupBy("half").agg(F.sum("n").cast("long").alias("tot"))
+    w = (
+        m.join(F.broadcast(t), "half")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("half") == 0, F.col("s"))).alias("s0"),
+            F.max(F.when(F.col("half") == 0, F.col("tot"))).alias("t0"),
+            F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("half") == 1, F.col("s"))).alias("s1"),
+            F.max(F.when(F.col("half") == 1, F.col("tot"))).alias("t1"),
+        )
+    )
+    return w.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_first"),
+        F.col("n1").cast("long").alias("n_second"),
+        (
+            (F.col("n1") * F.col("t0") - F.col("n0") * F.col("t1")).cast("double")
+            * F.lit(10000.0)
+            / (F.col("t0").cast("double") * F.col("t1").cast("double"))
+        ).alias("share_drift_bp"),
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double")
+        ).alias("mean_value_drift"),
+    )
+
+
+@register(
+    "cdc_tombstone_compaction",
+    f"""
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value * 100) AS BIGINT) AS v,
+                      CASE WHEN {_sql_hex_int("md5('op:' || CAST(event_id AS VARCHAR))", 2)} % 10 = 0
+                           THEN 1 ELSE 0 END AS is_delete
+               FROM events),
+    r AS (SELECT user_id, v, is_delete,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM c),
+    last AS (SELECT user_id, v, is_delete FROM r WHERE rn = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(1 - is_delete) AS BIGINT) AS n_live,
+           CAST(SUM(is_delete) AS BIGINT) AS n_tombstoned,
+           CAST(SUM(CASE WHEN is_delete = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS live_value_checksum
+    FROM last
+    """,
+)
+def cdc_tombstone_compaction(spark, sf_dir):
+    """CDC log compaction WITH DELETES: each event is an upsert or a
+    tombstone (md5-derived 10 % delete ops); last-writer-wins per key
+    decides whether the key survives compaction — the Kafka-
+    compacted-topic / Delta MERGE-with-deletes state shape that
+    cdc_last_writer_state lacks.  One PARTITIONED rank (key-local
+    sort), one aggregate; the live-value checksum pins the surviving
+    payload exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    is_del = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("op:"), F.col("event_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(is_del, 1).otherwise(0).alias("is_delete"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "v", "is_delete")
+    )
+    return last.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(1 - F.col("is_delete")).cast("long").alias("n_live"),
+        F.sum("is_delete").cast("long").alias("n_tombstoned"),
+        F.sum(F.when(F.col("is_delete") == 0, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("live_value_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
