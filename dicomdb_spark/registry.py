@@ -19357,6 +19357,323 @@ def cdc_tombstone_compaction(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7, batch F — bounded-state ML kernels + two exact histograms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_birch_microclusters",
+    f"""
+    WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+    a AS (SELECT vec_id,
+                 CAST(floor(v[1] * 8) AS BIGINT) AS cx,
+                 CAST(floor(v[2] * 8) AS BIGINT) AS cy,
+                 CAST(floor(v[1] * 1000000) AS BIGINT) AS x1,
+                 CAST(floor(v[2] * 1000000) AS BIGINT) AS x2,
+                 CAST(floor((v[1] * v[1] + v[2] * v[2]) * 1000000) AS BIGINT)
+                   AS ss
+          FROM e),
+    cf AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(x1) AS BIGINT) AS ls1,
+                  CAST(SUM(x2) AS BIGINT) AS ls2,
+                  CAST(SUM(ss) AS BIGINT) AS ssum
+           FROM a GROUP BY 1, 2)
+    SELECT cx, cy, n,
+           CAST(ls1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS centroid_x,
+           CAST(ls2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS centroid_y,
+           sqrt(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                - (CAST(ls1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                  * (CAST(ls1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                - (CAST(ls2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                  * (CAST(ls2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0))
+             AS radius
+    FROM cf WHERE n >= 2
+    """,
+)
+def ml_birch_microclusters(spark, sf_dir):
+    """BIRCH-style micro-clustering (the parked round-6 idea): the CF
+    (clustering-feature) leaf layer — per threshold-grid cell over
+    the first two embedding dims, the mergeable triple (N, LS, SS)
+    from which centroid and RMS radius fall out WITHOUT revisiting
+    points.  CF triples are exact floor-scaled integers (associative,
+    partition-mergeable — the whole point of BIRCH at scale: state is
+    |cells|, data is seen once); centroid/radius are one float chain
+    per cell.  Cells with n ≥ 2 are the micro-clusters a global
+    clusterer would consume."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    v1, v2 = F.element_at("v", 1), F.element_at("v", 2)
+    a = e.select(
+        F.floor(v1 * 8).cast("long").alias("cx"),
+        F.floor(v2 * 8).cast("long").alias("cy"),
+        F.floor(v1 * 1000000).cast("long").alias("x1"),
+        F.floor(v2 * 1000000).cast("long").alias("x2"),
+        F.floor((v1 * v1 + v2 * v2) * 1000000).cast("long").alias("ss"),
+    )
+    cf = a.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("ls1"),
+        F.sum("x2").cast("long").alias("ls2"),
+        F.sum("ss").cast("long").alias("ssum"),
+    )
+    nd = F.col("n").cast("double")
+    c1 = F.col("ls1").cast("double") / nd / 1000000.0
+    c2 = F.col("ls2").cast("double") / nd / 1000000.0
+    return cf.filter(F.col("n") >= 2).select(
+        "cx",
+        "cy",
+        "n",
+        c1.alias("centroid_x"),
+        c2.alias("centroid_y"),
+        F.sqrt(
+            F.col("ssum").cast("double") / nd / 1000000.0 - c1 * c1 - c2 * c2
+        ).alias("radius"),
+    )
+
+
+def _sql_d2(a: str, b: str) -> str:
+    """Exact int64 squared distance between two DOUBLE[] columns."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(floor(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1000000) "
+        f"AS BIGINT))) AS BIGINT)"
+    )
+
+
+@register(
+    "ml_kmeans_farthest_seeds",
+    f"""
+    WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+    s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (SELECT e.vec_id, e.v, {_sql_d2("e.v", "s1.v")} AS dmin
+           FROM e CROSS JOIN s1),
+    s2 AS (SELECT vec_id, v, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2_ AS (SELECT d1.vec_id, d1.v,
+                   least(d1.dmin, {_sql_d2("d1.v", "s2.v")}) AS dmin
+            FROM d1 CROSS JOIN s2),
+    s3 AS (SELECT vec_id, v, dmin FROM d2_ ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3_ AS (SELECT d2_.vec_id, d2_.v,
+                   least(d2_.dmin, {_sql_d2("d2_.v", "s3.v")}) AS dmin
+            FROM d2_ CROSS JOIN s3),
+    s4 AS (SELECT vec_id, dmin FROM d3_ ORDER BY dmin DESC, vec_id LIMIT 1)
+    SELECT 1 AS seed_rank, vec_id, CAST(0 AS BIGINT) AS dist_scaled FROM s1
+    UNION ALL SELECT 2, vec_id, CAST(dmin AS BIGINT) FROM s2
+    UNION ALL SELECT 3, vec_id, CAST(dmin AS BIGINT) FROM s3
+    UNION ALL SELECT 4, vec_id, CAST(dmin AS BIGINT) FROM s4
+    """,
+)
+def ml_kmeans_farthest_seeds(spark, sf_dir):
+    """Farthest-first k-means seeding (the deterministic core of
+    kmeans++/k-means‖ init, k = 4): each pick is the point maximizing
+    its distance to the chosen set — 3 sequential distributed
+    TakeOrdered(1) argmax passes over exact int64 squared distances
+    (per-term floored folds), the running min-distance maintained by
+    a broadcast of the single new seed per round.  State is one
+    vector per round; the corpus never shuffles.  Feeds
+    dedup_semantic_kmeans with better-than-arbitrary initial
+    centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def d2(u, w):
+        return F.aggregate(
+            F.zip_with(
+                u, w, lambda x, y: F.floor((x - y) * (x - y) * 1000000).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    s1 = e.orderBy("vec_id").limit(1)
+    d = e.crossJoin(F.broadcast(s1.select(F.col("v").alias("c")))).select(
+        "vec_id", "v", d2(F.col("v"), F.col("c")).alias("dmin")
+    )
+    picks = [s1.select(F.lit(1).alias("seed_rank"), "vec_id",
+                       F.lit(0).cast("long").alias("dist_scaled"))]
+    for rank in (2, 3, 4):
+        sk = d.orderBy(F.col("dmin").desc(), "vec_id").limit(1)
+        picks.append(
+            sk.select(
+                F.lit(rank).alias("seed_rank"),
+                "vec_id",
+                F.col("dmin").cast("long").alias("dist_scaled"),
+            )
+        )
+        if rank < 4:
+            d = d.crossJoin(F.broadcast(sk.select(F.col("v").alias("c")))).select(
+                "vec_id",
+                "v",
+                F.least(F.col("dmin"), d2(F.col("v"), F.col("c"))).alias("dmin"),
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "ml_perceptron_batch",
+    """
+    WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                      CAST(1 AS BIGINT) AS x0,
+                      CAST(n_chars AS BIGINT) AS x1,
+                      CAST(length(text) - length(replace(text, ' ', ''))
+                           + 1 AS BIGINT) AS x2
+               FROM documents),
+    u1 AS (SELECT CAST(SUM(y * x0) AS BIGINT) AS w0,
+                  CAST(SUM(y * x1) AS BIGINT) AS w1,
+                  CAST(SUM(y * x2) AS BIGINT) AS w2
+           FROM d),
+    u2 AS (SELECT CAST(SUM(CASE WHEN y * (u1.w0 * x0 + u1.w1 * x1 + u1.w2 * x2)
+                                     <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS dw0,
+                  CAST(SUM(CASE WHEN y * (u1.w0 * x0 + u1.w1 * x1 + u1.w2 * x2)
+                                     <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS dw1,
+                  CAST(SUM(CASE WHEN y * (u1.w0 * x0 + u1.w1 * x1 + u1.w2 * x2)
+                                     <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS dw2
+           FROM d CROSS JOIN u1),
+    w AS (SELECT u1.w0 + u2.dw0 AS w0, u1.w1 + u2.dw1 AS w1,
+                 u1.w2 + u2.dw2 AS w2
+          FROM u1 CROSS JOIN u2),
+    acc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN y * (w.w0 * x0 + w.w1 * x1 + w.w2 * x2)
+                                      > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok
+            FROM d CROSS JOIN w)
+    SELECT w.w0 AS bias, w.w1 AS w_chars, w.w2 AS w_tokens,
+           acc.n AS n_docs,
+           CAST(acc.ok * 10000 AS DOUBLE) / CAST(acc.n AS DOUBLE)
+             AS train_acc_bp
+    FROM w CROSS JOIN acc
+    """,
+)
+def ml_perceptron_batch(spark, sf_dir):
+    """Batch perceptron, 2 unrolled rounds, ALL-INTEGER: weights are
+    sums of y·x over the misclassified set (y ∈ {-1, 1}, integer
+    features: bias, n_chars, whitespace token count), so no learning-
+    rate float ever appears and both engines walk identical
+    arithmetic.  Each round is ONE aggregate with the 3-weight state
+    on a 1-row broadcast — the linear-classifier training shape at
+    any scale.  Output: final weights + training accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.col("n_chars").cast("long").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        ).cast("long").alias("x2"),
+    )
+    u1 = d.agg(
+        F.sum(F.col("y") * F.col("x0")).cast("long").alias("w0"),
+        F.sum(F.col("y") * F.col("x1")).cast("long").alias("w1"),
+        F.sum(F.col("y") * F.col("x2")).cast("long").alias("w2"),
+    )
+    margin = F.col("y") * (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    du = d.crossJoin(F.broadcast(u1)).agg(
+        F.sum(F.when(margin <= 0, F.col("y") * F.col("x0")).otherwise(0))
+        .cast("long")
+        .alias("dw0"),
+        F.sum(F.when(margin <= 0, F.col("y") * F.col("x1")).otherwise(0))
+        .cast("long")
+        .alias("dw1"),
+        F.sum(F.when(margin <= 0, F.col("y") * F.col("x2")).otherwise(0))
+        .cast("long")
+        .alias("dw2"),
+    )
+    w = u1.crossJoin(F.broadcast(du)).select(
+        (F.col("w0") + F.col("dw0")).alias("w0"),
+        (F.col("w1") + F.col("dw1")).alias("w1"),
+        (F.col("w2") + F.col("dw2")).alias("w2"),
+    )
+    acc = d.crossJoin(F.broadcast(w)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(margin > 0, 1).otherwise(0)).cast("long").alias("ok"),
+        F.max("w0").alias("w0"),
+        F.max("w1").alias("w1"),
+        F.max("w2").alias("w2"),
+    )
+    return acc.select(
+        F.col("w0").alias("bias"),
+        F.col("w1").alias("w_chars"),
+        F.col("w2").alias("w_tokens"),
+        F.col("n").alias("n_docs"),
+        ((F.col("ok") * F.lit(10000)).cast("double") / F.col("n").cast("double")).alias(
+            "train_acc_bp"
+        ),
+    )
+
+
+@register(
+    "a_nps_score",
+    """
+    WITH b AS (SELECT event_type,
+                      CASE WHEN value >= 75 THEN 1 ELSE 0 END AS promoter,
+                      CASE WHEN value <= 25 THEN 1 ELSE 0 END AS detractor
+               FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(promoter) AS BIGINT) AS n_promoters,
+           CAST(SUM(detractor) AS BIGINT) AS n_detractors,
+           CAST((SUM(promoter) - SUM(detractor)) * 100 AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS nps
+    FROM b GROUP BY 1
+    """,
+)
+def a_nps_score(spark, sf_dir):
+    """NPS-style top/bottom-box score per stream: (promoters −
+    detractors)·100/n over fixed value thresholds — the simplest
+    ordinal-survey rollup, one hash aggregate, one exact division."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.when(F.col("value") >= 75, 1).otherwise(0).alias("promoter"),
+        F.when(F.col("value") <= 25, 1).otherwise(0).alias("detractor"),
+    )
+    return b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("promoter").cast("long").alias("n_promoters"),
+        F.sum("detractor").cast("long").alias("n_detractors"),
+        (
+            ((F.sum("promoter") - F.sum("detractor")) * F.lit(100)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("nps"),
+    )
+
+
+@register(
+    "a_log2_histogram",
+    """
+    WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x
+               FROM events WHERE value >= 1),
+    b AS (SELECT event_type, CAST(length(bin(x)) AS BIGINT) AS bucket
+          FROM v)
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def a_log2_histogram(spark, sf_dir):
+    """Power-of-two value histogram per stream (bucket = ⌊log₂ x⌋+1,
+    computed EXACTLY as the binary-representation length — no
+    floating log anywhere): the constant-width skew profile HDR-style
+    histograms use, mergeable and bounded at 64 buckets per group."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value") >= 1).select(
+        "event_type", F.floor(F.col("value")).cast("long").alias("x")
+    )
+    b = v.select(
+        "event_type", F.length(F.bin(F.col("x"))).cast("long").alias("bucket")
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
