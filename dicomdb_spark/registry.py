@@ -19674,6 +19674,1306 @@ def a_log2_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch A: the parked NEXT_STEPS ideas — Aroon,
+# fixed-bucket mergeable quantile sketch, uniform-sample audit,
+# two-feature OLS (normal equations).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_aroon",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day, hi, lo,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS rn
+          FROM bars),
+    e AS (SELECT event_type, day, rn,
+                 CAST(max((hi + 10000000) * 100000 + rn) OVER w AS BIGINT) AS ehi,
+                 CAST(max((10000000 - lo) * 100000 + rn) OVER w AS BIGINT) AS elo,
+                 CAST(count(*) OVER w AS BIGINT) AS nb
+          FROM r
+          WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           CAST(rn - (ehi % 100000) AS BIGINT) AS bars_since_hi,
+           CAST(rn - (elo % 100000) AS BIGINT) AS bars_since_lo,
+           CAST((13 - (rn - (ehi % 100000))) * 100 AS DOUBLE) / 13.0 AS aroon_up,
+           CAST((13 - (rn - (elo % 100000))) * 100 AS DOUBLE) / 13.0 AS aroon_dn,
+           CAST((13 - (rn - (ehi % 100000))) * 100 AS DOUBLE) / 13.0
+             - CAST((13 - (rn - (elo % 100000))) * 100 AS DOUBLE) / 13.0
+             AS aroon_osc
+    FROM e WHERE nb = 14
+    """,
+)
+def w_aroon(spark, sf_dir):
+    """14-bar Aroon indicator per event-type price series: bars since
+    the window high / low, mapped to AroonUp = 100·(13−since_hi)/13
+    and AroonDown (Chande, 1995 — public formula).  The windowed
+    argmax is INTEGER-ENCODED — max((hi+offset)·10⁵ + rn) packs the
+    tie-broken-latest bar index into the low digits, so both engines
+    agree bit-exactly with no max_by/struct-comparison semantics in
+    play (ties resolve to the most recent bar, the indicator's
+    convention).  Windows are partitioned by series id over the
+    bounded day grain — no global sort; rn < 10⁵ holds for any
+    calendar span (day grain), and the 10⁷ offset keeps the encoding
+    positive for any 1e2-scaled value domain down to −10⁵."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
+        -13, Window.currentRow
+    )
+    r = bars.select(
+        "event_type", "day", "hi", "lo",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("rn"),
+    )
+    e = r.select(
+        "event_type", "day", "rn",
+        F.max((F.col("hi") + 10000000) * 100000 + F.col("rn"))
+        .over(wl)
+        .cast("long")
+        .alias("ehi"),
+        F.max((F.lit(10000000) - F.col("lo")) * 100000 + F.col("rn"))
+        .over(wl)
+        .cast("long")
+        .alias("elo"),
+        F.count("*").over(wl).cast("long").alias("nb"),
+    )
+    since_hi = (F.col("rn") - F.col("ehi") % 100000).cast("long")
+    since_lo = (F.col("rn") - F.col("elo") % 100000).cast("long")
+    up = ((F.lit(13) - since_hi) * 100).cast("double") / 13.0
+    dn = ((F.lit(13) - since_lo) * 100).cast("double") / 13.0
+    return e.filter(F.col("nb") == 14).select(
+        "event_type", "day",
+        since_hi.alias("bars_since_hi"),
+        since_lo.alias("bars_since_lo"),
+        up.alias("aroon_up"),
+        dn.alias("aroon_dn"),
+        (up - dn).alias("aroon_osc"),
+    )
+
+
+@register(
+    "sketch_tdigest_quantiles",
+    """
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 10000) AS BIGINT) AS x
+               FROM events),
+    st AS (SELECT event_type, CAST(min(x) AS BIGINT) AS mn,
+                  CAST(max(x) AS BIGINT) AS mx,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY 1),
+    c AS (SELECT v.event_type,
+                 CAST(floor(CAST((v.x - st.mn) * 128 AS DOUBLE)
+                            / CAST(st.mx - st.mn + 1 AS DOUBLE)) AS BIGINT)
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS bn,
+                 CAST(SUM(v.x) AS BIGINT) AS bs
+          FROM v JOIN st ON st.event_type = v.event_type
+          GROUP BY 1, 2),
+    cc AS (SELECT event_type, bucket, bn, bs,
+                  CAST(SUM(bn) OVER (PARTITION BY event_type ORDER BY bucket)
+                       AS BIGINT) AS cum
+           FROM c),
+    t AS (SELECT st.event_type, st.n, q.q,
+                 CAST(floor(CAST(q.q * st.n + 99 AS DOUBLE) / 100.0) AS BIGINT)
+                   AS thr
+          FROM st CROSS JOIN (SELECT unnest([1, 25, 50, 75, 99]) AS q) q)
+    SELECT t.event_type, CAST(t.q AS BIGINT) AS q, t.n, t.thr,
+           CAST(arg_min(cc.bucket, cc.bucket) AS BIGINT) AS bucket,
+           CAST(arg_min(cc.bn, cc.bucket) AS BIGINT) AS centroid_n,
+           CAST(arg_min(cc.bs, cc.bucket) AS DOUBLE)
+             / CAST(arg_min(cc.bn, cc.bucket) AS DOUBLE) / 10000.0
+             AS est_value
+    FROM t JOIN cc ON cc.event_type = t.event_type AND cc.cum >= t.thr
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sketch_tdigest_quantiles(spark, sf_dir):
+    """Fixed-resolution mergeable quantile sketch (t-digest-style
+    centroids on a deterministic scale — Dunning & Ertl's centroid
+    idea with a FIXED 128-bin equi-width scale function so two engines
+    build bit-identical state): per series, centroids (bucket, n, Σx)
+    merge by plain addition; quantile q reads the first bucket whose
+    cumulative count crosses ⌈q·N⌉ and reports that centroid's mean.
+    State is ≤128 rows per group at every point — the 100 TB rollup
+    shape — and the cumulative window is PARTITIONED per series over
+    ≤128 buckets, never a global sort.  arg_min/min_by on the unique
+    bucket key picks the crossing centroid identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 10000).cast("long").alias("x")
+    )
+    st = v.groupBy("event_type").agg(
+        F.min("x").cast("long").alias("mn"),
+        F.max("x").cast("long").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    c = (
+        v.join(st, "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                ((F.col("x") - F.col("mn")) * 128).cast("double")
+                / (F.col("mx") - F.col("mn") + 1).cast("double")
+            )
+            .cast("long")
+            .alias("bucket"),
+            "x",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("bn"),
+            F.sum("x").cast("long").alias("bs"),
+        )
+    )
+    cc = c.select(
+        "event_type", "bucket", "bn", "bs",
+        F.sum("bn")
+        .over(Window.partitionBy("event_type").orderBy("bucket"))
+        .cast("long")
+        .alias("cum"),
+    )
+    t = st.select(
+        "event_type", "n",
+        F.explode(F.array(*[F.lit(q) for q in (1, 25, 50, 75, 99)])).alias("q"),
+    ).select(
+        "event_type", "n", "q",
+        F.floor((F.col("q") * F.col("n") + 99).cast("double") / 100.0)
+        .cast("long")
+        .alias("thr"),
+    )
+    j = t.join(
+        cc,
+        (cc.event_type == t.event_type) & (F.col("cum") >= F.col("thr")),
+    ).select(
+        t.event_type.alias("event_type"),
+        F.col("q").cast("long").alias("q"),
+        "n", "thr", "bucket", "bn", "bs",
+    )
+    return j.groupBy("event_type", "q", "n", "thr").agg(
+        F.min_by("bucket", "bucket").cast("long").alias("bucket"),
+        F.min_by("bn", "bucket").cast("long").alias("centroid_n"),
+        (
+            F.min_by("bs", "bucket").cast("double")
+            / F.min_by("bn", "bucket").cast("double")
+            / 10000.0
+        ).alias("est_value"),
+    )
+
+
+@register(
+    "o8_uniform_sample_audit",
+    """
+    WITH s AS (SELECT event_type FROM events
+               ORDER BY md5('samp:' || CAST(event_id AS VARCHAR)), event_id
+               LIMIT 500),
+    samp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample
+             FROM s GROUP BY 1),
+    pop AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pop
+            FROM events GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT pop.event_type, pop.n_pop,
+           CAST(coalesce(samp.n_sample, 0) AS BIGINT) AS n_sample,
+           CAST(500 * pop.n_pop AS DOUBLE) / CAST(tot.n AS DOUBLE) AS expected,
+           (CAST(coalesce(samp.n_sample, 0) AS DOUBLE)
+            - CAST(500 * pop.n_pop AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           / sqrt(CAST(500 * pop.n_pop AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             AS pearson_resid
+    FROM pop LEFT JOIN samp ON samp.event_type = pop.event_type
+    CROSS JOIN tot
+    """,
+)
+def o8_uniform_sample_audit(spark, sf_dir):
+    """Deterministic uniform-sample audit (the reservoir-sampling
+    replacement for a shared-nothing engine): rank rows by a salted
+    md5 of the row key and keep the first 500 — every executor
+    proposes its local top-500 and the driver merges (Spark's
+    TakeOrderedAndProject), which IS distributed reservoir sampling
+    with a deterministic priority instead of an RNG.  The audit
+    compares each stratum's sample share to its population share via
+    Pearson residuals (n_s − e)/√e — per-stratum output, no
+    cross-stratum float sum.  orderBy().limit(k) per the round-7
+    top-k rule: no global window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.md5(F.concat(F.lit("samp:"), F.col("event_id").cast("string")))
+    s = ev.select("event_type", key.alias("k"), "event_id").orderBy(
+        "k", "event_id"
+    ).limit(500)
+    samp = s.groupBy("event_type").agg(F.count("*").cast("long").alias("n_sample"))
+    pop = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_pop"))
+    tot = ev.agg(F.count("*").cast("long").alias("n"))
+    e = (F.col("n_pop") * 500).cast("double") / F.col("n").cast("double")
+    ns = F.coalesce(F.col("n_sample"), F.lit(0)).cast("long")
+    return (
+        pop.join(samp, "event_type", "left")
+        .crossJoin(tot)
+        .select(
+            "event_type", "n_pop",
+            ns.alias("n_sample"),
+            e.alias("expected"),
+            ((ns.cast("double") - e) / F.sqrt(e)).alias("pearson_resid"),
+        )
+    )
+
+
+@register(
+    "a_ols_two_feature",
+    """
+    WITH f AS (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS x1,
+             CAST(floor(c.c_acctbal) AS BIGINT) AS x2,
+             CAST(floor(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                             AS DOUBLE) / 100000.0) AS BIGINT) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x1) AS BIGINT) AS sx1,
+                 CAST(SUM(x2) AS BIGINT) AS sx2,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+                 CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+                 CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+                 CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM f),
+    a AS (SELECT n,
+                 CAST(n AS DOUBLE) * CAST(sx11 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) AS a11,
+                 CAST(n AS DOUBLE) * CAST(sx12 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a12,
+                 CAST(n AS DOUBLE) * CAST(sx22 AS DOUBLE)
+                   - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a22,
+                 CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1,
+                 CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE)
+                   - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syyc,
+                 CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+                 CAST(sy AS DOUBLE) AS syd
+          FROM m)
+    SELECT n,
+           (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) AS beta1,
+           (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS beta2,
+           (syd
+            - (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * sx1d
+            - (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * sx2d)
+           / CAST(n AS DOUBLE) AS beta0,
+           ((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * c1
+            + (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * c2) / syyc
+             AS r_squared
+    FROM a
+    """,
+)
+def a_ols_two_feature(spark, sf_dir):
+    """Two-feature OLS by the normal equations (spend_k$ ~ n_orders +
+    acctbal_$ per customer), solved in closed form with Cramer's rule
+    over centered cross-moments — the distributed linear-regression
+    kernel: ONE map-side-combining aggregate produces the ten exact
+    integer sufficient statistics (features floor-scaled so Σx² stays
+    in int64 at 100×), and every product that could overflow int64
+    (n·Σx², Σx·Σy) is computed in doubles — IEEE multiplication is
+    correctly rounded, so both engines agree bitwise.  β, R² are
+    fixed expression chains over those moments; output is one row
+    regardless of input size."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("x1"),
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100000.0
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "x1", "y", F.floor(F.col("c_acctbal")).cast("long").alias("x2")
+        )
+    )
+    m = f.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = nd * d("sx11") - d("sx1") * d("sx1")
+    a12 = nd * d("sx12") - d("sx1") * d("sx2")
+    a22 = nd * d("sx22") - d("sx2") * d("sx2")
+    c1 = nd * d("sx1y") - d("sx1") * d("sy")
+    c2 = nd * d("sx2y") - d("sx2") * d("sy")
+    syyc = nd * d("syy") - d("sy") * d("sy")
+    det = a11 * a22 - a12 * a12
+    b1 = (a22 * c1 - a12 * c2) / det
+    b2 = (a11 * c2 - a12 * c1) / det
+    return m.select(
+        "n",
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        ((d("sy") - b1 * d("sx1") - b2 * d("sx2")) / nd).alias("beta0"),
+        ((b1 * c1 + b2 * c2) / syyc).alias("r_squared"),
+    )
+
+
+def _hll_intersection_oracle(p: int = 8) -> str:
+    m = 1 << p
+    q = 50
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * float(m) * float(m) * float(2**q)
+    b = _sql_hex_int("h", p // 4)
+    shl = f"(CAST(1 AS BIGINT) << ({q} - r))"
+    zero = f"(CAST(1 AS BIGINT) << {q})"
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT source AS g, md5(sh) AS h FROM (
+        SELECT source, unnest({_SQL_SHINGLES}) AS sh
+        FROM (SELECT source, {_SQL_TOKS} AS tk FROM documents) t0) t),
+    tl AS (SELECT g, h, substr(h, {p // 4 + 1}, 12) AS tail FROM d),
+    rho AS (
+      SELECT g, {b} AS b,
+             4 * length(regexp_extract(tail, '^0*')) +
+             CASE substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               ELSE 0 END + 1 AS rho
+      FROM tl),
+    regs AS (SELECT g, b, max(rho) AS r FROM rho GROUP BY 1, 2),
+    pg AS (SELECT g, count(*) AS nb, CAST(SUM({shl}) AS BIGINT) AS s_obs
+           FROM regs GROUP BY 1),
+    eg AS (SELECT g, {num!r} / CAST(s_obs + ({m} - nb) * {zero} AS DOUBLE)
+                    AS est FROM pg),
+    ps AS (SELECT a.g AS s1, c.g AS s2
+           FROM (SELECT DISTINCT g FROM regs) a
+           JOIN (SELECT DISTINCT g FROM regs) c ON a.g < c.g),
+    u AS (SELECT p.s1, p.s2, r.b, max(r.r) AS r
+          FROM ps p JOIN regs r ON r.g = p.s1 OR r.g = p.s2
+          GROUP BY 1, 2, 3),
+    pu AS (SELECT s1, s2, count(*) AS nb,
+                  CAST(SUM({shl}) AS BIGINT) AS s_obs
+           FROM u GROUP BY 1, 2),
+    eu AS (SELECT s1, s2,
+                  {num!r} / CAST(s_obs + ({m} - nb) * {zero} AS DOUBLE) AS est_u
+           FROM pu),
+    ex AS (SELECT x.g AS s1, y.g AS s2, CAST(count(*) AS BIGINT) AS n_exact
+           FROM d x JOIN d y ON y.h = x.h AND x.g < y.g GROUP BY 1, 2)
+    SELECT eu.s1, eu.s2,
+           e1.est AS n_est_a, e2.est AS n_est_b, eu.est_u AS n_est_union,
+           e1.est + e2.est - eu.est_u AS n_est_inter,
+           CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact_inter
+    FROM eu JOIN eg e1 ON e1.g = eu.s1 JOIN eg e2 ON e2.g = eu.s2
+    LEFT JOIN ex ON ex.s1 = eu.s1 AND ex.s2 = eu.s2
+    """
+
+
+@register("sketch_hll_intersection", _hll_intersection_oracle())
+def sketch_hll_intersection(spark, sf_dir):
+    """Pairwise source-overlap cardinalities from HLL sketches via
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    UNION sketch is just max(register) over the two register sets —
+    the only set operation HLL supports natively, which is exactly why
+    intersections go through I–E (Flajolet et al., AofA 2007).  The
+    register fan-out join is bounded by |sources|²·2^p rows no matter
+    the corpus size; the exact intersection (distinct-hash self-join)
+    rides along as the audit column.  Negative I–E estimates on
+    near-disjoint pairs are the sketch's documented noise floor, not a
+    bug — emitted as-is so the recall/error tradeoff is visible."""
+    from dicomdb_spark.functions import sketches
+
+    p, m, q = 8, 256, 50
+    num = (0.7213 / (1.0 + 1.079 / m)) * float(m) * float(m) * float(2**q)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select("source", F.explode(text.shingles("text", 3)).alias("sh"))
+    regs = sketches.hll_registers(sh, "source", "sh", p=p)
+    eg = sketches.hll_estimate_from_registers(regs, "source", p=p).select(
+        "source", F.col("n_est").alias("est")
+    )
+    srcs = regs.select("source").distinct()
+    ps = (
+        srcs.alias("a")
+        .join(srcs.alias("c"), F.col("a.source") < F.col("c.source"))
+        .select(F.col("a.source").alias("s1"), F.col("c.source").alias("s2"))
+    )
+    u = (
+        regs.join(ps, regs.source == ps.s1)
+        .select("s1", "s2", "b", "r")
+        .unionAll(
+            regs.join(ps, regs.source == ps.s2).select("s1", "s2", "b", "r")
+        )
+        .groupBy("s1", "s2", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    pu = u.groupBy("s1", "s2").agg(
+        F.count("*").alias("nb"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({q} - r AS INT))")
+        ).alias("s_obs"),
+    )
+    eu = pu.select(
+        "s1", "s2",
+        (
+            F.lit(num)
+            / (
+                F.col("s_obs")
+                + (F.lit(m) - F.col("nb")) * F.lit(2**q).cast("long")
+            ).cast("double")
+        ).alias("est_u"),
+    )
+    dh = (
+        docs.select(
+            F.col("source").alias("g"),
+            F.explode(text.shingles("text", 3)).alias("sh"),
+        )
+        .select("g", F.md5("sh").alias("h"))
+        .distinct()
+    )
+    ex = (
+        dh.alias("x")
+        .join(
+            dh.alias("y"),
+            (F.col("y.h") == F.col("x.h")) & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(F.col("x.g").alias("s1"), F.col("y.g").alias("s2"))
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    e1 = eg.select(F.col("source").alias("s1"), F.col("est").alias("n_est_a"))
+    e2 = eg.select(F.col("source").alias("s2"), F.col("est").alias("n_est_b"))
+    return (
+        eu.join(e1, "s1")
+        .join(e2, "s2")
+        .join(ex, ["s1", "s2"], "left")
+        .select(
+            "s1", "s2", "n_est_a", "n_est_b",
+            F.col("est_u").alias("n_est_union"),
+            (F.col("n_est_a") + F.col("n_est_b") - F.col("est_u")).alias(
+                "n_est_inter"
+            ),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact_inter"),
+        )
+    )
+
+
+def _ktruss_peel_oracle(rounds: int = 3) -> str:
+    ctes = []
+    for i in range(1, rounds + 1):
+        prev = "e0" if i == 1 else f"e{i - 1}r"
+        ctes.append(
+            f"""t{i} AS (
+      SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+      FROM {prev} e1
+      JOIN {prev} e2 ON e2.id1 = e1.id2
+      JOIN {prev} e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+    s{i} AS (
+      SELECT id1, id2, count(*) AS sup FROM (
+        SELECT a AS id1, b AS id2 FROM t{i}
+        UNION ALL SELECT b, c FROM t{i}
+        UNION ALL SELECT a, c FROM t{i}) t
+      GROUP BY 1, 2),
+    e{i}r AS MATERIALIZED (SELECT e.id1, e.id2 FROM {prev} e
+              JOIN s{i} s ON s.id1 = e.id1 AND s.id2 = e.id2
+              WHERE s.sup >= 1)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_edges "
+        f"FROM {'e0' if i == 0 else f'e{i}r'}"
+        for i in range(rounds + 1)
+    )
+    return f"""
+    {_minhash_pairs_cte()},
+    e0 AS MATERIALIZED (SELECT id1, id2 FROM pairs),
+    {','.join(ctes)}
+    {unions}
+    """
+
+
+@register("graph_ktruss_peel", _ktruss_peel_oracle())
+def graph_ktruss_peel(spark, sf_dir):
+    """Iterative 3-truss peeling over the near-dup candidate graph
+    (Cohen, 2008): each round recomputes per-edge triangle support on
+    the CURRENT edge set and deletes edges in zero triangles, because
+    deleting an edge can orphan its neighbors' triangles — the fixed
+    point is the maximal subgraph where every edge closes a triangle.
+    Three bounded rounds (the driver-replayable unrolling; production
+    loops to fixpoint), each round one oriented triangle enumeration
+    + one aggregate + one semi-join — O(rounds) Spark jobs with the
+    edge set persisted between rounds, never any all-pairs work.
+    Output: surviving-edge count per peel round — the convergence
+    curve."""
+    # localCheckpoint truncates lineage: each peel round references the
+    # PREVIOUS round 9× (3 aliases × 3 credit unions), so carrying the
+    # full minhash plan through 3 rounds would grow the logical plan
+    # ~9³× and OOM the driver at plan-rewrite time — the iterative-
+    # algorithm twin of the label-propagation persist in llm/dedup.
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).localCheckpoint(eager=True)
+    counts = [
+        pairs.agg(F.count("*").cast("long").alias("n_edges")).select(
+            F.lit(0).cast("long").alias("round"), "n_edges"
+        )
+    ]
+    edges = pairs
+    for i in range(1, 4):
+        e1 = edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        e2 = edges.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+        e3 = edges.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+        sup = (
+            tri.select(F.col("a").alias("id1"), F.col("b").alias("id2"))
+            .unionAll(tri.select(F.col("b").alias("id1"), F.col("c").alias("id2")))
+            .unionAll(tri.select(F.col("a").alias("id1"), F.col("c").alias("id2")))
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("sup"))
+        )
+        edges = (
+            edges.join(sup, ["id1", "id2"])
+            .filter(F.col("sup") >= 1)
+            .select("id1", "id2")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(
+            edges.agg(F.count("*").cast("long").alias("n_edges")).select(
+                F.lit(i).cast("long").alias("round"), "n_edges"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@register(
+    "w_paa_sax",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day,
+                 CAST(floor(CAST(p AS DOUBLE) / 1000.0) AS BIGINT) AS pk,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS rn
+          FROM bars),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(pk) AS BIGINT) AS sp,
+                  CAST(SUM(pk * pk) AS BIGINT) AS spp
+           FROM r GROUP BY 1),
+    paa AS (SELECT event_type,
+                   CAST(floor(CAST(rn - 1 AS DOUBLE) / 4.0) AS BIGINT) AS seg,
+                   CAST(count(*) AS BIGINT) AS n_bars,
+                   CAST(SUM(pk) AS BIGINT) AS s
+            FROM r GROUP BY 1, 2),
+    z AS (SELECT paa.event_type, paa.seg, paa.n_bars,
+                 CAST(paa.s AS DOUBLE) / CAST(paa.n_bars AS DOUBLE) AS paa_mean,
+                 (CAST(paa.s AS DOUBLE) / CAST(paa.n_bars AS DOUBLE)
+                  - CAST(st.sp AS DOUBLE) / CAST(st.n AS DOUBLE))
+                 / (sqrt(CAST(st.n AS DOUBLE) * CAST(st.spp AS DOUBLE)
+                         - CAST(st.sp AS DOUBLE) * CAST(st.sp AS DOUBLE))
+                    / CAST(st.n AS DOUBLE)) AS z
+          FROM paa JOIN st ON st.event_type = paa.event_type)
+    SELECT event_type, seg, n_bars, paa_mean, z,
+           CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sax_symbol
+    FROM z
+    """,
+)
+def w_paa_sax(spark, sf_dir):
+    """Piecewise Aggregate Approximation + SAX symbolization of each
+    event-type price series (Lin, Keogh, Lonardi & Chiu, DMKD 2003):
+    4-bar segment means, z-scored against the series' own moments,
+    mapped to a 4-symbol Gaussian-breakpoint alphabet (±0.6745 = the
+    quartiles of N(0,1)) — the classic time-series indexing transform.
+    Segment sums and the series moments are exact integers (prices
+    pre-scaled to fit Σx² in int64 at 100×); the z-score is a single
+    shared expression chain so both engines take identical CASE
+    branches.  Everything is partitioned per series — segments via
+    partitioned row_number, no global sort."""
+    bars = _bars(spark, sf_dir)
+    r = bars.select(
+        "event_type",
+        F.floor(F.col("p").cast("double") / 1000.0).cast("long").alias("pk"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("rn"),
+    )
+    st = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pk").cast("long").alias("sp"),
+        F.sum(F.col("pk") * F.col("pk")).cast("long").alias("spp"),
+    )
+    paa = (
+        r.select(
+            "event_type",
+            F.floor((F.col("rn") - 1).cast("double") / 4.0)
+            .cast("long")
+            .alias("seg"),
+            "pk",
+        )
+        .groupBy("event_type", "seg")
+        .agg(
+            F.count("*").cast("long").alias("n_bars"),
+            F.sum("pk").cast("long").alias("s"),
+        )
+    )
+    pm = F.col("s").cast("double") / F.col("n_bars").cast("double")
+    mean = F.col("sp").cast("double") / F.col("n").cast("double")
+    std = (
+        F.sqrt(
+            F.col("n").cast("double") * F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp").cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+    z = (pm - mean) / std
+    return paa.join(st, "event_type").select(
+        "event_type", "seg", "n_bars",
+        pm.alias("paa_mean"),
+        z.alias("z"),
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+        .alias("sax_symbol"),
+    )
+
+
+@register(
+    "a_interarrival_mixture_mom",
+    """
+    WITH g AS (SELECT event_type,
+                      CAST(epoch_us(ts) AS BIGINT)
+                      - lag(CAST(epoch_us(ts) AS BIGINT))
+                        OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                        AS gap_us
+               FROM events),
+    gs AS (SELECT event_type,
+                  CAST(floor(CAST(gap_us AS DOUBLE) / 1000000.0) AS BIGINT) AS g
+           FROM g WHERE gap_us IS NOT NULL),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS BIGINT) AS s1,
+                 CAST(SUM(g * g) AS BIGINT) AS s2,
+                 CAST(SUM(g * g * g) AS BIGINT) AS s3
+          FROM gs GROUP BY 1),
+    u AS (SELECT event_type, n_gaps,
+                 CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS u1,
+                 CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 2.0 AS u2,
+                 CAST(s3 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 6.0 AS u3
+          FROM m),
+    ab AS (SELECT event_type, n_gaps, u1,
+                  u2 - u1 * u1 AS den,
+                  (u3 - u1 * u2) / (u2 - u1 * u1) AS a,
+                  (u1 * u3 - u2 * u2) / (u2 - u1 * u1) AS b
+           FROM u)
+    SELECT event_type, n_gaps, u1 AS mean_gap_s,
+           CASE WHEN den > 0.0 AND a * a - 4.0 * b > 0.0
+                THEN (a + sqrt(a * a - 4.0 * b)) / 2.0 END AS tau1_s,
+           CASE WHEN den > 0.0 AND a * a - 4.0 * b > 0.0
+                THEN (a - sqrt(a * a - 4.0 * b)) / 2.0 END AS tau2_s,
+           CASE WHEN den > 0.0 AND a * a - 4.0 * b > 0.0
+                THEN (u1 - (a - sqrt(a * a - 4.0 * b)) / 2.0)
+                     / ((a + sqrt(a * a - 4.0 * b)) / 2.0
+                        - (a - sqrt(a * a - 4.0 * b)) / 2.0) END AS p_slow
+    FROM ab
+    """,
+)
+def a_interarrival_mixture_mom(spark, sf_dir):
+    """Two-component hyperexponential (H₂) fit of each stream's
+    inter-arrival distribution by the method of moments: the mean
+    sojourns τ₁, τ₂ are the roots of t² − at + b with a, b closed
+    forms in the first three moments, and the mixing weight follows
+    from m₁ (Whitt, 1982 — the standard bursty-traffic model queueing
+    capacity planning uses when CV > 1).  Gaps floor to whole seconds
+    so Σg³ stays int64 at 100×; the three moments come from ONE
+    map-side-combining aggregate, and the root extraction is a fixed
+    per-group expression chain guarded by den>0 ∧ disc>0 (NULL
+    otherwise) — both engines take identical branches.  Output is one
+    row per stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (
+        ev.select("event_type", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("gap_us").cast("double") / 1000000.0)
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+        F.sum(F.col("g") * F.col("g") * F.col("g")).cast("long").alias("s3"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    u1 = F.col("s1").cast("double") / nd
+    u2 = F.col("s2").cast("double") / nd / 2.0
+    u3 = F.col("s3").cast("double") / nd / 6.0
+    den = u2 - u1 * u1
+    a = (u3 - u1 * u2) / (u2 - u1 * u1)
+    b = (u1 * u3 - u2 * u2) / (u2 - u1 * u1)
+    disc = a * a - 4.0 * b
+    ok = (den > 0.0) & (disc > 0.0)
+    t1 = (a + F.sqrt(disc)) / 2.0
+    t2 = (a - F.sqrt(disc)) / 2.0
+    return m.select(
+        "event_type", "n_gaps",
+        u1.alias("mean_gap_s"),
+        F.when(ok, t1).alias("tau1_s"),
+        F.when(ok, t2).alias("tau2_s"),
+        F.when(ok, (u1 - t2) / (t1 - t2)).alias("p_slow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation batch B: classical statistics kernels.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_anova_oneway",
+    """
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS x
+               FROM events),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS s_g
+          FROM v GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS ss
+            FROM v),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                     / CAST(n_g AS DOUBLE) * 10000.0)
+                               AS BIGINT)) AS BIGINT) AS gsq
+          FROM g)
+    SELECT b.k, tot.n,
+           CAST(b.gsq AS DOUBLE) / 10000.0
+             - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) AS ss_between,
+           CAST(tot.ss AS DOUBLE) - CAST(b.gsq AS DOUBLE) / 10000.0 AS ss_within,
+           ((CAST(b.gsq AS DOUBLE) / 10000.0
+             - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+               / CAST(tot.n AS DOUBLE)) / CAST(b.k - 1 AS DOUBLE))
+           / ((CAST(tot.ss AS DOUBLE) - CAST(b.gsq AS DOUBLE) / 10000.0)
+              / CAST(tot.n - b.k AS DOUBLE)) AS f_stat
+    FROM b CROSS JOIN tot
+    """,
+)
+def a_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F across event-type groups on 1e2-scaled values:
+    SSB = Σ_g s_g²/n_g − S²/N, SSW = ΣΣx² − Σ_g s_g²/n_g, F =
+    (SSB/(k−1))/(SSW/(N−k)).  Per-group sums are exact integers; the
+    only cross-group float reduction (Σ_g s_g²/n_g) is floor-scaled to
+    int64 per group before summing — the dsum discipline applied to a
+    DERIVED double, so the reduction is order-independent and both
+    engines agree bitwise.  Two hash aggregates + a 1-row cross join;
+    the group table is |types| rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("x")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+    )
+    tot = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    term = (
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+        * 10000.0
+    )
+    b = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.floor(term).cast("long")).cast("long").alias("gsq"),
+    )
+    gsqd = F.col("gsq").cast("double") / 10000.0
+    corr = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = gsqd - corr
+    ssw = F.col("ss").cast("double") - gsqd
+    return b.crossJoin(tot).select(
+        "k", "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "a_cramers_v",
+    """
+    WITH c AS (SELECT event_type AS rk, CAST(dayofweek(ts) AS BIGINT) AS ck,
+                      CAST(count(*) AS BIGINT) AS o
+               FROM events GROUP BY 1, 2),
+    rm AS (SELECT rk, CAST(SUM(o) AS BIGINT) AS nr FROM c GROUP BY 1),
+    cm AS (SELECT ck, CAST(SUM(o) AS BIGINT) AS nc FROM c GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+    cell AS (SELECT c.rk, c.ck, c.o,
+                    CAST(rm.nr AS DOUBLE) * CAST(cm.nc AS DOUBLE)
+                      / CAST(n.n AS DOUBLE) AS e
+             FROM c JOIN rm ON rm.rk = c.rk JOIN cm ON cm.ck = c.ck
+             CROSS JOIN n),
+    chi AS (SELECT CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - e)
+                                       * (CAST(o AS DOUBLE) - e) / e
+                                       * 1000000.0) AS BIGINT)) AS BIGINT)
+                     AS chi_s,
+                   CAST(count(DISTINCT rk) AS BIGINT) AS r,
+                   CAST(count(DISTINCT ck) AS BIGINT) AS c
+            FROM cell)
+    SELECT chi.r, chi.c, n.n,
+           CAST(chi.chi_s AS DOUBLE) / 1000000.0 AS chi2,
+           sqrt(CAST(chi.chi_s AS DOUBLE) / 1000000.0
+                / (CAST(n.n AS DOUBLE)
+                   * CAST(least(chi.r - 1, chi.c - 1) AS DOUBLE)))
+             AS cramers_v
+    FROM chi CROSS JOIN n
+    """,
+)
+def a_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the event-type × day-of-week
+    contingency table: V = √(χ²/(N·min(r−1,c−1))) — the normalized
+    association measure a raw χ² (a_chi_square) can't give because χ²
+    grows with N.  Per-cell (O−E)²/E terms are floor-scaled to int64
+    before the cross-cell reduction (order-independent, engine-exact);
+    the contingency table is |types|·7 rows at any scale, so
+    everything after the first aggregate is driver-trivial."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("rk"),
+        F.dayofweek("ts").cast("long").alias("ck"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rm = c.groupBy("rk").agg(F.sum("o").cast("long").alias("nr"))
+    cm = c.groupBy("ck").agg(F.sum("o").cast("long").alias("nc"))
+    n = c.agg(F.sum("o").cast("long").alias("n"))
+    e = (
+        F.col("nr").cast("double")
+        * F.col("nc").cast("double")
+        / F.col("n").cast("double")
+    )
+    cell = c.join(rm, "rk").join(cm, "ck").crossJoin(n).select(
+        "rk", "ck", "o", e.alias("e")
+    )
+    od = F.col("o").cast("double")
+    chi = cell.agg(
+        F.sum(F.floor((od - F.col("e")) * (od - F.col("e")) / F.col("e") * 1000000.0).cast("long"))
+        .cast("long")
+        .alias("chi_s"),
+        F.countDistinct("rk").cast("long").alias("r"),
+        F.countDistinct("ck").cast("long").alias("c"),
+    )
+    chid = F.col("chi_s").cast("double") / 1000000.0
+    return chi.crossJoin(n).select(
+        "r", "c", "n",
+        chid.alias("chi2"),
+        F.sqrt(
+            chid
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "a_theil_sen_daily",
+    """
+    WITH d AS (SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+               FROM orders GROUP BY 1, 2),
+    p AS (SELECT a.grp,
+                 CAST(b.rev - a.rev AS DOUBLE)
+                   / CAST(datediff('day', a.day, b.day) AS DOUBLE) / 100.0
+                   AS slope,
+                 a.day AS d1, b.day AS d2
+          FROM d a JOIN d b ON b.grp = a.grp AND b.day > a.day),
+    r AS (SELECT grp, slope,
+                 CAST(row_number() OVER (PARTITION BY grp
+                                         ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+          FROM p)
+    SELECT grp, m AS n_pairs, slope AS ts_slope_per_day
+    FROM r WHERE rn = (m + 1) // 2
+    """,
+)
+def a_theil_sen_daily(spark, sf_dir):
+    """Theil–Sen robust trend of daily revenue per priority class: the
+    (lower) median of all pairwise slopes (Sen, JASA 1968) — immune to
+    outlier days where OLS is not.  The pairwise self-join is over the
+    DAY GRAIN (calendar-bounded: 10 years ≈ 3.7k rows/group → ≤7M
+    slope pairs per group at ANY data scale, since the fact table was
+    pre-aggregated); the median pick is a partitioned rank with a
+    unique (slope, d1, d2) tiebreak.  Slopes are one division of exact
+    integers, identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    a, b2 = d.alias("a"), d.alias("b")
+    p = a.join(
+        b2,
+        (F.col("b.grp") == F.col("a.grp")) & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.grp").alias("grp"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+            / 100.0
+        ).alias("slope"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    wp = Window.partitionBy("grp")
+    r = p.select(
+        "grp", "slope",
+        F.row_number().over(wp.orderBy("slope", "d1", "d2")).cast("long").alias("rn"),
+        F.count("*").over(wp).cast("long").alias("m"),
+    )
+    return r.filter(
+        F.col("rn") == F.floor((F.col("m") + 1).cast("double") / 2.0).cast("long")
+    ).select("grp", F.col("m").alias("n_pairs"), F.col("slope").alias("ts_slope_per_day"))
+
+
+@register(
+    "a_hodges_lehmann",
+    """
+    WITH d AS (SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+               FROM orders GROUP BY 1, 2),
+    w AS (SELECT a.grp, CAST(a.rev + b.rev AS BIGINT) AS s2,
+                 a.day AS d1, b.day AS d2
+          FROM d a JOIN d b ON b.grp = a.grp AND b.day >= a.day),
+    r AS (SELECT grp, s2,
+                 CAST(row_number() OVER (PARTITION BY grp
+                                         ORDER BY s2, d1, d2) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+          FROM w)
+    SELECT grp, m AS n_walsh,
+           CAST(s2 AS DOUBLE) / 2.0 / 100.0 AS hl_location
+    FROM r WHERE rn = (m + 1) // 2
+    """,
+)
+def a_hodges_lehmann(spark, sf_dir):
+    """Hodges–Lehmann location estimator per priority class: the
+    (lower) median of the Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the
+    rank-based center the Wilcoxon test inverts to, robust where the
+    mean is not.  Walsh sums stay exact integers until one final
+    /2/100 rescale; pairs are over the calendar-bounded day grain and
+    the median pick is a partitioned unique-tiebreak rank, same scale
+    shape as a_theil_sen_daily."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    a, b2 = d.alias("a"), d.alias("b")
+    w = a.join(
+        b2,
+        (F.col("b.grp") == F.col("a.grp")) & (F.col("b.day") >= F.col("a.day")),
+    ).select(
+        F.col("a.grp").alias("grp"),
+        (F.col("a.rev") + F.col("b.rev")).cast("long").alias("s2"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    wp = Window.partitionBy("grp")
+    r = w.select(
+        "grp", "s2",
+        F.row_number().over(wp.orderBy("s2", "d1", "d2")).cast("long").alias("rn"),
+        F.count("*").over(wp).cast("long").alias("m"),
+    )
+    return r.filter(
+        F.col("rn") == F.floor((F.col("m") + 1).cast("double") / 2.0).cast("long")
+    ).select(
+        "grp",
+        F.col("m").alias("n_walsh"),
+        (F.col("s2").cast("double") / 2.0 / 100.0).alias("hl_location"),
+    )
+
+
+@register(
+    "a_capture_recapture",
+    """
+    WITH w1 AS (SELECT DISTINCT event_type, user_id FROM events
+                WHERE CAST(ts AS DATE) < DATE '2024-01-08'),
+    w2 AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             AND CAST(ts AS DATE) < DATE '2024-01-15'),
+    n1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n1 FROM w1 GROUP BY 1),
+    n2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n2 FROM w2 GROUP BY 1),
+    m AS (SELECT w1.event_type, CAST(count(*) AS BIGINT) AS m
+          FROM w1 JOIN w2 ON w2.event_type = w1.event_type
+                         AND w2.user_id = w1.user_id
+          GROUP BY 1),
+    tru AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+            FROM events GROUP BY 1)
+    SELECT n1.event_type, n1.n1, n2.n2,
+           CAST(coalesce(m.m, 0) AS BIGINT) AS n_both,
+           CAST((n1.n1 + 1) * (n2.n2 + 1) AS DOUBLE)
+             / CAST(coalesce(m.m, 0) + 1 AS DOUBLE) - 1.0 AS chapman_est,
+           tru.n_true
+    FROM n1 JOIN n2 ON n2.event_type = n1.event_type
+    LEFT JOIN m ON m.event_type = n1.event_type
+    JOIN tru ON tru.event_type = n1.event_type
+    """,
+)
+def a_capture_recapture(spark, sf_dir):
+    """Capture–recapture population estimate per stream: users seen in
+    week 1 are the 'marked' sample, week 2 the recapture; Chapman's
+    bias-corrected Lincoln–Petersen (n₁+1)(n₂+1)/(m+1) − 1 estimates
+    the true active population, emitted next to the exact distinct
+    count for the audit.  Three distinct-aggregates and one semi-join
+    on (type, user) — every intermediate is user-grain or smaller, and
+    the estimator is one division."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w1 = ev.filter(day < F.lit("2024-01-08").cast("date")).select(
+        "event_type", "user_id"
+    ).distinct()
+    w2 = ev.filter(
+        (day >= F.lit("2024-01-08").cast("date"))
+        & (day < F.lit("2024-01-15").cast("date"))
+    ).select("event_type", "user_id").distinct()
+    n1 = w1.groupBy("event_type").agg(F.count("*").cast("long").alias("n1"))
+    n2 = w2.groupBy("event_type").agg(F.count("*").cast("long").alias("n2"))
+    m = (
+        w1.join(w2, ["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    tru = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_true")
+    )
+    mm = F.coalesce(F.col("m"), F.lit(0)).cast("long")
+    return (
+        n1.join(n2, "event_type")
+        .join(m, "event_type", "left")
+        .join(tru, "event_type")
+        .select(
+            "event_type", "n1", "n2",
+            mm.alias("n_both"),
+            (
+                ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+                / (mm + 1).cast("double")
+                - 1.0
+            ).alias("chapman_est"),
+            "n_true",
+        )
+    )
+
+
+@register(
+    "a_spc_control_chart",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS x
+               FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s,
+                  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                      / 10000.0) AS BIGINT)) AS BIGINT) AS ssk
+           FROM d GROUP BY 1),
+    z AS (SELECT d.event_type, d.day,
+                 (CAST(d.x AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                 / (sqrt(CAST(st.n AS DOUBLE) * (CAST(st.ssk AS DOUBLE) * 10000.0)
+                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                    / CAST(st.n AS DOUBLE)) AS z
+          FROM d JOIN st ON st.event_type = d.event_type),
+    f AS (SELECT event_type, day, z,
+                 CASE WHEN z > 3.0 OR z < -3.0 THEN 1 ELSE 0 END AS rule1,
+                 CASE WHEN
+                   (CASE WHEN z > 2.0 THEN 1 ELSE 0 END
+                    + CASE WHEN lag(z, 1) OVER w > 2.0 THEN 1 ELSE 0 END
+                    + CASE WHEN lag(z, 2) OVER w > 2.0 THEN 1 ELSE 0 END) >= 2
+                   OR
+                   (CASE WHEN z < -2.0 THEN 1 ELSE 0 END
+                    + CASE WHEN lag(z, 1) OVER w < -2.0 THEN 1 ELSE 0 END
+                    + CASE WHEN lag(z, 2) OVER w < -2.0 THEN 1 ELSE 0 END) >= 2
+                 THEN 1 ELSE 0 END AS rule2
+          FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, z,
+           CAST(rule1 AS BIGINT) AS rule1, CAST(rule2 AS BIGINT) AS rule2
+    FROM f
+    """,
+)
+def a_spc_control_chart(spark, sf_dir):
+    """Statistical-process-control chart over each stream's daily
+    total: Western Electric rule 1 (|z| > 3σ) and rule 2 (2-of-3
+    consecutive points beyond 2σ on the same side) against the
+    series' own centerline and sigma (Western Electric handbook,
+    1956).  The daily x² moment is floor-rescaled per row so the
+    series variance comes from exact integers at any scale; z is one
+    shared expression chain and the 2-of-3 scan is two partitioned
+    lags — day-grain everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    xd = F.col("x").cast("double")
+    st = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.floor(xd * xd / 10000.0).cast("long")).cast("long").alias("ssk"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    std = (
+        F.sqrt(
+            nd * (F.col("ssk").cast("double") * 10000.0)
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / nd
+    )
+    z = d.join(st, "event_type").select(
+        "event_type", "day", ((xd - mean) / std).alias("z")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    hi = lambda c: F.when(c > 2.0, 1).otherwise(0)  # noqa: E731
+    lo = lambda c: F.when(c < -2.0, 1).otherwise(0)  # noqa: E731
+    zc = F.col("z")
+    rule1 = F.when((zc > 3.0) | (zc < -3.0), 1).otherwise(0)
+    rule2 = F.when(
+        (
+            hi(zc) + hi(F.lag("z", 1).over(w)) + hi(F.lag("z", 2).over(w)) >= 2
+        )
+        | (lo(zc) + lo(F.lag("z", 1).over(w)) + lo(F.lag("z", 2).over(w)) >= 2),
+        1,
+    ).otherwise(0)
+    return z.select(
+        "event_type", "day", "z",
+        rule1.cast("long").alias("rule1"),
+        rule2.cast("long").alias("rule2"),
+    )
+
+
+@register(
+    "a_mcnemar_test",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    us AS (SELECT DISTINCT user_id FROM events),
+    p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          WHERE event_type = 'purchase'),
+    grid AS (SELECT us.user_id, days.day,
+                    CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS pur
+             FROM us CROSS JOIN days
+             LEFT JOIN p ON p.user_id = us.user_id AND p.day = days.day),
+    pair AS (SELECT user_id, pur,
+                    lead(pur) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+             FROM grid),
+    ct AS (SELECT
+             CAST(SUM(CASE WHEN pur = 1 AND nxt = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN pur = 1 AND nxt = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN pur = 0 AND nxt = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN pur = 0 AND nxt = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+           FROM pair WHERE nxt IS NOT NULL)
+    SELECT a, b, c, d,
+           CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+             AS mcnemar_chi2
+    FROM ct WHERE b + c > 0
+    """,
+)
+def a_mcnemar_test(spark, sf_dir):
+    """McNemar's paired-proportion test on day-over-day purchase
+    behavior: each (user, day→day+1) is a matched pair, χ² =
+    (b−c)²/(b+c) over the discordant cells (McNemar, Psychometrika
+    1947) — the right test when the SAME subjects are measured twice,
+    where a two-sample z would overstate confidence.  The user×day
+    presence grid is user-grain × the bounded calendar (a 30-row
+    cross join is an explode, not a blow-up), the pairing is one
+    partitioned lead, and the statistic is one exact-integer
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    days = ev.select(day.alias("day")).distinct()
+    us = ev.select("user_id").distinct()
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"))
+        .distinct()
+        .withColumn("pur1", F.lit(1))
+    )
+    grid = (
+        us.crossJoin(days)
+        .join(p, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.coalesce("pur1", F.lit(0)).alias("pur"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pair = grid.select(
+        "user_id", "pur", F.lead("pur").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cell = lambda p1, p2, alias: F.sum(  # noqa: E731
+        F.when((F.col("pur") == p1) & (F.col("nxt") == p2), 1).otherwise(0)
+    ).cast("long").alias(alias)
+    ct = pair.agg(
+        cell(1, 1, "a"), cell(1, 0, "b"), cell(0, 1, "c"), cell(0, 0, "d")
+    )
+    return ct.filter(F.col("b") + F.col("c") > 0).select(
+        "a", "b", "c", "d",
+        (
+            ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast("double")
+            / (F.col("b") + F.col("c")).cast("double")
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it
