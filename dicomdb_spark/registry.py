@@ -20974,6 +20974,1275 @@ def a_mcnemar_test(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch C: technical-analysis windows over the
+# shared per-(event_type, day) bars.  "Close" proxy = floor(p / vol)
+# (the day's mean value, floored to an exact 1e2-scaled integer) —
+# floor of a correctly-rounded IEEE division is bit-identical on both
+# engines, so downstream arithmetic stays integer-exact.
+# ---------------------------------------------------------------------------
+
+_SQL_CL = "CAST(floor(CAST(p AS DOUBLE) / CAST(vol AS DOUBLE)) AS BIGINT)"
+
+
+def _cl_col():
+    return F.floor(F.col("p").cast("double") / F.col("vol").cast("double")).cast(
+        "long"
+    )
+
+
+@register(
+    "w_williams_r",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day, {_SQL_CL} AS cl,
+                 CAST(max(hi) OVER w AS BIGINT) AS hh,
+                 CAST(min(lo) OVER w AS BIGINT) AS ll,
+                 CAST(count(*) OVER w AS BIGINT) AS nw
+          FROM bars
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, cl, hh, ll,
+           CAST((hh - cl) * (-100) AS DOUBLE) / CAST(hh - ll AS DOUBLE)
+             AS williams_r
+    FROM r WHERE nw = 14 AND hh > ll
+    """,
+)
+def w_williams_r(spark, sf_dir):
+    """Williams %R (14-day) per series: where the day's close sits in
+    the rolling INTRADAY high/low envelope, scaled to [−100, 0]
+    (Williams, 1973) — the overbought/oversold gauge that, unlike
+    w_stochastic_k's daily-total range, uses the true intraday
+    extremes.  Rolling max(hi)/min(lo) windows partitioned by series;
+    %R is one exact-integer division."""
+    bars = _bars(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    r = bars.select(
+        "event_type", "day", _cl_col().alias("cl"),
+        F.max("hi").over(w14).cast("long").alias("hh"),
+        F.min("lo").over(w14).cast("long").alias("ll"),
+        F.count("*").over(w14).cast("long").alias("nw"),
+    )
+    return r.filter((F.col("nw") == 14) & (F.col("hh") > F.col("ll"))).select(
+        "event_type", "day", "cl", "hh", "ll",
+        (
+            ((F.col("hh") - F.col("cl")) * F.lit(-100)).cast("double")
+            / (F.col("hh") - F.col("ll")).cast("double")
+        ).alias("williams_r"),
+    )
+
+
+@register(
+    "w_mfi_money_flow",
+    f"""
+    WITH {_SQL_BARS},
+    t AS (SELECT event_type, day, vol,
+                 hi + lo + {_SQL_CL} AS tp3
+          FROM bars),
+    s AS (SELECT event_type, day,
+                 tp3 * vol AS mf,
+                 tp3 - lag(tp3) OVER (PARTITION BY event_type ORDER BY day)
+                   AS ch
+          FROM t),
+    w AS (SELECT event_type, day,
+                 CAST(SUM(CASE WHEN ch > 0 THEN mf ELSE 0 END) OVER w
+                      AS BIGINT) AS pos_mf,
+                 CAST(SUM(CASE WHEN ch < 0 THEN mf ELSE 0 END) OVER w
+                      AS BIGINT) AS neg_mf,
+                 CAST(count(ch) OVER w AS BIGINT) AS nch
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, pos_mf, neg_mf,
+           CAST(pos_mf * 100 AS DOUBLE) / CAST(pos_mf + neg_mf AS DOUBLE)
+             AS mfi
+    FROM w WHERE nch = 14 AND pos_mf + neg_mf > 0
+    """,
+)
+def w_mfi_money_flow(spark, sf_dir):
+    """14-day Money Flow Index per series: volume-weighted RSI over
+    the typical price 3·TP = hi + lo + close (the ×3 scale cancels in
+    the ratio, so TP never leaves integers).  Raw money flow TP·vol is
+    classified by the sign of the TP change (one partitioned lag),
+    rolling gain/loss sums stay exact int64, and MFI = 100·pos/(pos+
+    neg) is the single closing division."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    w14 = wl.rowsBetween(-13, Window.currentRow)
+    t = bars.select(
+        "event_type", "day", "vol",
+        (F.col("hi") + F.col("lo") + _cl_col()).alias("tp3"),
+    )
+    s = t.select(
+        "event_type", "day",
+        (F.col("tp3") * F.col("vol")).alias("mf"),
+        (F.col("tp3") - F.lag("tp3").over(wl)).alias("ch"),
+    )
+    w = s.select(
+        "event_type", "day",
+        F.sum(F.when(F.col("ch") > 0, F.col("mf")).otherwise(0))
+        .over(w14)
+        .cast("long")
+        .alias("pos_mf"),
+        F.sum(F.when(F.col("ch") < 0, F.col("mf")).otherwise(0))
+        .over(w14)
+        .cast("long")
+        .alias("neg_mf"),
+        F.count("ch").over(w14).cast("long").alias("nch"),
+    )
+    return w.filter(
+        (F.col("nch") == 14) & (F.col("pos_mf") + F.col("neg_mf") > 0)
+    ).select(
+        "event_type", "day", "pos_mf", "neg_mf",
+        (
+            (F.col("pos_mf") * F.lit(100)).cast("double")
+            / (F.col("pos_mf") + F.col("neg_mf")).cast("double")
+        ).alias("mfi"),
+    )
+
+
+@register(
+    "w_stochastic_d",
+    f"""
+    WITH {_SQL_BARS},
+    r AS (SELECT event_type, day, p,
+                 CAST(min(p) OVER w AS BIGINT) AS lo14,
+                 CAST(max(p) OVER w AS BIGINT) AS hi14,
+                 CAST(count(*) OVER w AS BIGINT) AS nw
+          FROM bars
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    k AS (SELECT event_type, day,
+                 CAST((p - lo14) * 100 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE)
+                   AS pct_k
+          FROM r WHERE nw = 14 AND hi14 > lo14),
+    d AS (SELECT event_type, day, pct_k,
+                 lag(pct_k, 1) OVER w AS k1, lag(pct_k, 2) OVER w AS k2
+          FROM k WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, pct_k,
+           (pct_k + k1 + k2) / 3.0 AS pct_d
+    FROM d WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+    """,
+)
+def w_stochastic_d(spark, sf_dir):
+    """Stochastic %D — the 3-bar smoothing of %K that generates the
+    classic crossover signal.  The 3-term mean is written as ONE
+    explicit (k + lag₁ + lag₂)/3 expression rather than a windowed
+    float SUM, so the addition order is pinned by the expression tree
+    and both engines agree bitwise; %K itself is recomputed from the
+    same exact-integer envelope as w_stochastic_k."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    w14 = wl.rowsBetween(-13, Window.currentRow)
+    r = bars.select(
+        "event_type", "day", "p",
+        F.min("p").over(w14).cast("long").alias("lo14"),
+        F.max("p").over(w14).cast("long").alias("hi14"),
+        F.count("*").over(w14).cast("long").alias("nw"),
+    )
+    k = r.filter((F.col("nw") == 14) & (F.col("hi14") > F.col("lo14"))).select(
+        "event_type", "day",
+        (
+            ((F.col("p") - F.col("lo14")) * F.lit(100)).cast("double")
+            / (F.col("hi14") - F.col("lo14")).cast("double")
+        ).alias("pct_k"),
+    )
+    d = k.select(
+        "event_type", "day", "pct_k",
+        F.lag("pct_k", 1).over(wl).alias("k1"),
+        F.lag("pct_k", 2).over(wl).alias("k2"),
+    )
+    return d.filter(F.col("k1").isNotNull() & F.col("k2").isNotNull()).select(
+        "event_type", "day", "pct_k",
+        ((F.col("pct_k") + F.col("k1") + F.col("k2")) / 3.0).alias("pct_d"),
+    )
+
+
+@register(
+    "w_pivot_points",
+    f"""
+    WITH {_SQL_BARS},
+    t AS (SELECT event_type, day, hi, lo, {_SQL_CL} AS cl FROM bars),
+    l AS (SELECT event_type, day,
+                 lag(hi) OVER w AS ph, lag(lo) OVER w AS pl,
+                 lag(cl) OVER w AS pc
+          FROM t WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day,
+           CAST(ph + pl + pc AS DOUBLE) / 3.0 / 100.0 AS pivot,
+           (2.0 * (CAST(ph + pl + pc AS DOUBLE) / 3.0)
+            - CAST(pl AS DOUBLE)) / 100.0 AS r1,
+           (2.0 * (CAST(ph + pl + pc AS DOUBLE) / 3.0)
+            - CAST(ph AS DOUBLE)) / 100.0 AS s1,
+           (CAST(ph + pl + pc AS DOUBLE) / 3.0
+            + CAST(ph - pl AS DOUBLE)) / 100.0 AS r2,
+           (CAST(ph + pl + pc AS DOUBLE) / 3.0
+            - CAST(ph - pl AS DOUBLE)) / 100.0 AS s2
+    FROM l WHERE ph IS NOT NULL
+    """,
+)
+def w_pivot_points(spark, sf_dir):
+    """Classic floor-trader pivot levels projected from the PREVIOUS
+    bar's high/low/close: P = (H+L+C)/3, R1 = 2P − L, S1 = 2P − H,
+    R2/S2 = P ± (H−L) — the support/resistance grid intraday systems
+    precompute each morning.  Three partitioned lags of exact
+    integers, then fixed per-row expression chains; zero joins, zero
+    extra shuffles beyond the one day-grain sort."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    t = bars.select("event_type", "day", "hi", "lo", _cl_col().alias("cl"))
+    lagged = t.select(
+        "event_type", "day",
+        F.lag("hi").over(wl).alias("ph"),
+        F.lag("lo").over(wl).alias("pl"),
+        F.lag("cl").over(wl).alias("pc"),
+    )
+    p3 = (F.col("ph") + F.col("pl") + F.col("pc")).cast("double")
+    piv = p3 / 3.0
+    return lagged.filter(F.col("ph").isNotNull()).select(
+        "event_type", "day",
+        (piv / 100.0).alias("pivot"),
+        ((2.0 * piv - F.col("pl").cast("double")) / 100.0).alias("r1"),
+        ((2.0 * piv - F.col("ph").cast("double")) / 100.0).alias("s1"),
+        ((piv + (F.col("ph") - F.col("pl")).cast("double")) / 100.0).alias("r2"),
+        ((piv - (F.col("ph") - F.col("pl")).cast("double")) / 100.0).alias("s2"),
+    )
+
+
+@register(
+    "w_overnight_gap",
+    f"""
+    WITH {_SQL_BARS},
+    t AS (SELECT event_type, day, {_SQL_CL} AS cl FROM bars),
+    l AS (SELECT event_type, day, cl,
+                 lag(cl) OVER (PARTITION BY event_type ORDER BY day) AS pc
+          FROM t)
+    SELECT event_type, day, cl, pc,
+           CAST(cl - pc AS DOUBLE) / CAST(pc AS DOUBLE) AS pct_gap,
+           CAST(CASE WHEN CAST(cl - pc AS DOUBLE) / CAST(pc AS DOUBLE) > 0.02
+                       OR CAST(cl - pc AS DOUBLE) / CAST(pc AS DOUBLE) < -0.02
+                     THEN 1 ELSE 0 END AS BIGINT) AS gap_flag
+    FROM l WHERE pc IS NOT NULL AND pc > 0
+    """,
+)
+def w_overnight_gap(spark, sf_dir):
+    """Day-over-day gap of each series' mean level: pct change of the
+    close proxy plus a ±2% gap flag — the session-boundary
+    discontinuity screen (gap-and-go / gap-fill setups; for a metrics
+    stream, the overnight regression detector).  One partitioned lag,
+    one exact-integer division, identical CASE branches on both
+    engines."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    t = bars.select("event_type", "day", _cl_col().alias("cl"))
+    lg = t.select(
+        "event_type", "day", "cl", F.lag("cl").over(wl).alias("pc")
+    )
+    pct = (F.col("cl") - F.col("pc")).cast("double") / F.col("pc").cast("double")
+    return lg.filter(F.col("pc").isNotNull() & (F.col("pc") > 0)).select(
+        "event_type", "day", "cl", "pc",
+        pct.alias("pct_gap"),
+        F.when((pct > 0.02) | (pct < -0.02), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("gap_flag"),
+    )
+
+
+@register(
+    "w_cci",
+    f"""
+    WITH {_SQL_BARS},
+    t AS (SELECT event_type, day, hi + lo + {_SQL_CL} AS tp3,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS rn
+          FROM bars),
+    s AS (SELECT event_type, day, tp3, rn,
+                 CAST(SUM(tp3) OVER w AS BIGINT) AS s20,
+                 CAST(count(*) OVER w AS BIGINT) AS nw
+          FROM t
+          WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    md AS (SELECT r.event_type, r.day, r.tp3, r.s20,
+                  CAST(SUM(CAST(floor(abs(CAST(i.tp3 AS DOUBLE)
+                                          - CAST(r.s20 AS DOUBLE) / 20.0)
+                                       * 100.0) AS BIGINT)) AS BIGINT) AS md_s
+           FROM (SELECT * FROM s WHERE nw = 20) r
+           JOIN t i ON i.event_type = r.event_type
+                   AND i.rn > r.rn - 20 AND i.rn <= r.rn
+           GROUP BY 1, 2, 3, 4)
+    SELECT event_type, day,
+           CAST(tp3 AS DOUBLE) / 3.0 / 100.0 AS typical_price,
+           (CAST(tp3 AS DOUBLE) - CAST(s20 AS DOUBLE) / 20.0)
+             / (0.015 * (CAST(md_s AS DOUBLE) / 100.0 / 20.0)) AS cci
+    FROM md WHERE md_s > 0
+    """,
+)
+def w_cci(spark, sf_dir):
+    """20-day Commodity Channel Index (Lambert, 1980): deviation of
+    the typical price from its SMA, normalized by 0.015 × the window's
+    MEAN ABSOLUTE DEVIATION.  MAD is the part a plain window can't
+    express (each row's terms |tpᵢ − smaᵣ| depend on that row's own
+    SMA), so it's a range self-join over the CALENDAR-BOUNDED bar
+    table — ≤20 probe rows per bar at any data scale — with each
+    deviation floor-scaled to int64 before the per-row sum
+    (order-independent).  The ×3 typical-price scale cancels between
+    numerator and MAD."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
+        -19, Window.currentRow
+    )
+    t = bars.select(
+        "event_type", "day",
+        (F.col("hi") + F.col("lo") + _cl_col()).alias("tp3"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("rn"),
+    )
+    s = t.select(
+        "event_type", "day", "tp3", "rn",
+        F.sum("tp3").over(wl).cast("long").alias("s20"),
+        F.count("*").over(wl).cast("long").alias("nw"),
+    )
+    r = s.filter(F.col("nw") == 20).alias("r")
+    i = t.alias("i")
+    dev = F.abs(
+        F.col("i.tp3").cast("double") - F.col("r.s20").cast("double") / 20.0
+    )
+    md = (
+        r.join(
+            i,
+            (F.col("i.event_type") == F.col("r.event_type"))
+            & (F.col("i.rn") > F.col("r.rn") - 20)
+            & (F.col("i.rn") <= F.col("r.rn")),
+        )
+        .groupBy(
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.day").alias("day"),
+            F.col("r.tp3").alias("tp3"),
+            F.col("r.s20").alias("s20"),
+        )
+        .agg(F.sum(F.floor(dev * 100.0).cast("long")).cast("long").alias("md_s"))
+    )
+    return md.filter(F.col("md_s") > 0).select(
+        "event_type", "day",
+        (F.col("tp3").cast("double") / 3.0 / 100.0).alias("typical_price"),
+        (
+            (F.col("tp3").cast("double") - F.col("s20").cast("double") / 20.0)
+            / (0.015 * (F.col("md_s").cast("double") / 100.0 / 20.0))
+        ).alias("cci"),
+    )
+
+
+@register(
+    "w_seasonal_naive_mape",
+    f"""
+    WITH {_SQL_BARS},
+    l AS (SELECT event_type, day, p,
+                 lag(p, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+          FROM bars),
+    e AS (SELECT event_type, p, f FROM l WHERE f IS NOT NULL AND p > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(p - f)) AS BIGINT) AS sae_c,
+           CAST(SUM(CAST(floor(CAST(abs(p - f) AS DOUBLE) / CAST(p AS DOUBLE)
+                                * 1000000.0) AS BIGINT)) AS BIGINT) AS ape_s,
+           CAST(SUM(CAST(floor(CAST(abs(p - f) AS DOUBLE) / CAST(p AS DOUBLE)
+                                * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(count(*) AS DOUBLE) AS mape
+    FROM e GROUP BY 1
+    """,
+)
+def w_seasonal_naive_mape(spark, sf_dir):
+    """Seasonal-naive forecast accuracy per series: forecast(d) =
+    actual(d−7) (the same-weekday-last-week baseline every forecasting
+    benchmark starts from, cf. M-competitions) scored by MAPE.  The
+    per-day APE terms are floor-scaled to int64 before the cross-day
+    reduction (order-independent — the dsum discipline), absolute
+    errors stay exact integers, and the lag is one partitioned window
+    over the day grain."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    lg = bars.select(
+        "event_type", "day", "p", F.lag("p", 7).over(wl).alias("f")
+    )
+    e = lg.filter(F.col("f").isNotNull() & (F.col("p") > 0))
+    ape = F.floor(
+        (F.abs(F.col("p") - F.col("f"))).cast("double")
+        / F.col("p").cast("double")
+        * 1000000.0
+    ).cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("p") - F.col("f"))).cast("long").alias("sae_c"),
+        F.sum(ape).cast("long").alias("ape_s"),
+        (
+            F.sum(ape).cast("double") / 1000000.0 / F.count("*").cast("double")
+        ).alias("mape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation batch D: text-quality / corpus-curation signals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_fk",
+    f"""
+    WITH t AS (SELECT doc_id, lower(text) AS lt, {_SQL_TOKS_RAW} AS tk
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split_regex(lt, '[.!?]+'),
+                                      x -> length(trim(x)) > 0)) AS BIGINT)
+                   AS n_sentences,
+                 CAST(length(regexp_replace(lt, '[aeiouy]+', 'a', 'g'))
+                      - length(regexp_replace(
+                          regexp_replace(lt, '[aeiouy]+', 'a', 'g'),
+                          'a', '', 'g')) AS BIGINT) AS n_syllables
+          FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch_ease
+    FROM m WHERE n_words > 0 AND n_sentences > 0
+    """,
+)
+def text_readability_fk(spark, sf_dir):
+    """Flesch reading-ease per document (Flesch, 1948): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated as maximal vowel-group runs — the classic heuristic
+    every readability-aware quality filter uses when a dictionary
+    isn't affordable at corpus scale.  The vowel-group count uses a
+    collapse-to-marker regex (every group becomes a single 'a'; the
+    only 'a's left ARE markers), so both engines count identically
+    with two linear regex passes; everything is row-local map work."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    tk = text.tokens("text")
+    g1 = F.regexp_replace(lt, "[aeiouy]+", "a")
+    m = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_words"),
+        F.size(
+            F.filter(
+                F.split(lt, r"[.!?]+"), lambda x: F.length(F.trim(x)) > 0
+            )
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        (F.length(g1) - F.length(F.regexp_replace(g1, "a", "")))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return m.filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0)).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        (
+            F.lit(206.835)
+            - 1.015
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            - 84.6
+            * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+        ).alias("flesch_ease"),
+    )
+
+
+@register(
+    "text_numeric_density",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS_RAW} AS tk FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g'))
+                      AS BIGINT) AS digit_chars,
+                 CAST(length(regexp_replace(
+                        regexp_replace(text, '[0-9]+', '0', 'g'),
+                        '[^0-9]', '', 'g')) AS BIGINT) AS digit_groups,
+                 CAST(len(tk) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(tk, x -> regexp_matches(x, '[0-9]')))
+                      AS BIGINT) AS numeric_tokens
+          FROM t)
+    SELECT doc_id, n_chars, digit_chars, digit_groups, n_tokens, numeric_tokens,
+           CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS digit_density
+    FROM m WHERE n_chars > 0
+    """,
+)
+def text_numeric_density(spark, sf_dir):
+    """Numeric-content profile per document: digit characters, digit
+    RUNS (collapse-to-marker regex), and tokens containing digits —
+    the C4/Gopher-family signal that separates prose from tables,
+    logs, and serial-number spam (high digit density ⇒ drop or route
+    to a structured pipeline).  Pure row-local regex/array column
+    expressions, map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens("text")
+    t = F.col("text")
+    m = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", "")))
+        .cast("long")
+        .alias("digit_chars"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(t, "[0-9]+", "0"), "[^0-9]", ""
+            )
+        )
+        .cast("long")
+        .alias("digit_groups"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.filter(tk, lambda x: x.rlike("[0-9]")))
+        .cast("long")
+        .alias("numeric_tokens"),
+    )
+    return m.filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars", "digit_chars", "digit_groups", "n_tokens",
+        "numeric_tokens",
+        (
+            F.col("digit_chars").cast("double") / F.col("n_chars").cast("double")
+        ).alias("digit_density"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH tk AS (SELECT source, {_SQL_TOKS} AS tk FROM documents),
+    bg AS (SELECT DISTINCT source,
+                  unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                        i -> tk[i] || ' ' || tk[i + 1])) AS bg
+           FROM tk),
+    df AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY 1)
+    SELECT bg.source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty_rate
+    FROM bg JOIN df ON df.bg = bg.bg
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Cross-source bigram novelty: per source, the fraction of its
+    DISTINCT bigrams that appear in no other source — the diversity /
+    contamination screen data-mixing runs use to decide whether a new
+    source actually adds content or just re-serves the web (novelty
+    ≈ 0 ⇒ near-duplicate of the existing mix).  Distinct-(source,
+    bigram) aggregate, a bigram-grain document-frequency join, one
+    per-source rollup — all vocabulary-bounded after the first
+    distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "source", F.explode(text.shingles("text", 2)).alias("bg")
+    ).distinct()
+    df = bg.groupBy("bg").agg(F.count("*").cast("long").alias("df"))
+    return (
+        bg.join(df, "bg")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@register(
+    "corpus_language_balance_t2",
+    """
+    WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM l),
+    s AS (SELECT l.lang, l.n_docs,
+                 CAST(l.n_docs AS DOUBLE) / CAST(n.n AS DOUBLE) AS p,
+                 CAST(floor(sqrt(CAST(l.n_docs AS DOUBLE) / CAST(n.n AS DOUBLE))
+                            * 1000000000.0) AS BIGINT) AS sc
+          FROM l CROSS JOIN n),
+    t AS (SELECT CAST(SUM(sc) AS BIGINT) AS tot FROM s)
+    SELECT s.lang, s.n_docs, s.p,
+           CAST(s.sc AS DOUBLE) / CAST(t.tot AS DOUBLE) AS weight,
+           CAST(s.sc AS DOUBLE) / CAST(t.tot AS DOUBLE) / s.p
+             AS oversample_factor
+    FROM s CROSS JOIN t
+    """,
+)
+def corpus_language_balance_t2(spark, sf_dir):
+    """Temperature-smoothed language sampling weights at T = 2:
+    w_l ∝ p_l^(1/T) = √p_l — the multilingual rebalancing rule from
+    the mBERT/XLM-R recipe that up-samples tail languages without
+    letting them dominate.  T = 2 is the one temperature expressible
+    with bit-portable math (p^(1/2) = sqrt, correctly rounded on both
+    engines; libm pow is not); the cross-language normalizer sums
+    floor-scaled int64 terms, so the reduction is order-independent.
+    Output: per-language share, weight, oversample factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    lng = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    n = lng.agg(F.sum("n_docs").cast("long").alias("n"))
+    p = F.col("n_docs").cast("double") / F.col("n").cast("double")
+    s = lng.crossJoin(n).select(
+        "lang", "n_docs",
+        p.alias("p"),
+        F.floor(F.sqrt(p) * 1000000000.0).cast("long").alias("sc"),
+    )
+    t = s.agg(F.sum("sc").cast("long").alias("tot"))
+    w = F.col("sc").cast("double") / F.col("tot").cast("double")
+    return s.crossJoin(t).select(
+        "lang", "n_docs", "p",
+        w.alias("weight"),
+        (w / F.col("p")).alias("oversample_factor"),
+    )
+
+
+@register(
+    "corpus_chunk_overlap_audit",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 CAST(1 + floor(CAST(greatest(n_tok - 100, 0) AS DOUBLE)
+                                / 80.0) AS BIGINT) AS n_chunks
+          FROM t WHERE n_tok > 0),
+    e AS (SELECT doc_id, n_tok, n_chunks, unnest(range(0, n_chunks)) AS i
+          FROM c),
+    l AS (SELECT doc_id, n_tok, n_chunks,
+                 least(100, n_tok - 80 * i) AS chunk_len
+          FROM e)
+    SELECT doc_id, n_tok AS n_tokens, n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+           CAST(SUM(chunk_len) - n_tok AS BIGINT) AS overlap_tokens,
+           CAST(min(chunk_len) AS BIGINT) AS min_chunk_len
+    FROM l GROUP BY 1, 2, 3
+    """,
+)
+def corpus_chunk_overlap_audit(spark, sf_dir):
+    """Sliding-window chunking audit (window 100 tokens, stride 80 —
+    the RAG/pretraining overlap-20 recipe): per document, the chunk
+    count from the closed form 1 + ⌊max(n−100,0)/80⌋, the summed chunk
+    lengths, and the implied overlap (Σlen − n) — the invariant a
+    chunker must satisfy for no token to be dropped (min_chunk_len > 0
+    proves the tail chunk is non-empty).  One sequence-explode per doc
+    (fan-out n/80, linear), exact integers throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    c = t.select(
+        "doc_id", "n_tok",
+        (
+            1
+            + F.floor(
+                F.greatest(F.col("n_tok") - 100, F.lit(0)).cast("double") / 80.0
+            )
+        )
+        .cast("long")
+        .alias("n_chunks"),
+    )
+    e = c.select(
+        "doc_id", "n_tok", "n_chunks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "i"
+        ),
+    )
+    ln = e.select(
+        "doc_id", "n_tok", "n_chunks",
+        F.least(F.lit(100).cast("long"), F.col("n_tok") - 80 * F.col("i")).alias(
+            "chunk_len"
+        ),
+    )
+    return ln.groupBy(
+        F.col("doc_id"), F.col("n_tok").alias("n_tokens"), F.col("n_chunks")
+    ).agg(
+        F.sum("chunk_len").cast("long").alias("sum_chunk_tokens"),
+        (F.sum("chunk_len") - F.first("n_tok")).cast("long").alias("overlap_tokens"),
+        F.min("chunk_len").cast("long").alias("min_chunk_len"),
+    )
+
+
+@register(
+    "text_term_burstiness",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
+    tc AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    top AS (SELECT w, CAST(SUM(c) AS BIGINT) AS total
+            FROM tc GROUP BY 1 ORDER BY total DESC, w LIMIT 20),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    m AS (SELECT top.w, top.total,
+                 CAST(count(*) AS BIGINT) AS n_docs_with,
+                 CAST(SUM(tc.c * tc.c) AS BIGINT) AS sxx
+          FROM top JOIN tc ON tc.w = top.w
+          GROUP BY 1, 2)
+    SELECT m.w AS term, m.total, m.n_docs_with,
+           (CAST(m.sxx AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)
+            - (CAST(m.total AS DOUBLE) / CAST(nd.n_docs AS DOUBLE))
+              * (CAST(m.total AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)))
+           / (CAST(m.total AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)) AS vmr
+    FROM m CROSS JOIN nd
+    """,
+)
+def text_term_burstiness(spark, sf_dir):
+    """Term burstiness (variance-to-mean ratio of per-document counts,
+    zeros included) for the 20 highest-frequency tokens: VMR ≈ 1 ⇒
+    Poisson scatter (function words), VMR ≫ 1 ⇒ bursty topical terms
+    (Church & Gale, 1995) — the signal that separates stopword
+    candidates from content words better than raw frequency.  The
+    top-k pick is orderBy().limit() (distributed TakeOrdered, no
+    global window); moments are exact integers; docs without the term
+    enter through the closed form (they add 0 to both sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.transform(text.tokens("text"), F.lower)).alias("w")
+    )
+    tc = tok.groupBy("w", "doc_id").agg(F.count("*").cast("long").alias("c"))
+    top = (
+        tc.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("total"))
+        .orderBy(F.desc("total"), "w")
+        .limit(20)
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    m = top.join(tc, "w").groupBy("w", "total").agg(
+        F.count("*").cast("long").alias("n_docs_with"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_docs").cast("double")
+    ex2 = F.col("sxx").cast("double") / F.col("n_docs").cast("double")
+    return m.crossJoin(nd).select(
+        F.col("w").alias("term"), "total", "n_docs_with",
+        ((ex2 - mean * mean) / mean).alias("vmr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation batch E: graph/embedding/layout/ops/ML kernels.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_lcc",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY 1),
+    tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.id1 = e1.id2
+            JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+    tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+             SELECT a AS v FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) t
+           GROUP BY 1)
+    SELECT deg.v AS doc_id, deg.degree,
+           CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(2 * coalesce(tv.n_tri, 0) AS DOUBLE)
+                     / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    """,
+)
+def graph_lcc(spark, sf_dir):
+    """Local clustering coefficient per vertex of the near-dup graph:
+    lcc(v) = 2·T(v)/(deg(v)(deg(v)−1)) (Watts & Strogatz, Nature
+    1998) — true dup clusters are cliques (lcc ≈ 1), banding
+    false-positive chains sit near 0, so the LCC histogram is the
+    graph-level precision gauge.  One oriented triangle enumeration
+    (each triangle counted once, credited to its 3 vertices), one
+    degree aggregate, a vertex-grain left join."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).persist()
+    e = pairs.select(F.col("id1").alias("v")).unionAll(
+        pairs.select(F.col("id2").alias("v"))
+    )
+    deg = e.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
+    e1 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    e2 = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    tv = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    nt = F.coalesce("n_tri", F.lit(0)).cast("long")
+    return deg.join(tv, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        "degree",
+        nt.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (2 * nt).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("lcc"),
+    )
+
+
+@register(
+    "emb_quantile_clip",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT CAST(i.i AS INTEGER) AS dim, v[i.i] AS val
+          FROM e, unnest(range(1, len(v) + 1)) i(i)),
+    st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(val * 10000) AS BIGINT)) AS BIGINT) AS s1,
+                  CAST(SUM(CAST(floor(val * 10000) AS BIGINT)
+                           * CAST(floor(val * 10000) AS BIGINT)) AS BIGINT)
+                    AS s2
+           FROM d GROUP BY 1),
+    b AS (SELECT dim, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
+                 sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 10000.0 AS std
+          FROM st)
+    SELECT b.dim, b.n, b.mean, b.std,
+           b.mean - 2.0 * b.std AS clip_lo,
+           b.mean + 2.0 * b.std AS clip_hi,
+           CAST(SUM(CASE WHEN d.val < b.mean - 2.0 * b.std THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN d.val > b.mean + 2.0 * b.std THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+    FROM d JOIN b ON b.dim = d.dim
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def emb_quantile_clip(spark, sf_dir):
+    """Per-dimension 2σ clipping plan for the embedding column: mean
+    and σ from exact floor-scaled integer moments, the clip interval
+    [μ−2σ, μ+2σ], and how many values each side would clip — the
+    outlier-robust normalization pass run before int8 quantization
+    (emb_int8_quantize) so a single rogue dimension doesn't consume
+    the quantizer's range.  Two passes over the exploded (dim, value)
+    stream: a 64-group moment aggregate, then a count-vs-bounds join
+    back — both map-side-combining, no window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), "val")
+    x = F.floor(F.col("val") * 10000).cast("long")
+    st = d.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd / 10000.0
+    std = (
+        F.sqrt(
+            nd * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / nd
+        / 10000.0
+    )
+    b = st.select("dim", "n", mean.alias("mean"), std.alias("std"))
+    lo = F.col("mean") - 2.0 * F.col("std")
+    hi = F.col("mean") + 2.0 * F.col("std")
+    return (
+        d.join(b, "dim")
+        .groupBy("dim", "n", "mean", "std")
+        .agg(
+            F.sum(F.when(F.col("val") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("val") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
+        .select(
+            "dim", "n", "mean", "std",
+            lo.alias("clip_lo"), hi.alias("clip_hi"),
+            "n_below", "n_above",
+        )
+    )
+
+
+@register(
+    "layout_range_partition_plan",
+    """
+    WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+               FROM orders),
+    st AS (SELECT CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM v),
+    h AS (SELECT CAST(floor(CAST((v.x - st.mn) * 128 AS DOUBLE)
+                            / CAST(st.mx - st.mn + 1 AS DOUBLE)) AS BIGINT)
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS bn
+          FROM v CROSS JOIN st GROUP BY 1),
+    cc AS (SELECT bucket, bn,
+                  CAST(SUM(bn) OVER (ORDER BY bucket) AS BIGINT) AS cum
+           FROM h),
+    t AS (SELECT k.range AS k, st.n, st.mn, st.mx,
+                 CAST(floor(CAST(k.range * st.n AS DOUBLE) / 32.0) AS BIGINT)
+                   AS thr
+          FROM st CROSS JOIN range(1, 32) k)
+    SELECT CAST(t.k AS BIGINT) AS part, t.thr AS target_rows,
+           CAST(arg_min(cc.bucket, cc.bucket) AS BIGINT) AS boundary_bucket,
+           CAST(t.mn AS DOUBLE) / 100.0
+             + CAST((arg_min(cc.bucket, cc.bucket) + 1)
+                    * (t.mx - t.mn + 1) AS DOUBLE) / 128.0 / 100.0
+             AS boundary_value,
+           CAST(arg_min(cc.cum, cc.bucket) AS BIGINT) AS rows_below
+    FROM t JOIN cc ON cc.cum >= t.thr
+    GROUP BY t.k, t.thr, t.mn, t.mx
+    """,
+)
+def layout_range_partition_plan(spark, sf_dir):
+    """Balanced range-partition boundary planning from a 128-bin
+    histogram — the sampling step `repartitionByRange` runs before
+    any global sort, made explicit and auditable: 31 boundary values
+    splitting the sort key into 32 near-equal partitions, each with
+    its achieved cumulative row count (skew shows up as rows_below
+    deviating from target_rows).  One scan builds the histogram; the
+    cumulative window runs over the FIXED 128-row bucket table (the
+    one allowlisted global-sort shape); boundaries come from a 31×128
+    bounded join.  This is the planner a 100 TB sort consults so no
+    partition exceeds executor memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+    st = v.agg(
+        F.min("x").cast("long").alias("mn"),
+        F.max("x").cast("long").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    h = (
+        v.crossJoin(st)
+        .select(
+            F.floor(
+                ((F.col("x") - F.col("mn")) * 128).cast("double")
+                / (F.col("mx") - F.col("mn") + 1).cast("double")
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("bn"))
+    )
+    cc = h.select(
+        "bucket", "bn",
+        F.sum("bn").over(Window.orderBy("bucket")).cast("long").alias("cum"),
+    )
+    t = st.select(
+        "n", "mn", "mx",
+        F.explode(F.sequence(F.lit(1), F.lit(31))).alias("k"),
+    ).select(
+        "k", "n", "mn", "mx",
+        F.floor((F.col("k") * F.col("n")).cast("double") / 32.0)
+        .cast("long")
+        .alias("thr"),
+    )
+    j = t.join(cc, F.col("cum") >= F.col("thr"))
+    return j.groupBy(
+        F.col("k").cast("long").alias("part"),
+        F.col("thr").alias("target_rows"),
+        "mn", "mx",
+    ).agg(
+        F.min_by("bucket", "bucket").cast("long").alias("boundary_bucket"),
+        (
+            F.col("mn").cast("double") / 100.0
+            + (
+                (F.min_by("bucket", "bucket") + 1)
+                * (F.col("mx") - F.col("mn") + 1)
+            ).cast("double")
+            / 128.0
+            / 100.0
+        ).alias("boundary_value"),
+        F.min_by("cum", "bucket").cast("long").alias("rows_below"),
+    ).select(
+        "part", "target_rows", "boundary_bucket", "boundary_value", "rows_below"
+    )
+
+
+@register(
+    "ops_slo_burn_rate",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_total,
+                      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_err
+               FROM events GROUP BY 1),
+    w AS (SELECT day, n_total, n_err,
+                 CAST(SUM(n_total) OVER w7 AS BIGINT) AS t7,
+                 CAST(SUM(n_err) OVER w7 AS BIGINT) AS e7
+          FROM d
+          WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, n_total, n_err,
+           CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.01 AS burn_1d,
+           CAST(e7 AS DOUBLE) / CAST(t7 AS DOUBLE) / 0.01 AS burn_7d,
+           CAST(CASE WHEN CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.01
+                          > 1.0 THEN 1 ELSE 0 END AS BIGINT) AS fast_burn,
+           CAST(CASE WHEN CAST(e7 AS DOUBLE) / CAST(t7 AS DOUBLE) / 0.01
+                          > 1.0 THEN 1 ELSE 0 END AS BIGINT) AS slow_burn
+    FROM w
+    """,
+)
+def ops_slo_burn_rate(spark, sf_dir):
+    """SLO error-budget burn rate (the SRE multiwindow alert): with a
+    99% success objective, burn = error_rate / 0.01; burn > 1 on the
+    1-day window is the fast-burn page, burn > 1 on the trailing
+    7-day window the slow-burn ticket (Google SRE workbook, ch. 5).
+    Events collapse to the bounded day grain first, so the 7-day
+    rolling sums are exact integers over a calendar-bounded window —
+    the day-grain global order is the allowlisted bounded shape."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = d.select(
+        "day", "n_total", "n_err",
+        F.sum("n_total").over(w7).cast("long").alias("t7"),
+        F.sum("n_err").over(w7).cast("long").alias("e7"),
+    )
+    b1 = F.col("n_err").cast("double") / F.col("n_total").cast("double") / 0.01
+    b7 = F.col("e7").cast("double") / F.col("t7").cast("double") / 0.01
+    return w.select(
+        "day", "n_total", "n_err",
+        b1.alias("burn_1d"),
+        b7.alias("burn_7d"),
+        F.when(b1 > 1.0, 1).otherwise(0).cast("long").alias("fast_burn"),
+        F.when(b7 > 1.0, 1).otherwise(0).cast("long").alias("slow_burn"),
+    )
+
+
+@register(
+    "ml_ridge_closed_form",
+    """
+    WITH f AS (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS x1,
+             CAST(floor(c.c_acctbal) AS BIGINT) AS x2,
+             CAST(floor(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                             AS DOUBLE) / 100000.0) AS BIGINT) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x1) AS BIGINT) AS sx1,
+                 CAST(SUM(x2) AS BIGINT) AS sx2,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+                 CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+                 CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+                 CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+          FROM f),
+    a AS (SELECT lam.lam, n,
+                 CAST(n AS DOUBLE) * CAST(sx11 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+                   + lam.lam AS a11,
+                 CAST(n AS DOUBLE) * CAST(sx12 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a12,
+                 CAST(n AS DOUBLE) * CAST(sx22 AS DOUBLE)
+                   - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                   + lam.lam AS a22,
+                 CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1,
+                 CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE)
+                   - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2,
+                 CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+                 CAST(sy AS DOUBLE) AS syd
+          FROM m CROSS JOIN (SELECT CAST(unnest([0.0, 1000000.0, 1000000000.0])
+                                         AS DOUBLE) AS lam) lam)
+    SELECT lam, n,
+           (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) AS beta1,
+           (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS beta2,
+           (syd
+            - (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * sx1d
+            - (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * sx2d)
+           / CAST(n AS DOUBLE) AS beta0
+    FROM a
+    """,
+)
+def ml_ridge_closed_form(spark, sf_dir):
+    """Ridge regression shrinkage path in closed form: the
+    a_ols_two_feature normal equations with λ added to the centered
+    Gram diagonal, solved for λ ∈ {0, 10⁶, 10⁹} (λ = 0 reproduces
+    OLS; the scale matches the n²-scaled centered moments).  The
+    sufficient statistics are computed ONCE — the λ sweep is a 3-row
+    literal explode over the 1-row moment table, which is exactly why
+    closed-form ridge is free at 100 TB: one aggregate, any number of
+    regularization candidates."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("x1"),
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100000.0
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select("x1", "y", F.floor(F.col("c_acctbal")).cast("long").alias("x2"))
+    )
+    m = f.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    lam = m.select(
+        "*",
+        F.explode(
+            F.array(F.lit(0.0), F.lit(1000000.0), F.lit(1000000000.0))
+        ).alias("lam"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = nd * d("sx11") - d("sx1") * d("sx1") + F.col("lam")
+    a12 = nd * d("sx12") - d("sx1") * d("sx2")
+    a22 = nd * d("sx22") - d("sx2") * d("sx2") + F.col("lam")
+    c1 = nd * d("sx1y") - d("sx1") * d("sy")
+    c2 = nd * d("sx2y") - d("sx2") * d("sy")
+    det = a11 * a22 - a12 * a12
+    b1 = (a22 * c1 - a12 * c2) / det
+    b2 = (a11 * c2 - a12 * c1) / det
+    return lam.select(
+        "lam", "n",
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        ((d("sy") - b1 * d("sx1") - b2 * d("sx2")) / nd).alias("beta0"),
+    )
+
+
+@register(
+    "w_seasonal_decompose",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS x
+               FROM events GROUP BY 1, 2),
+    tr AS (SELECT event_type, day, x,
+                  CAST(SUM(x) OVER w AS BIGINT) AS s7,
+                  CAST(count(*) OVER w AS BIGINT) AS nw
+           FROM d
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT event_type, day, x,
+                   CAST(s7 AS DOUBLE) / 7.0 AS trend,
+                   CAST(floor((CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0)
+                              * 100.0) AS BIGINT) AS di
+            FROM tr WHERE nw = 7),
+    se AS (SELECT event_type, CAST(dayofweek(day) AS BIGINT) AS dow,
+                  CAST(SUM(di) AS BIGINT) AS sdi,
+                  CAST(count(*) AS BIGINT) AS ndi
+           FROM det GROUP BY 1, 2)
+    SELECT det.event_type, det.day,
+           CAST(det.x AS DOUBLE) / 100.0 AS actual,
+           det.trend / 100.0 AS trend,
+           CAST(se.sdi AS DOUBLE) / CAST(se.ndi AS DOUBLE) / 100.0 / 100.0
+             AS seasonal,
+           (CAST(det.x AS DOUBLE) - det.trend) / 100.0
+             - CAST(se.sdi AS DOUBLE) / CAST(se.ndi AS DOUBLE) / 100.0 / 100.0
+             AS residual
+    FROM det JOIN se ON se.event_type = det.event_type
+                    AND se.dow = CAST(dayofweek(det.day) AS BIGINT)
+    """,
+)
+def w_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of each stream's daily total
+    (the classical-decomposition half of STL): trend = centered 7-day
+    moving average, seasonal = day-of-week mean of the detrended
+    series, residual = the rest.  The detrended values are
+    floor-scaled to int64 BEFORE the day-of-week mean (cross-day
+    reduction stays order-independent); the moving average is a
+    partitioned integer window sum over the bounded day grain; the
+    seasonal join is 7 rows per series."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = d.select(
+        "event_type", "day", "x",
+        F.sum("x").over(w7).cast("long").alias("s7"),
+        F.count("*").over(w7).cast("long").alias("nw"),
+    )
+    trend = F.col("s7").cast("double") / 7.0
+    det = tr.filter(F.col("nw") == 7).select(
+        "event_type", "day", "x",
+        trend.alias("trend"),
+        F.floor((F.col("x").cast("double") - trend) * 100.0)
+        .cast("long")
+        .alias("di"),
+    )
+    se = det.groupBy(
+        "event_type", F.dayofweek("day").cast("long").alias("dow")
+    ).agg(
+        F.sum("di").cast("long").alias("sdi"),
+        F.count("*").cast("long").alias("ndi"),
+    )
+    dta, sea = det.alias("dt"), se.alias("se")
+    seas_q = (
+        F.col("se.sdi").cast("double")
+        / F.col("se.ndi").cast("double")
+        / 100.0
+        / 100.0
+    )
+    return (
+        dta.join(
+            sea,
+            (F.col("se.event_type") == F.col("dt.event_type"))
+            & (F.col("se.dow") == F.dayofweek(F.col("dt.day")).cast("long")),
+        )
+        .select(
+            F.col("dt.event_type").alias("event_type"),
+            F.col("dt.day").alias("day"),
+            (F.col("dt.x").cast("double") / 100.0).alias("actual"),
+            (F.col("dt.trend") / 100.0).alias("trend"),
+            seas_q.alias("seasonal"),
+            (
+                (F.col("dt.x").cast("double") - F.col("dt.trend")) / 100.0
+                - seas_q
+            ).alias("residual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

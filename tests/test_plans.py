@@ -429,6 +429,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("registry.py", "graph_ppr_seeds"): "pos over a LIMIT(20) result",
     ("registry.py", "graph_katz_bounded"): "pos over a LIMIT(20) result",
     ("registry.py", "text_zipf_topk_ratio"): "rank over a LIMIT(50) result",
+    ("registry.py", "layout_range_partition_plan"): "cumsum over the fixed 128-bin histogram",
+    ("registry.py", "ops_slo_burn_rate"): "7-day rolling sums over the bounded calendar day grain",
 }
 
 

