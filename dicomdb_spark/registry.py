@@ -22243,6 +22243,582 @@ def w_seasonal_decompose(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch F: segmentation, experiment design,
+# drawdown structure, market profile, sketch merge law, source
+# similarity, capacity forecasting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_rfm_segmentation",
+    """
+    WITH f AS (SELECT o_custkey,
+                      CAST(count(*) AS BIGINT) AS frequency,
+                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS monetary_c,
+                      CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_day
+               FROM orders GROUP BY 1),
+    an AS (SELECT CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS anchor
+           FROM orders),
+    r AS (SELECT f.o_custkey, f.frequency, f.monetary_c,
+                 CAST(datediff('day', f.last_day, an.anchor) AS BIGINT)
+                   AS recency_days
+          FROM f CROSS JOIN an),
+    q AS (SELECT o_custkey, recency_days, frequency, monetary_c,
+                 CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                      AS BIGINT) AS r_quint,
+                 CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                      AS BIGINT) AS f_quint,
+                 CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey)
+                      AS BIGINT) AS m_quint
+          FROM r)
+    SELECT o_custkey, recency_days, frequency, monetary_c,
+           r_quint, f_quint, m_quint,
+           CAST(100 * r_quint + 10 * f_quint + m_quint AS BIGINT) AS rfm_code
+    FROM q
+    """,
+)
+def a_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation (Hughes, 1994): recency / frequency /
+    monetary quintile scores and the composite RFM code — the
+    workhorse marketing segmentation.  Each quintile is a DISTRIBUTED
+    ntile: monotone_range_bucket splits the measure into 64 range
+    buckets, bucketed_running produces the global rank without a
+    single-partition sort, ntile_from_rank reconstructs the
+    SQL-standard tile assignment — the round-7 scale-safe rank recipe
+    applied three times over the unbounded customer dimension
+    (recency ranks DESCENDING so quintile 5 = most recent, matching
+    the convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+    )
+    an = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    r = f.crossJoin(an).select(
+        "o_custkey", "frequency", "monetary_c",
+        F.datediff(F.col("anchor"), F.col("last_day")).cast("long").alias(
+            "recency_days"
+        ),
+    )
+    r = r.crossJoin(r.agg(F.count("*").cast("long").alias("__n")))
+
+    def quint(df, measure, asc, out):
+        ranked = ow.bucketed_running(
+            ow.monotone_range_bucket(df, measure, ascending=asc),
+            [F.col(measure) if asc else F.col(measure).desc(), "o_custkey"],
+            rn_col="__rn",
+        )
+        return ranked.withColumn(
+            out, ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
+        ).drop("__rn")
+
+    q = quint(r, "recency_days", False, "r_quint")
+    q = quint(q, "frequency", True, "f_quint")
+    q = quint(q, "monetary_c", True, "m_quint").drop("__n")
+    return q.select(
+        "o_custkey", "recency_days", "frequency", "monetary_c",
+        F.col("r_quint").cast("long").alias("r_quint"),
+        F.col("f_quint").cast("long").alias("f_quint"),
+        F.col("m_quint").cast("long").alias("m_quint"),
+        (100 * F.col("r_quint") + 10 * F.col("f_quint") + F.col("m_quint"))
+        .cast("long")
+        .alias("rfm_code"),
+    )
+
+
+@register(
+    "a_power_analysis",
+    """
+    WITH u AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(count(DISTINCT (user_id, CAST(ts AS DATE)))
+                           AS BIGINT) AS n_users
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                   * CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_all
+          FROM events),
+    p AS (SELECT u.event_type, u.n_events, u.n_users,
+                 CAST(u.n_users AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS p1
+          FROM u CROSS JOIN t)
+    SELECT event_type, n_events, n_users, p1,
+           p1 * 1.1 AS p2,
+           (1.959963984540054
+              * sqrt(2.0 * ((p1 + p1 * 1.1) / 2.0)
+                     * (1.0 - (p1 + p1 * 1.1) / 2.0))
+            + 0.8416212335729143
+              * sqrt(p1 * (1.0 - p1) + p1 * 1.1 * (1.0 - p1 * 1.1)))
+           * (1.959963984540054
+              * sqrt(2.0 * ((p1 + p1 * 1.1) / 2.0)
+                     * (1.0 - (p1 + p1 * 1.1) / 2.0))
+            + 0.8416212335729143
+              * sqrt(p1 * (1.0 - p1) + p1 * 1.1 * (1.0 - p1 * 1.1)))
+           / ((p1 * 1.1 - p1) * (p1 * 1.1 - p1)) AS n_per_arm
+    FROM p WHERE p1 > 0.0 AND p1 * 1.1 < 1.0
+    """,
+)
+def a_power_analysis(spark, sf_dir):
+    """A/B sample-size planning per stream: users needed PER ARM to
+    detect a 10% relative lift in the stream's user-day reach
+    proportion at α = 0.05 (two-sided), power = 0.80 — the two-proportion z
+    formula n = (z_{α/2}√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/Δ² every
+    experimentation platform runs before launch.  The z constants are
+    IDENTICAL literals on both sides (no inverse-normal at runtime);
+    the proportion comes from exact distinct counts; the rest is one
+    shared expression chain."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    u = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct(F.col("user_id"), day).cast("long").alias("n_users"),
+    )
+    t = ev.agg(
+        (
+            F.countDistinct("user_id") * F.countDistinct(day)
+        )
+        .cast("long")
+        .alias("n_all")
+    )
+    p1 = F.col("n_users").cast("double") / F.col("n_all").cast("double")
+    p = u.crossJoin(t).select(
+        "event_type", "n_events", "n_users", p1.alias("p1")
+    )
+    za, zb = 1.959963984540054, 0.8416212335729143
+    p1c = F.col("p1")
+    p2 = p1c * 1.1
+    pbar = (p1c + p2) / 2.0
+    s = za * F.sqrt(2.0 * pbar * (1.0 - pbar)) + zb * F.sqrt(
+        p1c * (1.0 - p1c) + p2 * (1.0 - p2)
+    )
+    return p.filter((p1c > 0.0) & (p2 < 1.0)).select(
+        "event_type", "n_events", "n_users", "p1",
+        p2.alias("p2"),
+        (s * s / ((p2 - p1c) * (p2 - p1c))).alias("n_per_arm"),
+    )
+
+
+@register(
+    "w_underwater_duration",
+    f"""
+    WITH {_SQL_BARS},
+    c AS (SELECT event_type, day, p,
+                 CAST(max(p) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS peak,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS rn
+          FROM bars),
+    uw AS (SELECT event_type, day, rn,
+                  rn - CAST(row_number() OVER (PARTITION BY event_type
+                                               ORDER BY day) AS BIGINT) AS isl
+           FROM c WHERE p < peak),
+    ep AS (SELECT event_type, isl, CAST(count(*) AS BIGINT) AS dur,
+                  CAST(min(day) AS DATE) AS start_day
+           FROM uw GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(max(dur) AS BIGINT) AS max_underwater_days,
+           CAST(SUM(dur) AS BIGINT) AS total_underwater_days,
+           CAST(min(start_day) AS DATE) AS first_drawdown_start
+    FROM ep GROUP BY 1
+    """,
+)
+def w_underwater_duration(spark, sf_dir):
+    """Drawdown episode structure per series: running-peak underwater
+    flags grouped into episodes by the gaps-and-islands rank trick
+    (rn − rn_within_flagged is constant inside each contiguous run),
+    then episode count / longest / total underwater days — TIME under
+    water, the recovery-focused complement to w_max_drawdown's depth.
+    Two partitioned windows over the bounded day grain and one
+    aggregate; no joins."""
+    bars = _bars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    c = bars.select(
+        "event_type", "day", "p",
+        F.max("p")
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("peak"),
+        F.row_number().over(wl).cast("long").alias("rn"),
+    )
+    uw = c.filter(F.col("p") < F.col("peak")).select(
+        "event_type", "day", "rn",
+        (F.col("rn") - F.row_number().over(wl).cast("long")).alias("isl"),
+    )
+    ep = uw.groupBy("event_type", "isl").agg(
+        F.count("*").cast("long").alias("dur"),
+        F.min("day").alias("start_day"),
+    )
+    return ep.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_episodes"),
+        F.max("dur").cast("long").alias("max_underwater_days"),
+        F.sum("dur").cast("long").alias("total_underwater_days"),
+        F.min("start_day").alias("first_drawdown_start"),
+    )
+
+
+@register(
+    "w_volume_profile",
+    f"""
+    WITH {_SQL_BARS},
+    t AS (SELECT event_type, {_SQL_CL} AS cl, vol FROM bars),
+    st AS (SELECT event_type, CAST(min(cl) AS BIGINT) AS mn,
+                  CAST(max(cl) AS BIGINT) AS mx
+           FROM t GROUP BY 1),
+    b AS (SELECT t.event_type,
+                 CAST(floor(CAST((t.cl - st.mn) * 20 AS DOUBLE)
+                            / CAST(st.mx - st.mn + 1 AS DOUBLE)) AS BIGINT)
+                   AS bucket,
+                 st.mn, st.mx, t.vol
+          FROM t JOIN st ON st.event_type = t.event_type),
+    v AS (SELECT event_type, bucket, mn, mx,
+                 CAST(SUM(vol) AS BIGINT) AS volume,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM b GROUP BY 1, 2, 3, 4),
+    m AS (SELECT event_type, CAST(max(volume * 1000 + bucket) AS BIGINT) AS enc
+          FROM v GROUP BY 1)
+    SELECT v.event_type, v.bucket,
+           CAST(v.mn AS DOUBLE) / 100.0
+             + CAST(v.bucket * (v.mx - v.mn + 1) AS DOUBLE) / 20.0 / 100.0
+             AS price_lo,
+           CAST(v.mn AS DOUBLE) / 100.0
+             + CAST((v.bucket + 1) * (v.mx - v.mn + 1) AS DOUBLE) / 20.0 / 100.0
+             AS price_hi,
+           v.volume, v.n_days,
+           CAST(CASE WHEN v.volume * 1000 + v.bucket = m.enc
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_poc
+    FROM v JOIN m ON m.event_type = v.event_type
+    """,
+)
+def w_volume_profile(spark, sf_dir):
+    """Volume profile / market profile per series: activity volume
+    binned by PRICE LEVEL (20 range buckets of the daily close proxy)
+    with the point of control (the highest-volume bucket) flagged —
+    where a market spent its time, not when (Steidlmayer's market
+    profile).  The POC argmax is integer-encoded (volume·1000 +
+    bucket: ties resolve to the higher bucket identically on both
+    engines); buckets come from per-series min/max stats, one
+    aggregate each."""
+    bars = _bars(spark, sf_dir)
+    t = bars.select("event_type", _cl_col().alias("cl"), "vol")
+    st = t.groupBy("event_type").agg(
+        F.min("cl").cast("long").alias("mn"),
+        F.max("cl").cast("long").alias("mx"),
+    )
+    b = t.join(st, "event_type").select(
+        "event_type",
+        F.floor(
+            ((F.col("cl") - F.col("mn")) * 20).cast("double")
+            / (F.col("mx") - F.col("mn") + 1).cast("double")
+        )
+        .cast("long")
+        .alias("bucket"),
+        "mn", "mx", "vol",
+    )
+    v = b.groupBy("event_type", "bucket", "mn", "mx").agg(
+        F.sum("vol").cast("long").alias("volume"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.max(F.col("volume") * 1000 + F.col("bucket"))
+        .cast("long")
+        .alias("enc")
+    )
+    return v.join(m, "event_type").select(
+        "event_type", "bucket",
+        (
+            F.col("mn").cast("double") / 100.0
+            + (F.col("bucket") * (F.col("mx") - F.col("mn") + 1)).cast("double")
+            / 20.0
+            / 100.0
+        ).alias("price_lo"),
+        (
+            F.col("mn").cast("double") / 100.0
+            + ((F.col("bucket") + 1) * (F.col("mx") - F.col("mn") + 1)).cast(
+                "double"
+            )
+            / 20.0
+            / 100.0
+        ).alias("price_hi"),
+        "volume", "n_days",
+        F.when(
+            F.col("volume") * 1000 + F.col("bucket") == F.col("enc"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_poc"),
+    )
+
+
+@register(
+    "sketch_tdigest_merge",
+    """
+    WITH v AS (SELECT event_type, event_id,
+                      CAST(floor(value * 10000) AS BIGINT) AS x
+               FROM events),
+    st AS (SELECT event_type, CAST(min(x) AS BIGINT) AS mn,
+                  CAST(max(x) AS BIGINT) AS mx
+           FROM v GROUP BY 1),
+    bk AS (SELECT v.event_type, v.event_id, v.x,
+                  CAST(floor(CAST((v.x - st.mn) * 128 AS DOUBLE)
+                             / CAST(st.mx - st.mn + 1 AS DOUBLE)) AS BIGINT)
+                    AS bucket
+           FROM v JOIN st ON st.event_type = v.event_type),
+    full_c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS bn,
+                      CAST(SUM(x) AS BIGINT) AS bs
+               FROM bk GROUP BY 1, 2),
+    half AS (SELECT event_type, bucket, event_id % 2 AS h,
+                    CAST(count(*) AS BIGINT) AS bn,
+                    CAST(SUM(x) AS BIGINT) AS bs
+             FROM bk GROUP BY 1, 2, 3),
+    merged AS (SELECT event_type, bucket, CAST(SUM(bn) AS BIGINT) AS bn,
+                      CAST(SUM(bs) AS BIGINT) AS bs
+               FROM half GROUP BY 1, 2)
+    SELECT f.event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN f.bn = m.bn AND f.bs = m.bs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_equal,
+           CAST(max(abs(f.bn - m.bn)) AS BIGINT) AS max_count_diff
+    FROM full_c f JOIN merged m ON m.event_type = f.event_type
+                              AND m.bucket = f.bucket
+    GROUP BY 1
+    """,
+)
+def sketch_tdigest_merge(spark, sf_dir):
+    """Merge law for the fixed-scale quantile sketch
+    (sketch_tdigest_quantiles): centroids built independently on two
+    disjoint halves (event_id parity) and merged by plain per-bucket
+    addition must equal the centroids built on the whole stream —
+    EXACTLY, because the scale function (global min/max) is shared and
+    (count, Σx) are associative.  The law is what makes the sketch a
+    one-pass 100 TB rollup: per-partition states combine upward
+    without re-reading data.  Same oracle style as sketch_hll_merge /
+    sketch_cms_merge: n_equal == n_buckets is the proof."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("x"),
+    )
+    st = v.groupBy("event_type").agg(
+        F.min("x").cast("long").alias("mn"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    bk = v.join(st, "event_type").select(
+        "event_type", "event_id", "x",
+        F.floor(
+            ((F.col("x") - F.col("mn")) * 128).cast("double")
+            / (F.col("mx") - F.col("mn") + 1).cast("double")
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    full_c = bk.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("bn"),
+        F.sum("x").cast("long").alias("bs"),
+    )
+    half = bk.groupBy(
+        "event_type", "bucket", (F.col("event_id") % 2).alias("h")
+    ).agg(
+        F.count("*").cast("long").alias("bn"),
+        F.sum("x").cast("long").alias("bs"),
+    )
+    merged = half.groupBy("event_type", "bucket").agg(
+        F.sum("bn").cast("long").alias("bn"),
+        F.sum("bs").cast("long").alias("bs"),
+    )
+    fa, ma = full_c.alias("f"), merged.alias("m")
+    return (
+        fa.join(
+            ma,
+            (F.col("m.event_type") == F.col("f.event_type"))
+            & (F.col("m.bucket") == F.col("f.bucket")),
+        )
+        .groupBy(F.col("f.event_type").alias("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(
+                F.when(
+                    (F.col("f.bn") == F.col("m.bn"))
+                    & (F.col("f.bs") == F.col("m.bs")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_equal"),
+            F.max(F.abs(F.col("f.bn") - F.col("m.bn")))
+            .cast("long")
+            .alias("max_count_diff"),
+        )
+    )
+
+
+@register(
+    "text_source_cosine",
+    f"""
+    WITH tok AS (SELECT source, unnest({_SQL_TOKS}) AS w FROM documents),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS total
+              FROM tok GROUP BY 1 ORDER BY total DESC, w LIMIT 200),
+    tc AS (SELECT tok.source, tok.w, CAST(count(*) AS BIGINT) AS c
+           FROM tok JOIN vocab ON vocab.w = tok.w
+           GROUP BY 1, 2),
+    nrm AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+            FROM tc GROUP BY 1),
+    dot AS (SELECT a.source AS s1, b.source AS s2,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS dp
+            FROM tc a JOIN tc b ON b.w = a.w AND a.source < b.source
+            GROUP BY 1, 2)
+    SELECT dot.s1, dot.s2, dot.dp,
+           CAST(dot.dp AS DOUBLE)
+             / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE)))
+             AS cosine
+    FROM dot JOIN nrm n1 ON n1.source = dot.s1
+    JOIN nrm n2 ON n2.source = dot.s2
+    """,
+)
+def text_source_cosine(spark, sf_dir):
+    """Pairwise source similarity as term-frequency cosine over the
+    top-200 global vocabulary: the corpus-mixing diagnostic that says
+    which sources are stylistic duplicates BEFORE paying for
+    embedding-level dedup (high cosine → route to
+    dedup_cross_source_matrix).  The vocab cap is a distributed
+    top-k (orderBy().limit, no global window) and bounds the
+    pairwise join at |vocab|·|sources|² regardless of corpus size;
+    dot products and norms are exact integers, cosine one √·√
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.transform(text.tokens("text"), F.lower)).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("long").alias("total"))
+        .orderBy(F.desc("total"), "w")
+        .limit(200)
+    )
+    tc = (
+        tok.join(vocab.select("w"), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nrm = tc.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a, b = tc.alias("a"), tc.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("b.w") == F.col("a.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dp"))
+    )
+    n1 = nrm.select(F.col("source").alias("s1"), F.col("n2").alias("n2a"))
+    n2 = nrm.select(F.col("source").alias("s2"), F.col("n2").alias("n2b"))
+    return dot.join(n1, "s1").join(n2, "s2").select(
+        "s1", "s2", "dp",
+        (
+            F.col("dp").cast("double")
+            / (
+                F.sqrt(F.col("n2a").cast("double"))
+                * F.sqrt(F.col("n2b").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+
+
+@register(
+    "ops_capacity_forecast",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    ix AS (SELECT event_type, n,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS BIGINT) AS i
+           FROM d),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+                 CAST(SUM(i) AS BIGINT) AS si,
+                 CAST(SUM(n) AS BIGINT) AS sn,
+                 CAST(SUM(i * i) AS BIGINT) AS sii,
+                 CAST(SUM(i * n) AS BIGINT) AS sin_
+          FROM ix GROUP BY 1),
+    b AS (SELECT event_type, nn,
+                 (CAST(nn AS DOUBLE) * CAST(sin_ AS DOUBLE)
+                  - CAST(si AS DOUBLE) * CAST(sn AS DOUBLE))
+                 / (CAST(nn AS DOUBLE) * CAST(sii AS DOUBLE)
+                    - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS slope,
+                 (CAST(sn AS DOUBLE)
+                  - (CAST(nn AS DOUBLE) * CAST(sin_ AS DOUBLE)
+                     - CAST(si AS DOUBLE) * CAST(sn AS DOUBLE))
+                    / (CAST(nn AS DOUBLE) * CAST(sii AS DOUBLE)
+                       - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+                    * CAST(si AS DOUBLE))
+                 / CAST(nn AS DOUBLE) AS intercept
+          FROM m)
+    SELECT b.event_type, CAST(h.range AS BIGINT) AS horizon_days,
+           b.slope, b.intercept,
+           b.intercept + b.slope * CAST(b.nn + h.range AS DOUBLE)
+             AS forecast_events
+    FROM b CROSS JOIN range(1, 8) h
+    """,
+)
+def ops_capacity_forecast(spark, sf_dir):
+    """Capacity forecast per stream: OLS trend of daily event volume
+    against the day index (closed-form slope/intercept from exact
+    integer moments), extrapolated 1–7 days ahead — the linear
+    capacity-planning baseline every autoscaler / quota review starts
+    from.  The day index is a partitioned row_number over the bounded
+    calendar; the 7 horizons are a literal explode of the per-series
+    1-row model, so the forecast costs nothing beyond the one
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ix = d.select(
+        "event_type", "n",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("i"),
+    )
+    m = ix.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("i").cast("long").alias("si"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sii"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("sin_"),
+    )
+    nnd = F.col("nn").cast("double")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (nnd * dd("sin_") - dd("si") * dd("sn")) / (
+        nnd * dd("sii") - dd("si") * dd("si")
+    )
+    intercept = (dd("sn") - slope * dd("si")) / nnd
+    b = m.select(
+        "event_type", "nn", slope.alias("slope"), intercept.alias("intercept")
+    )
+    h = b.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("horizon")
+    )
+    return h.select(
+        "event_type",
+        F.col("horizon").cast("long").alias("horizon_days"),
+        "slope", "intercept",
+        (
+            F.col("intercept")
+            + F.col("slope") * (F.col("nn") + F.col("horizon")).cast("double")
+        ).alias("forecast_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -191,3 +191,73 @@ def test_seasonal_decompose_identity(spark):
         assert math.isclose(
             r.actual, r.trend + r.seasonal + r.residual, rel_tol=1e-9, abs_tol=1e-9
         )
+
+
+# -- batch F ------------------------------------------------------------------
+
+
+def test_rfm_quintiles_balanced(spark):
+    rows = QUERIES["a_rfm_segmentation"](spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_quint", "f_quint", "m_quint"):
+        counts = {}
+        for r in rows:
+            q = getattr(r, col)
+            assert 1 <= q <= 5
+            counts[q] = counts.get(q, 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+    for r in rows:
+        assert r.rfm_code == 100 * r.r_quint + 10 * r.f_quint + r.m_quint
+
+
+def test_power_analysis_monotone_in_p(spark):
+    rows = QUERIES["a_power_analysis"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.p1 < 1.0 and r.n_per_arm > 0
+
+
+def test_underwater_duration_bounds(spark):
+    rows = QUERIES["w_underwater_duration"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.max_underwater_days <= r.total_underwater_days
+        assert r.n_episodes >= 1
+
+
+def test_volume_profile_single_poc(spark):
+    rows = QUERIES["w_volume_profile"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+        assert r.price_lo < r.price_hi
+    for t, rs in by_type.items():
+        assert sum(r.is_poc for r in rs) == 1, t
+        poc = next(r for r in rs if r.is_poc)
+        assert poc.volume == max(r.volume for r in rs)
+
+
+def test_tdigest_merge_law_exact(spark):
+    for r in QUERIES["sketch_tdigest_merge"](spark, SF).collect():
+        assert r.n_equal == r.n_buckets and r.max_count_diff == 0
+
+
+def test_source_cosine_range(spark):
+    rows = QUERIES["text_source_cosine"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_capacity_forecast_linear(spark):
+    rows = QUERIES["ops_capacity_forecast"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert len(rs) == 7
+        rs.sort(key=lambda r: r.horizon_days)
+        # forecasts lie exactly on the fitted line
+        step = rs[1].forecast_events - rs[0].forecast_events
+        assert math.isclose(step, rs[0].slope, rel_tol=1e-9, abs_tol=1e-9)
