@@ -22819,6 +22819,432 @@ def ops_capacity_forecast(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch G: TextRank keywords, cohort LTV,
+# MinHash-estimator accuracy audit, Lorenz curve, weekend effect.
+# ---------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    from dicomdb_spark.operators.graph import pagerank_oracle_ctes
+
+    ctes, final = pagerank_oracle_ctes("edges", iters=3, damping=0.85)
+    return f"""
+    WITH tk0 AS (SELECT {_SQL_TOKS} AS tk FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                        i -> tk[i] || ' ' || tk[i + 1])) AS bg
+           FROM tk0),
+    tok AS (SELECT unnest(tk) AS w FROM tk0),
+    vocab AS (SELECT w FROM (
+      SELECT w, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, w)
+               AS rn
+      FROM tok GROUP BY 1) t WHERE rn <= 100),
+    pe AS (SELECT DISTINCT split_part(bg, ' ', 1) AS a,
+                  split_part(bg, ' ', 2) AS b
+           FROM bg),
+    und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+            FROM pe
+            WHERE a <> b
+              AND a IN (SELECT w FROM vocab) AND b IN (SELECT w FROM vocab)),
+    edges AS (SELECT lo AS src, hi AS dst FROM und
+              UNION ALL SELECT hi AS src, lo AS dst FROM und),
+    {ctes}
+    SELECT node AS keyword, CAST(r AS DOUBLE) / 1000000000000.0 AS score,
+           CAST(pos AS BIGINT) AS pos
+    FROM (SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS pos
+          FROM {final}) t
+    WHERE pos <= 20
+    """
+
+
+@register("text_textrank_keywords", _textrank_oracle())
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph — undirected edges
+    between ADJACENT tokens restricted to the top-100 vocabulary, 3
+    damped iterations, top-20 words by stationary score.  Reuses the
+    floor-scaled integer PageRank kernel (operators/graph.py) so all
+    rounds are bit-replayable; the vocabulary cap is a distributed
+    top-k, the graph is ≤100 nodes regardless of corpus size, and the
+    final pos window runs on a LIMIT(20) result.  The
+    graph-centrality complement to text_rake_keywords' degree
+    heuristic."""
+    from dicomdb_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.transform(text.tokens("text"), F.lower)).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(100)
+        .select("w")
+    )
+    bg = docs.select(F.explode(text.shingles("text", 2)).alias("bg"))
+    pe = bg.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("b"),
+    ).distinct()
+    va = vocab.select(F.col("w").alias("a"))
+    vb = vocab.select(F.col("w").alias("b"))
+    und = (
+        pe.filter(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    edges = und.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(und.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    r = graph.pagerank(edges, iters=3, damping=0.85)
+    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        r.orderBy(F.col("r").desc(), F.col("node"))
+        .limit(20)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("node").alias("keyword"),
+            (F.col("r").cast("double") / 1e12).alias("score"),
+            "pos",
+        )
+    )
+
+
+@register(
+    "a_cohort_ltv_curve",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                           AS BIGINT) AS mix,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS rev_c
+               FROM orders),
+    fc AS (SELECT o_custkey, CAST(min(mix) AS BIGINT) AS cohort_mix
+           FROM o GROUP BY 1),
+    cs AS (SELECT cohort_mix, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM fc GROUP BY 1),
+    r AS (SELECT fc.cohort_mix, o.mix - fc.cohort_mix AS age_months,
+                 CAST(SUM(o.rev_c) AS BIGINT) AS rev_c
+          FROM o JOIN fc ON fc.o_custkey = o.o_custkey
+          GROUP BY 1, 2),
+    c AS (SELECT cohort_mix, age_months, rev_c,
+                 CAST(SUM(rev_c) OVER (PARTITION BY cohort_mix
+                                       ORDER BY age_months) AS BIGINT)
+                   AS cum_rev_c
+          FROM r)
+    SELECT c.cohort_mix, CAST(c.age_months AS BIGINT) AS age_months,
+           cs.cohort_size, c.cum_rev_c,
+           CAST(c.cum_rev_c AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) / 100.0
+             AS ltv_per_customer
+    FROM c JOIN cs ON cs.cohort_mix = c.cohort_mix
+    """,
+)
+def a_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by
+    first-purchase month, cumulative revenue per cohort tracked by
+    account age — the revenue twin of a_cohort_retention's user
+    counts, and the payback-period input every acquisition-spend
+    decision reads.  Month index is exact integer arithmetic
+    (y·12+m), the running LTV is a PARTITIONED cumsum over the
+    bounded (cohort, age) grid, revenue stays integer cents until the
+    final per-customer division."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("long")
+        .alias("mix"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    fc = o.groupBy("o_custkey").agg(F.min("mix").cast("long").alias("cohort_mix"))
+    cs = fc.groupBy("cohort_mix").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    r = (
+        o.join(fc, "o_custkey")
+        .groupBy(
+            "cohort_mix", (F.col("mix") - F.col("cohort_mix")).alias("age_months")
+        )
+        .agg(F.sum("rev_c").cast("long").alias("rev_c"))
+    )
+    c = r.select(
+        "cohort_mix", "age_months", "rev_c",
+        F.sum("rev_c")
+        .over(Window.partitionBy("cohort_mix").orderBy("age_months"))
+        .cast("long")
+        .alias("cum_rev_c"),
+    )
+    return c.join(cs, "cohort_mix").select(
+        "cohort_mix",
+        F.col("age_months").cast("long").alias("age_months"),
+        "cohort_size", "cum_rev_c",
+        (
+            F.col("cum_rev_c").cast("double")
+            / F.col("cohort_size").cast("double")
+            / 100.0
+        ).alias("ltv_per_customer"),
+    )
+
+
+def _minhash_jaccard_est_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+    {_minhash_pairs_cte()},
+    ds AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+    inter AS (SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS i
+              FROM pairs p
+              JOIN ds d1 ON d1.doc_id = p.id1
+              JOIN ds d2 ON d2.doc_id = p.id2 AND d2.s = d1.s
+              GROUP BY 1, 2)
+    SELECT p.id1, p.id2,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST({agree} AS DOUBLE) / 16.0 AS est_jaccard,
+           CAST(coalesce(i.i, 0) AS DOUBLE)
+             / CAST(s1.n + s2.n - coalesce(i.i, 0) AS DOUBLE) AS exact_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id1
+    JOIN sig b ON b.doc_id = p.id2
+    JOIN sz s1 ON s1.doc_id = p.id1
+    JOIN sz s2 ON s2.doc_id = p.id2
+    LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+    """
+
+
+@register("dedup_minhash_jaccard_est", _minhash_jaccard_est_oracle())
+def dedup_minhash_jaccard_est(spark, sf_dir):
+    """MinHash estimator accuracy audit: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching slots / 16 —
+    the unbiased estimator MinHash exists to provide, Broder 1997)
+    next to the EXACT shingle-set Jaccard.  The residual distribution
+    is how you choose the signature width: est−exact spread ~
+    1/√k.  Exact Jaccards are computed only for the bucket-bounded
+    candidate list (never all pairs); the signature table is built
+    once and reused for both banding and agreement."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    sig = ldedup._track_cache(
+        ldedup.minhash_signature_table(
+            docs, "doc_id", "text", num_hashes=16,
+            min_parallelism=local_fanout(spark),
+        ).persist()
+    )
+    pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4)
+    ds = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(text.shingles("text", 3))).alias("s"),
+    )
+    sz = ds.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
+    d1 = ds.select(F.col("doc").alias("id1"), F.col("s").alias("s1"))
+    d2 = ds.select(F.col("doc").alias("id2b"), F.col("s").alias("s2"))
+    inter = (
+        pairs.join(d1, "id1")
+        .join(
+            d2,
+            (F.col("id2") == F.col("id2b")) & (F.col("s2") == F.col("s1")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    sa = sig.select(
+        F.col("doc").alias("id1"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sig.select(
+        F.col("doc").alias("id2"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        pairs.join(sa, "id1")
+        .join(sb, "id2")
+        .join(sz.select(F.col("doc").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sz.select(F.col("doc").alias("id2"), F.col("n").alias("n2")), "id2")
+        .join(inter, ["id1", "id2"], "left")
+        .select(
+            "id1", "id2",
+            agree.cast("long").alias("n_agree"),
+            (agree.cast("double") / 16.0).alias("est_jaccard"),
+            (
+                ii.cast("double")
+                / (F.col("n1") + F.col("n2") - ii).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "a_lorenz_curve_points",
+    """
+    WITH s AS (SELECT o_custkey,
+                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS spend_c
+               FROM orders GROUP BY 1),
+    q AS (SELECT o_custkey, spend_c,
+                 CAST(ntile(10) OVER (ORDER BY spend_c, o_custkey) AS BIGINT)
+                   AS decile
+          FROM s),
+    d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(spend_c) AS BIGINT) AS spend_c
+          FROM q GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(spend_c) AS BIGINT) AS ts FROM d),
+    c AS (SELECT decile, n, spend_c,
+                 CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cn,
+                 CAST(SUM(spend_c) OVER (ORDER BY decile) AS BIGINT) AS cspend
+          FROM d)
+    SELECT c.decile,
+           CAST(c.cn AS DOUBLE) / CAST(t.tn AS DOUBLE) AS cum_pop_share,
+           CAST(c.cspend AS DOUBLE) / CAST(t.ts AS DOUBLE) AS cum_spend_share,
+           CAST(c.cn AS DOUBLE) / CAST(t.tn AS DOUBLE)
+             - CAST(c.cspend AS DOUBLE) / CAST(t.ts AS DOUBLE) AS lorenz_gap
+    FROM c CROSS JOIN t
+    """,
+)
+def a_lorenz_curve_points(spark, sf_dir):
+    """Lorenz curve of customer spend at decile resolution: cumulative
+    population share vs cumulative spend share, plus the gap (whose
+    2× integral is the Gini a_gini_skew reports as a scalar) — the
+    standard concentration VISUALIZATION, here as data points.  The
+    decile assignment is the distributed ntile recipe (range-bucket
+    rank over the unbounded customer dimension, no single-partition
+    sort); the cumulative window then runs over the 10-row decile
+    table — bounded by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_c")
+    )
+    s = s.crossJoin(s.agg(F.count("*").cast("long").alias("__n")))
+    ranked = ow.bucketed_running(
+        ow.monotone_range_bucket(s, "spend_c", ascending=True),
+        ["spend_c", "o_custkey"],
+        rn_col="__rn",
+    )
+    q = ranked.withColumn(
+        "decile", ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 10).cast("long")
+    )
+    d = q.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("spend_c").cast("long").alias("spend_c"),
+    )
+    t = d.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("spend_c").cast("long").alias("ts"),
+    )
+    c = d.select(
+        "decile", "n", "spend_c",
+        F.sum("n").over(Window.orderBy("decile")).cast("long").alias("cn"),
+        F.sum("spend_c").over(Window.orderBy("decile")).cast("long").alias(
+            "cspend"
+        ),
+    )
+    pop = F.col("cn").cast("double") / F.col("tn").cast("double")
+    sp = F.col("cspend").cast("double") / F.col("ts").cast("double")
+    return c.crossJoin(t).select(
+        "decile",
+        pop.alias("cum_pop_share"),
+        sp.alias("cum_spend_share"),
+        (pop - sp).alias("lorenz_gap"),
+    )
+
+
+@register(
+    "a_weekend_effect",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS x
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type,
+                 CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS wknd,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS ssk
+          FROM d GROUP BY 1, 2),
+    p AS (SELECT w.event_type,
+                 w.n AS n_wknd, e.n AS n_wkdy,
+                 CAST(w.s AS DOUBLE) / CAST(w.n AS DOUBLE) / 100.0 AS mean_wknd,
+                 CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE) / 100.0 AS mean_wkdy,
+                 (CAST(w.n AS DOUBLE) * (CAST(w.ssk AS DOUBLE) * 10000.0)
+                  - CAST(w.s AS DOUBLE) * CAST(w.s AS DOUBLE))
+                 / CAST(w.n AS DOUBLE) / CAST(w.n AS DOUBLE) AS var_wknd,
+                 (CAST(e.n AS DOUBLE) * (CAST(e.ssk AS DOUBLE) * 10000.0)
+                  - CAST(e.s AS DOUBLE) * CAST(e.s AS DOUBLE))
+                 / CAST(e.n AS DOUBLE) / CAST(e.n AS DOUBLE) AS var_wkdy
+          FROM (SELECT * FROM g WHERE wknd = 1) w
+          JOIN (SELECT * FROM g WHERE wknd = 0) e
+            ON e.event_type = w.event_type)
+    SELECT event_type, n_wknd, n_wkdy, mean_wknd, mean_wkdy,
+           mean_wknd / mean_wkdy AS weekend_lift,
+           (mean_wknd - mean_wkdy)
+             / sqrt(var_wknd / CAST(n_wknd AS DOUBLE) / 10000.0
+                    + var_wkdy / CAST(n_wkdy AS DOUBLE) / 10000.0) AS t_stat
+    FROM p
+    """,
+)
+def a_weekend_effect(spark, sf_dir):
+    """Weekend-vs-weekday effect per stream: mean daily total on
+    weekend days vs weekdays, the lift ratio, and a Welch-style t
+    statistic from exact integer moments — the day-of-week seasonality
+    significance check behind staffing and campaign-timing calls.
+    One day-grain aggregate, one 2-cell-per-stream split, one shared
+    expression chain; the x² moment is floor-rescaled per day so the
+    variance is order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    xd = F.col("x").cast("double")
+    g = d.groupBy(
+        "event_type",
+        F.when(F.dayofweek("day").isin(1, 7), 1).otherwise(0).alias("wknd"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.floor(xd * xd / 10000.0).cast("long")).cast("long").alias("ssk"),
+    )
+    wk = g.filter(F.col("wknd") == 1).alias("w")
+    wd = g.filter(F.col("wknd") == 0).alias("e")
+    mw = F.col("w.s").cast("double") / F.col("w.n").cast("double") / 100.0
+    me = F.col("e.s").cast("double") / F.col("e.n").cast("double") / 100.0
+    vw = (
+        F.col("w.n").cast("double") * (F.col("w.ssk").cast("double") * 10000.0)
+        - F.col("w.s").cast("double") * F.col("w.s").cast("double")
+    ) / F.col("w.n").cast("double") / F.col("w.n").cast("double")
+    ve = (
+        F.col("e.n").cast("double") * (F.col("e.ssk").cast("double") * 10000.0)
+        - F.col("e.s").cast("double") * F.col("e.s").cast("double")
+    ) / F.col("e.n").cast("double") / F.col("e.n").cast("double")
+    p = wk.join(wd, F.col("e.event_type") == F.col("w.event_type")).select(
+        F.col("w.event_type").alias("event_type"),
+        F.col("w.n").alias("n_wknd"),
+        F.col("e.n").alias("n_wkdy"),
+        mw.alias("mean_wknd"),
+        me.alias("mean_wkdy"),
+        (mw / me).alias("weekend_lift"),
+        (
+            (mw - me)
+            / F.sqrt(
+                vw / F.col("w.n").cast("double") / 10000.0
+                + ve / F.col("e.n").cast("double") / 10000.0
+            )
+        ).alias("t_stat"),
+    )
+    return p
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

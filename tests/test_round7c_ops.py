@@ -261,3 +261,61 @@ def test_capacity_forecast_linear(spark):
         # forecasts lie exactly on the fitted line
         step = rs[1].forecast_events - rs[0].forecast_events
         assert math.isclose(step, rs[0].slope, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# -- batch G ------------------------------------------------------------------
+
+
+def test_textrank_top20(spark):
+    rows = QUERIES["text_textrank_keywords"](spark, SF).collect()
+    assert len(rows) == 20
+    scores = [r.score for r in sorted(rows, key=lambda r: r.pos)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.score > 0 for r in rows)
+
+
+def test_cohort_ltv_monotone(spark):
+    rows = QUERIES["a_cohort_ltv_curve"](spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_mix, []).append(r)
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        ltvs = [r.ltv_per_customer for r in rs]
+        assert all(b >= a for a, b in zip(ltvs, ltvs[1:])), c
+
+
+def test_minhash_jaccard_estimator_error(spark):
+    rows = QUERIES["dedup_minhash_jaccard_est"](spark, SF).collect()
+    assert rows
+    import statistics
+
+    resid = [r.est_jaccard - r.exact_jaccard for r in rows]
+    # unbiased estimator: mean residual well inside 1/sqrt(16)
+    assert abs(statistics.mean(resid)) < 0.25
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+
+
+def test_lorenz_curve_shape(spark):
+    rows = sorted(
+        QUERIES["a_lorenz_curve_points"](spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    assert math.isclose(rows[-1].cum_pop_share, 1.0, abs_tol=1e-12)
+    assert math.isclose(rows[-1].cum_spend_share, 1.0, abs_tol=1e-12)
+    for r in rows:
+        # Lorenz curve lies under the diagonal when sorted ascending
+        assert r.cum_spend_share <= r.cum_pop_share + 1e-9
+
+
+def test_weekend_effect_fields(spark):
+    rows = QUERIES["a_weekend_effect"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_wknd + r.n_wkdy > 0
+        assert math.isclose(
+            r.weekend_lift, r.mean_wknd / r.mean_wkdy, rel_tol=1e-12
+        )
