@@ -22304,7 +22304,11 @@ def a_rfm_segmentation(spark, sf_dir):
             "recency_days"
         ),
     )
-    r = r.crossJoin(r.agg(F.count("*").cast("long").alias("__n")))
+    # persist the customer-grain feature frame: the three quintile
+    # passes each reference it 3× (bucket stats, offsets, rank join),
+    # so an unpersisted lineage re-scans the orders fact ~10× — the
+    # cache turns that into ONE fact scan + nine cheap dimension reads
+    r = r.crossJoin(r.agg(F.count("*").cast("long").alias("__n"))).persist()
 
     def quint(df, measure, asc, out):
         ranked = ow.bucketed_running(
@@ -23124,7 +23128,8 @@ def a_lorenz_curve_points(spark, sf_dir):
         .cast("long")
         .alias("spend_c")
     )
-    s = s.crossJoin(s.agg(F.count("*").cast("long").alias("__n")))
+    # persist: the decile pass references the customer aggregate 3×
+    s = s.crossJoin(s.agg(F.count("*").cast("long").alias("__n"))).persist()
     ranked = ow.bucketed_running(
         ow.monotone_range_bucket(s, "spend_c", ascending=True),
         ["spend_c", "o_custkey"],

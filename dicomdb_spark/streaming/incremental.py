@@ -79,3 +79,45 @@ def foreach_batch_upsert(
         apply_actions(classified.filter(F.col("action") != "noop"))
 
     return fn
+
+
+def slo_burn_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_value: str = "error",
+    slo_budget: float = 0.01,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of the ops_slo_burn_rate 1-day (fast-burn) path:
+    tumbling-day windowed totals and error counts with a watermark
+    bounding late-data state, burn = error_rate / budget computed per
+    closed window.  The 7-day slow-burn rollup stays a batch query
+    over this stream's sink (stacking a second window on a streaming
+    agg needs another shuffle + complete-mode state; the day-grain
+    sink table is tiny, so the batch rollup is the right split).
+
+    At 100 TB/day this is the canonical always-on aggregation: state
+    is one (day, counts) row per open window, the watermark evicts
+    closed days, and the map-side combine happens before the single
+    shuffle on the window key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("day_window"))
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.when(F.col(type_col) == error_value, 1).otherwise(0))
+            .cast("long")
+            .alias("n_err"),
+        )
+        .select(
+            F.col("day_window.start").cast("date").alias("day"),
+            "n_total",
+            "n_err",
+            (
+                F.col("n_err").cast("double")
+                / F.col("n_total").cast("double")
+                / F.lit(slo_budget)
+            ).alias("burn_1d"),
+        )
+    )

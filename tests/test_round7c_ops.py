@@ -319,3 +319,44 @@ def test_weekend_effect_fields(spark):
         assert math.isclose(
             r.weekend_lift, r.mean_wknd / r.mean_wkdy, rel_tol=1e-12
         )
+
+
+# -- streaming twin -----------------------------------------------------------
+
+
+def test_slo_burn_stream_matches_batch_1d(spark, tmp_path):
+    """The streaming (watermarked tumbling-day) burn rate must agree
+    with the batch ops_slo_burn_rate 1-day columns exactly once all
+    input is processed."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.streaming import incremental as stream
+
+    ev = load_table(spark, SF, "events")
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    src_dir = str(tmp_path / "events_stream")
+    src.write.mode("overwrite").parquet(src_dir)
+    stream_df = stream.stream_inventory(
+        spark, src_dir, src.schema, fmt="parquet"
+    )
+    agg = stream.slo_burn_stream(
+        stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slo_burn")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.day: (r.n_total, r.n_err, r.burn_1d)
+            for r in spark.sql("select * from slo_burn").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.day: (r.n_total, r.n_err, r.burn_1d)
+        for r in QUERIES["ops_slo_burn_rate"](spark, SF).collect()
+    }
+    assert got == batch
