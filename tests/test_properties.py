@@ -424,3 +424,42 @@ def test_sql_hex_int_matches_python_md5(tokens_in, n_chars):
     for t in tokens_in:
         expect = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:n_chars], 16)
         assert got[t] == expect, (t, n_chars, got[t], expect)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-100000, max_value=100000),
+        min_size=14,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_encoded_window_argmax_matches_naive(spark, vals):
+    """w_aroon's integer-encoded windowed argmax — max((hi+OFF)·1e5+rn)
+    decoding to the latest-tie bar index — must agree with a naive
+    Python argmax (latest index on ties) for ANY int series, including
+    negatives (the 1e7 offset keeps the encoding positive)."""
+    from pyspark.sql import Window as W
+
+    rows = [(i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rn LONG, hi LONG")
+    w = W.orderBy("rn").rowsBetween(-13, W.currentRow)
+    out = df.select(
+        "rn",
+        (
+            F.col("rn")
+            - F.max((F.col("hi") + 10000000) * 100000 + F.col("rn")).over(w)
+            % 100000
+        ).alias("since"),
+        F.count("*").over(w).alias("nb"),
+    ).collect()
+    by_rn = {r.rn: r for r in out}
+    for t in range(13, len(vals)):
+        window = vals[t - 13 : t + 1]
+        m = max(window)
+        # latest index on ties
+        idx_in_window = max(i for i, v in enumerate(window) if v == m)
+        expect_since = 13 - idx_in_window
+        r = by_rn[t + 1]
+        assert r.nb == 14
+        assert r.since == expect_since, (t, window)
