@@ -23250,6 +23250,225 @@ def a_weekend_effect(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch H: ER operating-point sweep, growth
+# accounting.
+# ---------------------------------------------------------------------------
+
+
+def _er_threshold_sweep_oracle() -> str:
+    return f"""
+    {_minhash_pairs_cte()},
+    ds AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+    inter AS (SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS i
+              FROM pairs p
+              JOIN ds d1 ON d1.doc_id = p.id1
+              JOIN ds d2 ON d2.doc_id = p.id2 AND d2.s = d1.s
+              GROUP BY 1, 2),
+    sc AS (SELECT p.id1, p.id2,
+                  CAST(coalesce(i.i, 0) AS DOUBLE)
+                    / CAST(s1.n + s2.n - coalesce(i.i, 0) AS DOUBLE) AS j,
+                  CASE WHEN p.id1 < 1000000
+                        AND (p.id2 = p.id1 + 1000000
+                             OR p.id2 = p.id1 + 2000000) THEN 1 ELSE 0 END
+                    AS truth
+           FROM pairs p
+           JOIN sz s1 ON s1.doc_id = p.id1
+           JOIN sz s2 ON s2.doc_id = p.id2
+           LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2),
+    tt AS (SELECT CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_truth
+           FROM documents),
+    th AS (SELECT CAST(unnest([40, 50, 60, 70, 80, 90]) AS BIGINT) AS t)
+    SELECT th.t AS threshold_pct,
+           CAST(SUM(CASE WHEN sc.j * 100.0 >= CAST(th.t AS DOUBLE)
+                          AND sc.truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN sc.j * 100.0 >= CAST(th.t AS DOUBLE)
+                          AND sc.truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           tt.n_truth,
+           CAST(SUM(CASE WHEN sc.j * 100.0 >= CAST(th.t AS DOUBLE)
+                          AND sc.truth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(tt.n_truth AS DOUBLE) AS recall
+    FROM th CROSS JOIN sc CROSS JOIN tt
+    GROUP BY 1, 4
+    """
+
+
+@register("er_threshold_sweep", _er_threshold_sweep_oracle())
+def er_threshold_sweep(spark, sf_dir):
+    """Entity-resolution operating-point sweep: exact Jaccard scored
+    over the LSH candidate list, evaluated against the PLANTED dup
+    truth (exact copies at id+10⁶, near copies at id+2·10⁶) for six
+    match thresholds — the precision/recall curve a dedup deployment
+    tunes its accept threshold on.  The sweep is a 6-row literal cross
+    join over the bucket-bounded scored-pair table (scores computed
+    once, thresholds free); truth labels are pure id arithmetic
+    anchored to the BASE document (copy↔near pairs of the same base
+    are unlabeled and count as fp — conservative precision), so the
+    oracle is exact."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    sig = ldedup._track_cache(
+        ldedup.minhash_signature_table(
+            docs, "doc_id", "text", num_hashes=16,
+            min_parallelism=local_fanout(spark),
+        ).persist()
+    )
+    pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4)
+    ds = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(text.shingles("text", 3))).alias("s"),
+    )
+    sz = ds.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
+    d1 = ds.select(F.col("doc").alias("id1"), F.col("s").alias("s1"))
+    d2 = ds.select(F.col("doc").alias("id2b"), F.col("s").alias("s2"))
+    inter = (
+        pairs.join(d1, "id1")
+        .join(d2, (F.col("id2") == F.col("id2b")) & (F.col("s2") == F.col("s1")))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    sc = (
+        pairs.join(sz.select(F.col("doc").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sz.select(F.col("doc").alias("id2"), F.col("n").alias("n2")), "id2")
+        .join(inter, ["id1", "id2"], "left")
+        .select(
+            "id1", "id2",
+            (ii.cast("double") / (F.col("n1") + F.col("n2") - ii).cast("double"))
+            .alias("j"),
+            F.when(
+                (F.col("id1") < 1000000)
+                & (
+                    (F.col("id2") == F.col("id1") + 1000000)
+                    | (F.col("id2") == F.col("id1") + 2000000)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("truth"),
+        )
+    )
+    base = load_table(spark, sf_dir, "documents")
+    tt = base.agg(
+        (
+            F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0))
+            + F.sum(F.when(F.col("doc_id") % 9 == 0, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_truth")
+    )
+    th = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(t) for t in (40, 50, 60, 70, 80, 90)])
+            ).alias("t0")
+        )
+        .select(F.col("t0").cast("long").alias("t"))
+    )
+    hit = F.col("j") * 100.0 >= F.col("t").cast("double")
+    return (
+        th.crossJoin(sc)
+        .crossJoin(tt)
+        .groupBy(F.col("t").alias("threshold_pct"), "n_truth")
+        .agg(
+            F.sum(F.when(hit & (F.col("truth") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit & (F.col("truth") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            (
+                F.sum(F.when(hit & (F.col("truth") == 1), 1).otherwise(0))
+                .cast("double")
+                / F.first("n_truth").cast("double")
+            ).alias("recall"),
+        )
+        .select("threshold_pct", "tp", "fp", "n_truth", "recall")
+    )
+
+
+@register(
+    "a_growth_accounting",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    fs AS (SELECT user_id, CAST(min(day) AS DATE) AS first_day
+           FROM ud GROUP BY 1),
+    j AS (SELECT c.user_id, c.day,
+                 CASE WHEN f.first_day = c.day THEN 1 ELSE 0 END AS is_new,
+                 CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS was_active
+          FROM ud c
+          JOIN fs f ON f.user_id = c.user_id
+          LEFT JOIN ud p ON p.user_id = c.user_id
+                        AND p.day = c.day - INTERVAL 1 DAY),
+    cur AS (SELECT day,
+                   CAST(count(*) AS BIGINT) AS dau,
+                   CAST(SUM(is_new) AS BIGINT) AS new_users,
+                   CAST(SUM(CASE WHEN is_new = 0 AND was_active = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+                   CAST(SUM(CASE WHEN is_new = 0 AND was_active = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+            FROM j GROUP BY 1),
+    prev AS (SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day,
+                    CAST(count(*) AS BIGINT) AS prev_dau
+             FROM ud GROUP BY 1)
+    SELECT cur.day, cur.dau, cur.new_users, cur.retained, cur.resurrected,
+           CAST(coalesce(prev.prev_dau, 0) - cur.retained AS BIGINT)
+             AS churned
+    FROM cur LEFT JOIN prev ON prev.day = cur.day
+    """,
+)
+def a_growth_accounting(spark, sf_dir):
+    """Daily growth accounting (the Social Capital framework): DAU
+    decomposed into new / retained / resurrected, plus churned =
+    yesterday's actives who didn't return — the identity
+    DAU(t) = new + retained + resurrected and
+    DAU(t−1) = retained + churned every growth dashboard reconciles.
+    One distinct user-day aggregate, a first-seen join, one
+    self-equi-join on (user, day−1) — all user-grain, no window over
+    the user dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    prev = ud.select("user_id", F.date_add("day", 1).alias("day")).withColumn(
+        "was_active", F.lit(1)
+    )
+    j = (
+        ud.join(fs, "user_id")
+        .join(prev, ["user_id", "day"], "left")
+        .select(
+            "day",
+            F.when(F.col("first_day") == F.col("day"), 1).otherwise(0).alias(
+                "is_new"
+            ),
+            F.coalesce("was_active", F.lit(0)).alias("was_active"),
+        )
+    )
+    cur = j.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum("is_new").cast("long").alias("new_users"),
+        F.sum(F.when((F.col("is_new") == 0) & (F.col("was_active") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(F.when((F.col("is_new") == 0) & (F.col("was_active") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("resurrected"),
+    )
+    pd_ = ud.groupBy(F.date_add("day", 1).alias("day")).agg(
+        F.count("*").cast("long").alias("prev_dau")
+    )
+    return cur.join(pd_, "day", "left").select(
+        "day", "dau", "new_users", "retained", "resurrected",
+        (F.coalesce("prev_dau", F.lit(0)) - F.col("retained"))
+        .cast("long")
+        .alias("churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

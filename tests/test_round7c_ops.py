@@ -360,3 +360,34 @@ def test_slo_burn_stream_matches_batch_1d(spark, tmp_path):
         for r in QUERIES["ops_slo_burn_rate"](spark, SF).collect()
     }
     assert got == batch
+
+
+# -- batch H ------------------------------------------------------------------
+
+
+def test_er_threshold_sweep_monotone(spark):
+    rows = sorted(
+        QUERIES["er_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert len(rows) == 6
+    for a, b in zip(rows, rows[1:]):
+        # raising the threshold can only shrink both tp and fp
+        assert b.tp <= a.tp and b.fp <= a.fp
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+    # exact duplicates (jaccard 1.0) survive every threshold
+    assert rows[-1].tp > 0
+
+
+def test_growth_accounting_identities(spark):
+    rows = sorted(
+        QUERIES["a_growth_accounting"](spark, SF).collect(), key=lambda r: r.day
+    )
+    assert rows
+    prev_dau = None
+    for r in rows:
+        assert r.dau == r.new_users + r.retained + r.resurrected
+        if prev_dau is not None:
+            assert prev_dau == r.retained + r.churned
+        prev_dau = r.dau
