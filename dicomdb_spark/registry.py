@@ -23469,6 +23469,417 @@ def a_growth_accounting(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch I: multimodal near-dup fingerprints,
+# event study, difference-in-differences, k-fold audit, Simpson check.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_near_dup",
+    f"""
+    WITH {_SQL_DOCS2},
+    p AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM docs2),
+    k AS (SELECT doc_id, md5(hx) AS ek,
+                 md5(substring(hx, 1, 512)) AS pk
+          FROM p),
+    ex AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM k a JOIN k b ON b.ek = a.ek AND a.doc_id < b.doc_id),
+    pf AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM k a JOIN k b ON b.pk = a.pk AND a.doc_id < b.doc_id)
+    SELECT id1, id2, 'exact' AS match_type FROM ex
+    UNION ALL
+    SELECT pf.id1, pf.id2, 'prefix' AS match_type
+    FROM pf LEFT JOIN ex ON ex.id1 = pf.id1 AND ex.id2 = pf.id2
+    WHERE ex.id1 IS NULL
+    """,
+)
+def multimodal_payload_near_dup(spark, sf_dir):
+    """Binary-payload near-duplicate detection WITHOUT decoding: exact
+    matches by full-payload digest, near matches by a 256-byte-prefix
+    fingerprint (same container header + leading content ⇒ same
+    bucket) — the cheap first pass a media dedup pipeline runs before
+    any perceptual hash, here over the opaque payload column from
+    multimodal.binarize.  Byte-level fingerprints go through the
+    lowercase hex encoding so both engines hash identical strings
+    (DuckDB has no BLOB md5/substring); payloads never shuffle — only
+    32-char digests do — and the candidate join is bucket-bounded.
+    The planted near-copies (appended tails) land exactly in the
+    prefix class, the planted exact copies in the exact class."""
+    from dicomdb_spark.llm import multimodal as mm
+
+    payloads = mm.binarize(_docs_with_dupes(spark, sf_dir))
+    hx = F.lower(F.hex(F.col("payload")))
+    k = payloads.select(
+        "doc_id",
+        F.md5(hx).alias("ek"),
+        F.md5(F.substring(hx, 1, 512)).alias("pk"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    ex = a.join(
+        b,
+        (F.col("b.ek") == F.col("a.ek"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+    )
+    pf = a.join(
+        b,
+        (F.col("b.pk") == F.col("a.pk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+    )
+    exact = ex.select("id1", "id2", F.lit("exact").alias("match_type"))
+    prefix_only = (
+        pf.join(ex.withColumn("__e", F.lit(1)), ["id1", "id2"], "left")
+        .filter(F.col("__e").isNull())
+        .select("id1", "id2", F.lit("prefix").alias("match_type"))
+    )
+    return exact.unionAll(prefix_only)
+
+
+@register(
+    "w_event_study",
+    """
+    WITH ed AS (SELECT CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_err
+                FROM events WHERE event_type = 'error' GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(n_err) AS BIGINT) AS s,
+                  CAST(SUM(n_err * n_err) AS BIGINT) AS ss
+           FROM ed),
+    ev AS (SELECT ed.day FROM ed CROSS JOIN st
+           WHERE (CAST(ed.n_err AS DOUBLE)
+                  - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                 / (sqrt(CAST(st.n AS DOUBLE) * CAST(st.ss AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                    / CAST(st.n AS DOUBLE)) > 1.0),
+    rev AS (SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM events GROUP BY 1),
+    al AS (SELECT CAST(datediff('day', ev.day, rev.day) AS BIGINT) AS rel_day,
+                  rev.rev_c
+           FROM ev JOIN rev ON rev.day >= ev.day - INTERVAL 3 DAY
+                           AND rev.day <= ev.day + INTERVAL 3 DAY)
+    SELECT rel_day, CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_c_sum,
+           CAST(SUM(rev_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+             AS mean_rev
+    FROM al GROUP BY 1
+    """,
+)
+def w_event_study(spark, sf_dir):
+    """Event-study alignment (MacKinlay, JEL 1997): days whose error
+    count sits >1σ above the series mean are 'events'; the total
+    daily activity value is aligned on the −3..+3 day offsets around
+    each event and averaged per offset — the abnormal-window shape incident post-mortems and
+    announcement studies both read.  Event selection is a 1-row
+    moment broadcast; the alignment is a ±3-day band join on the
+    bounded day grain (≤7 probes per event day); revenue sums stay
+    exact cents."""
+    ev = load_table(spark, sf_dir, "events")
+    ed = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_err"))
+    )
+    st = ed.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_err").cast("long").alias("s"),
+        F.sum(F.col("n_err") * F.col("n_err")).cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    z = (F.col("n_err").cast("double") - F.col("s").cast("double") / nd) / (
+        F.sqrt(
+            nd * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / nd
+    )
+    evd = ed.crossJoin(st).filter(z > 1.0).select(F.col("day").alias("eday"))
+    rev = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    al = evd.join(
+        rev,
+        (rev.day >= F.date_sub(F.col("eday"), 3))
+        & (rev.day <= F.date_add(F.col("eday"), 3)),
+    ).select(
+        F.datediff(F.col("day"), F.col("eday")).cast("long").alias("rel_day"),
+        "rev_c",
+    )
+    return al.groupBy("rel_day").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("rev_c").cast("long").alias("rev_c_sum"),
+        (
+            F.sum("rev_c").cast("double") / F.count("*").cast("double") / 100.0
+        ).alias("mean_rev"),
+    )
+
+
+@register(
+    "a_did_estimator",
+    """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS treated,
+                      CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END AS post,
+                      CAST(floor(value * 100) AS BIGINT) AS v
+               FROM events),
+    c AS (SELECT treated, post,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS ssk
+          FROM u GROUP BY 1, 2),
+    m AS (SELECT treated, post, n,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+                 ((CAST(n AS DOUBLE) * (CAST(ssk AS DOUBLE) * 10000.0)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0
+                   / CAST(n AS DOUBLE) AS var_mean
+          FROM c)
+    SELECT tp.mean - tr.mean - (cp.mean - cr.mean) AS did,
+           tp.mean - tr.mean AS delta_treated,
+           cp.mean - cr.mean AS delta_control,
+           sqrt(tp.var_mean + tr.var_mean + cp.var_mean + cr.var_mean)
+             AS se_did,
+           (tp.mean - tr.mean - (cp.mean - cr.mean))
+             / sqrt(tp.var_mean + tr.var_mean + cp.var_mean + cr.var_mean)
+             AS z_did
+    FROM (SELECT * FROM m WHERE treated = 1 AND post = 1) tp
+    CROSS JOIN (SELECT * FROM m WHERE treated = 1 AND post = 0) tr
+    CROSS JOIN (SELECT * FROM m WHERE treated = 0 AND post = 1) cp
+    CROSS JOIN (SELECT * FROM m WHERE treated = 0 AND post = 0) cr
+    """,
+)
+def a_did_estimator(spark, sf_dir):
+    """Difference-in-differences: (treated post−pre) − (control
+    post−pre) over event values, with the planted assignment
+    user_id % 3 (documented synthetic treatment — the estimator shape
+    is the deliverable) and post = the month's second half.  The
+    classic parallel-trends causal estimate (Card & Krueger, AER
+    1994) from ONE 4-cell aggregate; the z uses the independent-cell
+    variance sum, every moment floor-scaled exact."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    u = ev.select(
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("treated"),
+        F.when(day >= F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("double")
+    c = u.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.floor(vd * vd / 10000.0).cast("long")).cast("long").alias("ssk"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd / 100.0
+    var_mean = (
+        (
+            nd * (F.col("ssk").cast("double") * 10000.0)
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / nd
+        / nd
+    ) / 10000.0 / nd
+    m = c.select("treated", "post", "n", mean.alias("mean"), var_mean.alias("var_mean"))
+
+    def cell(t, p, tag):
+        return m.filter((F.col("treated") == t) & (F.col("post") == p)).select(
+            F.col("mean").alias(f"m_{tag}"), F.col("var_mean").alias(f"v_{tag}")
+        )
+
+    j = (
+        cell(1, 1, "tp")
+        .crossJoin(cell(1, 0, "tr"))
+        .crossJoin(cell(0, 1, "cp"))
+        .crossJoin(cell(0, 0, "cr"))
+    )
+    dt = F.col("m_tp") - F.col("m_tr")
+    dc = F.col("m_cp") - F.col("m_cr")
+    se = F.sqrt(
+        F.col("v_tp") + F.col("v_tr") + F.col("v_cp") + F.col("v_cr")
+    )
+    return j.select(
+        (dt - dc).alias("did"),
+        dt.alias("delta_treated"),
+        dc.alias("delta_control"),
+        se.alias("se_did"),
+        ((dt - dc) / se).alias("z_did"),
+    )
+
+
+@register(
+    "ml_kfold_assignment",
+    """
+    WITH f AS (SELECT c_custkey, c_mktsegment,
+                      CAST(floor(c_acctbal) AS BIGINT) AS bal,
+                      CAST(strpos('0123456789abcdef',
+                                  substr(md5('fold:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1
+                           AS BIGINT) % 5 AS fold
+               FROM customer)
+    SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(bal) AS BIGINT) AS bal_sum,
+           CAST(SUM(bal) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bal_mean,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM f GROUP BY 1
+    """,
+)
+def ml_kfold_assignment(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment (salted-md5
+    fold ids — reproducible across engines, machines, and reruns,
+    unlike RNG splits) with the per-fold balance audit every CV setup
+    should run: fold sizes, outcome-proxy means, segment coverage.
+    A skewed fold here invalidates the CV variance estimate before
+    any model is trained.  One map-only hash + one aggregate."""
+    from dicomdb_spark.functions.sketches import _hex_int
+
+    cust = load_table(spark, sf_dir, "customer")
+    fold = (
+        _hex_int(
+            F.md5(F.concat(F.lit("fold:"), F.col("c_custkey").cast("string"))), 1
+        )
+        % 5
+    ).cast("long")
+    f = cust.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal")).cast("long").alias("bal"),
+        fold.alias("fold"),
+    )
+    return f.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal").cast("long").alias("bal_sum"),
+        (F.sum("bal").cast("double") / F.count("*").cast("double")).alias(
+            "bal_mean"
+        ),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+
+
+@register(
+    "a_simpson_paradox_audit",
+    """
+    WITH f AS (SELECT c.c_mktsegment AS seg,
+                      CAST(floor(c.c_acctbal) AS BIGINT) AS x,
+                      CAST(floor(CAST(SUM(CAST(floor(o.o_totalprice * 100)
+                                              AS BIGINT)) AS DOUBLE)
+                                 / 100000.0) AS BIGINT) AS y
+               FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+               GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal),
+    m AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM f GROUP BY 1),
+    o AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+                 CAST(SUM(sy) AS BIGINT) AS sy,
+                 CAST(SUM(sxx) AS BIGINT) AS sxx,
+                 CAST(SUM(sxy) AS BIGINT) AS sxy
+          FROM m),
+    os AS (SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    AS overall_slope
+           FROM o)
+    SELECT m.seg, m.n,
+           (CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+            - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+           / (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+              - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) AS seg_slope,
+           os.overall_slope,
+           CAST(CASE WHEN ((CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+                            - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+                           / (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                              - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) > 0.0)
+                          <> (os.overall_slope > 0.0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS sign_flips
+    FROM m CROSS JOIN os
+    """,
+)
+def a_simpson_paradox_audit(spark, sf_dir):
+    """Simpson's-paradox screen: the spend~balance regression slope
+    fit overall AND within each market segment; a per-segment sign
+    that contradicts the pooled sign is the aggregation-reversal
+    warning (Simpson, JRSS 1951) that tells an analyst the pooled
+    trend is confounded by segment mix.  Segment moments roll up to
+    the overall moments by plain addition (one aggregate feeds both
+    levels); slopes are fixed closed-form chains."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100000.0
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal")).cast("long").alias("x"),
+            "y",
+        )
+    )
+    m = f.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    o = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("sxy").cast("long").alias("sxy"),
+    )
+
+    def slope():
+        nd = F.col("n").cast("double")
+        return (
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ) / (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+
+    os_ = o.select(slope().alias("overall_slope"))
+    seg_slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.crossJoin(os_).select(
+        "seg", "n",
+        seg_slope.alias("seg_slope"),
+        "overall_slope",
+        F.when(
+            (seg_slope > 0.0) != (F.col("overall_slope") > 0.0), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("sign_flips"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

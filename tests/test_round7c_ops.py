@@ -391,3 +391,62 @@ def test_growth_accounting_identities(spark):
         if prev_dau is not None:
             assert prev_dau == r.retained + r.churned
         prev_dau = r.dau
+
+
+# -- batch I ------------------------------------------------------------------
+
+
+def test_payload_near_dup_finds_planted(spark):
+    rows = QUERIES["multimodal_payload_near_dup"](spark, SF).collect()
+    exact = {(r.id1, r.id2) for r in rows if r.match_type == "exact"}
+    prefix = {(r.id1, r.id2) for r in rows if r.match_type == "prefix"}
+    # every planted exact copy pairs with its base in the exact class
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    recs = docs.select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    ).collect()
+    for r in recs:
+        if r.doc_id % 5 == 0:
+            assert (r.doc_id, r.doc_id + 1000000) in exact
+        # near copies share the 256-byte prefix only when the base
+        # payload is at least that long (shorter payloads hash their
+        # full — differing-length — prefixes; documented limitation)
+        if r.doc_id % 9 == 0 and r.n_bytes >= 256:
+            assert (r.doc_id, r.doc_id + 2000000) in prefix or (
+                r.doc_id,
+                r.doc_id + 2000000,
+            ) in exact
+    assert exact.isdisjoint(prefix)
+
+
+def test_event_study_offsets(spark):
+    rows = QUERIES["w_event_study"](spark, SF).collect()
+    offs = {r.rel_day for r in rows}
+    assert offs <= set(range(-3, 4))
+    for r in rows:
+        assert r.n_obs > 0 and r.mean_rev > 0
+
+
+def test_did_fields_consistent(spark):
+    r = QUERIES["a_did_estimator"](spark, SF).collect()[0]
+    assert math.isclose(r.did, r.delta_treated - r.delta_control, rel_tol=1e-12)
+    assert r.se_did > 0
+    assert math.isclose(r.z_did, r.did / r.se_did, rel_tol=1e-12)
+
+
+def test_kfold_balance(spark):
+    rows = QUERIES["ml_kfold_assignment"](spark, SF).collect()
+    assert {r.fold for r in rows} == {0, 1, 2, 3, 4}
+    sizes = [r.n for r in rows]
+    # md5 folds are near-uniform: no fold more than 2x another at n=150
+    assert max(sizes) <= 2 * min(sizes)
+
+
+def test_simpson_audit_moments_rollup(spark):
+    rows = QUERIES["a_simpson_paradox_audit"](spark, SF).collect()
+    assert rows
+    overall = {r.overall_slope for r in rows}
+    assert len(overall) == 1  # same pooled slope on every row
+    for r in rows:
+        assert r.sign_flips in (0, 1)
+        assert ((r.seg_slope > 0) != (r.overall_slope > 0)) == (r.sign_flips == 1)
