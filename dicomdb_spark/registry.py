@@ -23880,6 +23880,400 @@ def a_simpson_paradox_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch J: process capability, queueing metrics,
+# LSH s-curve audit, 2-hop reach, SCD history compaction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_cpk_process_capability",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(ts AS DATE) < DATE '2024-01-16' AS calib,
+                      CAST(floor(value * 100) AS BIGINT) AS x
+               FROM events),
+    cal AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       / 10000.0) AS BIGINT)) AS BIGINT) AS ssk
+            FROM d WHERE calib GROUP BY 1),
+    lim AS (SELECT event_type,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   sqrt(CAST(n AS DOUBLE) * (CAST(ssk AS DOUBLE) * 10000.0)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS sig
+            FROM cal),
+    ev AS (SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+                  CAST(SUM(d.x) AS BIGINT) AS s_eval,
+                  CAST(SUM(CAST(floor(CAST(d.x AS DOUBLE) * CAST(d.x AS DOUBLE)
+                                      / 10000.0) AS BIGINT)) AS BIGINT)
+                    AS ssk_eval,
+                  CAST(SUM(CASE WHEN CAST(d.x AS DOUBLE)
+                                     > lim.mu + 3.0 * lim.sig
+                                  OR CAST(d.x AS DOUBLE)
+                                     < lim.mu - 3.0 * lim.sig
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+           FROM d JOIN lim ON lim.event_type = d.event_type
+           WHERE NOT d.calib
+           GROUP BY d.event_type, lim.mu, lim.sig),
+    ms AS (SELECT ev.event_type, ev.n_eval, ev.n_out, lim.mu, lim.sig,
+                  CAST(ev.s_eval AS DOUBLE) / CAST(ev.n_eval AS DOUBLE)
+                    AS mu_eval,
+                  sqrt(CAST(ev.n_eval AS DOUBLE)
+                       * (CAST(ev.ssk_eval AS DOUBLE) * 10000.0)
+                       - CAST(ev.s_eval AS DOUBLE) * CAST(ev.s_eval AS DOUBLE))
+                    / CAST(ev.n_eval AS DOUBLE) AS sig_eval
+           FROM ev JOIN lim ON lim.event_type = ev.event_type)
+    SELECT event_type, n_eval, n_out,
+           (6.0 * sig) / (6.0 * sig_eval) AS cp,
+           least((mu + 3.0 * sig) - mu_eval, mu_eval - (mu - 3.0 * sig))
+             / (3.0 * sig_eval) AS cpk
+    FROM ms
+    """,
+)
+def w_cpk_process_capability(spark, sf_dir):
+    """Process capability indices Cp/Cpk: spec limits calibrated as
+    μ±3σ on the month's first half, capability evaluated on the
+    second half — Cp compares spec width to realized spread, Cpk
+    penalizes off-center drift (the AIAG SPC manual's acceptance
+    gate, Cpk ≥ 1.33).  Both halves reduce to exact floor-scaled
+    integer moments in one aggregate each; the out-of-spec count
+    rides the evaluation pass.  Complements a_spc_control_chart's
+    per-point rules with the process-level verdict."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    d = ev.select(
+        "event_type",
+        (day < F.lit("2024-01-16").cast("date")).alias("calib"),
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("double")
+    sq = F.floor(xd * xd / 10000.0).cast("long")
+    cal = d.filter(F.col("calib")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(sq).cast("long").alias("ssk"),
+    )
+    nd = F.col("n").cast("double")
+    lim = cal.select(
+        "event_type",
+        (F.col("s").cast("double") / nd).alias("mu"),
+        (
+            F.sqrt(
+                nd * (F.col("ssk").cast("double") * 10000.0)
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / nd
+        ).alias("sig"),
+    )
+    evj = (
+        d.filter(~F.col("calib"))
+        .join(lim, "event_type")
+        .groupBy("event_type", "mu", "sig")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum("x").cast("long").alias("s_eval"),
+            F.sum(sq).cast("long").alias("ssk_eval"),
+            F.sum(
+                F.when(
+                    (xd > F.col("mu") + 3.0 * F.col("sig"))
+                    | (xd < F.col("mu") - 3.0 * F.col("sig")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out"),
+        )
+    )
+    ned = F.col("n_eval").cast("double")
+    mu_eval = F.col("s_eval").cast("double") / ned
+    sig_eval = (
+        F.sqrt(
+            ned * (F.col("ssk_eval").cast("double") * 10000.0)
+            - F.col("s_eval").cast("double") * F.col("s_eval").cast("double")
+        )
+        / ned
+    )
+    return evj.select(
+        "event_type", "n_eval", "n_out",
+        ((6.0 * F.col("sig")) / (6.0 * sig_eval)).alias("cp"),
+        (
+            F.least(
+                (F.col("mu") + 3.0 * F.col("sig")) - mu_eval,
+                mu_eval - (F.col("mu") - 3.0 * F.col("sig")),
+            )
+            / (3.0 * sig_eval)
+        ).alias("cpk"),
+    )
+
+
+@register(
+    "a_queueing_mm1_metrics",
+    """
+    WITH m AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                        AS svc_s,
+                      CAST(datediff('second', min(ts), max(ts)) AS BIGINT)
+                        AS span_s
+               FROM events GROUP BY 1),
+    r AS (SELECT event_type, n, svc_s, span_s,
+                 CAST(n AS DOUBLE) / CAST(span_s AS DOUBLE) AS lam,
+                 CAST(svc_s AS DOUBLE) / CAST(n AS DOUBLE) AS es
+          FROM m WHERE span_s > 0 AND svc_s > 0)
+    SELECT event_type, n, lam AS lambda_per_s, es AS mean_service_s,
+           lam * es AS rho,
+           CASE WHEN lam * es < 1.0
+                THEN (lam * es) * (lam * es) / (1.0 - lam * es) END AS lq,
+           CASE WHEN lam * es < 1.0
+                THEN (lam * es) * es / (1.0 - lam * es) END AS wq_s
+    FROM r
+    """,
+)
+def a_queueing_mm1_metrics(spark, sf_dir):
+    """M/M/1 queueing back-of-envelope per stream: arrival rate λ
+    from the observed span, mean service demand from the value column
+    (treated as seconds of work), utilization ρ = λ·E[S], and the
+    Pollaczek–Khinchine-style queue length Lq = ρ²/(1−ρ) and wait
+    Wq — the capacity-planning sanity check that says how close a
+    consumer is to saturation BEFORE latency explodes (ρ → 1).
+    Closed-form chains over one aggregate; ρ ≥ 1 yields NULL (the
+    queue is unstable, no steady state exists) identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("svc_s"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("span_s"),
+    )
+    lam = F.col("n").cast("double") / F.col("span_s").cast("double")
+    es = F.col("svc_s").cast("double") / F.col("n").cast("double")
+    rho = lam * es
+    return m.filter((F.col("span_s") > 0) & (F.col("svc_s") > 0)).select(
+        "event_type", "n",
+        lam.alias("lambda_per_s"),
+        es.alias("mean_service_s"),
+        rho.alias("rho"),
+        F.when(rho < 1.0, rho * rho / (1.0 - rho)).alias("lq"),
+        F.when(rho < 1.0, rho * es / (1.0 - rho)).alias("wq_s"),
+    )
+
+
+def _lsh_s_curve_oracle() -> str:
+    # P(candidate | s) for r rows/band, b bands: 1 - (1 - s^r)^b with
+    # r = 4, b = 4 — integer exponents unrolled as products (exact
+    # same double chain on both engines; no libm pow)
+    s4 = "(j * j * j * j)"
+    return f"""
+    {_minhash_pairs_cte()},
+    ds AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+    allp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                    CAST(count(*) AS BIGINT) AS i
+             FROM ds a JOIN ds b ON b.s = a.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sc AS (SELECT allp.id1, allp.id2,
+                  CAST(allp.i AS DOUBLE)
+                    / CAST(s1.n + s2.n - allp.i AS DOUBLE) AS j,
+                  CASE WHEN p.id1 IS NULL THEN 0 ELSE 1 END AS is_cand
+           FROM allp
+           JOIN sz s1 ON s1.doc_id = allp.id1
+           JOIN sz s2 ON s2.doc_id = allp.id2
+           LEFT JOIN pairs p ON p.id1 = allp.id1 AND p.id2 = allp.id2),
+    b AS (SELECT CAST(floor(j * 10.0) AS BIGINT) AS bin, j, is_cand FROM sc
+          WHERE j > 0.0)
+    SELECT least(bin, 9) AS j_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_cand) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS observed_rate,
+           CAST(SUM(CAST(floor((1.0 - (1.0 - {s4}) * (1.0 - {s4})
+                                      * (1.0 - {s4}) * (1.0 - {s4}))
+                               * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(count(*) AS DOUBLE) AS theory_rate
+    FROM b GROUP BY 1
+    """
+
+
+@register("dedup_lsh_s_curve", _lsh_s_curve_oracle())
+def dedup_lsh_s_curve(spark, sf_dir):
+    """LSH s-curve audit: observed candidate probability per Jaccard
+    decile vs the theoretical 1−(1−s^r)^b for the deployed (r=4, b=4)
+    banding — THE plot that tells you whether your banding config's
+    recall cliff sits where the theory promised (Leskovec/Rajaraman/
+    Ullman, MMDS ch. 3).  Pairs sharing ≥1 shingle enumerate through
+    the inverted index (bounded by shingle co-occurrence, the same
+    cost envelope as dedup_ngram_jaccard); the theory curve uses only
+    integer-exponent products, bit-identical without libm pow; the
+    per-bin mean floor-scales each term before summing."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    sig = ldedup._track_cache(
+        ldedup.minhash_signature_table(
+            docs, "doc_id", "text", num_hashes=16,
+            min_parallelism=local_fanout(spark),
+        ).persist()
+    )
+    pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4)
+    ds = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(text.shingles("text", 3))).alias("s"),
+    )
+    sz = ds.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
+    a = ds.select(F.col("doc").alias("id1"), "s")
+    b = ds.select(F.col("doc").alias("id2b"), F.col("s").alias("s2"))
+    allp = (
+        a.join(b, (F.col("s2") == F.col("s")) & (F.col("id1") < F.col("id2b")))
+        .groupBy("id1", F.col("id2b").alias("id2"))
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    sc = (
+        allp.join(
+            sz.select(F.col("doc").alias("id1"), F.col("n").alias("n1")), "id1"
+        )
+        .join(sz.select(F.col("doc").alias("id2"), F.col("n").alias("n2")), "id2")
+        .join(pairs.withColumn("__c", F.lit(1)), ["id1", "id2"], "left")
+        .select(
+            (
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i")).cast("double")
+            ).alias("j"),
+            F.coalesce("__c", F.lit(0)).alias("is_cand"),
+        )
+        .filter(F.col("j") > 0.0)
+    )
+    s4 = F.col("j") * F.col("j") * F.col("j") * F.col("j")
+    one_band_miss = 1.0 - s4
+    theory = 1.0 - one_band_miss * one_band_miss * one_band_miss * one_band_miss
+    bbin = F.least(F.floor(F.col("j") * 10.0).cast("long"), F.lit(9).cast("long"))
+    return sc.groupBy(bbin.alias("j_bin")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        (
+            F.sum("is_cand").cast("double") / F.count("*").cast("double")
+        ).alias("observed_rate"),
+        (
+            F.sum(F.floor(theory * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+            / F.count("*").cast("double")
+        ).alias("theory_rate"),
+    )
+
+
+@register(
+    "graph_two_hop_reach",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    two AS (SELECT DISTINCT a.src AS v, b.dst AS w
+            FROM e a JOIN e b ON b.src = a.dst
+            WHERE b.dst <> a.src),
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY 1)
+    SELECT deg.v AS doc_id, deg.degree,
+           CAST(count(two.w) AS BIGINT) AS reach_2hop
+    FROM deg LEFT JOIN two ON two.v = deg.v
+    GROUP BY 1, 2
+    """,
+)
+def graph_two_hop_reach(spark, sf_dir):
+    """Two-hop reach per vertex (distinct nodes within ≤2 edges,
+    excluding self): the friend-of-friend audience size — reach ≈
+    degree means a tight clique (dup cluster); reach ≫ degree means a
+    hub bridging clusters (banding false positives chaining unrelated
+    docs).  One edge self-join with a distinct, cost bounded by
+    Σ deg(v)² — the standard two-hop envelope, fine on a
+    near-dup graph whose components are small by construction."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).persist()
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    two = (
+        a.join(b, F.col("b.src") == F.col("a.dst"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("v"), F.col("b.dst").alias("w"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return (
+        deg.join(two, "v", "left")
+        .groupBy(F.col("v").alias("doc_id"), "degree")
+        .agg(F.count("w").cast("long").alias("reach_2hop"))
+    )
+
+
+@register(
+    "scd_history_compaction",
+    """
+    WITH h AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                      lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey)
+                        AS prev_status
+               FROM orders),
+    c AS (SELECT o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_versions,
+                 CAST(SUM(CASE WHEN prev_status IS NULL
+                                 OR prev_status <> o_orderstatus
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_compacted
+          FROM h GROUP BY 1)
+    SELECT o_custkey, n_versions, n_compacted,
+           CAST(n_versions - n_compacted AS BIGINT) AS n_redundant,
+           CAST(n_compacted AS DOUBLE) / CAST(n_versions AS DOUBLE)
+             AS compaction_ratio
+    FROM c
+    """,
+)
+def scd_history_compaction(spark, sf_dir):
+    """SCD history compaction audit: consecutive versions carrying an
+    UNCHANGED attribute are redundant — run-length compression of the
+    history keeps only change points (the storage-diet every
+    append-only dimension eventually needs).  One partitioned lag
+    marks run starts; n_compacted = number of change-runs per key,
+    n_redundant = rows a compaction job would delete.  Deterministic
+    per-key ordering via the (date, key) tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = orders.select(
+        "o_custkey", "o_orderstatus",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    c = h.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_compacted"),
+    )
+    return c.select(
+        "o_custkey", "n_versions", "n_compacted",
+        (F.col("n_versions") - F.col("n_compacted")).cast("long").alias(
+            "n_redundant"
+        ),
+        (
+            F.col("n_compacted").cast("double")
+            / F.col("n_versions").cast("double")
+        ).alias("compaction_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

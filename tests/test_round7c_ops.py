@@ -450,3 +450,62 @@ def test_simpson_audit_moments_rollup(spark):
     for r in rows:
         assert r.sign_flips in (0, 1)
         assert ((r.seg_slope > 0) != (r.overall_slope > 0)) == (r.sign_flips == 1)
+
+
+# -- batch J ------------------------------------------------------------------
+
+
+def test_cpk_relationship(spark):
+    rows = QUERIES["w_cpk_process_capability"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # Cpk <= Cp always (centering can only lose capability)
+        assert r.cpk <= r.cp + 1e-9
+        assert r.n_out >= 0
+
+
+def test_mm1_stability_fields(spark):
+    rows = QUERIES["a_queueing_mm1_metrics"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.rho > 0
+        if r.rho < 1.0:
+            assert r.lq is not None and r.lq >= 0
+            assert math.isclose(r.wq_s, r.lq / r.lambda_per_s, rel_tol=1e-9)
+        else:
+            assert r.lq is None and r.wq_s is None
+
+
+def test_lsh_s_curve_monotone(spark):
+    rows = sorted(
+        QUERIES["dedup_lsh_s_curve"](spark, SF).collect(), key=lambda r: r.j_bin
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.observed_rate <= 1.0
+        assert 0.0 <= r.theory_rate <= 1.0
+    # theory curve is monotone increasing in similarity
+    th = [r.theory_rate for r in rows]
+    assert th == sorted(th)
+    # the top similarity bin must be (near-)fully recalled
+    assert rows[-1].observed_rate > 0.9
+
+
+def test_two_hop_reach_bounds(spark):
+    rows = QUERIES["graph_two_hop_reach"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # reach includes the direct neighbors' neighbors; it can never
+        # exceed sum-of-neighbor-degrees but must cover >= 1 node when
+        # degree >= 1 (the neighbor's back-edge partner or a triangle)
+        assert r.reach_2hop >= 0
+        assert r.degree >= 1
+
+
+def test_scd_compaction_bounds(spark):
+    rows = QUERIES["scd_history_compaction"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_compacted <= r.n_versions
+        assert r.n_redundant == r.n_versions - r.n_compacted
+        assert 0.0 < r.compaction_ratio <= 1.0
