@@ -24274,6 +24274,279 @@ def scd_history_compaction(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch K: seasonality strength, price indices,
+# ABC classification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_seasonality_strength",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS x
+               FROM events GROUP BY 1, 2),
+    tr AS (SELECT event_type, day, x,
+                  CAST(SUM(x) OVER w AS BIGINT) AS s7,
+                  CAST(count(*) OVER w AS BIGINT) AS nw
+           FROM d
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT event_type, day,
+                   CAST(floor((CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0)
+                              * 100.0) AS BIGINT) AS di
+            FROM tr WHERE nw = 7),
+    se AS (SELECT event_type, CAST(dayofweek(day) AS BIGINT) AS dow,
+                  CAST(SUM(di) AS BIGINT) AS sdi,
+                  CAST(count(*) AS BIGINT) AS ndi
+           FROM det GROUP BY 1, 2),
+    r AS (SELECT det.event_type,
+                 CAST(floor(CAST(det.di AS DOUBLE)
+                            - CAST(se.sdi AS DOUBLE) / CAST(se.ndi AS DOUBLE))
+                      AS BIGINT) AS ri,
+                 det.di
+          FROM det JOIN se ON se.event_type = det.event_type
+                          AND se.dow = CAST(dayofweek(det.day) AS BIGINT)),
+    v AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(ri) AS BIGINT) AS sr,
+                 CAST(SUM(CAST(floor(CAST(ri AS DOUBLE) * CAST(ri AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS srr,
+                 CAST(SUM(di) AS BIGINT) AS sd,
+                 CAST(SUM(CAST(floor(CAST(di AS DOUBLE) * CAST(di AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS sdd
+          FROM r GROUP BY 1)
+    SELECT event_type, n,
+           greatest(0.0,
+             1.0 - (CAST(n AS DOUBLE) * (CAST(srr AS DOUBLE) * 10000.0)
+                    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * 10000.0)
+                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+             AS seasonal_strength
+    FROM v
+    """,
+)
+def w_seasonality_strength(spark, sf_dir):
+    """Seasonality strength Fs = max(0, 1 − Var(remainder)/
+    Var(seasonal + remainder)) over the classical decomposition
+    (Wang, Smith & Hyndman's feature — the scalar that ranks thousands
+    of series by 'how seasonal'): the detrended series IS
+    seasonal+remainder, the remainder is detrended minus the
+    day-of-week means, and both variances come from floor-scaled exact
+    integer moments so the ratio is engine-identical.  Day-grain
+    windows and 7-row seasonal joins throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "event_type", "day", "x",
+        F.sum("x").over(w7).cast("long").alias("s7"),
+        F.count("*").over(w7).cast("long").alias("nw"),
+    )
+    det = tr.filter(F.col("nw") == 7).select(
+        "event_type", "day",
+        F.floor(
+            (F.col("x").cast("double") - F.col("s7").cast("double") / 7.0)
+            * 100.0
+        )
+        .cast("long")
+        .alias("di"),
+    )
+    se = det.groupBy(
+        "event_type", F.dayofweek("day").cast("long").alias("dow")
+    ).agg(
+        F.sum("di").cast("long").alias("sdi"),
+        F.count("*").cast("long").alias("ndi"),
+    )
+    dta, sea = det.alias("dt"), se.alias("se")
+    r = dta.join(
+        sea,
+        (F.col("se.event_type") == F.col("dt.event_type"))
+        & (F.col("se.dow") == F.dayofweek(F.col("dt.day")).cast("long")),
+    ).select(
+        F.col("dt.event_type").alias("event_type"),
+        F.floor(
+            F.col("dt.di").cast("double")
+            - F.col("se.sdi").cast("double") / F.col("se.ndi").cast("double")
+        )
+        .cast("long")
+        .alias("ri"),
+        F.col("dt.di").alias("di"),
+    )
+    sq = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") * F.col(c).cast("double") / 10000.0
+    ).cast("long")
+    v = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ri").cast("long").alias("sr"),
+        F.sum(sq("ri")).cast("long").alias("srr"),
+        F.sum("di").cast("long").alias("sd"),
+        F.sum(sq("di")).cast("long").alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    var_r = nd * (F.col("srr").cast("double") * 10000.0) - F.col("sr").cast(
+        "double"
+    ) * F.col("sr").cast("double")
+    var_d = nd * (F.col("sdd").cast("double") * 10000.0) - F.col("sd").cast(
+        "double"
+    ) * F.col("sd").cast("double")
+    return v.select(
+        "event_type", "n",
+        F.greatest(F.lit(0.0), 1.0 - var_r / var_d).alias("seasonal_strength"),
+    )
+
+
+@register(
+    "a_price_index_laspeyres",
+    """
+    WITH li AS (SELECT l_partkey,
+                       CASE WHEN year(l_shipdate) < 1998 THEN 0 ELSE 1 END
+                         AS period,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS p_c,
+                       CAST(floor(l_quantity) AS BIGINT) AS q
+                FROM lineitem),
+    pp AS (SELECT l_partkey, period,
+                  CAST(SUM(p_c) AS BIGINT) AS sp,
+                  CAST(SUM(q) AS BIGINT) AS sq
+           FROM li GROUP BY 1, 2),
+    u AS (SELECT p0.l_partkey,
+                 CAST(floor(CAST(p0.sp AS DOUBLE) / CAST(p0.sq AS DOUBLE))
+                      AS BIGINT) AS p0,
+                 p0.sq AS q0,
+                 CAST(floor(CAST(p1.sp AS DOUBLE) / CAST(p1.sq AS DOUBLE))
+                      AS BIGINT) AS p1,
+                 p1.sq AS q1
+          FROM (SELECT * FROM pp WHERE period = 0) p0
+          JOIN (SELECT * FROM pp WHERE period = 1) p1
+            ON p1.l_partkey = p0.l_partkey
+          WHERE p0.sq > 0 AND p1.sq > 0),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(p1 * q0) AS BIGINT) AS l_num,
+                 CAST(SUM(p0 * q0) AS BIGINT) AS l_den,
+                 CAST(SUM(p1 * q1) AS BIGINT) AS p_num,
+                 CAST(SUM(p0 * q1) AS BIGINT) AS p_den
+          FROM u)
+    SELECT n_parts,
+           CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) AS laspeyres,
+           CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS paasche,
+           sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+             AS fisher
+    FROM s
+    """,
+)
+def a_price_index_laspeyres(spark, sf_dir):
+    """Price indices between the pre-1998 and 1998+ shipment periods:
+    Laspeyres (base-period basket), Paasche (current basket), and
+    Fisher's ideal (their geometric mean — one sqrt) over per-part
+    unit prices — the inflation-measurement kernel (CPI methodology)
+    restricted to parts traded in BOTH periods.  Unit prices floor to
+    exact integer cents so the basket sums are order-independent; the
+    whole query is two hash aggregates and one part-grain join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_partkey",
+        F.when(F.year("l_shipdate") < 1998, 0).otherwise(1).alias("period"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p_c"),
+        F.floor(F.col("l_quantity")).cast("long").alias("q"),
+    )
+    pp = d.groupBy("l_partkey", "period").agg(
+        F.sum("p_c").cast("long").alias("sp"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    unit = F.floor(F.col("sp").cast("double") / F.col("sq").cast("double")).cast(
+        "long"
+    )
+    p0 = pp.filter((F.col("period") == 0) & (F.col("sq") > 0)).select(
+        "l_partkey", unit.alias("p0"), F.col("sq").alias("q0")
+    )
+    p1 = pp.filter((F.col("period") == 1) & (F.col("sq") > 0)).select(
+        "l_partkey", unit.alias("p1"), F.col("sq").alias("q1")
+    )
+    u = p0.join(p1, "l_partkey")
+    s = u.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).cast("long").alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).cast("long").alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).cast("long").alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).cast("long").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return s.select(
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )
+
+
+@register(
+    "a_abc_classification",
+    """
+    WITH p AS (SELECT l_partkey,
+                      CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev_c
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot FROM p),
+    r AS (SELECT l_partkey, rev_c,
+                 CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                      AS BIGINT) AS cum
+          FROM p),
+    c AS (SELECT r.l_partkey, r.rev_c,
+                 CASE WHEN CAST(r.cum AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                           <= 0.8 THEN 'A'
+                      WHEN CAST(r.cum AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                           <= 0.95 THEN 'B'
+                      ELSE 'C' END AS abc
+          FROM r CROSS JOIN t)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+           CAST(SUM(rev_c) AS DOUBLE)
+             / CAST(max(CAST(t.tot AS BIGINT)) AS DOUBLE) AS revenue_share
+    FROM c CROSS JOIN t GROUP BY 1
+    """,
+)
+def a_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B = to 95%, C =
+    the tail — the Pareto-based stocking policy every supply chain
+    runs.  The cumulative revenue over the UNBOUNDED part dimension
+    uses the distributed rank recipe (range-bucket + per-bucket
+    offsets + partitioned running sum — descending), never a
+    single-partition sort; class assignment is then one broadcast
+    total and a CASE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    t = p.agg(F.sum("rev_c").cast("long").alias("tot"))
+    ranked = ow.bucketed_running(
+        ow.monotone_range_bucket(p, "rev_c", ascending=False),
+        [F.col("rev_c").desc(), "l_partkey"],
+        sum_cols=["rev_c"],
+    ).withColumnRenamed("cum_rev_c", "cum")
+    share = F.col("cum").cast("double") / F.col("tot").cast("double")
+    c = ranked.crossJoin(t).select(
+        "rev_c", "tot",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc"
+        ),
+    )
+    return c.groupBy("abc").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev_c").cast("long").alias("rev_c"),
+        (
+            F.sum("rev_c").cast("double")
+            / F.max(F.col("tot")).cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

@@ -509,3 +509,30 @@ def test_scd_compaction_bounds(spark):
         assert 1 <= r.n_compacted <= r.n_versions
         assert r.n_redundant == r.n_versions - r.n_compacted
         assert 0.0 < r.compaction_ratio <= 1.0
+
+
+# -- batch K ------------------------------------------------------------------
+
+
+def test_seasonality_strength_range(spark):
+    rows = QUERIES["w_seasonality_strength"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.seasonal_strength <= 1.0
+
+
+def test_price_indices_bracket_fisher(spark):
+    r = QUERIES["a_price_index_laspeyres"](spark, SF).collect()[0]
+    lo, hi = sorted((r.laspeyres, r.paasche))
+    assert lo - 1e-12 <= r.fisher <= hi + 1e-12
+    assert r.n_parts > 0
+
+
+def test_abc_pareto_structure(spark):
+    rows = {r.abc: r for r in QUERIES["a_abc_classification"](spark, SF).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert math.isclose(total_share, 1.0, abs_tol=1e-9)
+    if "C" in rows:
+        # A parts are fewer but out-earn C parts
+        assert rows["A"].rev_c > rows["C"].rev_c
