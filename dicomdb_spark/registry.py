@@ -24547,6 +24547,208 @@ def a_abc_classification(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 continuation batch L: segment migration, Wilson intervals,
+# rich-club coefficient.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_segment_migration_matrix",
+    """
+    WITH s AS (SELECT o_custkey,
+                      CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END
+                        AS period,
+                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS spend_c
+               FROM orders GROUP BY 1, 2),
+    q AS (SELECT o_custkey, period, spend_c,
+                 CAST(ntile(5) OVER (PARTITION BY period
+                                     ORDER BY spend_c, o_custkey) AS BIGINT)
+                   AS quint
+          FROM s),
+    m AS (SELECT q0.o_custkey, q0.quint AS from_quint, q1.quint AS to_quint
+          FROM (SELECT * FROM q WHERE period = 0) q0
+          JOIN (SELECT * FROM q WHERE period = 1) q1
+            ON q1.o_custkey = q0.o_custkey),
+    t AS (SELECT from_quint, CAST(count(*) AS BIGINT) AS n_from
+          FROM m GROUP BY 1)
+    SELECT m.from_quint, m.to_quint,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+    FROM m JOIN t ON t.from_quint = m.from_quint
+    GROUP BY 1, 2, t.n_from
+    """,
+)
+def a_segment_migration_matrix(spark, sf_dir):
+    """Customer segment migration: spend quintile in the pre-1998
+    period vs the 1998+ period, as a 5×5 transition matrix with
+    row-normalized probabilities — the churn-risk / upsell map every
+    lifecycle team tracks (diagonal = stable, below = decaying).
+    Quintiles use the distributed ntile recipe PER PERIOD (partitioned
+    rank passes over the unbounded customer dimension); the matrix is
+    one self-join on customer and a 25-cell rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy(
+        "o_custkey",
+        F.when(F.year("o_orderdate") < 1998, 0).otherwise(1).alias("period"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_c")
+    )
+
+    def quint_period(p):
+        d = s.filter(F.col("period") == p)
+        d = d.crossJoin(d.agg(F.count("*").cast("long").alias("__n"))).persist()
+        ranked = ow.bucketed_running(
+            ow.monotone_range_bucket(d, "spend_c", ascending=True),
+            ["spend_c", "o_custkey"],
+            rn_col="__rn",
+        )
+        return ranked.select(
+            "o_custkey",
+            ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
+            .cast("long")
+            .alias("quint"),
+        )
+
+    q0 = quint_period(0).withColumnRenamed("quint", "from_quint")
+    q1 = quint_period(1).withColumnRenamed("quint", "to_quint")
+    m = q0.join(q1, "o_custkey")
+    t = m.groupBy("from_quint").agg(F.count("*").cast("long").alias("n_from"))
+    return (
+        m.join(t, "from_quint")
+        .groupBy("from_quint", "to_quint", "n_from")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "from_quint", "to_quint", "n",
+            (
+                F.col("n").cast("double") / F.col("n_from").cast("double")
+            ).alias("p"),
+        )
+    )
+
+
+@register(
+    "a_wilson_ci",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(count(DISTINCT (user_id, CAST(ts AS DATE)))
+                           AS BIGINT) AS s
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                   * CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n
+          FROM events),
+    p AS (SELECT c.event_type, c.s, t.n,
+                 CAST(c.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS phat
+          FROM c CROSS JOIN t)
+    SELECT event_type, s, n, phat,
+           (phat + 1.959963984540054 * 1.959963984540054 / (2.0 * CAST(n AS DOUBLE))
+            - 1.959963984540054
+              * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
+                     + 1.959963984540054 * 1.959963984540054
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + 1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE))
+             AS wilson_lo,
+           (phat + 1.959963984540054 * 1.959963984540054 / (2.0 * CAST(n AS DOUBLE))
+            + 1.959963984540054
+              * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
+                     + 1.959963984540054 * 1.959963984540054
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + 1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE))
+             AS wilson_hi
+    FROM p
+    """,
+)
+def a_wilson_ci(spark, sf_dir):
+    """Wilson score interval for each stream's user-day reach
+    proportion: the binomial CI that stays inside [0,1] and behaves at
+    extreme p where the Wald interval collapses (Wilson, JASA 1927 —
+    what every A/B dashboard should use instead of ±1.96√(pq/n)).
+    The z constant is an identical literal on both engines; the
+    interval is one shared sqrt chain over exact distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    c = ev.groupBy("event_type").agg(
+        F.countDistinct(F.col("user_id"), day).cast("long").alias("s")
+    )
+    t = ev.agg(
+        (F.countDistinct("user_id") * F.countDistinct(day))
+        .cast("long")
+        .alias("n")
+    )
+    z = 1.959963984540054
+    nd = F.col("n").cast("double")
+    phat = F.col("s").cast("double") / nd
+    half = z * F.sqrt(phat * (1.0 - phat) / nd + z * z / (4.0 * nd * nd))
+    center = phat + z * z / (2.0 * nd)
+    denom = 1.0 + z * z / nd
+    return c.crossJoin(t).select(
+        "event_type", "s", "n",
+        phat.alias("phat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
+
+
+@register(
+    "graph_rich_club",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY 1),
+    rich AS (SELECT v FROM (
+      SELECT v, row_number() OVER (ORDER BY degree DESC, v) AS rn FROM deg) t
+      WHERE rn <= 20),
+    re AS (SELECT p.id1, p.id2 FROM pairs p
+           JOIN rich r1 ON r1.v = p.id1
+           JOIN rich r2 ON r2.v = p.id2),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS n_rich FROM rich),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS e_rich FROM re)
+    SELECT k.n_rich, m.e_rich,
+           CAST(2 * m.e_rich AS DOUBLE)
+             / CAST(k.n_rich * (k.n_rich - 1) AS DOUBLE) AS rich_club_coeff
+    FROM k CROSS JOIN m
+    """,
+)
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the near-dup graph: edge density among
+    the 20 highest-degree vertices, φ = 2E/(k(k−1)) (Colizza et al.,
+    Nature Physics 2006) — hubs that also interconnect (φ → 1) signal
+    one giant boilerplate cluster; hubs that don't (φ → 0) signal
+    independent dup families.  The club is a distributed top-k on the
+    degree table; counting club-internal edges is two semi-joins of
+    the pair list against a 20-row set."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).persist()
+    e = pairs.select(F.col("id1").alias("v")).unionAll(
+        pairs.select(F.col("id2").alias("v"))
+    )
+    deg = e.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
+    rich = deg.orderBy(F.desc("degree"), "v").limit(20).select("v")
+    re_ = pairs.join(
+        rich.withColumnRenamed("v", "id1"), "id1"
+    ).join(rich.withColumnRenamed("v", "id2"), "id2")
+    k = rich.agg(F.count("*").cast("long").alias("n_rich"))
+    m = re_.agg(F.count("*").cast("long").alias("e_rich"))
+    return k.crossJoin(m).select(
+        "n_rich", "e_rich",
+        (
+            (2 * F.col("e_rich")).cast("double")
+            / (F.col("n_rich") * (F.col("n_rich") - 1)).cast("double")
+        ).alias("rich_club_coeff"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The per-round correctness checker may cap how many queries() entries it

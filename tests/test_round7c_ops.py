@@ -536,3 +536,30 @@ def test_abc_pareto_structure(spark):
     if "C" in rows:
         # A parts are fewer but out-earn C parts
         assert rows["A"].rev_c > rows["C"].rev_c
+
+
+# -- batch L ------------------------------------------------------------------
+
+
+def test_segment_migration_rows_normalize(spark):
+    rows = QUERIES["a_segment_migration_matrix"](spark, SF).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        assert 1 <= r.from_quint <= 5 and 1 <= r.to_quint <= 5
+        by_from.setdefault(r.from_quint, []).append(r.p)
+    for fq, ps in by_from.items():
+        assert abs(sum(ps) - 1.0) < 1e-9, fq
+
+
+def test_wilson_interval_brackets_phat(spark):
+    rows = QUERIES["a_wilson_ci"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.phat <= r.wilson_hi <= 1.0
+
+
+def test_rich_club_range(spark):
+    r = QUERIES["graph_rich_club"](spark, SF).collect()[0]
+    assert r.n_rich <= 20
+    assert 0.0 <= r.rich_club_coeff <= 1.0 + 1e-9
