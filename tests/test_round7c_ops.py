@@ -563,3 +563,40 @@ def test_rich_club_range(spark):
     r = QUERIES["graph_rich_club"](spark, SF).collect()[0]
     assert r.n_rich <= 20
     assert 0.0 <= r.rich_club_coeff <= 1.0 + 1e-9
+
+
+# -- batch M ------------------------------------------------------------------
+
+
+def test_m4_downsample_structure(spark):
+    rows = QUERIES["w_m4_downsample"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+        assert r.min_v <= r.first_v <= r.max_v
+        assert r.min_v <= r.last_v <= r.max_v
+    for t, rs in by_type.items():
+        assert len(rs) <= 16
+
+
+def test_incident_mttr_fields(spark):
+    r = QUERIES["ops_incident_mttr"](spark, SF).collect()[0]
+    assert r.n_incidents >= 1
+    assert r.worst_incident_days <= r.total_incident_days
+    assert math.isclose(
+        r.mttr_days, r.total_incident_days / r.n_incidents, rel_tol=1e-12
+    )
+
+
+def test_concentration_ordering(spark):
+    r = QUERIES["a_concentration_cr4"](spark, SF).collect()[0]
+    assert 0.0 < r.cr4 <= r.cr8 <= 1.0
+
+
+def test_hampel_outliers_subset_of_extremes(spark):
+    rows = QUERIES["w_hampel_filter"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0.0
+        if r.is_outlier:
+            assert abs(r.x - r.rolling_median) > 4.4478 * r.mad - 1e-9
