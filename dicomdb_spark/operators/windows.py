@@ -286,6 +286,39 @@ def monotone_range_bucket(
     return b.withColumn(out_col, bkt.cast("int")).drop("__bk_mn", "__bk_mx")
 
 
+def quantile_range_bucket(
+    df: DataFrame,
+    col: Column | str,
+    n_buckets: int = 64,
+    ascending: bool = True,
+    out_col: str = "__bkt",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Distribution-ADAPTIVE sibling of monotone_range_bucket: bucket
+    boundaries come from percentile_approx cut points (one 1-row
+    aggregate broadcast back), so bucket POPULATIONS equalize even when
+    the key is Zipfian — the affine min/max map only adapts to the
+    range, and a hot band (e.g. the 'T' prefix of English text) still
+    collapses into one or two buckets under it.  The bucket id is the
+    count of cut points strictly below the value (a 63-element
+    F.aggregate fold, JVM-side), so equal keys always share a bucket
+    and the id is monotone non-decreasing in ``col`` — exactly the
+    contract bucketed_running / boundary-exchange consumers need.
+    Cut placement only affects BALANCE, never results: any monotone
+    bucketing yields the same global order downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    st = df.agg(F.percentile_approx(c, qs, accuracy).alias("__bk_cuts"))
+    b = df.crossJoin(F.broadcast(st))
+    raw = F.aggregate(
+        "__bk_cuts",
+        F.lit(0),
+        lambda acc, cut: acc + F.when(c > cut, 1).otherwise(0),
+    )
+    bkt = raw if ascending else (F.lit(n_buckets - 1) - raw)
+    return b.withColumn(out_col, bkt.cast("int")).drop("__bk_cuts")
+
+
 def bucketed_running(
     df: DataFrame,
     order_cols: Sequence[Column | str],

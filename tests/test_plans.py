@@ -424,7 +424,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("registry.py", "a_decile_lift"): "cum_conv over the 10-row decile table",
     ("registry.py", "a_survival_hazard"): "reverse cumsum over the day grain (bounded calendar)",
     ("registry.py", "a_chi_square"): "margin windows over the |types|·7 contingency frame",
-    ("registry.py", "dedup_sorted_neighbor_lcp"): "boundary exchange over per-leading-char firsts (≤ alphabet)",
+    ("registry.py", "dedup_sorted_neighbor_lcp"): "boundary exchange over per-range-bucket firsts (≤ 64 buckets)",
     ("registry.py", "graph_pagerank"): "pos over a LIMIT(20) result",
     ("registry.py", "graph_ppr_seeds"): "pos over a LIMIT(20) result",
     ("registry.py", "graph_katz_bounded"): "pos over a LIMIT(20) result",
