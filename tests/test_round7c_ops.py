@@ -37,12 +37,15 @@ def test_stochastic_d_smooths_k(spark):
 
 
 def test_pivot_level_ordering(spark):
+    # cl = floor(p/vol) always lies in [lo, hi], so pc ∈ [pl, ph] and
+    # the full ladder s2 ≤ s1 ≤ pivot ≤ r1 ≤ r2 holds UNCONDITIONALLY
+    # (s1 ≤ P ⟺ P ≤ ph; r1 ≥ P ⟺ P ≥ pl — both forced by pc's range).
     for r in QUERIES["w_pivot_points"](spark, SF).collect():
         assert r.s2 <= r.s1 + 1e-9
-        assert r.s1 <= r.pivot + 1e-9 or True  # s1 <= pivot only if pc >= pl
+        assert r.s1 <= r.pivot + 1e-9
+        assert r.pivot <= r.r1 + 1e-9
+        assert r.r1 <= r.r2 + 1e-9
         assert r.s2 <= r.pivot <= r.r2
-        assert r.r1 <= r.r2 + 1e-9 or True
-        assert r.r2 >= r.r1 - 1e-9
 
 
 def test_overnight_gap_flag_consistency(spark):
