@@ -870,6 +870,16 @@ def test_survival_hazard_risk_set_monotone(spark):
         assert 0 <= r.n_events + r.n_censored <= r.n_at_risk
         assert abs(r.hazard_bp - r.n_events * 10000 / r.n_at_risk) < 1e-9
     assert sum(r.n_events for r in rows) > 0  # non-vacuous events
+    # executable boundedness (lint allowlist: "reverse cumsum over the
+    # day grain"): one output row per distinct duration day, so the
+    # global-window input is calendar-bounded by construction
+    n_days = (
+        load_table(spark, SF, "events")
+        .select(F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) <= n_days
 
 
 def test_decision_stump_beats_majority(spark):

@@ -172,6 +172,18 @@ def test_slo_burn_flags(spark):
         assert r.burn_1d >= 0.0 and r.burn_7d >= 0.0
         assert (r.burn_1d > 1.0) == (r.fast_burn == 1)
         assert (r.burn_7d > 1.0) == (r.slow_burn == 1)
+    # executable boundedness (lint allowlist says "bounded calendar
+    # day grain"): the global-window input is exactly one row per
+    # observed day, so a fixture change can't silently unbound it
+    from dicomdb_spark.io import load_table
+
+    n_days = (
+        load_table(spark, SF, "events")
+        .select(F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) <= n_days
 
 
 def test_ridge_lambda_zero_is_ols(spark):
@@ -589,6 +601,19 @@ def test_incident_mttr_fields(spark):
     assert math.isclose(
         r.mttr_days, r.total_incident_days / r.n_incidents, rel_tol=1e-12
     )
+    # executable boundedness (lint allowlist: "bounded calendar day
+    # grain"): every incident day is a distinct observed day, so the
+    # global-window input can never exceed the calendar
+    from dicomdb_spark.io import load_table
+
+    n_days = (
+        load_table(spark, SF, "events")
+        .select(F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert r.total_incident_days <= n_days
+    assert r.n_incidents <= n_days
 
 
 def test_concentration_ordering(spark):
