@@ -305,16 +305,23 @@ def quantile_range_bucket(
     and the id is monotone non-decreasing in ``col`` — exactly the
     contract bucketed_running / boundary-exchange consumers need.
     Cut placement only affects BALANCE, never results: any monotone
-    bucketing yields the same global order downstream."""
+    bucketing yields the same global order downstream.
+
+    NULL handling: NULL values are bucketed EXPLICITLY to the
+    NULLS-FIRST end of the requested order (bucket 0 when ascending,
+    bucket n_buckets-1 when descending), matching Spark's default
+    ``asc``/``desc`` null placement — so the monotone contract holds
+    for both directions even with NULL keys."""
     c = F.col(col) if isinstance(col, str) else col
     qs = [i / n_buckets for i in range(1, n_buckets)]
     st = df.agg(F.percentile_approx(c, qs, accuracy).alias("__bk_cuts"))
     b = df.crossJoin(F.broadcast(st))
-    raw = F.aggregate(
+    fold = F.aggregate(
         "__bk_cuts",
         F.lit(0),
         lambda acc, cut: acc + F.when(c > cut, 1).otherwise(0),
     )
+    raw = F.when(c.isNull(), F.lit(0)).otherwise(fold)
     bkt = raw if ascending else (F.lit(n_buckets - 1) - raw)
     return b.withColumn(out_col, bkt.cast("int")).drop("__bk_cuts")
 
