@@ -301,3 +301,111 @@ def ppr_oracle_ctes(
       FROM flg f LEFT JOIN s{t} ON s{t}.node = f.node CROSS JOIN nseed)"""
         )
     return ",\n    ".join(ctes), f"r{iters}"
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    persist_edges: bool = True,
+) -> DataFrame:
+    """Weight-proportional PageRank over a directed edge list
+    (src, dst, w) with integer weights — the TextRank form (Mihalcea &
+    Tarau, EMNLP 2004 eq. 2): each node splits its rank across
+    out-edges in proportion to w instead of uniformly.
+
+    Same determinism doctrine as :func:`pagerank`: ranks are
+    floor-scaled int64 (1e12); the per-edge contribution is
+    ``floor(double(r·w) / wout)`` — r·w stays int64-exact while
+    w ≤ ~10⁶ (r ≤ SCALE = 1e12, so the product is ≤ 1e18 < 2⁶³; the
+    int64→double conversion and the division are correctly rounded
+    identically on every IEEE engine), summed as exact integers.
+    Same per-round shapes and persist discipline as the unweighted
+    kernel; the only extra loop-invariant is the per-src weight total
+    welded onto the edge list once."""
+    base = 1.0 - damping
+    wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    edges = edges.join(wout, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if persist_edges:
+        edges = edges.persist()
+        nodes = nodes.persist()
+    rounds: list[DataFrame] = []
+    n = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = edges.join(r, edges["src"] == r["node"]).select(
+            F.col("dst").alias("cnode"),
+            F.floor(
+                (F.col("r") * F.col("w")).cast("double") / F.col("wout")
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("cnode").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(sums, nodes["node"] == sums["cnode"], "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.floor(F.lit(base) * F.lit(float(SCALE)) / F.col("n")).cast(
+                        "long"
+                    )
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                    ).cast("long")
+                ).alias("r"),
+            )
+        )
+        if persist_edges:
+            r = r.persist()
+            rounds.append(r)
+    if rounds:
+        rounds[-1].count()
+        for old in rounds[:-1]:
+            old.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
+    return r
+
+
+def pagerank_weighted_oracle_ctes(
+    edges_cte: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> tuple[str, str]:
+    """DuckDB replay of :func:`pagerank_weighted` — ``edges_cte`` must
+    have columns (src, dst, w)."""
+    base = repr(1.0 - damping)
+    damp = repr(float(damping))
+    scale = f"{float(SCALE)!r}"
+    ctes = [
+        f"nodes AS (SELECT DISTINCT src AS node FROM {edges_cte})",
+        f"wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout"
+        f" FROM {edges_cte} GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST(floor({scale} / n) AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(CAST(r.r * e.w AS DOUBLE) / d.wout)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM {edges_cte} e
+      JOIN r{t - 1} r ON r.node = e.src
+      JOIN wdeg d ON d.src = e.src
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+      SELECT nd.node,
+             CAST(floor({base} * {scale} / nn.n) AS BIGINT)
+             + CAST(floor({damp} * coalesce(s{t}.s, 0)) AS BIGINT) AS r
+      FROM nodes nd LEFT JOIN s{t} ON s{t}.node = nd.node CROSS JOIN nn)"""
+        )
+    return ",\n    ".join(ctes), f"r{iters}"

@@ -431,6 +431,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("registry.py", "text_zipf_topk_ratio"): "rank over a LIMIT(50) result",
     ("registry.py", "layout_range_partition_plan"): "cumsum over the fixed 128-bin histogram",
     ("registry.py", "text_textrank_keywords"): "pos over a LIMIT(20) result",
+    ("registry.py", "text_textrank_weighted"): "pos over a LIMIT(20) result",
     ("registry.py", "a_lorenz_curve_points"): "cumsum over the 10-row decile table",
     ("registry.py", "ops_slo_burn_rate"): "7-day rolling sums over the bounded calendar day grain",
     ("registry.py", "ops_incident_mttr"): "ranks/lag over the bounded calendar day grain and per-incident table",
