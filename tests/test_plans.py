@@ -436,6 +436,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("registry.py", "ops_slo_burn_rate"): "7-day rolling sums over the bounded calendar day grain",
     ("registry.py", "ops_incident_mttr"): "ranks/lag over the bounded calendar day grain and per-incident table",
     ("registry.py", "a_mcnemar_test"): "day-rank over the bounded calendar dimension (≤ |days| rows)",
+    ("registry.py", "a_bh_step_up"): "p-value rank over the bounded |types|·7 cell frame",
 }
 
 

@@ -132,3 +132,149 @@ def test_textrank_weighted_shape_and_order(spark):
     assert both and any(
         not math.isclose(r.score, unw[r.keyword], rel_tol=1e-9) for r in both
     )
+
+
+# --- batch B: classical stats ------------------------------------------------
+
+
+def _arm_totals(spark):
+    """Collected (arm, per-user total) pairs matching the md5 split."""
+    import hashlib
+
+    ev = load_table(spark, SF, "events").collect()
+    tot: dict[int, int] = {}
+    for r in ev:
+        tot[r.user_id] = tot.get(r.user_id, 0) + int(math.floor(r.value))
+    out = []
+    for uid, x in tot.items():
+        arm = int(hashlib.md5(f"arm:{uid}".encode()).hexdigest()[:2], 16) % 2
+        out.append((arm, x))
+    return out
+
+
+def test_cliff_delta_matches_bruteforce(spark):
+    r = QUERIES["a_cliff_delta"](spark, SF).collect()[0]
+    pairs = _arm_totals(spark)
+    xa = sorted(x for a, x in pairs if a == 0)
+    xb = sorted(x for a, x in pairs if a == 1)
+    gt = sum(1 for x in xa for y in xb if x > y)
+    lt = sum(1 for x in xa for y in xb if x < y)
+    ties = sum(1 for x in xa for y in xb if x == y)
+    assert (r.n_a, r.n_b) == (len(xa), len(xb))
+    assert (r.n_gt, r.n_lt, r.n_ties) == (gt, lt, ties)
+    assert math.isclose(
+        r.cliff_delta, (gt - lt) / (len(xa) * len(xb)), rel_tol=1e-12
+    )
+    assert -1.0 <= r.cliff_delta <= 1.0
+
+
+def test_mood_median_matches_bruteforce(spark):
+    r = QUERIES["a_mood_median"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    cents = sorted(int(math.floor(e.value * 100)) for e in ev)
+    n = len(cents)
+    med = cents[(n + 1) // 2 - 1]  # lower median
+    assert math.isclose(r.grand_median, med / 100.0, rel_tol=1e-12)
+    groups: dict[str, list] = {}
+    for e in ev:
+        groups.setdefault(e.event_type, []).append(
+            int(math.floor(e.value * 100))
+        )
+    a_tot = sum(1 for e in ev if math.floor(e.value * 100) > med)
+    chi2 = 0.0
+    for vals in groups.values():
+        ng, ag = len(vals), sum(1 for c in vals if c > med)
+        ea, eb = ng * a_tot / n, ng * (n - a_tot) / n
+        chi2 += (ag - ea) ** 2 / ea + ((ng - ag) - eb) ** 2 / eb
+    assert r.n == n and r.k == len(groups) and r.n_above == a_tot
+    assert math.isclose(r.chi2, chi2, rel_tol=1e-6)
+    assert r.chi2 >= 0.0
+
+
+def test_brown_forsythe_matches_bruteforce(spark):
+    r = QUERIES["a_brown_forsythe"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    groups: dict[str, list] = {}
+    for e in ev:
+        groups.setdefault(e.event_type, []).append(
+            int(math.floor(e.value * 100))
+        )
+    zs, ssb_parts, st_all, n = [], [], 0, 0
+    for vals in groups.values():
+        vs = sorted(vals)
+        m = vs[(len(vs) + 1) // 2 - 1]
+        z = [abs(c - m) for c in vals]
+        zs.append(z)
+        n += len(z)
+    zbar = sum(sum(z) for z in zs) / n
+    ssb = sum(len(z) * (sum(z) / len(z) - zbar) ** 2 for z in zs)
+    ssw = sum(sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs)
+    k = len(zs)
+    f = (n - k) * ssb / ((k - 1) * ssw)
+    assert r.n == n and r.k == k
+    assert math.isclose(r.ssb, ssb / 1e4, rel_tol=1e-6)
+    assert math.isclose(r.ssw, ssw / 1e4, rel_tol=1e-6)
+    assert math.isclose(r.f_stat, f, rel_tol=1e-6)
+    assert r.f_stat >= 0.0
+
+
+def test_ansari_bradley_matches_bruteforce(spark):
+    r = QUERIES["a_ansari_bradley"](spark, SF).collect()[0]
+    pairs = _arm_totals(spark)
+    allx = sorted(x for _, x in pairs)
+    n = len(allx)
+    # midrank score per value: average of min(r, N+1-r) over the tie block
+    first = {}
+    cnt = {}
+    for i, x in enumerate(allx, 1):
+        first.setdefault(x, i)
+        cnt[x] = cnt.get(x, 0) + 1
+    def score(x):
+        p, t = first[x] - 1, cnt[x]
+        return sum(min(rr, n + 1 - rr) for rr in range(p + 1, p + t + 1)) / t
+    ab = sum(score(x) for a, x in pairs if a == 0)
+    exp = sum(1 for a, _ in pairs if a == 0) * sum(
+        min(rr, n + 1 - rr) for rr in range(1, n + 1)
+    ) / n
+    assert math.isclose(r.ab_stat, ab, abs_tol=1e-3)
+    assert math.isclose(r.ab_expected, exp, rel_tol=1e-12)
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    import numpy as np
+
+    r = QUERIES["a_jonckheere_terpstra"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    groups: dict[str, list] = {}
+    for e in ev:
+        groups.setdefault(e.event_type, []).append(int(math.floor(e.value)))
+    keys = sorted(groups)
+    jt2 = 0
+    for i, g in enumerate(keys):
+        a = np.sort(np.array(groups[g]))
+        for h in keys[i + 1 :]:
+            b = np.array(groups[h])
+            lt = int(np.searchsorted(a, b, side="left").sum())
+            le = int(np.searchsorted(a, b, side="right").sum())
+            jt2 += 2 * lt + (le - lt)
+    n = sum(len(v) for v in groups.values())
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    assert r.n == n and r.k == len(keys)
+    assert math.isclose(r.jt_stat, jt2 / 2.0, rel_tol=1e-12)
+    assert math.isclose(r.jt_expected, (n * n - sn2) / 4.0, rel_tol=1e-12)
+
+
+def test_bh_step_up_is_a_true_step_up(spark):
+    rows = sorted(
+        QUERIES["a_bh_step_up"](spark, SF).collect(), key=lambda r: r.rk
+    )
+    m = len(rows)
+    assert {r.rk for r in rows} == set(range(1, m + 1))
+    for r in rows:
+        assert 0.0 < r.p_cheb <= 1.0
+        assert math.isclose(r.bh_threshold, 0.1 * r.rk / m, rel_tol=1e-12)
+    kmax = max((r.rk for r in rows if r.p_cheb <= r.bh_threshold), default=0)
+    for r in rows:
+        assert r.rejected == (1 if r.rk <= kmax else 0)
+    # monotone p along ranks (sorted ascending)
+    assert all(a.p_cheb <= b.p_cheb for a, b in zip(rows, rows[1:]))
