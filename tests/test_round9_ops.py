@@ -278,3 +278,107 @@ def test_bh_step_up_is_a_true_step_up(spark):
         assert r.rejected == (1 if r.rk <= kmax else 0)
     # monotone p along ranks (sorted ascending)
     assert all(a.p_cheb <= b.p_cheb for a, b in zip(rows, rows[1:]))
+
+
+# --- batch C: DTW, graph coefficients, VR, fences, burndown -------------------
+
+
+def _daily_cents(spark):
+    ev = load_table(spark, SF, "events").collect()
+    days: dict[str, dict] = {}
+    for r in ev:
+        d = days.setdefault(r.event_type, {})
+        day = r.ts.date()
+        d[day] = d.get(day, 0) + int(math.floor(r.value * 100))
+    return days
+
+
+def test_dtw_matches_bruteforce_dp(spark):
+    r = QUERIES["w_dtw_distance"](spark, SF).collect()[0]
+    days = _daily_cents(spark)
+    lo, hi = min(days), max(days)
+    a = [y for _, y in sorted(days[lo].items())]
+    b = [y for _, y in sorted(days[hi].items())]
+    n, m = len(a), len(b)
+    INF = float("inf")
+    dp = [[INF] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                dp[i - 1][j - 1], dp[i - 1][j], dp[i][j - 1]
+            )
+    assert (r.n_a_days, r.n_b_days) == (n, m)
+    assert math.isclose(r.dtw, dp[n][m] / 100.0, rel_tol=1e-12)
+    assert math.isclose(r.dtw_per_step, dp[n][m] / 100.0 / (n + m), rel_tol=1e-12)
+
+
+def test_local_clustering_and_transitivity_consistent(spark):
+    rows = QUERIES["graph_local_clustering"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.dg >= 2
+        assert 0.0 <= r.lcc <= 1.0 + 1e-12
+        assert math.isclose(
+            r.lcc, 2 * r.n_tri / (r.dg * (r.dg - 1)), rel_tol=1e-12
+        )
+    t = QUERIES["graph_transitivity_ratio"](spark, SF).collect()[0]
+    # transitivity = 3*triangles/wedges, and wedge count ties to degrees
+    assert 0.0 <= t.transitivity <= 1.0 + 1e-12
+    wedges = sum(r.dg * (r.dg - 1) // 2 for r in rows)  # deg<2 adds 0
+    assert t.n_wedges == wedges
+    # each triangle credits 3 nodes once in the per-node table
+    assert sum(r.n_tri for r in rows) == 3 * t.n_tri
+
+
+def test_variance_ratio_matches_bruteforce(spark):
+    r = QUERIES["w_variance_ratio"](spark, SF).collect()[0]
+    days: dict = {}
+    ev = load_table(spark, SF, "events").collect()
+    for e in ev:
+        day = e.ts.date()
+        days[day] = days.get(day, 0) + int(math.floor(e.value * 100))
+    ys = [y for _, y in sorted(days.items())]
+    dy = [b - a for a, b in zip(ys, ys[1:])]
+    blocks = [
+        sum(dy[i : i + 5]) for i in range(0, len(dy) - len(dy) % 5, 5)
+    ]
+    var1 = sum(x * x for x in dy) / len(dy) - (sum(dy) / len(dy)) ** 2
+    var5 = sum(x * x for x in blocks) / len(blocks) - (
+        sum(blocks) / len(blocks)
+    ) ** 2
+    assert r.n_diffs == len(dy) and r.n_blocks == len(blocks)
+    assert math.isclose(r.vr_5, var5 / (5 * var1), rel_tol=1e-9)
+
+
+def test_tukey_fences_matches_bruteforce(spark):
+    r = QUERIES["a_tukey_fences"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    cs = sorted(int(math.floor(e.value * 100)) for e in ev)
+    n = len(cs)
+    q1 = cs[(n + 3) // 4 - 1]
+    q3 = cs[(3 * n + 3) // 4 - 1]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert r.n == n
+    assert math.isclose(r.q1, q1 / 100.0, rel_tol=1e-12)
+    assert math.isclose(r.q3, q3 / 100.0, rel_tol=1e-12)
+    assert r.n_low_outliers == sum(1 for c in cs if c < lo)
+    assert r.n_high_outliers == sum(1 for c in cs if c > hi)
+
+
+def test_error_budget_burndown_cumulative(spark):
+    rows = sorted(
+        QUERIES["ops_error_budget_burndown"](spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    cum = 0
+    budget = rows[0].budget
+    for r in rows:
+        cum += r.n_err
+        assert r.cum_err == cum
+        assert r.budget == budget  # one fixed budget for the window
+        assert r.budget_remaining == budget - cum
+        assert r.exhausted == (1 if cum > budget else 0)
+    # bounded by the calendar
+    assert len(rows) <= 31
