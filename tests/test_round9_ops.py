@@ -382,3 +382,143 @@ def test_error_budget_burndown_cumulative(spark):
         assert r.exhausted == (1 if cum > budget else 0)
     # bounded by the calendar
     assert len(rows) <= 31
+
+
+# --- batch D: signed rank, PACF, MCC, vocab growth, R/S, projection ----------
+
+
+def test_wilcoxon_signed_rank_matches_bruteforce(spark):
+    r = QUERIES["a_wilcoxon_signed_rank"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    halves: dict[int, list] = {}
+    for e in ev:
+        h = halves.setdefault(e.user_id, [0, 0])
+        h[0 if e.ts.day <= 15 else 1] += int(math.floor(e.value))
+    ds = [b - a for a, b in halves.values() if b != a]
+    n = len(ds)
+    ranked = sorted(ds, key=abs)
+    # midranks over |d|
+    from collections import Counter
+
+    cnt = Counter(abs(d) for d in ds)
+    first = {}
+    pos = 1
+    for ad in sorted(cnt):
+        first[ad] = pos
+        pos += cnt[ad]
+    w_plus = sum(
+        first[abs(d)] + (cnt[abs(d)] - 1) / 2.0 for d in ds if d > 0
+    )
+    assert r.n == n
+    assert math.isclose(r.w_plus, w_plus, rel_tol=1e-12)
+    assert math.isclose(r.w_expected, n * (n + 1) / 4.0, rel_tol=1e-12)
+
+
+def test_pacf_lag2_consistent_with_acf(spark):
+    pac = {
+        r.event_type: r for r in QUERIES["w_pacf_lag2"](spark, SF).collect()
+    }
+    acf = {
+        (r.event_type, r.lag): r.acf
+        for r in QUERIES["w_autocorrelation"](spark, SF).collect()
+    }
+    assert pac
+    for et, r in pac.items():
+        r1, r2 = acf[(et, 1)], acf[(et, 2)]
+        assert math.isclose(r.phi11, r1, rel_tol=1e-12), et
+        assert math.isclose(r.r2, r2, rel_tol=1e-12), et
+        assert math.isclose(
+            r.phi22, (r2 - r1 * r1) / (1.0 - r1 * r1), rel_tol=1e-12
+        ), et
+        assert -1.0 - 1e-9 <= r.phi22 <= 1.0 + 1e-9, et
+
+
+def test_matthews_corr_consistent_with_confusion(spark):
+    m = QUERIES["ml_matthews_corr"](spark, SF).collect()[0]
+    c = QUERIES["ml_confusion_metrics"](spark, SF).collect()[0]
+    assert (m.tp, m.fp, m.fn, m.tn) == (c.tp, c.fp, c.fn, c.tn)
+    denom = math.sqrt(
+        (m.tp + m.fp) * (m.tp + m.fn) * (m.tn + m.fp) * (m.tn + m.fn)
+    )
+    assert math.isclose(m.mcc, (m.tp * m.tn - m.fp * m.fn) / denom, rel_tol=1e-12)
+    assert -1.0 <= m.mcc <= 1.0
+
+
+def test_vocab_growth_monotone_and_exact_at_ends(spark):
+    rows = sorted(
+        QUERIES["corpus_vocab_growth"](spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs >= a.n_docs
+        assert b.n_tokens >= a.n_tokens
+        assert b.vocab >= a.vocab  # vocabulary never shrinks
+    docs = load_table(spark, SF, "documents").collect()
+    vocab_full = set()
+    n_tok = 0
+    for d in docs:
+        toks = [t.lower() for t in d.text.split()]
+        vocab_full.update(toks)
+        n_tok += len(toks)
+    assert rows[-1].n_docs == len(docs)
+    assert rows[-1].n_tokens == n_tok
+    assert rows[-1].vocab == len(vocab_full)
+    assert math.isclose(
+        rows[-1].type_token_ratio, len(vocab_full) / n_tok, rel_tol=1e-12
+    )
+
+
+def test_rescaled_range_matches_bruteforce(spark):
+    rows = {
+        r.window_size: r
+        for r in QUERIES["w_rescaled_range"](spark, SF).collect()
+    }
+    days: dict = {}
+    ev = load_table(spark, SF, "events").collect()
+    for e in ev:
+        day = e.ts.date()
+        days[day] = days.get(day, 0) + int(math.floor(e.value * 100))
+    ys = [y for _, y in sorted(days.items())]
+    for w in (4, 8, 16):
+        vals = []
+        for b0 in range(0, len(ys) - len(ys) % w, w):
+            blk = ys[b0 : b0 + w]
+            mu = sum(blk) / w
+            cum, cds = 0.0, []
+            for y in blk:
+                cum += y - mu
+                cds.append(cum)
+            var = sum((y - mu) ** 2 for y in blk) / w
+            if var > 0:
+                # classic R/S: range of mean-centered cumulatives / pop std;
+                # the query's (max-min of w*cumdev)/sqrt(w*S2-Sb^2) equals it
+                vals.append((max(cds) - min(cds)) / math.sqrt(var))
+        exp = sum(vals) / len(vals)
+        got = rows[w]
+        assert got.n_blocks == len(vals)
+        assert math.isclose(got.rs_mean, exp, abs_tol=1e-4), w
+
+
+def test_bipartite_projection_matches_bruteforce(spark):
+    rows = QUERIES["graph_bipartite_projection"](spark, SF).collect()
+    ev = load_table(spark, SF, "events").collect()
+    ut = {(e.user_id, e.event_type) for e in ev}
+    types: dict[str, set] = {}
+    for u, t in ut:
+        types.setdefault(t, set()).add(u)
+    keys = sorted(types)
+    exp = {}
+    for i, t1 in enumerate(keys):
+        for t2 in keys[i + 1 :]:
+            c = len(types[t1] & types[t2])
+            if c:
+                exp[(t1, t2)] = c
+    got = {(r.t1, r.t2): r for r in rows}
+    assert set(got) == set(exp)
+    for k, r in got.items():
+        assert r.n_common == exp[k]
+        assert r.n_t1 == len(types[k[0]]) and r.n_t2 == len(types[k[1]])
+        assert math.isclose(
+            r.overlap_coef, exp[k] / min(r.n_t1, r.n_t2), rel_tol=1e-12
+        )
