@@ -49,6 +49,12 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # 440 queries share ONE JVM: localCheckpoint blocks from the
+        # iterative queries linger until the driver GC lets the
+        # ContextCleaner reap them, so the default 1g heap OOMs around
+        # query ~400 (r9 run).  A bigger heap + the per-query gc below
+        # keeps the full-registry replay comfortably bounded.
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,11 +99,17 @@ def main() -> None:
         detail[name] = entry
         status = {True: "MATCH", False: "FAIL", None: "rows-only"}[entry.get("match")]
         print(f"{name}: {status} ({entry['rows']})", flush=True)
-        # 270 queries in one session: drop each query's tracked pair
-        # caches so storage memory never accumulates across the run
+        # 440 queries in one session: drop each query's tracked pair
+        # caches so storage memory never accumulates across the run,
+        # clear any per-query persists, and nudge the Python GC so the
+        # JVM ContextCleaner can reap dead localCheckpoint RDD blocks
         from dicomdb_spark.llm.dedup import release_pair_caches
 
         release_pair_caches()
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     oracle_checked = sum(1 for v in detail.values() if v["check"] == "oracle")
     out = {

@@ -522,3 +522,124 @@ def test_bipartite_projection_matches_bruteforce(spark):
         assert math.isclose(
             r.overlap_coef, exp[k] / min(r.n_t1, r.n_t2), rel_tol=1e-12
         )
+
+
+# --- wave 2: Theil U2, gamma/Somers, Yule K, crossings, kappa, CvM -----------
+
+
+def test_theil_u2_matches_bruteforce(spark):
+    r = QUERIES["w_theil_u2"](spark, SF).collect()[0]
+    days: dict = {}
+    for e in load_table(spark, SF, "events").collect():
+        day = e.ts.date()
+        days[day] = days.get(day, 0) + int(math.floor(e.value * 100))
+    ys = [y for _, y in sorted(days.items())]
+    sse_s = sum((ys[t] - ys[t - 7]) ** 2 for t in range(7, len(ys)))
+    sse_n = sum((ys[t] - ys[t - 1]) ** 2 for t in range(7, len(ys)))
+    assert r.n_scored_days == len(ys) - 7
+    assert math.isclose(r.u2, math.sqrt(sse_s) / math.sqrt(sse_n), rel_tol=1e-12)
+    assert r.u2 > 0
+
+
+def test_gamma_somers_matches_bruteforce(spark):
+    r = QUERIES["a_gamma_somers"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    cs = sorted(int(math.floor(e.value * 100)) for e in ev)
+    n = len(cs)
+    c1, c2 = cs[(n + 2) // 3 - 1], cs[(2 * n + 2) // 3 - 1]
+    obs = []
+    for e in ev:
+        dow = e.ts.isoweekday() % 7 + 1  # Spark dayofweek: 1=Sunday
+        c = int(math.floor(e.value * 100))
+        yv = 0 if c <= c1 else (1 if c <= c2 else 2)
+        obs.append((dow, yv))
+    from collections import Counter
+
+    cells = Counter(obs)
+    conc = disc = tiey = 0
+    for (x1, y1), n1 in cells.items():
+        for (x2, y2), n2 in cells.items():
+            if x2 > x1:
+                if y2 > y1:
+                    conc += n1 * n2
+                elif y2 < y1:
+                    disc += n1 * n2
+                else:
+                    tiey += n1 * n2
+    assert (r.n_concordant, r.n_discordant, r.n_tied_y) == (conc, disc, tiey)
+    assert math.isclose(r.gk_gamma, (conc - disc) / (conc + disc), rel_tol=1e-12)
+    assert math.isclose(
+        r.somers_dyx, (conc - disc) / (conc + disc + tiey), rel_tol=1e-12
+    )
+
+
+def test_yule_k_matches_bruteforce(spark):
+    r = QUERIES["text_yule_k"](spark, SF).collect()[0]
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents").collect()
+    tf = Counter(t.lower() for d in docs for t in d.text.split())
+    n = sum(tf.values())
+    v = len(tf)
+    s2 = sum(m * m for m in tf.values())
+    assert (r.n_tokens, r.n_types) == (n, v)
+    assert math.isclose(r.yule_k, 1e4 * (s2 - n) / (n * n), rel_tol=1e-12)
+    assert math.isclose(r.guiraud_r, v / math.sqrt(n), rel_tol=1e-12)
+
+
+def test_mean_crossings_matches_bruteforce(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["w_mean_crossings"](spark, SF).collect()
+    }
+    days = _daily_cents(spark)
+    for et, dd in days.items():
+        ys = [y for _, y in sorted(dd.items())]
+        n, s = len(ys), sum(ys)
+        devs = [n * y - s for y in ys]
+        crossings = sum(
+            1 for a, b in zip(devs, devs[1:]) if a * b < 0
+        )
+        assert rows[et].n_days == n, et
+        assert rows[et].n_crossings == crossings, et
+        assert math.isclose(
+            rows[et].crossing_rate, crossings / (n - 1), rel_tol=1e-12
+        ), et
+
+
+def test_cohens_kappa_matches_bruteforce(spark):
+    r = QUERIES["ml_cohens_kappa"](spark, SF).collect()[0]
+    emb = load_table(spark, SF, "embeddings").collect()
+    sc = [
+        sum(int(math.floor(float(v) * float(v) * 1000000)) for v in e.embedding)
+        for e in emb
+    ]
+    tot, n = sum(sc), len(sc)
+    ra = [1 if s * n > tot else 0 for s in sc]
+    rb = [1 if float(e.embedding[0]) > 0.0 else 0 for e in emb]
+    agree = sum(1 for a, b in zip(ra, rb) if a == b)
+    a1, b1 = sum(ra), sum(rb)
+    pe2 = a1 * b1 + (n - a1) * (n - b1)
+    assert (r.n, r.agree, r.n_pos_a, r.n_pos_b) == (n, agree, a1, b1)
+    assert math.isclose(r.kappa, (n * agree - pe2) / (n * n - pe2), rel_tol=1e-12)
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_cramer_von_mises_matches_bruteforce(spark):
+    r = QUERIES["a_cramer_von_mises"](spark, SF).collect()[0]
+    pairs = _arm_totals(spark)
+    xa = sorted(x for a, x in pairs if a == 0)
+    xb = sorted(x for a, x in pairs if a == 1)
+    na, nb = len(xa), len(xb)
+    pooled = sorted(xa + xb)
+    import bisect
+
+    t_sum = 0.0
+    for x in pooled:
+        fa = bisect.bisect_right(xa, x) / na
+        fb = bisect.bisect_right(xb, x) / nb
+        t_sum += (fa - fb) ** 2
+    exp = na * nb / (na + nb) ** 2 * t_sum
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert math.isclose(r.cvm_t, exp, rel_tol=1e-9)
+    assert r.cvm_t >= 0.0
