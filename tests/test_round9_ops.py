@@ -643,3 +643,57 @@ def test_cramer_von_mises_matches_bruteforce(spark):
     assert (r.n_a, r.n_b) == (na, nb)
     assert math.isclose(r.cvm_t, exp, rel_tol=1e-9)
     assert r.cvm_t >= 0.0
+
+
+# --- wave 3: b-bit minhash, banded DTW, Apdex ---------------------------------
+
+
+def test_bbit_minhash_estimator_properties(spark):
+    rows = QUERIES["dedup_bbit_minhash_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bit_agree <= 16
+        assert math.isclose(
+            r.est_jaccard_1bit, 2 * (r.n_bit_agree / 16) - 1, rel_tol=1e-12
+        )
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        # slot agreement implies bit agreement: bits from equal slots
+        # always match, so n_bit_agree >= 16*est_jaccard_full
+        assert r.n_bit_agree >= round(r.est_jaccard_full * 16)
+    # exact duplicates (planted) must estimate 1.0 under BOTH schemes
+    exact_pairs = [r for r in rows if r.exact_jaccard == 1.0]
+    assert exact_pairs
+    for r in exact_pairs:
+        assert r.n_bit_agree == 16 and r.est_jaccard_1bit == 1.0
+
+
+def test_banded_dtw_dominates_full_dtw(spark):
+    full = QUERIES["w_dtw_distance"](spark, SF).collect()[0]
+    band = QUERIES["w_dtw_banded"](spark, SF).collect()[0]
+    assert (band.n_a_days, band.n_b_days) == (full.n_a_days, full.n_b_days)
+    assert band.band_width == 8
+    # constraining the warping path can only increase the distance
+    assert band.dtw_banded >= full.dtw - 1e-9
+    # with |n-m| <= band width the banded path is feasible -> finite
+    assert band.dtw_banded < (1 << 50) / 100.0
+
+
+def test_apdex_matches_bruteforce(spark):
+    rows = {
+        r.event_type: r for r in QUERIES["ops_apdex_score"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").collect()
+    agg: dict[str, list] = {}
+    for e in ev:
+        a = agg.setdefault(e.event_type, [0, 0, 0])
+        a[0] += 1
+        if e.value <= 100.0:
+            a[1] += 1
+        elif e.value <= 400.0:
+            a[2] += 1
+    for et, (n, sat, tol) in agg.items():
+        r = rows[et]
+        assert (r.n, r.n_satisfied, r.n_tolerating) == (n, sat, tol)
+        assert r.n_frustrated == n - sat - tol
+        assert math.isclose(r.apdex, (sat + tol / 2) / n, rel_tol=1e-12)
+        assert 0.0 <= r.apdex <= 1.0
