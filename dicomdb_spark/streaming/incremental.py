@@ -121,3 +121,36 @@ def slo_burn_stream(
             ).alias("burn_1d"),
         )
     )
+
+
+def error_budget_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bad_threshold: float = 450.0,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of ops_error_budget_burndown's per-day layer:
+    watermarked tumbling-day event/bad-event counts (value > threshold
+    = the bad-event proxy).  The BURNDOWN itself — cumulative errors
+    against the fixed ⌊0.002·N⌋ month budget — stays a batch query
+    over this stream's day-grain sink, for the same reason as the
+    slo_burn split: a running total over all closed days would need
+    complete-mode state for a table that is ~365 rows/year, while the
+    per-day layer is the part that must absorb 100 TB/day of events
+    with one map-side-combined shuffle and watermark-bounded state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("day_window"))
+        .agg(
+            F.count("*").cast("long").alias("n_ev"),
+            F.sum(F.when(F.col(value_col) > bad_threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_err"),
+        )
+        .select(
+            F.col("day_window.start").cast("date").alias("day"),
+            "n_ev",
+            "n_err",
+        )
+    )

@@ -697,3 +697,55 @@ def test_apdex_matches_bruteforce(spark):
         assert r.n_frustrated == n - sat - tol
         assert math.isclose(r.apdex, (sat + tol / 2) / n, rel_tol=1e-12)
         assert 0.0 <= r.apdex <= 1.0
+
+
+# -- streaming twin ------------------------------------------------------------
+
+
+def test_error_budget_stream_matches_batch_day_layer(spark, tmp_path):
+    """The streaming per-day (n_ev, n_err) layer must equal the batch
+    burndown's day columns exactly once all input is processed, and
+    the batch budget math over the streamed sink must reproduce
+    ops_error_budget_burndown row-for-row."""
+    from dicomdb_spark.io import load_table
+    from dicomdb_spark.streaming import incremental as stream
+
+    ev = load_table(spark, SF, "events")
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    src_dir = str(tmp_path / "events_stream")
+    src.write.mode("overwrite").parquet(src_dir)
+    stream_df = stream.stream_inventory(
+        spark, src_dir, src.schema, fmt="parquet"
+    )
+    agg = stream.error_budget_stream(
+        stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("err_budget")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.day: (r.n_ev, r.n_err)
+            for r in spark.sql("select * from err_budget").collect()
+        }
+    finally:
+        q.stop()
+    batch_rows = QUERIES["ops_error_budget_burndown"](spark, SF).collect()
+    batch = {r.day: (r.cum_ev, r.n_err) for r in batch_rows}
+    # per-day error counts agree
+    assert {d: e for d, (_, e) in batch.items()} == {
+        d: e for d, (_, e) in got.items()
+    }
+    # the batch burndown recomputed over the streamed sink is identical
+    n_total = sum(n for n, _ in got.values())
+    budget = int(math.floor(n_total * 0.002))
+    cum = 0
+    for r in sorted(batch_rows, key=lambda r: r.day):
+        cum += got[r.day][1]
+        assert r.cum_err == cum
+        assert r.budget == budget
+        assert r.exhausted == (1 if cum > budget else 0)
