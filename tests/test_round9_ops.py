@@ -749,3 +749,114 @@ def test_error_budget_stream_matches_batch_day_layer(spark, tmp_path):
         assert r.cum_err == cum
         assert r.budget == budget
         assert r.exhausted == (1 if cum > budget else 0)
+
+
+# --- wave 4: Mann-Kendall, Durbin-Watson, up/down runs, median polish ---------
+
+
+def _day_series(spark):
+    days: dict = {}
+    for e in load_table(spark, SF, "events").collect():
+        day = e.ts.date()
+        days[day] = days.get(day, 0) + int(math.floor(e.value * 100))
+    return [y for _, y in sorted(days.items())]
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    r = QUERIES["a_mann_kendall"](spark, SF).collect()[0]
+    ys = _day_series(spark)
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else (-1 if ys[j] < ys[i] else 0))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(ys)
+    tie_adj = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_adj) / 18
+    cc = 1 if s > 0 else (-1 if s < 0 else 0)
+    assert r.n == n and r.s_stat == s
+    assert math.isclose(r.var_s, var_s, rel_tol=1e-12)
+    assert math.isclose(r.z_mk, (s - cc) / math.sqrt(var_s), rel_tol=1e-12)
+    assert math.isclose(r.kendall_tau_a, s / (n * (n - 1) / 2), rel_tol=1e-12)
+
+
+def test_durbin_watson_matches_bruteforce(spark):
+    r = QUERIES["a_durbin_watson"](spark, SF).collect()[0]
+    ys = _day_series(spark)
+    n = len(ys)
+    xs = list(range(1, n + 1))
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = [y - (a + b * x) for x, y in zip(xs, ys)]
+    dw = sum((e2 - e1) ** 2 for e1, e2 in zip(e, e[1:])) / sum(
+        x * x for x in e
+    )
+    assert r.n_days == n
+    # the query floor-scales both sums at x100 — tolerance covers it
+    assert math.isclose(r.dw, dw, rel_tol=1e-6)
+    assert 0.0 <= r.dw <= 4.0
+
+
+def test_runs_up_down_matches_bruteforce(spark):
+    r = QUERIES["w_runs_up_down"](spark, SF).collect()[0]
+    ys = _day_series(spark)
+    mv = [
+        (1 if b > a else -1)
+        for a, b in zip(ys, ys[1:])
+        if b != a
+    ]
+    m = len(mv)
+    runs = 1 + sum(1 for a, b in zip(mv, mv[1:]) if a != b)
+    assert (r.n_moves, r.n_up, r.n_down) == (
+        m,
+        sum(1 for x in mv if x == 1),
+        sum(1 for x in mv if x == -1),
+    )
+    assert r.n_runs == runs
+    assert math.isclose(r.runs_expected, (2 * m + 1) / 3, rel_tol=1e-12)
+    assert math.isclose(
+        r.z_runs,
+        (runs - (2 * m + 1) / 3) / math.sqrt((16 * m - 13) / 90),
+        rel_tol=1e-12,
+    )
+
+
+def test_median_polish_matches_bruteforce(spark):
+    rows = QUERIES["a_median_polish"](spark, SF).collect()
+    ev = load_table(spark, SF, "events").collect()
+    cells: dict = {}
+    for e in ev:
+        dow = e.ts.isoweekday() % 7 + 1
+        key = (e.event_type, dow)
+        cells[key] = cells.get(key, 0) + int(math.floor(e.value * 100))
+
+    def lower_median(vals):
+        vs = sorted(vals)
+        return vs[(len(vs) + 1) // 2 - 1]
+
+    rts = sorted({r for r, _ in cells})
+    cls = sorted({c for _, c in cells})
+    re = {r: lower_median([cells[(r, c)] for c in cls if (r, c) in cells]) for r in rts}
+    s1 = {k: v - re[k[0]] for k, v in cells.items()}
+    ce = {c: lower_median([s1[(r, c)] for r in rts if (r, c) in s1]) for c in cls}
+    got = {(r.event_type, r.dow): r for r in rows}
+    assert set(got) == set(cells)
+    for k, r in got.items():
+        assert math.isclose(r.row_effect, re[k[0]] / 100, rel_tol=1e-12), k
+        assert math.isclose(r.col_effect, ce[k[1]] / 100, rel_tol=1e-12), k
+        assert math.isclose(
+            r.residual, (s1[k] - ce[k[1]]) / 100, rel_tol=1e-12
+        ), k
+    # decomposition identity: value = row + col + residual (per cell)
+    for k, r in got.items():
+        assert math.isclose(
+            r.row_effect + r.col_effect + r.residual,
+            cells[k] / 100,
+            rel_tol=1e-9,
+        ), k
