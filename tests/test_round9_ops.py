@@ -860,3 +860,93 @@ def test_median_polish_matches_bruteforce(spark):
             cells[k] / 100,
             rel_tol=1e-9,
         ), k
+
+
+# --- wave 5: sampling, robust stats, Ichimoku, container dispatch ------------
+
+
+def test_systematic_sample_bounds_and_means(spark):
+    r = QUERIES["o9_systematic_sample"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    tot: dict[int, int] = {}
+    for e in ev:
+        tot[e.user_id] = tot.get(e.user_id, 0) + int(math.floor(e.value))
+    uids = sorted(tot)
+    sample = [tot[u] for i, u in enumerate(uids, 1) if i % 10 == 3]
+    assert r.n_pop == len(uids)
+    assert r.n_sample == len(sample)
+    assert r.expected_lo <= r.n_sample <= r.expected_hi
+    assert math.isclose(r.pop_mean, sum(tot.values()) / len(uids), rel_tol=1e-12)
+    assert math.isclose(r.sample_mean, sum(sample) / len(sample), rel_tol=1e-12)
+
+
+def test_trimmed_mean_matches_bruteforce(spark):
+    r = QUERIES["a_trimmed_mean"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    cs = sorted(int(math.floor(e.value * 100)) for e in ev)
+    n = len(cs)
+    k = n // 10
+    mid = cs[k : n - k]
+    assert (r.n, r.k, r.n_kept) == (n, k, n - 2 * k)
+    assert math.isclose(r.trimmed_mean, sum(mid) / len(mid) / 100, rel_tol=1e-12)
+    assert math.isclose(r.raw_mean, sum(cs) / n / 100, rel_tol=1e-12)
+
+
+def test_bowley_skew_matches_bruteforce(spark):
+    r = QUERIES["a_bowley_skew"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    cs = sorted(int(math.floor(e.value * 100)) for e in ev)
+    n = len(cs)
+    q1, q2, q3 = (
+        cs[(n + 3) // 4 - 1],
+        cs[(n + 1) // 2 - 1],
+        cs[(3 * n + 3) // 4 - 1],
+    )
+    assert math.isclose(r.q1, q1 / 100, rel_tol=1e-12)
+    assert math.isclose(r.median, q2 / 100, rel_tol=1e-12)
+    assert math.isclose(r.q3, q3 / 100, rel_tol=1e-12)
+    assert math.isclose(
+        r.bowley_skew, (q1 + q3 - 2 * q2) / (q3 - q1), rel_tol=1e-12
+    )
+    assert -1.0 <= r.bowley_skew <= 1.0
+
+
+def test_ichimoku_lines_match_bruteforce(spark):
+    rows = QUERIES["w_ichimoku_lines"](spark, SF).collect()
+    assert rows
+    # recompute for one event_type end-to-end
+    et = rows[0].event_type
+    got = {r.day: r for r in rows if r.event_type == et}
+    bars: dict = {}
+    for e in load_table(spark, SF, "events").collect():
+        if e.event_type != et:
+            continue
+        day = e.ts.date()
+        bars[day] = bars.get(day, 0) + int(math.floor(e.value * 100))
+    days = sorted(bars)
+    ps = [bars[d] for d in days]
+    for i, d in enumerate(days):
+        if i < 14:
+            assert d not in got
+            continue
+        w5 = ps[i - 4 : i + 1]
+        w15 = ps[i - 14 : i + 1]
+        tenkan = (max(w5) + min(w5)) / 2 / 100
+        kijun = (max(w15) + min(w15)) / 2 / 100
+        assert math.isclose(got[d].tenkan, tenkan, rel_tol=1e-12), d
+        assert math.isclose(got[d].kijun, kijun, rel_tol=1e-12), d
+        assert got[d].bullish == (1 if tenkan > kijun else 0), d
+
+
+def test_container_stats_consistent(spark):
+    rows = QUERIES["multimodal_container_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_payloads > 0
+        assert r.min_bytes <= r.max_bytes
+        assert r.min_bytes * r.n_payloads <= r.total_bytes
+        assert r.total_bytes <= r.max_bytes * r.n_payloads
+        assert math.isclose(
+            r.mean_bytes, r.total_bytes / r.n_payloads, rel_tol=1e-12
+        )
+        assert r.container in {"digit_or_symbol", "upper", "lower", "high_byte"}
