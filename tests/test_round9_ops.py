@@ -950,3 +950,72 @@ def test_container_stats_consistent(spark):
             r.mean_bytes, r.total_bytes / r.n_payloads, rel_tol=1e-12
         )
         assert r.container in {"digit_or_symbol", "upper", "lower", "high_byte"}
+
+
+# --- wave 6: Kaplan-Meier, l-diversity ----------------------------------------
+
+
+def test_kaplan_meier_matches_bruteforce(spark):
+    rows = sorted(
+        QUERIES["w_kaplan_meier"](spark, SF).collect(), key=lambda r: r.t_days
+    )
+    assert rows
+    ev = load_table(spark, SF, "events").collect()
+    users: dict = {}
+    for e in ev:
+        u = users.setdefault(e.user_id, {"d0": None, "dl": None, "dp": None})
+        day = e.ts.date()
+        u["d0"] = day if u["d0"] is None else min(u["d0"], day)
+        u["dl"] = day if u["dl"] is None else max(u["dl"], day)
+        if e.event_type == "purchase":
+            u["dp"] = day if u["dp"] is None else min(u["dp"], day)
+    durs = []
+    for u in users.values():
+        if u["dp"] is not None:
+            durs.append(((u["dp"] - u["d0"]).days, 1))  # event
+        else:
+            durs.append(((u["dl"] - u["d0"]).days, 0))  # censored
+    s = 1.0
+    exp = []
+    for t in sorted({t for t, e in durs if e == 1}):
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d = sum(1 for dd, e in durs if dd == t and e == 1)
+        s *= 1 - d / n_risk
+        exp.append((t, n_risk, d, s))
+    got = [(r.t_days, r.n_risk, r.n_events, r.s_km) for r in rows]
+    assert len(got) == len(exp)
+    for (gt, gn, gd, gs), (et, en, ed, es) in zip(got, exp):
+        assert (gt, gn, gd) == (et, en, ed)
+        assert math.isclose(gs, es, rel_tol=1e-12)
+    # survival curve is non-increasing and within (0, 1]
+    assert all(a.s_km >= b.s_km for a, b in zip(rows, rows[1:]))
+    # S reaches exactly 0 when the last at-risk user converts
+    assert all(0.0 <= r.s_km <= 1.0 for r in rows)
+
+
+def test_l_diversity_buckets_consistent(spark):
+    rows = QUERIES["a_l_diversity"](spark, SF).collect()
+    assert rows
+    cust = load_table(spark, SF, "customer").collect()
+    groups: dict = {}
+    for c in cust:
+        key = (c.c_nationkey, c.c_mktsegment, int(math.floor(c.c_acctbal / 1000)))
+        groups.setdefault(key, set()).add(c.c_custkey % 7)
+    from collections import Counter
+
+    sizes: dict = {}
+    for c in cust:
+        key = (c.c_nationkey, c.c_mktsegment, int(math.floor(c.c_acctbal / 1000)))
+        sizes[key] = sizes.get(key, 0) + 1
+    buckets = Counter()
+    recs = Counter()
+    for key, sens in groups.items():
+        l = len(sens)
+        b = "l=1" if l == 1 else ("l=2" if l < 3 else ("l=3-4" if l < 5 else "l>=5"))
+        buckets[b] += 1
+        recs[b] += sizes[key]
+    got = {r.l_bucket: (r.n_groups, r.n_records) for r in rows}
+    assert got == {b: (buckets[b], recs[b]) for b in buckets}
+    n = len(cust)
+    for r in rows:
+        assert math.isclose(r.pct_records, r.n_records * 100 / n, rel_tol=1e-12)
