@@ -1019,3 +1019,68 @@ def test_l_diversity_buckets_consistent(spark):
     n = len(cust)
     for r in rows:
         assert math.isclose(r.pct_records, r.n_records * 100 / n, rel_tol=1e-12)
+
+
+# --- wave 7: sentence dedup, negbin overdispersion ----------------------------
+
+
+def test_sentence_dedup_matches_bruteforce(spark):
+    import re
+    from collections import Counter
+
+    r = QUERIES["text_sentence_dedup"](spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").collect()
+    per_doc: dict[int, list] = {}
+    for d in docs:
+        sents = [
+            s.strip() for s in re.split(r"[.!?]", d.text) if len(s.strip()) >= 20
+        ]
+        if sents:
+            per_doc[d.doc_id] = sents
+    ndocs_per_sent = Counter()
+    for did, sents in per_doc.items():
+        for s in set(sents):
+            ndocs_per_sent[s] += 1
+    n_sent = sum(len(s) for s in per_doc.values())
+    n_dup = sum(
+        1 for sents in per_doc.values() for s in sents if ndocs_per_sent[s] > 1
+    )
+    n_major = sum(
+        1
+        for sents in per_doc.values()
+        if 2 * sum(1 for s in sents if ndocs_per_sent[s] > 1) > len(sents)
+    )
+    assert r.n_docs == len(per_doc)
+    assert r.n_sentences == n_sent
+    assert r.n_cross_doc_dup == n_dup
+    assert r.n_docs_majority_dup == n_major
+    assert math.isclose(r.dup_sentence_rate, n_dup / n_sent, rel_tol=1e-12)
+
+
+def test_negbin_overdispersion_matches_bruteforce(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["a_negbin_overdispersion"](spark, SF).collect()
+    }
+    days = {}
+    for e in load_table(spark, SF, "events").collect():
+        key = (e.event_type, e.ts.date())
+        days[key] = days.get(key, 0) + 1
+    per_type: dict[str, list] = {}
+    for (et, _), n in days.items():
+        per_type.setdefault(et, []).append(n)
+    for et, ns in per_type.items():
+        r = rows[et]
+        nd = len(ns)
+        mean = sum(ns) / nd
+        var = sum(x * x for x in ns) / nd - mean * mean
+        assert r.n_days == nd
+        assert math.isclose(r.mean_daily, mean, rel_tol=1e-9), et
+        assert math.isclose(r.var_daily, var, rel_tol=1e-9), et
+        assert math.isclose(r.dispersion_index, var / mean, rel_tol=1e-9), et
+        if var > mean:
+            assert math.isclose(
+                r.negbin_r, mean * mean / (var - mean), rel_tol=1e-9
+            ), et
+        else:
+            assert r.negbin_r is None, et
