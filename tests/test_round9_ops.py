@@ -1084,3 +1084,86 @@ def test_negbin_overdispersion_matches_bruteforce(spark):
             ), et
         else:
             assert r.negbin_r is None, et
+
+
+# --- wave 8: log-rank, Nelson-Aalen, Cochran-Armitage -------------------------
+
+
+def _survival_durs(spark, with_arm=False):
+    import hashlib
+
+    users: dict = {}
+    for e in load_table(spark, SF, "events").collect():
+        u = users.setdefault(e.user_id, {"d0": None, "dl": None, "dp": None})
+        day = e.ts.date()
+        u["d0"] = day if u["d0"] is None else min(u["d0"], day)
+        u["dl"] = day if u["dl"] is None else max(u["dl"], day)
+        if e.event_type == "purchase":
+            u["dp"] = day if u["dp"] is None else min(u["dp"], day)
+    out = []
+    for uid, u in users.items():
+        dur = ((u["dp"] or u["dl"]) - u["d0"]).days
+        event = 1 if u["dp"] is not None else 0
+        arm = int(hashlib.md5(f"arm:{uid}".encode()).hexdigest()[:2], 16) % 2
+        out.append((arm, dur, event) if with_arm else (dur, event))
+    return out
+
+
+def test_log_rank_matches_bruteforce(spark):
+    r = QUERIES["a_log_rank_test"](spark, SF).collect()[0]
+    durs = _survival_durs(spark, with_arm=True)
+    times = sorted({d for _, d, e in durs if e})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for a, d, _ in durs if a == 0 and d >= t)
+        n = sum(1 for _, d, _ in durs if d >= t)
+        d1 = sum(1 for a, d, e in durs if a == 0 and d == t and e)
+        dt = sum(1 for _, d, e in durs if d == t and e)
+        o1 += d1
+        e1 += dt * n1 / n
+        if n > 1:
+            v += dt * (n1 / n) * ((n - n1) / n) * ((n - dt) / (n - 1))
+    assert r.n_event_times == len(times)
+    assert r.observed_a == o1
+    assert math.isclose(r.expected_a, e1, abs_tol=1e-6)
+    assert math.isclose(r.z_logrank, (o1 - e1) / math.sqrt(v), rel_tol=1e-6)
+
+
+def test_nelson_aalen_matches_km_family(spark):
+    na = sorted(
+        QUERIES["w_nelson_aalen"](spark, SF).collect(), key=lambda r: r.t_days
+    )
+    km = sorted(
+        QUERIES["w_kaplan_meier"](spark, SF).collect(), key=lambda r: r.t_days
+    )
+    # same event times, at-risk counts, and event counts as KM
+    assert [(r.t_days, r.n_risk, r.n_events) for r in na] == [
+        (r.t_days, r.n_risk, r.n_events) for r in km
+    ]
+    # H is nondecreasing, and exp(-H) >= S always (standard inequality)
+    assert all(a.cum_hazard <= b.cum_hazard for a, b in zip(na, na[1:]))
+    h = 0.0
+    for r in na:
+        h += r.n_events / r.n_risk
+        assert math.isclose(r.cum_hazard, h, abs_tol=1e-6)
+    for rn, rk_ in zip(na, km):
+        assert math.exp(-rn.cum_hazard) >= rk_.s_km - 1e-9
+
+
+def test_cochran_armitage_matches_bruteforce(spark):
+    r = QUERIES["a_cochran_armitage"](spark, SF).collect()[0]
+    cells: dict[int, list] = {}
+    for e in load_table(spark, SF, "events").collect():
+        s = e.ts.isoweekday() % 7 + 1
+        c = cells.setdefault(s, [0, 0])
+        c[0] += 1
+        c[1] += 1 if e.event_type == "purchase" else 0
+    n = sum(c[0] for c in cells.values())
+    d = sum(c[1] for c in cells.values())
+    sd = sum(s * c[1] for s, c in cells.items())
+    sn = sum(s * c[0] for s, c in cells.items())
+    ssn = sum(s * s * c[0] for s, c in cells.items())
+    p = d / n
+    z = (sd - d * sn / n) / math.sqrt(p * (1 - p) * (ssn - sn * sn / n))
+    assert (r.n_groups, r.n, r.n_conversions) == (len(cells), n, d)
+    assert math.isclose(r.z_trend, z, rel_tol=1e-9)
