@@ -1167,3 +1167,67 @@ def test_cochran_armitage_matches_bruteforce(spark):
     z = (sd - d * sn / n) / math.sqrt(p * (1 - p) * (ssn - sn * sn / n))
     assert (r.n_groups, r.n, r.n_conversions) == (len(cells), n, d)
     assert math.isclose(r.z_trend, z, rel_tol=1e-9)
+
+
+# --- wave 9: ANN metric agreement, Fleiss kappa -------------------------------
+
+
+def test_ann_metric_agreement_matches_bruteforce(spark):
+    import numpy as np
+
+    rows = {
+        r.query_id: r
+        for r in QUERIES["ann_metric_agreement"](spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").collect()
+    vecs = {e.vec_id: np.asarray(e.embedding, dtype=np.float64) for e in emb}
+    SCALE = 1e12
+    for qid in [i for i in vecs if i < 10]:
+        qv = vecs[qid]
+        cos_scores, euc_scores = [], []
+        for cid, cv in vecs.items():
+            if cid == qid:
+                continue
+            dot = np.floor(qv * cv * SCALE).astype(np.int64).sum() / SCALE
+            nq = math.sqrt(
+                np.floor(qv * qv * SCALE).astype(np.int64).sum() / SCALE
+            )
+            nc = math.sqrt(
+                np.floor(cv * cv * SCALE).astype(np.int64).sum() / SCALE
+            )
+            cos_scores.append((-dot / (nq * nc), cid))
+            d2 = int(
+                np.floor((qv - cv) * (qv - cv) * SCALE).astype(np.int64).sum()
+            )
+            euc_scores.append((d2, cid))
+        top_c = {c for _, c in sorted(cos_scores)[:5]}
+        top_e = {c for _, c in sorted(euc_scores)[:5]}
+        r = rows[qid]
+        assert r.n_overlap == len(top_c & top_e), qid
+        assert math.isclose(r.agreement_at_5, r.n_overlap / 5.0, rel_tol=1e-12)
+    assert len(rows) == 10
+
+
+def test_fleiss_kappa_matches_bruteforce(spark):
+    r = QUERIES["a_fleiss_kappa"](spark, SF).collect()[0]
+    emb = load_table(spark, SF, "embeddings").collect()
+    sc = [
+        sum(int(math.floor(float(v) * float(v) * 1000000)) for v in e.embedding)
+        for e in emb
+    ]
+    tot, n = sum(sc), len(sc)
+    n1s = []
+    for e, s in zip(emb, sc):
+        r1 = 1 if s * n > tot else 0
+        r2 = 1 if float(e.embedding[0]) > 0 else 0
+        r3 = 1 if float(e.embedding[1]) > 0 else 0
+        n1s.append(r1 + r2 + r3)
+    pbar = sum(k * k + (3 - k) * (3 - k) - 3 for k in n1s) / (6 * n)
+    p1 = sum(n1s) / (3 * n)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (pbar - pe) / (1 - pe)
+    assert r.n_subjects == n and r.n_positive_ratings == sum(n1s)
+    assert math.isclose(r.p_bar, pbar, rel_tol=1e-12)
+    assert math.isclose(r.p_e, pe, rel_tol=1e-12)
+    assert math.isclose(r.fleiss_kappa, kappa, rel_tol=1e-12)
+    assert -1.0 <= r.fleiss_kappa <= 1.0
