@@ -1231,3 +1231,53 @@ def test_fleiss_kappa_matches_bruteforce(spark):
     assert math.isclose(r.p_e, pe, rel_tol=1e-12)
     assert math.isclose(r.fleiss_kappa, kappa, rel_tol=1e-12)
     assert -1.0 <= r.fleiss_kappa <= 1.0
+
+
+# --- wave 10: weighted kappa, madogram ----------------------------------------
+
+
+def test_weighted_kappa_matches_bruteforce(spark):
+    r = QUERIES["a_weighted_kappa"](spark, SF).collect()[0]
+    emb = load_table(spark, SF, "embeddings").collect()
+    rows = []
+    for e in emb:
+        s = sum(
+            int(math.floor(float(v) * float(v) * 1000000)) for v in e.embedding
+        )
+        c1 = int(math.floor(float(e.embedding[0]) * 1000000))
+        rows.append((e.vec_id, s, c1))
+    n = len(rows)
+    by_s = sorted(rows, key=lambda t: (t[1], t[0]))
+    by_c = sorted(rows, key=lambda t: (t[2], t[0]))
+    ra = {t[0]: 3 * i // n for i, t in enumerate(by_s)}
+    rb = {t[0]: 3 * i // n for i, t in enumerate(by_c)}
+    from collections import Counter
+
+    o = Counter((ra[v], rb[v]) for v, _, _ in rows)
+    wo = sum((i - j) ** 2 * c for (i, j), c in o.items())
+    r_i = Counter()
+    c_j = Counter()
+    for (i, j), c in o.items():
+        r_i[i] += c
+        c_j[j] += c
+    we = sum(
+        (i - j) ** 2 * r_i[i] * c_j[j] for i in r_i for j in c_j
+    )
+    assert r.n_subjects == n
+    assert r.weighted_disagreement == wo
+    assert math.isclose(r.weighted_kappa, 1 - n * wo / we, rel_tol=1e-12)
+    assert r.weighted_kappa <= 1.0
+
+
+def test_madogram_matches_bruteforce(spark):
+    rows = {
+        r.lag_days: r for r in QUERIES["w_madogram"](spark, SF).collect()
+    }
+    ys = _day_series(spark)
+    for h in (1, 2, 3, 7):
+        pairs = [abs(ys[t] - ys[t - h]) for t in range(h, len(ys))]
+        r = rows[h]
+        assert r.n_pairs == len(pairs)
+        assert math.isclose(
+            r.madogram, sum(pairs) / len(pairs) / 100, rel_tol=1e-12
+        ), h
