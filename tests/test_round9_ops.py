@@ -1281,3 +1281,39 @@ def test_madogram_matches_bruteforce(spark):
         assert math.isclose(
             r.madogram, sum(pairs) / len(pairs) / 100, rel_tol=1e-12
         ), h
+
+
+# --- wave 11: sign test, Dixon Q ----------------------------------------------
+
+
+def test_sign_test_matches_bruteforce(spark):
+    r = QUERIES["a_sign_test"](spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").collect()
+    halves: dict[int, list] = {}
+    for e in ev:
+        h = halves.setdefault(e.user_id, [0, 0])
+        h[0 if e.ts.day <= 15 else 1] += int(math.floor(e.value))
+    ds = [b - a for a, b in halves.values() if b != a]
+    n, sp = len(ds), sum(1 for d in ds if d > 0)
+    cc = 0.5 if sp > n / 2 else (-0.5 if sp < n / 2 else 0.0)
+    assert (r.n, r.s_plus) == (n, sp)
+    assert math.isclose(r.s_expected, n / 2, rel_tol=1e-12)
+    assert math.isclose(
+        r.z_sign, (sp - n / 2 - cc) / (math.sqrt(n) / 2), rel_tol=1e-12
+    )
+    # consistency with Wilcoxon: same n after zero-drop
+    w = QUERIES["a_wilcoxon_signed_rank"](spark, SF).collect()[0]
+    assert w.n == r.n
+
+
+def test_dixon_q_matches_bruteforce(spark):
+    r = QUERIES["a_dixon_q"](spark, SF).collect()[0]
+    ys = sorted(_day_series(spark))
+    n = len(ys)
+    assert r.n_days == n
+    assert math.isclose(r.y_min, ys[0] / 100, rel_tol=1e-12)
+    assert math.isclose(r.y_max, ys[-1] / 100, rel_tol=1e-12)
+    rng = ys[-1] - ys[0]
+    assert math.isclose(r.q_low, (ys[1] - ys[0]) / rng, rel_tol=1e-12)
+    assert math.isclose(r.q_high, (ys[-1] - ys[-2]) / rng, rel_tol=1e-12)
+    assert 0.0 <= r.q_low <= 1.0 and 0.0 <= r.q_high <= 1.0
