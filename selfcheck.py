@@ -49,12 +49,16 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        # 440 queries share ONE JVM: localCheckpoint blocks from the
+        # 440+ queries share ONE JVM: localCheckpoint blocks from the
         # iterative queries linger until the driver GC lets the
         # ContextCleaner reap them, so the default 1g heap OOMs around
         # query ~400 (r9 run).  A bigger heap + the per-query gc below
-        # keeps the full-registry replay comfortably bounded.
-        .config("spark.driver.memory", "12g")
+        # keeps the full-registry replay comfortably bounded.  Heap is
+        # env-tunable for smaller hosts (round-9 ADVICE).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SELFCHECK_DRIVER_MEM", "12g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

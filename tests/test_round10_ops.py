@@ -1,0 +1,87 @@
+"""Round-10 ADVICE fixes: DTW degenerate guard, ktruss self-certifying
+convergence flag, variance-ratio integer-scaled moment sums."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dicomdb_spark.io import load_table
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dtw_degenerate_single_type_is_empty(spark, tmp_path):
+    """With fewer than two distinct event_types both DTW variants must
+    return an EMPTY result (round-9 ADVICE: the null pivot column used
+    to silently diverge from the oracle's same-list-twice behavior).
+    Build a one-type events fixture and run the real registry entries
+    against it."""
+    one = (
+        load_table(spark, SF, "events")
+        .withColumn("event_type", F.lit("only_type"))
+    )
+    d = str(tmp_path / "sf_onetype")
+    one.write.parquet(d + "/events.parquet")
+    assert QUERIES["w_dtw_distance"](spark, d).count() == 0
+    assert QUERIES["w_dtw_banded"](spark, d).count() == 0
+
+
+def test_dtw_normal_path_unchanged(spark):
+    """The guard must not perturb the >=2-type path: one non-empty row
+    with the documented calendar-day envelope."""
+    rows = QUERIES["w_dtw_distance"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_a_days >= 1 and r.n_b_days >= 1
+    assert r.n_a_days * r.n_b_days <= 31 * 31  # docstring cost envelope
+    assert r.dtw >= 0.0
+
+
+def test_ktruss_converged_flag_self_certifies(spark):
+    """`converged` must equal (round-5 edge count == round-6 edge
+    count) — computed from the output itself, not from a fixture
+    assumption — and be constant across rows."""
+    rows = QUERIES["graph_ktruss_fixpoint"](spark, SF).collect()
+    by_round = {r.round: r for r in rows}
+    assert set(by_round) == set(range(7))
+    want = int(by_round[5].n_edges == by_round[6].n_edges)
+    assert all(r.converged == want for r in rows)
+    # the shipped fixture does converge; the flag should say so
+    assert want == 1
+    # final round is at_fixpoint by construction; converged is the
+    # honest signal
+    assert by_round[6].at_fixpoint == 1
+
+
+def test_variance_ratio_matches_integer_scaled_recomputation(spark):
+    """Brute-force the floor-scaled Lo–MacKinlay statistic in Python
+    (exact int sums of floor(dy^2/1e4)) and compare bitwise."""
+    ev = load_table(spark, SF, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    ys = [r.y for r in daily]
+    dy = [b - a for a, b in zip(ys, ys[1:])]
+    n = len(dy)
+    s = sum(dy)
+    s2s = sum(int((float(d) * float(d)) / 10000.0) for d in dy)
+    blocks = [dy[i : i + 5] for i in range(0, n - n % 5, 5)] if n else []
+    # query blocks are (rn-2)//5 over rn starting at 2 -> aligned at 0
+    s5 = [sum(b) for b in blocks if len(b) == 5]
+    nb = len(s5)
+    sb = sum(s5)
+    sb2s = sum(int((float(v) * float(v)) / 10000.0) for v in s5)
+    var1 = s2s * 10000.0 / n - (s / n) * (s / n)
+    var5 = sb2s * 10000.0 / nb - (sb / nb) * (sb / nb)
+    want = var5 / (5.0 * var1)
+    row = QUERIES["w_variance_ratio"](spark, SF).collect()[0]
+    assert row.n_diffs == n and row.n_blocks == nb
+    assert row.vr_5 == want
