@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual engine lives in ``dicomdb_spark/``; this module only
-exposes its query registry (dicomdb_spark/registry.py).
+exposes its query registry (dicomdb_spark/registry/).
 """
 
 from __future__ import annotations

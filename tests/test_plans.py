@@ -455,6 +455,12 @@ def test_no_unbounded_global_windows_in_source():
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
         rel = str(path.relative_to(pkg))
+        # the registry package is the round-10 mechanical split of the
+        # former registry.py monolith; allowlist entries key on the
+        # (unique) enclosing function name, so all chunks normalize to
+        # the historical file key rather than pinning chunk filenames
+        if rel.startswith("registry/"):
+            rel = "registry.py"
         lines = path.read_text().splitlines()
         defs = [
             (i + 1, m.group(1))
