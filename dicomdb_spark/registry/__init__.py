@@ -13,7 +13,7 @@ here is written for *bitwise* determinism:
   DuckDB casts round — never rely on the implicit behavior).
 
 Round-10 note: this package is the mechanical split of the former
-31k-line registry.py monolith (judge ask).  Chunks q01..q08 hold
+31k-line registry.py monolith (judge ask).  Chunks q01..q08 (split) and q09+ (new rounds) hold
 the @register bodies in their ORIGINAL order; _core holds the
 shared QUERIES/ORACLES dicts and helpers; _proven holds the
 driver-proven ledger and ordered_queries().  The loop below
@@ -29,9 +29,10 @@ from dicomdb_spark.registry import q05
 from dicomdb_spark.registry import q06
 from dicomdb_spark.registry import q07
 from dicomdb_spark.registry import q08
+from dicomdb_spark.registry import q09
 from dicomdb_spark.registry import _proven
 
-for _m in (_core, q01, q02, q03, q04, q05, q06, q07, q08, _proven):
+for _m in (_core, q01, q02, q03, q04, q05, q06, q07, q08, q09, _proven):
     globals().update(
         {k: v for k, v in vars(_m).items() if not k.startswith('__')}
     )

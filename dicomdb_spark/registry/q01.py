@@ -3274,12 +3274,17 @@ def multimodal_decode(spark, sf_dir):
     metadata is a pure function of the utf-8 byte stream, and DuckDB's
     sha256 matches Spark's sha2), so the whole binarize→Arrow→pandas
     →decode loop is value-checked — upgraded from rows-only in
-    round 3.  A real injected decoder keeps the same plumbing and
-    falls back to rows-only."""
-    from dicomdb_spark.llm.multimodal import binarize, decode_image_meta
+    round 3.  Since round 10 the fake decoder is passed EXPLICITLY
+    (the module default became the real stdlib container parser —
+    see multimodal_decode_real); the built plan is unchanged."""
+    from dicomdb_spark.llm.multimodal import (
+        binarize,
+        decode_image_meta,
+        fake_decoder,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_meta(binarize(docs))
+    return decode_image_meta(binarize(docs), decoder=fake_decoder)
 
 
 # The fake multimodal feature extractor (llm/multimodal.extract_features)

@@ -453,10 +453,19 @@ def test_multimodal_decode_and_frames(spark):
         [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x" * 200)]
     )
     binar = mm.binarize(docs)
+    # default decoder is now the REAL stdlib container parser (round
+    # 10); plain-text payloads fall back to octet-stream + NULL dims
     meta = {r.doc_id: r for r in mm.decode_image_meta(binar).collect()}
     assert meta[1].n_bytes == 11 and meta[2].n_bytes == 200
-    assert meta[1].format == "fake/raw"
+    assert meta[1].format == "application/octet-stream"
+    assert meta[1].width is None and meta[1].height is None
     assert len(meta[1].checksum) == 64  # sha2-256 hex
+    # the fake decoder remains injectable as a test stub
+    fake = {
+        r.doc_id: r
+        for r in mm.decode_image_meta(binar, decoder=mm.fake_decoder).collect()
+    }
+    assert fake[1].format == "fake/raw" and fake[1].width == 12
     frames = mm.frame_sample(binar, every_n_bytes=64).collect()
     by_doc = {}
     for r in frames:

@@ -85,3 +85,77 @@ def test_variance_ratio_matches_integer_scaled_recomputation(spark):
     row = QUERIES["w_variance_ratio"](spark, SF).collect()[0]
     assert row.n_diffs == n and row.n_blocks == nb
     assert row.vr_5 == want
+
+
+# ------------------------------------------------------ real decode
+def test_stdlib_decoder_parses_known_container_bytes():
+    """Hand-built container headers with known dimensions — including
+    cases the synthetic fixture never produces (BITMAPCOREHEADER,
+    top-down BMP, JPEG with APP0 before SOF, progressive SOF2,
+    GIF87a) — must parse exactly; garbage must hit the fallback."""
+    import struct
+
+    from dicomdb_spark.llm.multimodal import build_container, stdlib_decoder
+
+    png = build_container(4, b"body")  # 4 % 4 == 0 -> PNG, w=5, h=29
+    assert stdlib_decoder(png) == {
+        "format": "image/png", "width": 5, "height": 29,
+    }
+    gif87 = b"GIF87a" + struct.pack("<HH", 320, 200) + bytes(3)
+    assert stdlib_decoder(gif87) == {
+        "format": "image/gif", "width": 320, "height": 200,
+    }
+    # top-down BMP stores a NEGATIVE height
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 17, -9, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    assert stdlib_decoder(bmp) == {
+        "format": "image/bmp", "width": 17, "height": 9,
+    }
+    core_bmp = (
+        b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 7, 3, 1, 24)
+    )
+    assert stdlib_decoder(core_bmp) == {
+        "format": "image/bmp", "width": 7, "height": 3,
+    }
+    # JPEG with an APP0/JFIF segment before a progressive SOF2 frame
+    jfif = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 480, 640, 1) + bytes(3)
+    )
+    assert stdlib_decoder(jfif) == {
+        "format": "image/jpeg", "height": 480, "width": 640,
+    }
+    # DHT (C4) must be SKIPPED by the SOFn walk, not read as a frame
+    dht_first = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + struct.pack(">H", 4) + bytes(2)
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 2, 3, 1) + bytes(3)
+    )
+    assert stdlib_decoder(dht_first) == {
+        "format": "image/jpeg", "height": 2, "width": 3,
+    }
+    # truncated JPEG: format known, dims unknown
+    assert stdlib_decoder(b"\xff\xd8\xff") == {
+        "format": "image/jpeg", "width": None, "height": None,
+    }
+    for junk in (b"", b"plain text", b"\x89PNGbut-not-really", b"BMx"):
+        assert stdlib_decoder(junk)["format"] == "application/octet-stream"
+
+
+def test_containerize_roundtrip_all_four_formats(spark):
+    """containerize -> stdlib_decoder must recover the doc_id-derived
+    dimensions for every container class in the fixture."""
+    from dicomdb_spark.llm import multimodal as mm
+
+    docs = load_table(spark, SF, "documents").limit(64)
+    out = mm.decode_image_meta(mm.containerize(docs)).collect()
+    assert len(out) == 64
+    fmts = {"image/png", "image/gif", "image/bmp", "image/jpeg"}
+    assert {r.format for r in out} == fmts
+    for r in out:
+        assert r.width == (r.doc_id % 1024) + 1
+        assert r.height == ((r.doc_id * 7) % 1024) + 1
