@@ -92,6 +92,21 @@ SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))
 # sf0.1's single-row-group artifacts (the min_parallelism family)
 # vanish, making ratios transferable to real multi-file scans
 SF1_FACTOR = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
+# third tier (round 10, VERDICT r9 #3): the five WORST sf1 scalers
+# re-measured at a 20× replica (≈ sf2, 12M-row lineitem).  The signal
+# is the sf2/sf1 step — a 2× data step at the top tier: a plan-linear
+# query steps ~2× in wall; a query whose OUTPUT grows (band self-join
+# hit counts, LSH candidate pairs over replicated identical texts)
+# steps more, and rows_ratio says exactly how much of the step is the
+# answer growing vs the plan degrading.
+SF2_FACTOR = int(os.environ.get("SPARK_GRAFT_SF2_FACTOR", "20"))
+WORST_SF1_SCALERS = [
+    "j3_time_proximity",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "a1_dup_customer_day",
+    "j4_pairwise_doubles",
+]
 
 
 def _scaled_dir(sf_dir: str, factor: int) -> str:
@@ -334,6 +349,39 @@ def main() -> None:
                     sf1_q[name] = -1.0
             detail["sf1_queries"] = sf1_q
             out["sf1_value"] = round(sf1_total, 4)
+    # sf2 tier: worst-scaler step ratios between the 10× and 20×
+    # replicas, with output rows at both tiers (growth attribution)
+    if os.environ.get("SPARK_GRAFT_SF2_CHECK", "1") != "0":
+        try:
+            from dicomdb_spark.fixtures import replicate_scaled
+
+            d10 = _scaled_dir(sf_dir, SF1_FACTOR)
+            d20 = _scaled_dir(sf_dir, SF2_FACTOR)
+            if not os.path.isdir(d20):
+                replicate_scaled(spark, sf_dir, d20, factor=SF2_FACTOR)
+            sf2_detail: dict[str, dict] = {}
+            worst_step = 0.0
+            for name in WORST_SF1_SCALERS:
+                t10 = run_query(spark, name, d10, reps=2)
+                t20 = run_query(spark, name, d20, reps=2)
+                r10 = QUERIES[name](spark, d10).count()
+                r20 = QUERIES[name](spark, d20).count()
+                step = round(t20 / t10, 2) if t10 > 0 else -1.0
+                worst_step = max(worst_step, step)
+                sf2_detail[name] = {
+                    "wall_x10": round(t10, 4),
+                    "wall_x20": round(t20, 4),
+                    "wall_step": step,
+                    "rows_x10": r10,
+                    "rows_x20": r20,
+                    "rows_step": round(r20 / r10, 2) if r10 > 0 else -1.0,
+                }
+                spark.catalog.clearCache()
+            detail["sf2_worst_scalers"] = sf2_detail
+            out["sf2_factor"] = SF2_FACTOR
+            out["sf2_max_step"] = worst_step
+        except Exception:  # never break the headline metric
+            pass
     print(json.dumps(detail))
     line = json.dumps(out)
     assert len(line) < 1900, f"headline line too long ({len(line)} bytes)"

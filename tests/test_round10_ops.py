@@ -159,3 +159,52 @@ def test_containerize_roundtrip_all_four_formats(spark):
     for r in out:
         assert r.width == (r.doc_id % 1024) + 1
         assert r.height == ((r.doc_id * 7) % 1024) + 1
+
+
+def test_hoeffding_d_matches_brute_force_midranks(spark):
+    """Recompute Hoeffding's D from the textbook definition with
+    quadrant midranks (fractional, float) and compare the query's
+    integer-encoded path bitwise; also pin the expected positive
+    dependence between daily count and daily total."""
+    ev = load_table(spark, SF, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r.x, r.y) for r in daily]
+    n = len(pts)
+    d1_16 = d2_16 = d3_16 = 0
+    for xi, yi in pts:
+        c_lt_x = sum(1 for xj, _ in pts if xj < xi)
+        c_eq_x = sum(1 for xj, _ in pts if xj == xi) - 1
+        c_lt_y = sum(1 for _, yj in pts if yj < yi)
+        c_eq_y = sum(1 for _, yj in pts if yj == yi) - 1
+        c_ll = sum(1 for xj, yj in pts if xj < xi and yj < yi)
+        c_el = sum(1 for xj, yj in pts if xj == xi and yj < yi)
+        c_le = sum(1 for xj, yj in pts if xj < xi and yj == yi)
+        c_ee = sum(1 for xj, yj in pts if xj == xi and yj == yi) - 1
+        r2 = 2 * c_lt_x + c_eq_x + 2
+        s2 = 2 * c_lt_y + c_eq_y + 2
+        q4 = 4 * c_ll + 2 * (c_el + c_le) + c_ee + 4
+        d1_16 += (q4 - 4) * (q4 - 8)
+        d2_16 += (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+        d3_16 += (r2 - 4) * (s2 - 4) * (q4 - 4)
+    nd = float(n)
+    want = (
+        30.0
+        * ((nd - 2.0) * (nd - 3.0) * float(d1_16) + float(d2_16)
+           - 2.0 * (nd - 2.0) * float(d3_16))
+        / (16.0 * nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0) * (nd - 4.0))
+    )
+    row = QUERIES["a_hoeffding_d"](spark, SF).collect()[0]
+    assert row.n_days == n
+    assert (row.d1_16, row.d2_16, row.d3_16) == (d1_16, d2_16, d3_16)
+    assert row.hoeffding_d == want
+    # count and total are strongly positively dependent by construction
+    assert row.hoeffding_d > 0.0
