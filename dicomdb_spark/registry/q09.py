@@ -182,3 +182,127 @@ def a_hoeffding_d(spark, sf_dir):
         "d1_16", "d2_16", "d3_16",
         (num / den).alias("hoeffding_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: deterministic KLL-style compactor sketch (parked-list item
+# sanctioned by NEXT_STEPS r9 "Highest-value next work" #3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kll_quantiles",
+    """
+    WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                      CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k
+               FROM lineitem),
+    r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, k) AS BIGINT)
+                          AS rn
+          FROM v),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    t AS (SELECT n,
+                 CAST(1 AS BIGINT) <<
+                   (CASE WHEN (n + 63) // 64 <= 1 THEN 0
+                         ELSE length(bin((n + 63) // 64 - 1)) END) AS two_l
+          FROM s),
+    p AS (SELECT ds.d AS decile, t.n, t.two_l,
+                 (ds.d * t.n) // 10 + 1 AS pos
+          FROM t, (SELECT unnest(generate_series(1, 9)) AS d) ds),
+    q AS (SELECT p.decile, p.n, p.two_l, r.cents AS probe_cents
+          FROM p JOIN r ON r.rn = p.pos),
+    f AS (SELECT q.decile, q.probe_cents, q.n, q.two_l,
+                 CAST(SUM(CASE WHEN r.cents < q.probe_cents
+                               THEN 1 ELSE 0 END) AS BIGINT) AS true_rank,
+                 CAST(q.two_l
+                      * SUM(CASE WHEN r.cents < q.probe_cents
+                                      AND (r.rn - 1) % q.two_l = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS est_rank
+          FROM q CROSS JOIN r GROUP BY 1, 2, 3, 4)
+    SELECT decile, probe_cents, n, two_l, true_rank, est_rank,
+           est_rank - true_rank AS rank_err,
+           CAST(CASE WHEN est_rank - true_rank >= 0
+                          AND est_rank - true_rank < two_l
+                     THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+    FROM f
+    """,
+)
+def sketch_kll_quantiles(spark, sf_dir):
+    """Deterministic KLL-style single-compactor quantile sketch
+    (Karnin-Lang-Liberty FOCS'16 with the coin-flips removed: every
+    compaction keeps the ODD-indexed half, the classic deterministic
+    collapse of Manku-Rajagopalan-Lindsay '98).  Collapsing levels of
+    an odd-keeping compactor cascade over the VALUE-SORTED stream has
+    a closed form — after L compactions the survivors are exactly the
+    sorted positions == 1 (mod 2^L), each carrying weight 2^L — so the
+    sketch needs no sequential state at all (same closed-form move as
+    sketch_dgim_window_count's bucket configuration).  L is the
+    smallest level with <= k = 64 survivors: L = bit_length(ceil(n/k)
+    - 1) via length(bin()) / length(conv()), two_l = 1 << L.  The
+    query audits the sketch against ground truth at the nine decile
+    probes: est_rank = two_l * |sketch below probe| vs the exact
+    strict rank, with the per-probe guarantee 0 <= est - true < two_l
+    (<= 2n/k) emitted as a self-certifying within_bound flag.  The
+    exact ranks come DISTRIBUTED from ow.monotone_range_bucket +
+    ow.bucketed_running (per-bucket offsets; no single-partition
+    sort), the probe table is 9 rows broadcast against the fact scan.
+    int64 bounds: cents < 2^33 at any SF, est_rank <= n < 2^53.
+    Reference behavior: quantile summaries over series sizes
+    (Series_info.py stats paths) at unbounded scale."""
+    from dicomdb_spark.operators import windows as ow
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("k"),
+    )
+    ranked = ow.bucketed_running(
+        ow.monotone_range_bucket(vals, "cents", n_buckets=128),
+        order_cols=["cents", "k"],
+        rn_col="rn",
+    ).select("cents", "rn")
+    st = vals.agg(F.count("*").cast("long").alias("n"))
+    m = F.expr("(n + 63) div 64")
+    l_bits = (
+        F.when(m <= 1, F.lit(0))
+        .otherwise(F.length(F.conv((m - 1).cast("string"), 10, 2)))
+        .cast("int")
+    )
+    t = st.select("n", F.expr("CAST(1 AS BIGINT)").alias("one"), l_bits.alias("l_bits")).select(
+        "n", F.expr("shiftleft(one, l_bits)").cast("long").alias("two_l")
+    )
+    p = (
+        t.crossJoin(
+            spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+        )
+        .select(
+            "decile", "n", "two_l",
+            (F.expr("(decile * n) div 10") + 1).cast("long").alias("pos"),
+        )
+    )
+    q = (
+        ranked.join(F.broadcast(p), ranked["rn"] == p["pos"])
+        .select("decile", "n", "two_l", F.col("cents").alias("probe_cents"))
+    )
+    below = F.col("cents") < F.col("probe_cents")
+    kept = (F.col("rn") - 1) % F.col("two_l") == 0
+    f = (
+        ranked.crossJoin(F.broadcast(q))
+        .groupBy("decile", "probe_cents", "n", "two_l")
+        .agg(
+            F.sum(below.cast("long")).cast("long").alias("true_rank"),
+            (
+                F.first("two_l")
+                * F.sum((below & kept).cast("long"))
+            )
+            .cast("long")
+            .alias("est_rank"),
+        )
+    )
+    err = F.col("est_rank") - F.col("true_rank")
+    return f.select(
+        "decile", "probe_cents", "n", "two_l", "true_rank", "est_rank",
+        err.alias("rank_err"),
+        ((err >= 0) & (err < F.col("two_l"))).cast("int").alias("within_bound"),
+    )

@@ -208,3 +208,37 @@ def test_hoeffding_d_matches_brute_force_midranks(spark):
     assert row.hoeffding_d == want
     # count and total are strongly positively dependent by construction
     assert row.hoeffding_d > 0.0
+
+
+def test_kll_sketch_matches_bruteforce_compaction(spark):
+    """The closed-form survivor rule (positions == 1 mod 2^L of the
+    sorted stream) must equal an explicit level-by-level odd-keeping
+    compaction, and every decile probe must satisfy the 0 <= est -
+    true < 2^L guarantee."""
+    import duckdb
+
+    con = duckdb.connect()
+    vals = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor(l_extendedprice*100) AS BIGINT) FROM "
+            f"'{SF}/lineitem.parquet'"
+        ).fetchall()
+    ]
+    vals.sort()
+    n, k = len(vals), 64
+    # explicit cascade: keep odd (1-indexed) positions until <= k remain
+    level, L = vals[:], 0
+    while len(level) > k:
+        level = level[::2]
+        L += 1
+    rows = QUERIES["sketch_kll_quantiles"](spark, SF).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r.n == n and r.two_l == 2**L
+        true_rank = sum(1 for v in vals if v < r.probe_cents)
+        est = (2**L) * sum(1 for v in level if v < r.probe_cents)
+        assert r.true_rank == true_rank and r.est_rank == est
+        assert 0 <= r.rank_err < 2**L and r.within_bound == 1
+    # survivors of the cascade ARE the closed-form positions
+    assert level == vals[:: 2**L]
