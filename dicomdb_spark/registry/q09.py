@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from dicomdb_spark.io import load_table
 from dicomdb_spark.registry._core import register
+from dicomdb_spark.registry.q05 import _SQL_BARS
 from dicomdb_spark.session import local_fanout  # noqa: F401
 
 
@@ -305,4 +306,308 @@ def sketch_kll_quantiles(spark, sf_dir):
         "decile", "probe_cents", "n", "two_l", "true_rank", "est_rank",
         err.alias("rank_err"),
         ((err >= 0) & (err < F.col("two_l"))).cast("int").alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch B: integer-exact fairness / dispersion statistics and
+# bar-series oscillators over the q05 bars grain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_jains_fairness",
+    """
+    WITH x AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(SUM(c) AS BIGINT) AS sum_c,
+                 CAST(SUM(c * c) AS BIGINT) AS sum_cc
+          FROM x GROUP BY 1)
+    SELECT event_type, n_users, sum_c, sum_cc,
+           (CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(sum_cc AS DOUBLE)) AS jain
+    FROM s
+    """,
+)
+def a_jains_fairness(spark, sf_dir):
+    """Jain's fairness index (Jain/Chiu/Hawe '84) of per-user load
+    within each event type: J = (Sigma x)^2 / (n * Sigma x^2), J = 1 when
+    every user contributes equally, 1/n at maximal concentration.
+    The two moments are exact int64 sums over the (type, user) count
+    grid (sum_cc < n_users * max_c^2 — int64-safe while per-user
+    counts stay < 3e7); the index itself is ONE fixed-order float
+    expression evaluated identically on both engines.  Complements
+    a_hhi_concentration (market share) with the networking-fairness
+    formulation.  Reference behavior: per-user exam-load audits
+    (common.py group-count reports)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    s = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_cc"),
+    )
+    return s.select(
+        "event_type", "n_users", "sum_c", "sum_cc",
+        (
+            (F.col("sum_c").cast("double") * F.col("sum_c").cast("double"))
+            / (F.col("n_users").cast("double") * F.col("sum_cc").cast("double"))
+        ).alias("jain"),
+    )
+
+
+@register(
+    "a_fano_factor",
+    f"""
+    WITH {_SQL_BARS},
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(vol) AS BIGINT) AS sum_v,
+                 CAST(SUM(vol * vol) AS BIGINT) AS sum_vv
+          FROM bars GROUP BY 1)
+    SELECT event_type, n_days, sum_v, sum_vv,
+           CAST(n_days * sum_vv - sum_v * sum_v AS DOUBLE)
+             / CAST(n_days * sum_v AS DOUBLE) AS fano
+    FROM s WHERE sum_v > 0
+    """,
+)
+def a_fano_factor(spark, sf_dir):
+    """Fano factor (index of dispersion) of the daily event-count
+    series per type: F = Var/Mean = (n*Sigma c^2 - (Sigma c)^2) / (n*Sigma c)
+    — the Poisson-ness dial (F = 1 Poisson, > 1 overdispersed / bursty,
+    < 1 regular), the windowed companion to a_poisson_dispersion's
+    chi-square framing.  Numerator and denominator are exact int64
+    (population variance via the n*S2 - S1^2 identity; safe while
+    n_days * sum_vv < 2^63, i.e. daily counts < ~6e7 on a 2400-day
+    calendar), so the whole statistic is ONE division.  Reference
+    behavior: per-day acquisition-rate regularity checks
+    (Exam_info.py daily rollups)."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    s = (
+        _bars(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("vol").cast("long").alias("sum_v"),
+            F.sum(F.col("vol") * F.col("vol")).cast("long").alias("sum_vv"),
+        )
+    )
+    n, sv, svv = F.col("n_days"), F.col("sum_v"), F.col("sum_vv")
+    return s.filter(sv > 0).select(
+        "event_type", "n_days", "sum_v", "sum_vv",
+        ((n * svv - sv * sv).cast("double") / (n * sv).cast("double")).alias(
+            "fano"
+        ),
+    )
+
+
+@register(
+    "w_chande_momentum",
+    f"""
+    WITH {_SQL_BARS},
+    d AS (SELECT event_type,
+                 p - lag(p) OVER (PARTITION BY event_type ORDER BY day) AS ch
+          FROM bars),
+    s AS (SELECT event_type,
+                 CAST(SUM(CASE WHEN ch > 0 THEN ch ELSE 0 END) AS BIGINT)
+                   AS su,
+                 CAST(SUM(CASE WHEN ch < 0 THEN -ch ELSE 0 END) AS BIGINT)
+                   AS sd
+          FROM d WHERE ch IS NOT NULL GROUP BY 1)
+    SELECT event_type, su, sd,
+           100.0 * CAST(su - sd AS DOUBLE) / CAST(su + sd AS DOUBLE) AS cmo
+    FROM s WHERE su + sd > 0
+    """,
+)
+def w_chande_momentum(spark, sf_dir):
+    """Chande momentum oscillator over each type's daily price series
+    (bar total p, the repo's price convention): CMO = 100*(Su - Sd) /
+    (Su + Sd) with Su/Sd the up/down move totals — RSI's cousin that
+    keeps sign and is unsmoothed.  Moves are exact int64 cents from a
+    type-partitioned lag over the bounded day grain; the oscillator is
+    the single final division.  Degenerate all-flat series (Su + Sd =
+    0) drop on both engines."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = _bars(spark, sf_dir).select(
+        "event_type", (F.col("p") - F.lag("p").over(w)).alias("ch")
+    )
+    s = (
+        d.filter(F.col("ch").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ch") > 0, F.col("ch")).otherwise(0))
+            .cast("long")
+            .alias("su"),
+            F.sum(F.when(F.col("ch") < 0, -F.col("ch")).otherwise(0))
+            .cast("long")
+            .alias("sd"),
+        )
+    )
+    su, sd = F.col("su"), F.col("sd")
+    return s.filter(su + sd > 0).select(
+        "event_type", "su", "sd",
+        (100.0 * (su - sd).cast("double") / (su + sd).cast("double")).alias(
+            "cmo"
+        ),
+    )
+
+
+@register(
+    "w_vortex_indicator",
+    f"""
+    WITH {_SQL_BARS},
+    d AS (SELECT event_type, hi, lo, p,
+                 lag(hi) OVER w AS lhi, lag(lo) OVER w AS llo,
+                 lag(p) OVER w AS lp
+          FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_moves,
+                 CAST(SUM(abs(hi - llo)) AS BIGINT) AS sum_vm_plus,
+                 CAST(SUM(abs(lo - lhi)) AS BIGINT) AS sum_vm_minus,
+                 CAST(SUM(greatest(hi - lo, abs(hi - lp), abs(lo - lp)))
+                      AS BIGINT) AS sum_tr
+          FROM d WHERE lp IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_moves, sum_vm_plus, sum_vm_minus, sum_tr,
+           CAST(sum_vm_plus AS DOUBLE) / CAST(sum_tr AS DOUBLE) AS vi_plus,
+           CAST(sum_vm_minus AS DOUBLE) / CAST(sum_tr AS DOUBLE) AS vi_minus
+    FROM s WHERE sum_tr > 0
+    """,
+)
+def w_vortex_indicator(spark, sf_dir):
+    """Vortex indicator (Botes & Siepman '10) per event type over the
+    whole bounded day series: VI+ = Sigma|hi_t - lo_(t-1)| / Sigma TR and
+    VI- = Sigma|lo_t - hi_(t-1)| / Sigma TR, TR the classic true range
+    against the prior bar total p (repo price convention, as
+    w_true_range_atr).  Every summand is an exact int64 cent value
+    from one type-partitioned lag pass; the two indicator values are
+    single final divisions from the same exact sums.  Zero-range
+    series drop on both engines."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    b = _bars(spark, sf_dir)
+    d = b.select(
+        "event_type", "hi", "lo", "p",
+        F.lag("hi").over(w).alias("lhi"),
+        F.lag("lo").over(w).alias("llo"),
+        F.lag("p").over(w).alias("lp"),
+    ).filter(F.col("lp").isNotNull())
+    tr = F.greatest(
+        F.col("hi") - F.col("lo"),
+        F.abs(F.col("hi") - F.col("lp")),
+        F.abs(F.col("lo") - F.col("lp")),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.sum(F.abs(F.col("hi") - F.col("llo"))).cast("long").alias("sum_vm_plus"),
+        F.sum(F.abs(F.col("lo") - F.col("lhi"))).cast("long").alias("sum_vm_minus"),
+        F.sum(tr).cast("long").alias("sum_tr"),
+    )
+    return s.filter(F.col("sum_tr") > 0).select(
+        "event_type", "n_moves", "sum_vm_plus", "sum_vm_minus", "sum_tr",
+        (F.col("sum_vm_plus").cast("double") / F.col("sum_tr").cast("double")).alias("vi_plus"),
+        (F.col("sum_vm_minus").cast("double") / F.col("sum_tr").cast("double")).alias("vi_minus"),
+    )
+
+
+@register(
+    "w_ultimate_oscillator",
+    f"""
+    WITH {_SQL_BARS},
+    d AS (SELECT event_type, day, hi, lo, p,
+                 lag(p) OVER w AS lp,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day DESC) AS BIGINT) AS rdesc
+          FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    m AS (SELECT event_type,
+                 CAST(SUM(CASE WHEN rdesc <= 7
+                               THEN p - least(lo, lp) ELSE 0 END) AS BIGINT)
+                   AS bp7,
+                 CAST(SUM(CASE WHEN rdesc <= 7
+                               THEN greatest(hi, lp) - least(lo, lp)
+                               ELSE 0 END) AS BIGINT) AS tr7,
+                 CAST(SUM(CASE WHEN rdesc <= 14
+                               THEN p - least(lo, lp) ELSE 0 END) AS BIGINT)
+                   AS bp14,
+                 CAST(SUM(CASE WHEN rdesc <= 14
+                               THEN greatest(hi, lp) - least(lo, lp)
+                               ELSE 0 END) AS BIGINT) AS tr14,
+                 CAST(SUM(CASE WHEN rdesc <= 28
+                               THEN p - least(lo, lp) ELSE 0 END) AS BIGINT)
+                   AS bp28,
+                 CAST(SUM(CASE WHEN rdesc <= 28
+                               THEN greatest(hi, lp) - least(lo, lp)
+                               ELSE 0 END) AS BIGINT) AS tr28,
+                 CAST(SUM(CASE WHEN rdesc <= 28 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n28
+          FROM d WHERE lp IS NOT NULL GROUP BY 1)
+    SELECT event_type, bp7, tr7, bp14, tr14, bp28, tr28,
+           100.0 * (4.0 * (CAST(bp7 AS DOUBLE) / CAST(tr7 AS DOUBLE))
+                    + 2.0 * (CAST(bp14 AS DOUBLE) / CAST(tr14 AS DOUBLE))
+                    + (CAST(bp28 AS DOUBLE) / CAST(tr28 AS DOUBLE))) / 7.0
+             AS uo
+    FROM m WHERE n28 = 28 AND tr7 > 0 AND tr14 > 0 AND tr28 > 0
+    """,
+)
+def w_ultimate_oscillator(spark, sf_dir):
+    """Williams' ultimate oscillator at the series end, per type:
+    weighted blend of buying-pressure ratios over the trailing 7/14/28
+    bars — UO = 100*(4*BP7/TR7 + 2*BP14/TR14 + BP28/TR28)/7 with
+    BP = p - min(lo, p_prev) and TR = max(hi, p_prev) - min(lo, p_prev)
+    (bar total p as price, repo convention).  The trailing windows are
+    selected by a DESCENDING row_number over the bounded per-type day
+    grain (not a fragile date offset), all six sums are exact int64,
+    and the blend is one fixed-order float chain written identically
+    in both engines.  Types without 28 prior-bar moves drop — the
+    28-bar precondition is explicit in the n28 = 28 filter."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    wd = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    d = (
+        _bars(spark, sf_dir)
+        .select(
+            "event_type", "day", "hi", "lo", "p",
+            F.lag("p").over(w).alias("lp"),
+        )
+        .withColumn("rdesc", F.row_number().over(wd).cast("long"))
+        .filter(F.col("lp").isNotNull())
+    )
+    bp = F.col("p") - F.least(F.col("lo"), F.col("lp"))
+    tr = F.greatest(F.col("hi"), F.col("lp")) - F.least(
+        F.col("lo"), F.col("lp")
+    )
+
+    def tail(k, e):
+        return F.sum(F.when(F.col("rdesc") <= k, e).otherwise(0)).cast("long")
+
+    m = d.groupBy("event_type").agg(
+        tail(7, bp).alias("bp7"), tail(7, tr).alias("tr7"),
+        tail(14, bp).alias("bp14"), tail(14, tr).alias("tr14"),
+        tail(28, bp).alias("bp28"), tail(28, tr).alias("tr28"),
+        tail(28, F.lit(1)).alias("n28"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    uo = (
+        100.0
+        * (
+            4.0 * (dd("bp7") / dd("tr7"))
+            + 2.0 * (dd("bp14") / dd("tr14"))
+            + (dd("bp28") / dd("tr28"))
+        )
+        / 7.0
+    )
+    return m.filter(
+        (F.col("n28") == 28)
+        & (F.col("tr7") > 0) & (F.col("tr14") > 0) & (F.col("tr28") > 0)
+    ).select(
+        "event_type", "bp7", "tr7", "bp14", "tr14", "bp28", "tr28",
+        uo.alias("uo"),
     )

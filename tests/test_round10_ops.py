@@ -242,3 +242,92 @@ def test_kll_sketch_matches_bruteforce_compaction(spark):
         assert 0 <= r.rank_err < 2**L and r.within_bound == 1
     # survivors of the cascade ARE the closed-form positions
     assert level == vals[:: 2**L]
+
+
+def _bars_py(sf=SF):
+    """Python replay of the q05 bars grain: {type: [(day, vol, p, hi, lo)]}."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ts AS DATE), count(*), "
+        "SUM(CAST(floor(value*100) AS BIGINT)), "
+        "MAX(CAST(floor(value*100) AS BIGINT)), "
+        "MIN(CAST(floor(value*100) AS BIGINT)) "
+        f"FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    out = defaultdict(list)
+    for t, day, vol, p, hi, lo in rows:
+        out[t].append((day, int(vol), int(p), int(hi), int(lo)))
+    return out
+
+
+def test_jain_fano_bruteforce(spark):
+    import duckdb
+
+    counts = duckdb.connect().execute(
+        "SELECT event_type, user_id, count(*) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for t, _, c in counts:
+        per[t].append(int(c))
+    jain = {r.event_type: r for r in QUERIES["a_jains_fairness"](spark, SF).collect()}
+    assert set(jain) == set(per)
+    for t, xs in per.items():
+        s, ss, n = sum(xs), sum(x * x for x in xs), len(xs)
+        r = jain[t]
+        assert (r.n_users, r.sum_c, r.sum_cc) == (n, s, ss)
+        assert r.jain == (float(s) * float(s)) / (float(n) * float(ss))
+        assert 1.0 / n <= r.jain <= 1.0
+    fano = {r.event_type: r for r in QUERIES["a_fano_factor"](spark, SF).collect()}
+    for t, bars in _bars_py().items():
+        vs = [v for _, v, _, _, _ in bars]
+        n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        r = fano[t]
+        assert (r.n_days, r.sum_v, r.sum_vv) == (n, s, ss)
+        assert r.fano == float(n * ss - s * s) / float(n * s)
+
+
+def test_oscillators_bruteforce(spark):
+    bars = _bars_py()
+    cmo = {r.event_type: r for r in QUERIES["w_chande_momentum"](spark, SF).collect()}
+    vtx = {r.event_type: r for r in QUERIES["w_vortex_indicator"](spark, SF).collect()}
+    uo = {r.event_type: r for r in QUERIES["w_ultimate_oscillator"](spark, SF).collect()}
+    for t, b in bars.items():
+        ps = [p for _, _, p, _, _ in b]
+        ch = [b1 - b0 for b0, b1 in zip(ps, ps[1:])]
+        su, sd = sum(c for c in ch if c > 0), sum(-c for c in ch if c < 0)
+        if su + sd > 0:
+            r = cmo[t]
+            assert (r.su, r.sd) == (su, sd)
+            assert r.cmo == 100.0 * float(su - sd) / float(su + sd)
+        vm_p = vm_m = s_tr = 0
+        bps, trs = [], []
+        for (d0, _, p0, h0, l0), (d1, _, p1, h1, l1) in zip(b, b[1:]):
+            vm_p += abs(h1 - l0)
+            vm_m += abs(l1 - h0)
+            s_tr += max(h1 - l1, abs(h1 - p0), abs(l1 - p0))
+            bps.append(p1 - min(l1, p0))
+            trs.append(max(h1, p0) - min(l1, p0))
+        if s_tr > 0:
+            r = vtx[t]
+            assert (r.sum_vm_plus, r.sum_vm_minus, r.sum_tr) == (vm_p, vm_m, s_tr)
+            assert r.vi_plus == float(vm_p) / float(s_tr)
+        if len(bps) >= 28 and all(sum(trs[-k:]) > 0 for k in (7, 14, 28)):
+            r = uo[t]
+            b7, t7 = sum(bps[-7:]), sum(trs[-7:])
+            b14, t14 = sum(bps[-14:]), sum(trs[-14:])
+            b28, t28 = sum(bps[-28:]), sum(trs[-28:])
+            assert (r.bp7, r.tr7, r.bp14, r.tr14, r.bp28, r.tr28) == (
+                b7, t7, b14, t14, b28, t28,
+            )
+            assert r.uo == 100.0 * (
+                4.0 * (float(b7) / float(t7))
+                + 2.0 * (float(b14) / float(t14))
+                + (float(b28) / float(t28))
+            ) / 7.0
+        else:
+            assert t not in uo
