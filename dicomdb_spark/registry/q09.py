@@ -8,6 +8,10 @@ from pyspark.sql import functions as F
 
 from dicomdb_spark.io import load_table
 from dicomdb_spark.registry._core import register
+from dicomdb_spark.functions import text
+from dicomdb_spark.operators import windows as ow
+from dicomdb_spark.registry.q01 import _SQL_TOKS
+from dicomdb_spark.registry.q03 import _sql_hex_int
 from dicomdb_spark.registry.q05 import _SQL_BARS
 from dicomdb_spark.session import local_fanout  # noqa: F401
 
@@ -610,4 +614,427 @@ def w_ultimate_oscillator(spark, sf_dir):
     ).select(
         "event_type", "bp7", "tr7", "bp14", "tr14", "bp28", "tr28",
         uo.alias("uo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch C: robust scale (Qn), species richness (Chao1), ordered
+# trend (Page), scale-location shift (Cucconi), Coleman-Liau readability.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_qn_scale",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  (count(*) // 2 + 1) * (count(*) // 2) // 2 AS k,
+                  CAST(count(*) // 2 + 1 AS BIGINT) AS h
+           FROM d),
+    pr AS (SELECT abs(a.y - b.y) AS ad
+           FROM d a JOIN d b ON a.day < b.day),
+    dv AS (SELECT DISTINCT ad FROM pr),
+    rk AS (SELECT v.ad, CAST(count(*) AS BIGINT) AS cnt_le
+           FROM dv v JOIN pr p ON p.ad <= v.ad GROUP BY v.ad)
+    SELECT st.n AS n_days, st.h, CAST(st.k AS BIGINT) AS k,
+           CAST(min(rk.ad) AS BIGINT) AS qn_cents,
+           2.2219 * CAST(min(rk.ad) AS DOUBLE) / 100.0 AS qn
+    FROM rk, st WHERE rk.cnt_le >= st.k GROUP BY st.n, st.h, st.k
+    """,
+)
+def a_qn_scale(spark, sf_dir):
+    """Rousseeuw-Croux Qn robust scale estimator of the daily value
+    totals: the k-th smallest pairwise |y_i - y_j| with k = C(h,2),
+    h = n/2 + 1 — a 50%-breakdown scale that, unlike MAD
+    (a_mad_outliers), needs no location estimate and keeps 82%
+    Gaussian efficiency.  The day grain is calendar-capped, so the
+    pairwise table is bounded (n<=2400 days -> <=2.9M pairs) and every
+    quantity is an exact int64 cent; the k-th order statistic is
+    selected WITHOUT any global sort as min{v : #\\{pairs <= v\\} >= k}
+    over the distinct-difference table.  The only float is the final
+    2.2219 consistency constant (same literal both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    st = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "(count(*) div 2 + 1) * (count(*) div 2) div 2"
+        ).cast("long").alias("k"),
+        F.expr("count(*) div 2 + 1").cast("long").alias("h"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pr = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.abs(F.col("a.y") - F.col("b.y")).alias("ad")
+    )
+    dv = pr.select("ad").distinct()
+    rk = (
+        dv.alias("v")
+        .join(pr.alias("p"), F.col("p.ad") <= F.col("v.ad"))
+        .groupBy(F.col("v.ad").alias("ad"))
+        .agg(F.count("*").cast("long").alias("cnt_le"))
+    )
+    return (
+        rk.crossJoin(F.broadcast(st))
+        .filter(F.col("cnt_le") >= F.col("k"))
+        .groupBy("n", "h", "k")
+        .agg(F.min("ad").cast("long").alias("qn_cents"))
+        .select(
+            F.col("n").alias("n_days"), "h", "k", "qn_cents",
+            (2.2219 * F.col("qn_cents").cast("double") / 100.0).alias("qn"),
+        )
+    )
+
+
+@register(
+    "a_chao1_richness",
+    f"""
+    WITH tk AS (SELECT source, unnest({_SQL_TOKS}) AS term FROM documents),
+    f AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+    s AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS s_obs,
+                 CAST(SUM(c) AS BIGINT) AS tokens,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM f GROUP BY 1)
+    SELECT source, s_obs, tokens, f1, f2,
+           CAST(s_obs AS DOUBLE)
+             + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+             AS chao1,
+           1.0 - CAST(f1 AS DOUBLE) / CAST(tokens AS DOUBLE) AS gt_coverage
+    FROM s WHERE tokens > 0
+    """,
+)
+def a_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness estimator of each source's vocabulary
+    (Chao '84, bias-corrected form): S_chao1 = S_obs + f1(f1-1) /
+    (2(f2+1)) from the singleton/doubleton counts of the term-frequency
+    spectrum, plus Good-Turing sample coverage 1 - f1/N — the
+    how-much-vocabulary-have-we-NOT-crawled-yet dial that
+    corpus_vocab_growth's Heaps trace cannot answer in closed form.
+    Same tokenizer as the rest of the text family (text.tokens /
+    _SQL_TOKS); the spectrum counts are exact int64 and both outputs
+    are single fixed-order float expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(
+            F.transform(text.tokens("text"), lambda t: F.lower(t))
+        ).alias("term"),
+    )
+    f = tk.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    s = f.groupBy("source").agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    f1, f2 = F.col("f1"), F.col("f2")
+    return s.filter(F.col("tokens") > 0).select(
+        "source", "s_obs", "tokens", "f1", "f2",
+        (
+            F.col("s_obs").cast("double")
+            + (f1 * (f1 - 1)).cast("double") / (2 * (f2 + 1)).cast("double")
+        ).alias("chao1"),
+        (1.0 - f1.cast("double") / F.col("tokens").cast("double")).alias(
+            "gt_coverage"
+        ),
+    )
+
+
+@register(
+    "a_page_trend_test",
+    f"""
+    WITH {_SQL_BARS},
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM bars),
+    full_days AS (SELECT day FROM bars, kk GROUP BY day, kk.k
+                  HAVING count(*) = max(kk.k)),
+    rows_kept AS (SELECT b.event_type, b.day, b.vol
+                  FROM bars b JOIN full_days fd ON b.day = fd.day),
+    r AS (SELECT event_type, day,
+                 CAST(2 * rank() OVER (PARTITION BY day ORDER BY vol)
+                      + count(*) OVER (PARTITION BY day, vol) - 1 AS BIGINT)
+                   AS r2
+          FROM rows_kept),
+    ty AS (SELECT DISTINCT event_type FROM rows_kept),
+    pos AS (SELECT t1.event_type, CAST(count(*) AS BIGINT) AS j
+            FROM ty t1 JOIN ty t2 ON t2.event_type <= t1.event_type
+            GROUP BY t1.event_type),
+    agg AS (SELECT CAST(count(DISTINCT r.day) AS BIGINT) AS b,
+                   CAST(max(kk.k) AS BIGINT) AS k,
+                   CAST(SUM(pos.j * r.r2) AS BIGINT) AS l2
+            FROM r JOIN pos ON r.event_type = pos.event_type, kk)
+    SELECT b AS n_blocks, k, l2,
+           CAST(b * k * (k + 1) * (k + 1) / 2 AS BIGINT) AS e_l2,
+           (CAST(l2 AS DOUBLE) - CAST(b * k * (k + 1) * (k + 1) / 2
+                                      AS DOUBLE)) / 2.0
+             / sqrt(CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                    * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                    * CAST(k - 1 AS DOUBLE) / 144.0) AS z
+    FROM agg WHERE b > 0 AND k > 1
+    """,
+)
+def a_page_trend_test(spark, sf_dir):
+    """Page's L trend test (Page '63) for an ordered alternative
+    across treatments: blocks = calendar days, treatments = event
+    types in lexicographic (predicted) order, response = daily volume.
+    Within-block midranks are integer-encoded as R2 = 2*rank + ties - 1
+    (the a_mannwhitney_u move), so L2 = 2L = Sigma j*R2 is an exact
+    int64; only COMPLETE blocks (all k treatments present) enter, per
+    the test's definition.  E[L2] = b*k(k+1)^2/2 is integer (k(k+1)^2
+    is always even) and the z-score is the standard no-ties normal
+    approximation — one float chain, identical text both engines;
+    midrank ties make it slightly conservative (documented, as
+    scipy's page_trend_test does).  The treatment-position table comes
+    from a bounded |types|^2 self-join, not a global window."""
+    b = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("vol"))
+    kk = b.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    full_days = (
+        b.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") == F.col("k"))
+        .select("day")
+    )
+    rows_kept = b.join(F.broadcast(full_days), "day")
+    wr = Window.partitionBy("day").orderBy("vol")
+    wt = Window.partitionBy("day", "vol")
+    r = rows_kept.select(
+        "event_type", "day",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    ty = rows_kept.select("event_type").distinct()
+    pos = (
+        ty.alias("t1")
+        .join(
+            F.broadcast(ty.alias("t2")),
+            F.col("t2.event_type") <= F.col("t1.event_type"),
+        )
+        .groupBy(F.col("t1.event_type").alias("event_type"))
+        .agg(F.count("*").cast("long").alias("j"))
+    )
+    a = (
+        r.join(F.broadcast(pos), "event_type")
+        .crossJoin(F.broadcast(kk))
+        .agg(
+            F.countDistinct("day").cast("long").alias("b"),
+            F.max("k").cast("long").alias("k"),
+            F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"),
+        )
+    )
+    bb, k, l2 = F.col("b"), F.col("k"), F.col("l2")
+    e_l2 = (bb * k * (k + 1) * (k + 1) / 2).cast("long")
+    z = (
+        (l2.cast("double") - e_l2.cast("double"))
+        / 2.0
+        / F.sqrt(
+            bb.cast("double") * k.cast("double") * k.cast("double")
+            * (k + 1).cast("double") * (k + 1).cast("double")
+            * (k - 1).cast("double") / 144.0
+        )
+    )
+    return a.filter((bb > 0) & (k > 1)).select(
+        bb.alias("n_blocks"), "k", "l2", e_l2.alias("e_l2"), z.alias("z")
+    )
+
+
+@register(
+    "a_cucconi_test",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_sql_hex_int("md5('arm:' || CAST(user_id AS VARCHAR))", 2)} % 2 AS arm,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT arm, x,
+                 CAST(2 * rank() OVER (ORDER BY x)
+                      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+          FROM u),
+    m AS (SELECT
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = 1 THEN r2 ELSE 0 END) AS BIGINT) AS s1b,
+            CAST(SUM(CASE WHEN arm = 1 THEN r2 * r2 ELSE 0 END) AS BIGINT)
+              AS s2b
+          FROM r),
+    c AS (SELECT na, nb, s1b, s2b, na + nb AS nn,
+                 nb * 4 * (na + nb + 1) * (na + nb + 1)
+                   - 4 * (na + nb + 1) * s1b + s2b AS s2bc
+          FROM m),
+    f AS (SELECT na, nb, s1b, s2b, nn,
+                 CAST(3 * s2b - 2 * nb * (nn + 1) * (2 * nn + 1) AS DOUBLE)
+                   / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                                 * CAST(nn + 1 AS DOUBLE)
+                                 * CAST(2 * nn + 1 AS DOUBLE)
+                                 * CAST(8 * nn + 11 AS DOUBLE) / 5.0)) AS uu,
+                 CAST(3 * s2bc - 2 * nb * (nn + 1) * (2 * nn + 1) AS DOUBLE)
+                   / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                                 * CAST(nn + 1 AS DOUBLE)
+                                 * CAST(2 * nn + 1 AS DOUBLE)
+                                 * CAST(8 * nn + 11 AS DOUBLE) / 5.0)) AS vv,
+                 2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+                   / ((2.0 * CAST(nn AS DOUBLE) + 1.0)
+                      * (8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0 AS rho
+          FROM c)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           s1b, s2b, uu AS u, vv AS v, rho,
+           (uu * uu + vv * vv - 2.0 * rho * uu * vv)
+             / (2.0 * (1.0 - rho * rho)) AS c_stat
+    FROM f WHERE na > 0 AND nb > 0
+    """,
+)
+def a_cucconi_test(spark, sf_dir):
+    """Cucconi's C test ('68) — the ONE-statistic scale-location
+    alternative to combining Mann-Whitney with a dispersion test:
+    U from the squared ranks of arm b, V from the squared CONTRARY
+    ranks, C = (U^2 + V^2 - 2*rho*U*V) / (2(1-rho^2)).  Arms and the
+    per-user totals are exactly a_mannwhitney_u's; midranks are
+    integer-encoded (R2 = 2*rank + ties - 1) so the squared-rank sums
+    S1b/S2b are exact int64 (bound: S2b <= nb*(2N+1)^2 < 2^63 while
+    N < ~1.3e6 users — the calendar-capped user grain), and the
+    contrary-rank square sum is the exact integer identity
+    S2b' = 4nb(N+1)^2 - 4(N+1)S1b + S2b rather than a second rank
+    pass.  U, V, rho, C form one fixed-order float chain written with
+    identical text in both engines.  The Spark ranks reuse the
+    per-value tie-group + bucketed running-count plan (no global
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("arm:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("x")
+    )
+    g = u.groupBy("x").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb_x"),
+        F.count("*").cast("long").alias("t"),
+    )
+    cum = ow.bucketed_running(
+        ow.monotone_range_bucket(g, "x"),
+        order_cols=["x"],
+        sum_cols=["t"],
+    ).withColumn("p", F.col("cum_t") - F.col("t"))
+    r2 = 2 * F.col("p") + F.col("t") + 1
+    m = cum.agg(
+        F.sum("nb_x").cast("long").alias("nb"),
+        F.sum(F.col("t") - F.col("nb_x")).cast("long").alias("na"),
+        F.sum(F.col("nb_x") * r2).cast("long").alias("s1b"),
+        F.sum(F.col("nb_x") * r2 * r2).cast("long").alias("s2b"),
+    )
+    na, nb, s1b, s2b = F.col("na"), F.col("nb"), F.col("s1b"), F.col("s2b")
+    nn = na + nb
+    s2bc = (
+        nb * 4 * (nn + 1) * (nn + 1) - 4 * (nn + 1) * s1b + s2b
+    )
+    den = 2.0 * F.sqrt(
+        na.cast("double") * nb.cast("double") * (nn + 1).cast("double")
+        * (2 * nn + 1).cast("double") * (8 * nn + 11).cast("double") / 5.0
+    )
+    uu = (3 * s2b - 2 * nb * (nn + 1) * (2 * nn + 1)).cast("double") / den
+    vv = (3 * s2bc - 2 * nb * (nn + 1) * (2 * nn + 1)).cast("double") / den
+    nnd = nn.cast("double")
+    rho = 2.0 * (nnd * nnd - 4.0) / ((2.0 * nnd + 1.0) * (8.0 * nnd + 11.0)) - 1.0
+    c_stat = (uu * uu + vv * vv - 2.0 * rho * uu * vv) / (
+        2.0 * (1.0 - rho * rho)
+    )
+    return m.filter((na > 0) & (nb > 0)).select(
+        na.alias("n_a"), nb.alias("n_b"), "s1b", "s2b",
+        uu.alias("u"), vv.alias("v"), rho.alias("rho"), c_stat.alias("c_stat"),
+    )
+
+
+@register(
+    "text_coleman_liau",
+    """
+    WITH c AS (SELECT source,
+                      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS BIGINT) AS letters,
+                      CAST(length(list_filter(string_split_regex(trim(text),
+                                                                 '\\s+'),
+                                              t -> t <> '')) AS BIGINT)
+                        AS words,
+                      CAST(greatest(length(regexp_extract_all(text,
+                                                              '[.!?]+')), 1)
+                           AS BIGINT) AS sentences
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(SUM(letters) AS BIGINT) AS letters,
+                 CAST(SUM(words) AS BIGINT) AS words,
+                 CAST(SUM(sentences) AS BIGINT) AS sentences
+          FROM c GROUP BY 1)
+    SELECT source, letters, words, sentences,
+           0.0588 * (100.0 * CAST(letters AS DOUBLE) / CAST(words AS DOUBLE))
+             - 0.296 * (100.0 * CAST(sentences AS DOUBLE)
+                        / CAST(words AS DOUBLE))
+             - 15.8 AS cli
+    FROM s WHERE words > 0
+    """,
+)
+def text_coleman_liau(spark, sf_dir):
+    """Coleman-Liau readability index per source: CLI = 0.0588*L -
+    0.296*S - 15.8 with L = letters per 100 words and S = sentences
+    per 100 words — the grade-level readability that needs NO syllable
+    heuristic (unlike text_readability_fk), so both engines count the
+    same three exact integers: [A-Za-z] characters via global regexp
+    strip, whitespace tokens (the family tokenizer), and [.!?]+
+    sentence-end runs (min 1 per doc, so headline-only docs don't
+    divide by zero).  The index is one fixed-order float chain from
+    the int64 sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("letters"),
+        F.size(text.tokens("text")).cast("long").alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sentences"),
+    )
+    s = c.groupBy("source").agg(
+        F.sum("letters").cast("long").alias("letters"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+    )
+    ld, wd, sd = (
+        F.col("letters").cast("double"),
+        F.col("words").cast("double"),
+        F.col("sentences").cast("double"),
+    )
+    return s.filter(F.col("words") > 0).select(
+        "source", "letters", "words", "sentences",
+        (
+            0.0588 * (100.0 * ld / wd) - 0.296 * (100.0 * sd / wd) - 15.8
+        ).alias("cli"),
     )

@@ -331,3 +331,116 @@ def test_oscillators_bruteforce(spark):
             ) / 7.0
         else:
             assert t not in uo
+
+
+def test_qn_scale_bruteforce(spark):
+    """Qn must equal the k-th smallest pairwise |diff| of the daily
+    totals, k = C(h,2), h = n//2 + 1."""
+    import duckdb
+
+    ys = [
+        int(r[0])
+        for r in duckdb.connect().execute(
+            "SELECT SUM(CAST(floor(value*100) AS BIGINT)) FROM "
+            f"'{SF}/events.parquet' GROUP BY CAST(ts AS DATE)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    diffs = sorted(
+        abs(a - b) for i, a in enumerate(ys) for b in ys[i + 1:]
+    )
+    h = n // 2 + 1
+    k = h * (h - 1) // 2
+    r = QUERIES["a_qn_scale"](spark, SF).collect()[0]
+    assert (r.n_days, r.h, r.k) == (n, h, k)
+    assert r.qn_cents == diffs[k - 1]
+    assert r.qn == 2.2219 * float(diffs[k - 1]) / 100.0
+
+
+def test_chao1_and_cli_bruteforce(spark):
+    import duckdb
+    from collections import Counter, defaultdict
+    import re
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    freq, cli_in = defaultdict(Counter), defaultdict(lambda: [0, 0, 0])
+    for src, txt in rows:
+        toks = [t.lower() for t in txt.strip().split()]
+        freq[src].update(toks)
+        cli_in[src][0] += len(re.sub(r"[^A-Za-z]", "", txt))
+        cli_in[src][1] += len(txt.strip().split())
+        cli_in[src][2] += max(len(re.findall(r"[.!?]+", txt)), 1)
+    chao = {r.source: r for r in QUERIES["a_chao1_richness"](spark, SF).collect()}
+    for src, ctr in freq.items():
+        f1 = sum(1 for c in ctr.values() if c == 1)
+        f2 = sum(1 for c in ctr.values() if c == 2)
+        s_obs, toks = len(ctr), sum(ctr.values())
+        r = chao[src]
+        assert (r.s_obs, r.tokens, r.f1, r.f2) == (s_obs, toks, f1, f2)
+        assert r.chao1 == float(s_obs) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
+    cli = {r.source: r for r in QUERIES["text_coleman_liau"](spark, SF).collect()}
+    for src, (L, W, S) in cli_in.items():
+        r = cli[src]
+        assert (r.letters, r.words, r.sentences) == (L, W, S)
+        assert r.cli == 0.0588 * (100.0 * L / W) - 0.296 * (100.0 * S / W) - 15.8
+
+
+def test_page_and_cucconi_bruteforce(spark):
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    # Page's L over complete (day x type) blocks, lexicographic order
+    bars = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), count(*) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    types = sorted({t for t, _, _ in bars})
+    k = len(types)
+    per_day = defaultdict(dict)
+    for t, d, v in bars:
+        per_day[d][t] = int(v)
+    blocks = {d: m for d, m in per_day.items() if len(m) == k}
+    l2 = 0
+    for d, m in blocks.items():
+        vols = sorted(m.values())
+        for j, t in enumerate(types, 1):
+            v = m[t]
+            p = sum(1 for x in vols if x < v)
+            ties = sum(1 for x in vols if x == v)
+            l2 += j * (2 * (p + 1) + ties - 1)
+    b = len(blocks)
+    r = QUERIES["a_page_trend_test"](spark, SF).collect()[0]
+    assert (r.n_blocks, r.k, r.l2) == (b, k, l2)
+    assert r.e_l2 == b * k * (k + 1) * (k + 1) // 2
+    # Cucconi C >= 0 and its rank sums replay
+    import hashlib
+
+    totals = con.execute(
+        "SELECT user_id, SUM(CAST(floor(value) AS BIGINT)) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    arms = [
+        (
+            int(hashlib.md5(f"arm:{uid}".encode()).hexdigest()[:2], 16) % 2,
+            int(x),
+        )
+        for uid, x in totals
+    ]
+    xs = sorted(x for _, x in arms)
+    n = len(xs)
+
+    def r2(v):
+        p = sum(1 for x in xs if x < v)
+        t = sum(1 for x in xs if x == v)
+        return 2 * (p + 1) + t - 1
+
+    s1b = sum(r2(x) for a, x in arms if a == 1)
+    s2b = sum(r2(x) ** 2 for a, x in arms if a == 1)
+    rq = QUERIES["a_cucconi_test"](spark, SF).collect()[0]
+    assert (rq.s1b, rq.s2b) == (s1b, s2b)
+    assert rq.n_a + rq.n_b == n
+    assert rq.c_stat >= 0.0 and math.isfinite(rq.c_stat)
