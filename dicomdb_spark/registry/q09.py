@@ -1038,3 +1038,442 @@ def text_coleman_liau(spark, sf_dir):
             0.0588 * (100.0 * ld / wd) - 0.296 * (100.0 * sd / wd) - 15.8
         ).alias("cli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch D: bounded sequential folds — Renko bricks, Misra-Gries
+# heavy hitters, OSA edit distance (the Holt/DTW fold-vs-recursive-CTE
+# discipline: integer state, bit-exact on both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_renko_bricks",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, y,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                 CAST(greatest((max(y) OVER (PARTITION BY event_type)
+                                - min(y) OVER (PARTITION BY event_type))
+                               // 10, 1) AS BIGINT) AS bsz
+          FROM d),
+    h AS (
+      SELECT event_type, rn, n, bsz, y AS start_level,
+             y AS level, CAST(0 AS BIGINT) AS n_up, CAST(0 AS BIGINT) AS n_down
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT h.event_type, s.rn, h.n, h.bsz, h.start_level,
+             h.level + (CASE WHEN s.y >= h.level
+                             THEN (s.y - h.level) // h.bsz ELSE 0 END) * h.bsz
+                     - (CASE WHEN s.y < h.level
+                             THEN (h.level - s.y) // h.bsz ELSE 0 END) * h.bsz,
+             h.n_up + CASE WHEN s.y >= h.level
+                           THEN (s.y - h.level) // h.bsz ELSE 0 END,
+             h.n_down + CASE WHEN s.y < h.level
+                             THEN (h.level - s.y) // h.bsz ELSE 0 END
+      FROM h JOIN s ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+    SELECT event_type, n AS n_days, bsz AS brick_cents, start_level,
+           level AS final_level, n_up, n_down
+    FROM h WHERE rn = n
+    """,
+)
+def w_renko_bricks(spark, sf_dir):
+    """Renko brick construction over each type's daily price series
+    (bar total cents): with brick size B = max(1, range/10), each
+    close emits k = |close - level| div B bricks in its direction and
+    moves the level by k*B — the classic price-movement chart that
+    filters time out of the series.  The state (level, n_up, n_down)
+    is a pure int64 recurrence over the bounded calendar-day grain, so
+    Spark's per-type array fold and DuckDB's recursive CTE replay
+    identical integers (both offsets are nonnegative, sidestepping the
+    div-truncate vs //-floor divergence on negatives).  Output is the
+    end state per type: brick size, start/final level, up/down brick
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    arr = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.greatest(
+            F.expr("(max(y) - min(y)) div 10"), F.lit(1).cast("long")
+        )
+        .cast("long")
+        .alias("bsz"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("level"), zero.alias("up"), zero.alias("down"),
+        zero.alias("t"),
+    )
+    bsz = F.col("bsz")
+
+    def step(acc, y):
+        first = acc["t"] == 0
+        up_k = F.when(
+            ~first & (y >= acc["level"]),
+            ((y - acc["level"]) / bsz).cast("long"),
+        ).otherwise(zero)
+        down_k = F.when(
+            ~first & (y < acc["level"]),
+            ((acc["level"] - y) / bsz).cast("long"),
+        ).otherwise(zero)
+        return F.struct(
+            F.when(first, y)
+            .otherwise(acc["level"] + up_k * bsz - down_k * bsz)
+            .cast("long")
+            .alias("level"),
+            (acc["up"] + up_k).cast("long").alias("up"),
+            (acc["down"] + down_k).cast("long").alias("down"),
+            (acc["t"] + 1).cast("long").alias("t"),
+        )
+
+    out = arr.withColumn("st", F.aggregate("ys", init, step))
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("bsz").alias("brick_cents"),
+        F.element_at("ys", 1).cast("long").alias("start_level"),
+        F.col("st")["level"].cast("long").alias("final_level"),
+        F.col("st")["up"].cast("long").alias("n_up"),
+        F.col("st")["down"].cast("long").alias("n_down"),
+    )
+
+
+@register(
+    "sketch_misra_gries",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, w,
+                 CAST(row_number() OVER (ORDER BY day, event_type)
+                      AS BIGINT) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM d),
+    h AS (
+      SELECT CAST(0 AS BIGINT) AS rn, max(n) AS n,
+             CAST([] AS VARCHAR[]) AS ks, CAST([] AS BIGINT[]) AS cs
+      FROM s
+      UNION ALL
+      SELECT s.rn, h.n,
+             CASE
+               WHEN coalesce(list_position(h.ks, s.event_type), 0) > 0
+                 THEN h.ks
+               WHEN len(h.ks) < 3 THEN h.ks || [s.event_type]
+               ELSE CASE
+                 WHEN s.w - least(list_min(h.cs), s.w) > 0
+                   THEN list_filter(h.ks,
+                          (x, i) -> h.cs[i]
+                                    - least(list_min(h.cs), s.w) > 0)
+                        || [s.event_type]
+                 ELSE list_filter(h.ks,
+                        (x, i) -> h.cs[i]
+                                  - least(list_min(h.cs), s.w) > 0)
+               END
+             END,
+             CASE
+               WHEN coalesce(list_position(h.ks, s.event_type), 0) > 0
+                 THEN list_transform(h.cs,
+                        (c, i) -> CASE WHEN i = list_position(h.ks,
+                                                              s.event_type)
+                                       THEN c + s.w ELSE c END)
+               WHEN len(h.ks) < 3 THEN h.cs || [s.w]
+               ELSE CASE
+                 WHEN s.w - least(list_min(h.cs), s.w) > 0
+                   THEN list_filter(
+                          list_transform(h.cs,
+                            c -> c - least(list_min(h.cs), s.w)),
+                          c -> c > 0)
+                        || [s.w - least(list_min(h.cs), s.w)]
+                 ELSE list_filter(
+                        list_transform(h.cs,
+                          c -> c - least(list_min(h.cs), s.w)),
+                        c -> c > 0)
+               END
+             END
+      FROM h JOIN s ON s.rn = h.rn + 1),
+    fin AS (SELECT ks, cs FROM h WHERE rn = n),
+    tot AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS true_w FROM d
+            GROUP BY 1),
+    gl AS (SELECT CAST(SUM(w) AS BIGINT) AS big_w FROM d),
+    m AS (SELECT t.event_type, t.true_w,
+                 CAST(coalesce(fin.cs[list_position(fin.ks, t.event_type)],
+                               0) AS BIGINT) AS mg_w,
+                 CAST((gl.big_w - (SELECT coalesce(SUM(c), 0)
+                                   FROM unnest(fin.cs) AS u(c))) // 4
+                      AS BIGINT) AS bound
+          FROM tot t, fin, gl)
+    SELECT event_type, true_w, mg_w,
+           true_w - mg_w AS undercount, bound,
+           CAST(CASE WHEN mg_w <= true_w AND true_w - mg_w <= bound
+                     THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+    FROM m
+    """,
+)
+def sketch_misra_gries(spark, sf_dir):
+    """Misra-Gries weighted heavy-hitters summary (Misra & Gries '82;
+    weighted form Berinde et al. PODS'09) with k = 3 counters over the
+    per-(day, type) count stream in canonical (day, type) order: a
+    present key absorbs its weight, a free slot admits the key, and an
+    overflow subtracts d = min(min_counter, w) from ALL counters
+    (dropping zeros, inserting the newcomer at w - d when positive).
+    Every decrement destroys exactly (k+1)*d weight, so the final
+    guarantee true - est <= (W - sum(counters))/(k+1) is EXACT integer
+    arithmetic — emitted per type with a self-certifying within_bound
+    flag (the estimate also never overshoots).  Spark folds the
+    bounded stream with a two-array struct state (JVM-side, one row);
+    DuckDB replays the identical integers through a linear recursive
+    CTE carrying VARCHAR[]/BIGINT[] state, the DGIM/Holt discipline.
+    The stream is calendar-capped (days x types), never the raw event
+    dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("w"))
+    arr = d.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("day", "event_type", "w"))
+            ),
+            lambda s: F.struct(
+                s["event_type"].alias("key"), s["w"].alias("w")
+            ),
+        ).alias("xs"),
+        F.sum("w").cast("long").alias("big_w"),
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("ks"),
+        F.array().cast("array<bigint>").alias("cs"),
+    )
+
+    def step(acc, x):
+        ks, cs = acc["ks"], acc["cs"]
+        key, w = x["key"], x["w"]
+        pos = F.array_position(ks, key)
+        inc_cs = F.transform(
+            cs, lambda c, i: F.when(i + 1 == pos, c + w).otherwise(c)
+        )
+        mn = F.array_min(cs)
+        dlt = F.least(mn, w)
+        keep = lambda _, i: F.element_at(cs, (i + 1).cast("int")) - dlt > 0  # noqa: E731
+        dec_ks = F.filter(ks, keep)
+        dec_cs = F.filter(
+            F.transform(cs, lambda c: c - dlt), lambda c: c > 0
+        )
+        ins_new = w - dlt > 0
+        return F.struct(
+            F.when(pos > 0, ks)
+            .when(F.size(ks) < 3, F.concat(ks, F.array(key)))
+            .otherwise(
+                F.when(
+                    ins_new, F.concat(dec_ks, F.array(key))
+                ).otherwise(dec_ks)
+            )
+            .alias("ks"),
+            F.when(pos > 0, inc_cs)
+            .when(F.size(ks) < 3, F.concat(cs, F.array(w.cast("bigint"))))
+            .otherwise(
+                F.when(
+                    ins_new,
+                    F.concat(dec_cs, F.array((w - dlt).cast("bigint"))),
+                ).otherwise(dec_cs)
+            )
+            .alias("cs"),
+        )
+
+    fin = arr.withColumn("st", F.aggregate("xs", init, step)).select(
+        F.col("st")["ks"].alias("ks"),
+        F.col("st")["cs"].alias("cs"),
+        "big_w",
+        F.aggregate(
+            F.col("st")["cs"],
+            F.lit(0).cast("long"),
+            lambda a, c: a + c,
+        ).alias("s_fin"),
+    )
+    tot = d.groupBy("event_type").agg(
+        F.sum("w").cast("long").alias("true_w")
+    )
+    j = tot.crossJoin(F.broadcast(fin))
+    mg_pos = F.array_position(F.col("ks"), F.col("event_type"))
+    mg_w = F.coalesce(
+        F.when(mg_pos > 0, F.element_at(F.col("cs"), mg_pos.cast("int"))),
+        F.lit(0),
+    ).cast("long")
+    bound = F.expr("(big_w - s_fin) div 4")
+    return j.select(
+        "event_type", "true_w",
+        mg_w.alias("mg_w"),
+        (F.col("true_w") - mg_w).alias("undercount"),
+        bound.cast("long").alias("bound"),
+        (
+            (mg_w <= F.col("true_w"))
+            & (F.col("true_w") - mg_w <= bound)
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
+@register(
+    "dedup_osa_distance",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT source,
+             substr(regexp_replace(arg_min(text, doc_id), '[^ -~]', '', 'g'),
+                    1, 32) AS a,
+             substr(regexp_replace(arg_max(text, doc_id), '[^ -~]', '', 'g'),
+                    1, 32) AS b
+      FROM documents GROUP BY source HAVING count(*) >= 2),
+    dims AS (SELECT source, a, b,
+                    CAST(length(a) AS BIGINT) AS n,
+                    CAST(length(b) AS BIGINT) AS m
+             FROM pairs WHERE length(a) >= 1 AND length(b) >= 1),
+    h AS (
+      SELECT source, a, b, n, m, CAST(0 AS BIGINT) AS k,
+             list_transform(range(1, CAST(2 * m + 2 AS INT) + 1),
+                            x -> CAST(1048576 AS BIGINT)) AS st
+      FROM dims
+      UNION ALL
+      SELECT h.source, h.a, h.b, h.n, h.m, h.k + 1,
+             h.st[2:] || [least(
+               CASE WHEN h.k // h.m > 0
+                    THEN h.st[CAST(h.m + 3 AS INT)]
+                    ELSE h.k % h.m + 1 END + 1,
+               CASE WHEN h.k % h.m > 0
+                    THEN h.st[CAST(2 * h.m + 2 AS INT)]
+                    ELSE h.k // h.m + 1 END + 1,
+               CASE WHEN h.k // h.m > 0 AND h.k % h.m > 0
+                      THEN h.st[CAST(h.m + 2 AS INT)]
+                    WHEN h.k // h.m = 0 THEN h.k % h.m
+                    ELSE h.k // h.m END
+                 + CASE WHEN substr(h.a, CAST(h.k // h.m + 1 AS INT), 1)
+                             = substr(h.b, CAST(h.k % h.m + 1 AS INT), 1)
+                        THEN 0 ELSE 1 END,
+               CASE WHEN h.k // h.m >= 1 AND h.k % h.m >= 1
+                         AND substr(h.a, CAST(h.k // h.m + 1 AS INT), 1)
+                             = substr(h.b, CAST(h.k % h.m AS INT), 1)
+                         AND substr(h.a, CAST(h.k // h.m AS INT), 1)
+                             = substr(h.b, CAST(h.k % h.m + 1 AS INT), 1)
+                    THEN CASE WHEN h.k // h.m = 1 THEN h.k % h.m - 1
+                              WHEN h.k % h.m = 1 THEN h.k // h.m - 1
+                              ELSE h.st[1] END + 1
+                    ELSE CAST(1048576 AS BIGINT) END)]
+      FROM h WHERE h.k < h.n * h.m)
+    SELECT source, n AS len_a, m AS len_b,
+           CAST(st[CAST(2 * m + 2 AS INT)] AS BIGINT) AS osa,
+           CAST(levenshtein(a, b) AS BIGINT) AS lev,
+           CAST(CASE WHEN st[CAST(2 * m + 2 AS INT)] <= levenshtein(a, b)
+                     THEN 1 ELSE 0 END AS INTEGER) AS osa_le_lev
+    FROM h WHERE k = n * m
+    """,
+)
+def dedup_osa_distance(spark, sf_dir):
+    """Optimal-string-alignment edit distance (the
+    Damerau-Levenshtein variant with non-overlapping transpositions)
+    between each source's lexicographically extreme documents
+    (ASCII-sanitized 32-char prefixes) — near-dup similarity that
+    credits swapped-word OCR noise one edit instead of two.  The DP
+    is the DTW row-major discipline with a LONGER sliding window: the
+    last 2m+2 cells, so left = W[2m+2], up = W[m+3], diag = W[m+2]
+    and the transposition cell dp[i-2][j-2] = W[1], with boundary
+    rows/cols synthesized in closed form (dp[0][j] = j, dp[i][0] = i)
+    instead of materialized.  All-integer state -> bit parity between
+    Spark's F.aggregate fold and DuckDB's recursive CTE.  The lev
+    column is each engine's own BUILT-IN Levenshtein (independent
+    implementations!), and osa_le_lev self-certifies the
+    transposition gain osa <= lev on every row.  Cost envelope:
+    |sources| folds x <= 1024 cells x 66-slot window."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.substring(
+        F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 32
+    )
+    pairs = (
+        docs.select("source", "doc_id", clean.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.min_by("s", "doc_id").alias("a"),
+            F.max_by("s", "doc_id").alias("b"),
+            F.count("*").alias("nd"),
+        )
+        .filter(
+            (F.col("nd") >= 2)
+            & (F.length("a") >= 1)
+            & (F.length("b") >= 1)
+        )
+    )
+    INF = 1 << 20
+    dims = pairs.select(
+        "source", "a", "b",
+        F.length("a").cast("long").alias("n"),
+        F.length("b").cast("long").alias("m"),
+        F.expr("transform(sequence(1, length(a)), i -> substr(a, i, 1))").alias("ac"),
+        F.expr("transform(sequence(1, length(b)), i -> substr(b, i, 1))").alias("bc"),
+    )
+    m_col = F.col("m")
+    cells = dims.withColumn(
+        "ks", F.sequence(F.lit(0).cast("long"), F.col("n") * m_col - 1)
+    )
+    init = F.transform(
+        F.sequence(F.lit(1), (2 * m_col + 2).cast("int")),
+        lambda _: F.lit(INF).cast("long"),
+    )
+
+    def step(st, k):
+        i0 = (k / m_col).cast("long")  # exact floor: nonneg ints
+        j0 = k % m_col
+        ach = lambda idx: F.element_at(F.col("ac"), idx.cast("int"))  # noqa: E731
+        bch = lambda idx: F.element_at(F.col("bc"), idx.cast("int"))  # noqa: E731
+        up = F.when(i0 > 0, F.element_at(st, (m_col + 3).cast("int"))).otherwise(
+            j0 + 1
+        )
+        left = F.when(
+            j0 > 0, F.element_at(st, (2 * m_col + 2).cast("int"))
+        ).otherwise(i0 + 1)
+        diag = (
+            F.when((i0 > 0) & (j0 > 0), F.element_at(st, (m_col + 2).cast("int")))
+            .when(i0 == 0, j0)
+            .otherwise(i0)
+        )
+        sub = F.when(ach(i0 + 1) == bch(j0 + 1), 0).otherwise(1)
+        t_ok = (
+            (i0 >= 1)
+            & (j0 >= 1)
+            & (ach(i0 + 1) == bch(j0))
+            & (ach(i0) == bch(j0 + 1))
+        )
+        t_val = (
+            F.when(i0 == 1, j0 - 1)
+            .when(j0 == 1, i0 - 1)
+            .otherwise(F.element_at(st, 1))
+        )
+        trans = F.when(t_ok, t_val + 1).otherwise(F.lit(INF).cast("long"))
+        val = F.least(up + 1, left + 1, diag + sub, trans).cast("long")
+        return F.concat(F.slice(st, 2, F.size(st) - 1), F.array(val))
+
+    out = cells.withColumn("st", F.aggregate("ks", init, step))
+    osa = F.element_at("st", (2 * m_col + 2).cast("int")).cast("long")
+    lev = F.levenshtein("a", "b").cast("long")
+    return out.select(
+        "source",
+        F.col("n").alias("len_a"),
+        m_col.alias("len_b"),
+        osa.alias("osa"),
+        lev.alias("lev"),
+        (osa <= lev).cast("int").alias("osa_le_lev"),
+    )

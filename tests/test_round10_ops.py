@@ -444,3 +444,105 @@ def test_page_and_cucconi_bruteforce(spark):
     assert (rq.s1b, rq.s2b) == (s1b, s2b)
     assert rq.n_a + rq.n_b == n
     assert rq.c_stat >= 0.0 and math.isfinite(rq.c_stat)
+
+
+def test_renko_bruteforce(spark):
+    rows = {r.event_type: r for r in QUERIES["w_renko_bricks"](spark, SF).collect()}
+    for t, b in _bars_py().items():
+        ys = [p for _, _, p, _, _ in b]
+        bsz = max((max(ys) - min(ys)) // 10, 1)
+        level, up, down = ys[0], 0, 0
+        for y in ys[1:]:
+            if y >= level:
+                k = (y - level) // bsz
+                level += k * bsz
+                up += k
+            else:
+                k = (level - y) // bsz
+                level -= k * bsz
+                down += k
+        r = rows[t]
+        assert (r.brick_cents, r.start_level, r.final_level, r.n_up, r.n_down) == (
+            bsz, ys[0], level, up, down,
+        )
+
+
+def test_misra_gries_bruteforce(spark):
+    """Replay weighted MG (k=3) in plain Python over the canonical
+    (day, type) stream; the sketch must match exactly and the
+    (W - sum)/4 bound must hold for every key."""
+    stream = sorted(
+        (day, t, v) for t, bars in _bars_py().items() for day, v, _, _, _ in bars
+    )
+    ctr = {}
+    for _, key, w in stream:
+        if key in ctr:
+            ctr[key] += w
+        elif len(ctr) < 3:
+            ctr[key] = w
+        else:
+            d = min(min(ctr.values()), w)
+            ctr = {k: c - d for k, c in ctr.items() if c - d > 0}
+            if w - d > 0:
+                ctr[key] = w - d
+    true = {}
+    for _, key, w in stream:
+        true[key] = true.get(key, 0) + w
+    big_w, s_fin = sum(true.values()), sum(ctr.values())
+    bound = (big_w - s_fin) // 4
+    rows = {r.event_type: r for r in QUERIES["sketch_misra_gries"](spark, SF).collect()}
+    assert set(rows) == set(true)
+    for t, r in rows.items():
+        assert r.true_w == true[t] and r.mg_w == ctr.get(t, 0)
+        assert r.bound == bound and r.within_bound == 1
+        assert 0 <= r.undercount <= bound
+
+
+def _osa(a, b):
+    n, m = len(a), len(b)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[n][m]
+
+
+def test_osa_bruteforce_and_adversarial(spark):
+    import duckdb
+    import re
+
+    docs = duckdb.connect().execute(
+        f"SELECT source, doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for s, i, t in docs:
+        per[s].append((i, re.sub(r"[^ -~]", "", t)[:32]))
+    rows = {r.source: r for r in QUERIES["dedup_osa_distance"](spark, SF).collect()}
+    for s, lst in per.items():
+        if len(lst) < 2:
+            assert s not in rows
+            continue
+        a = min(lst)[1]
+        b = max(lst)[1]
+        if not a or not b:
+            assert s not in rows
+            continue
+        r = rows[s]
+        assert (r.len_a, r.len_b) == (len(a), len(b))
+        assert r.osa == _osa(a, b)
+        assert r.osa <= r.lev and r.osa_le_lev == 1
+    # adversarial fixed vectors through the same python replay the
+    # query's DP mirrors (transposition, tie, boundary-row cases)
+    assert _osa("CA", "ABC") == 3      # OSA, not full DL (= 2)
+    assert _osa("ab", "ba") == 1
+    assert _osa("", "abc") == 3
+    assert _osa("abcd", "abdc") == 1
