@@ -391,3 +391,157 @@ def extract_features(
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio containers (round 10): REAL RIFF/WAVE header parse, the same
+# zero-dependency move as stdlib_decoder for images.  Sample DECODE
+# (codec work) stays an injected seam; the header fields below are pure
+# byte parses.
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+_AUDIO_UNKNOWN = {
+    "format": "application/octet-stream",
+    "channels": None,
+    "sample_rate": None,
+    "bits": None,
+    "n_frames": None,
+    "duration_ms": None,
+}
+
+
+def wav_decoder(payload: bytes) -> dict:
+    """Parse RIFF/WAVE header bytes: the canonical little-endian fmt
+    chunk (audio format, channels, sample rate, block align, bits) and
+    the data chunk size, walking the chunk list with the RIFF odd-size
+    padding rule.  n_frames = data_size // block_align and
+    duration_ms = n_frames * 1000 // rate are exact integers.  Never
+    throws: non-WAV or truncated input degrades to
+    application/octet-stream, a malformed-but-RIFF file keeps
+    format audio/wav with None fields (same contract as
+    stdlib_decoder's truncated-JPEG case)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return dict(_AUDIO_UNKNOWN)
+    out = dict(_AUDIO_UNKNOWN, format="audio/wav")
+    pos, n = 12, len(payload)
+    fmt = data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # odd chunk sizes are padded
+    if fmt is None:
+        return out
+    _, channels, rate, _, block_align, bits = fmt
+    out.update(channels=channels, sample_rate=rate, bits=bits)
+    if data_size is not None and block_align > 0 and rate > 0:
+        frames = data_size // block_align
+        out.update(n_frames=frames, duration_ms=frames * 1000 // rate)
+    return out
+
+
+def build_wav(doc_id: int, body: bytes) -> bytes:
+    """Deterministic synthetic WAV builder (fixture side of the audio
+    round trip): a structurally valid 44-byte canonical header whose
+    parameters are pure functions of doc_id — channels = doc_id%2 + 1,
+    rate = 8000·(doc_id%5 + 1), bits = 8·(doc_id%3 + 1) — with
+    ``body`` as the data chunk, so an SQL oracle can restate every
+    field while the decode path must actually parse the bytes."""
+    channels = doc_id % 2 + 1
+    rate = 8000 * (doc_id % 5 + 1)
+    bits = 8 * (doc_id % 3 + 1)
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, block_align, bits)
+        + b"data"
+        + struct.pack("<I", len(body))
+    )
+    return hdr + body
+
+
+def containerize_audio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → structurally valid WAV payloads (see build_wav) as a
+    map-only ``mapInPandas`` — payloads never shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_wav(int(d), str(t).encode("utf-8"))
+                        for d, t in zip(pdf["doc_id"], pdf["t"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio-metadata extraction as a map-only ``mapInPandas`` batch
+    operator (default = the REAL wav_decoder); only typed metadata
+    leaves Python, payload bytes never shuffle."""
+    decoder = decoder or wav_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                meta = decoder(b)
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_bytes": len(b),
+                        "format": meta["format"],
+                        "channels": meta["channels"],
+                        "sample_rate": meta["sample_rate"],
+                        "bits": meta["bits"],
+                        "n_frames": meta["n_frames"],
+                        "duration_ms": meta["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=AUDIO_META_SCHEMA
+    )

@@ -1477,3 +1477,45 @@ def dedup_osa_distance(spark, sf_dir):
         lev.alias("lev"),
         (osa <= lev).cast("int").alias("osa_le_lev"),
     )
+
+
+@register(
+    "multimodal_audio_meta",
+    """
+    SELECT doc_id,
+           CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'audio/wav' AS format,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(8000 * (doc_id % 5 + 1) AS INTEGER) AS sample_rate,
+           CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS bits,
+           CAST(octet_length(encode(text))
+                // ((doc_id % 2 + 1) * (doc_id % 3 + 1)) AS BIGINT)
+             AS n_frames,
+           CAST((octet_length(encode(text))
+                 // ((doc_id % 2 + 1) * (doc_id % 3 + 1))) * 1000
+                // (8000 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """REAL audio-container decode round trip — the WAV sibling of
+    multimodal_decode_real: documents are wrapped in structurally
+    valid canonical 44-byte RIFF/WAVE headers (llm/multimodal.
+    build_wav — channels/rate/bits are pure functions of doc_id), and
+    llm/multimodal.wav_decoder PARSES the bytes back: RIFF chunk walk
+    with the odd-size padding rule, little-endian fmt fields, data
+    size -> n_frames = size // block_align, duration_ms = frames *
+    1000 // rate.  The oracle restates the expected metadata per
+    synthetic container, so a mis-parsed endianness, chunk offset, or
+    integer-division order breaks the hash.  Both mapInPandas hops
+    are map-only — payload bytes never shuffle."""
+    from dicomdb_spark.llm.multimodal import (
+        containerize_audio,
+        decode_audio_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(containerize_audio(docs)).select(
+        "doc_id", "n_bytes", "format", "channels", "sample_rate", "bits",
+        "n_frames", "duration_ms",
+    )

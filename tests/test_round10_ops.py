@@ -546,3 +546,54 @@ def test_osa_bruteforce_and_adversarial(spark):
     assert _osa("ab", "ba") == 1
     assert _osa("", "abc") == 3
     assert _osa("abcd", "abdc") == 1
+
+
+def test_wav_decoder_adversarial_headers():
+    """Header shapes the synthetic fixture never produces: extra
+    chunks before fmt, odd-size chunk padding, truncated files,
+    malformed RIFF."""
+    import struct
+
+    from dicomdb_spark.llm.multimodal import build_wav, wav_decoder
+
+    w = wav_decoder(build_wav(7, b"x" * 100))
+    assert w == {
+        "format": "audio/wav", "channels": 2, "sample_rate": 24000,
+        "bits": 16, "n_frames": 25, "duration_ms": 1,
+    }
+    # LIST chunk with an ODD size before fmt: pos must advance by the
+    # padded size or the fmt scan desyncs
+    body = b"d" * 32
+    odd = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    w = wav_decoder(odd)
+    assert (w["channels"], w["sample_rate"], w["bits"]) == (1, 8000, 8)
+    assert w["n_frames"] == 32 and w["duration_ms"] == 4
+    # RIFF/WAVE but no fmt chunk: format known, fields None
+    nofmt = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    assert wav_decoder(nofmt) == {
+        "format": "audio/wav", "channels": None, "sample_rate": None,
+        "bits": None, "n_frames": None, "duration_ms": None,
+    }
+    for junk in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00AVI ", b"ID3\x03"):
+        assert wav_decoder(junk)["format"] == "application/octet-stream"
+
+
+def test_audio_roundtrip_matches_formulas(spark):
+    from dicomdb_spark.llm import multimodal as mm
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    out = mm.decode_audio_meta(mm.containerize_audio(docs)).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.format == "audio/wav"
+        assert r.channels == r.doc_id % 2 + 1
+        assert r.sample_rate == 8000 * (r.doc_id % 5 + 1)
+        assert r.bits == 8 * (r.doc_id % 3 + 1)
+        ba = (r.doc_id % 2 + 1) * (r.doc_id % 3 + 1)
+        assert r.n_frames == (r.n_bytes - 44) // ba
+        assert r.duration_ms == r.n_frames * 1000 // r.sample_rate
