@@ -11,6 +11,7 @@ from dicomdb_spark.registry._core import register
 from dicomdb_spark.functions import text
 from dicomdb_spark.operators import windows as ow
 from dicomdb_spark.registry.q01 import _SQL_TOKS
+from dicomdb_spark.llm import dedup as ldedup
 from dicomdb_spark.registry.q03 import _sql_hex_int
 from dicomdb_spark.registry.q05 import _SQL_BARS
 from dicomdb_spark.session import local_fanout  # noqa: F401
@@ -1518,4 +1519,115 @@ def multimodal_audio_meta(spark, sf_dir):
     return decode_audio_meta(containerize_audio(docs)).select(
         "doc_id", "n_bytes", "format", "channels", "sample_rate", "bits",
         "n_frames", "duration_ms",
+    )
+
+
+def _ecc_oracle(rounds: int = 6) -> str:
+    """Unrolled ALL-PAIRS BFS over the minhash near-dup graph: the
+    (src, node) distance grid relaxes rounds times, then per-source
+    eccentricity and the graph diameter read off the final grid.  The
+    round-5 vs round-6 grid sizes make the convergence flag
+    self-certifying (the ktruss discipline)."""
+    from dicomdb_spark.registry.q01 import _minhash_pairs_cte
+
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (SELECT src, node, min(d) AS d FROM (
+      SELECT src, node, d FROM {prev}
+      UNION ALL
+      SELECT p.src, e.dst AS node, p.d + 1 AS d
+      FROM {prev} p JOIN e ON e.src = p.node) t GROUP BY 1, 2)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_minhash_pairs_cte()},
+    e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    v AS (SELECT DISTINCT src AS node FROM e),
+    d0 AS MATERIALIZED (SELECT node AS src, node, 0 AS d FROM v),
+    {chain},
+    per AS (SELECT src AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(max(d) AS BIGINT) AS ecc
+            FROM {prev} GROUP BY 1),
+    gl AS (SELECT CAST(max(ecc) AS BIGINT) AS diameter FROM per),
+    c5 AS (SELECT CAST(count(*) AS BIGINT) AS pairs_r5 FROM d{rounds - 1}),
+    c6 AS (SELECT CAST(count(*) AS BIGINT) AS pairs_r6 FROM d{rounds})
+    SELECT per.doc_id, per.n_reached, per.ecc, gl.diameter,
+           c5.pairs_r5, c6.pairs_r6,
+           CAST(CASE WHEN c5.pairs_r5 = c6.pairs_r6 THEN 1 ELSE 0 END
+                AS BIGINT) AS converged
+    FROM per, gl, c5, c6
+    """
+
+
+@register("graph_eccentricity", _ecc_oracle())
+def graph_eccentricity(spark, sf_dir):
+    """Per-node eccentricity and graph diameter of the minhash
+    near-dup graph by SIX unrolled rounds of all-pairs BFS relaxation
+    (d_{i}(s,v) = min(d_{i-1}(s,v), min over (u,v) edges of
+    d_{i-1}(s,u)+1)) — the how-stringy-are-dup-chains audit that
+    single-source graph_bfs_hops cannot answer.  Eccentricity is the
+    max distance within each node's <=6-hop reach (components here
+    are tiny dup clusters); convergence is SELF-CERTIFYING via the
+    round-5 vs round-6 grid-size equality, the ktruss discipline, so
+    a truncated relaxation is visible in the output, not assumed by a
+    fixture test.  The (src, node) grid is bounded by component sizes
+    (Sigma |C_i|^2, tiny for dup clusters), each round one
+    shuffle-join; rounds localCheckpoint so the plan stays linear.
+    Reference behavior: doublon-chain depth audits (doublon_*.py)."""
+    from dicomdb_spark.registry.q01 import _docs_with_dupes
+
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).persist()
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    v = e.select(F.col("src").alias("node")).distinct()
+    d = v.select(
+        F.col("node").alias("src"), "node", F.lit(0).cast("long").alias("d")
+    )
+    counts = {}
+    for i in range(1, 7):
+        nxt = (
+            d.join(
+                e.select(F.col("src").alias("node"), F.col("dst")), "node"
+            )
+            .select("src", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        d = (
+            d.unionAll(nxt)
+            .groupBy("src", "node")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if i >= 5:
+            counts[i] = d.agg(
+                F.count("*").cast("long").alias(f"pairs_r{i}")
+            )
+    per = d.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.max("d").cast("long").alias("ecc"),
+    )
+    gl = per.agg(F.max("ecc").cast("long").alias("diameter"))
+    out = (
+        per.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(counts[5]))
+        .crossJoin(F.broadcast(counts[6]))
+    )
+    return out.select(
+        "doc_id", "n_reached", "ecc", "diameter", "pairs_r5", "pairs_r6",
+        F.when(F.col("pairs_r5") == F.col("pairs_r6"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("converged"),
     )

@@ -597,3 +597,40 @@ def test_audio_roundtrip_matches_formulas(spark):
         ba = (r.doc_id % 2 + 1) * (r.doc_id % 3 + 1)
         assert r.n_frames == (r.n_bytes - 44) // ba
         assert r.duration_ms == r.n_frames * 1000 // r.sample_rate
+
+
+def test_eccentricity_matches_python_bfs(spark):
+    """Replay full BFS per node in Python over the same minhash-pair
+    edges; six relaxation rounds must have converged on the fixture
+    (tiny dup clusters), so ecc/diameter equal the true values."""
+    from collections import deque
+
+    from dicomdb_spark.llm import dedup as ldedup
+    from dicomdb_spark.registry.q01 import _docs_with_dupes
+
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, SF), "doc_id", "text",
+        num_hashes=16, bands=4,
+    ).collect()
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.id1, set()).add(r.id2)
+        adj.setdefault(r.id2, set()).add(r.id1)
+    rows = {r.doc_id: r for r in QUERIES["graph_eccentricity"](spark, SF).collect()}
+    assert set(rows) == set(adj)
+    diam = 0
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        ecc = max(dist.values())
+        diam = max(diam, ecc)
+        r = rows[s]
+        assert (r.n_reached, r.ecc) == (len(dist), ecc)
+        assert r.converged == 1
+    assert all(r.diameter == diam for r in rows.values())
