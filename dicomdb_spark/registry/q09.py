@@ -1631,3 +1631,591 @@ def graph_eccentricity(spark, sf_dir):
         .cast("long")
         .alias("converged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch E: zigzag reversal fold, LCS fold, Gunning fog,
+# Hartley Fmax via cross-multiplied argmax, Benjamini-Yekutieli.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_zigzag_pivots",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, y,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                 CAST(greatest((max(y) OVER (PARTITION BY event_type)
+                                - min(y) OVER (PARTITION BY event_type))
+                               // 5, 1) AS BIGINT) AS th
+          FROM d),
+    h AS (
+      SELECT event_type, rn, n, th,
+             CAST(0 AS BIGINT) AS dir, y AS ext, CAST(0 AS BIGINT) AS swings
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT h.event_type, s.rn, h.n, h.th,
+             CASE WHEN h.dir = 0 THEN
+                    CASE WHEN s.y - h.ext >= h.th THEN 1
+                         WHEN h.ext - s.y >= h.th THEN -1 ELSE 0 END
+                  WHEN h.dir = 1 THEN
+                    CASE WHEN h.ext - s.y >= h.th THEN -1 ELSE 1 END
+                  ELSE CASE WHEN s.y - h.ext >= h.th THEN 1 ELSE -1 END
+             END,
+             CASE WHEN h.dir = 0 THEN
+                    CASE WHEN abs(s.y - h.ext) >= h.th THEN s.y ELSE h.ext END
+                  WHEN h.dir = 1 THEN
+                    CASE WHEN s.y > h.ext THEN s.y
+                         WHEN h.ext - s.y >= h.th THEN s.y ELSE h.ext END
+                  ELSE CASE WHEN s.y < h.ext THEN s.y
+                            WHEN s.y - h.ext >= h.th THEN s.y ELSE h.ext END
+             END,
+             h.swings + CASE WHEN (h.dir = 1 AND h.ext - s.y >= h.th)
+                               OR (h.dir = -1 AND s.y - h.ext >= h.th)
+                             THEN 1 ELSE 0 END
+      FROM h JOIN s ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+    SELECT event_type, n AS n_days, th AS threshold_cents,
+           dir AS final_dir, ext AS final_extreme, swings AS n_swings
+    FROM h WHERE rn = n
+    """,
+)
+def w_zigzag_pivots(spark, sf_dir):
+    """Zig-zag reversal counter per type over the daily price series:
+    with threshold T = max(1, range/5), an uptrend extends on new
+    highs and REVERSES (one confirmed pivot) when price retreats >= T
+    from the running extreme — symmetric for downtrends, direction 0
+    until the first move >= T.  The (dir, extreme, swings) state is a
+    pure int64 recurrence over the bounded day grain: Spark array
+    fold vs DuckDB recursive CTE, bit-identical (all comparisons are
+    integer, no division at all).  The classic chart-pattern
+    noise-filter; complements w_renko_bricks (fixed-size bricks) with
+    retracement-defined pivots."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    arr = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.greatest(
+            F.expr("(max(y) - min(y)) div 5"), F.lit(1).cast("long")
+        )
+        .cast("long")
+        .alias("th"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("dir"), zero.alias("ext"), zero.alias("swings"),
+        zero.alias("t"),
+    )
+    th = F.col("th")
+
+    def step(acc, y):
+        first = acc["t"] == 0
+        up_rev = (acc["dir"] == 1) & (acc["ext"] - y >= th)
+        dn_rev = (acc["dir"] == -1) & (y - acc["ext"] >= th)
+        new_dir = (
+            F.when(first, zero)
+            .when(
+                acc["dir"] == 0,
+                F.when(y - acc["ext"] >= th, 1)
+                .when(acc["ext"] - y >= th, -1)
+                .otherwise(0),
+            )
+            .when(acc["dir"] == 1, F.when(up_rev, -1).otherwise(1))
+            .otherwise(F.when(dn_rev, 1).otherwise(-1))
+        )
+        new_ext = (
+            F.when(first, y)
+            .when(
+                acc["dir"] == 0,
+                F.when(F.abs(y - acc["ext"]) >= th, y).otherwise(acc["ext"]),
+            )
+            .when(
+                acc["dir"] == 1,
+                F.when((y > acc["ext"]) | up_rev, y).otherwise(acc["ext"]),
+            )
+            .otherwise(
+                F.when((y < acc["ext"]) | dn_rev, y).otherwise(acc["ext"])
+            )
+        )
+        return F.struct(
+            new_dir.cast("long").alias("dir"),
+            new_ext.cast("long").alias("ext"),
+            (acc["swings"] + F.when(up_rev | dn_rev, 1).otherwise(0))
+            .cast("long")
+            .alias("swings"),
+            (acc["t"] + 1).cast("long").alias("t"),
+        )
+
+    out = arr.withColumn("st", F.aggregate("ys", init, step))
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        th.alias("threshold_cents"),
+        F.col("st")["dir"].cast("long").alias("final_dir"),
+        F.col("st")["ext"].cast("long").alias("final_extreme"),
+        F.col("st")["swings"].cast("long").alias("n_swings"),
+    )
+
+
+@register(
+    "text_lcs_length",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT source,
+             substr(regexp_replace(arg_min(text, doc_id), '[^ -~]', '', 'g'),
+                    1, 32) AS a,
+             substr(regexp_replace(arg_max(text, doc_id), '[^ -~]', '', 'g'),
+                    1, 32) AS b
+      FROM documents GROUP BY source HAVING count(*) >= 2),
+    dims AS (SELECT source, a, b,
+                    CAST(length(a) AS BIGINT) AS n,
+                    CAST(length(b) AS BIGINT) AS m
+             FROM pairs WHERE length(a) >= 1 AND length(b) >= 1),
+    h AS (
+      SELECT source, a, b, n, m, CAST(0 AS BIGINT) AS k,
+             list_transform(range(1, CAST(m + 1 AS INT) + 1),
+                            x -> CAST(0 AS BIGINT)) AS st
+      FROM dims
+      UNION ALL
+      SELECT h.source, h.a, h.b, h.n, h.m, h.k + 1,
+             h.st[2:] || [
+               CASE WHEN substr(h.a, CAST(h.k // h.m + 1 AS INT), 1)
+                         = substr(h.b, CAST(h.k % h.m + 1 AS INT), 1)
+                    THEN (CASE WHEN h.k // h.m > 0 AND h.k % h.m > 0
+                               THEN h.st[1] ELSE CAST(0 AS BIGINT) END) + 1
+                    ELSE greatest(
+                      CASE WHEN h.k // h.m > 0
+                           THEN h.st[2] ELSE CAST(0 AS BIGINT) END,
+                      CASE WHEN h.k % h.m > 0
+                           THEN h.st[CAST(h.m + 1 AS INT)]
+                           ELSE CAST(0 AS BIGINT) END)
+               END]
+      FROM h WHERE h.k < h.n * h.m)
+    SELECT source, n AS len_a, m AS len_b,
+           CAST(st[CAST(m + 1 AS INT)] AS BIGINT) AS lcs,
+           CAST(n + m - 2 * st[CAST(m + 1 AS INT)] AS BIGINT) AS indel_dist,
+           CAST(levenshtein(a, b) AS BIGINT) AS lev,
+           CAST(CASE WHEN n + m - 2 * st[CAST(m + 1 AS INT)]
+                          >= levenshtein(a, b)
+                     THEN 1 ELSE 0 END AS INTEGER) AS indel_ge_lev,
+           2.0 * CAST(st[CAST(m + 1 AS INT)] AS DOUBLE)
+             / CAST(n + m AS DOUBLE) AS lcs_sim
+    FROM h WHERE k = n * m
+    """,
+)
+def text_lcs_length(spark, sf_dir):
+    """Longest-common-subsequence length between each source's
+    lexicographically extreme documents (same ASCII 32-prefix pairs
+    as dedup_osa_distance) — the alignment-based similarity that
+    ignores insertions entirely, plus the indel (no-substitution)
+    edit distance n + m - 2*LCS it induces.  The DP is the DTW
+    row-major fold with an (m+1)-window of int64 state and zero
+    boundaries; DuckDB replays it as a linear recursive CTE.  Two
+    self-certifying relations ride along: indel_dist >= the built-in
+    Levenshtein (each engine's own independent implementation) and
+    lcs_sim = 2*LCS/(n+m), the single float division."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.substring(
+        F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 32
+    )
+    pairs = (
+        docs.select("source", "doc_id", clean.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.min_by("s", "doc_id").alias("a"),
+            F.max_by("s", "doc_id").alias("b"),
+            F.count("*").alias("nd"),
+        )
+        .filter(
+            (F.col("nd") >= 2)
+            & (F.length("a") >= 1)
+            & (F.length("b") >= 1)
+        )
+    )
+    dims = pairs.select(
+        "source", "a", "b",
+        F.length("a").cast("long").alias("n"),
+        F.length("b").cast("long").alias("m"),
+        F.expr("transform(sequence(1, length(a)), i -> substr(a, i, 1))").alias("ac"),
+        F.expr("transform(sequence(1, length(b)), i -> substr(b, i, 1))").alias("bc"),
+    )
+    m_col = F.col("m")
+    cells = dims.withColumn(
+        "ks", F.sequence(F.lit(0).cast("long"), F.col("n") * m_col - 1)
+    )
+    init = F.transform(
+        F.sequence(F.lit(1), (m_col + 1).cast("int")),
+        lambda _: F.lit(0).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+
+    def step(st, k):
+        i0 = (k / m_col).cast("long")
+        j0 = k % m_col
+        eq = F.element_at(F.col("ac"), (i0 + 1).cast("int")) == F.element_at(
+            F.col("bc"), (j0 + 1).cast("int")
+        )
+        diag = F.when((i0 > 0) & (j0 > 0), F.element_at(st, 1)).otherwise(zero)
+        up = F.when(i0 > 0, F.element_at(st, 2)).otherwise(zero)
+        left = F.when(
+            j0 > 0, F.element_at(st, (m_col + 1).cast("int"))
+        ).otherwise(zero)
+        val = F.when(eq, diag + 1).otherwise(F.greatest(up, left)).cast("long")
+        return F.concat(F.slice(st, 2, F.size(st) - 1), F.array(val))
+
+    out = cells.withColumn("st", F.aggregate("ks", init, step))
+    lcs = F.element_at("st", (m_col + 1).cast("int")).cast("long")
+    indel = (F.col("n") + m_col - 2 * lcs).cast("long")
+    lev = F.levenshtein("a", "b").cast("long")
+    return out.select(
+        "source",
+        F.col("n").alias("len_a"),
+        m_col.alias("len_b"),
+        lcs.alias("lcs"),
+        indel.alias("indel_dist"),
+        lev.alias("lev"),
+        (indel >= lev).cast("int").alias("indel_ge_lev"),
+        (2.0 * lcs.cast("double") / (F.col("n") + m_col).cast("double")).alias(
+            "lcs_sim"
+        ),
+    )
+
+
+@register(
+    "text_gunning_fog",
+    f"""
+    WITH tk AS (SELECT source, unnest({_SQL_TOKS}) AS term FROM documents),
+    w AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS words,
+                 CAST(SUM(CASE WHEN len(regexp_extract_all(term,
+                                                           '[aeiouy]+')) >= 3
+                               THEN 1 ELSE 0 END) AS BIGINT) AS complex_words
+          FROM tk GROUP BY 1),
+    s AS (SELECT source,
+                 CAST(SUM(greatest(length(regexp_extract_all(text,
+                                                             '[.!?]+')), 1))
+                      AS BIGINT) AS sentences
+          FROM documents GROUP BY 1)
+    SELECT w.source, w.words, w.complex_words, s.sentences,
+           0.4 * (CAST(w.words AS DOUBLE) / CAST(s.sentences AS DOUBLE)
+                  + 100.0 * CAST(w.complex_words AS DOUBLE)
+                    / CAST(w.words AS DOUBLE)) AS fog
+    FROM w JOIN s ON w.source = s.source WHERE w.words > 0
+    """,
+)
+def text_gunning_fog(spark, sf_dir):
+    """Gunning fog readability per source: 0.4*(words/sentence +
+    100*complex/words), where a complex word has >= 3 vowel RUNS
+    ([aeiouy]+ matches, the engine-portable syllable proxy — both
+    regex engines agree on this class, unlike syllable dictionaries).
+    Tokenization and sentence counting are exactly text_coleman_liau's
+    (lowercased family tokenizer; [.!?]+ runs, min 1 per doc); all
+    three counts are int64 sums and the index is one fixed-order
+    float chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(
+            F.transform(text.tokens("text"), lambda t: F.lower(t))
+        ).alias("term"),
+    )
+    w = tk.groupBy("source").agg(
+        F.count("*").cast("long").alias("words"),
+        F.sum(
+            (
+                F.size(F.expr("regexp_extract_all(term, '[aeiouy]+', 0)"))
+                >= 3
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("complex_words"),
+    )
+    s = docs.groupBy("source").agg(
+        F.sum(
+            F.greatest(
+                F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("sentences"),
+    )
+    j = w.join(s, "source").filter(F.col("words") > 0)
+    wd, cd, sd = (
+        F.col("words").cast("double"),
+        F.col("complex_words").cast("double"),
+        F.col("sentences").cast("double"),
+    )
+    return j.select(
+        "source", "words", "complex_words", "sentences",
+        (0.4 * (wd / sd + 100.0 * cd / wd)).alias("fog"),
+    )
+
+
+@register(
+    "a_hartley_fmax",
+    f"""
+    WITH {_SQL_BARS},
+    g AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(count(*) * SUM(vol * vol) - SUM(vol) * SUM(vol)
+                      AS BIGINT) AS v
+          FROM bars GROUP BY 1),
+    rk AS (SELECT a.event_type, a.n_g, a.v,
+                  CAST(SUM(CASE WHEN a.v * b.n_g * b.n_g
+                                     > b.v * a.n_g * a.n_g
+                                   OR (a.v * b.n_g * b.n_g
+                                       = b.v * a.n_g * a.n_g
+                                       AND a.event_type < b.event_type)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM g a JOIN g b ON a.event_type <> b.event_type
+           GROUP BY 1, 2, 3),
+    mx AS (SELECT event_type AS type_max, n_g AS n_max, v AS v_max
+           FROM rk WHERE wins = k),
+    mn AS (SELECT event_type AS type_min, n_g AS n_min, v AS v_min
+           FROM rk WHERE wins = 0)
+    SELECT mx.type_max, mn.type_min, mx.n_max, mn.n_min,
+           mx.v_max, mn.v_min,
+           CAST(mx.v_max * mn.n_min * mn.n_min AS DOUBLE)
+             / CAST(mn.v_min * mx.n_max * mx.n_max AS DOUBLE) AS fmax
+    FROM mx, mn WHERE mn.v_min > 0
+    """,
+)
+def a_hartley_fmax(spark, sf_dir):
+    """Hartley's Fmax variance-homogeneity ratio across event types
+    (daily-volume variances): F = max(s_g^2)/min(s_g^2).  The per-group
+    population variance is carried as the exact integer
+    v_g = n_g*S2 - S1^2 (denominator n_g^2 implicit), and the arg-max/
+    arg-min are found by CROSS-MULTIPLIED fraction comparison
+    (a.v*b.n^2 vs b.v*a.n^2, event_type tiebreak) over the bounded
+    |types|^2 grid — no float enters until the single final division.
+    Unequal group sizes are handled exactly by construction.  int64
+    bound: v*n^2 < 2^63 while daily volumes < ~4e6 on a 2400-day
+    calendar."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    g = (
+        _bars(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            (
+                F.count("*") * F.sum(F.col("vol") * F.col("vol"))
+                - F.sum("vol") * F.sum("vol")
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cmp_gt = (
+        F.col("a.v") * F.col("b.n_g") * F.col("b.n_g")
+        > F.col("b.v") * F.col("a.n_g") * F.col("a.n_g")
+    ) | (
+        (
+            F.col("a.v") * F.col("b.n_g") * F.col("b.n_g")
+            == F.col("b.v") * F.col("a.n_g") * F.col("a.n_g")
+        )
+        & (F.col("a.event_type") < F.col("b.event_type"))
+    )
+    rk = (
+        a.join(b, F.col("a.event_type") != F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n_g").alias("n_g"),
+            F.col("a.v").alias("v"),
+        )
+        .agg(
+            F.sum(cmp_gt.cast("long")).cast("long").alias("wins"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    mx = rk.filter(F.col("wins") == F.col("k")).select(
+        F.col("event_type").alias("type_max"),
+        F.col("n_g").alias("n_max"),
+        F.col("v").alias("v_max"),
+    )
+    mn = rk.filter(F.col("wins") == 0).select(
+        F.col("event_type").alias("type_min"),
+        F.col("n_g").alias("n_min"),
+        F.col("v").alias("v_min"),
+    )
+    return (
+        mx.crossJoin(mn)
+        .filter(F.col("v_min") > 0)
+        .select(
+            "type_max", "type_min", "n_max", "n_min", "v_max", "v_min",
+            (
+                (
+                    F.col("v_max") * F.col("n_min") * F.col("n_min")
+                ).cast("double")
+                / (
+                    F.col("v_min") * F.col("n_max") * F.col("n_max")
+                ).cast("double")
+            ).alias("fmax"),
+        )
+    )
+
+
+@register(
+    "a_benjamini_yekutieli",
+    """
+    WITH v AS (SELECT event_type,
+                      CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+                      CAST(floor(value * 100) AS BIGINT) AS c
+               FROM events),
+    cell AS (SELECT event_type, dow,
+                    CAST(count(*) AS BIGINT) AS n_c,
+                    CAST(SUM(c) AS BIGINT) AS s_c
+             FROM v GROUP BY 1, 2),
+    gl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(c) AS BIGINT) AS s,
+                  CAST(SUM(c * c) AS BIGINT) AS s2
+           FROM v),
+    z AS (SELECT cell.event_type, cell.dow,
+                 CAST(cell.n_c AS DOUBLE)
+                 * (CAST(cell.s_c AS DOUBLE) / CAST(cell.n_c AS DOUBLE)
+                    - CAST(gl.s AS DOUBLE) / CAST(gl.n AS DOUBLE))
+                 * (CAST(cell.s_c AS DOUBLE) / CAST(cell.n_c AS DOUBLE)
+                    - CAST(gl.s AS DOUBLE) / CAST(gl.n AS DOUBLE))
+                 / ((CAST(gl.n AS DOUBLE) * CAST(gl.s2 AS DOUBLE)
+                     - CAST(gl.s AS DOUBLE) * CAST(gl.s AS DOUBLE))
+                    / (CAST(gl.n AS DOUBLE) * CAST(gl.n AS DOUBLE))) AS z2
+          FROM cell CROSS JOIN gl),
+    p AS (SELECT event_type, dow,
+                 CASE WHEN z2 <= 1.0 THEN 1.0 ELSE 1.0 / z2 END AS p_cheb
+          FROM z),
+    r AS (SELECT event_type, dow, p_cheb,
+                 CAST(row_number() OVER (ORDER BY p_cheb, event_type, dow)
+                      AS BIGINT) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM p),
+    t AS (SELECT *,
+                 list_reduce([CAST(0.0 AS DOUBLE)]
+                             || list_transform(range(1, CAST(m AS INT) + 1),
+                                               i -> CAST(1.0 AS DOUBLE) / i),
+                             (x, y) -> x + y) AS c_m
+          FROM r),
+    t2 AS (SELECT event_type, dow, p_cheb, rk, m, c_m,
+                  0.1 * CAST(rk AS DOUBLE) / (CAST(m AS DOUBLE) * c_m)
+                    AS by_threshold,
+                  0.1 * CAST(rk AS DOUBLE) / CAST(m AS DOUBLE)
+                    AS bh_threshold
+           FROM t),
+    kby AS (SELECT CAST(coalesce(max(CASE WHEN p_cheb <= by_threshold
+                                          THEN rk END), 0) AS BIGINT)
+                     AS k_by,
+                   CAST(coalesce(max(CASE WHEN p_cheb <= bh_threshold
+                                          THEN rk END), 0) AS BIGINT)
+                     AS k_bh
+            FROM t2)
+    SELECT t2.event_type, t2.dow, t2.p_cheb, t2.rk, t2.c_m,
+           t2.by_threshold,
+           CAST(CASE WHEN t2.rk <= kby.k_by THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected_by,
+           CAST(CASE WHEN t2.rk <= kby.k_bh THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected_bh,
+           CAST(CASE WHEN kby.k_by <= kby.k_bh THEN 1 ELSE 0 END AS BIGINT)
+             AS by_subset_bh
+    FROM t2 CROSS JOIN kby
+    """,
+)
+def a_benjamini_yekutieli(spark, sf_dir):
+    """Benjamini-Yekutieli step-up FDR control (Ann. Stat. 2001) —
+    a_bh_step_up's arbitrary-dependence sibling: thresholds shrink by
+    the harmonic factor c(m) = Sigma_{i<=m} 1/i, valid under ANY
+    p-value dependence.  Same engine-exact Chebyshev p-values and the
+    same bounded |types|x7 rank frame; c(m) is evaluated as an ORDERED
+    left fold over i = 1..m (F.aggregate vs list_reduce, identical
+    IEEE sequence) rather than an order-nondeterministic SUM.  Both
+    rules' rejection fronts are emitted side by side with the
+    k_by <= k_bh dominance flag self-certifying that BY is the
+    conservative one."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cell = v.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum("c").cast("long").alias("s_c"),
+    )
+    gl = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_diff = dd("s_c") / dd("n_c") - dd("s") / dd("n")
+    var = (dd("n") * dd("s2") - dd("s") * dd("s")) / (dd("n") * dd("n"))
+    z2 = dd("n_c") * mean_diff * mean_diff / var
+    p = cell.crossJoin(gl).select(
+        "event_type", "dow",
+        F.when(z2 <= 1.0, F.lit(1.0)).otherwise(1.0 / z2).alias("p_cheb"),
+    )
+    wr = Window.orderBy("p_cheb", "event_type", "dow")
+    mtot = p.agg(F.count("*").cast("long").alias("m"))
+    r = p.crossJoin(F.broadcast(mtot)).select(
+        "event_type", "dow", "p_cheb", "m",
+        F.row_number().over(wr).cast("long").alias("rk"),
+    )
+    c_m = F.aggregate(
+        F.sequence(F.lit(1), F.col("m").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i,
+    )
+    t2 = r.withColumn("c_m", c_m).select(
+        "event_type", "dow", "p_cheb", "rk", "m", "c_m",
+        (
+            F.lit(0.1) * F.col("rk").cast("double")
+            / (F.col("m").cast("double") * F.col("c_m"))
+        ).alias("by_threshold"),
+        (
+            F.lit(0.1) * F.col("rk").cast("double") / F.col("m").cast("double")
+        ).alias("bh_threshold"),
+    )
+    kby = t2.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p_cheb") <= F.col("by_threshold"), F.col("rk"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k_by"),
+        F.coalesce(
+            F.max(F.when(F.col("p_cheb") <= F.col("bh_threshold"), F.col("rk"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k_bh"),
+    )
+    return t2.crossJoin(F.broadcast(kby)).select(
+        "event_type", "dow", "p_cheb", "rk", "c_m", "by_threshold",
+        F.when(F.col("rk") <= F.col("k_by"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected_by"),
+        F.when(F.col("rk") <= F.col("k_bh"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected_bh"),
+        F.when(F.col("k_by") <= F.col("k_bh"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("by_subset_bh"),
+    )

@@ -437,6 +437,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("registry.py", "ops_incident_mttr"): "ranks/lag over the bounded calendar day grain and per-incident table",
     ("registry.py", "a_mcnemar_test"): "day-rank over the bounded calendar dimension (≤ |days| rows)",
     ("registry.py", "a_bh_step_up"): "p-value rank over the bounded |types|·7 cell frame",
+    ("registry.py", "a_benjamini_yekutieli"): "p-value rank over the bounded |types|·7 cell frame",
     ("registry.py", "w_runs_up_down"): "move index over the bounded calendar day grain (≤ |days| rows)",
 }
 

@@ -634,3 +634,109 @@ def test_eccentricity_matches_python_bfs(spark):
         assert (r.n_reached, r.ecc) == (len(dist), ecc)
         assert r.converged == 1
     assert all(r.diameter == diam for r in rows.values())
+
+
+def test_zigzag_bruteforce(spark):
+    rows = {r.event_type: r for r in QUERIES["w_zigzag_pivots"](spark, SF).collect()}
+    for t, b in _bars_py().items():
+        ys = [p for _, _, p, _, _ in b]
+        th = max((max(ys) - min(ys)) // 5, 1)
+        d, ext, sw = 0, ys[0], 0
+        for y in ys[1:]:
+            if d == 0:
+                if abs(y - ext) >= th:
+                    d = 1 if y > ext else -1
+                    ext = y
+            elif d == 1:
+                if y > ext:
+                    ext = y
+                elif ext - y >= th:
+                    d, ext, sw = -1, y, sw + 1
+            else:
+                if y < ext:
+                    ext = y
+                elif y - ext >= th:
+                    d, ext, sw = 1, y, sw + 1
+        r = rows[t]
+        assert (r.threshold_cents, r.final_dir, r.final_extreme, r.n_swings) == (
+            th, d, ext, sw,
+        )
+
+
+def _lcs(a, b):
+    m = len(b)
+    prev = [0] * (m + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+def test_lcs_and_fog_bruteforce(spark):
+    import duckdb
+    import re
+    from collections import defaultdict
+
+    docs = duckdb.connect().execute(
+        f"SELECT source, doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(list)
+    fog_in = defaultdict(lambda: [0, 0, 0])  # words, complex, sentences
+    for s, i, t in docs:
+        per[s].append((i, re.sub(r"[^ -~]", "", t)[:32]))
+        toks = [x.lower() for x in t.strip().split()]
+        fog_in[s][0] += len(toks)
+        fog_in[s][1] += sum(
+            1 for x in toks if len(re.findall(r"[aeiouy]+", x)) >= 3
+        )
+        fog_in[s][2] += max(len(re.findall(r"[.!?]+", t)), 1)
+    rows = {r.source: r for r in QUERIES["text_lcs_length"](spark, SF).collect()}
+    for s, lst in per.items():
+        if len(lst) < 2 or not min(lst)[1] or not max(lst)[1]:
+            continue
+        a, b = min(lst)[1], max(lst)[1]
+        r = rows[s]
+        want = _lcs(a, b)
+        assert r.lcs == want
+        assert r.indel_dist == len(a) + len(b) - 2 * want
+        assert r.indel_ge_lev == 1
+        assert r.lcs_sim == 2.0 * want / (len(a) + len(b))
+    fog = {r.source: r for r in QUERIES["text_gunning_fog"](spark, SF).collect()}
+    for s, (w, c, sent) in fog_in.items():
+        r = fog[s]
+        assert (r.words, r.complex_words, r.sentences) == (w, c, sent)
+        assert r.fog == 0.4 * (float(w) / float(sent) + 100.0 * float(c) / float(w))
+    # fixed adversarial LCS vectors through the same replay
+    assert _lcs("ABCBDAB", "BDCABA") == 4
+    assert _lcs("", "xyz") == 0
+    assert _lcs("aaaa", "aa") == 2
+
+
+def test_hartley_and_by_bruteforce(spark):
+    from fractions import Fraction
+
+    var = {}
+    for t, b in _bars_py().items():
+        vs = [v for _, v, _, _, _ in b]
+        n, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        var[t] = Fraction(n * s2 - s1 * s1, n * n)
+    t_max = max(var, key=lambda t: (var[t], t))
+    t_min = min(var, key=lambda t: (var[t], t))
+    r = QUERIES["a_hartley_fmax"](spark, SF).collect()[0]
+    assert (r.type_max, r.type_min) == (t_max, t_min)
+    assert r.fmax == float(r.v_max * r.n_min * r.n_min) / float(
+        r.v_min * r.n_max * r.n_max
+    )
+    assert r.fmax >= 1.0
+    rows = QUERIES["a_benjamini_yekutieli"](spark, SF).collect()
+    m = len(rows)
+    c_m = 0.0
+    for i in range(1, m + 1):
+        c_m += 1.0 / i
+    for r in rows:
+        assert r.c_m == c_m
+        assert r.by_subset_bh == 1
+        if r.rejected_by:
+            assert r.rejected_bh  # BY rejections are a subset of BH
