@@ -2219,3 +2219,179 @@ def a_benjamini_yekutieli(spark, sf_dir):
         .cast("long")
         .alias("by_subset_bh"),
     )
+
+
+@register(
+    "s14_orc_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+    FROM lineitem GROUP BY 1
+    """,
+)
+def s14_orc_roundtrip(spark, sf_dir):
+    """S14 — ORC interchange round trip: a typed lineitem slice
+    (int64 keys + pre-floored cent values, no timestamp columns so
+    the codec surface is exactly the columnar encoders) is written
+    with Spark's native ORC writer to a deterministic scratch path,
+    read BACK through the ORC reader, and aggregated; the oracle
+    states the same aggregate over the original parquet, so any
+    lossy encode/decode (dictionary, RLE, stripe boundary) breaks
+    the hash.  The write is snappy-compressed, partition-parallel
+    (no coalesce), and the scratch path is keyed by the sf tier so
+    repeated runs overwrite rather than accumulate.  Extends the
+    source/sink matrix (S1-S13) with the second columnar format."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = str(
+        Path(tempfile.gettempdir()) / "dicomdb_spark_orc" / key
+    )
+    li.write.mode("overwrite").format("orc").option(
+        "compression", "snappy"
+    ).save(path)
+    back = spark.read.format("orc").load(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("l_orderkey").cast("long").alias("sum_keys"),
+    )
+
+
+@register(
+    "a_ljung_box",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+           FROM d),
+    r AS (SELECT a.day, CAST(count(*) AS BIGINT) AS rn
+          FROM d a JOIN d b ON b.day <= a.day GROUP BY a.day),
+    v AS (SELECT r.rn, st.n, CAST(st.n * d.y - st.s AS BIGINT) AS dev
+          FROM d JOIN r ON d.day = r.day, st),
+    acv AS (SELECT max(a.n) AS n,
+                   CAST(SUM(CASE WHEN b.rn = a.rn THEN
+                     floor(CAST(a.dev AS DOUBLE) * CAST(b.dev AS DOUBLE)
+                           / 100000000.0) ELSE 0 END) AS BIGINT) AS a0,
+                   CAST(SUM(CASE WHEN b.rn = a.rn + 1 THEN
+                     floor(CAST(a.dev AS DOUBLE) * CAST(b.dev AS DOUBLE)
+                           / 100000000.0) ELSE 0 END) AS BIGINT) AS a1,
+                   CAST(SUM(CASE WHEN b.rn = a.rn + 2 THEN
+                     floor(CAST(a.dev AS DOUBLE) * CAST(b.dev AS DOUBLE)
+                           / 100000000.0) ELSE 0 END) AS BIGINT) AS a2,
+                   CAST(SUM(CASE WHEN b.rn = a.rn + 3 THEN
+                     floor(CAST(a.dev AS DOUBLE) * CAST(b.dev AS DOUBLE)
+                           / 100000000.0) ELSE 0 END) AS BIGINT) AS a3,
+                   CAST(SUM(CASE WHEN b.rn = a.rn + 4 THEN
+                     floor(CAST(a.dev AS DOUBLE) * CAST(b.dev AS DOUBLE)
+                           / 100000000.0) ELSE 0 END) AS BIGINT) AS a4,
+                   CAST(SUM(CASE WHEN b.rn = a.rn + 5 THEN
+                     floor(CAST(a.dev AS DOUBLE) * CAST(b.dev AS DOUBLE)
+                           / 100000000.0) ELSE 0 END) AS BIGINT) AS a5
+            FROM v a JOIN v b ON b.rn >= a.rn AND b.rn <= a.rn + 5)
+    SELECT n AS n_days, a0, a1, a2, a3, a4, a5,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+             * ((CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                * (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)
+                + (CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  * (CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 2.0)
+                + (CAST(a3 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  * (CAST(a3 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 3.0)
+                + (CAST(a4 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  * (CAST(a4 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 4.0)
+                + (CAST(a5 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  * (CAST(a5 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 5.0)) AS q_lb
+    FROM acv WHERE n > 5 AND a0 > 0
+    """,
+)
+def a_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test (Biometrika 1978) for joint
+    autocorrelation of the daily value totals at lags 1..5:
+    Q = n(n+2) * Sigma rho_k^2/(n-k).  The float trap is the
+    autocovariance: deviations are kept exact as dev_i = n*y_i - S
+    (int64), and each lag product is floor-scaled to int64 BEFORE its
+    sum (floor(dev_a*dev_b/1e8) — the dsum discipline for PRODUCTS,
+    as a_durbin_watson), so the six sums are partial-aggregation-
+    order-invariant; rho ratios and the Q chain are one fixed-order
+    float expression written identically in both engines.  Day ranks
+    come from the bounded |days|^2 self-join, not a global window.
+    int64 bound: dev^2/1e8 <= n^2*y^2/1e8 < 2^63 while daily totals
+    < ~5e8 cents on a 2400-day calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    st = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    a, b = d.alias("ra"), d.alias("rb")
+    r = (
+        a.join(b, F.col("rb.day") <= F.col("ra.day"))
+        .groupBy(F.col("ra.day").alias("day"))
+        .agg(F.count("*").cast("long").alias("rn"))
+    )
+    v = (
+        d.join(r, "day")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "rn", "n",
+            (F.col("n") * F.col("y") - F.col("s")).cast("long").alias("dev"),
+        )
+    )
+    va, vb = v.alias("va"), v.alias("vb")
+    prod = F.floor(
+        F.col("va.dev").cast("double") * F.col("vb.dev").cast("double")
+        / 100000000.0
+    )
+
+    def lag_sum(k):
+        return (
+            F.sum(
+                F.when(F.col("vb.rn") == F.col("va.rn") + k, prod).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"a{k}")
+        )
+
+    acv = va.join(
+        vb,
+        (F.col("vb.rn") >= F.col("va.rn"))
+        & (F.col("vb.rn") <= F.col("va.rn") + 5),
+    ).agg(
+        F.max(F.col("va.n")).cast("long").alias("n"),
+        *[lag_sum(k) for k in range(6)],
+    )
+    nd = F.col("n").cast("double")
+    a0d = F.col("a0").cast("double")
+
+    def term(k):
+        rho = F.col(f"a{k}").cast("double") / a0d
+        return rho * rho / (nd - float(k))
+
+    q = nd * (nd + 2.0) * (
+        term(1) + term(2) + term(3) + term(4) + term(5)
+    )
+    return acv.filter((F.col("n") > 5) & (F.col("a0") > 0)).select(
+        F.col("n").alias("n_days"), "a0", "a1", "a2", "a3", "a4", "a5",
+        q.alias("q_lb"),
+    )

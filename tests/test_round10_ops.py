@@ -740,3 +740,57 @@ def test_hartley_and_by_bruteforce(spark):
         assert r.by_subset_bh == 1
         if r.rejected_by:
             assert r.rejected_bh  # BY rejections are a subset of BH
+
+
+def test_orc_roundtrip_lossless(spark):
+    """The ORC write/read must reproduce the parquet-derived aggregate
+    exactly (lossless columnar interchange)."""
+    import duckdb
+
+    want = {
+        r[0]: (int(r[1]), int(r[2]), int(r[3]))
+        for r in duckdb.connect().execute(
+            "SELECT l_returnflag, count(*),"
+            " SUM(CAST(floor(l_extendedprice*100) AS BIGINT)), SUM(l_orderkey)"
+            f" FROM '{SF}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    got = {
+        r.l_returnflag: (r.n_rows, r.sum_cents, r.sum_keys)
+        for r in QUERIES["s14_orc_roundtrip"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_ljung_box_bruteforce(spark):
+    import duckdb
+    import math
+
+    ys = [
+        int(r[0])
+        for r in duckdb.connect().execute(
+            "SELECT SUM(CAST(floor(value*100) AS BIGINT)) FROM "
+            f"'{SF}/events.parquet' GROUP BY CAST(ts AS DATE) "
+            "ORDER BY CAST(ts AS DATE)"
+        ).fetchall()
+    ]
+    n, s = len(ys), sum(ys)
+    dev = [n * y - s for y in ys]
+    acv = [
+        sum(
+            math.floor(float(dev[i]) * float(dev[i + k]) / 1e8)
+            for i in range(n - k)
+        )
+        for k in range(6)
+    ]
+    r = QUERIES["a_ljung_box"](spark, SF).collect()[0]
+    assert r.n_days == n
+    assert [r.a0, r.a1, r.a2, r.a3, r.a4, r.a5] == acv
+    q = float(n) * (float(n) + 2.0) * (
+        (acv[1] / acv[0]) * (acv[1] / acv[0]) / (float(n) - 1.0)
+        + (acv[2] / acv[0]) * (acv[2] / acv[0]) / (float(n) - 2.0)
+        + (acv[3] / acv[0]) * (acv[3] / acv[0]) / (float(n) - 3.0)
+        + (acv[4] / acv[0]) * (acv[4] / acv[0]) / (float(n) - 4.0)
+        + (acv[5] / acv[0]) * (acv[5] / acv[0]) / (float(n) - 5.0)
+    )
+    assert r.q_lb == q and r.q_lb >= 0.0
