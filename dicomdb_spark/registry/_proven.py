@@ -265,7 +265,28 @@ DRIVER_PROVEN: tuple[str, ...] = (
 # verdict), the 3 ADVICE-driven rewrites demoted above, and any new
 # round-10 registrations.  No explicit priority list needed: all are
 # absent from DRIVER_PROVEN and lead ordered_queries() already.
-UNPROVEN_PRIORITY: tuple[str, ...] = ()
+# Round-10 window curation: the 36 r9-wave backlog entries precede the
+# q09 chunk in registration order, so they fill window slots 1-36
+# automatically; these 14 round-10 flagships take the remaining slots
+# (36 + 14 = the 50-entry driver window).  The 11 simpler round-10
+# registrations (jain/fano/cmo/vortex/uo/qn/chao1/page/cli/fog/fmax)
+# stay behind as selfcheck-proven wave-2 backlog for the r11 window.
+UNPROVEN_PRIORITY: tuple[str, ...] = (
+    "multimodal_decode_real",
+    "a_hoeffding_d",
+    "sketch_kll_quantiles",
+    "sketch_misra_gries",
+    "dedup_osa_distance",
+    "text_lcs_length",
+    "multimodal_audio_meta",
+    "graph_eccentricity",
+    "w_renko_bricks",
+    "w_zigzag_pivots",
+    "a_benjamini_yekutieli",
+    "a_ljung_box",
+    "s14_orc_roundtrip",
+    "a_cucconi_test",
+)
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
