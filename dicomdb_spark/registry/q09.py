@@ -13,6 +13,7 @@ from dicomdb_spark.operators import windows as ow
 from dicomdb_spark.registry.q01 import _SQL_TOKS
 from dicomdb_spark.llm import dedup as ldedup
 from dicomdb_spark.registry.q03 import _sql_hex_int
+from dicomdb_spark.registry.q04 import _SQL_NORMSQ
 from dicomdb_spark.registry.q05 import _SQL_BARS
 from dicomdb_spark.session import local_fanout  # noqa: F401
 
@@ -2394,4 +2395,281 @@ def a_ljung_box(spark, sf_dir):
     return acv.filter((F.col("n") > 5) & (F.col("a0") > 0)).select(
         F.col("n").alias("n_days"), "a0", "a1", "a2", "a3", "a4", "a5",
         q.alias("q_lb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch F: rank concordance (Kendall W), variance outlier share
+# (Cochran C), paradox-resistant agreement (Gwet AC1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_kendall_w",
+    f"""
+    WITH {_SQL_BARS},
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n FROM bars),
+    full_days AS (SELECT day FROM bars, kk GROUP BY day, kk.n
+                  HAVING count(*) = max(kk.n)),
+    rows_kept AS (SELECT b.event_type, b.day, b.vol
+                  FROM bars b JOIN full_days fd ON b.day = fd.day),
+    r AS (SELECT event_type, day, vol,
+                 CAST(2 * rank() OVER (PARTITION BY day ORDER BY vol)
+                      + count(*) OVER (PARTITION BY day, vol) - 1 AS BIGINT)
+                   AS r2
+          FROM rows_kept),
+    tie AS (SELECT day, CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+            FROM (SELECT day, vol, CAST(count(*) AS BIGINT) AS t
+                  FROM rows_kept GROUP BY 1, 2) g
+            GROUP BY 1),
+    rj AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+                  CAST(count(*) AS BIGINT) AS m
+           FROM r GROUP BY 1),
+    s AS (SELECT CAST(max(kk.n) AS BIGINT) AS n, CAST(max(rj.m) AS BIGINT)
+                   AS m,
+                 CAST(SUM((rj.r2_sum - max_m.m * (kk.n + 1))
+                          * (rj.r2_sum - max_m.m * (kk.n + 1))) AS BIGINT)
+                   AS s4
+          FROM rj, kk, (SELECT CAST(max(m) AS BIGINT) AS m FROM rj) max_m),
+    tsum AS (SELECT CAST(SUM(tt) AS BIGINT) AS t_total FROM tie)
+    SELECT s.n AS n_objects, s.m AS n_blocks, s.s4, tsum.t_total,
+           3.0 * CAST(s.s4 AS DOUBLE)
+             / CAST(s.m * s.m * (s.n * s.n * s.n - s.n)
+                    - s.m * tsum.t_total AS DOUBLE) AS w
+    FROM s, tsum WHERE s.n > 1
+    """,
+)
+def a_kendall_w(spark, sf_dir):
+    """Kendall's coefficient of concordance W with the exact tie
+    correction (Kendall & Babington Smith '39): m raters = complete
+    calendar days, n objects = event types, each day ranking types by
+    volume.  Midranks ride the integer 2R encoding, so the squared
+    deviation sum S4 = Sigma_j (R2_j - m(n+1))^2 and the per-day tie
+    term Sigma(t^3 - t) are exact int64, and W = 3*S4 / (m^2(n^3-n) -
+    m*SigmaT) is ONE division.  Only complete blocks enter (Page-test
+    discipline); W = 1 means every day ranks the types identically,
+    0 means no agreement.  Friedman's chi^2 = m(n-1)W ties it to
+    a_friedman_test."""
+    b = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("vol"))
+    kk = b.agg(F.countDistinct("event_type").cast("long").alias("n"))
+    full_days = (
+        b.crossJoin(F.broadcast(kk))
+        .groupBy("day", "n")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") == F.col("n"))
+        .select("day")
+    )
+    rows_kept = b.join(F.broadcast(full_days), "day")
+    wr = Window.partitionBy("day").orderBy("vol")
+    wt = Window.partitionBy("day", "vol")
+    r = rows_kept.select(
+        "event_type",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    tie = (
+        rows_kept.groupBy("day", "vol")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    rj = r.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count("*").cast("long").alias("m"),
+    )
+    mm = rj.agg(F.max("m").cast("long").alias("m_max"))
+    s = (
+        rj.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(mm))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("m_max").cast("long").alias("m"),
+            F.sum(
+                (F.col("r2_sum") - F.col("m_max") * (F.col("n") + 1))
+                * (F.col("r2_sum") - F.col("m_max") * (F.col("n") + 1))
+            )
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    tsum = tie.agg(F.sum("tt").cast("long").alias("t_total"))
+    out = s.crossJoin(F.broadcast(tsum))
+    n, m, s4, tt = (
+        F.col("n"), F.col("m"), F.col("s4"), F.col("t_total"),
+    )
+    return out.filter(n > 1).select(
+        n.alias("n_objects"), m.alias("n_blocks"), s4.alias("s4"),
+        tt.alias("t_total"),
+        (
+            3.0 * s4.cast("double")
+            / (m * m * (n * n * n - n) - m * tt).cast("double")
+        ).alias("w"),
+    )
+
+
+@register(
+    "a_cochran_c",
+    f"""
+    WITH {_SQL_BARS},
+    g AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(count(*) * SUM(vol * vol) - SUM(vol) * SUM(vol)
+                      AS BIGINT) AS v
+          FROM bars GROUP BY 1),
+    s2 AS (SELECT event_type, n_g, v,
+                  CAST(v AS DOUBLE) / (CAST(n_g AS DOUBLE)
+                                       * CAST(n_g AS DOUBLE)) AS s2d
+           FROM g),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   max(s2d) AS s2_max,
+                   list_reduce([CAST(0.0 AS DOUBLE)]
+                               || list(s2d ORDER BY event_type),
+                               (x, y) -> x + y) AS s2_sum
+            FROM s2)
+    SELECT k, s2_max, s2_sum, s2_max / s2_sum AS c
+    FROM agg WHERE s2_sum > 0.0
+    """,
+)
+def a_cochran_c(spark, sf_dir):
+    """Cochran's C variance-outlier test across event types (daily
+    volumes): C = max(s_g^2) / Sigma s_g^2 — does ONE group own an
+    outsized share of the variance?  Each group's s^2 is exactly one
+    division from the integer v_g = n_g*S2 - S1^2 (Hartley Fmax's
+    encoding, unequal sizes handled exactly); max over doubles is
+    order-safe, and the SUM — the usual nondeterminism trap — is an
+    ORDERED left fold in event_type order on both engines
+    (F.aggregate over the sorted collected array vs list_reduce over
+    list(... ORDER BY)), the a_benjamini_yekutieli discipline.
+    Complements a_hartley_fmax (max/min) with the max/total share."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    g = (
+        _bars(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            (
+                F.count("*") * F.sum(F.col("vol") * F.col("vol"))
+                - F.sum("vol") * F.sum("vol")
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    s2 = g.select(
+        "event_type",
+        (
+            F.col("v").cast("double")
+            / (F.col("n_g").cast("double") * F.col("n_g").cast("double"))
+        ).alias("s2d"),
+    )
+    agg = s2.agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("s2d").alias("s2_max"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "s2d"))),
+                lambda e: e["s2d"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s2_sum"),
+    )
+    return agg.filter(F.col("s2_sum") > 0.0).select(
+        "k", "s2_max", "s2_sum",
+        (F.col("s2_max") / F.col("s2_sum")).alias("c"),
+    )
+
+
+@register(
+    "a_gwet_ac1",
+    f"""
+    WITH e AS (SELECT {_SQL_NORMSQ} AS s,
+                      CAST(CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0
+                                THEN 1 ELSE 0 END AS BIGINT) AS rb
+               FROM embeddings),
+    st AS (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e),
+    p AS (SELECT CAST(CASE WHEN e.s * st.n > st.tot THEN 1 ELSE 0 END
+                      AS BIGINT) AS ra,
+                 rb
+          FROM e CROSS JOIN st),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree,
+                 CAST(SUM(ra) AS BIGINT) AS a1,
+                 CAST(SUM(rb) AS BIGINT) AS b1
+          FROM p),
+    x AS (SELECT n, agree, a1, b1,
+                 (a1 + b1) * (2 * n - a1 - b1) AS pe2n2
+          FROM t)
+    SELECT n, agree, a1 AS n_pos_a, b1 AS n_pos_b,
+           CAST(a1 + b1 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pi_hat,
+           CAST(2 * n * agree - pe2n2 AS DOUBLE)
+             / CAST(2 * n * n - pe2n2 AS DOUBLE) AS ac1
+    FROM x
+    """,
+)
+def a_gwet_ac1(spark, sf_dir):
+    """Gwet's AC1 chance-corrected agreement (BJMSP 2008) between the
+    SAME two deterministic embedding raters as ml_cohens_kappa — the
+    statistic built to dodge the kappa paradox (kappa collapsing under
+    skewed prevalence).  Binary AC1 chance agreement is 2*pi(1-pi)
+    with pi the mean of the two raters' positive rates, so scaling by
+    2n^2 keeps everything int64: AC1 = (2n*agree - (a1+b1)(2n-a1-b1))
+    / (2n^2 - (a1+b1)(2n-a1-b1)) — ONE division, same discipline as
+    the kappa it pairs with (compare the two outputs on skewed
+    labelers to see the paradox directly)."""
+    from dicomdb_spark.registry.q04 import _normsq_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        _normsq_col().alias("s"),
+        F.when(F.element_at(F.col("embedding"), 1).cast("double") > 0.0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rb"),
+    )
+    st = e.agg(
+        F.sum("s").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    p = e.crossJoin(F.broadcast(st)).select(
+        F.when(F.col("s") * F.col("n") > F.col("tot"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ra"),
+        "rb",
+    )
+    t = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("ra").cast("long").alias("a1"),
+        F.sum("rb").cast("long").alias("b1"),
+    )
+    pe2n2 = (F.col("a1") + F.col("b1")) * (
+        2 * F.col("n") - F.col("a1") - F.col("b1")
+    )
+    return t.select(
+        "n", "agree",
+        F.col("a1").alias("n_pos_a"),
+        F.col("b1").alias("n_pos_b"),
+        (
+            (F.col("a1") + F.col("b1")).cast("double")
+            / (2 * F.col("n")).cast("double")
+        ).alias("pi_hat"),
+        (
+            (2 * F.col("n") * F.col("agree") - pe2n2).cast("double")
+            / (2 * F.col("n") * F.col("n") - pe2n2).cast("double")
+        ).alias("ac1"),
     )

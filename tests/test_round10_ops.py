@@ -794,3 +794,62 @@ def test_ljung_box_bruteforce(spark):
         + (acv[5] / acv[0]) * (acv[5] / acv[0]) / (float(n) - 5.0)
     )
     assert r.q_lb == q and r.q_lb >= 0.0
+
+
+def test_kendall_w_and_cochran_c_bruteforce(spark):
+    from fractions import Fraction
+
+    bars = _bars_py()
+    types = sorted(bars)
+    n = len(types)
+    per_day = {}
+    for t, b in bars.items():
+        for day, v, _, _, _ in b:
+            per_day.setdefault(day, {})[t] = v
+    blocks = {d: mm for d, mm in per_day.items() if len(mm) == n}
+    m = len(blocks)
+    r2_sum = dict.fromkeys(types, 0)
+    t_total = 0
+    for d, mm in blocks.items():
+        vols = sorted(mm.values())
+        from collections import Counter
+
+        for t in types:
+            v = mm[t]
+            p = sum(1 for x in vols if x < v)
+            ties = sum(1 for x in vols if x == v)
+            r2_sum[t] += 2 * (p + 1) + ties - 1
+        t_total += sum(c**3 - c for c in Counter(vols).values())
+    s4 = sum((r2_sum[t] - m * (n + 1)) ** 2 for t in types)
+    r = QUERIES["a_kendall_w"](spark, SF).collect()[0]
+    assert (r.n_objects, r.n_blocks, r.s4, r.t_total) == (n, m, s4, t_total)
+    assert r.w == 3.0 * float(s4) / float(m * m * (n**3 - n) - m * t_total)
+    assert 0.0 <= r.w <= 1.0
+    # Cochran's C from the same bars
+    s2 = {}
+    for t, b in bars.items():
+        vs = [v for _, v, _, _, _ in b]
+        ng, s1, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        s2[t] = float(ng * ss - s1 * s1) / (float(ng) * float(ng))
+    acc = 0.0
+    for t in sorted(s2):
+        acc += s2[t]
+    rc = QUERIES["a_cochran_c"](spark, SF).collect()[0]
+    assert rc.k == len(s2)
+    assert rc.s2_max == max(s2.values()) and rc.s2_sum == acc
+    assert rc.c == max(s2.values()) / acc
+    assert Fraction(1, len(s2)) <= Fraction(rc.c).limit_denominator(10**9)
+
+
+def test_gwet_ac1_consistent_with_kappa_raters(spark):
+    """AC1 must use the exact same rater pair as ml_cohens_kappa
+    (identical n/agree/margins) and satisfy the binary AC1 identity."""
+    k = QUERIES["ml_cohens_kappa"](spark, SF).collect()[0]
+    g = QUERIES["a_gwet_ac1"](spark, SF).collect()[0]
+    assert (g.n, g.agree, g.n_pos_a, g.n_pos_b) == (
+        k.n, k.agree, k.n_pos_a, k.n_pos_b,
+    )
+    n, a1, b1 = g.n, g.n_pos_a, g.n_pos_b
+    pe2n2 = (a1 + b1) * (2 * n - a1 - b1)
+    assert g.ac1 == float(2 * n * g.agree - pe2n2) / float(2 * n * n - pe2n2)
+    assert g.pi_hat == float(a1 + b1) / float(2 * n)
