@@ -2673,3 +2673,414 @@ def a_gwet_ac1(spark, sf_dir):
             / (2 * F.col("n") * F.col("n") - pe2n2).cast("double")
         ).alias("ac1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch G: reliability (Cronbach alpha, ICC), paired marginal
+# homogeneity (Stuart-Maxwell), corpus keyness (chi-square).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cronbach_alpha",
+    f"""
+    WITH {_SQL_BARS},
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM bars),
+    full_days AS (SELECT day FROM bars, kk GROUP BY day, kk.k
+                  HAVING count(*) = max(kk.k)),
+    rk AS (SELECT b.event_type, b.day, b.vol
+           FROM bars b JOIN full_days fd ON b.day = fd.day),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM full_days),
+    item AS (SELECT event_type,
+                    CAST(SUM(vol) AS BIGINT) AS s1,
+                    CAST(SUM(vol * vol) AS BIGINT) AS s2
+             FROM rk GROUP BY 1),
+    iv AS (SELECT CAST(SUM(m.m * item.s2 - item.s1 * item.s1) AS BIGINT)
+                    AS sum_vi
+           FROM item, m),
+    tot AS (SELECT day, CAST(SUM(vol) AS BIGINT) AS t FROM rk GROUP BY 1),
+    tv AS (SELECT CAST(max(m.m) * SUM(t * t) - SUM(t) * SUM(t) AS BIGINT)
+                    AS v_t
+           FROM tot, m)
+    SELECT kk.k, m.m AS n_blocks, iv.sum_vi, tv.v_t,
+           (CAST(kk.k AS DOUBLE) / (CAST(kk.k AS DOUBLE) - 1.0))
+             * (CAST(tv.v_t - iv.sum_vi AS DOUBLE) / CAST(tv.v_t AS DOUBLE))
+             AS alpha
+    FROM kk, m, iv, tv WHERE kk.k > 1 AND tv.v_t > 0
+    """,
+)
+def a_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha internal-consistency reliability (Psychometrika
+    1951) treating the k event types as test ITEMS and complete
+    calendar days as subjects: alpha = k/(k-1) * (1 - Sigma v_i / V_t).
+    Both variance blocks ride the m-scaled integer encoding
+    (v = m*S2 - S1^2, the shared m^2 denominator cancels in the
+    ratio), so the statistic is ONE exact division times the fixed
+    k/(k-1) factor.  Only complete blocks enter (the Page/Kendall-W
+    discipline); int64 bound documented in-range for the calendar-
+    capped grain.  Do the k daily-volume series measure one latent
+    'activity' factor?  alpha answers it."""
+    b = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("vol"))
+    kk = b.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    full_days = (
+        b.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") == F.col("k"))
+        .select("day")
+    )
+    rk = b.join(F.broadcast(full_days), "day")
+    m = full_days.agg(F.count("*").cast("long").alias("m"))
+    item = rk.groupBy("event_type").agg(
+        F.sum("vol").cast("long").alias("s1"),
+        F.sum(F.col("vol") * F.col("vol")).cast("long").alias("s2"),
+    )
+    iv = item.crossJoin(F.broadcast(m)).agg(
+        F.sum(F.col("m") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("sum_vi")
+    )
+    tot = rk.groupBy("day").agg(F.sum("vol").cast("long").alias("t"))
+    tv = tot.crossJoin(F.broadcast(m)).agg(
+        (
+            F.max("m") * F.sum(F.col("t") * F.col("t"))
+            - F.sum("t") * F.sum("t")
+        )
+        .cast("long")
+        .alias("v_t")
+    )
+    out = (
+        kk.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(iv))
+        .crossJoin(F.broadcast(tv))
+    )
+    k, vt, vi = F.col("k"), F.col("v_t"), F.col("sum_vi")
+    return out.filter((k > 1) & (vt > 0)).select(
+        "k", F.col("m").alias("n_blocks"), "sum_vi", "v_t",
+        (
+            (k.cast("double") / (k.cast("double") - 1.0))
+            * ((vt - vi).cast("double") / vt.cast("double"))
+        ).alias("alpha"),
+    )
+
+
+@register(
+    "a_stuart_maxwell",
+    """
+    WITH h AS (SELECT user_id,
+                      CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 15
+                           THEN 0 ELSE 1 END AS half,
+                      CAST(floor(value * 100) AS BIGINT) AS c
+               FROM events),
+    u AS (SELECT user_id,
+                 CAST(SUM(CASE WHEN half = 0 THEN c ELSE 0 END) % 3
+                      AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN half = 1 THEN c ELSE 0 END) % 3
+                      AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM h GROUP BY 1),
+    p AS (SELECT ((c1 % 3) + 3) % 3 AS c1, ((c2 % 3) + 3) % 3 AS c2
+          FROM u WHERE n0 > 0 AND n1 > 0),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+                 CAST(SUM(CASE WHEN c1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                 CAST(SUM(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+                 CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                 CAST(SUM(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n00,
+                 CAST(SUM(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n10
+          FROM p),
+    x AS (SELECT n, r0 - k0 AS d0, r1 - k1 AS d1,
+                 r0 + k0 - 2 * n00 AS v00,
+                 r1 + k1 - 2 * n11 AS v11,
+                 -(n01 + n10) AS v01
+          FROM t)
+    SELECT n AS n_pairs, d0, d1, v00, v11, v01,
+           CAST(v11 * d0 * d0 - 2 * v01 * d0 * d1 + v00 * d1 * d1 AS DOUBLE)
+             / CAST(v00 * v11 - v01 * v01 AS DOUBLE) AS chi2_sm
+    FROM x WHERE v00 * v11 - v01 * v01 > 0
+    """,
+)
+def a_stuart_maxwell(spark, sf_dir):
+    """Stuart-Maxwell marginal-homogeneity test (Biometrika '55/'70)
+    for a 3-category PAIRED design — McNemar's k>2 generalization:
+    each user's deterministic category (half-month value total mod 3)
+    before vs after mid-month, chi^2 = d' V^{-1} d over the first two
+    categories with the 2x2 inverse expanded in closed form:
+    (V11 d0^2 - 2 V01 d0 d1 + V00 d1^2)/(V00 V11 - V01^2) — every
+    entry an exact int64 count (V00 = r0+k0-2n00, V01 = -(n01+n10)),
+    ONE division total.  Users present in only one half drop on both
+    engines; a singular V (no off-diagonal movement) returns empty
+    rather than dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        F.when(F.dayofmonth(F.col("ts").cast("date")) <= 15, 0)
+        .otherwise(1)
+        .alias("half"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    u = h.groupBy("user_id").agg(
+        (F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)) % 3)
+        .cast("long")
+        .alias("c1r"),
+        (F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)) % 3)
+        .cast("long")
+        .alias("c2r"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    p = u.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        (((F.col("c1r") % 3) + 3) % 3).alias("c1"),
+        (((F.col("c2r") % 3) + 3) % 3).alias("c2"),
+    )
+
+    def cnt(cond, name):
+        return F.sum(cond.cast("long")).cast("long").alias(name)
+
+    t = p.agg(
+        F.count("*").cast("long").alias("n"),
+        cnt(F.col("c1") == 0, "r0"), cnt(F.col("c1") == 1, "r1"),
+        cnt(F.col("c2") == 0, "k0"), cnt(F.col("c2") == 1, "k1"),
+        cnt((F.col("c1") == 0) & (F.col("c2") == 0), "n00"),
+        cnt((F.col("c1") == 1) & (F.col("c2") == 1), "n11"),
+        cnt((F.col("c1") == 0) & (F.col("c2") == 1), "n01"),
+        cnt((F.col("c1") == 1) & (F.col("c2") == 0), "n10"),
+    )
+    d0 = F.col("r0") - F.col("k0")
+    d1 = F.col("r1") - F.col("k1")
+    v00 = F.col("r0") + F.col("k0") - 2 * F.col("n00")
+    v11 = F.col("r1") + F.col("k1") - 2 * F.col("n11")
+    v01 = -(F.col("n01") + F.col("n10"))
+    det = v00 * v11 - v01 * v01
+    x = t.select(
+        F.col("n").alias("n_pairs"),
+        d0.cast("long").alias("d0"), d1.cast("long").alias("d1"),
+        v00.cast("long").alias("v00"), v11.cast("long").alias("v11"),
+        v01.cast("long").alias("v01"),
+        det.cast("long").alias("det"),
+    )
+    return x.filter(F.col("det") > 0).select(
+        "n_pairs", "d0", "d1", "v00", "v11", "v01",
+        (
+            (
+                F.col("v11") * F.col("d0") * F.col("d0")
+                - 2 * F.col("v01") * F.col("d0") * F.col("d1")
+                + F.col("v00") * F.col("d1") * F.col("d1")
+            ).cast("double")
+            / F.col("det").cast("double")
+        ).alias("chi2_sm"),
+    )
+
+
+@register(
+    "a_icc_oneway",
+    f"""
+    WITH {_SQL_BARS},
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM bars),
+    full_days AS (SELECT day FROM bars, kk GROUP BY day, kk.k
+                  HAVING count(*) = max(kk.k)),
+    rk AS (SELECT b.day, b.vol FROM bars b
+           JOIN full_days fd ON b.day = fd.day),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                   CAST(SUM(vol) AS BIGINT) AS g,
+                   CAST(SUM(vol * vol) AS BIGINT) AS c
+            FROM rk),
+    td AS (SELECT day, CAST(SUM(vol) AS BIGINT) AS t FROM rk GROUP BY 1),
+    ta AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(SUM(t * t) AS BIGINT) AS a
+           FROM td)
+    SELECT kk.k, ta.m AS n_blocks, agg.nn AS n_obs,
+           CAST((agg.nn - ta.m) * (agg.nn * ta.a - kk.k * agg.g * agg.g)
+                - (ta.m - 1) * (kk.k * agg.nn * agg.c - agg.nn * ta.a)
+                AS DOUBLE)
+             / CAST((agg.nn - ta.m) * (agg.nn * ta.a - kk.k * agg.g * agg.g)
+                    + (kk.k - 1) * (ta.m - 1)
+                      * (kk.k * agg.nn * agg.c - agg.nn * ta.a) AS DOUBLE)
+             AS icc1
+    FROM kk, ta, agg
+    WHERE kk.k > 1 AND ta.m > 1
+          AND (agg.nn - ta.m) * (agg.nn * ta.a - kk.k * agg.g * agg.g)
+              + (kk.k - 1) * (ta.m - 1)
+                * (kk.k * agg.nn * agg.c - agg.nn * ta.a) <> 0
+    """,
+)
+def a_icc_oneway(spark, sf_dir):
+    """One-way intraclass correlation ICC(1) (Shrout & Fleiss '79)
+    with calendar days as classes and the k per-type daily volumes as
+    ratings: ICC = (MSB - MSW)/(MSB + (k-1)MSW).  Clearing the
+    k*N*(m-1)*(N-m) denominators turns both mean squares into the
+    exact integers N*A - k*G^2 (between, A = Sigma day-total^2) and
+    k*N*C - N*A (within), so the whole coefficient is ONE division of
+    two int64 expressions — no SSB/SSW floats at all.  Complete
+    blocks only (equal group size k is what makes the closed form
+    exact).  int64 bound: k*N*C < 2^63 while per-cell volumes stay
+    < ~2e6 on the calendar-capped grain (documented)."""
+    b = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("vol"))
+    kk = b.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    full_days = (
+        b.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") == F.col("k"))
+        .select("day")
+    )
+    rk = b.join(F.broadcast(full_days), "day").select("day", "vol")
+    agg = rk.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("vol").cast("long").alias("g"),
+        F.sum(F.col("vol") * F.col("vol")).cast("long").alias("c"),
+    )
+    td = rk.groupBy("day").agg(F.sum("vol").cast("long").alias("t"))
+    ta = td.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("a"),
+    )
+    out = kk.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(agg))
+    k, m, nn, g, c, a = (
+        F.col("k"), F.col("m"), F.col("nn"), F.col("g"), F.col("c"),
+        F.col("a"),
+    )
+    between = (nn - m) * (nn * a - k * g * g)
+    within = (m - 1) * (k * nn * c - nn * a)
+    den = between + (k - 1) * within
+    return out.filter((k > 1) & (m > 1) & (den != 0)).select(
+        "k", m.alias("n_blocks"), nn.alias("n_obs"),
+        ((between - within).cast("double") / den.cast("double")).alias(
+            "icc1"
+        ),
+    )
+
+
+@register(
+    "text_chi2_keyness",
+    f"""
+    WITH ds AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+                FROM documents GROUP BY 1),
+    two AS (SELECT source,
+                   row_number() OVER (ORDER BY nd DESC, source) AS pos
+            FROM ds),
+    s1 AS (SELECT source FROM two WHERE pos = 1),
+    s2 AS (SELECT source FROM two WHERE pos = 2),
+    tk AS (SELECT d.source, unnest({_SQL_TOKS}) AS term
+           FROM documents d
+           WHERE d.source IN (SELECT source FROM s1)
+              OR d.source IN (SELECT source FROM s2)),
+    tc AS (SELECT term,
+                  CAST(SUM(CASE WHEN source IN (SELECT source FROM s1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN source IN (SELECT source FROM s2)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS b
+           FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+            FROM tc),
+    x AS (SELECT tc.term, tc.a, tc.b,
+                 (CAST(tc.a + tc.b + (tot.n1 - tc.a) + (tot.n2 - tc.b)
+                       AS DOUBLE)
+                  * (CAST(tc.a AS DOUBLE) * CAST(tot.n2 - tc.b AS DOUBLE)
+                     - CAST(tc.b AS DOUBLE) * CAST(tot.n1 - tc.a AS DOUBLE))
+                  * (CAST(tc.a AS DOUBLE) * CAST(tot.n2 - tc.b AS DOUBLE)
+                     - CAST(tc.b AS DOUBLE) * CAST(tot.n1 - tc.a AS DOUBLE)))
+                 / (CAST(tc.a + tc.b AS DOUBLE)
+                    * CAST((tot.n1 - tc.a) + (tot.n2 - tc.b) AS DOUBLE)
+                    * CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))
+                   AS chi2
+          FROM tc, tot
+          WHERE tc.a + tc.b > 0 AND (tot.n1 - tc.a) + (tot.n2 - tc.b) > 0)
+    SELECT term, a AS count_a, b AS count_b, chi2
+    FROM x ORDER BY chi2 DESC, term LIMIT 20
+    """,
+)
+def text_chi2_keyness(spark, sf_dir):
+    """Chi-square keyness (Dunning-style keyword extraction, the
+    log-likelihood-free variant) between the corpus's two LARGEST
+    sources: per shared-vocabulary term the 2x2 chi^2 =
+    N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)), computed as one fixed-order
+    float chain from exact int64 term counts (the raw products
+    overflow int64 at corpus scale, so both engines do the identical
+    double arithmetic instead).  Top-20 by (chi2 DESC, term) — the
+    orderBy().limit() pattern, fully tiebroken so the cut is
+    deterministic.  The standard what-words-distinguish-these-sources
+    probe for corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.groupBy("source").agg(F.count("*").cast("long").alias("nd"))
+    two = ds.orderBy(F.col("nd").desc(), "source").limit(2).select(
+        "source", "nd"
+    )
+    tk = (
+        docs.join(F.broadcast(two.select("source")), "source")
+        .select(
+            "source",
+            F.explode(
+                F.transform(text.tokens("text"), lambda t: F.lower(t))
+            ).alias("term"),
+        )
+    )
+    first = two.orderBy(F.col("nd").desc(), "source").limit(1).select(
+        F.col("source").alias("src1")
+    )
+    tc = (
+        tk.crossJoin(F.broadcast(first))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("src1"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("source") != F.col("src1"), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    tot = tc.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+    )
+    x = tc.crossJoin(F.broadcast(tot))
+    ad = F.col("a").cast("double") * (F.col("n2") - F.col("b")).cast("double")
+    bc = F.col("b").cast("double") * (F.col("n1") - F.col("a")).cast("double")
+    num = (
+        (
+            F.col("a") + F.col("b") + (F.col("n1") - F.col("a"))
+            + (F.col("n2") - F.col("b"))
+        ).cast("double")
+        * (ad - bc)
+        * (ad - bc)
+    )
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * ((F.col("n1") - F.col("a")) + (F.col("n2") - F.col("b"))).cast(
+            "double"
+        )
+        * F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+    )
+    return (
+        x.filter(
+            (F.col("a") + F.col("b") > 0)
+            & ((F.col("n1") - F.col("a")) + (F.col("n2") - F.col("b")) > 0)
+        )
+        .select(
+            "term",
+            F.col("a").alias("count_a"),
+            F.col("b").alias("count_b"),
+            (num / den).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(20)
+    )

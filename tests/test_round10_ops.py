@@ -853,3 +853,116 @@ def test_gwet_ac1_consistent_with_kappa_raters(spark):
     pe2n2 = (a1 + b1) * (2 * n - a1 - b1)
     assert g.ac1 == float(2 * n * g.agree - pe2n2) / float(2 * n * n - pe2n2)
     assert g.pi_hat == float(a1 + b1) / float(2 * n)
+
+
+def test_cronbach_icc_bruteforce(spark):
+    bars = _bars_py()
+    types = sorted(bars)
+    k = len(types)
+    per_day = {}
+    for t, b in bars.items():
+        for day, v, _, _, _ in b:
+            per_day.setdefault(day, {})[t] = v
+    blocks = {d: mm for d, mm in per_day.items() if len(mm) == k}
+    m = len(blocks)
+    sum_vi = 0
+    for t in types:
+        vs = [blocks[d][t] for d in blocks]
+        sum_vi += m * sum(v * v for v in vs) - sum(vs) ** 2
+    ts = [sum(mm.values()) for mm in blocks.values()]
+    v_t = m * sum(t * t for t in ts) - sum(ts) ** 2
+    r = QUERIES["a_cronbach_alpha"](spark, SF).collect()[0]
+    assert (r.k, r.n_blocks, r.sum_vi, r.v_t) == (k, m, sum_vi, v_t)
+    assert r.alpha == (float(k) / (float(k) - 1.0)) * (
+        float(v_t - sum_vi) / float(v_t)
+    )
+    # ICC(1) replay from the raw ANOVA decomposition (floats) must
+    # agree with the integer-encoded query value to fp tolerance, and
+    # the exported integer identity must hold exactly
+    xs = [v for mm in blocks.values() for v in mm.values()]
+    nn, g, c = len(xs), sum(xs), sum(v * v for v in xs)
+    a = sum(t * t for t in ts)
+    between = (nn - m) * (nn * a - k * g * g)
+    within = (m - 1) * (k * nn * c - nn * a)
+    ri = QUERIES["a_icc_oneway"](spark, SF).collect()[0]
+    assert (ri.k, ri.n_blocks, ri.n_obs) == (k, m, nn)
+    assert ri.icc1 == float(between - within) / float(
+        between + (k - 1) * within
+    )
+    ssb = a / k - g * g / nn
+    ssw = c - a / k
+    msb, msw = ssb / (m - 1), ssw / (nn - m)
+    assert abs(ri.icc1 - (msb - msw) / (msb + (k - 1) * msw)) < 1e-9
+
+
+def test_stuart_maxwell_bruteforce(spark):
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.connect().execute(
+        "SELECT user_id, CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 15"
+        " THEN 0 ELSE 1 END, SUM(CAST(floor(value*100) AS BIGINT)),"
+        f" count(*) FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per = defaultdict(dict)
+    for uid, half, c, n in rows:
+        per[uid][half] = int(c)
+    pairs = [
+        (per[u][0] % 3, per[u][1] % 3) for u in per if 0 in per[u] and 1 in per[u]
+    ]
+    n = len(pairs)
+    r0 = sum(1 for c1, _ in pairs if c1 == 0)
+    r1 = sum(1 for c1, _ in pairs if c1 == 1)
+    k0 = sum(1 for _, c2 in pairs if c2 == 0)
+    k1 = sum(1 for _, c2 in pairs if c2 == 1)
+    n00 = sum(1 for c1, c2 in pairs if (c1, c2) == (0, 0))
+    n11 = sum(1 for c1, c2 in pairs if (c1, c2) == (1, 1))
+    n01 = sum(1 for c1, c2 in pairs if (c1, c2) == (0, 1))
+    n10 = sum(1 for c1, c2 in pairs if (c1, c2) == (1, 0))
+    d0, d1 = r0 - k0, r1 - k1
+    v00, v11, v01 = r0 + k0 - 2 * n00, r1 + k1 - 2 * n11, -(n01 + n10)
+    det = v00 * v11 - v01 * v01
+    out = QUERIES["a_stuart_maxwell"](spark, SF).collect()
+    if det <= 0:
+        assert out == []
+        return
+    r = out[0]
+    assert (r.n_pairs, r.d0, r.d1, r.v00, r.v11, r.v01) == (
+        n, d0, d1, v00, v11, v01,
+    )
+    want = float(v11 * d0 * d0 - 2 * v01 * d0 * d1 + v00 * d1 * d1) / float(det)
+    assert r.chi2_sm == want and r.chi2_sm >= 0.0
+
+
+def test_chi2_keyness_bruteforce(spark):
+    import duckdb
+    from collections import Counter, defaultdict
+
+    docs = duckdb.connect().execute(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(list)
+    for s, t in docs:
+        per[s].append(t)
+    top2 = sorted(per, key=lambda s: (-len(per[s]), s))[:2]
+    ca, cb = Counter(), Counter()
+    for t in per[top2[0]]:
+        ca.update(x.lower() for x in t.strip().split())
+    for t in per[top2[1]]:
+        cb.update(x.lower() for x in t.strip().split())
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    scores = {}
+    for term in set(ca) | set(cb):
+        a, b = ca[term], cb[term]
+        c, d = n1 - a, n2 - b
+        ad_bc = float(a) * float(d) - float(b) * float(c)
+        scores[term] = (
+            float(a + b + c + d) * ad_bc * ad_bc
+            / (float(a + b) * float(c + d) * float(n1) * float(n2))
+        )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["text_chi2_keyness"](spark, SF).collect()
+    assert len(got) == 20
+    for r, (term, chi2) in zip(got, want):
+        assert (r.term, r.count_a, r.count_b) == (term, ca[term], cb[term])
+        assert r.chi2 == chi2
