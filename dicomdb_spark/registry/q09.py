@@ -3084,3 +3084,174 @@ def text_chi2_keyness(spark, sf_dir):
         .orderBy(F.col("chi2").desc(), "term")
         .limit(20)
     )
+
+
+@register(
+    "w_pettitt_test",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    r AS (SELECT a.day,
+                 CAST(count(*) AS BIGINT) AS t,
+                 CAST(2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                      AS BIGINT) AS r2
+          FROM d a JOIN d b ON true
+          GROUP BY a.day),
+    ordr AS (SELECT ra.day,
+                    CAST(count(*) AS BIGINT) AS t,
+                    CAST(SUM(rb.r2) AS BIGINT) AS pre2
+             FROM r ra JOIN r rb ON rb.day <= ra.day
+             GROUP BY ra.day),
+    u AS (SELECT ordr.day, ordr.t,
+                 CAST(ordr.t * (st.n + 1) - ordr.pre2 AS BIGINT) AS u_t
+          FROM ordr, st WHERE ordr.t < st.n),
+    k AS (SELECT CAST(max(abs(u_t)) AS BIGINT) AS k_stat FROM u)
+    SELECT st.n AS n_days, k.k_stat,
+           CAST(min(u.day) AS DATE) AS change_day,
+           CAST(max(CASE WHEN u.day = (SELECT min(u2.day) FROM u u2, k k2
+                                       WHERE abs(u2.u_t) = k2.k_stat)
+                         THEN u.u_t END) AS BIGINT) AS u_at_k
+    FROM u, k, st
+    WHERE abs(u.u_t) = k.k_stat
+    GROUP BY st.n, k.k_stat
+    """,
+)
+def w_pettitt_test(spark, sf_dir):
+    """Pettitt's nonparametric change-point test (Applied Stats '79)
+    on the daily value totals: U_t = Sigma_{i<=t, j>t} sgn(x_j - x_i),
+    K = max|U_t|, change point = the earliest argmax.  The whole
+    statistic is EXACT integers via the midrank identity U_t =
+    t(n+1) - Sigma_{i<=t} 2r_i (2r = 2*below + ties_incl_self + 1
+    absorbs ties, the Hoeffding-D encoding), so no sgn triple sum and
+    no floats anywhere; prefix sums ride the bounded |days|^2
+    self-join.  Complements w_change_point_mean_shift (CUSUM on
+    means) with the rank-based, outlier-robust variant."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    st = d.agg(F.count("*").cast("long").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    r = (
+        a.crossJoin(b)
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            (
+                2 * F.sum((F.col("b.y") < F.col("a.y")).cast("long"))
+                + F.sum((F.col("b.y") == F.col("a.y")).cast("long"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    ra, rb = r.alias("ra"), r.alias("rb")
+    ordr = (
+        ra.join(rb, F.col("rb.day") <= F.col("ra.day"))
+        .groupBy(F.col("ra.day").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("t"),
+            F.sum(F.col("rb.r2")).cast("long").alias("pre2"),
+        )
+    )
+    u = (
+        ordr.crossJoin(F.broadcast(st))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "day", "n",
+            (F.col("t") * (F.col("n") + 1) - F.col("pre2"))
+            .cast("long")
+            .alias("u_t"),
+        )
+    )
+    k = u.agg(F.max(F.abs(F.col("u_t"))).cast("long").alias("k_stat"))
+    hits = u.crossJoin(F.broadcast(k)).filter(
+        F.abs(F.col("u_t")) == F.col("k_stat")
+    )
+    return hits.groupBy("n", "k_stat").agg(
+        F.min("day").alias("change_day"),
+        F.min_by("u_t", "day").cast("long").alias("u_at_k"),
+    ).select(
+        F.col("n").alias("n_days"), "k_stat", "change_day", "u_at_k",
+    )
+
+
+@register(
+    "ml_average_precision",
+    f"""
+    WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+                      {_SQL_NORMSQ} AS s,
+                      vec_id
+               FROM embeddings),
+    r AS (SELECT y,
+                 CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT)
+                   AS rn
+          FROM e),
+    c AS (SELECT rn, y,
+                 CAST(SUM(y) OVER (ORDER BY rn
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS tp
+          FROM r),
+    t AS (SELECT CAST(SUM(CASE WHEN y = 1
+                               THEN (1000000 * tp) // rn ELSE 0 END)
+                      AS BIGINT) AS sum_terms,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM c)
+    SELECT n, n_pos, sum_terms,
+           CAST(sum_terms AS DOUBLE)
+             / (1000000.0 * CAST(n_pos AS DOUBLE)) AS avg_precision
+    FROM t WHERE n_pos > 0
+    """,
+)
+def ml_average_precision(spark, sf_dir):
+    """Average precision (the PR-AUC that step-interpolates at each
+    hit): AP = (1/P) * Sigma_{k: rel} precision@k over the
+    deterministic (score DESC, vec_id) ranking — ml_roc_auc's
+    retrieval-side sibling, the metric of record when positives are
+    rare and ROC flatters.  Each precision@k = tp_k/k is floor-scaled
+    to int64 (1e6 * tp // k) BEFORE the sum — the dsum discipline —
+    so the accumulation is partial-order-invariant and the final AP
+    is one division (the 1e-6 quantization is part of the metric's
+    definition here, stated in the oracle).  Ranks and running TP
+    counts come DISTRIBUTED from the range-bucketed running machinery
+    (no single-partition sort of the embedding dimension)."""
+    from dicomdb_spark.registry.q04 import _normsq_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        _normsq_col().alias("s"),
+        "vec_id",
+    )
+    ranked = ow.bucketed_running(
+        ow.monotone_range_bucket(e, "s", ascending=False),
+        order_cols=[F.col("s").desc(), "vec_id"],
+        rn_col="rn",
+        sum_cols=["y"],
+    )
+    t = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.expr("(1000000 * cum_y) div rn"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_terms"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return t.filter(F.col("n_pos") > 0).select(
+        "n", "n_pos", "sum_terms",
+        (
+            F.col("sum_terms").cast("double")
+            / (1000000.0 * F.col("n_pos").cast("double"))
+        ).alias("avg_precision"),
+    )

@@ -966,3 +966,49 @@ def test_chi2_keyness_bruteforce(spark):
     for r, (term, chi2) in zip(got, want):
         assert (r.term, r.count_a, r.count_b) == (term, ca[term], cb[term])
         assert r.chi2 == chi2
+
+
+def test_pettitt_bruteforce(spark):
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE), SUM(CAST(floor(value*100) AS BIGINT)) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    ys = [int(y) for _, y in rows]
+    n = len(ys)
+    us = []
+    for t in range(1, n):
+        u = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        us.append(u)
+    k = max(abs(u) for u in us)
+    idx = next(i for i, u in enumerate(us) if abs(u) == k)
+    r = QUERIES["w_pettitt_test"](spark, SF).collect()[0]
+    assert (r.n_days, r.k_stat) == (n, k)
+    assert r.change_day == days[idx] and r.u_at_k == us[idx]
+
+
+def test_average_precision_bruteforce(spark):
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT label % 2, "
+        "CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+        "v -> CAST(floor(v * v * 1000000) AS BIGINT))) AS BIGINT), "
+        f"vec_id FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    ranked = sorted(rows, key=lambda r: (-r[1], r[2]))
+    tp, sum_terms, n_pos = 0, 0, sum(int(y) for y, _, _ in ranked)
+    for k, (y, _, _) in enumerate(ranked, 1):
+        tp += int(y)
+        if y == 1:
+            sum_terms += (1000000 * tp) // k
+    r = QUERIES["ml_average_precision"](spark, SF).collect()[0]
+    assert (r.n, r.n_pos, r.sum_terms) == (len(ranked), n_pos, sum_terms)
+    assert r.avg_precision == float(sum_terms) / (1000000.0 * float(n_pos))
+    assert 0.0 < r.avg_precision <= 1.0
