@@ -3255,3 +3255,228 @@ def ml_average_precision(spark, sf_dir):
             / (1000000.0 * F.col("n_pos").cast("double"))
         ).alias("avg_precision"),
     )
+
+
+@register(
+    "a_partial_corr",
+    """
+    WITH d AS (SELECT CAST(count(*) AS BIGINT) AS x,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y,
+                      CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS z
+               FROM events GROUP BY CAST(ts AS DATE)),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(z) AS BIGINT) AS sz,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * z) AS BIGINT) AS sxz,
+                 CAST(SUM(y * z) AS BIGINT) AS syz,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(z * z) AS BIGINT) AS szz
+          FROM d),
+    r AS (SELECT n,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+                 CAST(n * sxz - sx * sz AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+                 CAST(n * syz - sy * sz AS DOUBLE)
+                   / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                      * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+          FROM m
+          WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                AND n * szz - sz * sz > 0)
+    SELECT n AS n_days, rxy, rxz, ryz,
+           (rxy - rxz * ryz)
+             / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz))
+             AS r_xy_given_z
+    FROM r WHERE 1.0 - rxz * rxz > 0.0 AND 1.0 - ryz * ryz > 0.0
+    """,
+)
+def a_partial_corr(spark, sf_dir):
+    """First-order partial correlation r_xy.z between daily event
+    COUNT and daily value TOTAL, controlling for the weekday index —
+    does the count-total association survive removing the shared
+    weekly cycle?  The three Pearson correlations come from exact
+    int64 co-moments (a_corr_matrix's n*Sxy - SxSy encoding) and the
+    recursion r_xy.z = (r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2))
+    is one fixed-order float chain written identically in both
+    engines.  Degenerate zero-variance marginals (or |r| = 1 controls)
+    return empty rather than NaN."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+        (F.dayofweek(F.col("ts").cast("date")).cast("long") + 1)
+        .alias("zz"),
+    ).select(
+        "x", "y", F.col("zz").alias("z")
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    n = F.col("n")
+
+    def pearson(sab, saa, sbb, sa, sb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double") / (
+            F.sqrt((n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double"))
+            * F.sqrt((n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double"))
+        )
+
+    r = m.filter(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (n * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        & (n * F.col("szz") - F.col("sz") * F.col("sz") > 0)
+    ).select(
+        n.alias("n"),
+        pearson("sxy", "sxx", "syy", "sx", "sy").alias("rxy"),
+        pearson("sxz", "sxx", "szz", "sx", "sz").alias("rxz"),
+        pearson("syz", "syy", "szz", "sy", "sz").alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.filter(
+        (1.0 - rxz * rxz > 0.0) & (1.0 - ryz * ryz > 0.0)
+    ).select(
+        F.col("n").alias("n_days"), "rxy", "rxz", "ryz",
+        (
+            (rxy - rxz * ryz)
+            / (F.sqrt(1.0 - rxz * rxz) * F.sqrt(1.0 - ryz * ryz))
+        ).alias("r_xy_given_z"),
+    )
+
+
+@register(
+    "a_quade_test",
+    f"""
+    WITH {_SQL_BARS},
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM bars),
+    full_days AS (SELECT day FROM bars, kk GROUP BY day, kk.k
+                  HAVING count(*) = max(kk.k)),
+    rk AS (SELECT b.event_type, b.day, b.vol
+           FROM bars b JOIN full_days fd ON b.day = fd.day),
+    r AS (SELECT event_type, day,
+                 CAST(2 * rank() OVER (PARTITION BY day ORDER BY vol)
+                      + count(*) OVER (PARTITION BY day, vol) - 1 AS BIGINT)
+                   AS r2
+          FROM rk),
+    rng AS (SELECT day, CAST(max(vol) - min(vol) AS BIGINT) AS sprd
+            FROM rk GROUP BY 1),
+    q AS (SELECT a.day,
+                 CAST(2 * SUM(CASE WHEN b.sprd < a.sprd THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN b.sprd = a.sprd AND b.day <> a.day
+                                 THEN 1 ELSE 0 END) + 2 AS BIGINT) AS q2
+          FROM rng a CROSS JOIN rng b GROUP BY a.day, a.sprd),
+    s AS (SELECT r.event_type, r.day,
+                 CAST(q.q2 * (r.r2 - (kk.k + 1)) AS BIGINT) AS s4
+          FROM r JOIN q ON r.day = q.day, kk),
+    agg AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS b,
+                   CAST(SUM(s4 * s4) AS BIGINT) AS a16
+            FROM s),
+    sj AS (SELECT event_type, CAST(SUM(s4) AS BIGINT) AS sj4 FROM s
+           GROUP BY 1),
+    bb AS (SELECT CAST(SUM(sj4 * sj4) AS BIGINT) AS sum_sj4_sq FROM sj)
+    SELECT agg.b AS n_blocks, kk.k, agg.a16, bb.sum_sj4_sq,
+           CAST((agg.b - 1) * bb.sum_sj4_sq AS DOUBLE)
+             / CAST(agg.b * agg.a16 - bb.sum_sj4_sq AS DOUBLE) AS quade_f
+    FROM agg, kk, bb
+    WHERE agg.b > 1 AND agg.b * agg.a16 - bb.sum_sj4_sq > 0
+    """,
+)
+def a_quade_test(spark, sf_dir):
+    """Quade's weighted rank test (JASA '79) — Friedman's
+    range-weighted upgrade: blocks with a larger spread get more say.
+    Within-block midranks ride the 2R encoding and the block weights
+    Q_i (midranks of the block RANGES across days) ride the
+    Hoeffding-style 2Q encoding, so S4_ij = Q2_i*(R2_ij - (k+1)) is
+    an exact int64 and the statistic collapses to ONE division:
+    F = (b-1)*Sigma S_j^2 / (b*Sigma S_ij^2 - Sigma S_j^2) (the 16x
+    scales cancel).  Complete blocks only, the family discipline
+    (a_friedman_test / a_page_trend_test / a_kendall_w)."""
+    b = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("vol"))
+    kk = b.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    full_days = (
+        b.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") == F.col("k"))
+        .select("day")
+    )
+    rk = b.join(F.broadcast(full_days), "day")
+    wr = Window.partitionBy("day").orderBy("vol")
+    wt = Window.partitionBy("day", "vol")
+    r = rk.select(
+        "event_type", "day",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    rng = rk.groupBy("day").agg(
+        (F.max("vol") - F.min("vol")).cast("long").alias("sprd")
+    )
+    qa, qb = rng.alias("qa"), rng.alias("qb")
+    q = (
+        qa.crossJoin(qb)
+        .groupBy(F.col("qa.day").alias("day"))
+        .agg(
+            (
+                2 * F.sum((F.col("qb.sprd") < F.col("qa.sprd")).cast("long"))
+                + F.sum(
+                    (
+                        (F.col("qb.sprd") == F.col("qa.sprd"))
+                        & (F.col("qb.day") != F.col("qa.day"))
+                    ).cast("long")
+                )
+                + 2
+            )
+            .cast("long")
+            .alias("q2"),
+        )
+    )
+    s = (
+        r.join(q, "day")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "event_type", "day",
+            (F.col("q2") * (F.col("r2") - (F.col("k") + 1)))
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    agg = s.agg(
+        F.countDistinct("day").cast("long").alias("b"),
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a16"),
+    )
+    sj = s.groupBy("event_type").agg(
+        F.sum("s4").cast("long").alias("sj4")
+    )
+    bbq = sj.agg(
+        F.sum(F.col("sj4") * F.col("sj4")).cast("long").alias("sum_sj4_sq")
+    )
+    out = (
+        agg.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(bbq))
+    )
+    bcol, a16, sq = F.col("b"), F.col("a16"), F.col("sum_sj4_sq")
+    return out.filter(
+        (bcol > 1) & (bcol * a16 - sq > 0)
+    ).select(
+        bcol.alias("n_blocks"), "k", "a16", "sum_sj4_sq",
+        (
+            ((bcol - 1) * sq).cast("double")
+            / (bcol * a16 - sq).cast("double")
+        ).alias("quade_f"),
+    )

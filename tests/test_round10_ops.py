@@ -1012,3 +1012,74 @@ def test_average_precision_bruteforce(spark):
     assert (r.n, r.n_pos, r.sum_terms) == (len(ranked), n_pos, sum_terms)
     assert r.avg_precision == float(sum_terms) / (1000000.0 * float(n_pos))
     assert 0.0 < r.avg_precision <= 1.0
+
+
+def test_partial_corr_bruteforce(spark):
+    import duckdb
+    import math
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE) AS day, count(*),"
+        " SUM(CAST(floor(value*100) AS BIGINT)) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    xs = [int(r[1]) for r in rows]
+    ys = [int(r[2]) for r in rows]
+    # Sunday-based dow (Spark's convention, any constant shift of it —
+    # Pearson r is shift-invariant, but a WRAPPED rotation like ISO
+    # weekday is NOT a shift and would change the correlation)
+    zs = [(r[0].weekday() + 1) % 7 for r in rows]
+    n = len(xs)
+
+    def r_of(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(y * y for y in b)
+        return float(n * sab - sa * sb) / (
+            math.sqrt(float(n * saa - sa * sa)) * math.sqrt(float(n * sbb - sb * sb))
+        )
+
+    rxy, rxz, ryz = r_of(xs, ys), r_of(xs, zs), r_of(ys, zs)
+    r = QUERIES["a_partial_corr"](spark, SF).collect()[0]
+    assert r.n_days == n
+    assert abs(r.rxy - rxy) < 1e-12 and abs(r.rxz - rxz) < 1e-12
+    want = (rxy - rxz * ryz) / (
+        math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz)
+    )
+    assert abs(r.r_xy_given_z - want) < 1e-12
+    assert -1.0 <= r.r_xy_given_z <= 1.0
+
+
+def test_quade_bruteforce(spark):
+    bars = _bars_py()
+    types = sorted(bars)
+    k = len(types)
+    per_day = {}
+    for t, b in bars.items():
+        for day, v, _, _, _ in b:
+            per_day.setdefault(day, {})[t] = v
+    blocks = {d: mm for d, mm in per_day.items() if len(mm) == k}
+    b_n = len(blocks)
+    spreads = {d: max(mm.values()) - min(mm.values()) for d, mm in blocks.items()}
+    svals = list(spreads.values())
+    s4 = {}
+    for d, mm in blocks.items():
+        sp = spreads[d]
+        q2 = (
+            2 * sum(1 for x in svals if x < sp)
+            + sum(1 for x in svals if x == sp) - 1 + 2
+        )
+        vols = sorted(mm.values())
+        for t in types:
+            v = mm[t]
+            p = sum(1 for x in vols if x < v)
+            ties = sum(1 for x in vols if x == v)
+            r2 = 2 * (p + 1) + ties - 1
+            s4[(d, t)] = q2 * (r2 - (k + 1))
+    a16 = sum(v * v for v in s4.values())
+    sj = {t: sum(v for (d, tt), v in s4.items() if tt == t) for t in types}
+    sum_sj_sq = sum(v * v for v in sj.values())
+    r = QUERIES["a_quade_test"](spark, SF).collect()[0]
+    assert (r.n_blocks, r.k, r.a16, r.sum_sj4_sq) == (b_n, k, a16, sum_sj_sq)
+    assert r.quade_f == float((b_n - 1) * sum_sj_sq) / float(b_n * a16 - sum_sj_sq)
