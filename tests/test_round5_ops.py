@@ -287,12 +287,10 @@ def test_ema_halflife_crafted(spark):
              F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
     import dicomdb_spark.registry as R
 
-    orig = R.load_table
-    try:
-        R.load_table = lambda spark_, sf_, name: df
+    from tests.conftest import patched_load_table
+
+    with patched_load_table(lambda spark_, sf_, name: df):
         out = {r.event_id: r.ema for r in R.QUERIES["w_ema_halflife"](spark, SF).collect()}
-    finally:
-        R.load_table = orig
     assert out[1] == 10.0 and out[2] == 10.0
     assert out[5] == 0.0
     assert out[6] == 15.0 * 8 / 15  # 8·15/(8+4+2+1)
@@ -356,13 +354,11 @@ def test_attribution_window_semantics(spark):
              F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value")
     import dicomdb_spark.registry as R
 
-    orig = R.load_table
-    try:
-        R.load_table = lambda s_, sf_, n_: df
+    from tests.conftest import patched_load_table
+
+    with patched_load_table(lambda s_, sf_, n_: df):
         out = {r.purchase_id: (r.n_touches, r.credit_per_touch)
                for r in R.QUERIES["w_attribution_linear"](spark, SF).collect()}
-    finally:
-        R.load_table = orig
     assert out == {3: (2, 15.0)}  # purchase 5 has no touches → absent
 
 
@@ -385,13 +381,11 @@ def test_rolling_range_frame_includes_same_day(spark):
              "o_totalprice")
     import dicomdb_spark.registry as R
 
-    orig = R.load_table
-    try:
-        R.load_table = lambda s_, sf_, n_: df
+    from tests.conftest import patched_load_table
+
+    with patched_load_table(lambda s_, sf_, n_: df):
         out = {r.o_orderkey: r.rolling_rev
                for r in R.QUERIES["w_rolling_range_sum"](spark, SF).collect()}
-    finally:
-        R.load_table = orig
     assert out[101] == 30.0 and out[102] == 30.0   # same-day mutual
     assert out[103] == 31.0                         # days 1..7
     assert out[104] == 6.0                          # days 2..8: 1+5
@@ -425,12 +419,10 @@ def test_mad_median_low_semantics(spark):
     df = spark.createDataFrame(rows, "event_type STRING, event_id INT, value DOUBLE")
     import dicomdb_spark.registry as R
 
-    orig = R.load_table
-    try:
-        R.load_table = lambda s_, sf_, n_: df
+    from tests.conftest import patched_load_table
+
+    with patched_load_table(lambda s_, sf_, n_: df):
         r = R.QUERIES["a_mad_outliers"](spark, SF).collect()[0]
-    finally:
-        R.load_table = orig
     assert r.median_low == 2.0          # lower middle of {1,2,3,100}
     # deviations {1,0,1,98} → sorted {0,1,1,98} → median-low = 1
     assert r.mad_low == 1.0

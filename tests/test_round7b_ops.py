@@ -9,6 +9,7 @@ import math
 from pyspark.sql import functions as F
 
 from dicomdb_spark.registry import QUERIES
+from tests.conftest import patched_load_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -44,7 +45,7 @@ def test_aroon_crafted_monotone_series(spark):
         rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
         "value DOUBLE, props STRING"
     )
-    import dicomdb_spark.registry as R
+    import dicomdb_spark.registry as R  # noqa: F401
 
     bars = df.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -57,7 +58,9 @@ def test_aroon_crafted_monotone_series(spark):
     # replay the registered builder's window logic on the crafted bars
     import unittest.mock as mock
 
-    with mock.patch.object(R, "_bars", lambda s, d: bars):
+    from tests.conftest import patched_registry_attr
+
+    with patched_registry_attr("_bars", lambda s, d: bars):
         out = QUERIES["w_aroon"](spark, "ignored").collect()
     assert len(out) == 7  # 20 bars -> windows 14..20
     for r in out:
@@ -135,7 +138,7 @@ def test_ols_recovers_planted_coefficients(spark):
         "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
     )
     tables = {"customer": cust, "orders": orders}
-    with mock.patch.object(R, "load_table", lambda s, d, name: tables[name]):
+    with patched_load_table(lambda s, d, name: tables[name]):
         row = QUERIES["a_ols_two_feature"](spark, "ignored").collect()[0]
     assert math.isclose(row.beta0, 3.0, abs_tol=1e-6)
     assert math.isclose(row.beta1, 2.0, abs_tol=1e-6)
@@ -272,7 +275,7 @@ def test_theil_sen_crafted_linear(spark):
         "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
         "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
     )
-    with mock.patch.object(R, "load_table", lambda s, d, name: orders):
+    with patched_load_table(lambda s, d, name: orders):
         out = QUERIES["a_theil_sen_daily"](spark, "ignored").collect()
     assert len(out) == 1
     assert math.isclose(out[0].ts_slope_per_day, 7.0, abs_tol=1e-9)

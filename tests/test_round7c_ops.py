@@ -9,6 +9,7 @@ import math
 from pyspark.sql import functions as F
 
 from dicomdb_spark.registry import QUERIES
+from tests.conftest import patched_load_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -73,13 +74,13 @@ def test_readability_crafted_syllables(spark):
     """'the cat sat. on a mat!' -> 6 words, 2 sentences, 6 vowel groups."""
     import unittest.mock as mock
 
-    import dicomdb_spark.registry as R
+    import dicomdb_spark.registry as R  # noqa: F401
 
     docs = spark.createDataFrame(
         [(1, "the cat sat. on a mat!", "en", "s", 22)],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
     )
-    with mock.patch.object(R, "load_table", lambda s, d, name: docs):
+    with patched_load_table(lambda s, d, name: docs):
         row = QUERIES["text_readability_fk"](spark, "ignored").collect()[0]
     assert row.n_words == 6 and row.n_sentences == 2 and row.n_syllables == 6
     expect = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
@@ -95,7 +96,7 @@ def test_numeric_density_crafted(spark):
         [(1, "a1b 22 c333 x", "en", "s", 13)],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
     )
-    with mock.patch.object(R, "load_table", lambda s, d, name: docs):
+    with patched_load_table(lambda s, d, name: docs):
         row = QUERIES["text_numeric_density"](spark, "ignored").collect()[0]
     assert row.digit_chars == 6 and row.digit_groups == 3
     assert row.n_tokens == 4 and row.numeric_tokens == 3
