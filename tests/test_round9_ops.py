@@ -348,7 +348,13 @@ def test_variance_ratio_matches_bruteforce(spark):
         sum(blocks) / len(blocks)
     ) ** 2
     assert r.n_diffs == len(dy) and r.n_blocks == len(blocks)
-    assert math.isclose(r.vr_5, var5 / (5 * var1), rel_tol=1e-9)
+    # The round-10 ADVICE rewrite floor-scales each dy^2 / s5^2 term
+    # to int64 (1e4 quantum) before summing, so the unquantized float
+    # replay here agrees only up to the quantization envelope
+    # n*1e4 / Sigma(dy^2); the BITWISE check against the quantized
+    # definition lives in tests/test_round10_ops.py.
+    q_rel = (len(dy) * 1e4) / sum(float(x) * float(x) for x in dy)
+    assert math.isclose(r.vr_5, var5 / (5 * var1), rel_tol=4 * q_rel)
 
 
 def test_tukey_fences_matches_bruteforce(spark):
