@@ -3480,3 +3480,231 @@ def a_quade_test(spark, sf_dir):
             / (bcol * a16 - sq).cast("double")
         ).alias("quade_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch I: Gini mean difference, robust location trio,
+# forecast MASE + tracking signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_gini_mean_difference",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+           FROM d),
+    pr AS (SELECT CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS sum_abs
+           FROM d a JOIN d b ON a.day < b.day)
+    SELECT st.n AS n_days, pr.sum_abs, st.s AS sum_y,
+           2.0 * CAST(pr.sum_abs AS DOUBLE)
+             / (CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) - 1.0)) / 100.0
+             AS gmd,
+           CAST(pr.sum_abs AS DOUBLE)
+             / ((CAST(st.n AS DOUBLE) - 1.0) * CAST(st.s AS DOUBLE))
+             AS gini_coeff
+    FROM st, pr WHERE st.n > 1 AND st.s > 0
+    """,
+)
+def a_gini_mean_difference(spark, sf_dir):
+    """Gini mean difference of the daily value totals — the
+    L-moment-family scale measure E|X−X'| that stays finite under
+    heavy tails where the variance explodes — plus the Gini
+    concentration coefficient it induces (GMD / (2*mean) =
+    Sigma|dx| / ((n-1)*Sigma x)).  The pairwise |diff| total is ONE
+    exact int64 over the bounded day-pair grid (the a_qn_scale grain);
+    both outputs are single fixed-order float chains.  Complements
+    a_gini_skew (per-group inequality) with the exact pairwise-kernel
+    formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    st = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pr = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(F.abs(F.col("a.y") - F.col("b.y"))).cast("long").alias("sum_abs")
+    )
+    out = st.crossJoin(F.broadcast(pr))
+    n, s, sa = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("sum_abs").cast("double"),
+    )
+    return out.filter((F.col("n") > 1) & (F.col("s") > 0)).select(
+        F.col("n").alias("n_days"), "sum_abs", F.col("s").alias("sum_y"),
+        (2.0 * sa / (n * (n - 1.0)) / 100.0).alias("gmd"),
+        (sa / ((n - 1.0) * s)).alias("gini_coeff"),
+    )
+
+
+@register(
+    "a_robust_location",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(min(y) AS BIGINT) AS lo, CAST(max(y) AS BIGINT) AS hi
+           FROM d),
+    r AS (SELECT a.day, a.y, CAST(count(*) AS BIGINT) AS rn
+          FROM d a JOIN d b ON b.y < a.y OR (b.y = a.y AND b.day <= a.day)
+          GROUP BY a.day, a.y),
+    q AS (SELECT
+            max(CASE WHEN rn = (SELECT (n + 3) // 4 FROM st) THEN y END)
+              AS q1,
+            max(CASE WHEN rn = (SELECT (n + 1) // 2 FROM st) THEN y END)
+              AS q2,
+            max(CASE WHEN rn = (SELECT (3 * n + 1) // 4 FROM st) THEN y END)
+              AS q3
+          FROM r)
+    SELECT st.n AS n_days, st.lo, st.hi,
+           CAST(q.q1 AS BIGINT) AS q1_cents,
+           CAST(q.q2 AS BIGINT) AS q2_cents,
+           CAST(q.q3 AS BIGINT) AS q3_cents,
+           CAST(st.lo + st.hi AS DOUBLE) / 2.0 / 100.0 AS midrange,
+           CAST(q.q1 + q.q3 AS DOUBLE) / 2.0 / 100.0 AS midhinge,
+           CAST(q.q1 + 2 * q.q2 + q.q3 AS DOUBLE) / 4.0 / 100.0 AS trimean
+    FROM st, q WHERE st.n >= 4
+    """,
+)
+def a_robust_location(spark, sf_dir):
+    """Tukey's robust-location trio over the daily totals: midrange
+    (max+min)/2, midhinge (Q1+Q3)/2, and the trimean
+    (Q1 + 2*median + Q3)/4 — three estimators ordered by breakdown
+    point, in one row.  Quartiles are EXACT type-1 order statistics
+    at ranks ceil(n/4)/ceil(n/2)/ceil(3n/4), selected via the
+    tie-broken rank self-join over the bounded day grain (no sort
+    materializes); halves and quarters of int64 cents are exact in
+    doubles, so every output is bit-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    st = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("y").cast("long").alias("lo"),
+        F.max("y").cast("long").alias("hi"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    r = (
+        a.join(
+            b,
+            (F.col("b.y") < F.col("a.y"))
+            | ((F.col("b.y") == F.col("a.y")) & (F.col("b.day") <= F.col("a.day"))),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.y").alias("y"))
+        .agg(F.count("*").cast("long").alias("rn"))
+    )
+    q = (
+        r.crossJoin(F.broadcast(st))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("y"))
+            ).alias("q1"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("y"))
+            ).alias("q2"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(3 * n + 1) div 4"), F.col("y"))
+            ).alias("q3"),
+        )
+    )
+    out = st.crossJoin(F.broadcast(q))
+    return out.filter(F.col("n") >= 4).select(
+        F.col("n").alias("n_days"), "lo", "hi",
+        F.col("q1").cast("long").alias("q1_cents"),
+        F.col("q2").cast("long").alias("q2_cents"),
+        F.col("q3").cast("long").alias("q3_cents"),
+        ((F.col("lo") + F.col("hi")).cast("double") / 2.0 / 100.0).alias(
+            "midrange"
+        ),
+        ((F.col("q1") + F.col("q3")).cast("double") / 2.0 / 100.0).alias(
+            "midhinge"
+        ),
+        (
+            (F.col("q1") + 2 * F.col("q2") + F.col("q3")).cast("double")
+            / 4.0
+            / 100.0
+        ).alias("trimean"),
+    )
+
+
+@register(
+    "a_forecast_mase",
+    f"""
+    WITH {_SQL_BARS},
+    l AS (SELECT event_type, day, p,
+                 lag(p) OVER w AS p1, lag(p, 7) OVER w AS p7
+          FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    s AS (SELECT event_type,
+                 CAST(SUM(CASE WHEN p1 IS NOT NULL AND p7 IS NOT NULL
+                               THEN abs(p - p1) ELSE 0 END) AS BIGINT)
+                   AS mae1_sum,
+                 CAST(SUM(CASE WHEN p1 IS NOT NULL AND p7 IS NOT NULL
+                               THEN abs(p - p7) ELSE 0 END) AS BIGINT)
+                   AS mae7_sum,
+                 CAST(SUM(CASE WHEN p1 IS NOT NULL AND p7 IS NOT NULL
+                               THEN p - p1 ELSE 0 END) AS BIGINT) AS err_sum,
+                 CAST(SUM(CASE WHEN p1 IS NOT NULL AND p7 IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
+          FROM l GROUP BY 1)
+    SELECT event_type, n_scored, mae1_sum, mae7_sum, err_sum,
+           CAST(mae1_sum AS DOUBLE) / CAST(mae7_sum AS DOUBLE) AS mase,
+           CAST(n_scored * err_sum AS DOUBLE) / CAST(mae1_sum AS DOUBLE)
+             AS tracking_signal
+    FROM s WHERE mae7_sum > 0 AND mae1_sum > 0
+    """,
+)
+def a_forecast_mase(spark, sf_dir):
+    """Mean absolute SCALED error (Hyndman & Koehler 2006) of the
+    naive lag-1 forecast against the seasonal-naive lag-7 in-sample
+    benchmark, per type — the scale-free forecast metric that, unlike
+    MAPE (w_seasonal_naive_mape), survives zero-valued days — plus
+    the tracking signal Sigma e / MAD that flags persistent bias.
+    Both errors score the SAME day set (both lags defined, the
+    w_theil_u2 discipline), all four sums are exact int64 cents, and
+    each output is one division (MASE = Sigma|e1|/Sigma|e7| since the
+    shared n cancels; TS = n*Sigma e/Sigma|e1|)."""
+    from dicomdb_spark.registry.q05 import _bars
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = _bars(spark, sf_dir).select(
+        "event_type", "day", "p",
+        F.lag("p").over(w).alias("p1"),
+        F.lag("p", 7).over(w).alias("p7"),
+    )
+    both = F.col("p1").isNotNull() & F.col("p7").isNotNull()
+    s = l.groupBy("event_type").agg(
+        F.sum(F.when(both, F.abs(F.col("p") - F.col("p1"))).otherwise(0))
+        .cast("long")
+        .alias("mae1_sum"),
+        F.sum(F.when(both, F.abs(F.col("p") - F.col("p7"))).otherwise(0))
+        .cast("long")
+        .alias("mae7_sum"),
+        F.sum(F.when(both, F.col("p") - F.col("p1")).otherwise(0))
+        .cast("long")
+        .alias("err_sum"),
+        F.sum(both.cast("long")).cast("long").alias("n_scored"),
+    )
+    return s.filter((F.col("mae7_sum") > 0) & (F.col("mae1_sum") > 0)).select(
+        "event_type", "n_scored", "mae1_sum", "mae7_sum", "err_sum",
+        (
+            F.col("mae1_sum").cast("double") / F.col("mae7_sum").cast("double")
+        ).alias("mase"),
+        (
+            (F.col("n_scored") * F.col("err_sum")).cast("double")
+            / F.col("mae1_sum").cast("double")
+        ).alias("tracking_signal"),
+    )

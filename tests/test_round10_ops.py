@@ -1083,3 +1083,48 @@ def test_quade_bruteforce(spark):
     r = QUERIES["a_quade_test"](spark, SF).collect()[0]
     assert (r.n_blocks, r.k, r.a16, r.sum_sj4_sq) == (b_n, k, a16, sum_sj_sq)
     assert r.quade_f == float((b_n - 1) * sum_sj_sq) / float(b_n * a16 - sum_sj_sq)
+
+
+def test_gmd_robust_location_mase_bruteforce(spark):
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE), SUM(CAST(floor(value*100) AS BIGINT)) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [int(y) for _, y in rows]
+    n = len(ys)
+    sum_abs = sum(abs(a - b) for i, a in enumerate(ys) for b in ys[i + 1:])
+    g = QUERIES["a_gini_mean_difference"](spark, SF).collect()[0]
+    assert (g.n_days, g.sum_abs, g.sum_y) == (n, sum_abs, sum(ys))
+    assert g.gmd == 2.0 * float(sum_abs) / (float(n) * (float(n) - 1.0)) / 100.0
+    assert g.gini_coeff == float(sum_abs) / ((float(n) - 1.0) * float(sum(ys)))
+    sy = sorted(ys)
+    q1 = sy[(n + 3) // 4 - 1]
+    q2 = sy[(n + 1) // 2 - 1]
+    q3 = sy[(3 * n + 1) // 4 - 1]
+    r = QUERIES["a_robust_location"](spark, SF).collect()[0]
+    assert (r.q1_cents, r.q2_cents, r.q3_cents) == (q1, q2, q3)
+    assert r.midrange == (sy[0] + sy[-1]) / 2.0 / 100.0
+    assert r.midhinge == (q1 + q3) / 2.0 / 100.0
+    assert r.trimean == (q1 + 2 * q2 + q3) / 4.0 / 100.0
+    # MASE/tracking signal per type
+    mase = {x.event_type: x for x in QUERIES["a_forecast_mase"](spark, SF).collect()}
+    for t, b in _bars_py().items():
+        ps = [p for _, _, p, _, _ in b]
+        scored = [
+            (ps[i] - ps[i - 1], ps[i] - ps[i - 7])
+            for i in range(7, len(ps))
+        ]
+        if not scored:
+            continue
+        m1 = sum(abs(e1) for e1, _ in scored)
+        m7 = sum(abs(e7) for _, e7 in scored)
+        es = sum(e1 for e1, _ in scored)
+        if m1 > 0 and m7 > 0:
+            x = mase[t]
+            assert (x.n_scored, x.mae1_sum, x.mae7_sum, x.err_sum) == (
+                len(scored), m1, m7, es,
+            )
+            assert x.mase == float(m1) / float(m7)
+            assert x.tracking_signal == float(len(scored) * es) / float(m1)
