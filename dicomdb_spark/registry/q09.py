@@ -3708,3 +3708,176 @@ def a_forecast_mase(spark, sf_dir):
             / F.col("mae1_sum").cast("double")
         ).alias("tracking_signal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch J: Bartels rank von-Neumann randomness, two-sample
+# Hodges-Lehmann shift, 3-round generalized ESD outlier peel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_bartels_rank_test",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    r AS (SELECT a.day,
+                 CAST(2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                      AS BIGINT) AS r2
+          FROM d a JOIN d b ON true GROUP BY a.day),
+    t AS (SELECT ra.day, ra.r2, CAST(count(*) AS BIGINT) AS pos
+          FROM r ra JOIN r rb ON rb.day <= ra.day GROUP BY ra.day, ra.r2),
+    num AS (SELECT CAST(SUM((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT)
+                     AS nm4
+            FROM t a JOIN t b ON b.pos = a.pos + 1),
+    den AS (SELECT CAST(SUM((t.r2 - (st.n + 1)) * (t.r2 - (st.n + 1)))
+                        AS BIGINT) AS dn4
+            FROM t, st)
+    SELECT st.n AS n_days, num.nm4, den.dn4,
+           CAST(num.nm4 AS DOUBLE) / CAST(den.dn4 AS DOUBLE) AS rvn,
+           (CAST(num.nm4 AS DOUBLE) / CAST(den.dn4 AS DOUBLE) - 2.0)
+             / sqrt(4.0 / CAST(st.n AS DOUBLE)) AS z
+    FROM st, num, den WHERE den.dn4 > 0 AND st.n > 2
+    """,
+)
+def a_bartels_rank_test(spark, sf_dir):
+    """Bartels' rank version of the von Neumann ratio (JASA '82) —
+    the rank-robust randomness-against-trend test: RVN =
+    Sigma(r_i - r_(i+1))^2 / Sigma(r_i - (n+1)/2)^2, ~2 under
+    randomness, small under trend.  Midranks ride the 2R encoding
+    (2*rbar = n+1 exactly), so numerator and denominator are exact
+    int64 with a SHARED 4x scale that cancels — one division, plus
+    the standard z = (RVN-2)/sqrt(4/n) chain.  Day adjacency comes
+    from the position self-join (the Pettitt machinery), never a
+    global window.  Complements w_runs_up_down (signs) with the
+    magnitude-aware rank form."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    st = d.agg(F.count("*").cast("long").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    r = (
+        a.crossJoin(b)
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            (
+                2 * F.sum((F.col("b.y") < F.col("a.y")).cast("long"))
+                + F.sum((F.col("b.y") == F.col("a.y")).cast("long"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    ra, rb = r.alias("ra"), r.alias("rb")
+    t = (
+        ra.join(rb, F.col("rb.day") <= F.col("ra.day"))
+        .groupBy(F.col("ra.day").alias("day"), F.col("ra.r2").alias("r2"))
+        .agg(F.count("*").cast("long").alias("pos"))
+    )
+    ta, tb = t.alias("ta"), t.alias("tb")
+    num = ta.join(tb, F.col("tb.pos") == F.col("ta.pos") + 1).agg(
+        F.sum(
+            (F.col("ta.r2") - F.col("tb.r2"))
+            * (F.col("ta.r2") - F.col("tb.r2"))
+        )
+        .cast("long")
+        .alias("nm4")
+    )
+    den = t.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("r2") - (F.col("n") + 1))
+            * (F.col("r2") - (F.col("n") + 1))
+        )
+        .cast("long")
+        .alias("dn4")
+    )
+    out = st.crossJoin(F.broadcast(num)).crossJoin(F.broadcast(den))
+    rvn = F.col("nm4").cast("double") / F.col("dn4").cast("double")
+    return out.filter((F.col("dn4") > 0) & (F.col("n") > 2)).select(
+        F.col("n").alias("n_days"), "nm4", "dn4",
+        rvn.alias("rvn"),
+        ((rvn - 2.0) / F.sqrt(4.0 / F.col("n").cast("double"))).alias("z"),
+    )
+
+
+@register(
+    "a_hl_shift",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 15
+                           THEN 0 ELSE 1 END AS half,
+                      CAST(floor(value * 100) AS BIGINT) AS c
+               FROM events),
+    g AS (SELECT day, max(half) AS half, CAST(SUM(c) AS BIGINT) AS y
+          FROM d GROUP BY day),
+    pr AS (SELECT b.y - a.y AS dd
+           FROM g a JOIN g b ON a.half = 0 AND b.half = 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pr),
+    dv AS (SELECT DISTINCT dd FROM pr),
+    rk AS (SELECT v.dd, CAST(count(*) AS BIGINT) AS cnt_le
+           FROM dv v JOIN pr p ON p.dd <= v.dd GROUP BY v.dd),
+    lo AS (SELECT CAST(min(rk.dd) AS BIGINT) AS v_lo
+           FROM rk, st WHERE rk.cnt_le >= (st.np + 1) // 2),
+    hi AS (SELECT CAST(min(rk.dd) AS BIGINT) AS v_hi
+           FROM rk, st WHERE rk.cnt_le >= st.np // 2 + 1)
+    SELECT st.np AS n_pairs, lo.v_lo AS hl_lo_cents, hi.v_hi AS hl_hi_cents,
+           CAST(lo.v_lo + hi.v_hi AS DOUBLE) / 2.0 / 100.0 AS hl_shift
+    FROM st, lo, hi WHERE st.np > 0
+    """,
+)
+def a_hl_shift(spark, sf_dir):
+    """Two-sample Hodges-Lehmann shift estimator between the first
+    and second half-month daily totals: the MEDIAN of all pairwise
+    differences y_after - y_before — the location shift the
+    Mann-Whitney test implies, robust where the difference of means
+    is not.  The pairwise grid is bounded (<=15x16 days per month
+    window, calendar-capped), both middle order statistics are
+    selected exactly via the distinct-value <= count (a_qn_scale's
+    machinery, no sort), and the final estimate is their exact
+    half-sum — the only float.  Complements a_hodges_lehmann
+    (one-sample pseudomedian)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max(
+            F.when(F.dayofmonth(F.col("ts").cast("date")) <= 15, 0).otherwise(1)
+        ).alias("half"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pr = a.join(
+        b, (F.col("a.half") == 0) & (F.col("b.half") == 1)
+    ).select((F.col("b.y") - F.col("a.y")).alias("dd"))
+    st = pr.agg(F.count("*").cast("long").alias("np"))
+    dv = pr.select("dd").distinct()
+    rk = (
+        dv.alias("v")
+        .join(pr.alias("p"), F.col("p.dd") <= F.col("v.dd"))
+        .groupBy(F.col("v.dd").alias("dd"))
+        .agg(F.count("*").cast("long").alias("cnt_le"))
+    )
+    rs = rk.crossJoin(F.broadcast(st))
+    lo = rs.filter(
+        F.col("cnt_le") >= F.expr("(np + 1) div 2")
+    ).agg(F.min("dd").cast("long").alias("v_lo"))
+    hi = rs.filter(
+        F.col("cnt_le") >= F.expr("np div 2 + 1")
+    ).agg(F.min("dd").cast("long").alias("v_hi"))
+    out = st.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    return out.filter(F.col("np") > 0).select(
+        F.col("np").alias("n_pairs"),
+        F.col("v_lo").alias("hl_lo_cents"),
+        F.col("v_hi").alias("hl_hi_cents"),
+        (
+            (F.col("v_lo") + F.col("v_hi")).cast("double") / 2.0 / 100.0
+        ).alias("hl_shift"),
+    )

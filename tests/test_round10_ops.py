@@ -1128,3 +1128,36 @@ def test_gmd_robust_location_mase_bruteforce(spark):
             )
             assert x.mase == float(m1) / float(m7)
             assert x.tracking_signal == float(len(scored) * es) / float(m1)
+
+
+def test_bartels_and_hl_shift_bruteforce(spark):
+    import duckdb
+    import math
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE), SUM(CAST(floor(value*100) AS BIGINT)) FROM "
+        f"'{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    ys = [int(y) for _, y in rows]
+    n = len(ys)
+    r2 = [
+        2 * sum(1 for x in ys if x < y) + sum(1 for x in ys if x == y) - 1 + 2
+        for y in ys
+    ]
+    nm4 = sum((a - b) ** 2 for a, b in zip(r2, r2[1:]))
+    dn4 = sum((x - (n + 1)) ** 2 for x in r2)
+    r = QUERIES["a_bartels_rank_test"](spark, SF).collect()[0]
+    assert (r.n_days, r.nm4, r.dn4) == (n, nm4, dn4)
+    assert r.rvn == float(nm4) / float(dn4)
+    assert r.z == (float(nm4) / float(dn4) - 2.0) / math.sqrt(4.0 / float(n))
+    # HL shift: median of pairwise after - before
+    before = [y for d, y in zip(days, ys) if d.day <= 15]
+    after = [y for d, y in zip(days, ys) if d.day > 15]
+    diffs = sorted(b - a for a in before for b in after)
+    np_ = len(diffs)
+    lo = diffs[(np_ + 1) // 2 - 1]
+    hi = diffs[np_ // 2]
+    h = QUERIES["a_hl_shift"](spark, SF).collect()[0]
+    assert (h.n_pairs, h.hl_lo_cents, h.hl_hi_cents) == (np_, lo, hi)
+    assert h.hl_shift == (lo + hi) / 2.0 / 100.0
