@@ -10,7 +10,11 @@ from dicomdb_spark.io import load_table
 from dicomdb_spark.registry._core import register
 from dicomdb_spark.functions import text
 from dicomdb_spark.operators import windows as ow
-from dicomdb_spark.registry.q01 import _SQL_TOKS
+from dicomdb_spark.registry.q01 import (
+    _SQL_TOKS,
+    _docs_with_dupes,
+    _minhash_pairs_cte,
+)
 from dicomdb_spark.llm import dedup as ldedup
 from dicomdb_spark.registry.q03 import _sql_hex_int
 from dicomdb_spark.registry.q04 import _SQL_NORMSQ
@@ -3880,4 +3884,174 @@ def a_hl_shift(spark, sf_dir):
         (
             (F.col("v_lo") + F.col("v_hi")).cast("double") / 2.0 / 100.0
         ).alias("hl_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch K: degree-distribution Gini, diagnostic-ratio panel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_gini",
+    f"""
+    {_minhash_pairs_cte()},
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM e GROUP BY 1),
+    dv AS (SELECT dg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+    st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                  CAST(SUM(dg * cnt) AS BIGINT) AS s
+           FROM dv),
+    pr AS (SELECT CAST(SUM(a.cnt * b.cnt * abs(a.dg - b.dg)) AS BIGINT)
+                    AS sum_abs
+           FROM dv a JOIN dv b ON a.dg < b.dg)
+    SELECT st.n AS n_nodes, st.s AS sum_deg, pr.sum_abs,
+           CAST(pr.sum_abs AS DOUBLE)
+             / ((CAST(st.n AS DOUBLE) - 1.0) * CAST(st.s AS DOUBLE))
+             AS degree_gini
+    FROM st, pr WHERE st.n > 1 AND st.s > 0
+    """,
+)
+def graph_degree_gini(spark, sf_dir):
+    """Gini concentration of the near-dup graph's DEGREE distribution
+    — are dup edges spread evenly or does a handful of hub documents
+    own them (the star-contamination smell graph_assortativity hints
+    at, quantified as inequality)?  The pairwise kernel
+    Sigma|d_i - d_j| collapses onto the (degree value, count) GRID —
+    Sigma_ab cnt_a*cnt_b*|a-b| over distinct-degree pairs — so the
+    cost is |distinct degrees|^2, independent of node count: the
+    scalable form of a_gini_mean_difference's day-grain kernel.
+    Everything is one exact int64 until the single closing
+    division."""
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        min_parallelism=local_fanout(spark),
+    ).persist()
+    e = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("dg")
+    )
+    dv = deg.groupBy("dg").agg(F.count("*").cast("long").alias("cnt"))
+    st = dv.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("dg") * F.col("cnt")).cast("long").alias("s"),
+    )
+    a, b = dv.alias("a"), dv.alias("b")
+    pr = a.join(b, F.col("a.dg") < F.col("b.dg")).agg(
+        F.sum(
+            F.col("a.cnt") * F.col("b.cnt")
+            * F.abs(F.col("a.dg") - F.col("b.dg"))
+        )
+        .cast("long")
+        .alias("sum_abs")
+    )
+    out = st.crossJoin(F.broadcast(pr))
+    return out.filter((F.col("n") > 1) & (F.col("s") > 0)).select(
+        F.col("n").alias("n_nodes"),
+        F.col("s").alias("sum_deg"),
+        "sum_abs",
+        (
+            F.col("sum_abs").cast("double")
+            / ((F.col("n").cast("double") - 1.0) * F.col("s").cast("double"))
+        ).alias("degree_gini"),
+    )
+
+
+@register(
+    "ml_diagnostic_ratios",
+    f"""
+    WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+                      {_SQL_NORMSQ} AS s
+               FROM embeddings),
+    st AS (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS n FROM e),
+    p AS (SELECT y, CASE WHEN e.s * st.n > st.tot THEN 1 ELSE 0 END AS yhat
+          FROM e CROSS JOIN st),
+    t AS (SELECT
+            CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+          FROM p)
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS sensitivity,
+           CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) AS specificity,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0
+             AS youden_j,
+           (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+            + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0
+             AS balanced_accuracy,
+           CAST(tp * tn AS DOUBLE) / CAST(fp * fn AS DOUBLE)
+             AS diagnostic_odds_ratio
+    FROM t WHERE tp + fn > 0 AND tn + fp > 0 AND fp * fn > 0
+    """,
+)
+def ml_diagnostic_ratios(spark, sf_dir):
+    """The epidemiology-side panel for the shared above-mean-score
+    classifier: sensitivity, specificity, Youden's J (the optimal-
+    threshold criterion), balanced accuracy (the imbalance-proof
+    accuracy), and the diagnostic odds ratio tp*tn/(fp*fn) — the
+    metrics ml_confusion_metrics' precision/recall family hides when
+    classes are skewed.  Same exact-integer decision rule (s*n >
+    Sigma s), every ratio a fixed-order chain of single divisions
+    from the int64 confusion counts; degenerate margins (no
+    positives/negatives, zero discordant product) return empty."""
+    from dicomdb_spark.registry.q04 import _normsq_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        _normsq_col().alias("s"),
+    )
+    st = e.agg(
+        F.sum("s").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    p = e.crossJoin(F.broadcast(st)).select(
+        "y",
+        F.when(F.col("s") * F.col("n") > F.col("tot"), 1)
+        .otherwise(0)
+        .alias("yhat"),
+    )
+    t = p.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    sens = tp.cast("double") / (tp + fn).cast("double")
+    spec = tn.cast("double") / (tn + fp).cast("double")
+    return t.filter(
+        (tp + fn > 0) & (tn + fp > 0) & (fp * fn > 0)
+    ).select(
+        "tp", "fp", "fn", "tn",
+        sens.alias("sensitivity"),
+        spec.alias("specificity"),
+        (sens + spec - 1.0).alias("youden_j"),
+        ((sens + spec) / 2.0).alias("balanced_accuracy"),
+        ((tp * tn).cast("double") / (fp * fn).cast("double")).alias(
+            "diagnostic_odds_ratio"
+        ),
     )

@@ -1161,3 +1161,39 @@ def test_bartels_and_hl_shift_bruteforce(spark):
     h = QUERIES["a_hl_shift"](spark, SF).collect()[0]
     assert (h.n_pairs, h.hl_lo_cents, h.hl_hi_cents) == (np_, lo, hi)
     assert h.hl_shift == (lo + hi) / 2.0 / 100.0
+
+
+def test_degree_gini_and_diagnostic_ratios_bruteforce(spark):
+    from collections import Counter
+
+    from dicomdb_spark.llm import dedup as ldedup
+    from dicomdb_spark.registry.q01 import _docs_with_dupes
+
+    pairs = ldedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, SF), "doc_id", "text",
+        num_hashes=16, bands=4,
+    ).collect()
+    deg = Counter()
+    for r in pairs:
+        deg[r.id1] += 1
+        deg[r.id2] += 1
+    ds = list(deg.values())
+    n, s = len(ds), sum(ds)
+    sum_abs = sum(
+        abs(a - b) for i, a in enumerate(ds) for b in ds[i + 1:]
+    )
+    g = QUERIES["graph_degree_gini"](spark, SF).collect()[0]
+    assert (g.n_nodes, g.sum_deg, g.sum_abs) == (n, s, sum_abs)
+    assert g.degree_gini == float(sum_abs) / ((float(n) - 1.0) * float(s))
+    assert 0.0 <= g.degree_gini < 1.0
+    # diagnostic panel must share the confusion matrix with the
+    # precision/recall query and satisfy the closed identities
+    c = QUERIES["ml_confusion_metrics"](spark, SF).collect()[0]
+    d = QUERIES["ml_diagnostic_ratios"](spark, SF).collect()[0]
+    assert (d.tp, d.fp, d.fn, d.tn) == (c.tp, c.fp, c.fn, c.tn)
+    sens = float(d.tp) / float(d.tp + d.fn)
+    spec = float(d.tn) / float(d.tn + d.fp)
+    assert d.sensitivity == sens and d.specificity == spec
+    assert d.youden_j == sens + spec - 1.0
+    assert d.balanced_accuracy == (sens + spec) / 2.0
+    assert d.diagnostic_odds_ratio == float(d.tp * d.tn) / float(d.fp * d.fn)
