@@ -252,41 +252,48 @@ R9_DRIVER_PROVEN: tuple[str, ...] = (
     "w_rescaled_range", "graph_bipartite_projection",
 )
 
+# Round-10 driver rows (CORRECTNESS_r10.json): 50/50 hash-green — the
+# entire round-10 window converted (the 31 r9-wave backlog entries, the
+# 3 ADVICE-driven rewrites re-proven, and the 14 round-10 flagships +
+# jain/fano).
+R10_DRIVER_PROVEN: tuple[str, ...] = (
+    "multimodal_decode_real", "a_hoeffding_d", "sketch_kll_quantiles",
+    "sketch_misra_gries", "dedup_osa_distance", "text_lcs_length",
+    "multimodal_audio_meta", "graph_eccentricity", "w_renko_bricks",
+    "w_zigzag_pivots", "a_benjamini_yekutieli", "a_ljung_box",
+    "s14_orc_roundtrip", "a_cucconi_test", "graph_ktruss_fixpoint",
+    "w_dtw_distance", "w_variance_ratio", "w_theil_u2",
+    "a_gamma_somers", "text_yule_k", "w_mean_crossings",
+    "ml_cohens_kappa", "a_cramer_von_mises", "dedup_bbit_minhash_audit",
+    "w_dtw_banded", "ops_apdex_score", "a_mann_kendall",
+    "a_durbin_watson", "w_runs_up_down", "a_median_polish",
+    "o9_systematic_sample", "a_trimmed_mean", "a_bowley_skew",
+    "w_ichimoku_lines", "multimodal_container_stats", "w_kaplan_meier",
+    "a_l_diversity", "text_sentence_dedup", "a_negbin_overdispersion",
+    "a_log_rank_test", "w_nelson_aalen", "a_cochran_armitage",
+    "ann_metric_agreement", "a_fleiss_kappa", "a_weighted_kappa",
+    "w_madogram", "a_sign_test", "a_dixon_q", "a_jains_fairness",
+    "a_fano_factor",
+)
+
 DRIVER_PROVEN: tuple[str, ...] = (
     R1_DRIVER_PROVEN + R2_DRIVER_PROVEN + R3_DRIVER_PROVEN
     + R4_DRIVER_PROVEN + R5_DRIVER_PROVEN + R6_DRIVER_PROVEN
     + R7_DRIVER_PROVEN + R8_DRIVER_PROVEN + R9_DRIVER_PROVEN
+    + R10_DRIVER_PROVEN
 )
 
 
 # Unproven entries that should claim driver-window slots FIRST.
-# Round-10 curation: the unproven set = the 31 round-9 wave-2..11
-# backlog registrations (judge re-derived 31/31 exact in the round-9
-# verdict), the 3 ADVICE-driven rewrites demoted above, and any new
-# round-10 registrations.  No explicit priority list needed: all are
-# absent from DRIVER_PROVEN and lead ordered_queries() already.
-# Round-10 window curation: the 36 r9-wave backlog entries precede the
-# q09 chunk in registration order, so they fill window slots 1-36
-# automatically; these 14 round-10 flagships take the remaining slots
-# (36 + 14 = the 50-entry driver window).  The 11 simpler round-10
-# registrations (jain/fano/cmo/vortex/uo/qn/chao1/page/cli/fog/fmax)
-# stay behind as selfcheck-proven wave-2 backlog for the r11 window.
-UNPROVEN_PRIORITY: tuple[str, ...] = (
-    "multimodal_decode_real",
-    "a_hoeffding_d",
-    "sketch_kll_quantiles",
-    "sketch_misra_gries",
-    "dedup_osa_distance",
-    "text_lcs_length",
-    "multimodal_audio_meta",
-    "graph_eccentricity",
-    "w_renko_bricks",
-    "w_zigzag_pivots",
-    "a_benjamini_yekutieli",
-    "a_ljung_box",
-    "s14_orc_roundtrip",
-    "a_cucconi_test",
-)
+# Round-11 curation: after promoting the 50 round-10 greens to
+# R10_DRIVER_PROVEN, the unproven backlog is the 27 round-10 late-batch
+# registrations (batches F-K; judge re-derived 27/27 exact-match in the
+# round-10 verdict).  They are absent from DRIVER_PROVEN and therefore
+# lead ordered_queries() in registration order automatically — no
+# explicit priority list needed; new round-11 registrations join them
+# the same way.  Window math: 27 backlog + up to 23 round-11
+# registrations = the 50-entry driver window.
+UNPROVEN_PRIORITY: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1129,13 +1129,17 @@ def w_renko_bricks(spark, sf_dir):
 
     def step(acc, y):
         first = acc["t"] == 0
+        # Integer `div`, not double `/`: the double quotient can round
+        # up across an integer boundary near the 2^-52 ulp margin,
+        # breaking the pure-int64 recurrence the oracle replays
+        # (round-10 ADVICE).
         up_k = F.when(
             ~first & (y >= acc["level"]),
-            ((y - acc["level"]) / bsz).cast("long"),
+            F.call_function("div", y - acc["level"], bsz),
         ).otherwise(zero)
         down_k = F.when(
             ~first & (y < acc["level"]),
-            ((acc["level"] - y) / bsz).cast("long"),
+            F.call_function("div", acc["level"] - y, bsz),
         ).otherwise(zero)
         return F.struct(
             F.when(first, y)
@@ -3315,7 +3319,11 @@ def a_partial_corr(spark, sf_dir):
         F.sum(F.floor(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("y"),
-        (F.dayofweek(F.col("ts").cast("date")).cast("long") + 1)
+        # Spark dayofweek is 1-7 (Sun=1); DuckDB dayofweek is 0-6
+        # (Sun=0), so the oracle's +1 lands on the SAME 1-7 encoding —
+        # no +1 here (round-10 ADVICE: the previous 2-8 shift was
+        # parity-safe only because Pearson r is shift-invariant).
+        F.dayofweek(F.col("ts").cast("date")).cast("long")
         .alias("zz"),
     ).select(
         "x", "y", F.col("zz").alias("z")
@@ -3842,8 +3850,12 @@ def a_hl_shift(spark, sf_dir):
     and second half-month daily totals: the MEDIAN of all pairwise
     differences y_after - y_before — the location shift the
     Mann-Whitney test implies, robust where the difference of means
-    is not.  The pairwise grid is bounded (<=15x16 days per month
-    window, calendar-capped), both middle order statistics are
+    is not.  This is a GLOBAL first-half vs second-half comparison
+    over the whole calendar — every day-of-month<=15 day pairs with
+    every day-of-month>15 day, ~n^2/4 pairs (~1.4M at the 2,400-day
+    calendar grain, constant in SF because the grain is
+    calendar-bounded, not row-bounded).  Both middle order statistics
+    are
     selected exactly via the distinct-value <= count (a_qn_scale's
     machinery, no sort), and the final estimate is their exact
     half-sum — the only float.  Complements a_hodges_lehmann
