@@ -22,6 +22,75 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dicomdb_spark.registry import QUERIES  # noqa: E402
 from dicomdb_spark.session import get_spark  # noqa: E402
 
+
+def _stray_java_pids() -> list[int]:
+    """PIDs of java processes NOT descended from this bench process.
+    Called before get_spark(), so normally ANY java process is stray
+    (our own JVM doesn't exist yet); the parent-chain walk keeps the
+    check correct if the guard is ever re-invoked mid-run."""
+    me = os.getpid()
+
+    def ppid_of(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                parts = fh.read().rsplit(b")", 1)[-1].split()
+            return int(parts[1])
+        except OSError:
+            return 0
+
+    strays = []
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        pid = int(d)
+        try:
+            with open(f"/proc/{pid}/comm") as fh:
+                comm = fh.read().strip()
+        except OSError:
+            continue
+        if comm != "java":
+            continue
+        p, ours = pid, False
+        for _ in range(16):  # bounded ancestor walk
+            p = ppid_of(p)
+            if p == me:
+                ours = True
+                break
+            if p <= 1:
+                break
+        if not ours:
+            strays.append(pid)
+    return strays
+
+
+def idle_guard(max_wait_s: float = 180.0) -> dict:
+    """Refuse-to-measure-under-load guard (round-10 VERDICT #3: the
+    official BENCH artifact must record the IDLE number — r10 recorded
+    6.80 s under ambient load vs 6.12 s idle on identical code).
+
+    Waits up to max_wait_s for (a) zero java processes other than our
+    own descendants and (b) 1-min loadavg below a threshold, then
+    proceeds either way and RECORDS what it saw, so a loaded
+    measurement is at least machine-flagged in the artifact."""
+    thresh = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "8.0"))
+    if os.environ.get("SPARK_GRAFT_IDLE_GUARD", "1") == "0":
+        return {"enabled": False}
+    t0 = time.monotonic()
+    while True:
+        load1 = os.getloadavg()[0]
+        strays = _stray_java_pids()
+        idle = load1 < thresh and not strays
+        waited = time.monotonic() - t0
+        if idle or waited >= max_wait_s:
+            return {
+                "enabled": True,
+                "idle": idle,
+                "load1": round(load1, 2),
+                "stray_java": len(strays),
+                "waited_s": round(waited, 1),
+            }
+        time.sleep(5.0)
+
 HEADLINE = [
     "a1_dup_customer_day",
     "a2_dup_representative",
@@ -106,6 +175,14 @@ WORST_SF1_SCALERS = [
     "ann_lsh_topk",
     "a1_dup_customer_day",
     "j4_pairwise_doubles",
+    # round-11 (VERDICT r10 #4): the remaining LLM flagships, so
+    # bucket-occupancy growth — the only quadratic term in the LSH
+    # plans — is measured at the top tier, not argued.  Replicated
+    # identical documents make every SimHash pigeonhole block grow by
+    # the factor (candidate pairs ~factor² of a small base); text_stats
+    # is the pure map-side yardstick (must step ≈ the data step).
+    "dedup_simhash_near",
+    "text_stats",
 ]
 
 
@@ -167,6 +244,7 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:  # non-sfN.N dir names (e.g. the 5× replicas)
         sf = -1.0
+    guard = idle_guard()
     spark = get_spark(app_name="dicomdb_spark_bench")
 
     # one warm-up pass of the first query amortizes JVM/codegen startup
@@ -185,6 +263,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "idle_guard": guard,
     }
     # round-2+ operators, timed separately so "value" keeps the same
     # 19-query definition as the round-1 baseline
