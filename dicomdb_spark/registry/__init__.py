@@ -19,6 +19,41 @@ shared QUERIES/ORACLES dicts and helpers; _proven holds the
 driver-proven ledger and ordered_queries().  The loop below
 re-exports every module-level name so ``dicomdb_spark.registry``
 presents the exact namespace the monolith did.
+
+Module map (position-based names; which families live where — the
+split preserved the monolith's registration order, so modules group
+by ROUND, not by topic.  Counts refreshed round 11):
+
+* ``q01`` (107) — the SURVEY §2 reference surface: A/J/W/O/P/F/T/S/U/R
+  rows (a1..t4), the source/sink roundtrips (s1..s13), plus the
+  round-1 LLM flagships (dedup_*, ann_*, text_*, corpus_*,
+  multimodal_*).  ``a1_dup_customer_day`` .. ``t4_set_ops``.
+* ``q02`` (80) — all 20 tpch_qN_shape, the round-3/4 sketch family
+  (kmv/hll/cms/bloom), dedup/corpus wave 2, f9/j12/j13/j14, scd/cdc.
+  ``f9_json_extract`` .. ``w_markov_transitions``.
+* ``q03`` (61) — graph wave 1 (triangles..modularity), emb_* family,
+  er_*, window analytics wave (w_ema..w_window_funnel).
+  ``graph_triangles`` .. ``er_blocking_recall``.
+* ``q04`` (54) — corpus/dataset ops, e1_import_pipeline, the round-5/6
+  exact-stats wave 1 (a_mannwhitney..a_bootstrap_ci_mean), ml wave 1.
+  ``corpus_dataset_card`` .. ``a_bootstrap_ci_mean``.
+* ``q05`` (63) — ml metrics (roc/calibration/confusion), financial-TA
+  windows wave (w_vwap..w_seasonal_naive_mape), round-7 stats.
+  ``ml_roc_auc`` .. ``w_seasonal_naive_mape``.
+* ``q06`` (51) — text readability/burstiness, ops_* SLO family,
+  round-8/9 stats wave (a_anova..a_kruskal_wallis).
+  ``text_readability_fk`` .. ``a_kruskal_wallis``.
+* ``q07`` (45) — layout/graph wave 2, survival (kaplan_meier,
+  nelson_aalen, log_rank), agreement stats (fleiss/weighted kappa).
+  ``layout_skipping_sim_2d`` .. ``text_sentence_dedup``.
+* ``q08`` (10) — round-9 tail: overdispersion, cochran_armitage,
+  ann_metric_agreement, madogram, sign/dixon.
+  ``a_negbin_overdispersion`` .. ``a_dixon_q``.
+* ``q09`` (43+) — round-10+ additions: real multimodal decode
+  (PNG/GIF/BMP/JPEG/WAV), KLL/Misra-Gries, OSA/LCS, eccentricity,
+  s14_orc, round-10 stats batches F-K; NEW rounds append here (or
+  start q10 when q09 nears 5k lines).
+  ``multimodal_decode_real`` .. onward.
 """
 from dicomdb_spark.registry import _core
 from dicomdb_spark.registry import q01
