@@ -135,7 +135,88 @@ def stdlib_decoder(payload: bytes) -> dict:
                 }
             i += 2 + seglen
         return {"format": "image/jpeg", "width": None, "height": None}
+    if b[:2] in (b"II", b"MM") and len(b) >= 8:
+        return _tiff_dims(b)
+    if b[:4] == b"RIFF" and len(b) >= 16 and b[8:12] == b"WEBP":
+        return _webp_dims(b)
     return dict(_UNKNOWN)
+
+
+def _tiff_dims(b: bytes) -> dict:
+    """TIFF 6.0 §2: 2-byte byte-order mark (``II`` little / ``MM``
+    big), u16 magic 42, u32 offset of the first IFD; the IFD is a u16
+    entry count then 12-byte entries (tag u16, type u16, count u32,
+    value-or-offset 4 bytes).  Dimensions are tags 256 (ImageWidth)
+    and 257 (ImageLength); a SHORT (type 3) value sits in the FIRST
+    two bytes of the value field in file byte order, a LONG (type 4)
+    uses all four — both paths handled, both endiannesses."""
+    endian = "little" if b[:2] == b"II" else "big"
+    bad = {"format": "image/tiff", "width": None, "height": None}
+    if int.from_bytes(b[2:4], endian) != 42:
+        return dict(_UNKNOWN)
+    ifd = int.from_bytes(b[4:8], endian)
+    if ifd + 2 > len(b):
+        return bad
+    n = int.from_bytes(b[ifd : ifd + 2], endian)
+    width = height = None
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            return bad
+        tag = int.from_bytes(b[e : e + 2], endian)
+        typ = int.from_bytes(b[e + 2 : e + 4], endian)
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT: left-justified in the 4-byte value field
+            val = int.from_bytes(b[e + 8 : e + 10], endian)
+        elif typ == 4:  # LONG
+            val = int.from_bytes(b[e + 8 : e + 12], endian)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        else:
+            height = val
+    return {"format": "image/tiff", "width": width, "height": height}
+
+
+def _webp_dims(b: bytes) -> dict:
+    """WebP container (RIFF): first chunk after the 12-byte RIFF/WEBP
+    preamble decides the flavor.
+
+    * ``VP8X`` (extended): 4 flag/reserved bytes then canvas
+      width-minus-one / height-minus-one as little-endian u24s.
+    * ``VP8 `` (lossy): 3-byte frame tag, start code 9D 01 2A, then
+      14-bit width/height in little-endian u16s.
+    * ``VP8L`` (lossless): signature byte 2F, then width-1 (14 bits)
+      and height-1 (14 bits) packed LSB-first into the next 4 bytes.
+    """
+    bad = {"format": "image/webp", "width": None, "height": None}
+    cid = b[12:16]
+    if cid == b"VP8X" and len(b) >= 30:
+        return {
+            "format": "image/webp",
+            "width": 1 + int.from_bytes(b[24:27], "little"),
+            "height": 1 + int.from_bytes(b[27:30], "little"),
+        }
+    if cid == b"VP8 " and len(b) >= 30:
+        if b[23:26] != b"\x9d\x01\x2a":
+            return bad
+        return {
+            "format": "image/webp",
+            "width": int.from_bytes(b[26:28], "little") & 0x3FFF,
+            "height": int.from_bytes(b[28:30], "little") & 0x3FFF,
+        }
+    if cid == b"VP8L" and len(b) >= 25:
+        if b[20] != 0x2F:
+            return bad
+        bits = int.from_bytes(b[21:25], "little")
+        return {
+            "format": "image/webp",
+            "width": 1 + (bits & 0x3FFF),
+            "height": 1 + ((bits >> 14) & 0x3FFF),
+        }
+    return bad
 
 
 def build_container(doc_id: int, body: bytes) -> bytes:
@@ -170,6 +251,78 @@ def build_container(doc_id: int, body: bytes) -> bytes:
             + bytes([1, 0x11, 0])
         )
     return hdr + body
+
+
+def build_container_v2(doc_id: int, body: bytes) -> bytes:
+    """Round-11 companion to build_container: wraps ``body`` in a
+    structurally valid TIFF (both byte orders, exercising SHORT and
+    LONG value encodings) or WebP (VP8X and VP8L flavors) chosen by
+    ``doc_id % 4``, with the SAME width/height functions of doc_id as
+    build_container so the SQL oracle can restate them.  Header sizes:
+    TIFF 38 (8-byte header + 2-entry IFD + next-IFD pointer),
+    WebP/VP8X 30 (RIFF preamble + 8-byte chunk header + 10-byte
+    payload), WebP/VP8L 25 (… + 5-byte payload)."""
+    w = (doc_id % 1024) + 1
+    h = ((doc_id * 7) % 1024) + 1
+    k = doc_id % 4
+    if k == 0:  # TIFF little-endian, LONG dims
+        hdr = (
+            b"II" + struct.pack("<HI", 42, 8)
+            + struct.pack("<H", 2)
+            + struct.pack("<HHII", 256, 4, 1, w)
+            + struct.pack("<HHII", 257, 4, 1, h)
+            + struct.pack("<I", 0)
+        )
+    elif k == 1:  # TIFF big-endian, SHORT dims (left-justified values)
+        hdr = (
+            b"MM" + struct.pack(">HI", 42, 8)
+            + struct.pack(">H", 2)
+            + struct.pack(">HHIHH", 256, 3, 1, w, 0)
+            + struct.pack(">HHIHH", 257, 3, 1, h, 0)
+            + struct.pack(">I", 0)
+        )
+    elif k == 2:  # WebP extended header (VP8X): u24 minus-one dims
+        payload = b"\x00\x00\x00\x00" + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        hdr = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(payload) + len(body))
+            + b"WEBP" + b"VP8X" + struct.pack("<I", len(payload)) + payload
+        )
+    else:  # WebP lossless (VP8L): 14+14-bit dims packed LSB-first
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(payload) + len(body))
+            + b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+        )
+    return hdr + body
+
+
+def containerize_v2(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → TIFF/WebP payloads (see build_container_v2), the
+    round-11 twin of containerize — map-only, payloads never shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_container_v2(int(d), str(t).encode("utf-8"))
+                        for d, t in zip(pdf["doc_id"], pdf["t"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def containerize(

@@ -49,11 +49,13 @@ by ROUND, not by topic.  Counts refreshed round 11):
 * ``q08`` (10) — round-9 tail: overdispersion, cochran_armitage,
   ann_metric_agreement, madogram, sign/dixon.
   ``a_negbin_overdispersion`` .. ``a_dixon_q``.
-* ``q09`` (43+) — round-10+ additions: real multimodal decode
+* ``q09`` (43) — round-10 additions: real multimodal decode
   (PNG/GIF/BMP/JPEG/WAV), KLL/Misra-Gries, OSA/LCS, eccentricity,
-  s14_orc, round-10 stats batches F-K; NEW rounds append here (or
-  start q10 when q09 nears 5k lines).
-  ``multimodal_decode_real`` .. onward.
+  s14_orc, round-10 stats batches F-K.
+  ``multimodal_decode_real`` .. ``ml_diagnostic_ratios``.
+* ``q10`` — round-11 additions: real TIFF/WebP decode, LZ76
+  complexity, Siegel-Tukey, generalized ESD; NEW rounds append here
+  (or start q11 when q10 nears 5k lines).
 """
 from dicomdb_spark.registry import _core
 from dicomdb_spark.registry import q01
@@ -65,9 +67,10 @@ from dicomdb_spark.registry import q06
 from dicomdb_spark.registry import q07
 from dicomdb_spark.registry import q08
 from dicomdb_spark.registry import q09
+from dicomdb_spark.registry import q10
 from dicomdb_spark.registry import _proven
 
-for _m in (_core, q01, q02, q03, q04, q05, q06, q07, q08, q09, _proven):
+for _m in (_core, q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, _proven):
     globals().update(
         {k: v for k, v in vars(_m).items() if not k.startswith('__')}
     )

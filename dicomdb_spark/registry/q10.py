@@ -1,0 +1,465 @@
+"""registry chunk 10 — round-11 additions.
+
+Scope per the round-10 verdict's breadth freeze: every entry here
+cites either the LLM-pipeline brief (real multimodal container
+decode) or a NEXT_STEPS.md parked item that was explicitly kept
+(LZ76 complexity, Siegel-Tukey, generalized ESD).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window  # noqa: F401
+from pyspark.sql import functions as F
+
+from dicomdb_spark.io import load_table
+from dicomdb_spark.operators import windows as ow
+from dicomdb_spark.registry._core import register
+
+
+# ---------------------------------------------------------------------------
+# Round-11: REAL TIFF + WebP container decode (extends the round-10
+# PNG/GIF/BMP/JPEG/WAV family; reference behavior: Exam_info.py header
+# reads — metadata from bytes, no pixel codec).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_tiff_webp",
+    """
+    SELECT doc_id,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 38 WHEN 1 THEN 38 WHEN 2 THEN 30 ELSE 25 END
+                + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN CAST(doc_id % 4 AS INTEGER) < 2 THEN 'image/tiff'
+                ELSE 'image/webp' END AS format,
+           CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 1024 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_tiff_webp(spark, sf_dir):
+    """REAL TIFF/WebP container decode round trip (round-11 companion
+    to multimodal_decode_real): documents are wrapped in structurally
+    valid TIFF (both byte orders — ``II`` with LONG dims, ``MM`` with
+    left-justified SHORT dims, exercising both IFD value encodings)
+    or WebP (VP8X extended header with u24 minus-one dims, VP8L
+    lossless with 14+14-bit LSB-first packed dims) containers
+    (llm/multimodal.build_container_v2 — header fields are pure
+    functions of doc_id), then llm/multimodal.stdlib_decoder walks the
+    actual bytes back: the TIFF IFD entry walk honors the byte-order
+    mark and the SHORT-value left-justification rule; the WebP branch
+    dispatches on the first RIFF chunk's fourcc.  The oracle states
+    the EXPECTED metadata per synthetic container, so one mis-read
+    endianness, IFD offset, or bit-unpack breaks the hash.  Map-only:
+    payload bytes never shuffle, only typed metadata leaves Python."""
+    from dicomdb_spark.llm.multimodal import containerize_v2, decode_image_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(containerize_v2(docs)).select(
+        "doc_id", "n_bytes", "format", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: LZ76 phrase complexity (NEXT_STEPS parked item "Lempel-
+# Ziv-76 complexity (fold with string state)") — a compression-style
+# text-quality signal: low phrase count per char = highly repetitive
+# boilerplate, the same family of filter as text_repetition /
+# text_gopher_rules but grounded in the classic complexity measure.
+# ---------------------------------------------------------------------------
+
+_LZ_CAP = 120  # chars of prefix scanned; per-doc cost is O(cap^2), constant
+
+
+@register(
+    "text_lz76_complexity",
+    f"""
+    WITH d AS (SELECT doc_id, substr(text, 1, {_LZ_CAP}) AS s,
+                      CAST(least(length(text), {_LZ_CAP}) AS BIGINT) AS n
+               FROM documents WHERE length(text) >= 1),
+    f AS (SELECT doc_id, n,
+                 list_reduce(
+                   [CAST(1 AS BIGINT)] || range(1, n + 1),
+                   (acc, i) -> CASE
+                     WHEN contains(substr(s, 1, CAST(i AS INTEGER) - 1),
+                                   substr(s, CAST(acc % 1000 AS INTEGER),
+                                          CAST(i - acc % 1000 + 1 AS INTEGER)))
+                       THEN acc
+                     ELSE (acc // 1000 + 1) * 1000 + i + 1
+                   END) AS acc
+          FROM d)
+    SELECT doc_id, n AS n_chars,
+           CAST(acc // 1000
+                + CASE WHEN acc % 1000 <= n THEN 1 ELSE 0 END
+                AS BIGINT) AS lz76_phrases,
+           CAST(CAST(acc // 1000
+                     + CASE WHEN acc % 1000 <= n THEN 1 ELSE 0 END
+                     AS BIGINT) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS phrase_ratio
+    FROM f
+    """,
+)
+def text_lz76_complexity(spark, sf_dir):
+    """Lempel-Ziv-76 phrase complexity of each document's first 120
+    chars: the number of components in the exhaustive production
+    parsing — component s[w..i] extends while it occurs as a substring
+    of the strict prefix s[1..i-1], else a new phrase starts at i+1;
+    an unterminated trailing phrase counts.  Low phrases-per-char
+    means compressible/repetitive text (a classic pretraining quality
+    filter, complementing text_repetition's n-gram ratios).
+
+    Exactness: the whole recurrence is one integer fold — the state
+    (phrase count, phrase start) is ENCODED as cnt*1000 + start
+    (both <= 121), advanced by identical substring-containment steps
+    in Spark's F.aggregate and DuckDB's list_reduce (init value
+    prepended, since list_reduce seeds from the first element).  No
+    floats until the final single-division ratio.
+
+    Scale: map-only per document, O(cap^2) = constant per row, no
+    shuffle at all — linear to any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
+    s = F.substring(F.col("text"), 1, _LZ_CAP)
+    n = F.least(F.length("text"), F.lit(_LZ_CAP)).cast("long")
+    d = docs.select("doc_id", s.alias("s"), n.alias("n"))
+
+    def step(acc, i):
+        ws = acc % 1000
+        hist = F.col("s").substr(F.lit(1), (i - 1).cast("int"))
+        w_c = F.col("s").substr(ws.cast("int"), (i - ws + 1).cast("int"))
+        return (
+            F.when(F.contains(hist, w_c), acc)
+            .otherwise((F.floor(acc / 1000) + 1) * 1000 + i + 1)
+            .cast("long")
+        )
+
+    f = d.withColumn(
+        "acc",
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), F.col("n")),
+            F.lit(1).cast("long"),
+            step,
+        ),
+    )
+    phrases = (
+        F.floor(F.col("acc") / 1000)
+        + F.when(F.col("acc") % 1000 <= F.col("n"), 1).otherwise(0)
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        phrases.alias("lz76_phrases"),
+        (phrases.cast("double") / F.col("n").cast("double")).alias(
+            "phrase_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Siegel-Tukey dispersion test (NEXT_STEPS parked item; the
+# tie-group averaging uses the floor-scaled integer-quotient trick).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_siegel_tukey",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS y,
+                      CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                           THEN 1 ELSE 0 END AS wk
+               FROM events GROUP BY 1),
+    p AS (SELECT day, y, wk,
+                 CAST(row_number() OVER (ORDER BY y, day) AS BIGINT) AS pos,
+                 CAST(count(*) OVER () AS BIGINT) AS nn
+          FROM d),
+    mm AS (SELECT CASE WHEN max(nn) % 2 = 1 THEN (max(nn) + 1) // 2
+                       ELSE max(nn) + 1 END AS m,
+                  max(nn) - max(nn) % 2 AS np
+           FROM p),
+    q AS (SELECT p.y, p.wk,
+                 p.pos - CASE WHEN p.pos > mm.m THEN 1 ELSE 0 END AS pos2,
+                 mm.np, mm.np // 2 AS h
+          FROM p, mm WHERE p.pos <> mm.m),
+    r AS (SELECT y, wk,
+                 CASE WHEN pos2 <= h
+                      THEN 2 * pos2 - pos2 % 2
+                      ELSE 2 * (np + 1 - pos2)
+                           - (1 - (np + 1 - pos2) % 2) END AS st_rank
+          FROM q),
+    g AS (SELECT y, CAST(SUM(st_rank) AS BIGINT) AS sg,
+                 CAST(count(*) AS BIGINT) AS cg,
+                 CAST(SUM(wk) AS BIGINT) AS n1g
+          FROM r GROUP BY y),
+    w AS (SELECT CAST(SUM((n1g * sg * 1000000) // cg) AS BIGINT) AS w1s,
+                 CAST(SUM(n1g) AS BIGINT) AS n1,
+                 CAST(SUM(cg - n1g) AS BIGINT) AS n2
+          FROM g)
+    SELECT w.n1 AS n_weekend, w.n2 AS n_weekday,
+           CAST(w.w1s AS DOUBLE) / 1000000.0 AS w_weekend,
+           (CAST(w.w1s - w.n1 * (mm.np + 1) * 500000 AS DOUBLE) / 1000000.0)
+             / sqrt(CAST(w.n1 * w.n2 * (mm.np + 1) AS DOUBLE) / 12.0) AS z
+    FROM w, mm WHERE w.n1 > 0 AND w.n2 > 0
+    """,
+)
+def a_siegel_tukey(spark, sf_dir):
+    """Siegel-Tukey rank-dispersion test: do WEEKEND daily totals
+    spread wider than weekday totals?  Ranks are assigned from the
+    extremes inward, alternating ends — sorted position i from the
+    bottom gets 2i-1 (i odd) / 2i (i even); position j from the top
+    gets 2j (j odd) / 2j-1 (j even) — so LOW ranks mark extreme
+    values and the Mann-Whitney machinery on these ranks tests
+    dispersion instead of location.  Odd-count samples drop the
+    median observation (deterministic day tiebreak), per the original
+    procedure.
+
+    Tie discipline (the parked-item trick): tied values occupy a
+    CONTIGUOUS position run, so each member's midrank is S_g/c_g of
+    the group's alternating ranks; the group-1 rank-sum contribution
+    n1g*S_g/c_g is kept exact as the integer quotient
+    (n1g*S_g*10^6) div c_g — no float until the closing z chain,
+    which is one fixed-order expression in both engines.
+
+    Scale: the grain is calendar days (<= ~2,400 rows at any SF), so
+    the position numbering is bucketed-running over the bounded
+    distinct-value sequence (a_mannwhitney_u's plan shape) plus a
+    row_number partitioned BY VALUE — no global unpartitioned sort of
+    anything unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+        F.max(
+            F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+            .otherwise(0)
+        ).alias("wk"),
+    )
+    # positions without a global sort: exclusive running count of the
+    # value grain + within-value row_number (bounded partitions)
+    g0 = d.groupBy("y").agg(F.count("*").cast("long").alias("t"))
+    cum = ow.bucketed_running(
+        ow.monotone_range_bucket(g0, "y"), order_cols=["y"], sum_cols=["t"]
+    ).withColumn("p", F.col("cum_t") - F.col("t"))
+    j0 = F.row_number().over(Window.partitionBy("y").orderBy("day"))
+    pos_df = (
+        d.join(cum.select("y", "p"), "y")
+        .withColumn("pos", (F.col("p") + j0).cast("long"))
+    )
+    nn = d.agg(F.count("*").cast("long").alias("nn"))
+    mm = nn.select(
+        F.when(F.col("nn") % 2 == 1, (F.col("nn") + 1) / 2)
+        .otherwise(F.col("nn") + 1)
+        .cast("long")
+        .alias("m"),
+        (F.col("nn") - F.col("nn") % 2).cast("long").alias("np"),
+    )
+    q = (
+        pos_df.crossJoin(F.broadcast(mm))
+        .filter(F.col("pos") != F.col("m"))
+        .select(
+            "y",
+            "wk",
+            (
+                F.col("pos")
+                - F.when(F.col("pos") > F.col("m"), 1).otherwise(0)
+            ).alias("pos2"),
+            "np",
+            (F.col("np") / 2).cast("long").alias("h"),
+        )
+    )
+    j = F.col("np") + 1 - F.col("pos2")
+    st_rank = F.when(
+        F.col("pos2") <= F.col("h"),
+        2 * F.col("pos2") - F.col("pos2") % 2,
+    ).otherwise(2 * j - (1 - j % 2))
+    g = q.select("y", "wk", st_rank.alias("st_rank")).groupBy("y").agg(
+        F.sum("st_rank").cast("long").alias("sg"),
+        F.count("*").cast("long").alias("cg"),
+        F.sum("wk").cast("long").alias("n1g"),
+    )
+    w = g.agg(
+        F.sum(F.expr("(n1g * sg * 1000000) div cg"))
+        .cast("long")
+        .alias("w1s"),
+        F.sum("n1g").cast("long").alias("n1"),
+        F.sum(F.col("cg") - F.col("n1g")).cast("long").alias("n2"),
+    )
+    out = w.crossJoin(F.broadcast(mm))
+    return out.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        (F.col("w1s").cast("double") / 1000000.0).alias("w_weekend"),
+        (
+            (
+                F.col("w1s")
+                - F.col("n1") * (F.col("np") + 1) * 500000
+            ).cast("double")
+            / 1000000.0
+            / F.sqrt(
+                (
+                    F.col("n1") * F.col("n2") * (F.col("np") + 1)
+                ).cast("double")
+                / 12.0
+            )
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: generalized ESD outlier sequence (NEXT_STEPS parked item
+# "generalized ESD (iterative Grubbs, bounded rounds)").
+# ---------------------------------------------------------------------------
+
+_ESD_SQL_ROUND = """
+    s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT)
+                      * CAST(SUM((y - cshift{k}.c) * (y - cshift{k}.c))
+                             AS BIGINT)
+                      - (CAST(SUM(y) AS BIGINT)
+                         - CAST(count(*) AS BIGINT) * cshift{k}.c)
+                        * (CAST(SUM(y) AS BIGINT)
+                           - CAST(count(*) AS BIGINT) * cshift{k}.c) AS ss
+             FROM d{j}, cshift{k} GROUP BY cshift{k}.c),
+    a{k} AS (SELECT max(abs(s{k}.n * d{j}.y - s{k}.s)) AS dmax
+             FROM d{j}, s{k}),
+    r{k} AS (SELECT min(d{j}.day) AS rm_day FROM d{j}, s{k}, a{k}
+             WHERE abs(s{k}.n * d{j}.y - s{k}.s) = a{k}.dmax)"""
+
+
+def _esd_sql() -> str:
+    parts = [
+        """
+    WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                         AS y
+                FROM events GROUP BY 1)"""
+    ]
+    for k in (1, 2, 3):
+        j = k - 1
+        parts.append(
+            f"""
+    pre{k} AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS s FROM d{j}),
+    cshift{k} AS (SELECT (s - ((s % n + n) % n)) // n AS c FROM pre{k})"""
+        )
+        parts.append(_ESD_SQL_ROUND.format(k=k, j=j))
+        if k < 3:
+            parts.append(
+                f"""
+    d{k} AS (SELECT d{j}.* FROM d{j}, r{k} WHERE d{j}.day <> r{k}.rm_day)"""
+            )
+    selects = []
+    for k in (1, 2, 3):
+        selects.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS iter, r{k}.rm_day AS removed_day,
+           s{k}.n AS n_obs,
+           CAST(a{k}.dmax AS DOUBLE)
+             / sqrt(CAST(s{k}.n AS DOUBLE) * CAST(s{k}.ss AS DOUBLE)
+                    / CAST(s{k}.n - 1 AS DOUBLE)) AS r_stat
+    FROM s{k}, a{k}, r{k}"""
+        )
+    return ",".join(parts) + " UNION ALL ".join(selects)
+
+
+@register("a_generalized_esd", _esd_sql())
+def a_generalized_esd(spark, sf_dir):
+    """Generalized extreme studentized deviate: three unrolled Grubbs
+    rounds over daily value totals — each round reports
+    R_k = max|y - mean| / s and removes the argmax (min-day tiebreak)
+    before the next.  Unlike a single Grubbs test (a_grubbs_outlier),
+    the sequence is masking-proof: a second outlier can no longer hide
+    the first.
+
+    Exactness: R_k = Dmax / sqrt(n*(n*Sxx - S^2)/(n-1)) where
+    Dmax = max|n*y - S| — all int64 co-moments.  The sum of squares is
+    computed on MEAN-SHIFTED values (c = floor(S/n) via the canonical
+    nonnegative-residue floor division, identical in both engines
+    since Spark div truncates and DuckDB // floors): n*Sxx - S^2 is
+    shift-invariant, and shifting keeps the squared terms at spread
+    magnitude instead of total magnitude, so the int64 encoding
+    survives scale factors where raw daily totals would overflow.
+    argmax is the two-step max-then-min-day form — no float compare,
+    no struct ordering.
+
+    Scale: calendar-day grain (<= ~2,400 rows at any SF); three
+    rounds of 1-row broadcast aggregates — the only crossJoins are
+    1-row broadcasts, the repo-wide rule."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    outs = []
+    cur = d
+    for k in (1, 2, 3):
+        pre = cur.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+        cshift = pre.select(
+            F.expr("(s - ((s % n + n) % n)) div n").cast("long").alias("c")
+        )
+        withc = cur.crossJoin(F.broadcast(cshift))
+        stats = withc.groupBy("c").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            (
+                F.count("*").cast("long")
+                * F.sum(
+                    (F.col("y") - F.col("c")) * (F.col("y") - F.col("c"))
+                ).cast("long")
+                - (
+                    F.sum("y").cast("long")
+                    - F.count("*").cast("long") * F.col("c")
+                )
+                * (
+                    F.sum("y").cast("long")
+                    - F.count("*").cast("long") * F.col("c")
+                )
+            ).alias("ss"),
+        ).drop("c")
+        wd = cur.crossJoin(F.broadcast(stats))
+        ad = F.abs(F.col("n") * F.col("y") - F.col("s"))
+        amax = wd.agg(F.max(ad).alias("dmax"))
+        rm = (
+            wd.crossJoin(F.broadcast(amax))
+            .filter(ad == F.col("dmax"))
+            .agg(F.min("day").alias("rm_day"))
+        )
+        row = (
+            stats.crossJoin(F.broadcast(amax))
+            .crossJoin(F.broadcast(rm))
+            .select(
+                F.lit(k).cast("long").alias("iter"),
+                F.col("rm_day").alias("removed_day"),
+                F.col("n").alias("n_obs"),
+                (
+                    F.col("dmax").cast("double")
+                    / F.sqrt(
+                        F.col("n").cast("double")
+                        * F.col("ss").cast("double")
+                        / (F.col("n") - 1).cast("double")
+                    )
+                ).alias("r_stat"),
+            )
+        )
+        outs.append(row)
+        if k < 3:
+            # localCheckpoint truncates lineage: each round's five
+            # 1-row aggregates re-embed the survivor set's subtree, so
+            # without truncation the plan re-expands ~5^k-fold (the
+            # graph_eccentricity / graph_ktruss_peel discipline)
+            cur = (
+                cur.crossJoin(F.broadcast(rm))
+                .filter(F.col("day") != F.col("rm_day"))
+                .select("day", "y")
+                .localCheckpoint(eager=True)
+            )
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,240 @@
+"""Round-11 additions: real TIFF/WebP container decode, LZ76 phrase
+complexity, Siegel-Tukey dispersion test, generalized ESD — every new
+query brute-force re-derived in Python, plus adversarial container
+vectors for the new decoder branches."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from dicomdb_spark.io import load_table
+from dicomdb_spark.llm.multimodal import build_container_v2, stdlib_decoder
+from dicomdb_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# TIFF / WebP decoder: round trip + adversarial vectors (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_webp_roundtrip_all_variants():
+    for doc_id in list(range(8)) + [1023, 1024, 4095, 123456]:
+        w = (doc_id % 1024) + 1
+        h = ((doc_id * 7) % 1024) + 1
+        body = b"x" * (doc_id % 17)
+        b = build_container_v2(doc_id, body)
+        m = stdlib_decoder(b)
+        k = doc_id % 4
+        assert m["format"] == ("image/tiff" if k < 2 else "image/webp")
+        assert (m["width"], m["height"]) == (w, h), (doc_id, m)
+        hdr = {0: 38, 1: 38, 2: 30, 3: 25}[k]
+        assert len(b) == hdr + len(body)
+
+
+def test_tiff_short_value_is_left_justified_big_endian():
+    """The MM/SHORT variant is the classic trap: a SHORT value sits in
+    the FIRST two bytes of the 4-byte value field in FILE byte order.
+    A parser that reads all four bytes (or the last two) gets w<<16."""
+    b = build_container_v2(1, b"")  # doc_id 1 -> MM + SHORT
+    assert b[:2] == b"MM"
+    m = stdlib_decoder(b)
+    assert (m["width"], m["height"]) == (2, 8)
+
+
+def test_webp_vp8_lossy_branch():
+    """Hand-built VP8 (lossy) chunk — the flavor build_container_v2
+    doesn't emit — start code 9D 01 2A then 14-bit LE dims."""
+    payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    b = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(payload))
+        + b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
+    )
+    assert stdlib_decoder(b) == {
+        "format": "image/webp", "width": 640, "height": 480,
+    }
+
+
+def test_tiff_webp_adversarial_vectors_degrade_not_throw():
+    cases = [
+        b"II*\x00",                                # truncated TIFF header
+        b"II\x00\x00\x08\x00\x00\x00",             # bad TIFF magic
+        b"MM\x00\x2a\x00\x00\x00\x08",             # IFD offset past end
+        b"II*\x00" + b"\x00" * 4,                  # zero IFD offset, short
+        b"RIFF\x08\x00\x00\x00WEBPVP8 " + b"\x00" * 10,  # bad start code
+        b"RIFF\x08\x00\x00\x00WEBPVP8L" + b"\x00" * 10,  # bad 2F signature
+        b"RIFF\x08\x00\x00\x00WEBPXXXX" + b"\x00" * 10,  # unknown chunk
+    ]
+    for b in cases:
+        m = stdlib_decoder(b)
+        assert m["width"] is None and m["height"] is None, (b[:16], m)
+
+
+def test_existing_container_formats_unaffected():
+    """The new branches must not perturb the proven round-10 paths."""
+    from dicomdb_spark.llm.multimodal import build_container
+
+    for doc_id in range(8):
+        m = stdlib_decoder(build_container(doc_id, b"payload"))
+        assert m["format"] in (
+            "image/png", "image/gif", "image/bmp", "image/jpeg",
+        )
+        assert m["width"] == (doc_id % 1024) + 1
+
+
+# ---------------------------------------------------------------------------
+# LZ76: Python reference (Kaspar-Schuster style exhaustive parsing)
+# ---------------------------------------------------------------------------
+
+
+def _lz76_ref(s: str) -> int:
+    cnt, ws = 0, 1  # 1-based phrase start
+    for i in range(1, len(s) + 1):
+        hist = s[: i - 1]
+        w_c = s[ws - 1 : i]
+        if w_c in hist:
+            continue
+        cnt += 1
+        ws = i + 1
+    return cnt + (1 if ws <= len(s) else 0)
+
+
+def test_lz76_reference_known_values():
+    assert _lz76_ref("a") == 1
+    assert _lz76_ref("aaaa") == 2          # a | aaa
+    assert _lz76_ref("ab") == 2
+    assert _lz76_ref("abcabcabc") == 4     # a | b | c | abcabc
+    # strictly alternating never extends past a 2-phrase bootstrap + rest
+    assert _lz76_ref("01010101") == 3      # 0 | 1 | 010101
+
+
+def test_lz76_query_matches_reference(spark):
+    rows = QUERIES["text_lz76_complexity"](spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert len(rows) == sum(1 for t in docs.values() if len(t) >= 1)
+    for r in rows:
+        s = docs[r.doc_id][:120]
+        assert r.n_chars == len(s)
+        assert r.lz76_phrases == _lz76_ref(s), r.doc_id
+        assert r.phrase_ratio == r.lz76_phrases / r.n_chars
+
+
+# ---------------------------------------------------------------------------
+# Siegel-Tukey: Python reference with alternating-extreme ranks,
+# midrank ties via the same scaled-integer-quotient discipline
+# ---------------------------------------------------------------------------
+
+
+def _st_rank(pos: int, np_: int) -> int:
+    h = np_ // 2
+    if pos <= h:
+        return 2 * pos - pos % 2
+    j = np_ + 1 - pos
+    return 2 * j - (1 - j % 2)
+
+
+def test_siegel_tukey_rank_pattern():
+    # N=8: positions 1..8 -> ranks 1 4 5 8 7 6 3 2
+    assert [_st_rank(p, 8) for p in range(1, 9)] == [1, 4, 5, 8, 7, 6, 3, 2]
+    # ranks are a permutation of 1..N for even N
+    for n in (2, 4, 6, 10, 20):
+        assert sorted(_st_rank(p, n) for p in range(1, n + 1)) == list(
+            range(1, n + 1)
+        )
+
+
+def test_siegel_tukey_query_matches_reference(spark):
+    ev = load_table(spark, SF, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+            F.max(
+                F.when(
+                    F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+                ).otherwise(0)
+            ).alias("wk"),
+        )
+        .collect()
+    )
+    obs = sorted((r.y, r.day, r.wk) for r in daily)
+    n = len(obs)
+    m = (n + 1) // 2 if n % 2 == 1 else n + 1  # 1-based drop position
+    np_ = n - n % 2
+    kept = [(y, wk) for p, (y, d, wk) in enumerate(obs, 1) if p != m]
+    ranks = [
+        (y, wk, _st_rank(p, np_)) for p, (y, wk) in enumerate(kept, 1)
+    ]
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for y, wk, r in ranks:
+        groups.setdefault(y, []).append((wk, r))
+    w1s = n1 = n2 = 0
+    for mem in groups.values():
+        sg = sum(r for _, r in mem)
+        cg = len(mem)
+        n1g = sum(wk for wk, _ in mem)
+        w1s += (n1g * sg * 1000000) // cg
+        n1 += n1g
+        n2 += cg - n1g
+    rows = QUERIES["a_siegel_tukey"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_weekend, r.n_weekday) == (n1, n2)
+    assert r.w_weekend == w1s / 1000000.0
+    import math
+
+    z = ((w1s - n1 * (np_ + 1) * 500000) / 1000000.0) / math.sqrt(
+        n1 * n2 * (np_ + 1) / 12.0
+    )
+    assert r.z == z
+
+
+# ---------------------------------------------------------------------------
+# Generalized ESD: Python reference, 3 unrolled exact-integer rounds
+# ---------------------------------------------------------------------------
+
+
+def test_generalized_esd_matches_reference(spark):
+    import math
+
+    ev = load_table(spark, SF, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    data = {r.day: r.y for r in daily}
+    expect = []
+    for k in (1, 2, 3):
+        n = len(data)
+        s = sum(data.values())
+        c = (s - ((s % n + n) % n)) // n
+        ss = n * sum((y - c) * (y - c) for y in data.values()) - (
+            s - n * c
+        ) * (s - n * c)
+        dmax = max(abs(n * y - s) for y in data.values())
+        rm = min(d for d, y in data.items() if abs(n * y - s) == dmax)
+        r_stat = float(dmax) / math.sqrt(float(n) * float(ss) / float(n - 1))
+        expect.append((k, rm, n, r_stat))
+        del data[rm]
+    rows = sorted(
+        QUERIES["a_generalized_esd"](spark, SF).collect(),
+        key=lambda r: r.iter,
+    )
+    got = [(r.iter, r.removed_day, r.n_obs, r.r_stat) for r in rows]
+    assert got == expect
+    # removed days must be distinct and each round shrinks by one
+    assert len({r.removed_day for r in rows}) == 3
+    assert [r.n_obs for r in rows] == [rows[0].n_obs - i for i in range(3)]
