@@ -610,6 +610,106 @@ def wav_decoder(payload: bytes) -> dict:
     return out
 
 
+def flac_decoder(payload: bytes) -> dict:
+    """Parse a FLAC STREAMINFO header: ``fLaC`` magic, then metadata
+    blocks — 1-byte header (bit 7 last-block flag, bits 0-6 type;
+    type 0 = STREAMINFO) + u24 big-endian length.  STREAMINFO packs
+    sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5) and
+    total samples (36) big-endian into the 8 bytes after the block-
+    size/frame-size fields — unpacked here by shifting one u64.
+    Same never-throws contract as wav_decoder."""
+    if len(payload) < 4 or payload[:4] != b"fLaC":
+        return dict(_AUDIO_UNKNOWN)
+    out = dict(_AUDIO_UNKNOWN, format="audio/flac")
+    pos, n = 4, len(payload)
+    while pos + 4 <= n:
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            body = payload[pos + 4 : pos + 4 + size]
+            if len(body) < 26:
+                return out
+            u = int.from_bytes(body[10:18], "big")
+            rate = u >> 44
+            channels = ((u >> 41) & 0x7) + 1
+            bits = ((u >> 36) & 0x1F) + 1
+            frames = u & 0xFFFFFFFFF
+            out.update(
+                channels=channels, sample_rate=rate, bits=bits,
+                n_frames=frames,
+                duration_ms=frames * 1000 // rate if rate > 0 else None,
+            )
+            return out
+        if hdr & 0x80:  # last-block flag, no STREAMINFO seen
+            return out
+        pos += 4 + size
+    return out
+
+
+def audio_decoder(payload: bytes) -> dict:
+    """Container-sniffing audio decode: RIFF/WAVE → wav_decoder, fLaC
+    → flac_decoder, else octet-stream.  Behavior on WAV bytes is
+    byte-identical to wav_decoder (the round-10 proven path)."""
+    if payload[:4] == b"fLaC":
+        return flac_decoder(payload)
+    return wav_decoder(payload)
+
+
+def build_flac(doc_id: int, body: bytes) -> bytes:
+    """Deterministic synthetic FLAC builder: a 42-byte ``fLaC`` +
+    last-flagged STREAMINFO block whose parameters are pure functions
+    of doc_id — channels = doc_id%2 + 1, rate = 8000·(doc_id%5 + 1),
+    bits = 8·(doc_id%3 + 1), total samples = doc_id % 100000 — with
+    ``body`` as trailing frame bytes, so an SQL oracle can restate
+    every field while the decode path must actually unpack the
+    big-endian bit fields."""
+    channels = doc_id % 2 + 1
+    rate = 8000 * (doc_id % 5 + 1)
+    bits = 8 * (doc_id % 3 + 1)
+    frames = doc_id % 100000
+    u = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | frames
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00" * 6                   # min/max framesize (unset)
+        + u.to_bytes(8, "big")
+        + b"\x00" * 16                  # unset MD5
+    )
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] + streaminfo + body
+
+
+def containerize_flac(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → structurally valid FLAC payloads (see build_flac)
+    as a map-only ``mapInPandas`` — payloads never shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_flac(int(d), str(t).encode("utf-8"))
+                        for d, t in zip(pdf["doc_id"], pdf["t"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def build_wav(doc_id: int, body: bytes) -> bytes:
     """Deterministic synthetic WAV builder (fixture side of the audio
     round trip): a structurally valid 44-byte canonical header whose
@@ -669,9 +769,10 @@ def decode_audio_meta(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Audio-metadata extraction as a map-only ``mapInPandas`` batch
-    operator (default = the REAL wav_decoder); only typed metadata
-    leaves Python, payload bytes never shuffle."""
-    decoder = decoder or wav_decoder
+    operator (default = the REAL container-sniffing audio_decoder:
+    RIFF/WAVE + FLAC STREAMINFO); only typed metadata leaves Python,
+    payload bytes never shuffle."""
+    decoder = decoder or audio_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

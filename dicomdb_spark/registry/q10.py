@@ -59,6 +59,41 @@ def multimodal_decode_tiff_webp(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_flac_meta",
+    """
+    SELECT doc_id,
+           CAST(42 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'audio/flac' AS format,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(8000 * (doc_id % 5 + 1) AS INTEGER) AS sample_rate,
+           CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS bits,
+           CAST(doc_id % 100000 AS BIGINT) AS n_frames,
+           CAST((doc_id % 100000) * 1000
+                // (8000 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_flac_meta(spark, sf_dir):
+    """REAL FLAC STREAMINFO decode round trip (round-11 companion to
+    multimodal_audio_meta's WAV path): documents are wrapped in valid
+    ``fLaC`` containers (llm/multimodal.build_flac — every field a
+    pure function of doc_id), then llm/multimodal.audio_decoder walks
+    the metadata-block list and UNPACKS the big-endian bit fields of
+    STREAMINFO — sample rate 20 bits, channels-1 3 bits, bps-1 5
+    bits, total samples 36 bits from one u64 — so a single wrong
+    shift or off-by-one block offset breaks the hash.  duration_ms =
+    frames*1000 // rate is the same exact-integer identity as the WAV
+    path.  Map-only; payload bytes never shuffle."""
+    from dicomdb_spark.llm.multimodal import (
+        containerize_flac,
+        decode_audio_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(containerize_flac(docs))
+
+
 # ---------------------------------------------------------------------------
 # Round-11: LZ76 phrase complexity (NEXT_STEPS parked item "Lempel-
 # Ziv-76 complexity (fold with string state)") — a compression-style

@@ -86,6 +86,45 @@ def test_existing_container_formats_unaffected():
 
 
 # ---------------------------------------------------------------------------
+# FLAC STREAMINFO decode
+# ---------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_and_wav_dispatch_unchanged():
+    from dicomdb_spark.llm.multimodal import (
+        audio_decoder, build_flac, build_wav, wav_decoder,
+    )
+
+    for doc_id in list(range(10)) + [99999, 123456]:
+        m = audio_decoder(build_flac(doc_id, b"frames"))
+        assert m["format"] == "audio/flac"
+        assert m["channels"] == doc_id % 2 + 1
+        assert m["sample_rate"] == 8000 * (doc_id % 5 + 1)
+        assert m["bits"] == 8 * (doc_id % 3 + 1)
+        assert m["n_frames"] == doc_id % 100000
+        assert m["duration_ms"] == (doc_id % 100000) * 1000 // m["sample_rate"]
+    # the sniffing dispatcher must be byte-identical to wav_decoder on
+    # WAV payloads (the round-10 proven path)
+    w = build_wav(7, b"xy")
+    assert audio_decoder(w) == wav_decoder(w)
+
+
+def test_flac_adversarial_vectors_degrade_not_throw():
+    from dicomdb_spark.llm.multimodal import flac_decoder
+
+    cases = [
+        b"fLa",                                             # truncated magic
+        b"fLaC",                                            # no blocks
+        b"fLaC\x80\x00\x00\x22" + b"\x00" * 10,             # short STREAMINFO
+        b"fLaC\x81\x00\x00\x04" + b"\x00" * 4,              # no STREAMINFO
+        b"fLaC\x04\x00\x00\x02\x00\x00\x80\x00\x00\x22",    # skip then trunc
+    ]
+    for b in cases:
+        m = flac_decoder(b)
+        assert m["sample_rate"] is None, (b[:12], m)
+
+
+# ---------------------------------------------------------------------------
 # LZ76: Python reference (Kaspar-Schuster style exhaustive parsing)
 # ---------------------------------------------------------------------------
 
