@@ -380,6 +380,12 @@ def main() -> None:
         "multimodal_frame_sample",
         "a_calendar_gap_fill",
         "a_price_elasticity_ols",
+        # round-10/11 real-decode + text-complexity operators
+        "multimodal_decode_real",
+        "multimodal_audio_meta",
+        "multimodal_decode_tiff_webp",
+        "multimodal_flac_meta",
+        "text_lz76_complexity",
     ):
         if name in QUERIES:
             try:
