@@ -541,3 +541,137 @@ def kmv_set_ops_oracle(a_from: str, b_from: str, item_sql: str, k: int = 256) ->
              AS n_diff_est
     FROM ue, ie, de, cu, ci, cd, th
     """
+
+
+# ---------------------------------------------------------------------------
+# P-square streaming quantile estimator (Jain & Chlamtac, CACM 1985)
+# — round 11, NEXT_STEPS parked item ("P² quantile estimator as a
+# double-state fold").  Five markers track (min, p/2, p, (1+p)/2,
+# max); each observation shifts marker positions and, when a marker
+# drifts >=1 from its desired position, moves its height by the
+# piecewise-parabolic (fallback: linear) interpolation formula.
+# O(1) state per group, single pass — THE streaming-quantile shape.
+#
+# Exactness contract: the fold is a fixed sequence of IEEE-double
+# ops; the Python kernel below and the generated DuckDB recursive-CTE
+# oracle (registry/q10._p2_sql) write the SAME expressions in the
+# SAME order, so the estimates are bit-identical (validated
+# bit-for-bit in the round-11 prototype and tests).  P² state is NOT
+# mergeable — the honest 100 TB story is per-KEY sequential over
+# bounded sequences (here the calendar-day grain), keys parallel.
+# ---------------------------------------------------------------------------
+
+
+def p2_fold_py(xs: list[float], p: float) -> list[float]:
+    """Reference P² fold: returns the 5 marker heights after
+    consuming ``xs`` (len >= 5).  The estimate of quantile ``p`` is
+    heights[2]."""
+    h = sorted(xs[:5])
+    n = [1, 2, 3, 4, 5]
+    np_ = [1.0, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5.0]
+    dn = [0.0, p / 2, p, (1 + p) / 2, 1.0]
+    for x in xs[5:]:
+        if x < h[0]:
+            h[0] = x
+            k = 1
+        elif x < h[1]:
+            k = 1
+        elif x < h[2]:
+            k = 2
+        elif x < h[3]:
+            k = 3
+        elif x <= h[4]:
+            k = 4
+        else:
+            h[4] = x
+            k = 4
+        for i in range(k, 5):
+            n[i] += 1
+        for i in range(5):
+            np_[i] += dn[i]
+        for i in (1, 2, 3):
+            d = np_[i] - n[i]
+            if (d >= 1.0 and n[i + 1] - n[i] > 1) or (
+                d <= -1.0 and n[i - 1] - n[i] < -1
+            ):
+                ds = 1.0 if d >= 1.0 else -1.0
+                hp = h[i] + ds / (n[i + 1] - n[i - 1]) * (
+                    (n[i] - n[i - 1] + ds)
+                    * (h[i + 1] - h[i])
+                    / (n[i + 1] - n[i])
+                    + (n[i + 1] - n[i] - ds)
+                    * (h[i] - h[i - 1])
+                    / (n[i] - n[i - 1])
+                )
+                if h[i - 1] < hp < h[i + 1]:
+                    h[i] = hp
+                else:
+                    di = int(ds)
+                    h[i] = h[i] + ds * (h[i + di] - h[i]) / (
+                        n[i + di] - n[i]
+                    )
+                n[i] += int(ds)
+    return h
+
+
+def p2_quantile(
+    df: DataFrame,
+    p: float = 0.5,
+    key_col: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "y",
+) -> DataFrame:
+    """Per-key P² estimate of quantile ``p`` over the ``order_col``-
+    ordered int64 ``value_col`` sequence, with the EXACT type-1 order
+    statistic alongside (self-certifying error).  Keys with fewer
+    than 5 observations are dropped (the sketch needs its seed).
+
+    applyInPandas per key: the marker fold is inherently sequential,
+    so Python-side per group is the honest implementation — state is
+    O(1), the group is the bounded calendar grain, and keys fan out
+    across executors."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("p2_est", T.DoubleType()),
+            T.StructField("exact_cents", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        ys = [int(v) for v in pdf[value_col]]
+        if len(ys) < 5:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        xs = [float(v) for v in ys]
+        h = p2_fold_py(xs, p)
+        # lower order statistic at 0-based index floor(p*(n-1)) — the
+        # oracle restates the identical double multiply-then-floor
+        exact = sorted(ys)[int(p * (len(ys) - 1))]
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "n_obs": [len(ys)],
+                "p2_est": [h[2]],
+                "exact_cents": [exact],
+            }
+        )
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema=schema)
+    )
+
+
+# UDF closures in this module must ship by value
+import sys as _sys  # noqa: E402
+
+from dicomdb_spark import register_for_udf_pickling as _reg  # noqa: E402
+
+_reg(_sys.modules[__name__])

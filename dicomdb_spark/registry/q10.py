@@ -191,6 +191,157 @@ def text_lz76_complexity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-11: P-square streaming quantile (NEXT_STEPS parked item
+# "P² quantile estimator as a double-state fold" — prototyped first
+# as mandated; bit-exact Python-vs-DuckDB on sf0.001 and sf0.01).
+# ---------------------------------------------------------------------------
+
+
+def _p2_adjust_sql(src: str, np_src: str, i: int) -> str:
+    """SQL for one interior-marker P² adjustment (1-based marker i):
+    reads state h/n from alias ``src`` and desired positions from
+    ``np_src``; emits updated h, n.  The expressions mirror
+    functions/sketches.p2_fold_py term-for-term, same order."""
+    ip, im = i + 1, i - 1
+    d = f"({np_src}.np[{i}] - CAST({src}.n[{i}] AS DOUBLE))"
+    cond = (
+        f"(({d} >= 1.0 AND {src}.n[{ip}] - {src}.n[{i}] > 1) OR "
+        f"({d} <= -1.0 AND {src}.n[{im}] - {src}.n[{i}] < -1))"
+    )
+    ds = f"(CASE WHEN {d} >= 1.0 THEN 1.0 ELSE -1.0 END)"
+    dsi = f"(CASE WHEN {d} >= 1.0 THEN 1 ELSE -1 END)"
+    hp = (
+        f"({src}.h[{i}] + {ds} / CAST({src}.n[{ip}] - {src}.n[{im}] AS DOUBLE) * "
+        f"((CAST({src}.n[{i}] - {src}.n[{im}] AS DOUBLE) + {ds})"
+        f" * ({src}.h[{ip}] - {src}.h[{i}])"
+        f" / CAST({src}.n[{ip}] - {src}.n[{i}] AS DOUBLE) "
+        f"+ (CAST({src}.n[{ip}] - {src}.n[{i}] AS DOUBLE) - {ds})"
+        f" * ({src}.h[{i}] - {src}.h[{im}])"
+        f" / CAST({src}.n[{i}] - {src}.n[{im}] AS DOUBLE)))"
+    )
+    lin = (
+        f"({src}.h[{i}] + {ds} * ({src}.h[{i} + {dsi}] - {src}.h[{i}]) "
+        f"/ CAST({src}.n[{i} + {dsi}] - {src}.n[{i}] AS DOUBLE))"
+    )
+    newh = (
+        f"CASE WHEN {cond} THEN "
+        f"(CASE WHEN {src}.h[{im}] < {hp} AND {hp} < {src}.h[{ip}]"
+        f" THEN {hp} ELSE {lin} END) "
+        f"ELSE {src}.h[{i}] END"
+    )
+    return (
+        f"SELECT list_transform({src}.h, (v, j) ->"
+        f" CASE WHEN j = {i} THEN ({newh}) ELSE v END) AS h, "
+        f"list_transform({src}.n, (v, j) ->"
+        f" CASE WHEN j = {i} AND {cond} THEN v + {dsi} ELSE v END) AS n"
+    )
+
+
+def _p2_sql(p: float) -> str:
+    """Generated DuckDB twin of the P² fold: a recursive CTE whose
+    step applies the cell find, position shifts, and the THREE
+    sequential marker adjustments as chained LATERAL stages (text
+    stays linear; nesting the stage expression would blow up ~10^3).
+    Seed = sorted first five observations, the textbook init."""
+    dn = [0.0, p / 2, p, (1 + p) / 2, 1.0]
+    np0 = [1.0, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5.0]
+    a2 = _p2_adjust_sql("u", "u", 2)
+    a3 = _p2_adjust_sql("a2", "u", 3)
+    a4 = _p2_adjust_sql("a3", "u", 4)
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, x, yc,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nt
+          FROM d),
+    seed AS (SELECT event_type, max(nt) AS nt,
+                    list_sort(list(x ORDER BY rn)) AS h,
+                    [CAST(1 AS BIGINT),2,3,4,5] AS n,
+                    {np0!r}::DOUBLE[] AS np
+             FROM s WHERE rn <= 5 GROUP BY event_type
+             HAVING count(*) = 5 AND max(nt) >= 5),
+    st AS (
+      SELECT event_type, nt, CAST(5 AS BIGINT) AS rn, h, n, np FROM seed
+      UNION ALL
+      SELECT u.event_type, u.nt, u.rn, a4.h, a4.n, u.np
+      FROM (
+        SELECT st.event_type, st.nt, s.rn, s.x,
+               list_transform(st.h, (v, j) ->
+                 CASE WHEN j = 1 THEN least(v, s.x)
+                      WHEN j = 5 THEN greatest(v, s.x) ELSE v END) AS h0,
+               (CASE WHEN s.x < st.h[2] THEN 1 WHEN s.x < st.h[3] THEN 2
+                     WHEN s.x < st.h[4] THEN 3 ELSE 4 END) AS k,
+               st.n AS n_prev, st.np AS np_prev
+        FROM st JOIN s ON s.event_type = st.event_type
+                      AND s.rn = st.rn + 1
+      ) q,
+      LATERAL (SELECT q.event_type, q.nt, q.rn, q.h0 AS h,
+                      list_transform(q.n_prev, (v, j) ->
+                        CASE WHEN j > q.k THEN v + 1 ELSE v END) AS n,
+                      list_transform(q.np_prev, (v, j) ->
+                        v + {dn!r}[j]) AS np) u,
+      LATERAL ({a2}) a2,
+      LATERAL ({a3}) a3,
+      LATERAL ({a4}) a4
+    ),
+    med AS (SELECT event_type, min(yc) AS exact_cents
+            FROM (SELECT event_type, yc, nt,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY yc) AS BIGINT)
+                           AS vr
+                  FROM s) r
+            WHERE vr = CAST(floor({p!r} * CAST(nt - 1 AS DOUBLE))
+                            AS BIGINT) + 1
+            GROUP BY event_type)
+    SELECT st.event_type AS key, st.nt AS n_obs, st.h[3] AS p2_est,
+           med.exact_cents
+    FROM st JOIN med ON med.event_type = st.event_type
+    WHERE st.rn = st.nt
+    """
+
+
+@register("sketch_p2_quantile", _p2_sql(0.5))
+def sketch_p2_quantile(spark, sf_dir):
+    """P² (piecewise-parabolic) streaming median of daily value
+    totals per event type — Jain & Chlamtac's five-marker O(1)-state
+    single-pass quantile estimator, the classic answer to "quantiles
+    without sorting" — with the EXACT lower-median order statistic
+    alongside as a self-certifying error reference.
+
+    Exactness: the marker fold is a fixed IEEE-double sequence; the
+    Python kernel (functions/sketches.p2_fold_py, run per key via
+    applyInPandas) and the generated DuckDB recursive CTE
+    (_p2_sql — chained LATERAL stages keep the three SEQUENTIAL
+    marker adjustments linear in text) write the same expressions in
+    the same order, so estimates match bit-for-bit (prototyped on two
+    SFs before registration, per the parked-item mandate).
+
+    Scale: P² state is NOT mergeable — per-key sequential is the
+    honest shape; keys parallelize, each sequence is the bounded
+    calendar-day grain, state is O(1).  Compare
+    sketch_kll_quantiles / sketch_tdigest_quantiles for the
+    mergeable-summary alternatives."""
+    from dicomdb_spark.functions.sketches import p2_quantile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    return p2_quantile(d, p=0.5)
+
+
+# ---------------------------------------------------------------------------
 # Round-11: Siegel-Tukey dispersion test (NEXT_STEPS parked item; the
 # tie-group averaging uses the floor-scaled integer-quotient trick).
 # ---------------------------------------------------------------------------

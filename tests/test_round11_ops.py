@@ -277,3 +277,48 @@ def test_generalized_esd_matches_reference(spark):
     # removed days must be distinct and each round shrinks by one
     assert len({r.removed_day for r in rows}) == 3
     assert [r.n_obs for r in rows] == [rows[0].n_obs - i for i in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# P-square streaming quantile: reference fold + self-certifying error
+# ---------------------------------------------------------------------------
+
+
+def test_p2_query_matches_reference_fold(spark):
+    from dicomdb_spark.functions.sketches import p2_fold_py
+
+    ev = load_table(spark, SF, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.y))
+    rows = QUERIES["sketch_p2_quantile"](spark, SF).collect()
+    assert len(rows) == sum(1 for v in series.values() if len(v) >= 5)
+    for r in rows:
+        xs = [float(y) for _, y in sorted(series[r.key])]
+        assert r.n_obs == len(xs)
+        # bit-exact vs the Python reference fold
+        assert r.p2_est == p2_fold_py(xs, 0.5)[2], r.key
+        ys = sorted(int(x) for x in xs)
+        assert r.exact_cents == ys[int(0.5 * (len(ys) - 1))]
+        # sanity: the estimate lands within the observed range
+        assert ys[0] <= r.p2_est <= ys[-1]
+
+
+def test_p2_fold_textbook_property():
+    """On already-sorted uniform ramps the P² median tracks the true
+    median closely; on 5 observations it IS the middle value."""
+    from dicomdb_spark.functions.sketches import p2_fold_py
+
+    assert p2_fold_py([5.0, 1.0, 4.0, 2.0, 3.0], 0.5)[2] == 3.0
+    xs = [float(i) for i in range(1, 202)]  # 1..201, median 101
+    est = p2_fold_py(xs, 0.5)[2]
+    assert abs(est - 101.0) < 2.0
