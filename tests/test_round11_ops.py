@@ -322,3 +322,78 @@ def test_p2_fold_textbook_property():
     xs = [float(i) for i in range(1, 202)]  # 1..201, median 101
     est = p2_fold_py(xs, 0.5)[2]
     assert abs(est - 101.0) < 2.0
+
+
+def test_p2_random_series_bit_exact_vs_duckdb():
+    """Adversarial parity: 40 seeded random series (uniform, bimodal,
+    sorted, constant-with-spikes) through the SAME recursive-CTE
+    machinery the oracle uses, compared bit-for-bit against the
+    Python kernel — exercises the parabolic/linear fallback and
+    extreme-update branches far more often than the fixture data."""
+    import random
+    import struct as _struct
+
+    import duckdb
+
+    from dicomdb_spark.functions.sketches import p2_fold_py
+    from dicomdb_spark.registry.q10 import _p2_adjust_sql
+
+    rng = random.Random(11)
+    series = []
+    for s in range(10):
+        series.append([float(rng.randint(0, 1000)) for _ in range(40)])
+        series.append(
+            [float(rng.choice((5, 900)) + rng.randint(0, 9)) for _ in range(35)]
+        )
+        series.append(sorted(float(rng.randint(0, 100)) for _ in range(25)))
+        base = [100.0] * 30
+        base[rng.randrange(30)] = 1e6
+        series.append(base)
+    p = 0.5
+    dn = [0.0, p / 2, p, (1 + p) / 2, 1.0]
+    np0 = [1.0, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5.0]
+    a2, a3, a4 = (
+        _p2_adjust_sql("u", "u", 2),
+        _p2_adjust_sql("a2", "u", 3),
+        _p2_adjust_sql("a3", "u", 4),
+    )
+    con = duckdb.connect()
+    for si, xs in enumerate(series):
+        vals = ", ".join(f"({i + 1}, {x!r})" for i, x in enumerate(xs))
+        q = f"""
+        WITH RECURSIVE s AS (
+          SELECT rn, CAST(x AS DOUBLE) AS x
+          FROM (VALUES {vals}) t(rn, x)),
+        seed AS (SELECT CAST(count(*) OVER () AS BIGINT) AS nt FROM s LIMIT 1),
+        st AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS nt,
+                 CAST(5 AS BIGINT) AS rn,
+                 (SELECT list_sort(list(x ORDER BY rn)) FROM s WHERE rn <= 5) AS h,
+                 [CAST(1 AS BIGINT),2,3,4,5] AS n,
+                 {np0!r}::DOUBLE[] AS np
+          UNION ALL
+          SELECT u.nt, u.rn, a4.h, a4.n, u.np
+          FROM (
+            SELECT st.nt, s.rn, s.x,
+                   list_transform(st.h, (v, j) ->
+                     CASE WHEN j = 1 THEN least(v, s.x)
+                          WHEN j = 5 THEN greatest(v, s.x) ELSE v END) AS h0,
+                   (CASE WHEN s.x < st.h[2] THEN 1 WHEN s.x < st.h[3] THEN 2
+                         WHEN s.x < st.h[4] THEN 3 ELSE 4 END) AS k,
+                   st.n AS n_prev, st.np AS np_prev
+            FROM st JOIN s ON s.rn = st.rn + 1
+          ) q,
+          LATERAL (SELECT q.nt, q.rn, q.h0 AS h,
+                          list_transform(q.n_prev, (v, j) ->
+                            CASE WHEN j > q.k THEN v + 1 ELSE v END) AS n,
+                          list_transform(q.np_prev, (v, j) ->
+                            v + {dn!r}[j]) AS np) u,
+          LATERAL ({a2}) a2, LATERAL ({a3}) a3, LATERAL ({a4}) a4
+        )
+        SELECT h[3] FROM st WHERE rn = nt
+        """
+        (est,) = con.execute(q).fetchone()
+        ref = p2_fold_py(xs, p)[2]
+        assert _struct.pack("<d", est) == _struct.pack("<d", ref), (
+            si, repr(est), repr(ref),
+        )
