@@ -297,11 +297,15 @@ def build_container_v2(doc_id: int, body: bytes) -> bytes:
     return hdr + body
 
 
-def containerize_v2(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _containerize(
+    df: DataFrame,
+    builder: Callable[[int, bytes], bytes],
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """documents → TIFF/WebP payloads (see build_container_v2), the
-    round-11 twin of containerize — map-only, payloads never shuffle."""
+    """Shared fixture producer: wrap each document's UTF-8 bytes with
+    ``builder(doc_id, body)`` as a map-only ``mapInPandas`` — payloads
+    are built and consumed map-side, they never shuffle."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -316,43 +320,30 @@ def containerize_v2(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        build_container_v2(int(d), str(t).encode("utf-8"))
+                        builder(int(d), str(t).encode("utf-8"))
                         for d, t in zip(pdf["doc_id"], pdf["t"])
                     ],
                 }
             )
 
     return src.mapInPandas(run, schema=schema)
+
+
+def containerize_v2(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → TIFF/WebP payloads (see build_container_v2), the
+    round-11 twin of containerize."""
+    return _containerize(df, build_container_v2, text_col, id_col)
 
 
 def containerize(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """documents → structurally valid image-container payloads (see
-    build_container) as a map-only ``mapInPandas`` — the fixture
-    producer for the real-decode round trip.  Payloads are built and
-    consumed map-side; they never shuffle."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        build_container(int(d), str(t).encode("utf-8"))
-                        for d, t in zip(pdf["doc_id"], pdf["t"])
-                    ],
-                }
-            )
-
-    return src.mapInPandas(run, schema=schema)
+    """documents → structurally valid PNG/GIF/BMP/JPEG payloads (see
+    build_container), the fixture producer for the real-decode round
+    trip."""
+    return _containerize(df, build_container, text_col, id_col)
 
 
 def binarize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -685,29 +676,8 @@ def build_flac(doc_id: int, body: bytes) -> bytes:
 def containerize_flac(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """documents → structurally valid FLAC payloads (see build_flac)
-    as a map-only ``mapInPandas`` — payloads never shuffle."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        build_flac(int(d), str(t).encode("utf-8"))
-                        for d, t in zip(pdf["doc_id"], pdf["t"])
-                    ],
-                }
-            )
-
-    return src.mapInPandas(run, schema=schema)
+    """documents → structurally valid FLAC payloads (see build_flac)."""
+    return _containerize(df, build_flac, text_col, id_col)
 
 
 def build_wav(doc_id: int, body: bytes) -> bytes:
@@ -737,29 +707,8 @@ def build_wav(doc_id: int, body: bytes) -> bytes:
 def containerize_audio(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """documents → structurally valid WAV payloads (see build_wav) as a
-    map-only ``mapInPandas`` — payloads never shuffle."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        build_wav(int(d), str(t).encode("utf-8"))
-                        for d, t in zip(pdf["doc_id"], pdf["t"])
-                    ],
-                }
-            )
-
-    return src.mapInPandas(run, schema=schema)
+    """documents → structurally valid WAV payloads (see build_wav)."""
+    return _containerize(df, build_wav, text_col, id_col)
 
 
 def decode_audio_meta(

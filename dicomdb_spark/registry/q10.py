@@ -500,13 +500,12 @@ def a_siegel_tukey(spark, sf_dir):
 
 _ESD_SQL_ROUND = """
     s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
-                    CAST(count(*) AS BIGINT)
-                      * CAST(SUM((y - cshift{k}.c) * (y - cshift{k}.c))
-                             AS BIGINT)
-                      - (CAST(SUM(y) AS BIGINT)
-                         - CAST(count(*) AS BIGINT) * cshift{k}.c)
-                        * (CAST(SUM(y) AS BIGINT)
-                           - CAST(count(*) AS BIGINT) * cshift{k}.c) AS ss
+                    CAST(SUM(CAST(floor((CAST(y - cshift{k}.c AS DOUBLE)
+                                         * CAST(y - cshift{k}.c AS DOUBLE))
+                                        / 10000.0) AS BIGINT)) AS BIGINT)
+                      AS sd2s,
+                    CAST(SUM(y) AS BIGINT)
+                      - CAST(count(*) AS BIGINT) * cshift{k}.c AS rs
              FROM d{j}, cshift{k} GROUP BY cshift{k}.c),
     a{k} AS (SELECT max(abs(s{k}.n * d{j}.y - s{k}.s)) AS dmax
              FROM d{j}, s{k}),
@@ -543,7 +542,10 @@ def _esd_sql() -> str:
     SELECT CAST({k} AS BIGINT) AS iter, r{k}.rm_day AS removed_day,
            s{k}.n AS n_obs,
            CAST(a{k}.dmax AS DOUBLE)
-             / sqrt(CAST(s{k}.n AS DOUBLE) * CAST(s{k}.ss AS DOUBLE)
+             / sqrt(CAST(s{k}.n AS DOUBLE)
+                    * (CAST(s{k}.n AS DOUBLE)
+                       * (CAST(s{k}.sd2s AS DOUBLE) * 10000.0)
+                       - CAST(s{k}.rs AS DOUBLE) * CAST(s{k}.rs AS DOUBLE))
                     / CAST(s{k}.n - 1 AS DOUBLE)) AS r_stat
     FROM s{k}, a{k}, r{k}"""
         )
@@ -559,16 +561,20 @@ def a_generalized_esd(spark, sf_dir):
     the sequence is masking-proof: a second outlier can no longer hide
     the first.
 
-    Exactness: R_k = Dmax / sqrt(n*(n*Sxx - S^2)/(n-1)) where
-    Dmax = max|n*y - S| — all int64 co-moments.  The sum of squares is
-    computed on MEAN-SHIFTED values (c = floor(S/n) via the canonical
-    nonnegative-residue floor division, identical in both engines
-    since Spark div truncates and DuckDB // floors): n*Sxx - S^2 is
-    shift-invariant, and shifting keeps the squared terms at spread
-    magnitude instead of total magnitude, so the int64 encoding
-    survives scale factors where raw daily totals would overflow.
-    argmax is the two-step max-then-min-day form — no float compare,
-    no struct ordering.
+    Exactness: R_k = Dmax / sqrt(n*(n*Sxx - S^2)/(n-1)) with
+    Dmax = max|n*y - S| as exact int64, and the sum of squares over
+    MEAN-SHIFTED deviations d = y - c (c = floor(S/n) via the
+    canonical nonnegative-residue floor division, identical in both
+    engines since Spark div truncates and DuckDB // floors — the
+    co-moment is shift-invariant).  Each d^2 is floor-scaled BEFORE
+    summing (floor(d*d/1e4), the a_ljung_box dsum-for-products
+    discipline) so the accumulator is int64 at ANY SF — n*max(d^2)/1e4
+    stays ~10^14 even when raw n*Sxx would overflow; and because IEEE
+    multiplication is correctly rounded, the d*d doubles are
+    IDENTICAL in both engines even past 2^53, so parity holds at any
+    magnitude (the ~1e-4-cent^2 floor granularity is statistically
+    invisible in R).  argmax is the two-step max-then-min-day form —
+    no float compare, no struct ordering.
 
     Scale: calendar-day grain (<= ~2,400 rows at any SF); three
     rounds of 1-row broadcast aggregates — the only crossJoins are
@@ -590,23 +596,17 @@ def a_generalized_esd(spark, sf_dir):
             F.expr("(s - ((s % n + n) % n)) div n").cast("long").alias("c")
         )
         withc = cur.crossJoin(F.broadcast(cshift))
+        dd = (F.col("y") - F.col("c")).cast("double")
         stats = withc.groupBy("c").agg(
             F.count("*").cast("long").alias("n"),
             F.sum("y").cast("long").alias("s"),
+            F.sum(F.floor((dd * dd) / 10000.0).cast("long"))
+            .cast("long")
+            .alias("sd2s"),
             (
-                F.count("*").cast("long")
-                * F.sum(
-                    (F.col("y") - F.col("c")) * (F.col("y") - F.col("c"))
-                ).cast("long")
-                - (
-                    F.sum("y").cast("long")
-                    - F.count("*").cast("long") * F.col("c")
-                )
-                * (
-                    F.sum("y").cast("long")
-                    - F.count("*").cast("long") * F.col("c")
-                )
-            ).alias("ss"),
+                F.sum("y").cast("long")
+                - F.count("*").cast("long") * F.col("c")
+            ).alias("rs"),
         ).drop("c")
         wd = cur.crossJoin(F.broadcast(stats))
         ad = F.abs(F.col("n") * F.col("y") - F.col("s"))
@@ -627,7 +627,12 @@ def a_generalized_esd(spark, sf_dir):
                     F.col("dmax").cast("double")
                     / F.sqrt(
                         F.col("n").cast("double")
-                        * F.col("ss").cast("double")
+                        * (
+                            F.col("n").cast("double")
+                            * (F.col("sd2s").cast("double") * 10000.0)
+                            - F.col("rs").cast("double")
+                            * F.col("rs").cast("double")
+                        )
                         / (F.col("n") - 1).cast("double")
                     )
                 ).alias("r_stat"),

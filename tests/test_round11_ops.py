@@ -260,12 +260,17 @@ def test_generalized_esd_matches_reference(spark):
         n = len(data)
         s = sum(data.values())
         c = (s - ((s % n + n) % n)) // n
-        ss = n * sum((y - c) * (y - c) for y in data.values()) - (
-            s - n * c
-        ) * (s - n * c)
+        # floor-scaled squared deviations (dsum-for-products), exactly
+        # as both engines compute them
+        sd2s = sum(
+            int((float(y - c) * float(y - c)) / 10000.0)
+            for y in data.values()
+        )
+        rs = s - n * c
         dmax = max(abs(n * y - s) for y in data.values())
         rm = min(d for d, y in data.items() if abs(n * y - s) == dmax)
-        r_stat = float(dmax) / math.sqrt(float(n) * float(ss) / float(n - 1))
+        inner = float(n) * (float(sd2s) * 10000.0) - float(rs) * float(rs)
+        r_stat = float(dmax) / math.sqrt(float(n) * inner / float(n - 1))
         expect.append((k, rm, n, r_stat))
         del data[rm]
     rows = sorted(
