@@ -402,3 +402,37 @@ def test_p2_random_series_bit_exact_vs_duckdb():
         assert _struct.pack("<d", est) == _struct.pack("<d", ref), (
             si, repr(est), repr(ref),
         )
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes: the round-11 map-only operators must really be map-only
+# ---------------------------------------------------------------------------
+
+
+def test_decode_and_lz76_plans_have_zero_shuffles(spark):
+    """The container-decode round trips and the LZ76 fold are pure
+    map pipelines — scan → (containerize) → decode/fold — so their
+    physical plans must contain NO Exchange at all.  A shuffle here
+    would mean payload bytes crossing the wire, the exact thing the
+    multimodal design forbids at 100 TB."""
+    from dicomdb_spark.plans import introspection as pi
+
+    for name in (
+        "multimodal_decode_real",
+        "multimodal_decode_tiff_webp",
+        "multimodal_flac_meta",
+        "text_lz76_complexity",
+    ):
+        df = QUERIES[name](spark, SF)
+        assert pi.count_shuffles(df) == 0, (name, pi.simple_plan(df))
+
+
+def test_p2_plan_shuffles_only_metadata(spark):
+    """sketch_p2_quantile shuffles exactly once — the hash exchange
+    that co-locates each key's (day, y) grain rows for the
+    applyInPandas fold, AFTER the daily pre-aggregate (plus its
+    partial-agg exchange).  Payloads: none; state: O(1) per key."""
+    from dicomdb_spark.plans import introspection as pi
+
+    df = QUERIES["sketch_p2_quantile"](spark, SF)
+    assert pi.count_shuffles(df) <= 2, pi.simple_plan(df)
