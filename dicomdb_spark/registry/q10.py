@@ -94,6 +94,63 @@ def multimodal_flac_meta(spark, sf_dir):
     return decode_audio_meta(containerize_flac(docs))
 
 
+@register(
+    "multimodal_resize_audit",
+    """
+    WITH d AS (SELECT doc_id, text,
+                      CAST(length(text) AS BIGINT) AS l
+               FROM documents WHERE length(text) >= 1),
+    s AS (SELECT doc_id, text, l,
+                 greatest(l // 64, CAST(1 AS BIGINT)) AS stride
+          FROM d),
+    r AS (SELECT doc_id, text, l, stride,
+                 least((l + stride - 1) // stride, CAST(64 AS BIGINT))
+                   AS n_resized
+          FROM s)
+    SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           n_resized,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+           CAST(ascii(substr(text,
+                             CAST(least(10, n_resized - 1) * stride + 1
+                                  AS INTEGER), 1)) AS BIGINT) AS probe_byte
+    FROM r
+    """,
+)
+def multimodal_resize_audit(spark, sf_dir):
+    """Resize round trip (closes the last stub-only multimodal brief
+    item as a driver-checked query): documents → binary payloads →
+    llm/multimodal.resize_images with the deterministic stride
+    down-sampler (every k-th byte, k = max(len/64, 1), capped at
+    8×8 = 64 bytes) — the batch shape a PIL/libvips resizer would
+    drop into.  The audit re-derives, FROM THE RESIZED BYTES, the
+    output length plus two positional probes (byte 0 and byte
+    min(10, n-1)), which the oracle restates from the original text
+    by the stride arithmetic — an off-by-one in the slice, the cap,
+    or the stride floor breaks the hash.  Valid because the corpus is
+    pure ASCII (octet_length == length, asserted in tests), so byte
+    k of the payload IS character k+1 of the text.  Map-only; zero
+    shuffles (asserted in tests)."""
+    from dicomdb_spark.llm.multimodal import binarize, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
+    rz = resize_images(binarize(docs), target_w=8, target_h=8)
+    txt = F.col("resized_payload").cast("string")
+    n_resized = F.octet_length("resized_payload").cast("long")
+    probe_pos = F.least(F.lit(10).cast("long"), n_resized - 1) + 1
+    return rz.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        n_resized.alias("n_resized"),
+        F.ascii(txt.substr(F.lit(1), F.lit(1))).cast("long").alias("head_byte"),
+        F.ascii(txt.substr(probe_pos.cast("int"), F.lit(1)))
+        .cast("long")
+        .alias("probe_byte"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-11: LZ76 phrase complexity (NEXT_STEPS parked item "Lempel-
 # Ziv-76 complexity (fold with string state)") — a compression-style

@@ -421,6 +421,7 @@ def test_decode_and_lz76_plans_have_zero_shuffles(spark):
         "multimodal_decode_real",
         "multimodal_decode_tiff_webp",
         "multimodal_flac_meta",
+        "multimodal_resize_audit",
         "text_lz76_complexity",
     ):
         df = QUERIES[name](spark, SF)
@@ -436,3 +437,35 @@ def test_p2_plan_shuffles_only_metadata(spark):
 
     df = QUERIES["sketch_p2_quantile"](spark, SF)
     assert pi.count_shuffles(df) <= 2, pi.simple_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# Resize audit: corpus ASCII precondition + byte-exact reference
+# ---------------------------------------------------------------------------
+
+
+def test_documents_are_pure_ascii(spark):
+    """The resize oracle's byte==char identity requires an ASCII
+    corpus; assert the precondition the docstring claims."""
+    docs = load_table(spark, SF, "documents")
+    n_bad = docs.filter(
+        F.octet_length(F.encode("text", "UTF-8")) != F.length("text")
+    ).count()
+    assert n_bad == 0
+
+
+def test_resize_audit_matches_python_slice(spark):
+    rows = QUERIES["multimodal_resize_audit"](spark, SF).collect()
+    docs = {
+        r.doc_id: r.text.encode()
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert len(rows) == sum(1 for b in docs.values() if len(b) >= 1)
+    for r in rows:
+        b = docs[r.doc_id]
+        stride = max(len(b) // 64, 1)
+        resized = b[::stride][:64]
+        assert (r.width, r.height) == (8, 8)
+        assert r.n_resized == len(resized)
+        assert r.head_byte == resized[0]
+        assert r.probe_byte == resized[min(10, len(resized) - 1)]
