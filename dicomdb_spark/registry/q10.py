@@ -1,9 +1,10 @@
 """registry chunk 10 — round-11 additions.
 
 Scope per the round-10 verdict's breadth freeze: every entry here
-cites either the LLM-pipeline brief (real multimodal container
-decode) or a NEXT_STEPS.md parked item that was explicitly kept
-(LZ76 complexity, Siegel-Tukey, generalized ESD).
+cites either the LLM-pipeline brief (real TIFF/WebP/FLAC container
+decode, the resize round-trip audit) or a NEXT_STEPS.md parked item
+that was explicitly kept (LZ76 complexity, P-square streaming
+quantile, Siegel-Tukey, generalized ESD).
 """
 from __future__ import annotations
 
