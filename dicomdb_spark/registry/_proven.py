@@ -276,23 +276,42 @@ R10_DRIVER_PROVEN: tuple[str, ...] = (
     "a_fano_factor",
 )
 
+# Round-11 driver rows (CORRECTNESS_r11.json): 50/50 hash-green — the
+# entire round-11 window converted (the 27 round-10 late-batch backlog
+# entries, plus the 7 round-11 registrations; the other 16 slots were
+# flagship re-proves already in earlier ledgers).  With this promotion
+# the cumulative driver-proven ledger is CLOSED at 521/521 distinct
+# queries — zero all-time-red survivors.
+R11_DRIVER_PROVEN: tuple[str, ...] = (
+    "w_chande_momentum", "w_vortex_indicator", "w_ultimate_oscillator",
+    "a_qn_scale", "a_chao1_richness", "a_page_trend_test",
+    "text_coleman_liau", "text_gunning_fog", "a_hartley_fmax",
+    "a_kendall_w", "a_cochran_c", "a_gwet_ac1", "a_cronbach_alpha",
+    "a_stuart_maxwell", "a_icc_oneway", "text_chi2_keyness",
+    "w_pettitt_test", "ml_average_precision", "a_partial_corr",
+    "a_quade_test", "a_gini_mean_difference", "a_robust_location",
+    "a_forecast_mase", "a_bartels_rank_test", "a_hl_shift",
+    "graph_degree_gini", "ml_diagnostic_ratios",
+    "multimodal_decode_tiff_webp", "multimodal_flac_meta",
+    "multimodal_resize_audit", "text_lz76_complexity",
+    "sketch_p2_quantile", "a_siegel_tukey", "a_generalized_esd",
+)
+
 DRIVER_PROVEN: tuple[str, ...] = (
     R1_DRIVER_PROVEN + R2_DRIVER_PROVEN + R3_DRIVER_PROVEN
     + R4_DRIVER_PROVEN + R5_DRIVER_PROVEN + R6_DRIVER_PROVEN
     + R7_DRIVER_PROVEN + R8_DRIVER_PROVEN + R9_DRIVER_PROVEN
-    + R10_DRIVER_PROVEN
+    + R10_DRIVER_PROVEN + R11_DRIVER_PROVEN
 )
 
 
 # Unproven entries that should claim driver-window slots FIRST.
-# Round-11 curation: after promoting the 50 round-10 greens to
-# R10_DRIVER_PROVEN, the unproven backlog is the 27 round-10 late-batch
-# registrations (batches F-K; judge re-derived 27/27 exact-match in the
-# round-10 verdict).  They are absent from DRIVER_PROVEN and therefore
-# lead ordered_queries() in registration order automatically — no
-# explicit priority list needed; new round-11 registrations join them
-# the same way.  Window math: 27 backlog + up to 23 round-11
-# registrations = the 50-entry driver window.
+# Round-12 curation: after promoting the 34 round-11 greens to
+# R11_DRIVER_PROVEN the unproven backlog is EMPTY (ledger closed at
+# 521/521).  Any round-12 registrations are absent from DRIVER_PROVEN
+# and therefore lead ordered_queries() automatically in registration
+# order; remaining window slots fall to the proven set as flagship
+# re-proves.
 UNPROVEN_PRIORITY: tuple[str, ...] = ()
 
 
