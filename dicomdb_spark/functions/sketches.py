@@ -647,7 +647,16 @@ def p2_quantile(
         pdf = pdf.sort_values(order_col)
         ys = [int(v) for v in pdf[value_col]]
         if len(ys) < 5:
-            return pd.DataFrame(columns=[f.name for f in schema.fields])
+            # explicit dtypes: an untyped empty frame is all-object and
+            # its Arrow conversion to Long/Double is version-dependent
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype="object"),
+                    "n_obs": pd.Series(dtype="int64"),
+                    "p2_est": pd.Series(dtype="float64"),
+                    "exact_cents": pd.Series(dtype="int64"),
+                }
+            )
         xs = [float(v) for v in ys]
         h = p2_fold_py(xs, p)
         # lower order statistic at 0-based index floor(p*(n-1)) — the

@@ -100,7 +100,9 @@ def multimodal_flac_meta(spark, sf_dir):
     """
     WITH d AS (SELECT doc_id, text,
                       CAST(length(text) AS BIGINT) AS l
-               FROM documents WHERE length(text) >= 1),
+               FROM documents
+               WHERE length(text) >= 1
+                 AND octet_length(encode(text)) = length(text)),
     s AS (SELECT doc_id, text, l,
                  greatest(l // 64, CAST(1 AS BIGINT)) AS stride
           FROM d),
@@ -127,14 +129,17 @@ def multimodal_resize_audit(spark, sf_dir):
     output length plus two positional probes (byte 0 and byte
     min(10, n-1)), which the oracle restates from the original text
     by the stride arithmetic — an off-by-one in the slice, the cap,
-    or the stride floor breaks the hash.  Valid because the corpus is
-    pure ASCII (octet_length == length, asserted in tests), so byte
-    k of the payload IS character k+1 of the text.  Map-only; zero
+    or the stride floor breaks the hash.  The byte==char identity the
+    oracle relies on is SELF-GUARDING: both engines filter
+    octet_length == length, so a non-ASCII document at any SF is
+    excluded identically rather than silently diverging (Spark reads
+    payload bytes, the oracle indexes characters).  Map-only; zero
     shuffles (asserted in tests)."""
     from dicomdb_spark.llm.multimodal import binarize, resize_images
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= 1
+        (F.length("text") >= 1)
+        & (F.octet_length("text") == F.length("text"))
     )
     rz = resize_images(binarize(docs), target_w=8, target_h=8)
     txt = F.col("resized_payload").cast("string")
@@ -161,6 +166,9 @@ def multimodal_resize_audit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _LZ_CAP = 120  # chars of prefix scanned; per-doc cost is O(cap^2), constant
+# The fold state is packed as cnt*1000 + start with start <= _LZ_CAP + 2;
+# a cap past 997 would silently corrupt the encoding in BOTH engines.
+assert _LZ_CAP + 2 < 1000, "LZ76 state packing requires _LZ_CAP + 2 < 1000"
 
 
 @register(
@@ -600,11 +608,11 @@ def _esd_sql() -> str:
     SELECT CAST({k} AS BIGINT) AS iter, r{k}.rm_day AS removed_day,
            s{k}.n AS n_obs,
            CAST(a{k}.dmax AS DOUBLE)
-             / sqrt(CAST(s{k}.n AS DOUBLE)
+             / nullif(sqrt(greatest(CAST(s{k}.n AS DOUBLE)
                     * (CAST(s{k}.n AS DOUBLE)
                        * (CAST(s{k}.sd2s AS DOUBLE) * 10000.0)
                        - CAST(s{k}.rs AS DOUBLE) * CAST(s{k}.rs AS DOUBLE))
-                    / CAST(s{k}.n - 1 AS DOUBLE)) AS r_stat
+                    / CAST(s{k}.n - 1 AS DOUBLE), 0.0)), 0.0) AS r_stat
     FROM s{k}, a{k}, r{k}"""
         )
     return ",".join(parts) + " UNION ALL ".join(selects)
@@ -683,15 +691,26 @@ def a_generalized_esd(spark, sf_dir):
                 F.col("n").alias("n_obs"),
                 (
                     F.col("dmax").cast("double")
-                    / F.sqrt(
-                        F.col("n").cast("double")
-                        * (
-                            F.col("n").cast("double")
-                            * (F.col("sd2s").cast("double") * 10000.0)
-                            - F.col("rs").cast("double")
-                            * F.col("rs").cast("double")
-                        )
-                        / (F.col("n") - 1).cast("double")
+                    # radicand clamped at 0 (floor-scaling discards up
+                    # to 1e4 per row, so near-constant survivor sets
+                    # can go fractionally negative) and a zero sqrt is
+                    # NULLed instead of dividing — identical nullif /
+                    # greatest guards in the oracle SQL
+                    / F.nullif(
+                        F.sqrt(
+                            F.greatest(
+                                F.col("n").cast("double")
+                                * (
+                                    F.col("n").cast("double")
+                                    * (F.col("sd2s").cast("double") * 10000.0)
+                                    - F.col("rs").cast("double")
+                                    * F.col("rs").cast("double")
+                                )
+                                / (F.col("n") - 1).cast("double"),
+                                F.lit(0.0),
+                            )
+                        ),
+                        F.lit(0.0),
                     )
                 ).alias("r_stat"),
             )
