@@ -424,16 +424,33 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1_HEADLINE", "1") != "0":
         scaled = _scaled_dir(sf_dir, SF1_FACTOR)
         if os.path.isdir(scaled):
+            # Per-tier idle guard (round-11 VERDICT #1): the r11
+            # artifact recorded sf1 23.29 s vs 14.13 s idle on
+            # identical code because the single guard ran tens of
+            # minutes before this tier under ambient load.  Re-check
+            # here and stamp the state (plus load1 AFTER the tier) so
+            # a loaded sf1 number is machine-flagged in the artifact.
+            out["idle_guard_sf1"] = idle_guard(max_wait_s=120.0)
             sf1_q: dict[str, float] = {}
-            sf1_total = 0.0
-            for name in HEADLINE:
-                try:
-                    sf1_q[name] = round(run_query(spark, name, scaled, reps=2), 4)
-                    sf1_total += sf1_q[name]
-                except Exception:
-                    sf1_q[name] = -1.0
+            # best-of-2 passes: a transient load spike mid-pass taxes
+            # several queries at once; the cross-pass per-query min
+            # keeps one clean measurement each
+            for _ in range(2):
+                for name in HEADLINE:
+                    try:
+                        t = run_query(spark, name, scaled, reps=2)
+                        sf1_q[name] = round(
+                            min(sf1_q.get(name, float("inf")), t), 4
+                        )
+                    except Exception:
+                        sf1_q.setdefault(name, -1.0)
+            out["idle_guard_sf1"]["load1_after"] = round(
+                os.getloadavg()[0], 2
+            )
             detail["sf1_queries"] = sf1_q
-            out["sf1_value"] = round(sf1_total, 4)
+            out["sf1_value"] = round(
+                sum(t for t in sf1_q.values() if t > 0), 4
+            )
     # sf2 tier: worst-scaler step ratios between the 10× and 20×
     # replicas, with output rows at both tiers (growth attribution)
     if os.environ.get("SPARK_GRAFT_SF2_CHECK", "1") != "0":
@@ -444,6 +461,8 @@ def main() -> None:
             d20 = _scaled_dir(sf_dir, SF2_FACTOR)
             if not os.path.isdir(d20):
                 replicate_scaled(spark, sf_dir, d20, factor=SF2_FACTOR)
+            # per-tier idle guard, same rationale as the sf1 tier
+            out["idle_guard_sf2"] = idle_guard(max_wait_s=120.0)
             sf2_detail: dict[str, dict] = {}
             worst_step = 0.0
             for name in WORST_SF1_SCALERS:
@@ -462,6 +481,9 @@ def main() -> None:
                     "rows_step": round(r20 / r10, 2) if r10 > 0 else -1.0,
                 }
                 spark.catalog.clearCache()
+            out["idle_guard_sf2"]["load1_after"] = round(
+                os.getloadavg()[0], 2
+            )
             detail["sf2_worst_scalers"] = sf2_detail
             out["sf2_factor"] = SF2_FACTOR
             out["sf2_max_step"] = worst_step
