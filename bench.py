@@ -439,9 +439,10 @@ def main() -> None:
                 for name in HEADLINE:
                     try:
                         t = run_query(spark, name, scaled, reps=2)
-                        sf1_q[name] = round(
-                            min(sf1_q.get(name, float("inf")), t), 4
-                        )
+                        prev = sf1_q.get(name, float("inf"))
+                        if prev < 0:  # failed pass 1, succeeded pass 2
+                            prev = float("inf")
+                        sf1_q[name] = round(min(prev, t), 4)
                     except Exception:
                         sf1_q.setdefault(name, -1.0)
             out["idle_guard_sf1"]["load1_after"] = round(
