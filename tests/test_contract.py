@@ -36,6 +36,12 @@ def test_queries_order_unproven_first():
 
     names = list(entry_mod.queries())
     assert set(names) == set(QUERIES)
+    # ledger hygiene: a typo'd or stale proven name would silently
+    # shrink the effective ledger and re-front an already-proven query
+    assert len(DRIVER_PROVEN) == len(set(DRIVER_PROVEN)), "duplicate ledger entry"
+    assert set(DRIVER_PROVEN) <= set(QUERIES), (
+        f"proven-but-unregistered: {sorted(set(DRIVER_PROVEN) - set(QUERIES))}"
+    )
     n_unproven = len(QUERIES) - len(set(DRIVER_PROVEN) & set(QUERIES))
     head = names[:n_unproven]
     assert set(head) & set(DRIVER_PROVEN) == set()
