@@ -469,3 +469,31 @@ def test_resize_audit_matches_python_slice(spark):
         assert r.n_resized == len(resized)
         assert r.head_byte == resized[0]
         assert r.probe_byte == resized[min(10, len(resized) - 1)]
+
+
+def test_p2_short_group_empty_frame_dtypes(spark):
+    """A key with <5 observations must be DROPPED via the explicitly-
+    dtyped empty frame (ADVICE r11 #1): an all-object empty frame's
+    Arrow conversion to Long/Double is version-dependent, so this
+    drives the short-group branch end-to-end through applyInPandas."""
+    import datetime
+
+    from dicomdb_spark.functions.sketches import p2_quantile
+
+    rows = [
+        ("short", datetime.date(2024, 1, 1 + i), 10 + i) for i in range(3)
+    ] + [
+        ("long", datetime.date(2024, 1, 1 + i), 100 + 7 * i)
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, day date, y long")
+    out = p2_quantile(df)
+    got = {r.key: r for r in out.collect()}
+    assert set(got) == {"long"}  # the 3-obs key is dropped, no error
+    assert got["long"].n_obs == 9
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "bigint", "double", "bigint",
+    ]
+    # all-short input: the WHOLE result rides the empty-frame path
+    short_only = spark.createDataFrame(rows[:3], "event_type string, day date, y long")
+    assert p2_quantile(short_only).count() == 0
