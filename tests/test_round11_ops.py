@@ -497,3 +497,47 @@ def test_p2_short_group_empty_frame_dtypes(spark):
     # all-short input: the WHOLE result rides the empty-frame path
     short_only = spark.createDataFrame(rows[:3], "event_type string, day date, y long")
     assert p2_quantile(short_only).count() == 0
+
+
+def test_resize_audit_non_ascii_excluded_identically(spark):
+    """The byte==char identity behind the resize-audit oracle is now
+    SELF-GUARDING (ADVICE r11 #3): both engines filter
+    octet_length == length, so a non-ASCII document is excluded
+    identically at any SF instead of silently diverging.  Injects a
+    mixed corpus (ASCII + multi-byte UTF-8) through BOTH the Spark
+    plan and the oracle SQL and compares exact rows."""
+    import duckdb
+    import pandas as pd
+
+    from dicomdb_spark.registry._core import ORACLES, QUERIES as Q
+    from tests.conftest import patched_load_table
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "plain ascii body " * 5,
+                "café au lait — multi-byte",  # MUST be excluded
+                "x" * 200,
+                "emoji \U0001f600 payload",  # MUST be excluded
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "documents"
+        return docs
+
+    with patched_load_table(fake_load):
+        sdf = Q["multimodal_resize_audit"](spark, "unused")
+        got = sorted(tuple(r) for r in sdf.collect())
+    assert {t[0] for t in got} == {1, 3}  # non-ASCII rows dropped
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    res = con.execute(ORACLES["multimodal_resize_audit"])
+    cols = [c[0] for c in res.description]
+    assert cols == list(sdf.columns)
+    want = sorted(tuple(r) for r in res.fetchall())
+    assert got == want
