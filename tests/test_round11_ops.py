@@ -541,3 +541,47 @@ def test_resize_audit_non_ascii_excluded_identically(spark):
     assert cols == list(sdf.columns)
     want = sorted(tuple(r) for r in res.fetchall())
     assert got == want
+
+
+def test_esd_constant_series_null_rstat_parity(spark):
+    """ADVICE r11 #2 guard path: on a CONSTANT daily series the
+    variance radicand is 0, so r_stat must be NULL (nullif'd zero
+    denominator) — not NaN or a division error — identically in both
+    engines, and the min-day tiebreak argmax still removes one day
+    per round."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from dicomdb_spark.registry._core import ORACLES, QUERIES as Q
+    from tests.conftest import patched_load_table
+
+    ts = [datetime.datetime(2024, 3, 1 + i, 12, 0, 0) for i in range(8)]
+    pdf = pd.DataFrame(
+        {"event_type": ["a"] * 8, "ts": ts, "value": [7.25] * 8}
+    )
+    ev = spark.createDataFrame(pdf)
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "events"
+        return ev
+
+    with patched_load_table(fake_load):
+        sdf = Q["a_generalized_esd"](spark, "unused")
+        got = sorted(tuple(r) for r in sdf.collect())
+    assert len(got) == 3
+    assert all(r[3] is None for r in got)  # r_stat NULL every round
+    # rounds remove the three earliest days (min-day argmax tiebreak)
+    assert [r[1] for r in got] == [
+        datetime.date(2024, 3, 1),
+        datetime.date(2024, 3, 2),
+        datetime.date(2024, 3, 3),
+    ]
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    res = con.execute(ORACLES["a_generalized_esd"])
+    assert [c[0] for c in res.description] == list(sdf.columns)
+    want = sorted(tuple(r) for r in res.fetchall())
+    assert got == want
