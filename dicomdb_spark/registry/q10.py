@@ -179,8 +179,9 @@ assert _LZ_CAP + 2 < 1000, "LZ76 state packing requires _LZ_CAP + 2 < 1000"
                FROM documents WHERE length(text) >= 1),
     f AS (SELECT doc_id, n,
                  list_reduce(
-                   [CAST(1 AS BIGINT)] || range(1, n + 1),
+                   [CAST(1 AS BIGINT)] || range(1, {_LZ_CAP} + 1),
                    (acc, i) -> CASE
+                     WHEN i > n THEN acc
                      WHEN contains(substr(s, 1, CAST(i AS INTEGER) - 1),
                                    substr(s, CAST(acc % 1000 AS INTEGER),
                                           CAST(i - acc % 1000 + 1 AS INTEGER)))
@@ -212,7 +213,13 @@ def text_lz76_complexity(spark, sf_dir):
     (phrase count, phrase start) is ENCODED as cnt*1000 + start
     (both <= 121), advanced by identical substring-containment steps
     in Spark's F.aggregate and DuckDB's list_reduce (init value
-    prepended, since list_reduce seeds from the first element).  No
+    prepended, since list_reduce seeds from the first element).  The
+    fold is a CONSTANT _LZ_CAP steps for every row (i > n passes
+    through): DuckDB 1.0.0 list_reduce mis-binds lambda outer-column
+    references when list lengths are ragged within a vector, so a
+    per-row range(1, n+1) silently corrupts batches containing a
+    sub-cap document — caught by the adversarial three-way parity
+    test, invisible on corpora where every doc reaches the cap.  No
     floats until the final single-division ratio.
 
     Scale: map-only per document, O(cap^2) = constant per row, no
@@ -229,15 +236,23 @@ def text_lz76_complexity(spark, sf_dir):
         hist = F.col("s").substr(F.lit(1), (i - 1).cast("int"))
         w_c = F.col("s").substr(ws.cast("int"), (i - ws + 1).cast("int"))
         return (
-            F.when(F.contains(hist, w_c), acc)
+            F.when(i > F.col("n"), acc)
+            .when(F.contains(hist, w_c), acc)
             .otherwise((F.floor(acc / 1000) + 1) * 1000 + i + 1)
             .cast("long")
         )
 
+    # UNIFORM fold length (always _LZ_CAP steps, i > n passes through):
+    # DuckDB 1.0.0's list_reduce mis-binds outer columns referenced in
+    # the lambda when list lengths are RAGGED within a vector (minimal
+    # repro in tests/test_round11_ops.py) — a per-row range(1, n+1)
+    # silently corrupts any batch containing a sub-cap document.  A
+    # constant-length list sidesteps the bug; Spark mirrors the same
+    # guard so the folds stay step-identical.
     f = d.withColumn(
         "acc",
         F.aggregate(
-            F.sequence(F.lit(1).cast("long"), F.col("n")),
+            F.sequence(F.lit(1).cast("long"), F.lit(_LZ_CAP).cast("long")),
             F.lit(1).cast("long"),
             step,
         ),

@@ -585,3 +585,56 @@ def test_esd_constant_series_null_rstat_parity(spark):
     assert [c[0] for c in res.description] == list(sdf.columns)
     want = sorted(tuple(r) for r in res.fetchall())
     assert got == want
+
+
+def test_lz76_adversarial_corpus_three_way_parity(spark):
+    """Small-alphabet edge cases the natural corpus lacks (pure
+    repetition, alternation, Fibonacci word, the 120/121-char cap
+    boundary, random 2-3 letter alphabets): the Spark fold, the DuckDB
+    list_reduce oracle, and the Python reference must agree on every
+    string — the packed cnt*1000+start state crosses phrase boundaries
+    most often exactly on these inputs."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from dicomdb_spark.registry._core import ORACLES, QUERIES as Q
+    from tests.conftest import patched_load_table
+
+    fib = ["a", "ab"]
+    while len(fib[-1]) < 130:
+        fib.append(fib[-1] + fib[-2])
+    rng = random.Random(7)
+    texts = [
+        "a", "ab", "aaaa", "abab" * 40, "abcabcabc", "01010101",
+        "a" * 119, "a" * 120, "a" * 121, "a" * 300,  # cap boundary
+        ("ab" * 61)[:121], fib[-1][:120], fib[-1],
+    ]
+    texts += ["".join(rng.choice("ab") for _ in range(rng.randint(1, 140)))
+              for _ in range(15)]
+    texts += ["".join(rng.choice("abc") for _ in range(rng.randint(50, 130)))
+              for _ in range(15)]
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    docs = spark.createDataFrame(pdf)
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "documents"
+        return docs
+
+    with patched_load_table(fake_load):
+        sdf = Q["text_lz76_complexity"](spark, "unused")
+        got = {r.doc_id: r for r in sdf.collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts, start=1):
+        s = t[:120]
+        assert got[i].n_chars == len(s)
+        assert got[i].lz76_phrases == _lz76_ref(s), (i, repr(t[:40]))
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    res = con.execute(ORACLES["text_lz76_complexity"])
+    assert [c[0] for c in res.description] == list(sdf.columns)
+    want = {r[0]: r for r in res.fetchall()}
+    for i in got:
+        assert tuple(got[i]) == tuple(want[i]), i
