@@ -512,14 +512,21 @@ def test_resize_audit_non_ascii_excluded_identically(spark):
     from dicomdb_spark.registry._core import ORACLES, QUERIES as Q
     from tests.conftest import patched_load_table
 
+    # short ASCII docs (l < 64, l < 11, l = 1) exercise the stride /
+    # cap / probe-clamp arithmetic no natural corpus reaches (every
+    # sf0.001+ document is >= 120 chars)
     pdf = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
+            "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
             "text": [
                 "plain ascii body " * 5,
                 "café au lait — multi-byte",  # MUST be excluded
                 "x" * 200,
                 "emoji \U0001f600 payload",  # MUST be excluded
+                "q",  # l=1: n_resized=1, probe clamps to byte 0
+                "hello",  # l=5 < 11: probe clamps to n_resized-1
+                "abcdefghijklmnop",  # l=16: stride 1, no cap hit
+                "z" * 64,  # l=64: exactly the cap boundary
             ],
         }
     )
@@ -532,7 +539,7 @@ def test_resize_audit_non_ascii_excluded_identically(spark):
     with patched_load_table(fake_load):
         sdf = Q["multimodal_resize_audit"](spark, "unused")
         got = sorted(tuple(r) for r in sdf.collect())
-    assert {t[0] for t in got} == {1, 3}  # non-ASCII rows dropped
+    assert {t[0] for t in got} == {1, 3, 5, 6, 7, 8}  # non-ASCII dropped
 
     con = duckdb.connect()
     con.register("documents", pdf)
