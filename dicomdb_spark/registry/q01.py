@@ -842,14 +842,17 @@ def text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text.fingerprint("text").alias("fp"))
 
 
+# coalesce: DuckDB array_to_string([]) is NULL while Spark array_join([])
+# is '' — a token-less (whitespace-only) document must fingerprint to
+# md5('') identically in both engines (adversarial-corpus find, r12)
 ORACLES["text_fingerprint"] = r"""
     SELECT doc_id,
-           md5(array_to_string(
+           md5(coalesce(array_to_string(
              list_sort(list_distinct(
                list_transform(
                  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
                  t -> lower(t)))),
-             ' ')) AS fp
+             ' '), '')) AS fp
     FROM documents
 """
 
@@ -1459,14 +1462,14 @@ def dedup_simhash_near(spark, sf_dir):
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 3000000,
-             array_to_string(list_reverse({_SQL_TOKS_RAW}), ' ')
+             coalesce(array_to_string(list_reverse({_SQL_TOKS_RAW}), ' '), '')
       FROM documents WHERE doc_id % 6 = 0)
     SELECT fp, count(*) AS n_dups, min(doc_id) AS keeper_id
     FROM (
       SELECT doc_id,
-             md5(array_to_string(
+             md5(coalesce(array_to_string(
                list_sort(list_distinct(
-                 list_transform({_SQL_TOKS_RAW}, t -> lower(t)))), ' ')) AS fp
+                 list_transform({_SQL_TOKS_RAW}, t -> lower(t)))), ' '), '')) AS fp
       FROM docs3) t
     GROUP BY 1 HAVING count(*) >= 2
     """,
@@ -1824,7 +1827,8 @@ _C4_PAGE_SQL = """
       FROM page)
     SELECT doc_id, page_dropped,
            CASE WHEN page_dropped THEN 0 ELSE len(kept) END AS n_lines_kept,
-           CASE WHEN page_dropped THEN '' ELSE array_to_string(kept, chr(10)) END
+           CASE WHEN page_dropped THEN ''
+                ELSE coalesce(array_to_string(kept, chr(10)), '') END
              AS cleaned
     FROM f
     """,

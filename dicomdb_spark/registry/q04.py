@@ -275,7 +275,11 @@ def graph_assortativity(spark, sf_dir):
     ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
     return m.select(
         F.col("n").cast("long").alias("n_directed_edges"),
-        (num / den).alias("assortativity"),
+        # nullif: a degree-regular (zero-variance) graph has den = 0 —
+        # DuckDB x/0.0 is NULL while ANSI Spark throws, so NULL the
+        # denominator to keep both engines identical (and crash-free
+        # on degenerate partitions at scale)
+        (num / F.nullif(den, F.lit(0.0))).alias("assortativity"),
     )
 
 
@@ -3079,7 +3083,8 @@ def w_true_range_atr(spark, sf_dir):
 @register(
     "multimodal_frame_sample",
     """
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
     f AS (SELECT doc_id, CAST(i.i AS INTEGER) AS frame_index,
                  substr(text, CAST(i.i AS BIGINT) * 64 + 1, 64) AS frame
           FROM d,
@@ -3094,15 +3099,22 @@ def multimodal_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: 1 binary payload → N frame
     rows via the row-expanding mapInPandas UDTF
     (llm/multimodal.frame_sample; a real ffmpeg slicer injects with
-    the same signature).  The payload is the utf-8 byte stream
-    (ASCII corpus ⇒ byte == char), so the oracle restates the
-    64-byte slicing with substr and value-checks each frame by
-    sha-256 — computed JVM-side AFTER the Python expansion, proving
-    the Arrow round-trip byte-exact.  Payload bytes never shuffle:
-    the expansion is map-only and only (id, index, sha) move."""
+    the same signature).  The payload is the utf-8 byte stream and
+    the engine slices BYTES while the oracle's substr slices CHARS,
+    so the byte==char identity is SELF-GUARDING (the resize_audit
+    discipline): both engines filter octet_length == length, and a
+    non-ASCII document at any SF is excluded identically instead of
+    shifting every later frame boundary (adversarial-corpus find,
+    r12).  The oracle restates the 64-byte slicing with substr and
+    value-checks each frame by sha-256 — computed JVM-side AFTER the
+    Python expansion, proving the Arrow round-trip byte-exact.
+    Payload bytes never shuffle: the expansion is map-only and only
+    (id, index, sha) move."""
     from dicomdb_spark.llm.multimodal import binarize, frame_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     frames = frame_sample(binarize(docs), every_n_bytes=64)
     return frames.select(
         "doc_id",

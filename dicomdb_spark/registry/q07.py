@@ -1735,7 +1735,9 @@ def graph_transitivity_ratio(spark, sf_dir):
         ((F.col("wedges2") / 2).cast("long")).alias("n_wedges"),
         (
             (6 * F.col("n_tri")).cast("double")
-            / F.col("wedges2").cast("double")
+            # nullif: a wedge-free graph divides by 0 — DuckDB x/0.0
+            # is NULL while ANSI Spark throws; keep engines identical
+            / F.nullif(F.col("wedges2").cast("double"), F.lit(0.0))
         ).alias("transitivity"),
     )
 
