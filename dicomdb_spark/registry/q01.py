@@ -674,13 +674,15 @@ def f2_prefix_code(spark, sf_dir):
                 ELSE (mm * 60 + ss) * mult END AS ta_sec
     FROM (
       SELECT event_id,
-             CAST(floor(value) AS BIGINT) % 60 AS mm,
+             ((CAST(floor(value) AS BIGINT) % 60) + 60) % 60 AS mm,
              event_id % 60 AS ss,
              1 + event_id % 4 AS mult,
              CASE WHEN event_id % 7 = 0
-               THEN printf('TA %02d.%02d*%d', CAST(floor(value) AS BIGINT) % 60,
+               THEN printf('TA %02d.%02d*%d',
+                           ((CAST(floor(value) AS BIGINT) % 60) + 60) % 60,
                            event_id % 60, 1 + event_id % 4)
-               ELSE printf('TA %02d:%02d*%d', CAST(floor(value) AS BIGINT) % 60,
+               ELSE printf('TA %02d:%02d*%d',
+                           ((CAST(floor(value) AS BIGINT) % 60) + 60) % 60,
                            event_id % 60, 1 + event_id % 4) END AS ta_str
       FROM events) t
     """,
@@ -690,7 +692,12 @@ def f5_ta_parse(spark, sf_dir):
     the string from data, then parse it back with the engine's
     regexp-based parser — a round-trip correctness check."""
     ev = load_table(spark, sf_dir, "events")
-    mm = (F.floor("value").cast("long") % 60).alias("mm")
+    # canonical nonnegative residue: a negative value would otherwise
+    # format a '-mm' string the duration parser rejects (NULL) while
+    # the oracle computes from the raw numbers — identical residue in
+    # both engines keeps the round trip total (r12 sweep find); for
+    # the natural nonnegative domain this is the identity
+    mm = (((F.floor("value").cast("long") % 60) + 60) % 60).alias("mm")
     ss = (F.col("event_id") % 60).alias("ss")
     mult = (1 + F.col("event_id") % 4).alias("mult")
     base = ev.select("event_id", mm, ss, mult)

@@ -2853,7 +2853,13 @@ def cdc_last_writer_state(spark, sf_dir):
     state is one row per key.  Extends S7 (MERGE upsert) to
     log-replay semantics; the streaming twin is w2_keep_latest's
     foreachBatch path (streaming/incremental.py)."""
-    ev = load_table(spark, sf_dir, "events")
+    # the oracle restricts the log to the five CDC op codes; the plan
+    # must filter identically or any foreign event type silently joins
+    # the replay (adversarial events sweep find, r12 — the natural
+    # generator emits exactly these five, masking the gap)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "view", "purchase", "error")
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )

@@ -3283,19 +3283,19 @@ def a_segment_migration_matrix(spark, sf_dir):
                  CAST(c.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS phat
           FROM c CROSS JOIN t)
     SELECT event_type, s, n, phat,
-           (phat + 1.959963984540054 * 1.959963984540054 / (2.0 * CAST(n AS DOUBLE))
-            - 1.959963984540054
+           (phat + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+            - CAST(1.959963984540054 AS DOUBLE)
               * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
-                     + 1.959963984540054 * 1.959963984540054
+                     + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)
                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-           / (1.0 + 1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE))
+           / (1.0 + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / CAST(n AS DOUBLE))
              AS wilson_lo,
-           (phat + 1.959963984540054 * 1.959963984540054 / (2.0 * CAST(n AS DOUBLE))
-            + 1.959963984540054
+           (phat + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+            + CAST(1.959963984540054 AS DOUBLE)
               * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
-                     + 1.959963984540054 * 1.959963984540054
+                     + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)
                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-           / (1.0 + 1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE))
+           / (1.0 + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / CAST(n AS DOUBLE))
              AS wilson_hi
     FROM p
     """,
@@ -3305,8 +3305,13 @@ def a_wilson_ci(spark, sf_dir):
     proportion: the binomial CI that stays inside [0,1] and behaves at
     extreme p where the Wald interval collapses (Wilson, JASA 1927 —
     what every A/B dashboard should use instead of ±1.96√(pq/n)).
-    The z constant is an identical literal on both engines; the
-    interval is one shared sqrt chain over exact distinct counts."""
+    The z constant is an identical literal on both engines and CAST
+    to DOUBLE in the oracle before the z·z product: a bare DuckDB
+    decimal literal times itself stays DECIMAL, whose rounding can
+    differ from the IEEE double product by 1 ULP (adversarial events
+    sweep find, r12) — decimal·double promotes to double, so lone-z
+    factors were already safe.  The interval is one shared sqrt chain
+    over exact distinct counts."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     c = ev.groupBy("event_type").agg(
