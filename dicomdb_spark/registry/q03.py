@@ -1059,15 +1059,19 @@ def a_ab_test_zscore(spark, sf_dir):
         F.sum(F.when(F.col("arm") == "a", F.col("converted")).otherwise(0)).alias("conv_a"),
         F.sum(F.when(F.col("arm") == "b", F.col("converted")).otherwise(0)).alias("conv_b"),
     )
-    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
-    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
-    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
-        "double"
+    # nullif guards: DuckDB x/0 is NULL while ANSI Spark throws — an
+    # empty arm (n=0) or degenerate pooled rate must yield NULL rows
+    # identically, not kill the job (r12 adversarial events sweep)
+    rate_a = F.col("conv_a") / F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+    rate_b = F.col("conv_b") / F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
+    pooled = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
+        (F.col("n_a") + F.col("n_b")).cast("double"), F.lit(0.0)
     )
-    z = (rate_a - rate_b) / F.sqrt(
+    z = (rate_a - rate_b) / F.nullif(F.sqrt(
         pooled * (F.lit(1.0) - pooled)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-    )
+        * (F.lit(1.0) / F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+           + F.lit(1.0) / F.nullif(F.col("n_b").cast("double"), F.lit(0.0)))
+    ), F.lit(0.0))
     return c.select(
         "n_a", "n_b", "conv_a", "conv_b",
         rate_a.alias("rate_a"), rate_b.alias("rate_b"), z.alias("z"),
@@ -2006,7 +2010,9 @@ def a_corr_matrix(spark, sf_dir):
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
     return m.select(
-        "type_a", "type_b", F.col("n").cast("long").alias("n_days"), (num / den).alias("r")
+        "type_a", "type_b", F.col("n").cast("long").alias("n_days"),
+        # nullif: zero-variance series → den 0 → NULL like DuckDB x/0
+        (num / F.nullif(den, F.lit(0.0))).alias("r"),
     )
 
 
@@ -3504,7 +3510,8 @@ def w_autocorrelation(spark, sf_dir):
         "event_type",
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("long").alias("n"),
-        (num / den).alias("acf"),
+        # nullif: constant series → den 0 → NULL like DuckDB x/0
+        (num / F.nullif(den, F.lit(0.0))).alias("acf"),
     )
 
 

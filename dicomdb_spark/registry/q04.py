@@ -2480,7 +2480,13 @@ def a_runs_test(spark, sf_dir):
         exp_r.alias("expected_runs"),
         (
             (F.col("runs").cast("double") - exp_r)
-            / F.sqrt(num * (num - nd) / (nd * nd * (F.col("n") - 1).cast("double")))
+            # nullif: one-sided series (all above/below) → variance 0 →
+            # NULL like DuckDB x/0, instead of an ANSI crash
+            / F.nullif(
+                F.sqrt(num * (num - nd)
+                       / F.nullif(nd * nd * (F.col("n") - 1).cast("double"),
+                                  F.lit(0.0))),
+                F.lit(0.0))
         ).alias("z"),
     )
 
@@ -3242,11 +3248,14 @@ def w_zscore_peer_loo(spark, sf_dir):
     )
     s1l = (F.col("s1") - F.col("vs")).cast("double")
     n1 = (F.col("n") - 1).cast("double")
-    z = (F.col("vs").cast("double") - s1l / n1) / F.sqrt(
+    # nullif: n=1 peers (n1=0) and zero-variance leave-one-out sets →
+    # NULL like DuckDB x/0, instead of an ANSI crash
+    n1z = F.nullif(n1, F.lit(0.0))
+    z = (F.col("vs").cast("double") - s1l / n1z) / F.nullif(F.sqrt(
         ((F.col("s2") - F.col("vs") * F.col("vs")).cast("double")
-         - s1l * s1l / n1)
-        / n1
-    )
+         - s1l * s1l / n1z)
+        / n1z
+    ), F.lit(0.0))
     return (
         v.join(F.broadcast(g), "event_type")
         .select(
@@ -4145,7 +4154,8 @@ def a_grubbs_outlier(spark, sf_dir):
         "n",
         (
             F.col("mxdev").cast("double") / nd
-            / F.sqrt((s2d - s1d * s1d / nd) / nd)
+            # nullif: constant series → sd 0 → NULL like DuckDB x/0
+            / F.nullif(F.sqrt((s2d - s1d * s1d / nd) / nd), F.lit(0.0))
         ).alias("g_stat"),
     )
 
@@ -4208,11 +4218,14 @@ def a_odds_ratio(spark, sf_dir):
         F.col("d").alias("control_noconv"),
         (
             (F.col("a") * F.col("d")).cast("double")
-            / (F.col("b") * F.col("c")).cast("double")
+            # nullif: an empty contingency cell → NULL like DuckDB x/0
+            / F.nullif((F.col("b") * F.col("c")).cast("double"), F.lit(0.0))
         ).alias("odds_ratio"),
         (
             (F.col("a") * (F.col("c") + F.col("d"))).cast("double")
-            / (F.col("c") * (F.col("a") + F.col("b"))).cast("double")
+            # nullif: zero control conversions → NULL like DuckDB x/0
+            / F.nullif((F.col("c") * (F.col("a") + F.col("b"))).cast("double"),
+                       F.lit(0.0))
         ).alias("risk_ratio"),
     )
 

@@ -635,8 +635,12 @@ def w_sharpe_sortino(spark, sf_dir):
         "event_type",
         "n",
         mean.alias("mean_change"),
-        (mean / F.sqrt((s2d - s1d * s1d / nd) / nd)).alias("sharpe"),
-        (mean / F.sqrt(F.col("sd2").cast("double") / nd)).alias("sortino"),
+        # nullif: constant / no-downside series → sd 0 → NULL like
+        # DuckDB x/0, instead of an ANSI crash
+        (mean / F.nullif(F.sqrt((s2d - s1d * s1d / nd) / nd), F.lit(0.0)))
+        .alias("sharpe"),
+        (mean / F.nullif(F.sqrt(F.col("sd2").cast("double") / nd), F.lit(0.0)))
+        .alias("sortino"),
     )
 
 
@@ -679,7 +683,10 @@ def w_ulcer_index(spark, sf_dir):
     )
     dd = r.select(
         "event_type",
-        F.expr("((runmax - p) * 10000) div runmax").alias("ddbp"),
+        # nullif: an all-nonpositive prefix has runmax 0 — DuckDB //0
+        # is NULL while ANSI Spark div throws; NULL rows then drop out
+        # of max/sum identically in both engines
+        F.expr("((runmax - p) * 10000) div nullif(runmax, 0)").alias("ddbp"),
     )
     m = dd.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days"),
@@ -3225,7 +3232,8 @@ def w_paa_sax(spark, sf_dir):
         )
         / F.col("n").cast("double")
     )
-    z = (pm - mean) / std
+    # nullif: constant series → std 0 → NULL like DuckDB x/0
+    z = (pm - mean) / F.nullif(std, F.lit(0.0))
     return paa.join(st, "event_type").select(
         "event_type", "seg", "n_bars",
         pm.alias("paa_mean"),
@@ -3703,8 +3711,9 @@ def a_capture_recapture(spark, sf_dir):
            FROM d GROUP BY 1),
     z AS (SELECT d.event_type, d.day,
                  (CAST(d.x AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
-                 / (sqrt(CAST(st.n AS DOUBLE) * (CAST(st.ssk AS DOUBLE) * 10000.0)
-                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                 / (sqrt(greatest(
+                           CAST(st.n AS DOUBLE) * (CAST(st.ssk AS DOUBLE) * 10000.0)
+                           - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE), 0.0))
                     / CAST(st.n AS DOUBLE)) AS z
           FROM d JOIN st ON st.event_type = d.event_type),
     f AS (SELECT event_type, day, z,
@@ -3746,14 +3755,21 @@ def a_spc_control_chart(spark, sf_dir):
     nd = F.col("n").cast("double")
     mean = F.col("s").cast("double") / nd
     std = (
-        F.sqrt(
+        # greatest-0 clamp: floor-scaling discards up to 1e4 per row, so
+        # a constant series' radicand can go fractionally negative —
+        # DuckDB sqrt(negative) ERRORS (clamped identically in the
+        # oracle); std 0 then NULLs the z division in both engines
+        F.sqrt(F.greatest(
             nd * (F.col("ssk").cast("double") * 10000.0)
-            - F.col("s").cast("double") * F.col("s").cast("double")
-        )
+            - F.col("s").cast("double") * F.col("s").cast("double"),
+            F.lit(0.0),
+        ))
         / nd
     )
     z = d.join(st, "event_type").select(
-        "event_type", "day", ((xd - mean) / std).alias("z")
+        "event_type", "day",
+        # nullif: constant series → std 0 → NULL like DuckDB x/0
+        ((xd - mean) / F.nullif(std, F.lit(0.0))).alias("z"),
     )
     w = Window.partitionBy("event_type").orderBy("day")
     hi = lambda c: F.when(c > 2.0, 1).otherwise(0)  # noqa: E731

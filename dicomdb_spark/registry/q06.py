@@ -1441,8 +1441,9 @@ def ops_capacity_forecast(spark, sf_dir):
     )
     nnd = F.col("nn").cast("double")
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    slope = (nnd * dd("sin_") - dd("si") * dd("sn")) / (
-        nnd * dd("sii") - dd("si") * dd("si")
+    # nullif: a single-observation window → Sxx 0 → NULL like DuckDB
+    slope = (nnd * dd("sin_") - dd("si") * dd("sn")) / F.nullif(
+        nnd * dd("sii") - dd("si") * dd("si"), F.lit(0.0)
     )
     intercept = (dd("sn") - slope * dd("si")) / nnd
     b = m.select(
@@ -1821,11 +1822,11 @@ def a_lorenz_curve_points(spark, sf_dir):
                  w.n AS n_wknd, e.n AS n_wkdy,
                  CAST(w.s AS DOUBLE) / CAST(w.n AS DOUBLE) / 100.0 AS mean_wknd,
                  CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE) / 100.0 AS mean_wkdy,
-                 (CAST(w.n AS DOUBLE) * (CAST(w.ssk AS DOUBLE) * 10000.0)
-                  - CAST(w.s AS DOUBLE) * CAST(w.s AS DOUBLE))
+                 greatest(CAST(w.n AS DOUBLE) * (CAST(w.ssk AS DOUBLE) * 10000.0)
+                          - CAST(w.s AS DOUBLE) * CAST(w.s AS DOUBLE), 0.0)
                  / CAST(w.n AS DOUBLE) / CAST(w.n AS DOUBLE) AS var_wknd,
-                 (CAST(e.n AS DOUBLE) * (CAST(e.ssk AS DOUBLE) * 10000.0)
-                  - CAST(e.s AS DOUBLE) * CAST(e.s AS DOUBLE))
+                 greatest(CAST(e.n AS DOUBLE) * (CAST(e.ssk AS DOUBLE) * 10000.0)
+                          - CAST(e.s AS DOUBLE) * CAST(e.s AS DOUBLE), 0.0)
                  / CAST(e.n AS DOUBLE) / CAST(e.n AS DOUBLE) AS var_wkdy
           FROM (SELECT * FROM g WHERE wknd = 1) w
           JOIN (SELECT * FROM g WHERE wknd = 0) e
@@ -1863,13 +1864,18 @@ def a_weekend_effect(spark, sf_dir):
     wd = g.filter(F.col("wknd") == 0).alias("e")
     mw = F.col("w.s").cast("double") / F.col("w.n").cast("double") / 100.0
     me = F.col("e.s").cast("double") / F.col("e.n").cast("double") / 100.0
-    vw = (
+    # greatest-0 clamps: floor-scaling can push a constant side's
+    # radicand fractionally negative — DuckDB sqrt(negative) ERRORS,
+    # so both engines clamp identically (a_generalized_esd discipline)
+    vw = F.greatest(
         F.col("w.n").cast("double") * (F.col("w.ssk").cast("double") * 10000.0)
-        - F.col("w.s").cast("double") * F.col("w.s").cast("double")
+        - F.col("w.s").cast("double") * F.col("w.s").cast("double"),
+        F.lit(0.0),
     ) / F.col("w.n").cast("double") / F.col("w.n").cast("double")
-    ve = (
+    ve = F.greatest(
         F.col("e.n").cast("double") * (F.col("e.ssk").cast("double") * 10000.0)
-        - F.col("e.s").cast("double") * F.col("e.s").cast("double")
+        - F.col("e.s").cast("double") * F.col("e.s").cast("double"),
+        F.lit(0.0),
     ) / F.col("e.n").cast("double") / F.col("e.n").cast("double")
     p = wk.join(wd, F.col("e.event_type") == F.col("w.event_type")).select(
         F.col("w.event_type").alias("event_type"),
@@ -1877,13 +1883,15 @@ def a_weekend_effect(spark, sf_dir):
         F.col("e.n").alias("n_wkdy"),
         mw.alias("mean_wknd"),
         me.alias("mean_wkdy"),
-        (mw / me).alias("weekend_lift"),
+        # nullif: zero weekday mean / zero pooled variance → NULL like
+        # DuckDB x/0, instead of an ANSI crash
+        (mw / F.nullif(me, F.lit(0.0))).alias("weekend_lift"),
         (
             (mw - me)
-            / F.sqrt(
+            / F.nullif(F.sqrt(
                 vw / F.col("w.n").cast("double") / 10000.0
                 + ve / F.col("e.n").cast("double") / 10000.0
-            )
+            ), F.lit(0.0))
         ).alias("t_stat"),
     )
     return p
@@ -2539,8 +2547,9 @@ def a_simpson_paradox_audit(spark, sf_dir):
             FROM d WHERE calib GROUP BY 1),
     lim AS (SELECT event_type,
                    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-                   sqrt(CAST(n AS DOUBLE) * (CAST(ssk AS DOUBLE) * 10000.0)
-                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   sqrt(greatest(
+                          CAST(n AS DOUBLE) * (CAST(ssk AS DOUBLE) * 10000.0)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
                      / CAST(n AS DOUBLE) AS sig
             FROM cal),
     ev AS (SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_eval,
@@ -2559,9 +2568,11 @@ def a_simpson_paradox_audit(spark, sf_dir):
     ms AS (SELECT ev.event_type, ev.n_eval, ev.n_out, lim.mu, lim.sig,
                   CAST(ev.s_eval AS DOUBLE) / CAST(ev.n_eval AS DOUBLE)
                     AS mu_eval,
-                  sqrt(CAST(ev.n_eval AS DOUBLE)
-                       * (CAST(ev.ssk_eval AS DOUBLE) * 10000.0)
-                       - CAST(ev.s_eval AS DOUBLE) * CAST(ev.s_eval AS DOUBLE))
+                  sqrt(greatest(
+                         CAST(ev.n_eval AS DOUBLE)
+                         * (CAST(ev.ssk_eval AS DOUBLE) * 10000.0)
+                         - CAST(ev.s_eval AS DOUBLE) * CAST(ev.s_eval AS DOUBLE),
+                         0.0))
                     / CAST(ev.n_eval AS DOUBLE) AS sig_eval
            FROM ev JOIN lim ON lim.event_type = ev.event_type)
     SELECT event_type, n_eval, n_out,
@@ -2599,10 +2610,14 @@ def w_cpk_process_capability(spark, sf_dir):
         "event_type",
         (F.col("s").cast("double") / nd).alias("mu"),
         (
-            F.sqrt(
+            # greatest-0 clamp: floor-scaled radicand can dip below 0
+            # on a constant calibration window — DuckDB sqrt(negative)
+            # ERRORS; clamped identically in the oracle
+            F.sqrt(F.greatest(
                 nd * (F.col("ssk").cast("double") * 10000.0)
-                - F.col("s").cast("double") * F.col("s").cast("double")
-            )
+                - F.col("s").cast("double") * F.col("s").cast("double"),
+                F.lit(0.0),
+            ))
             / nd
         ).alias("sig"),
     )
@@ -2628,10 +2643,11 @@ def w_cpk_process_capability(spark, sf_dir):
     ned = F.col("n_eval").cast("double")
     mu_eval = F.col("s_eval").cast("double") / ned
     sig_eval = (
-        F.sqrt(
+        F.sqrt(F.greatest(
             ned * (F.col("ssk_eval").cast("double") * 10000.0)
-            - F.col("s_eval").cast("double") * F.col("s_eval").cast("double")
-        )
+            - F.col("s_eval").cast("double") * F.col("s_eval").cast("double"),
+            F.lit(0.0),
+        ))
         / ned
     )
     return evj.select(
@@ -3033,7 +3049,10 @@ def w_seasonality_strength(spark, sf_dir):
     ) * F.col("sd").cast("double")
     return v.select(
         "event_type", "n",
-        F.greatest(F.lit(0.0), 1.0 - var_r / var_d).alias("seasonal_strength"),
+        # nullif: constant series → var_d 0 → NULL like DuckDB x/0
+        # (greatest(NULL) stays NULL in both engines)
+        F.greatest(F.lit(0.0), 1.0 - var_r / F.nullif(var_d, F.lit(0.0)))
+        .alias("seasonal_strength"),
     )
 
 

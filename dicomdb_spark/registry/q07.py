@@ -594,10 +594,10 @@ def graph_ktruss_fixpoint(spark, sf_dir):
       FROM d WHERE rn = 1
       UNION ALL
       SELECT d.event_type, d.rn, d.wn,
-             CAST((d.y << CAST(2 * d.rn - 1 AS INT)) + 2 * h.p + 2 * h.q
-                  AS BIGINT),
-             CAST((d.y << CAST(2 * d.rn - 2 AS INT)) - h.p + 3 * h.q
-                  AS BIGINT)
+             CAST(d.y * (CAST(1 AS BIGINT) << CAST(2 * d.rn - 1 AS INT))
+                  + 2 * h.p + 2 * h.q AS BIGINT),
+             CAST(d.y * (CAST(1 AS BIGINT) << CAST(2 * d.rn - 2 AS INT))
+                  - h.p + 3 * h.q AS BIGINT)
       FROM h JOIN d ON d.event_type = h.event_type AND d.rn = h.rn + 1),
     fin AS (SELECT event_type, wn, p, q,
                    CAST(CAST(1 AS BIGINT) << CAST(2 * wn AS INT) AS DOUBLE)
@@ -655,9 +655,12 @@ def w_holt_linear_forecast(spark, sf_dir):
         .cast("long")
         .alias("wn"),
     ).withColumn(
-        "c1", F.expr("shiftleft(y, CAST(2 * rn - 1 AS INT))")
+        # y * (1 << k), not (y << k): DuckDB ERRORS on left-shifting a
+        # negative number, so a negative daily total killed the oracle;
+        # multiplying by the shifted one is exact and sign-safe in both
+        "c1", F.expr("y * shiftleft(CAST(1 AS BIGINT), CAST(2 * rn - 1 AS INT))")
     ).withColumn(
-        "c2", F.expr("shiftleft(y, CAST(2 * rn - 2 AS INT))")
+        "c2", F.expr("y * shiftleft(CAST(1 AS BIGINT), CAST(2 * rn - 2 AS INT))")
     )
     arr = d.groupBy("event_type").agg(
         F.max("wn").cast("long").alias("wn"),
@@ -2162,7 +2165,8 @@ def w_pacf_lag2(spark, sf_dir):
     )
     acf = (
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (
+        # nullif: constant series → zero std product → NULL like DuckDB
+        / F.nullif(
             F.sqrt(
                 (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
                     "double"
@@ -2172,7 +2176,8 @@ def w_pacf_lag2(spark, sf_dir):
                 (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
                     "double"
                 )
-            )
+            ),
+            F.lit(0.0),
         )
     )
     r = m.select("event_type", "lag", acf.alias("acf"))

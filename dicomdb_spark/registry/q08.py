@@ -416,7 +416,9 @@ def a_cochran_armitage(spark, sf_dir):
         F.col("k").alias("n_groups"),
         "n",
         F.col("d").alias("n_conversions"),
-        (num / den).alias("z_trend"),
+        # nullif: all-convert/none-convert (p(1-p)=0) or single-group
+        # data → den 0 → NULL like DuckDB x/0
+        (num / F.nullif(den, F.lit(0.0))).alias("z_trend"),
     )
 
 

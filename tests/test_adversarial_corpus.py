@@ -110,3 +110,86 @@ def test_adversarial_parity(spark, adversarial, name):
     d = _norm(res.fetchall(), [c[0] for c in res.description])
     assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
     assert len(s) > 0 or name in ("dedup_fingerprint",)
+
+
+# ---------------------------------------------------------------------------
+# Events-table adversarial regressions: the queries repaired by the
+# round-12 degenerate-events sweep (adversarial_check_events.py runs
+# the full 218-query events-only registry).  Injection goes through a
+# TEMP PARQUET sf-dir so load_table's NTZ normalization runs — both
+# engines read identical bytes (createDataFrame would shift naive
+# timestamps through the session timezone and false-flag everything).
+# ---------------------------------------------------------------------------
+
+EVENTS_REPAIRED = [
+    "cdc_last_writer_state",   # missing event-type filter in the plan
+    "f5_ta_parse",             # negative-residue duration round trip
+    "a_wilson_ci",             # DECIMAL z*z 1-ULP drift in the oracle
+    "a_ab_test_zscore", "a_corr_matrix", "w_autocorrelation",
+    "a_runs_test", "w_zscore_peer_loo", "a_grubbs_outlier",
+    "a_odds_ratio", "w_sharpe_sortino", "w_ulcer_index", "w_paa_sax",
+    "a_spc_control_chart", "ops_capacity_forecast", "a_weekend_effect",
+    "w_seasonality_strength", "w_pacf_lag2", "a_cochran_armitage",
+    "w_cpk_process_capability", "w_holt_linear_forecast",
+]
+
+
+def _events_corpus() -> pd.DataFrame:
+    import datetime as dt
+
+    rng = random.Random(99)
+    rows = []
+
+    def add(ts, user, etype, value, props='{"k": 1}'):
+        rows.append((len(rows), ts, user, etype, value, props))
+
+    add(dt.datetime(2024, 2, 1, 12, 0, 0), 1, "lonely", 5.0)
+    for i in range(10):
+        add(dt.datetime(2024, 1, 1 + i, 9, 30, 0), 2, "constant", 7.25)
+    base = dt.datetime(2024, 3, 5, 0, 0, 0)
+    for i in range(12):
+        add(base + dt.timedelta(seconds=i // 3), 3, "burst", float(i))
+    for i in range(8):
+        add(dt.datetime(2024, 4, 1 + i, 23, 59, 59), 4, "extreme",
+            [-100.5, 0.0, 99999.99, -0.01, 3.0, 1 / 3, -50000.0, 2.5][i])
+    for h in (0, 1, 2, 3, 4):
+        add(dt.datetime(2024, 3, 10, h, 30, 0), 5, "dst", float(h))
+        add(dt.datetime(2024, 11, 3, h, 30, 0), 5, "dst", float(h) + 10)
+    add(dt.datetime(2024, 5, 1, 0, 0, 0), 6, "midnight", 1.0)
+    for i in range(20):
+        add(dt.datetime(2024, 6, 1 + i % 5, 10 + i % 3, 0, 0), 7 + i % 2,
+            "tie_a" if i % 2 else "tie_b", 50.0)
+    for i in range(40):
+        add(dt.datetime(2024, 7, 1, 0, 0, 0)
+            + dt.timedelta(minutes=rng.randint(0, 60 * 24 * 30)),
+            rng.randint(1, 9), "normal", round(rng.uniform(-50, 500), 2),
+            '{"k": %d}' % rng.randint(0, 99))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def adversarial_events(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = _events_corpus()
+    tmp = str(tmp_path_factory.mktemp("adversarial_sfdir"))
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{tmp}/events.parquet", version="2.6")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+    return tmp, con
+
+
+@pytest.mark.parametrize("name", EVENTS_REPAIRED)
+def test_adversarial_events_parity(spark, adversarial_events, name):
+    sf_dir, con = adversarial_events
+    sdf = QUERIES[name](spark, sf_dir)
+    s = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(ORACLES[name])
+    d = _norm(res.fetchall(), [c[0] for c in res.description])
+    assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
