@@ -34,19 +34,33 @@ from dicomdb_spark.llm.similarity import _SCALE, cosine_exact_vec
 
 def assign_clusters(
     vectors: DataFrame,
-    centroids: list[list[float]],
+    centroids: list,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
     """Map-only cluster assignment against a broadcast centroid list.
 
+    ``centroids`` is either a plain list of vectors (cids are the list
+    positions) or a list of ``(cid, vector)`` pairs — the tagged form
+    update_centroids emits, which PRESERVES original cluster labels
+    when a cluster empties (duplicate seeds make exact-tie clusters
+    empty in round 0; compacting the list silently renumbered every
+    later cid and diverged from the oracle, which keeps labels — r12
+    adversarial embeddings sweep).
+
     Returns (id_col, vec_col, cid).  Argmin of the floor-scaled int
     squared distance; numpy argmin returns the FIRST minimum, which is
-    the lowest cid — the documented tie-break.
+    the lowest cid — the documented tie-break (cids are emitted in
+    ascending order, so first-minimum == lowest original cid).
     """
     import numpy as np
 
-    C = np.asarray(centroids, dtype=np.float64)
+    if centroids and isinstance(centroids[0], tuple):
+        cid_tags = np.asarray([c for c, _ in centroids], dtype=np.int32)
+        C = np.asarray([v for _, v in centroids], dtype=np.float64)
+    else:
+        cid_tags = np.arange(len(centroids), dtype=np.int32)
+        C = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf("int")
     def _assign(x: pd.Series) -> pd.Series:
@@ -57,7 +71,7 @@ def assign_clusters(
         for j in range(C.shape[0]):
             diff = A - C[j]
             d[:, j] = np.floor(diff * diff * _SCALE).astype(np.int64).sum(axis=1)
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+        return pd.Series(cid_tags[np.argmin(d, axis=1)].astype("int32"))
 
     return vectors.select(
         F.col(id_col),
@@ -66,9 +80,14 @@ def assign_clusters(
     )
 
 
-def update_centroids(assigned: DataFrame, vec_col: str = "v") -> list[list[float]]:
-    """One relational centroid update; returns the new (cid-ordered)
-    centroid list.  k·dims rows cross the driver — nothing else."""
+def update_centroids(
+    assigned: DataFrame, vec_col: str = "v"
+) -> list[tuple[int, list[float]]]:
+    """One relational centroid update; returns the new cid-ordered
+    TAGGED centroid list [(cid, vector), ...] — empty clusters are
+    dropped (mirroring the oracle CTEs) but surviving clusters keep
+    their original labels.  k·dims rows cross the driver — nothing
+    else."""
     agg = (
         assigned.select("cid", F.posexplode(F.col(vec_col).cast("array<double>")))
         .groupBy("cid", "pos")
@@ -87,7 +106,8 @@ def update_centroids(assigned: DataFrame, vec_col: str = "v") -> list[list[float
     for r in agg:
         by_cid.setdefault(r.cid, {})[r.pos] = r.m
     return [
-        [by_cid[cid][p] for p in sorted(by_cid[cid])] for cid in sorted(by_cid)
+        (cid, [by_cid[cid][p] for p in sorted(by_cid[cid])])
+        for cid in sorted(by_cid)
     ]
 
 
@@ -97,17 +117,20 @@ def kmeans_fit(
     vec_col: str = "v",
     k: int = 8,
     iters: int = 2,
-) -> list[list[float]]:
+) -> list[tuple[int, list[float]]]:
     """Deterministic k-means: seed with the k lowest-id vectors, run
-    ``iters`` assign/update rounds.  The driver only ever holds k·dims
-    doubles per round (the standard iterative-ML control loop)."""
+    ``iters`` assign/update rounds.  Returns a TAGGED centroid list
+    [(cid, vector), ...] so labels survive empty-cluster drops.  The
+    driver only ever holds k·dims doubles per round (the standard
+    iterative-ML control loop)."""
     seeds = (
         vectors.filter(F.col(id_col) < k)
         .select(id_col, F.col(vec_col).cast("array<double>").alias("seed_v"))
         .collect()
     )
     centroids = [
-        list(map(float, r["seed_v"])) for r in sorted(seeds, key=lambda r: r[id_col])
+        (i, list(map(float, r["seed_v"])))
+        for i, r in enumerate(sorted(seeds, key=lambda r: r[id_col]))
     ]
     for _ in range(iters):
         centroids = update_centroids(

@@ -117,7 +117,12 @@ def cosine_exact_vec(a: Column, b: Column) -> Column:
     """Vectorized cosine with bit-identical results to cosine_exact."""
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
-    return dot_exact_vec(ad, bd) / (norm_exact_vec(ad) * norm_exact_vec(bd))
+    # nullif: a zero-norm vector (empty doc → zero embedding) must
+    # yield NULL cosine like DuckDB x/0, not an ANSI crash; both
+    # engines then sort NULLs last in the top-k windows
+    return dot_exact_vec(ad, bd) / F.nullif(
+        norm_exact_vec(ad) * norm_exact_vec(bd), F.lit(0.0)
+    )
 
 
 def brute_force_topk(
@@ -152,7 +157,9 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot_exact_vec(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
+            dot_exact_vec(F.col("__qv"), F.col("__cv"))
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         )
         .drop("__qv", "__cv", "__qn", "__cn")
     )

@@ -2098,8 +2098,9 @@ def ann_lsh_topk(spark, sf_dir):
         q.join(c, (F.col("bucket") == F.col("__cb")) & (F.col("query_id") != F.col("neighbor_id")))
         .withColumn(
             "cosine_sim",
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
             lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         )
         .select("query_id", "bucket", "neighbor_id", "cosine_sim")
     )
@@ -2193,8 +2194,9 @@ def ann_rerank_topk(spark, sf_dir):
                & (F.col("query_id") != F.col("neighbor_id")))
         .withColumn(
             "cosine_sim",
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
             lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
@@ -3533,7 +3535,8 @@ def ann_ivf_topk(spark, sf_dir):
             "query_id",
             "cent_id",
             "neighbor_id",
-            (lsim.dot_exact_vec(F.col("__qv").cast("array<double>"), F.col("__bv").cast("array<double>")) / (F.col("__qn") * F.col("__bn"))).alias("cosine_sim"),
+            (lsim.dot_exact_vec(F.col("__qv").cast("array<double>"), F.col("__bv").cast("array<double>"))
+             / F.nullif(F.col("__qn") * F.col("__bn"), F.lit(0.0))).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -3599,7 +3602,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     pairs = a.join(b, F.col("id1") < F.col("id2")).select(
         "id1",
         "id2",
-        (lsim.dot_exact_vec(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn"))).alias("cosine_sim"),
+        (lsim.dot_exact_vec(F.col("__av"), F.col("__bv"))
+         / F.nullif(F.col("__an") * F.col("__bn"), F.lit(0.0))).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= 0.99)
 
@@ -3717,7 +3721,7 @@ def ann_ivf_trained_topk(spark, sf_dir):
             "neighbor_id",
             (
                 lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn") * F.col("__cn"))
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
             ).alias("cosine_sim"),
         )
     )

@@ -4042,8 +4042,9 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
         )
         .withColumn(
             "cosine_sim",
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
             lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )

@@ -283,8 +283,9 @@ def corpus_semantic_dedup_pipeline(spark, sf_dir):
         a.join(b, F.col("id1") < F.col("id2"))
         .withColumn(
             "cos",
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
             lsim.dot_exact_vec(F.col("__av"), F.col("__bv"))
-            / (F.col("__an") * F.col("__bn")),
+            / F.nullif(F.col("__an") * F.col("__bn"), F.lit(0.0)),
         )
         .filter(F.col("cos") >= 0.99)
         .select("id1", "id2")
@@ -2390,8 +2391,9 @@ def ann_recall_eval(spark, sf_dir):
         )
         .withColumn(
             "cosine_sim",
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
             lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -3884,7 +3886,10 @@ def emb_random_projection_jl(spark, sf_dir):
         "dproj2",
         (
             F.col("dproj2").cast("double")
-            / (F.lit(16) * F.col("dorig2")).cast("double")
+            # nullif: identical vectors → zero original distance →
+            # NULL distortion like DuckDB x/0
+            / F.nullif((F.lit(16) * F.col("dorig2")).cast("double"),
+                       F.lit(0.0))
         ).alias("distortion"),
     )
 

@@ -1705,14 +1705,23 @@ _SQL_V = "CAST(embedding AS DOUBLE[]) "
     WITH e AS (SELECT vec_id, {_SQL_NORMSQ} AS s FROM embeddings),
     m AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(SUM(s) AS BIGINT) AS s1 FROM e),
-    v AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sdev2
-          FROM (SELECT e.s * m.n - m.s1 AS d FROM e CROSS JOIN m) z)
+    c AS (SELECT n, s1, (s1 - ((s1 % n + n) % n)) // n AS cc FROM m),
+    v AS (SELECT CAST(SUM(CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS sd2s,
+                 CAST(SUM(d) AS BIGINT) AS rs
+          FROM (SELECT e.s - c.cc AS d FROM e CROSS JOIN c) z)
     SELECT vec_id, s AS normsq_scaled,
-           CAST(e.s * m.n - m.s1 AS DOUBLE)
-             / sqrt(CAST(v.sdev2 AS DOUBLE) / CAST(m.n AS DOUBLE)) AS z
-    FROM e CROSS JOIN m CROSS JOIN v
-    ORDER BY abs(CAST(e.s * m.n - m.s1 AS DOUBLE)
-                 / sqrt(CAST(v.sdev2 AS DOUBLE) / CAST(m.n AS DOUBLE))) DESC,
+           CAST(c.n * (e.s - c.cc) - v.rs AS DOUBLE)
+             / nullif(sqrt(greatest(
+                 CAST(c.n AS DOUBLE) * (CAST(v.sd2s AS DOUBLE) * 10000.0)
+                 - CAST(v.rs AS DOUBLE) * CAST(v.rs AS DOUBLE), 0.0)), 0.0)
+             AS z
+    FROM e CROSS JOIN c CROSS JOIN v
+    ORDER BY abs(CAST(c.n * (e.s - c.cc) - v.rs AS DOUBLE)
+                 / nullif(sqrt(greatest(
+                     CAST(c.n AS DOUBLE) * (CAST(v.sd2s AS DOUBLE) * 10000.0)
+                     - CAST(v.rs AS DOUBLE) * CAST(v.rs AS DOUBLE), 0.0)), 0.0))
+             DESC NULLS LAST,
              vec_id
     LIMIT 10
     """,
@@ -1721,24 +1730,43 @@ def emb_norm_outliers(spark, sf_dir):
     """Top-10 vector-norm outliers by z-score — the embedding-space
     health check that catches unnormalized batches, dead encoders
     (near-zero norms) and exploded vectors before they poison ANN
-    recall.  Deviations are held on the exact common-denominator
-    integer form s·n − Σs (same discipline as a_grubbs_outlier); the
-    top-10 is a distributed TakeOrdered on the |z| expression."""
+    recall.  Deviations use the a_generalized_esd mean-shift
+    discipline (r12 retrofit, audit-on-touch): d = s − floor-mean via
+    the canonical nonnegative residue, squared deviations floor-scaled
+    BEFORE summing — the old common-denominator form s·n − Σs summed
+    (n·σ)² terms and overflowed int64 at n³ growth, i.e. around sf1.
+    z = (n·d − rs)/√(n·(sd2s·1e4) − rs²), radicand clamped at 0 and a
+    zero σ NULLed identically in both engines (constant-norm corpora).
+    The top-10 is a distributed TakeOrdered on the |z| expression."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _normsq_col().alias("s"))
     m = e.agg(
         F.count("*").cast("long").alias("n"), F.sum("s").cast("long").alias("s1")
     )
-    dev = F.col("s") * F.col("n") - F.col("s1")
-    withm = e.crossJoin(F.broadcast(m))
-    v = withm.agg(F.sum(dev * dev).cast("long").alias("sdev2"))
-    z = dev.cast("double") / F.sqrt(
-        F.col("sdev2").cast("double") / F.col("n").cast("double")
+    c = m.select(
+        "n", "s1",
+        F.expr("(s1 - ((s1 % n + n) % n)) div n").cast("long").alias("cc"),
     )
+    withc = e.crossJoin(F.broadcast(c))
+    d = (F.col("s") - F.col("cc")).cast("long")
+    v = withc.agg(
+        F.sum(F.floor((d.cast("double") * d.cast("double")) / 10000.0)
+              .cast("long")).cast("long").alias("sd2s"),
+        F.sum(d).cast("long").alias("rs"),
+    )
+    sig = F.nullif(
+        F.sqrt(F.greatest(
+            F.col("n").cast("double") * (F.col("sd2s").cast("double") * 10000.0)
+            - F.col("rs").cast("double") * F.col("rs").cast("double"),
+            F.lit(0.0),
+        )),
+        F.lit(0.0),
+    )
+    z = (F.col("n") * d - F.col("rs")).cast("double") / sig
     return (
-        withm.crossJoin(F.broadcast(v))
+        withc.crossJoin(F.broadcast(v))
         .select("vec_id", F.col("s").alias("normsq_scaled"), z.alias("z"))
-        .orderBy(F.abs(F.col("z")).desc(), "vec_id")
+        .orderBy(F.abs(F.col("z")).desc_nulls_last(), "vec_id")
         .limit(10)
     )
 
@@ -1859,8 +1887,10 @@ def emb_cosine_hist(spark, sf_dir):
         fold(F.col("v"), F.col("v")).alias("na"),
         fold(F.col("vb"), F.col("vb")).alias("nb"),
     )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
+    cos = F.col("dot").cast("double") / F.nullif(
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")),
+        F.lit(0.0),
     )
     c = p.select(cos.alias("cos"))
     return c.groupBy(

@@ -193,3 +193,80 @@ def test_adversarial_events_parity(spark, adversarial_events, name):
     res = con.execute(ORACLES[name])
     d = _norm(res.fetchall(), [c[0] for c in res.description])
     assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-table adversarial regressions: the queries repaired by the
+# round-12 zero-vector/duplicate-seed sweep
+# (adversarial_check_embeddings.py runs the full embeddings-only
+# registry).  The corpus deliberately includes duplicate k-means SEEDS
+# (vec_id < 8 holds identical pairs) so round-0 clusters empty — the
+# case that exposed cid renumbering — plus zero-norm vectors for every
+# cosine path.
+# ---------------------------------------------------------------------------
+
+EMB_REPAIRED = [
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine", "ann_ivf_trained_topk",
+    "dedup_semantic_kmeans", "ann_lsh_multiprobe_topk",
+    "corpus_semantic_dedup_pipeline", "ann_recall_eval",
+    "emb_random_projection_jl", "emb_norm_outliers", "emb_cosine_hist",
+    "ann_metric_agreement",
+]
+
+
+def _emb_corpus() -> pd.DataFrame:
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    D = 64
+    vecs, labels = [], []
+    vecs.append(np.zeros(D)); labels.append(0)
+    vecs.append(np.zeros(D)); labels.append(1)          # duplicate zero seed
+    v = np.ones(D); vecs.append(v); labels.append(2)
+    vecs.append(v.copy()); labels.append(2)             # duplicate ones seed
+    vecs.append(-v); labels.append(3)
+    e0 = np.zeros(D); e0[0] = 1.0
+    vecs.append(e0); labels.append(4)
+    vecs.append(e0 * 10.0); labels.append(4)
+    vecs.append(e0 * 1e-6); labels.append(4)
+    for i in range(40):
+        vecs.append(rng.randn(D)); labels.append(int(i % 7))
+    for i in range(10):
+        vecs.append(v + rng.randn(D) * 1e-9); labels.append(8)
+    return pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [x.astype("float32") for x in vecs],
+            "label": pd.array(labels, dtype="int32"),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = _emb_corpus()
+    tmp = str(tmp_path_factory.mktemp("adversarial_emb_sfdir"))
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+                   f"{tmp}/embeddings.parquet", version="2.6")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet'"
+    )
+    return tmp, con
+
+
+@pytest.mark.parametrize("name", EMB_REPAIRED)
+def test_adversarial_embeddings_parity(spark, adversarial_embeddings, name):
+    sf_dir, con = adversarial_embeddings
+    sdf = QUERIES[name](spark, sf_dir)
+    s = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(ORACLES[name])
+    d = _norm(res.fetchall(), [c[0] for c in res.description])
+    assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"

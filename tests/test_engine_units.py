@@ -373,7 +373,11 @@ def test_kmeans_deterministic_and_matches_numpy(spark):
                 for j in sorted(set(cid))
             ]
         )
-    assert np.array_equal(np.array(c2), C)
+    # kmeans_fit returns TAGGED centroids [(cid, vec), ...] (r12: labels
+    # survive empty-cluster drops); no cluster empties at sf0.001, so
+    # the tags are exactly the surviving cids of the reference loop
+    assert [t for t, _ in c2] == sorted(int(x) for x in set(cid))
+    assert np.array_equal(np.array([v for _, v in c2]), C)
 
 
 def test_simhash_near_pairs_matches_bruteforce(spark):
