@@ -2190,7 +2190,10 @@ def tpch_q2_shape(spark, sf_dir):
     broadcast dim; only the lineitem agg shuffles."""
     li = load_table(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        # nullif: a zero-quantity line → NULL unit cost like DuckDB
+        # x/0 (min then skips it identically in both engines)
+        F.min(F.col("l_extendedprice")
+              / F.nullif(F.col("l_quantity"), F.lit(0.0))).alias("unit_cost")
     )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")

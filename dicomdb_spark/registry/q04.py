@@ -3174,9 +3174,12 @@ def a_price_elasticity_ols(spark, sf_dir):
     identical tree."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    x = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10.0).cast(
-        "long"
-    )
+    # nullif: a zero-quantity line → NULL x like DuckDB x/0 (SUM then
+    # skips it identically; count(*) still counts the row in both)
+    x = F.floor(
+        F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0.0))
+        * 10.0
+    ).cast("long")
     y = F.floor(F.col("l_quantity") * 100.0).cast("long")
     s = (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -3193,15 +3196,18 @@ def a_price_elasticity_ols(spark, sf_dir):
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     syd = F.col("sy").cast("double")
-    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
-        nd * F.col("sxx").cast("double") - sxd * sxd
+    # nullif guards: a single-line brand zeroes Sxx - x̄² and an
+    # all-zero-quantity brand zeroes Σy — DuckDB x/0 is NULL where
+    # ANSI Spark throws; both engines now emit NULL rows
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / F.nullif(
+        nd * F.col("sxx").cast("double") - sxd * sxd, F.lit(0.0)
     )
     return s.select(
         "p_brand",
         "n",
         slope.alias("slope"),
         ((syd - slope * sxd) / nd).alias("intercept"),
-        (slope * (sxd / syd)).alias("elasticity"),
+        (slope * (sxd / F.nullif(syd, F.lit(0.0)))).alias("elasticity"),
     )
 
 

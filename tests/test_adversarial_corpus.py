@@ -270,3 +270,70 @@ def test_adversarial_embeddings_parity(spark, adversarial_embeddings, name):
     res = con.execute(ORACLES[name])
     d = _norm(res.fetchall(), [c[0] for c in res.description])
     assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-table adversarial regressions: the queries repaired by the
+# round-12 degenerate-TPC-H sweep (adversarial_check_tpch.py runs the
+# full 123-query family over real sf0.001 tables augmented with
+# childless dims, zero-quantity lineitems and zero-price orders).
+# ---------------------------------------------------------------------------
+
+TPCH_REPAIRED = ["tpch_q2_shape", "a_price_elasticity_ols"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("adversarial_tpch_sfdir"))
+    src = "/root/testdata/sf0.001"
+    build = duckdb.connect()
+
+    def write(table, extra_sql=""):
+        q = f"SELECT * FROM '{src}/{table}.parquet'"
+        if extra_sql:
+            q += f" UNION ALL {extra_sql}"
+        build.execute(f"COPY ({q}) TO '{tmp}/{table}.parquet' (FORMAT PARQUET)")
+
+    write("region", "SELECT CAST(99 AS INTEGER), ''")
+    write("nation", "SELECT CAST(98 AS INTEGER), 'GHOSTLAND', CAST(0 AS INTEGER)")
+    write("customer", """
+      SELECT CAST(999901 AS BIGINT), 'childless customer', CAST(98 AS INTEGER),
+             CAST(0.0 AS DOUBLE), 'BUILDING'
+      UNION ALL
+      SELECT CAST(999902 AS BIGINT), '', CAST(0 AS INTEGER),
+             CAST(-999.99 AS DOUBLE), 'AUTOMOBILE'""")
+    write("supplier",
+          "SELECT CAST(999903 AS BIGINT), 'childless supplier', CAST(98 AS INTEGER), CAST(0.0 AS DOUBLE)")
+    write("part",
+          "SELECT CAST(999904 AS BIGINT), 'childless part', 'Brand#99', 'ECONOMY ANODIZED GHOST', CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE)")
+    write("orders", """
+      SELECT CAST(9999905 AS BIGINT), CAST(999902 AS BIGINT), 'F',
+             CAST(0.0 AS DOUBLE), TIMESTAMP '1992-01-01 00:00:00', '1-URGENT'
+      UNION ALL
+      SELECT CAST(9999906 AS BIGINT), CAST(999902 AS BIGINT), 'O',
+             CAST(0.01 AS DOUBLE), TIMESTAMP '1992-01-01 00:00:00', '5-LOW'""")
+    write("lineitem", """
+      SELECT CAST(9999906 AS BIGINT), CAST(999904 AS BIGINT), CAST(999903 AS BIGINT),
+             CAST(1 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 'R', 'F',
+             TIMESTAMP '1992-01-01 00:00:00'
+      UNION ALL
+      SELECT CAST(9999906 AS BIGINT), CAST(999904 AS BIGINT), CAST(999903 AS BIGINT),
+             CAST(2 AS INTEGER), CAST(50.0 AS DOUBLE), CAST(104949.5 AS DOUBLE),
+             CAST(0.1 AS DOUBLE), CAST(0.08 AS DOUBLE), 'N', 'O',
+             TIMESTAMP '1992-01-01 00:00:00'""")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'")
+    return tmp, con
+
+
+@pytest.mark.parametrize("name", TPCH_REPAIRED)
+def test_adversarial_tpch_parity(spark, adversarial_tpch, name):
+    sf_dir, con = adversarial_tpch
+    sdf = QUERIES[name](spark, sf_dir)
+    s = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(ORACLES[name])
+    d = _norm(res.fetchall(), [c[0] for c in res.description])
+    assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
