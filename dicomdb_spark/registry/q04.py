@@ -800,7 +800,8 @@ def ml_knn_classify(spark, sf_dir):
         .withColumn(
             "cs",
             lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
+            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         )
     )
     top = (

@@ -337,3 +337,39 @@ def test_adversarial_tpch_parity(spark, adversarial_tpch, name):
     res = con.execute(ORACLES[name])
     d = _norm(res.fetchall(), [c[0] for c in res.description])
     assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
+
+
+# ---------------------------------------------------------------------------
+# Cross-family (documents + embeddings) — completes adversarial
+# coverage of all 521 registry queries across the four sweeps.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_cross(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path_factory.mktemp("adversarial_cross_sfdir"))
+    pq.write_table(pa.Table.from_pandas(_corpus(), preserve_index=False),
+                   f"{tmp}/documents.parquet", version="2.6")
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    pq.write_table(
+        pa.Table.from_pandas(_emb_corpus(), schema=schema, preserve_index=False),
+        f"{tmp}/embeddings.parquet", version="2.6")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'")
+    return tmp, con
+
+
+@pytest.mark.parametrize("name", ["ann_rerank_topk", "ml_knn_classify"])
+def test_adversarial_cross_parity(spark, adversarial_cross, name):
+    sf_dir, con = adversarial_cross
+    sdf = QUERIES[name](spark, sf_dir)
+    s = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(ORACLES[name])
+    d = _norm(res.fetchall(), [c[0] for c in res.description])
+    assert s == d, f"{name}: {len(s)} spark rows vs {len(d)} oracle rows"
