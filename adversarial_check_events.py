@@ -14,14 +14,15 @@ cdc_last_writer_state, the f5_ta_parse negative-residue round trip, the
 a_wilson_ci DECIMAL z*z 1-ULP drift, 16 ANSI divide-by-zero crashes on
 degenerate groups (DuckDB x/0 is NULL), two DuckDB sqrt(negative)
 radicand errors (w_cpk, a_weekend_effect / a_spc_control_chart) and the
-w_holt negative left-shift.  Four kernels (a_skew_kurtosis,
-a_jarque_bera, w_interarrival_stats, a_interarrival_mixture_mom)
-legitimately overflow int64 beyond the documented natural value domain
-(|value| <~ 1e3) — the mean-shifted co-moment retrofit is the known
-audit-on-touch item (NEXT_STEPS).
+w_holt negative left-shift.  Round 13 retrofitted the last four
+int64-headroom kernels (a_skew_kurtosis, a_jarque_bera,
+w_interarrival_stats, a_interarrival_mixture_mom) to mean-shifted
+floor-scaled co-moments and added the constant-eval-window series
+(ADVICE r12) that drives w_cpk's sig_eval to exactly 0 — the sweep is
+now expected to pass CLEAN with no carve-outs.
 
 Usage: python adversarial_check_events.py [query ...]; exits non-zero
-on any mismatch or error outside the four documented overflow kernels.
+on ANY mismatch or error.
 """
 import sys, re, random, os, datetime as dt
 sys.path.insert(0, "/root/repo")
@@ -59,6 +60,14 @@ for h in (0, 1, 2, 3, 4):
     add(dt.datetime(2024, 3, 10, h, 30, 0), 5, "dst", float(h))
     add(dt.datetime(2024, 11, 3, h, 30, 0), 5, "dst", float(h) + 10)
 add(dt.datetime(2024, 5, 1, 0, 0, 0), 6, "midnight", 1.0)
+# constant EVAL-window series (ADVICE r12): varying calibration rows
+# before 2024-01-16 plus an all-constant tail after it — drives
+# w_cpk_process_capability's sig_eval to exactly 0.0 (greatest-0 clamp)
+# so the cp/cpk denominators hit /0 (Spark nullif → NULL; DuckDB NULL)
+for i, v in enumerate([10.0, 20.0, 30.0]):
+    add(dt.datetime(2024, 1, 5 + i, 8, 0, 0), 10, "cpk_const_eval", v)
+for i in range(5):
+    add(dt.datetime(2024, 1, 20 + i, 8, 0, 0), 10, "cpk_const_eval", 42.42)
 for i in range(20):
     add(dt.datetime(2024, 6, 1 + i % 5, 10 + i % 3, 0, 0), 7 + i % 2,
         "tie_a" if i % 2 else "tie_b", 50.0)
@@ -108,9 +117,7 @@ for n in names:
         errored.append(n)
         print(f"{n}: ERROR {type(e).__name__} {str(e)[:140]}", flush=True)
     spark.catalog.clearCache()
-KNOWN_OVERFLOW = {"a_skew_kurtosis", "a_jarque_bera",
-                  "w_interarrival_stats", "a_interarrival_mixture_mom"}
-unexpected = mismatched + [n for n in errored if n not in KNOWN_OVERFLOW]
+unexpected = mismatched + errored
 print(f"SUMMARY ok={ok} mismatch={len(mismatched)} error={len(errored)} "
       f"total={len(names)} unexpected={unexpected}")
 sys.exit(1 if unexpected else 0)

@@ -40,13 +40,15 @@ def assign_clusters(
 ) -> DataFrame:
     """Map-only cluster assignment against a broadcast centroid list.
 
-    ``centroids`` is either a plain list of vectors (cids are the list
-    positions) or a list of ``(cid, vector)`` pairs — the tagged form
-    update_centroids emits, which PRESERVES original cluster labels
-    when a cluster empties (duplicate seeds make exact-tie clusters
-    empty in round 0; compacting the list silently renumbered every
-    later cid and diverged from the oracle, which keeps labels — r12
-    adversarial embeddings sweep).
+    ``centroids`` MUST be the TAGGED list of ``(cid, vector)`` pairs
+    that kmeans_fit / update_centroids emit — the tagged form
+    PRESERVES original cluster labels when a cluster empties
+    (duplicate seeds make exact-tie clusters empty in round 0;
+    compacting a positional list silently renumbered every later cid
+    and diverged from the oracle, which keeps labels — r12 adversarial
+    embeddings sweep).  Raw vector lists are rejected: element
+    type-sniffing misparsed a vector-as-tuple as (cid, vector)
+    (ADVICE r12), so the tagged form is the only accepted input.
 
     Returns (id_col, vec_col, cid).  Argmin of the floor-scaled int
     squared distance; numpy argmin returns the FIRST minimum, which is
@@ -55,12 +57,17 @@ def assign_clusters(
     """
     import numpy as np
 
-    if centroids and isinstance(centroids[0], tuple):
-        cid_tags = np.asarray([c for c, _ in centroids], dtype=np.int32)
-        C = np.asarray([v for _, v in centroids], dtype=np.float64)
-    else:
-        cid_tags = np.arange(len(centroids), dtype=np.int32)
-        C = np.asarray(centroids, dtype=np.float64)
+    if not all(
+        isinstance(c, tuple) and len(c) == 2 and isinstance(c[0], int)
+        for c in centroids
+    ):
+        raise TypeError(
+            "assign_clusters expects tagged centroids [(cid, vector), ...] "
+            "as produced by kmeans_fit/update_centroids; got a raw vector "
+            "list — tag it with its cids explicitly"
+        )
+    cid_tags = np.asarray([c for c, _ in centroids], dtype=np.int32)
+    C = np.asarray([v for _, v in centroids], dtype=np.float64)
 
     @F.pandas_udf("int")
     def _assign(x: pd.Series) -> pd.Series:

@@ -315,11 +315,54 @@ DRIVER_PROVEN: tuple[str, ...] = (
 UNPROVEN_PRIORITY: tuple[str, ...] = ()
 
 
+# Queries whose CODE changed after their latest driver CORRECTNESS row
+# — "ever driver-proven" is not "proven at this HEAD" (VERDICT r12
+# "What's wrong" #2), so these claim window slots ahead of the proven
+# fall-through until the next driver round re-proves them.  Derived
+# mechanically: `python tools_modified_queries.py <last-proven-round
+# commit>` diffs the registry chunks and maps changed lines to their
+# enclosing @register bodies (engine-module changes mapped by grep);
+# entries that already re-proved AT the post-fix HEAD in that round's
+# own window (r12: dedup_fingerprint, f5_ta_parse, text_fingerprint)
+# are excluded.  Current content = the r12 adversarial-sweep guard
+# fixes (diff 826252e..383649a) + the r13 mean-shift retrofits and
+# ADVICE fixes; clear (or re-derive) after CORRECTNESS_r13 lands.
+MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
+    # r13 retrofits / guard fixes first (newest code states)
+    "a_skew_kurtosis", "a_jarque_bera", "w_interarrival_stats",
+    "a_interarrival_mixture_mom", "w_cpk_process_capability",
+    "w_seasonality_strength",
+    # r12 adversarial-sweep fixes without a post-fix driver row
+    "a_ab_test_zscore", "a_cochran_armitage", "a_corr_matrix",
+    "a_generalized_esd", "a_grubbs_outlier", "a_odds_ratio",
+    "a_price_elasticity_ols", "a_runs_test", "a_siegel_tukey",
+    "a_spc_control_chart", "a_weekend_effect", "a_wilson_ci",
+    "ann_ivf_topk", "ann_ivf_trained_topk", "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk", "ann_recall_eval", "ann_rerank_topk",
+    "cdc_last_writer_state", "corpus_semantic_dedup_pipeline",
+    "dedup_embedding_cosine", "dedup_semantic_kmeans",
+    "emb_cosine_hist", "emb_norm_outliers", "emb_random_projection_jl",
+    "graph_assortativity", "graph_transitivity_ratio",
+    "ml_knn_classify", "multimodal_frame_sample",
+    "multimodal_resize_audit", "ops_capacity_forecast",
+    "sketch_p2_quantile", "text_c4_clean", "text_lz76_complexity",
+    "tpch_q2_shape", "w_autocorrelation", "w_holt_linear_forecast",
+    "w_paa_sax", "w_pacf_lag2", "w_sharpe_sortino", "w_ulcer_index",
+    "w_zscore_peer_loo",
+)
+
+
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """QUERIES with driver-unproven entries first (see note above),
-    the UNPROVEN_PRIORITY flagships leading."""
+    """QUERIES ordered for driver-window curation: never-proven
+    entries first (UNPROVEN_PRIORITY flagships leading), then
+    MODIFIED_SINCE_PROVEN (proven at an older code state — front them
+    so the next window re-proves the current HEAD), then the proven
+    set as flagship re-proves."""
     proven = set(DRIVER_PROVEN)
     out = {n: QUERIES[n] for n in UNPROVEN_PRIORITY if n in QUERIES and n not in proven}
     out.update({n: f for n, f in QUERIES.items() if n not in proven})
+    out.update(
+        {n: QUERIES[n] for n in MODIFIED_SINCE_PROVEN if n in QUERIES}
+    )
     out.update({n: QUERIES[n] for n in DRIVER_PROVEN if n in QUERIES})
     return out

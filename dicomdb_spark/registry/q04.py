@@ -1646,72 +1646,121 @@ ORACLES["j21_best_match_join"] = f"""
     """
     WITH x AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v
                FROM events),
-    m AS (SELECT event_type, count(*) AS n,
-                 CAST(SUM(v) AS BIGINT) AS s1,
-                 CAST(SUM(v * v) AS BIGINT) AS s2,
-                 CAST(SUM(v * v * v) AS BIGINT) AS s3,
-                 CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s1
           FROM x GROUP BY 1),
-    d AS (SELECT event_type, n,
-                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
-                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
-                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
-                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
-          FROM m)
-    SELECT event_type, CAST(n AS BIGINT) AS n, m1 AS mean,
-           (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-             / ((m2 - m1 * m1) * sqrt(m2 - m1 * m1)) AS skewness,
-           (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
-             / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0 AS kurtosis_excess
-    FROM d
+    c AS (SELECT event_type, n, s1,
+                 (s1 - ((s1 % n + n) % n)) // n AS cc
+          FROM m),
+    v AS (SELECT x.event_type,
+                 CAST(SUM(x.v - c.cc) AS BIGINT) AS rs,
+                 CAST(SUM((x.v - c.cc) * (x.v - c.cc)) AS BIGINT) AS s2,
+                 CAST(SUM(CAST(floor(CAST(x.v - c.cc AS DOUBLE)
+                                     * CAST(x.v - c.cc AS DOUBLE)
+                                     * CAST(x.v - c.cc AS DOUBLE)
+                                     / 100.0) AS BIGINT)) AS BIGINT) AS s3s,
+                 CAST(SUM(CAST(floor(CAST(x.v - c.cc AS DOUBLE)
+                                     * CAST(x.v - c.cc AS DOUBLE)
+                                     * CAST(x.v - c.cc AS DOUBLE)
+                                     * CAST(x.v - c.cc AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS s4s
+          FROM x JOIN c USING (event_type) GROUP BY 1),
+    k AS (SELECT c.event_type, c.n,
+                 CAST(c.n AS DOUBLE) AS nd,
+                 CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE) AS m1,
+                 CAST(v.rs AS DOUBLE) / CAST(c.n AS DOUBLE) AS rb,
+                 CAST(v.s2 AS DOUBLE) AS s2d,
+                 CAST(v.s3s AS DOUBLE) * 100.0 AS s3d,
+                 CAST(v.s4s AS DOUBLE) * 10000.0 AS s4d
+          FROM c JOIN v USING (event_type)),
+    cm AS (SELECT event_type, n, m1,
+                  greatest(s2d / nd - rb * rb, 0.0) AS m2c,
+                  s3d / nd - 3.0 * rb * (s2d / nd)
+                    + 2.0 * rb * rb * rb AS m3,
+                  s4d / nd - 4.0 * rb * (s3d / nd)
+                    + 6.0 * rb * rb * (s2d / nd)
+                    - 3.0 * rb * rb * rb * rb AS m4
+           FROM k)
+    SELECT event_type, n, m1 AS mean,
+           m3 / nullif(m2c * sqrt(m2c), 0.0) AS skewness,
+           m4 / nullif(m2c * m2c, 0.0) - 3.0 AS kurtosis_excess
+    FROM cm
     """,
 )
 def a_skew_kurtosis(spark, sf_dir):
     """Distribution-shape profiling: skewness and excess kurtosis per
-    event type from EXACT integer raw moments (Σv..Σv⁴ of the floored
-    values stay inside int64 through ~100× this scale), combined by
-    the standard central-moment identities in one fixed float chain —
-    pow(x, 1.5) = x·√x territory is avoided on the integer side; the
-    only non-rational op is that final power, identical text on both
-    engines.  The shape screen run before choosing parametric vs rank
-    tests (a_ab_test_zscore vs a_mannwhitney_u)."""
+    event type from MEAN-SHIFTED floor-scaled co-moments (the
+    emb_norm_outliers / a_generalized_esd discipline, r13 retrofit):
+    the per-group floor-mean cc comes from the canonical nonnegative
+    residue, deviations d = v − cc are exact int64 with 0 ≤ Σd < n,
+    Σd² sums exactly and Σd³ / Σd⁴ floor-scale by 1e2 / 1e4 BEFORE
+    summing — the old raw Σv³/Σv⁴ overflowed int64 at a single
+    |v| ≳ 56k row and bounded n by max|v|⁴.  Headroom now rides the
+    CENTERED spread: at the events table's real per-group spread
+    |d| ~ 3e2 the widest term is d⁴/1e4 ≈ 8e5, so n ≲ 1e13 per group
+    (any 100 TB key; a spread-1e3 group still holds n ≤ 9e10 ≈ 9 TB
+    of rows in ONE group); a pathological |d| ~ 1e5 group computes
+    exactly to n ≈ 900 instead of crashing at n = 1.  The scales are
+    deliberately finer than emb_norm_outliers' (whose d is ~1e6):
+    quantization bias is < 1e2/|Σd³| resp. 1e4/|Σd⁴| — ≲ 1e-3 of the
+    statistic at the |d| ~ 50 lower edge of the natural domain
+    (test-pinned vs numpy), identical on both engines by
+    construction.  Central moments come from the shifted-sum
+    identities with r̄ = Σd/n ∈ [0,1); var^1.5 is var·√var (sqrt is
+    correctly rounded in IEEE, pow() is not guaranteed to be across
+    libm); a constant group (m2 = 0) yields NULL on both engines
+    (greatest-0 clamp + nullif — DuckDB x/0.0 is NULL, ANSI Spark
+    would throw).  The shape
+    screen run before choosing parametric vs rank tests
+    (a_ab_test_zscore vs a_mannwhitney_u)."""
     ev = load_table(spark, sf_dir, "events")
     x = ev.select("event_type", F.floor(F.col("value")).cast("long").alias("v"))
     m = x.groupBy("event_type").agg(
-        F.count("*").alias("n"),
+        F.count("*").cast("long").alias("n"),
         F.sum("v").cast("long").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
-        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("long").alias("s3"),
-        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
-        .cast("long")
-        .alias("s4"),
+    )
+    c = m.select(
+        "event_type", "n", "s1",
+        F.expr("(s1 - ((s1 % n + n) % n)) div n").cast("long").alias("cc"),
+    )
+    dv = (F.col("v") - F.col("cc")).cast("long")
+    dd = dv.cast("double")
+    v = (
+        x.join(F.broadcast(c.select("event_type", "cc")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(dv).cast("long").alias("rs"),
+            F.sum(dv * dv).cast("long").alias("s2"),
+            F.sum(F.floor(dd * dd * dd / 100.0).cast("long"))
+            .cast("long")
+            .alias("s3s"),
+            F.sum(F.floor(dd * dd * dd * dd / 10000.0).cast("long"))
+            .cast("long")
+            .alias("s4s"),
+        )
     )
     nd = F.col("n").cast("double")
-    d = m.select(
-        "event_type",
-        "n",
-        (F.col("s1").cast("double") / nd).alias("m1"),
-        (F.col("s2").cast("double") / nd).alias("m2"),
-        (F.col("s3").cast("double") / nd).alias("m3"),
-        (F.col("s4").cast("double") / nd).alias("m4"),
+    rb = F.col("rs").cast("double") / nd
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3s").cast("double") * 100.0
+    s4d = F.col("s4s").cast("double") * 10000.0
+    m2c = F.greatest(s2d / nd - rb * rb, F.lit(0.0))
+    m3 = s3d / nd - F.lit(3.0) * rb * (s2d / nd) + F.lit(2.0) * rb * rb * rb
+    m4 = (
+        s4d / nd
+        - F.lit(4.0) * rb * (s3d / nd)
+        + F.lit(6.0) * rb * rb * (s2d / nd)
+        - F.lit(3.0) * rb * rb * rb * rb
     )
-    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
-    var = m2 - m1 * m1
-    # var^1.5 as var·sqrt(var): sqrt is correctly rounded in IEEE,
-    # pow() is not guaranteed to be across libm implementations
-    skew = (m3 - F.lit(3) * m1 * m2 + F.lit(2) * m1 * m1 * m1) / (
-        var * F.sqrt(var)
-    )
-    kurt = (
-        m4 - F.lit(4) * m1 * m3 + F.lit(6) * m1 * m1 * m2
-        - F.lit(3) * m1 * m1 * m1 * m1
-    ) / (var * var) - F.lit(3.0)
-    return d.select(
+    return c.join(v, "event_type").select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        m1.alias("mean"),
-        skew.alias("skewness"),
-        kurt.alias("kurtosis_excess"),
+        (F.col("s1").cast("double") / nd).alias("mean"),
+        # nullif: constant series → m2 0 → NULL like DuckDB x/0
+        (m3 / F.nullif(m2c * F.sqrt(m2c), F.lit(0.0))).alias("skewness"),
+        (m4 / F.nullif(m2c * m2c, F.lit(0.0)) - F.lit(3.0)).alias(
+            "kurtosis_excess"
+        ),
     )
 
 
@@ -3658,57 +3707,105 @@ def dedup_sorted_neighbor_lcp(spark, sf_dir):
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         AS gap_us
                FROM events),
+    gm AS (SELECT user_id, CAST(gap_us // 1000 AS BIGINT) AS ms
+           FROM g WHERE gap_us IS NOT NULL),
     s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-                 CAST(SUM(gap_us // 1000) AS BIGINT) AS s1,
-                 CAST(SUM((gap_us // 1000) * (gap_us // 1000)) AS BIGINT)
-                   AS s2,
-                 CAST(max(gap_us // 1000) AS BIGINT) AS max_gap_ms
-          FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
-    SELECT user_id, n_gaps, max_gap_ms,
-           CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000.0
+                 CAST(SUM(ms) AS BIGINT) AS s1,
+                 CAST(max(ms) AS BIGINT) AS max_gap_ms
+          FROM gm GROUP BY 1),
+    c AS (SELECT user_id, n_gaps, s1, max_gap_ms,
+                 (s1 - ((s1 % n_gaps + n_gaps) % n_gaps)) // n_gaps AS cc
+          FROM s),
+    v AS (SELECT gm.user_id,
+                 CAST(SUM(gm.ms - c.cc) AS BIGINT) AS rs,
+                 CAST(SUM(CAST(floor(CAST(gm.ms - c.cc AS DOUBLE)
+                                     * CAST(gm.ms - c.cc AS DOUBLE)
+                                     / 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS sd2s
+          FROM gm JOIN c USING (user_id) GROUP BY 1)
+    SELECT c.user_id, c.n_gaps, c.max_gap_ms,
+           CAST(c.s1 AS DOUBLE) / CAST(c.n_gaps AS DOUBLE) / 1000.0
              AS mean_gap_s,
-           sqrt((CAST(s2 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                   / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
-           / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv
-    FROM s WHERE n_gaps >= 5
+           sqrt(greatest(CAST(c.n_gaps AS DOUBLE)
+                         * (CAST(v.sd2s AS DOUBLE) * 1000000.0)
+                         - CAST(v.rs AS DOUBLE) * CAST(v.rs AS DOUBLE),
+                         0.0))
+             / CAST(c.n_gaps AS DOUBLE)
+             / nullif(CAST(c.s1 AS DOUBLE) / CAST(c.n_gaps AS DOUBLE), 0.0)
+             AS cv
+    FROM c JOIN v USING (user_id) WHERE c.n_gaps >= 5
     """,
 )
 def w_interarrival_stats(spark, sf_dir):
     """Inter-arrival process statistics per user: mean gap, max gap,
     and the coefficient of variation (CV ≈ 1 ⇒ Poisson arrivals,
     ≫ 1 ⇒ bursty) — the session-boundary tuning diagnostic for W3's
-    gap parameter.  Gaps in integer milliseconds from ONE lag pass;
-    CV is a single float chain over (n, Σ, Σ²)."""
+    gap parameter.  Gaps in integer milliseconds from ONE lag pass.
+    The second moment uses the MEAN-SHIFTED floor-scaled discipline
+    (r13 retrofit, emb_norm_outliers recipe): canonical-residue
+    floor-mean cc per user, d = ms − cc exact int64 with 0 ≤ Σd < n,
+    Σ floor(d²/1e6) summed as int64 — the old raw Σms² overflowed
+    int64 at a single gap ≳ 35 days; headroom now rides the centered
+    spread (natural |d| ≲ 1e5 ms → n ≤ 9e14 gaps per user; even a
+    year-wide |d| ~ 3e10 ms still computes to n ≈ 9e3 instead of
+    crashing at n = 1).  CV's variance is √(n·(Σd²ₛ·1e6) − (Σd)²)/n —
+    the shift-invariant identity — and an all-tie user (mean gap 0)
+    yields NULL CV identically on both engines (nullif; DuckDB x/0.0
+    is NULL, ANSI Spark would throw)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer epoch-microseconds (io.prepare pins UTC, so the
     # NTZ→TZ cast is the identity and matches DuckDB's epoch_us)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    g = ev.select(
-        "user_id",
-        (us - F.lag(us).over(w)).alias("gap_us"),
-    ).filter(F.col("gap_us").isNotNull())
-    ms = (F.col("gap_us") / 1000).cast("long")
-    s = g.groupBy("user_id").agg(
+    gm = (
+        ev.select(
+            "user_id",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", (F.col("gap_us") / 1000).cast("long").alias("ms"))
+    )
+    s = gm.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_gaps"),
-        F.sum(ms).cast("long").alias("s1"),
-        F.sum(ms * ms).cast("long").alias("s2"),
-        F.max(ms).cast("long").alias("max_gap_ms"),
+        F.sum("ms").cast("long").alias("s1"),
+        F.max("ms").cast("long").alias("max_gap_ms"),
+    )
+    c = s.select(
+        "user_id", "n_gaps", "s1", "max_gap_ms",
+        F.expr("(s1 - ((s1 % n_gaps + n_gaps) % n_gaps)) div n_gaps")
+        .cast("long")
+        .alias("cc"),
+    )
+    dv = (F.col("ms") - F.col("cc")).cast("long")
+    dd = dv.cast("double")
+    # plain equi-join on user_id (per-user moment table; AQE picks the
+    # strategy — user cardinality grows with the corpus, unlike the
+    # event-type dimension, so no unconditional broadcast hint)
+    v = (
+        gm.join(c.select("user_id", "cc"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(dv).cast("long").alias("rs"),
+            F.sum(F.floor(dd * dd / 1000000.0).cast("long"))
+            .cast("long")
+            .alias("sd2s"),
+        )
     )
     nd = F.col("n_gaps").cast("double")
     mean_ms = F.col("s1").cast("double") / nd
-    sd = F.sqrt(
-        (
-            F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
-        )
+    sd_over_n = (
+        F.sqrt(F.greatest(
+            nd * (F.col("sd2s").cast("double") * 1000000.0)
+            - F.col("rs").cast("double") * F.col("rs").cast("double"),
+            F.lit(0.0),
+        ))
         / nd
     )
-    return s.filter(F.col("n_gaps") >= 5).select(
+    return c.join(v, "user_id").filter(F.col("n_gaps") >= 5).select(
         "user_id", "n_gaps", "max_gap_ms",
         (mean_ms / 1000.0).alias("mean_gap_s"),
-        (sd / mean_ms).alias("cv"),
+        # nullif: an all-tie user (every gap 0) → mean 0 → NULL CV
+        (sd_over_n / F.nullif(mean_ms, F.lit(0.0))).alias("cv"),
     )
 
 
@@ -4035,78 +4132,125 @@ def a_poisson_dispersion(spark, sf_dir):
     """
     WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
     m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(x) AS BIGINT) AS s1,
-                 CAST(SUM(x * x) AS BIGINT) AS s2,
-                 CAST(SUM(x * x * x) AS BIGINT) AS s3,
-                 CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+                 CAST(SUM(x) AS BIGINT) AS s1
           FROM b GROUP BY 1),
-    c AS (SELECT event_type, n,
-                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
-                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
-                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
-                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+    c AS (SELECT event_type, n, s1,
+                 (s1 - ((s1 % n + n) % n)) // n AS cc
           FROM m),
-    k AS (SELECT event_type, n,
-                 r2 - m1 * m1 AS m2,
-                 r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
-                 r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
-                    - 3.0 * m1 * m1 * m1 * m1 AS m4
-          FROM c)
-    SELECT event_type, n,
-           m3 / sqrt(m2 * m2 * m2) AS skewness,
-           m4 / (m2 * m2) - 3.0 AS excess_kurtosis,
-           CAST(n AS DOUBLE)
-             * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2)) / 6.0
-                + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 24.0)
-             AS jb_stat
-    FROM k
+    v AS (SELECT b.event_type,
+                 CAST(SUM(b.x - c.cc) AS BIGINT) AS rs,
+                 CAST(SUM((b.x - c.cc) * (b.x - c.cc)) AS BIGINT) AS s2,
+                 CAST(SUM(CAST(floor(CAST(b.x - c.cc AS DOUBLE)
+                                     * CAST(b.x - c.cc AS DOUBLE)
+                                     * CAST(b.x - c.cc AS DOUBLE)
+                                     / 100.0) AS BIGINT)) AS BIGINT) AS s3s,
+                 CAST(SUM(CAST(floor(CAST(b.x - c.cc AS DOUBLE)
+                                     * CAST(b.x - c.cc AS DOUBLE)
+                                     * CAST(b.x - c.cc AS DOUBLE)
+                                     * CAST(b.x - c.cc AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS s4s
+          FROM b JOIN c USING (event_type) GROUP BY 1),
+    k AS (SELECT c.event_type, c.n,
+                 CAST(c.n AS DOUBLE) AS nd,
+                 CAST(v.rs AS DOUBLE) / CAST(c.n AS DOUBLE) AS rb,
+                 CAST(v.s2 AS DOUBLE) AS s2d,
+                 CAST(v.s3s AS DOUBLE) * 100.0 AS s3d,
+                 CAST(v.s4s AS DOUBLE) * 10000.0 AS s4d
+          FROM c JOIN v USING (event_type)),
+    cm AS (SELECT event_type, n, nd,
+                  greatest(s2d / nd - rb * rb, 0.0) AS m2c,
+                  s3d / nd - 3.0 * rb * (s2d / nd)
+                    + 2.0 * rb * rb * rb AS m3,
+                  s4d / nd - 4.0 * rb * (s3d / nd)
+                    + 6.0 * rb * rb * (s2d / nd)
+                    - 3.0 * rb * rb * rb * rb AS m4
+           FROM k),
+    z AS (SELECT event_type, n, nd,
+                 m3 / nullif(m2c * sqrt(m2c), 0.0) AS skewness,
+                 m4 / nullif(m2c * m2c, 0.0) - 3.0 AS excess_kurtosis
+          FROM cm)
+    SELECT event_type, n, skewness, excess_kurtosis,
+           nd * (skewness * skewness / 6.0
+                 + excess_kurtosis * excess_kurtosis / 24.0) AS jb_stat
+    FROM z
     """,
 )
 def a_jarque_bera(spark, sf_dir):
     """Jarque–Bera normality statistic per event stream — the
     gatekeeper before any z-test family query is trusted: JB =
-    n·(S²/6 + K²/24).  Raw power sums Σx..Σx⁴ are EXACT int64 (x =
-    floor(value) keeps x⁴·n within range at 100×); central moments,
-    skewness, kurtosis and JB are one fixed float expression of those
-    five integers, written token-identically on both engines so every
-    IEEE intermediate matches.  One map-side-combining aggregate."""
+    n·(S²/6 + K²/24).  Moments use the MEAN-SHIFTED floor-scaled
+    co-moment discipline (r13 retrofit, same recipe as
+    a_skew_kurtosis / emb_norm_outliers): canonical-residue floor-mean
+    cc, exact int64 Σd/Σd² of d = x − cc, Σd³/Σd⁴ floor-scaled by
+    1e2/1e4 before the sum — the old raw Σx⁴ overflowed int64 at a
+    single |x| ≳ 56k row; headroom now rides the centered spread
+    (real |d| ~ 3e2 → n ≲ 1e13; spread-1e3 → n ≤ 9e10 per group;
+    quantization ≲ 1e-3 of S/K at the natural domain).  S and K come
+    from the
+    shifted-sum central-moment identities with r̄ = Σd/n ∈ [0,1),
+    written token-identically on both engines; a constant stream
+    (m2 = 0) yields NULL S/K/JB identically (greatest-0 clamp +
+    nullif — DuckDB x/0.0 is NULL, ANSI Spark would throw).  Two
+    map-side-combining aggregates (moments, then deviations against
+    the broadcast per-group floor-mean)."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select("event_type", F.floor(F.col("value")).cast("long").alias("x"))
-    x = F.col("x")
     m = b.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(x).cast("long").alias("s1"),
-        F.sum(x * x).cast("long").alias("s2"),
-        F.sum(x * x * x).cast("long").alias("s3"),
-        F.sum(x * x * x * x).cast("long").alias("s4"),
+        F.sum("x").cast("long").alias("s1"),
+    )
+    c = m.select(
+        "event_type", "n", "s1",
+        F.expr("(s1 - ((s1 % n + n) % n)) div n").cast("long").alias("cc"),
+    )
+    dv = (F.col("x") - F.col("cc")).cast("long")
+    dd = dv.cast("double")
+    v = (
+        b.join(F.broadcast(c.select("event_type", "cc")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(dv).cast("long").alias("rs"),
+            F.sum(dv * dv).cast("long").alias("s2"),
+            F.sum(F.floor(dd * dd * dd / 100.0).cast("long"))
+            .cast("long")
+            .alias("s3s"),
+            F.sum(F.floor(dd * dd * dd * dd / 10000.0).cast("long"))
+            .cast("long")
+            .alias("s4s"),
+        )
     )
     nd = F.col("n").cast("double")
-    m1 = F.col("s1").cast("double") / nd
-    r2 = F.col("s2").cast("double") / nd
-    r3 = F.col("s3").cast("double") / nd
-    r4 = F.col("s4").cast("double") / nd
-    c = m.select("event_type", "n", m1.alias("m1"), r2.alias("r2"),
-                 r3.alias("r3"), r4.alias("r4"))
-    m1c = F.col("m1")
-    m2 = F.col("r2") - m1c * m1c
-    m3 = F.col("r3") - F.lit(3.0) * m1c * F.col("r2") + F.lit(2.0) * m1c * m1c * m1c
+    rb = F.col("rs").cast("double") / nd
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3s").cast("double") * 100.0
+    s4d = F.col("s4s").cast("double") * 10000.0
+    m2c = F.greatest(s2d / nd - rb * rb, F.lit(0.0))
+    m3 = s3d / nd - F.lit(3.0) * rb * (s2d / nd) + F.lit(2.0) * rb * rb * rb
     m4 = (
-        F.col("r4")
-        - F.lit(4.0) * m1c * F.col("r3")
-        + F.lit(6.0) * m1c * m1c * F.col("r2")
-        - F.lit(3.0) * m1c * m1c * m1c * m1c
+        s4d / nd
+        - F.lit(4.0) * rb * (s3d / nd)
+        + F.lit(6.0) * rb * rb * (s2d / nd)
+        - F.lit(3.0) * rb * rb * rb * rb
     )
-    k = c.select("event_type", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
-    skew = F.col("m3") / F.sqrt(F.col("m2") * F.col("m2") * F.col("m2"))
-    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)
-    return k.select(
+    # nullif: constant series → m2 0 → NULL like DuckDB x/0
+    z = c.join(v, "event_type").select(
         "event_type",
         "n",
-        skew.alias("skewness"),
-        kurt.alias("excess_kurtosis"),
+        nd.alias("nd"),
+        (m3 / F.nullif(m2c * F.sqrt(m2c), F.lit(0.0))).alias("skewness"),
+        (m4 / F.nullif(m2c * m2c, F.lit(0.0)) - F.lit(3.0)).alias(
+            "excess_kurtosis"
+        ),
+    )
+    sk, ku = F.col("skewness"), F.col("excess_kurtosis")
+    return z.select(
+        "event_type",
+        "n",
+        "skewness",
+        "excess_kurtosis",
         (
-            F.col("n").cast("double")
-            * (skew * skew / F.lit(6.0) + kurt * kurt / F.lit(24.0))
+            F.col("nd")
+            * (sk * sk / F.lit(6.0) + ku * ku / F.lit(24.0))
         ).alias("jb_stat"),
     )
 

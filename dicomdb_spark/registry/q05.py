@@ -3286,22 +3286,42 @@ def w_paa_sax(spark, sf_dir):
                         AS gap_us
                FROM events),
     gs AS (SELECT event_type,
-                  CAST(floor(CAST(gap_us AS DOUBLE) / 1000000.0) AS BIGINT) AS g
+                  CAST(floor(CAST(gap_us AS DOUBLE) / 1000000.0) AS BIGINT)
+                    AS gsec
            FROM g WHERE gap_us IS NOT NULL),
     m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-                 CAST(SUM(g) AS BIGINT) AS s1,
-                 CAST(SUM(g * g) AS BIGINT) AS s2,
-                 CAST(SUM(g * g * g) AS BIGINT) AS s3
+                 CAST(SUM(gsec) AS BIGINT) AS s1
           FROM gs GROUP BY 1),
-    u AS (SELECT event_type, n_gaps,
-                 CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS u1,
-                 CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 2.0 AS u2,
-                 CAST(s3 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 6.0 AS u3
+    c AS (SELECT event_type, n_gaps, s1,
+                 (s1 - ((s1 % n_gaps + n_gaps) % n_gaps)) // n_gaps AS cc
           FROM m),
+    v AS (SELECT gs.event_type,
+                 CAST(SUM(gs.gsec - c.cc) AS BIGINT) AS rs,
+                 CAST(SUM((gs.gsec - c.cc) * (gs.gsec - c.cc)) AS BIGINT)
+                   AS s2,
+                 CAST(SUM(CAST(floor(CAST(gs.gsec - c.cc AS DOUBLE)
+                                     * CAST(gs.gsec - c.cc AS DOUBLE)
+                                     * CAST(gs.gsec - c.cc AS DOUBLE)
+                                     / 10000.0) AS BIGINT)) AS BIGINT) AS s3s
+          FROM gs JOIN c USING (event_type) GROUP BY 1),
+    k AS (SELECT c.event_type, c.n_gaps,
+                 CAST(c.n_gaps AS DOUBLE) AS nd,
+                 CAST(c.cc AS DOUBLE) AS ccd,
+                 CAST(c.s1 AS DOUBLE) AS s1d,
+                 CAST(v.rs AS DOUBLE) AS rsd,
+                 CAST(v.s2 AS DOUBLE) AS s2d,
+                 CAST(v.s3s AS DOUBLE) * 10000.0 AS s3d
+          FROM c JOIN v USING (event_type)),
+    u AS (SELECT event_type, n_gaps,
+                 s1d / nd AS u1,
+                 (s2d + 2.0 * ccd * rsd + nd * ccd * ccd) / nd / 2.0 AS u2,
+                 (s3d + 3.0 * ccd * s2d + 3.0 * ccd * ccd * rsd
+                  + nd * ccd * ccd * ccd) / nd / 6.0 AS u3
+          FROM k),
     ab AS (SELECT event_type, n_gaps, u1,
                   u2 - u1 * u1 AS den,
-                  (u3 - u1 * u2) / (u2 - u1 * u1) AS a,
-                  (u1 * u3 - u2 * u2) / (u2 - u1 * u1) AS b
+                  (u3 - u1 * u2) / nullif(u2 - u1 * u1, 0.0) AS a,
+                  (u1 * u3 - u2 * u2) / nullif(u2 - u1 * u1, 0.0) AS b
            FROM u)
     SELECT event_type, n_gaps, u1 AS mean_gap_s,
            CASE WHEN den > 0.0 AND a * a - 4.0 * b > 0.0
@@ -3321,43 +3341,80 @@ def a_interarrival_mixture_mom(spark, sf_dir):
     sojourns τ₁, τ₂ are the roots of t² − at + b with a, b closed
     forms in the first three moments, and the mixing weight follows
     from m₁ (Whitt, 1982 — the standard bursty-traffic model queueing
-    capacity planning uses when CV > 1).  Gaps floor to whole seconds
-    so Σg³ stays int64 at 100×; the three moments come from ONE
-    map-side-combining aggregate, and the root extraction is a fixed
-    per-group expression chain guarded by den>0 ∧ disc>0 (NULL
-    otherwise) — both engines take identical branches.  Output is one
-    row per stream."""
+    capacity planning uses when CV > 1).  Gaps floor to whole seconds.
+    The second/third moments use the MEAN-SHIFTED floor-scaled
+    discipline (r13 retrofit, emb_norm_outliers recipe):
+    canonical-residue floor-mean cc per stream, d = g − cc exact int64
+    with 0 ≤ Σd < n, Σd² exact and Σ floor(d³/1e4) summed as int64 —
+    the old raw Σg³ overflowed int64 at a single gap ≳ 2.6e6 s (a
+    month); headroom now rides the centered spread (natural |d| ≲ 1e3
+    s → n ≤ 9e13 gaps per stream; a stream mixing second- and
+    year-scale gaps still computes exactly to n ≈ 2e3 instead of
+    crashing at n = 1).  Raw moments reconstruct through the binomial
+    shift identities Σg² = Σd² + 2cc·Σd + n·cc² and Σg³ = Σd³ +
+    3cc·Σd² + 3cc²·Σd + n·cc³ in one identical double chain on both
+    engines; the root extraction is a fixed per-group expression chain
+    guarded by den>0 ∧ disc>0 (NULL otherwise; a zero den — all-tie
+    stream — NULLs a/b via nullif, DuckDB x/0.0 is NULL where ANSI
+    Spark would throw) — both engines take identical branches.  Output
+    is one row per stream."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    g = (
+    gs = (
         ev.select("event_type", (us - F.lag(us).over(w)).alias("gap_us"))
         .filter(F.col("gap_us").isNotNull())
         .select(
             "event_type",
             F.floor(F.col("gap_us").cast("double") / 1000000.0)
             .cast("long")
-            .alias("g"),
+            .alias("gsec"),
         )
     )
-    m = g.groupBy("event_type").agg(
+    m = gs.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_gaps"),
-        F.sum("g").cast("long").alias("s1"),
-        F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
-        F.sum(F.col("g") * F.col("g") * F.col("g")).cast("long").alias("s3"),
+        F.sum("gsec").cast("long").alias("s1"),
+    )
+    c = m.select(
+        "event_type", "n_gaps", "s1",
+        F.expr("(s1 - ((s1 % n_gaps + n_gaps) % n_gaps)) div n_gaps")
+        .cast("long")
+        .alias("cc"),
+    )
+    dv = (F.col("gsec") - F.col("cc")).cast("long")
+    ddb = dv.cast("double")
+    v = (
+        gs.join(F.broadcast(c.select("event_type", "cc")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(dv).cast("long").alias("rs"),
+            F.sum(dv * dv).cast("long").alias("s2"),
+            F.sum(F.floor(ddb * ddb * ddb / 10000.0).cast("long"))
+            .cast("long")
+            .alias("s3s"),
+        )
     )
     nd = F.col("n_gaps").cast("double")
+    ccd = F.col("cc").cast("double")
+    rsd = F.col("rs").cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3s").cast("double") * 10000.0
     u1 = F.col("s1").cast("double") / nd
-    u2 = F.col("s2").cast("double") / nd / 2.0
-    u3 = F.col("s3").cast("double") / nd / 6.0
+    u2 = (s2d + F.lit(2.0) * ccd * rsd + nd * ccd * ccd) / nd / 2.0
+    u3 = (
+        s3d + F.lit(3.0) * ccd * s2d + F.lit(3.0) * ccd * ccd * rsd
+        + nd * ccd * ccd * ccd
+    ) / nd / 6.0
     den = u2 - u1 * u1
-    a = (u3 - u1 * u2) / (u2 - u1 * u1)
-    b = (u1 * u3 - u2 * u2) / (u2 - u1 * u1)
+    # nullif: an all-zero-gap stream → den exactly 0 → NULL a/b like
+    # DuckDB x/0 (den<0 or >0 cases never divide by zero)
+    a = (u3 - u1 * u2) / F.nullif(u2 - u1 * u1, F.lit(0.0))
+    b = (u1 * u3 - u2 * u2) / F.nullif(u2 - u1 * u1, F.lit(0.0))
     disc = a * a - 4.0 * b
     ok = (den > 0.0) & (disc > 0.0)
     t1 = (a + F.sqrt(disc)) / 2.0
     t2 = (a - F.sqrt(disc)) / 2.0
-    return m.select(
+    return c.join(v, "event_type").select(
         "event_type", "n_gaps",
         u1.alias("mean_gap_s"),
         F.when(ok, t1).alias("tau1_s"),

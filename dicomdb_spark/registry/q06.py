@@ -2652,13 +2652,16 @@ def w_cpk_process_capability(spark, sf_dir):
     )
     return evj.select(
         "event_type", "n_eval", "n_out",
-        ((6.0 * F.col("sig")) / (6.0 * sig_eval)).alias("cp"),
+        # nullif: a constant evaluation window makes sig_eval exactly
+        # 0.0 (the greatest-0 clamp), so ANSI Spark would throw on
+        # cp/cpk while DuckDB x/0.0 is NULL — guard like w_sharpe_sortino
+        ((6.0 * F.col("sig")) / F.nullif(6.0 * sig_eval, F.lit(0.0))).alias("cp"),
         (
             F.least(
                 (F.col("mu") + 3.0 * F.col("sig")) - mu_eval,
                 mu_eval - (F.col("mu") - 3.0 * F.col("sig")),
             )
-            / (3.0 * sig_eval)
+            / F.nullif(3.0 * sig_eval, F.lit(0.0))
         ).alias("cpk"),
     )
 
@@ -3049,8 +3052,9 @@ def w_seasonality_strength(spark, sf_dir):
     ) * F.col("sd").cast("double")
     return v.select(
         "event_type", "n",
-        # nullif: constant series → var_d 0 → NULL like DuckDB x/0
-        # (greatest(NULL) stays NULL in both engines)
+        # nullif: constant series → var_d 0 → NULL like DuckDB x/0.
+        # Both engines' greatest() SKIPS nulls, so greatest(0.0, NULL)
+        # is 0.0 — a constant series emits 0.0 identically, not NULL.
         F.greatest(F.lit(0.0), 1.0 - var_r / F.nullif(var_d, F.lit(0.0)))
         .alias("seasonal_strength"),
     )

