@@ -131,6 +131,12 @@ EVENTS_REPAIRED = [
     "a_spc_control_chart", "ops_capacity_forecast", "a_weekend_effect",
     "w_seasonality_strength", "w_pacf_lag2", "a_cochran_armitage",
     "w_cpk_process_capability", "w_holt_linear_forecast",
+    # r13 mean-shift retrofits: the four former int64-headroom
+    # carve-outs — a single |value| ~ 1e5 row (the 'extreme' series)
+    # used to overflow the raw power sums; they now compute exactly on
+    # this corpus and must stay row-identical to their oracles
+    "a_skew_kurtosis", "a_jarque_bera", "w_interarrival_stats",
+    "a_interarrival_mixture_mom",
 ]
 
 
@@ -156,6 +162,13 @@ def _events_corpus() -> pd.DataFrame:
         add(dt.datetime(2024, 3, 10, h, 30, 0), 5, "dst", float(h))
         add(dt.datetime(2024, 11, 3, h, 30, 0), 5, "dst", float(h) + 10)
     add(dt.datetime(2024, 5, 1, 0, 0, 0), 6, "midnight", 1.0)
+    # constant EVAL-window series (ADVICE r12): calibration rows before
+    # 2024-01-16 plus an all-constant tail after — w_cpk's sig_eval
+    # becomes exactly 0.0 and cp/cpk must NULL identically
+    for i, v in enumerate([10.0, 20.0, 30.0]):
+        add(dt.datetime(2024, 1, 5 + i, 8, 0, 0), 10, "cpk_const_eval", v)
+    for i in range(5):
+        add(dt.datetime(2024, 1, 20 + i, 8, 0, 0), 10, "cpk_const_eval", 42.42)
     for i in range(20):
         add(dt.datetime(2024, 6, 1 + i % 5, 10 + i % 3, 0, 0), 7 + i % 2,
             "tie_a" if i % 2 else "tie_b", 50.0)
