@@ -327,6 +327,32 @@ UNPROVEN_PRIORITY: tuple[str, ...] = ()
 # are excluded.  Current content = the r12 adversarial-sweep guard
 # fixes (diff 826252e..383649a) + the r13 mean-shift retrofits and
 # ADVICE fixes; clear (or re-derive) after CORRECTNESS_r13 lands.
+# Commit whose code state the most recent driver CORRECTNESS window
+# proved (currently: the final round-12 engine commit, which
+# CORRECTNESS_r12.json ran against).  Update this hash when promoting a
+# round's driver rows into an R{N}_DRIVER_PROVEN tuple — and at the
+# same time clear MODIFIED_SINCE_PROVEN / ENGINE_MODULES_ACK if every
+# listed name converted.  The invariant is ENFORCED:
+# tests/test_contract.py::test_modified_since_proven_fronted derives
+# registry-body edits since this commit from git (working tree
+# included) and fails if any touched proven query is not fronted here.
+PROVEN_AT_COMMIT = "3ca1b008fc9ccbf47d3d806b1b164e1277a96017"
+
+# Engine-module edits (llm/, functions/, operators/, sources/, ...)
+# cannot be mapped to query names mechanically; acknowledge each module
+# changed since PROVEN_AT_COMMIT here with fronted representative
+# queries that exercise it.  The invariant test requires every changed
+# dicomdb_spark/ module outside registry/q*.py (and outside this
+# bookkeeping file) to appear as a key, and each listed query to be
+# fronted or unproven.
+ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
+    # r13: assign_clusters now requires tagged (cid, vector) centroids
+    "dicomdb_spark/llm/clustering.py": (
+        "dedup_semantic_kmeans", "corpus_semantic_dedup_pipeline",
+        "ann_ivf_trained_topk",
+    ),
+}
+
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # r13 retrofits / guard fixes first (newest code states)
     "a_skew_kurtosis", "a_jarque_bera", "w_interarrival_stats",

@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
+
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -45,6 +48,66 @@ def test_queries_order_unproven_first():
     n_unproven = len(QUERIES) - len(set(DRIVER_PROVEN) & set(QUERIES))
     head = names[:n_unproven]
     assert set(head) & set(DRIVER_PROVEN) == set()
+
+
+def test_modified_since_proven_fronted():
+    """Standing invariant (VERDICT r12 #6): proven-at-some-HEAD is not
+    proven-at-this-HEAD.  Any @register body edited since
+    PROVEN_AT_COMMIT (the code state the driver last proved) must be
+    fronted in MODIFIED_SINCE_PROVEN so the next driver window
+    re-proves it; engine-module edits must be acknowledged in
+    ENGINE_MODULES_ACK with fronted representative queries.  Runs
+    against the WORKING TREE, so the suite catches an un-fronted edit
+    before it is even committed."""
+    import subprocess
+
+    from dicomdb_spark.registry import QUERIES, DRIVER_PROVEN
+    from dicomdb_spark.registry._proven import (
+        ENGINE_MODULES_ACK,
+        MODIFIED_SINCE_PROVEN,
+        PROVEN_AT_COMMIT,
+    )
+
+    repo = Path(__file__).resolve().parents[1]
+    probe = subprocess.run(
+        ["git", "cat-file", "-e", f"{PROVEN_AT_COMMIT}^{{commit}}"],
+        cwd=repo, capture_output=True,
+    )
+    if probe.returncode != 0:
+        pytest.skip("PROVEN_AT_COMMIT unavailable (no git or shallow checkout)")
+
+    run = subprocess.run(
+        [sys.executable, str(repo / "tools_modified_queries.py"), PROVEN_AT_COMMIT],
+        cwd=repo, capture_output=True, text=True, check=True,
+    )
+    derived = {ln.strip() for ln in run.stdout.splitlines() if ln.strip()}
+    changed_modules = {
+        m.group(1)
+        for ln in run.stderr.splitlines()
+        if (m := re.match(r"#\s+(dicomdb_spark/\S+)", ln))
+    }
+
+    # unproven queries front automatically; everything else touched
+    # must be listed explicitly
+    fronted = set(MODIFIED_SINCE_PROVEN) | (set(QUERIES) - set(DRIVER_PROVEN))
+    unfronted = derived - fronted
+    assert not unfronted, (
+        f"registry bodies edited since {PROVEN_AT_COMMIT[:9]} but not in "
+        f"MODIFIED_SINCE_PROVEN (registry/_proven.py): {sorted(unfronted)}"
+    )
+
+    # _proven.py is this bookkeeping mechanism itself — window order
+    # only, no query semantics
+    exempt = {"dicomdb_spark/registry/_proven.py"}
+    unacked = changed_modules - exempt - set(ENGINE_MODULES_ACK)
+    assert not unacked, (
+        f"engine modules edited since {PROVEN_AT_COMMIT[:9]} but not "
+        f"acknowledged in ENGINE_MODULES_ACK: {sorted(unacked)}"
+    )
+    for path, names in ENGINE_MODULES_ACK.items():
+        stale = set(names) - fronted
+        assert not stale, f"ENGINE_MODULES_ACK[{path}] lists un-fronted {sorted(stale)}"
+        assert set(names) <= set(QUERIES), f"ENGINE_MODULES_ACK[{path}] has unknown names"
 
 
 _DUCK_CLASS = {

@@ -18,6 +18,11 @@ reported as file names — queries calling into them need manual mapping
 is where every r12/r13 fix landed, map automatically.
 
 Usage: python tools_modified_queries.py <base-commit> [head-commit]
+
+With no head-commit the diff runs against the WORKING TREE, so
+uncommitted edits are caught too — this is the mode
+tests/test_contract.py::test_modified_since_proven_fronted uses to
+enforce the invariant per edit.
 """
 
 from __future__ import annotations
@@ -27,10 +32,13 @@ import subprocess
 import sys
 
 
-def changed_hunks(base: str, head: str) -> dict[str, list[int]]:
-    """path -> list of changed line numbers (new-side) from git diff."""
+def changed_hunks(base: str, head: str | None) -> dict[str, list[int]]:
+    """path -> list of changed line numbers (new-side) from git diff.
+    head=None diffs base against the working tree (uncommitted edits
+    included)."""
+    spec = f"{base}..{head}" if head else base
     out = subprocess.run(
-        ["git", "diff", "--unified=0", f"{base}..{head}", "--", "*.py"],
+        ["git", "diff", "--unified=0", spec, "--", "*.py"],
         capture_output=True, text=True, check=True, cwd="/root/repo",
     ).stdout
     path, hits = None, {}
@@ -48,14 +56,18 @@ def changed_hunks(base: str, head: str) -> dict[str, list[int]]:
     return hits
 
 
-def register_spans(path: str, head: str) -> list[tuple[str, int, int]]:
+def register_spans(path: str, head: str | None) -> list[tuple[str, int, int]]:
     """(query_name, first_line, last_line) for every @register body in
-    the file at `head` — a body spans from its @register line to the
-    line before the next @register (or EOF)."""
-    src = subprocess.run(
-        ["git", "show", f"{head}:{path}"],
-        capture_output=True, text=True, check=True, cwd="/root/repo",
-    ).stdout.splitlines()
+    the file at `head` (None = working tree) — a body spans from its
+    @register line to the line before the next @register (or EOF)."""
+    if head:
+        src = subprocess.run(
+            ["git", "show", f"{head}:{path}"],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout.splitlines()
+    else:
+        with open(f"/root/repo/{path}", encoding="utf-8") as fh:
+            src = fh.read().splitlines()
     starts = []
     for i, line in enumerate(src, 1):
         m = re.match(r"@register\(\s*$|@register\(\s*\"([a-z0-9_]+)\"", line)
@@ -79,7 +91,7 @@ def register_spans(path: str, head: str) -> list[tuple[str, int, int]]:
 
 def main() -> None:
     base = sys.argv[1]
-    head = sys.argv[2] if len(sys.argv) > 2 else "HEAD"
+    head = sys.argv[2] if len(sys.argv) > 2 else None
     hunks = changed_hunks(base, head)
     touched: set[str] = set()
     other: set[str] = set()
