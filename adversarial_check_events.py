@@ -75,6 +75,14 @@ for i in range(40):
     add(dt.datetime(2024, 7, 1, 0, 0, 0) + dt.timedelta(minutes=rng.randint(0, 60*24*30)),
         rng.randint(1, 9), "normal", round(rng.uniform(-50, 500), 2),
         '{"k": %d}' % rng.randint(0, 99))
+# NULL-bearing series (round-13 probe): the natural generator emits
+# ZERO nulls anywhere, but a real 100 TB feed will — aggregates skip
+# them in both engines, yet window ORDER BYs diverge by default
+# (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so every sort on
+# a nullable expression must pin its null position or never see one.
+for i in range(6):
+    add(dt.datetime(2024, 8, 1 + i, 12, 0, 0), 11, "nullmix",
+        None if i % 2 else float(10 * i), None if i == 4 else '{"k": %d}' % i)
 
 pdf = pd.DataFrame(rows, columns=["event_id","ts","user_id","event_type","value","props"])
 pdf["ts"] = pd.to_datetime(pdf["ts"])  # datetime64[ns], naive

@@ -94,11 +94,19 @@ def min_max_by(
     one pass, no join, no subquery per key.  ``order_col`` must be
     unique within a group for deterministic results (reference grain
     guarantees it: SNumber per exam, InstanceNumber per stack).
+
+    NULL observations are SKIPPED per value column (the picked row is
+    the extremal one whose value is non-NULL): Spark's ``max_by(v, k)``
+    would happily return a NULL ``v`` from the extremal row while
+    DuckDB's ``arg_max`` ignores NULL-v rows — nulling the ordering key
+    when ``v`` is NULL makes Spark match (``max_by`` ignores NULL
+    keys), which is also the useful last-known-observation semantic.
     """
     aggs = []
     for v in value_cols:
-        aggs.append(F.min_by(v, order_col).alias(f"{prefix_min}{v}"))
-        aggs.append(F.max_by(v, order_col).alias(f"{prefix_max}{v}"))
+        key = F.when(F.col(v).isNotNull(), F.col(order_col))
+        aggs.append(F.min_by(v, key).alias(f"{prefix_min}{v}"))
+        aggs.append(F.max_by(v, key).alias(f"{prefix_max}{v}"))
     aggs.append(F.min(order_col).alias(f"{prefix_min}{order_col}"))
     aggs.append(F.max(order_col).alias(f"{prefix_max}{order_col}"))
     return df.groupBy(*keys).agg(*aggs)

@@ -47,7 +47,10 @@ def salted_agg(
     for fn, col, alias in aggs:
         p = f"__p_{alias}"
         if fn == "count":
-            partial_exprs.append(F.count(col).alias(p))
+            # col "*" = row count (NULLs included), matching SQL
+            # count(*); a named col keeps count(col) skip-null semantics
+            cexpr = F.count(F.lit(1)) if col == "*" else F.count(col)
+            partial_exprs.append(cexpr.alias(p))
             final_exprs.append(F.sum(p).alias(alias))
         elif fn == "sum":
             partial_exprs.append(F.sum(col).alias(p))

@@ -351,6 +351,11 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
         "dedup_semantic_kmeans", "corpus_semantic_dedup_pipeline",
         "ann_ivf_trained_topk",
     ),
+    # r13 null-probe: min_by/max_by now skip NULL observations
+    # (DuckDB arg_min/arg_max semantics)
+    "dicomdb_spark/operators/aggregates.py": ("a4_min_max_by",),
+    # r13 null-probe: salted_agg count supports "*" = count(*) rows
+    "dicomdb_spark/operators/skew.py": ("a_salted_hot_agg",),
 }
 
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
@@ -375,6 +380,17 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     "tpch_q2_shape", "w_autocorrelation", "w_holt_linear_forecast",
     "w_paa_sax", "w_pacf_lag2", "w_sharpe_sortino", "w_ulcer_index",
     "w_zscore_peer_loo",
+    # r13 NULL-probe fixes (appended AFTER the VERDICT-mandated set so
+    # those keep the 50 window slots; these 13 spill into the r14
+    # window, tracked here until each earns a post-fix driver row)
+    "a4_min_max_by", "f5_ta_parse", "a_salted_hot_agg", "a_mad_outliers",
+    "a_winsorized_mean", "sketch_tdigest_quantiles",
+    "w_holt_linear_forecast", "a_bh_step_up", "a_median_polish",
+    "a_benjamini_yekutieli", "a_bartels_rank_test", "a_siegel_tukey",
+    "sketch_p2_quantile",
+    # conservative span attribution: _median_polish_oracle() (edited
+    # for the null fix) sits inside w_runs_up_down's derivation span
+    "w_runs_up_down",
 )
 
 

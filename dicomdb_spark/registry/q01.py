@@ -701,12 +701,17 @@ def f5_ta_parse(spark, sf_dir):
     ss = (F.col("event_id") % 60).alias("ss")
     mult = (1 + F.col("event_id") % 4).alias("mult")
     base = ev.select("event_id", mm, ss, mult)
+    # NULL value must yield NULL ta_str (DuckDB printf propagates NULL;
+    # Spark format_string renders the TEXT 'null' — r13 null-probe find)
     ta = base.withColumn(
         "ta_str",
         F.when(
-            F.col("event_id") % 7 == 0,
-            F.format_string("TA %02d.%02d*%d", "mm", "ss", "mult"),
-        ).otherwise(F.format_string("TA %02d:%02d*%d", "mm", "ss", "mult")),
+            F.col("mm").isNotNull(),
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.format_string("TA %02d.%02d*%d", "mm", "ss", "mult"),
+            ).otherwise(F.format_string("TA %02d:%02d*%d", "mm", "ss", "mult")),
+        ),
     )
     return ta.select("event_id", "ta_str", scalars.ta_seconds("ta_str").alias("ta_sec"))
 

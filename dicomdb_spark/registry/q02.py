@@ -2545,7 +2545,7 @@ def a_salted_hot_agg(spark, sf_dir):
         f,
         ["skew_key"],
         [
-            ("count", "vi", "n"),
+            ("count", "*", "n"),
             ("sum", "vi", "svi"),
             ("min", "vi", "minvi"),
             ("max", "vi", "maxvi"),
@@ -3520,7 +3520,8 @@ def corpus_shuffle_batches(spark, sf_dir):
     "a_mad_outliers",
     """
     WITH v AS (
-      SELECT event_type, event_id, value FROM events),
+      SELECT event_type, event_id, value FROM events
+      WHERE value IS NOT NULL),
     med AS (
       SELECT event_type, value AS med
       FROM (SELECT event_type, value,
@@ -3558,9 +3559,14 @@ def a_mad_outliers(spark, sf_dir):
     selection is pure comparison and therefore bit-portable.  Outlier
     = deviation > 3×MAD (the Hampel rule).  Two window passes per
     group + one join-back; the only float ops are exact-rounded
-    subtraction/abs/3× on identical operands."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+    subtraction/abs/3× on identical operands.  NULL values are
+    excluded up front in BOTH engines: a NULL is not an observation,
+    and leaving it in the sort diverges (Spark ASC = NULLS FIRST,
+    DuckDB ASC = NULLS LAST — r13 null-probe find)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
     )
 
     def median_low(df, val_col, out_col):

@@ -1161,7 +1161,7 @@ def w_rolling_median(spark, sf_dir):
     WITH x AS (
       SELECT event_type, event_id,
              CAST(floor(value * 10000) AS BIGINT) AS v
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     r AS (SELECT event_type, v,
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY v, event_id) AS rn,
@@ -1189,8 +1189,10 @@ def a_winsorized_mean(spark, sf_dir):
     ⌊5n/100⌋ low / ⌊95n/100⌋+1 high, never interpolation) and average
     the clamped EXACT integers — the robust-location statistic that,
     unlike trimming, keeps n constant.  One ranking pass for the
-    bounds, one broadcast join back, one integer sum, one division."""
-    ev = load_table(spark, sf_dir, "events")
+    bounds, one broadcast join back, one integer sum, one division.
+    NULL values are excluded symmetrically (not observations; their
+    sort position diverges between engines — r13 null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x = ev.select(
         "event_type",
         "event_id",

@@ -2675,7 +2675,7 @@ def w_aroon(spark, sf_dir):
     """
     WITH v AS (SELECT event_type,
                       CAST(floor(value * 10000) AS BIGINT) AS x
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     st AS (SELECT event_type, CAST(min(x) AS BIGINT) AS mn,
                   CAST(max(x) AS BIGINT) AS mx,
                   CAST(count(*) AS BIGINT) AS n
@@ -2717,8 +2717,10 @@ def sketch_tdigest_quantiles(spark, sf_dir):
     shape — and the cumulative window is PARTITIONED per series over
     ≤128 buckets, never a global sort.  arg_min/min_by on the unique
     bucket key picks the crossing centroid identically on both
-    engines."""
-    ev = load_table(spark, sf_dir, "events")
+    engines.  NULL values are excluded symmetrically — a NULL lands in
+    a NULL bucket whose position in the cumulative window diverges
+    between engines (r13 null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type", F.floor(F.col("value") * 10000).cast("long").alias("x")
     )

@@ -578,7 +578,7 @@ def graph_ktruss_fixpoint(spark, sf_dir):
     WITH RECURSIVE dd AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     rd AS (SELECT event_type, y,
                   CAST(row_number() OVER (PARTITION BY event_type
                                           ORDER BY day DESC) AS BIGINT) AS rdesc
@@ -625,8 +625,10 @@ def w_holt_linear_forecast(spark, sf_dir):
     Spark plan: per-key day series (bounded by the calendar), 12-row
     sorted array per key, one F.aggregate fold — sequential state
     over a BOUNDED window, never a driver loop; forecast horizons are
-    a literal explode."""
-    ev = load_table(spark, sf_dir, "events")
+    a literal explode.  NULL values are dropped BEFORE the daily
+    rollup in both engines: an all-NULL day would otherwise poison the
+    whole recurrence with NULL state (r13 null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     dd = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(
@@ -1348,7 +1350,7 @@ def a_jonckheere_terpstra(spark, sf_dir):
     WITH v AS (SELECT event_type,
                       CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
                       CAST(floor(value * 100) AS BIGINT) AS c
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     cell AS (SELECT event_type, dow,
                     CAST(count(*) AS BIGINT) AS n_c,
                     CAST(SUM(c) AS BIGINT) AS s_c
@@ -1399,8 +1401,11 @@ def a_bh_step_up(spark, sf_dir):
     defining step-up subtlety.  The rank window runs over the bounded
     |types|·7 cell frame; k* is a 1-row aggregate cross-joined back.
     Spark dayofweek = DuckDB dayofweek + 1 (both 1=Sunday after the
-    shift)."""
-    ev = load_table(spark, sf_dir, "events")
+    shift).  NULL values are excluded up front: an all-NULL cell gets
+    a NULL p-value whose SORT position diverges between engines
+    (Spark NULLS FIRST vs DuckDB NULLS LAST — r13 null-probe find),
+    shifting every BH rank."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type",
         F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
@@ -3601,7 +3606,7 @@ def _median_polish_oracle() -> str:
                          CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS c,
                          CAST(SUM(CAST(floor(value * 100) AS BIGINT))
                               AS BIGINT) AS v
-                  FROM events GROUP BY 1, 2),
+                  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     rmed AS (SELECT r, CAST(min(v2) AS BIGINT) AS re FROM (
                SELECT r, v AS v2,
                       CAST(row_number() OVER (PARTITION BY r ORDER BY v, c)
@@ -3637,8 +3642,11 @@ def a_median_polish(spark, sf_dir):
     both engines because every median is an order statistic of
     integer cents picked by a partitioned rank with a full tiebreak).
     The grid is |types|·7 cells — bounded dimensions, so the
-    partitioned windows never see data-scale rows."""
-    ev = load_table(spark, sf_dir, "events")
+    partitioned windows never see data-scale rows.  NULL values are
+    excluded symmetrically: an all-NULL cell's v would sort NULLS
+    FIRST in Spark / NULLS LAST in DuckDB and shift the median picks
+    (r13 null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cell = ev.groupBy(
         F.col("event_type").alias("r"),
         F.dayofweek(F.col("ts").cast("date")).cast("long").alias("c"),

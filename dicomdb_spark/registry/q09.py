@@ -2087,7 +2087,7 @@ def a_hartley_fmax(spark, sf_dir):
     WITH v AS (SELECT event_type,
                       CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
                       CAST(floor(value * 100) AS BIGINT) AS c
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     cell AS (SELECT event_type, dow,
                     CAST(count(*) AS BIGINT) AS n_c,
                     CAST(SUM(c) AS BIGINT) AS s_c
@@ -2154,8 +2154,10 @@ def a_benjamini_yekutieli(spark, sf_dir):
     IEEE sequence) rather than an order-nondeterministic SUM.  Both
     rules' rejection fronts are emitted side by side with the
     k_by <= k_bh dominance flag self-certifying that BY is the
-    conservative one."""
-    ev = load_table(spark, sf_dir, "events")
+    conservative one.  NULL values excluded up front, same reason as
+    a_bh_step_up (all-NULL cell p sorts NULLS FIRST/LAST divergently —
+    r13 null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type",
         F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
@@ -3734,7 +3736,7 @@ def a_forecast_mase(spark, sf_dir):
     WITH d AS (SELECT CAST(ts AS DATE) AS day,
                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                         AS y
-               FROM events GROUP BY 1),
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
     st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
     r AS (SELECT a.day,
                  CAST(2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
@@ -3766,8 +3768,11 @@ def a_bartels_rank_test(spark, sf_dir):
     the standard z = (RVN-2)/sqrt(4/n) chain.  Day adjacency comes
     from the position self-join (the Pettitt machinery), never a
     global window.  Complements w_runs_up_down (signs) with the
-    magnitude-aware rank form."""
-    ev = load_table(spark, sf_dir, "events")
+    magnitude-aware rank form.  NULL values are dropped before the
+    daily rollup: an all-NULL day's NULL y makes the rank comparisons
+    NULL, which Spark's boolean-cast sum SKIPS while DuckDB's CASE
+    counts as 0 (r13 null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(F.floor(F.col("value") * 100).cast("long"))
         .cast("long")

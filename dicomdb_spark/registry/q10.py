@@ -335,7 +335,7 @@ def _p2_sql(p: float) -> str:
              CAST(CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
                   AS DOUBLE) AS x,
              CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS yc
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     s AS (SELECT event_type, x, yc,
                  CAST(row_number() OVER (PARTITION BY event_type
                                          ORDER BY day) AS BIGINT) AS rn,
@@ -408,10 +408,13 @@ def sketch_p2_quantile(spark, sf_dir):
     honest shape; keys parallelize, each sequence is the bounded
     calendar-day grain, state is O(1).  Compare
     sketch_kll_quantiles / sketch_tdigest_quantiles for the
-    mergeable-summary alternatives."""
+    mergeable-summary alternatives.  NULL values are dropped before
+    the daily rollup in both engines: an all-NULL day yields NULL y,
+    which crashed the Python fold's int() and has no defined marker
+    semantics (r13 null-probe find)."""
     from dicomdb_spark.functions.sketches import p2_quantile
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     d = ev.groupBy(
         F.col("event_type"), F.col("ts").cast("date").alias("day")
     ).agg(
@@ -436,7 +439,7 @@ def sketch_p2_quantile(spark, sf_dir):
                         AS y,
                       CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
                            THEN 1 ELSE 0 END AS wk
-               FROM events GROUP BY 1),
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
     p AS (SELECT day, y, wk,
                  CAST(row_number() OVER (ORDER BY y, day) AS BIGINT) AS pos,
                  CAST(count(*) OVER () AS BIGINT) AS nn
@@ -492,8 +495,11 @@ def a_siegel_tukey(spark, sf_dir):
     the position numbering is bucketed-running over the bounded
     distinct-value sequence (a_mannwhitney_u's plan shape) plus a
     row_number partitioned BY VALUE — no global unpartitioned sort of
-    anything unbounded."""
-    ev = load_table(spark, sf_dir, "events")
+    anything unbounded.  NULL values are dropped before the daily
+    rollup: an all-NULL day's NULL y sorts NULLS FIRST in Spark and
+    NULLS LAST in DuckDB, shifting every alternating rank (r13
+    null-probe find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(F.floor(F.col("value") * 100).cast("long"))
         .cast("long")

@@ -137,6 +137,15 @@ EVENTS_REPAIRED = [
     # this corpus and must stay row-identical to their oracles
     "a_skew_kurtosis", "a_jarque_bera", "w_interarrival_stats",
     "a_interarrival_mixture_mom",
+    # r13 null-probe fixes: NULL values in the nullmix series used to
+    # shift rank/median/bucket selections (Spark ASC = NULLS FIRST vs
+    # DuckDB ASC = NULLS LAST), leak 'null' text through
+    # format_string, diverge count(*) vs count(col), and crash the P2
+    # fold — each now excludes/propagates NULL identically
+    "a4_min_max_by", "a_salted_hot_agg", "a_mad_outliers",
+    "a_winsorized_mean", "sketch_tdigest_quantiles", "a_bh_step_up",
+    "a_median_polish", "a_benjamini_yekutieli", "a_bartels_rank_test",
+    "a_siegel_tukey", "sketch_p2_quantile",
 ]
 
 
@@ -177,6 +186,13 @@ def _events_corpus() -> pd.DataFrame:
             + dt.timedelta(minutes=rng.randint(0, 60 * 24 * 30)),
             rng.randint(1, 9), "normal", round(rng.uniform(-50, 500), 2),
             '{"k": %d}' % rng.randint(0, 99))
+    # NULL-bearing series (r13): alternating NULL values + one NULL
+    # props — real feeds contain them; rank/median/count kernels must
+    # exclude or propagate NULL identically in both engines
+    for i in range(6):
+        add(dt.datetime(2024, 8, 1 + i, 12, 0, 0), 11, "nullmix",
+            None if i % 2 else float(10 * i),
+            None if i == 4 else '{"k": %d}' % i)
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
