@@ -14,7 +14,7 @@ degenerate graphs (graph_assortativity, graph_transitivity_ratio).
 Usage: python adversarial_check.py [query ...]   (default: all
 documents-only queries; exits non-zero on any mismatch/error).
 """
-import sys, re, random
+import sys, re, random, os
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 import duckdb
@@ -60,7 +60,33 @@ pdf = pd.DataFrame({
     "source": [srcs[i % 3] for i in range(len(texts))],
     "n_chars": [len(t) for t in texts],
 })
-docs = spark.createDataFrame(pdf)
+# NULL-bearing rows (r13 probe): real corpora contain null text/lang —
+# every kernel must exclude or propagate NULL identically
+nulls = pd.DataFrame({
+    "doc_id": [len(texts) + 1, len(texts) + 2, len(texts) + 3],
+    "text": [None, "null text neighbor doc", None],
+    "lang": ["en", None, "de"],
+    "source": ["src0", "src1", None],
+    "n_chars": pd.array([None, 22, None], dtype="Int64"),
+})
+pdf = pd.concat([pdf, nulls], ignore_index=True)
+pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+# inject via a TEMP PARQUET file, not createDataFrame: Spark converts a
+# pandas nullable Int64 column to DOUBLE on createDataFrame (14.0 vs
+# 14 false-flags every n_chars consumer), while the parquet path
+# yields the contract dtype (nullable int64) in BOTH engines
+import pyarrow as pa, pyarrow.parquet as pq
+tmpdir = "/tmp/adversarial_docs_sfdir"
+os.makedirs(tmpdir, exist_ok=True)
+pq.write_table(
+    pa.Table.from_pandas(pdf, preserve_index=False,
+                         schema=pa.schema([("doc_id", pa.int64()),
+                                           ("text", pa.string()),
+                                           ("lang", pa.string()),
+                                           ("source", pa.string()),
+                                           ("n_chars", pa.int64())])),
+    os.path.join(tmpdir, "documents.parquet"), version="2.6")
+docs = spark.read.parquet(os.path.join(tmpdir, "documents.parquet"))
 
 def fake_load(spark_, sf_dir_, name):
     if name != "documents":
@@ -68,7 +94,8 @@ def fake_load(spark_, sf_dir_, name):
     return docs
 
 con = duckdb.connect()
-con.register("documents", pdf)
+con.execute(
+    f"CREATE VIEW documents AS SELECT * FROM '{tmpdir}/documents.parquet'")
 
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -97,10 +124,17 @@ for n in targets:
         else:
             mism += 1
             print(f"{n}: MISMATCH spark={len(s)} duck={len(d)}", flush=True)
-            for a, b in list(zip(s, d))[:3]:
-                if a != b:
-                    print("   S:", a[:6], "\n   D:", b[:6], flush=True)
-                    break
+            shown = 0
+            for a, b in zip(s, d):
+                if a != b and shown < 3:
+                    print("   S:", a[:8], "\n   D:", b[:8], flush=True)
+                    shown += 1
+            only_s = [r for r in s if r not in d][:2]
+            only_d = [r for r in d if r not in s][:2]
+            if only_s:
+                print("   only-S:", [r[:8] for r in only_s], flush=True)
+            if only_d:
+                print("   only-D:", [r[:8] for r in only_d], flush=True)
     except KeyError as e:
         if str(e).startswith("'needs:"):
             skip += 1; print(f"{n}: SKIP {e}", flush=True)

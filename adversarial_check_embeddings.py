@@ -52,19 +52,22 @@ for i in range(40):                                     # normal cloud
     vecs.append(rng.randn(D)); labels.append(int(i % 7))
 for i in range(10):                                     # tight duplicate cluster
     vecs.append(v + rng.randn(D) * 1e-9); labels.append(8)
-pdf = pd.DataFrame({
-    "vec_id": range(len(vecs)),
-    "embedding": [np.asarray(x, dtype=np.float32) for x in vecs],
-    "label": pd.array(labels, dtype="int32"),
-})
+embs = [[float(np.float32(t)) for t in x] for x in vecs]
+# NULL-bearing rows (r13 probe): a NULL embedding list and a NULL
+# label — broken upstream featurization produces both in real feeds
+embs.append(None); labels.append(9)
+embs.append([float(np.float32(t)) for t in rng.randn(D)]); labels.append(None)
 tmp = "/tmp/adversarial_emb_sfdir"
 import shutil; shutil.rmtree(tmp, ignore_errors=True)
 os.makedirs(tmp, exist_ok=True)
-schema = pa.schema([("vec_id", pa.int64()),
-                    ("embedding", pa.list_(pa.float32())),
-                    ("label", pa.int32())])
-pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
-               os.path.join(tmp, "embeddings.parquet"), version="2.6")
+# build arrow arrays directly: pandas->arrow chokes converting a None
+# list cell inside an object column of ndarrays
+tbl = pa.table({
+    "vec_id": pa.array(range(len(embs)), pa.int64()),
+    "embedding": pa.array(embs, pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32()),
+})
+pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"), version="2.6")
 con = duckdb.connect()
 con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet'")
 

@@ -54,8 +54,14 @@ def assign_clusters(
     squared distance; numpy argmin returns the FIRST minimum, which is
     the lowest cid — the documented tie-break (cids are emitted in
     ascending order, so first-minimum == lowest original cid).
+
+    NULL vectors are dropped up front — unclusterable, and a scalar
+    None crashes the numpy batch (r13 null-probe find); oracles state
+    the identical ``IS NOT NULL`` filter.
     """
     import numpy as np
+
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
 
     if not all(
         isinstance(c, tuple) and len(c) == 2 and isinstance(c[0], int)

@@ -296,8 +296,11 @@ def weighted_sample(
         "double"
     )
     pr = h / F.col(weight_col).cast("double")
+    # a NULL weight is unsampleable: its NULL priority would sort
+    # NULLS FIRST here but NULLS LAST in SQL engines (r13 null-probe)
     return (
-        df.select(F.col(id_col), F.col(weight_col), pr.alias("priority"))
+        df.filter(F.col(weight_col).isNotNull())
+        .select(F.col(id_col), F.col(weight_col), pr.alias("priority"))
         .orderBy("priority", id_col)
         .limit(k)
     )

@@ -305,14 +305,22 @@ def _containerize(
 ) -> DataFrame:
     """Shared fixture producer: wrap each document's UTF-8 bytes with
     ``builder(doc_id, body)`` as a map-only ``mapInPandas`` — payloads
-    are built and consumed map-side, they never shuffle."""
+    are built and consumed map-side, they never shuffle.
+
+    NULL-text docs produce NO media row (a doc without content has no
+    payload; oracles state the same ``text IS NOT NULL`` filter) — the
+    alternative, a NULL payload, crashes byte-level decoders and has
+    no parseable container semantics (r13 null-probe find).
+    """
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    src = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -348,8 +356,10 @@ def containerize(
 
 def binarize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Make an opaque binary payload column from testdata (stand-in for
-    real media bytes) — UTF-8 encode is exact and portable."""
-    return df.select(
+    real media bytes) — UTF-8 encode is exact and portable.  NULL-text
+    docs produce NO payload row (see _containerize; oracles filter
+    ``text IS NOT NULL`` identically — r13 null-probe find)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
 

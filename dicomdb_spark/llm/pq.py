@@ -39,7 +39,10 @@ def _explode_subspaces(
     vectors: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
 ) -> DataFrame:
     """(id, sub, sv): every vector split into its m subvectors — one
-    row-local explode, no shuffle."""
+    row-local explode, no shuffle.  NULL vectors are dropped — not
+    encodable, and a None subvector crashes the numpy assign batch
+    (r13 null-probe find)."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     return vectors.select(
         F.col(id_col),
         F.explode(

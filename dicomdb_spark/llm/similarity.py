@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 _SCALE = 1e12
 
 
+def drop_null_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exclude rows whose vector is NULL — broken upstream
+    featurization produces them in real feeds, and a scalar None
+    crashes every numpy batch path (np.vstack/astype).  Applied at
+    every public DataFrame entry of this module; oracles state the
+    identical ``embedding IS NOT NULL`` filter (r13 null-probe find).
+    """
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def dot_exact(a: Column, b: Column) -> Column:
     """Order-independent, engine-portable dot product (double out)."""
     return (
@@ -91,12 +101,20 @@ def dot_exact_vec(a: Column, b: Column) -> Column:
     def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
         import numpy as np
 
-        # whole-batch matrices: one C-level pass for the entire Arrow
-        # batch instead of a Python loop per pair
-        A = np.vstack(x.to_numpy()).astype(np.float64)
-        B = np.vstack(y.to_numpy()).astype(np.float64)
-        out = np.floor(A * B * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
-        return pd.Series(out, dtype="float64")
+        # NULL propagates (SQL dot(NULL, v) is NULL): mask null cells
+        # out of the batch — a scalar None breaks np.vstack (r13
+        # null-probe find)
+        valid = x.notna().to_numpy() & y.notna().to_numpy()
+        out = pd.Series(np.nan, index=x.index, dtype="float64")
+        if valid.any():
+            # whole-batch matrices: one C-level pass for the entire
+            # Arrow batch instead of a Python loop per pair
+            A = np.vstack(x[valid].to_numpy()).astype(np.float64)
+            B = np.vstack(y[valid].to_numpy()).astype(np.float64)
+            out[valid] = (
+                np.floor(A * B * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+            )
+        return out
 
     return _dot(a, b)
 
@@ -106,9 +124,14 @@ def norm_exact_vec(a: Column) -> Column:
     def _norm(x: pd.Series) -> pd.Series:
         import numpy as np
 
-        A = np.vstack(x.to_numpy()).astype(np.float64)
-        out = np.sqrt(np.floor(A * A * _SCALE).astype(np.int64).sum(axis=1) / _SCALE)
-        return pd.Series(out, dtype="float64")
+        valid = x.notna().to_numpy()
+        out = pd.Series(np.nan, index=x.index, dtype="float64")
+        if valid.any():
+            A = np.vstack(x[valid].to_numpy()).astype(np.float64)
+            out[valid] = np.sqrt(
+                np.floor(A * A * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+            )
+        return out
 
     return _norm(a)
 
@@ -143,6 +166,8 @@ def brute_force_topk(
     vectors costs more than the added parallelism returns — unlike the
     MinHash signature stage, see dedup.minhash_lsh_pairs.)
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     # norms once per vector (not per pair): |q|+|c| norm evaluations
     # instead of 2·|q|·|c|
     q = queries.select(
@@ -192,6 +217,8 @@ def mips_topk(
     Bachrach et al. RecSys 2014) — augment corpus vectors with
     sqrt(M² − ‖x‖²) and queries with 0, then any cosine index
     (LSH/IVF here) answers MIPS."""
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -265,6 +292,7 @@ def bucket_by_seed_planes(
     """
     import numpy as np
 
+    vectors = drop_null_vectors(vectors, vec_col)
     # The planes are a tiny constant matrix: collect once at plan-build
     # time and close over it — ONE map-only pandas UDF assigns all bits
     # per vector (no cross join, no re-aggregation shuffle).  Bitwise
@@ -333,6 +361,8 @@ def lsh_topk(
     sides instead of materializing the full query set on every
     executor (a scale-killer when queries ~ corpus).
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),

@@ -356,6 +356,24 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     "dicomdb_spark/operators/aggregates.py": ("a4_min_max_by",),
     # r13 null-probe: salted_agg count supports "*" = count(*) rows
     "dicomdb_spark/operators/skew.py": ("a_salted_hot_agg",),
+    # r13 null-probe: binarize/_containerize drop NULL-text docs (no
+    # content -> no payload row; oracles filter identically)
+    "dicomdb_spark/llm/multimodal.py": (
+        "multimodal_decode", "multimodal_decode_real",
+        "multimodal_audio_meta", "multimodal_frame_sample",
+        "multimodal_resize_audit",
+    ),
+    # r13 null-probe: weighted_sample drops NULL-weight rows
+    "dicomdb_spark/llm/corpus.py": ("corpus_weighted_sample",),
+    # r13 null-probe: drop_null_vectors at every public entry +
+    # NULL-propagating dot/norm batch UDFs
+    "dicomdb_spark/llm/similarity.py": (
+        "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_buckets",
+        "ann_mips_topk", "dedup_embedding_cosine", "ann_recall_eval",
+        "ann_metric_agreement",
+    ),
+    # r13 null-probe: _explode_subspaces drops NULL vectors
+    "dicomdb_spark/llm/pq.py": ("ann_pq_topk", "ann_ivf_pq_topk"),
 }
 
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
@@ -383,14 +401,33 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # r13 NULL-probe fixes (appended AFTER the VERDICT-mandated set so
     # those keep the 50 window slots; these 13 spill into the r14
     # window, tracked here until each earns a post-fix driver row)
+    # (a_siegel_tukey / sketch_p2_quantile / w_holt_linear_forecast
+    # were also null-probe-fixed but already fronted above)
     "a4_min_max_by", "f5_ta_parse", "a_salted_hot_agg", "a_mad_outliers",
-    "a_winsorized_mean", "sketch_tdigest_quantiles",
-    "w_holt_linear_forecast", "a_bh_step_up", "a_median_polish",
-    "a_benjamini_yekutieli", "a_bartels_rank_test", "a_siegel_tukey",
-    "sketch_p2_quantile",
+    "a_winsorized_mean", "sketch_tdigest_quantiles", "a_bh_step_up",
+    "a_median_polish", "a_benjamini_yekutieli", "a_bartels_rank_test",
     # conservative span attribution: _median_polish_oracle() (edited
     # for the null fix) sits inside w_runs_up_down's derivation span
     "w_runs_up_down",
+    # r13 null-probe, documents table (NULL text/lang/n_chars rows)
+    "text_fingerprint", "dedup_fingerprint", "text_lang_id",
+    "text_lang_id_ngram", "text_repetition", "multimodal_decode",
+    "multimodal_ann", "multimodal_features", "multimodal_decode_real",
+    "multimodal_audio_meta", "multimodal_decode_tiff_webp",
+    "multimodal_flac_meta", "corpus_weighted_sample",
+    "ml_decision_stump", "corpus_curriculum_phases",
+    "dedup_osa_distance", "text_lcs_length",
+    # conservative span attribution: oracle-helper edits land in the
+    # preceding @register's derivation span
+    "scd2_history", "tpch_q20_shape",
+    # r13 null-probe, embeddings table (NULL embedding / NULL label);
+    # bruteforce/mips fronted because similarity.py changed under them
+    "ann_lsh_buckets", "ann_pq_topk", "ann_ivf_pq_topk",
+    "ann_metric_agreement", "ml_roc_auc", "ml_average_precision",
+    "ann_bruteforce_topk", "ann_mips_topk",
+    # multimodal_container_stats oracle filter + dedup_dup_spans
+    # (conservative span: shares the _SQL_DOCS2 helper block)
+    "multimodal_container_stats", "dedup_dup_spans",
 )
 
 

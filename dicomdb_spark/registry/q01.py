@@ -856,15 +856,20 @@ def text_fingerprint(spark, sf_dir):
 
 # coalesce: DuckDB array_to_string([]) is NULL while Spark array_join([])
 # is '' — a token-less (whitespace-only) document must fingerprint to
-# md5('') identically in both engines (adversarial-corpus find, r12)
+# md5('') identically in both engines (adversarial-corpus find, r12).
+# NULL text stays NULL (no content is not empty content): the coalesce
+# must fire only under text IS NOT NULL or it masks NULL docs as
+# md5('') while Spark propagates NULL (r13 null-probe find)
 ORACLES["text_fingerprint"] = r"""
     SELECT doc_id,
-           md5(coalesce(array_to_string(
-             list_sort(list_distinct(
-               list_transform(
-                 list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
-                 t -> lower(t)))),
-             ' '), '')) AS fp
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(coalesce(array_to_string(
+                  list_sort(list_distinct(
+                    list_transform(
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> ''),
+                      t -> lower(t)))),
+                  ' '), '')) END AS fp
     FROM documents
 """
 
@@ -1471,11 +1476,11 @@ def dedup_simhash_near(spark, sf_dir):
     "dedup_fingerprint",
     rf"""
     WITH docs3 AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
       UNION ALL
       SELECT doc_id + 3000000,
              coalesce(array_to_string(list_reverse({_SQL_TOKS_RAW}), ' '), '')
-      FROM documents WHERE doc_id % 6 = 0)
+      FROM documents WHERE doc_id % 6 = 0 AND text IS NOT NULL)
     SELECT fp, count(*) AS n_dups, min(doc_id) AS keeper_id
     FROM (
       SELECT doc_id,
@@ -1489,8 +1494,14 @@ def dedup_simhash_near(spark, sf_dir):
 def dedup_fingerprint(spark, sf_dir):
     """Token-set fingerprint dedup: order-insensitive (injected dupes
     are token-REVERSED copies, caught only because the fingerprint
-    sorts distinct tokens)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sorts distinct tokens).  NULL-text docs are excluded symmetrically:
+    they must not cluster together as md5('') dupes (oracle coalesce)
+    or as a NULL-fp group (Spark) — r13 null-probe find."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     reversed_copies = docs.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.array_join(F.reverse(text.tokens("text")), " ").alias("text"),
@@ -1521,7 +1532,8 @@ def _lang_id_sql_expr() -> str:
         f"WHEN n_{c} = {greatest} THEN '{c}'" for c in codes
     )
     return f"""
-    WITH tk AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents),
+    WITH tk AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+                WHERE text IS NOT NULL),
     cnt AS (SELECT doc_id, lang, {ns} FROM tk)
     SELECT lang, CASE WHEN {greatest} = 0 THEN 'und'
            {whens}
@@ -1533,8 +1545,13 @@ def _lang_id_sql_expr() -> str:
 @register("text_lang_id", _lang_id_sql_expr())
 def text_lang_id(spark, sf_dir):
     """Language-ID heuristic (marker-token counting) evaluated as a
-    confusion matrix against the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    confusion matrix against the labeled lang column.  NULL-text docs
+    are excluded symmetrically — not classifiable; Spark's zero-marker
+    path would call them 'und' while the oracle's CASE falls through
+    to NULL (r13 null-probe find)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return (
         docs.select("lang", text.lang_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -1623,7 +1640,8 @@ def text_bpe_tokens(spark, sf_dir):
     "text_repetition",
     f"""
     WITH tk AS (
-      SELECT doc_id, length(text) AS n_chars, {_SQL_TOKS} AS tk FROM documents),
+      SELECT doc_id, length(text) AS n_chars, {_SQL_TOKS} AS tk FROM documents
+      WHERE text IS NOT NULL),
     base AS (
       SELECT doc_id, n_chars, len(tk) AS n_tokens,
              CASE WHEN len(tk) = 0 THEN 0.0
@@ -1661,8 +1679,12 @@ def text_repetition(spark, sf_dir):
     2-/3-gram fractions and mean word length are MAP-ONLY per-row
     array algebra (no shuffle); the most-frequent-token fraction takes
     one (doc_id, token) partial-agg shuffle + a per-doc argmax window
-    with deterministic tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    with deterministic tie-break.  NULL-text docs are excluded
+    symmetrically (the per-metric NULL fallbacks differ between the
+    engines' CASE chains — r13 null-probe find)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     base = docs.select(
         "doc_id", F.length("text").alias("__nc"), *text.repetition_stats("text")
     )
@@ -2029,7 +2051,8 @@ _SQL_DOT = (
 @register(
     "ann_lsh_buckets",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     planes AS (SELECT vec_id AS plane_id, v FROM e WHERE vec_id < 8),
     bits AS (
       SELECT a.vec_id, b.plane_id,
@@ -3281,7 +3304,7 @@ def u3_stack_assembly(spark, sf_dir):
            CAST((octet_length(encode(text)) * 7) % 1024 + 1 AS INTEGER)
              AS height,
            sha256(text) AS checksum
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode(spark, sf_dir):
@@ -3318,7 +3341,7 @@ _MM_NIB_CTE = """
   SELECT doc_id,
          regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -4123,7 +4146,8 @@ def _lang_ngram_oracle() -> str:
     greatest = "greatest(" + ", ".join(f"n_{c}" for c in codes) + ")"
     whens = " ".join(f"WHEN n_{c} = {greatest} THEN '{c}'" for c in codes)
     return f"""
-    WITH cnt AS (SELECT lang, {sel} FROM documents)
+    WITH cnt AS (SELECT lang, {sel} FROM documents
+                 WHERE text IS NOT NULL)
     SELECT lang,
            CASE WHEN {greatest} = 0 THEN 'und' {whens} END AS lang_pred,
            count(*) AS n
@@ -4135,8 +4159,11 @@ def _lang_ngram_oracle() -> str:
 def text_lang_id_ngram(spark, sf_dir):
     """Language ID via character-n-gram profiles (the classic cheap
     model; complements the marker-word heuristic) — confusion matrix
-    against the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    against the labeled lang column.  NULL-text docs excluded
+    symmetrically, same reason as text_lang_id (r13 null-probe)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return (
         docs.select("lang", text.lang_id_ngram("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")

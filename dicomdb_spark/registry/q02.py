@@ -832,7 +832,10 @@ def _pq_oracle(
     With ``ivf_cells``, ADC scoring is restricted to (query, vector)
     pairs sharing a max-dot seed-centroid cell — the IVF-PQ
     composition (coarse quantizer from ann_ivf_topk)."""
-    ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)"
+    ]
     if ivf_cells:
         ctes.append(
             f"cents AS (SELECT vec_id AS cid0, v FROM base WHERE vec_id < {ivf_cells})"
@@ -2491,7 +2494,7 @@ def _weighted_sample_oracle(k: int = 25) -> str:
     WITH p AS (
       SELECT doc_id, n_chars,
              CAST({h} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
-      FROM documents)
+      FROM documents WHERE n_chars IS NOT NULL)
     SELECT doc_id, n_chars, priority
     FROM p ORDER BY priority, doc_id LIMIT {k}
     """

@@ -618,7 +618,7 @@ def a_survival_hazard(spark, sf_dir):
       SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS f_len,
              CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS f_uniq
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     u AS (
       SELECT doc_id, y, 'n_tokens' AS feature, f_len AS v FROM tk
       UNION ALL
@@ -663,8 +663,13 @@ def ml_decision_stump(spark, sf_dir):
     argmin is a rank with (feature, threshold) tiebreak.  One sort
     per feature, one pass — the building block CART repeats per node,
     here as a single declarative query with the chosen split's
-    training accuracy."""
-    docs = load_table(spark, sf_dir, "documents")
+    training accuracy.  NULL-text docs are excluded symmetrically —
+    unfeaturizable, and their NULL feature values would shift the
+    sorted cumulative counts divergently (Spark NULLS FIRST vs DuckDB
+    NULLS LAST — r13 null-probe find)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = F.transform(text.tokens("text"), lambda t: F.lower(t))
     tk = docs.select(
         "doc_id",

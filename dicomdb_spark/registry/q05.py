@@ -37,7 +37,8 @@ from dicomdb_spark.registry.q04 import (
     f"""
     WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
                       {_SQL_NORMSQ} AS s
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
     g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos_x,
                  CAST(count(*) AS BIGINT) AS t
           FROM e GROUP BY 1),
@@ -62,8 +63,13 @@ def ml_roc_auc(spark, sf_dir):
     over PER-SCORE-VALUE counts; the cumulative runs over |distinct
     scores| rows, range-bucketed (ow.bucketed_running) — never a
     single-partition sort of the corpus.  The score itself is an
-    exact int64 fold of the vector (floor-scaled v², fixed order)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    exact int64 fold of the vector (floor-scaled v², fixed order).
+    Rows missing the embedding or the label are unscoreable and
+    excluded symmetrically (r13 null-probe: their NULL score/label
+    shifted the midrank machinery)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     e = emb.select(
         (F.col("label") % 2).cast("long").alias("y"), _normsq_col().alias("s")
     )
@@ -1412,7 +1418,8 @@ def text_char_trigram_profile(spark, sf_dir):
 @register(
     "corpus_curriculum_phases",
     f"""
-    WITH t AS (SELECT doc_id, len({_SQL_TOKS_RAW}) AS n_tok FROM documents),
+    WITH t AS (SELECT doc_id, len({_SQL_TOKS_RAW}) AS n_tok FROM documents
+               WHERE text IS NOT NULL),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
     r AS (SELECT doc_id, n_tok,
                  ntile(4) OVER (ORDER BY n_tok DESC, doc_id) AS phase
@@ -1433,8 +1440,12 @@ def corpus_curriculum_phases(spark, sf_dir):
     per-bucket offsets + partitioned row_number (ow.bucketed_running),
     then ntile(4) reconstructed arithmetically from the global rank
     (ow.ntile_from_rank) — no single-partition sort at any corpus
-    size."""
-    docs = load_table(spark, sf_dir, "documents")
+    size.  NULL-text docs are excluded symmetrically (no token count
+    → no curriculum phase; their NULL n_tok buckets divergently —
+    r13 null-probe find)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     t = docs.select(
         "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok")
     )

@@ -3949,7 +3949,8 @@ def w_ichimoku_lines(spark, sf_dir):
     "multimodal_container_stats",
     f"""
     WITH {_SQL_DOCS2},
-    p AS (SELECT doc_id, encode(text) AS payload FROM docs2),
+    p AS (SELECT doc_id, encode(text) AS payload FROM docs2
+          WHERE text IS NOT NULL),
     b AS (SELECT doc_id,
                  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                  {_sql_hex_int("substr(lower(hex(payload)), 1, 2)", 2)}
@@ -3982,7 +3983,10 @@ def multimodal_container_stats(spark, sf_dir):
     engines read the identical integer (DuckDB has no BLOB
     indexing-to-int).  The synthetic payloads are UTF-8 text, so the
     classes here are byte-range buckets — the dispatch skeleton is
-    what a real magic-byte table plugs into."""
+    what a real magic-byte table plugs into.  NULL-text docs have no
+    payload row (binarize drops them; the oracle filters identically —
+    a NULL b0 used to land in the high_byte ELSE bucket, r13
+    null-probe find)."""
     from dicomdb_spark.llm import multimodal as mm
 
     payloads = mm.binarize(_docs_with_dupes(spark, sf_dir))

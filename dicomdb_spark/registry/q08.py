@@ -431,7 +431,8 @@ def a_cochran_armitage(spark, sf_dir):
     "ann_metric_agreement",
     """
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL),
     n AS (
       SELECT vec_id, v,
              sqrt(CAST((SELECT SUM(CAST(floor(v[i.i] * v[i.i] * 1e12) AS BIGINT))
@@ -477,8 +478,12 @@ def ann_metric_agreement(spark, sf_dir):
     Both rankings use the repo's fixed-point 1e12 integer dot/norm
     economy; Euclidean stays a pure int64 sum (no sqrt needed for
     ranking).  Same broadcast-queries × corpus shape as
-    ann_bruteforce_topk — the documented truth-baseline pattern."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    ann_bruteforce_topk — the documented truth-baseline pattern.
+    NULL embeddings excluded symmetrically (r13 null-probe: the
+    oracle's NULL distances shifted the Euclidean ranks)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -39,7 +39,7 @@ from dicomdb_spark.session import local_fanout  # noqa: F401
                 WHEN 2 THEN 'image/bmp' ELSE 'image/jpeg' END AS format,
            CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
            CAST((doc_id * 7) % 1024 + 1 AS INTEGER) AS height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode_real(spark, sf_dir):
@@ -1349,7 +1349,8 @@ def sketch_misra_gries(spark, sf_dir):
                     1, 32) AS a,
              substr(regexp_replace(arg_max(text, doc_id), '[^ -~]', '', 'g'),
                     1, 32) AS b
-      FROM documents GROUP BY source HAVING count(*) >= 2),
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source HAVING count(*) >= 2),
     dims AS (SELECT source, a, b,
                     CAST(length(a) AS BIGINT) AS n,
                     CAST(length(b) AS BIGINT) AS m
@@ -1408,8 +1409,13 @@ def dedup_osa_distance(spark, sf_dir):
     column is each engine's own BUILT-IN Levenshtein (independent
     implementations!), and osa_le_lev self-certifies the
     transposition gain osa <= lev on every row.  Cost envelope:
-    |sources| folds x <= 1024 cells x 66-slot window."""
-    docs = load_table(spark, sf_dir, "documents")
+    |sources| folds x <= 1024 cells x 66-slot window.  NULL-text docs
+    are excluded symmetrically: Spark's min_by would pick a NULL
+    extreme where DuckDB's arg_min skips null args (r13 null-probe
+    find)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     clean = F.substring(
         F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 32
     )
@@ -1504,7 +1510,7 @@ def dedup_osa_distance(spark, sf_dir):
            CAST((octet_length(encode(text))
                  // ((doc_id % 2 + 1) * (doc_id % 3 + 1))) * 1000
                 // (8000 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_audio_meta(spark, sf_dir):
@@ -1789,7 +1795,8 @@ def w_zigzag_pivots(spark, sf_dir):
                     1, 32) AS a,
              substr(regexp_replace(arg_max(text, doc_id), '[^ -~]', '', 'g'),
                     1, 32) AS b
-      FROM documents GROUP BY source HAVING count(*) >= 2),
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source HAVING count(*) >= 2),
     dims AS (SELECT source, a, b,
                     CAST(length(a) AS BIGINT) AS n,
                     CAST(length(b) AS BIGINT) AS m
@@ -1836,8 +1843,12 @@ def text_lcs_length(spark, sf_dir):
     boundaries; DuckDB replays it as a linear recursive CTE.  Two
     self-certifying relations ride along: indel_dist >= the built-in
     Levenshtein (each engine's own independent implementation) and
-    lcs_sim = 2*LCS/(n+m), the single float division."""
-    docs = load_table(spark, sf_dir, "documents")
+    lcs_sim = 2*LCS/(n+m), the single float division.  NULL-text docs
+    excluded symmetrically, same min_by-vs-arg_min null semantics as
+    dedup_osa_distance (r13 null-probe find)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     clean = F.substring(
         F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 32
     )
@@ -3198,7 +3209,8 @@ def w_pettitt_test(spark, sf_dir):
     WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS y,
                       {_SQL_NORMSQ} AS s,
                       vec_id
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
     r AS (SELECT y,
                  CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT)
                    AS rn
@@ -3231,10 +3243,14 @@ def ml_average_precision(spark, sf_dir):
     is one division (the 1e-6 quantization is part of the metric's
     definition here, stated in the oracle).  Ranks and running TP
     counts come DISTRIBUTED from the range-bucketed running machinery
-    (no single-partition sort of the embedding dimension)."""
+    (no single-partition sort of the embedding dimension).  Rows
+    missing the embedding or the label are unscoreable and excluded
+    symmetrically (r13 null-probe find)."""
     from dicomdb_spark.registry.q04 import _normsq_col
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     e = emb.select(
         (F.col("label") % 2).cast("long").alias("y"),
         _normsq_col().alias("s"),

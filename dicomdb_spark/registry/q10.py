@@ -34,7 +34,7 @@ from dicomdb_spark.registry._core import register
                 ELSE 'image/webp' END AS format,
            CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
            CAST((doc_id * 7) % 1024 + 1 AS INTEGER) AS height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode_tiff_webp(spark, sf_dir):
@@ -72,7 +72,7 @@ def multimodal_decode_tiff_webp(spark, sf_dir):
            CAST(doc_id % 100000 AS BIGINT) AS n_frames,
            CAST((doc_id % 100000) * 1000
                 // (8000 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_flac_meta(spark, sf_dir):

@@ -38,6 +38,14 @@ REPAIRED = [
     "graph_assortativity",
     "graph_transitivity_ratio",
     "text_lz76_complexity",
+    # r13 null-probe fixes (NULL text/lang/n_chars rows): symmetric
+    # exclusion/propagation in both engines
+    "text_lang_id", "text_lang_id_ngram", "text_repetition",
+    "multimodal_decode", "multimodal_decode_real",
+    "multimodal_audio_meta", "multimodal_flac_meta",
+    "multimodal_container_stats", "corpus_weighted_sample",
+    "ml_decision_stump", "corpus_curriculum_phases",
+    "dedup_osa_distance", "text_lcs_length",
 ]
 
 
@@ -70,7 +78,7 @@ def _corpus() -> pd.DataFrame:
     ]
     langs = ["en", "es", "de", "zh", "fr"]
     srcs = ["src0", "src1", "src2"]
-    return pd.DataFrame(
+    pdf = pd.DataFrame(
         {
             "doc_id": range(1, len(texts) + 1),
             "text": texts,
@@ -79,6 +87,19 @@ def _corpus() -> pd.DataFrame:
             "n_chars": [len(t) for t in texts],
         }
     )
+    # NULL-bearing rows (r13 probe): null text/lang/source/n_chars
+    nulls = pd.DataFrame(
+        {
+            "doc_id": [len(texts) + 1, len(texts) + 2, len(texts) + 3],
+            "text": [None, "null text neighbor doc", None],
+            "lang": ["en", None, "de"],
+            "source": ["src0", "src1", None],
+            "n_chars": pd.array([None, 22, None], dtype="Int64"),
+        }
+    )
+    pdf = pd.concat([pdf, nulls], ignore_index=True)
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    return pdf
 
 
 def _norm(rows, cols):
@@ -87,11 +108,25 @@ def _norm(rows, cols):
 
 
 @pytest.fixture(scope="module")
-def adversarial(spark):
+def adversarial(spark, tmp_path_factory):
+    # parquet injection, not createDataFrame: Spark converts a pandas
+    # nullable Int64 column to DOUBLE on createDataFrame (false-flags
+    # every n_chars consumer); parquet yields int64 in BOTH engines
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     pdf = _corpus()
-    docs = spark.createDataFrame(pdf)
+    tmp = str(tmp_path_factory.mktemp("adversarial_docs_sfdir"))
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+                   f"{tmp}/documents.parquet", version="2.6")
+    docs = spark.read.parquet(f"{tmp}/documents.parquet")
     con = duckdb.connect()
-    con.register("documents", pdf)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
+    )
     return docs, con
 
 
@@ -241,10 +276,13 @@ EMB_REPAIRED = [
     "corpus_semantic_dedup_pipeline", "ann_recall_eval",
     "emb_random_projection_jl", "emb_norm_outliers", "emb_cosine_hist",
     "ann_metric_agreement",
+    # r13 null-probe fixes (NULL embedding / NULL label rows)
+    "ann_lsh_buckets", "ann_pq_topk", "ann_ivf_pq_topk",
+    "ann_mips_topk", "ml_roc_auc", "ml_average_precision",
 ]
 
 
-def _emb_corpus() -> pd.DataFrame:
+def _emb_corpus():
     import numpy as np
 
     rng = np.random.RandomState(7)
@@ -263,13 +301,12 @@ def _emb_corpus() -> pd.DataFrame:
         vecs.append(rng.randn(D)); labels.append(int(i % 7))
     for i in range(10):
         vecs.append(v + rng.randn(D) * 1e-9); labels.append(8)
-    return pd.DataFrame(
-        {
-            "vec_id": range(len(vecs)),
-            "embedding": [x.astype("float32") for x in vecs],
-            "label": pd.array(labels, dtype="int32"),
-        }
-    )
+    embs = [[float(np.float32(t)) for t in x] for x in vecs]
+    # NULL-bearing rows (r13 probe): NULL embedding / NULL label
+    embs.append(None); labels.append(9)
+    embs.append([float(np.float32(t)) for t in rng.randn(D)])
+    labels.append(None)
+    return embs, labels
 
 
 @pytest.fixture(scope="module")
@@ -277,13 +314,16 @@ def adversarial_embeddings(spark, tmp_path_factory):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pdf = _emb_corpus()
+    embs, labels = _emb_corpus()
     tmp = str(tmp_path_factory.mktemp("adversarial_emb_sfdir"))
-    schema = pa.schema([("vec_id", pa.int64()),
-                        ("embedding", pa.list_(pa.float32())),
-                        ("label", pa.int32())])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
-                   f"{tmp}/embeddings.parquet", version="2.6")
+    # arrow arrays built directly: pandas->arrow chokes converting a
+    # None list cell inside an object column of ndarrays
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(embs)), pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, f"{tmp}/embeddings.parquet", version="2.6")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet'"
@@ -382,12 +422,13 @@ def adversarial_cross(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("adversarial_cross_sfdir"))
     pq.write_table(pa.Table.from_pandas(_corpus(), preserve_index=False),
                    f"{tmp}/documents.parquet", version="2.6")
-    schema = pa.schema([("vec_id", pa.int64()),
-                        ("embedding", pa.list_(pa.float32())),
-                        ("label", pa.int32())])
-    pq.write_table(
-        pa.Table.from_pandas(_emb_corpus(), schema=schema, preserve_index=False),
-        f"{tmp}/embeddings.parquet", version="2.6")
+    embs, labels = _emb_corpus()
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(embs)), pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, f"{tmp}/embeddings.parquet", version="2.6")
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'")
