@@ -326,6 +326,77 @@ def bucket_by_seed_planes(
     )
 
 
+def bucketed_norm_corpus(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, bucket, nrm) in ONE corpus scan and ONE Python hop.
+
+    Fuses :func:`bucket_by_seed_planes` with :func:`norm_exact_vec`
+    and drops the ``emb ⋈ buckets`` vec_id self-join the ANN queries
+    previously used to attach the bucket to the vector (guide §2.4 —
+    remove shuffles outright; §4.1 — the vector column crosses the
+    Arrow boundary once, not twice).  Bitwise-identical outputs: the
+    plane dots and the norm use the same floor-scaled int64 kernel as
+    the split form, and the inner join on the unique ``vec_id`` was a
+    no-op row-wise (both sides derive from the same NULL-filtered
+    scan), so (id, v, bucket, nrm) is row-for-row the old ``withb``.
+    """
+    import numpy as np
+
+    vectors = drop_null_vectors(vectors, vec_col)
+    plane_rows = (
+        vectors.filter(F.col(id_col) < n_planes)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    P = np.array(
+        [r.v for r in sorted(plane_rows, key=lambda r: r[id_col])], dtype=np.float64
+    )
+
+    @F.pandas_udf("bucket string, nrm double")
+    def _bn(x: pd.Series) -> pd.DataFrame:
+        A = np.vstack(x.to_numpy()).astype(np.float64)
+        dots = np.stack(
+            [
+                np.floor(A * P[j] * _SCALE).astype(np.int64).sum(axis=1)
+                for j in range(P.shape[0])
+            ],
+            axis=1,
+        )
+        bits = np.where(dots >= 0, "1", "0")
+        nrm = np.sqrt(np.floor(A * A * _SCALE).astype(np.int64).sum(axis=1) / _SCALE)
+        return pd.DataFrame(
+            {"bucket": ["".join(row) for row in bits], "nrm": nrm}
+        )
+
+    # The bucket equi-join infers an isnotnull(bucket) constraint; on
+    # a plain nullable UDF output the optimizer pushes that filter
+    # below this projection and re-evaluates the UDF (guide §4.4 —
+    # observed: two ArrowEvalPython per join side).  bucket is never
+    # NULL (the UDF always emits a bit-string for a non-NULL vector),
+    # so coalesce(bucket, '') makes the key statically non-null: the
+    # inferred filter constant-folds away and the UDF runs once.
+    # Kept DETERMINISTIC on purpose: asNondeterministic would also fix
+    # the duplication but blocks pushing the query-side vec_id
+    # pre-filters past the UDF (multiprobe/recall_eval select 10 query
+    # vectors — that filter must reach the parquet scan).
+    return (
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("__bn", _bn(F.col("v")))
+        .select(
+            id_col,
+            "v",
+            F.coalesce(F.col("__bn.bucket"), F.lit("")).alias("bucket"),
+            F.col("__bn.nrm").alias("nrm"),
+        )
+    )
+
+
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot LSH bucket key: one char per hyperplane ('1'/'0').
 

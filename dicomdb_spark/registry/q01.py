@@ -2104,12 +2104,10 @@ def ann_lsh_topk(spark, sf_dir):
     path: candidates meet via an equi-join on the bucket key, never a
     cross join over the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
-    withb = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .join(buckets, "vec_id")
-        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
-    )
+    # one fused scan+Arrow hop per side (was: emb ⋈ buckets vec_id
+    # join + a second norm UDF — see llm/similarity.py
+    # bucketed_norm_corpus; r13 optimization, guide §2.4/§4.1)
+    withb = lsim.bucketed_norm_corpus(emb, n_planes=8)
     q = withb.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("__qv"),
@@ -2196,12 +2194,9 @@ def ann_rerank_topk(spark, sf_dir):
     stand-in for a cross-encoder pandas-UDF slot) picks the top-3."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
-    withb = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .join(buckets, "vec_id")
-        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
-    )
+    # fused bucket+norm corpus — one scan + one Arrow hop per side
+    # (r13 optimization, see ann_lsh_topk)
+    withb = lsim.bucketed_norm_corpus(emb, n_planes=8)
     q = withb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("__qv"),

@@ -4014,12 +4014,9 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     once: the 9 probe keys are distinct and the neighbor has one
     bucket, so no dedup is needed."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
-    withb = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .join(buckets, "vec_id")
-        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
-    )
+    # fused bucket+norm corpus — one scan + one Arrow hop per side
+    # (r13 optimization, see ann_lsh_topk)
+    withb = lsim.bucketed_norm_corpus(emb, n_planes=8)
     probes = (
         withb.filter(F.col("vec_id") < 10)
         .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(8))))

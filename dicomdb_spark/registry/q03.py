@@ -2362,12 +2362,9 @@ def ann_recall_eval(spark, sf_dir):
     truth = lsim.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id"
     )
-    buckets = lsim.bucket_by_seed_planes(emb, n_planes=8)
-    withb = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .join(buckets, "vec_id")
-        .withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
-    )
+    # fused bucket+norm corpus — one scan + one Arrow hop per side
+    # (r13 optimization, see ann_lsh_topk)
+    withb = lsim.bucketed_norm_corpus(emb, n_planes=8)
     q = withb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("__qv"),
