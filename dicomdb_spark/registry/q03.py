@@ -1268,12 +1268,17 @@ def graph_bfs_hops(spark, sf_dir):
     rounds) over the minhash near-dup graph; sources are every vertex
     with doc_id % 7 == 0.  Each round is ONE equi-join (frontier ⋈
     edges on src) plus a min-aggregate — the Pregel message pattern as
-    DataFrames — and the per-round persist keeps lineage linear in
-    rounds (the min_label_components discipline).  Unreached vertices
-    simply stay absent from the dist table, so state is bounded by the
-    reached set, not the graph.  At 100 TB the edge list is the only
-    large shuffle and it is hash-partitioned once on src, then reused
-    by every round."""
+    DataFrames — and the per-round localCheckpoint truncates lineage
+    (the graph_ktruss_fixpoint discipline), so every round's plan is a
+    scan of the previous round's materialized state instead of a
+    nested InMemoryRelation chain whose planning cost grows with
+    rounds and whose eviction under storage pressure replays the whole
+    chain.  Unreached vertices simply stay absent from the dist table,
+    so state is bounded by the reached set, not the graph.  At 100 TB
+    the edge list is the only large shuffle: it is hash-partitioned
+    once on src and the checkpointed LogicalRDD preserves that output
+    partitioning, so every round's equi-join reuses it with zero edge
+    exchanges across the loop."""
     pairs = ldedup.minhash_lsh_pairs(
         _docs_with_dupes(spark, sf_dir),
         "doc_id",
@@ -1285,11 +1290,11 @@ def graph_bfs_hops(spark, sf_dir):
     e = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
-        # keyed cache: every loop round equi-joins on src, so a
-        # hash-partitioned cache is reused by each round (zero edge
-        # exchanges across the loop)
+        # keyed materialization: every loop round equi-joins on src;
+        # the checkpointed RDD keeps hashpartitioning(src), so each
+        # round reuses it with no edge exchange
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dist = (
         e.select(F.col("src").alias("node"))
@@ -1297,22 +1302,19 @@ def graph_bfs_hops(spark, sf_dir):
         .filter(F.col("node") % 7 == 0)
         .withColumn("hop", F.lit(0))
     )
-    rounds = []
     for _ in range(4):
         msg = dist.join(e, dist.node == e.src).select(
             F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
         )
         dist = (
-            dist.unionAll(msg).groupBy("node").agg(F.min("hop").alias("hop")).persist()
+            dist.unionAll(msg)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            # eager per-round materialization: superseded rounds' blocks
+            # are released by the ContextCleaner when their references
+            # drop, so repeated invocations don't accumulate storage
+            .localCheckpoint(eager=True)
         )
-        rounds.append(dist)
-    # one materializing job fills every round's cache along the linear
-    # lineage; then the superseded rounds and the edge cache are freed
-    # so repeated invocations don't accumulate storage memory
-    rounds[-1].count()
-    for old in rounds[:-1]:
-        old.unpersist()
-    e.unpersist()
     return dist.select(
         F.col("node").alias("doc_id"), F.col("hop").cast("long").alias("hop")
     )

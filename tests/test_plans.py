@@ -504,3 +504,17 @@ def test_all_registry_queries_within_hint_budget(spark):
             over.append((name, n, budgets.get(name, 0)))
         release_pair_caches()
     assert not over, f"hint budget exceeded: {over}"
+
+
+def test_bfs_hops_plan_is_lineage_truncated(spark):
+    """graph_bfs_hops round state is localCheckpointed: the returned
+    plan must be a scan of the final round's materialized RDD (plus
+    projection), NOT a nested InMemoryRelation/persist chain whose
+    planning cost grows with rounds and whose eviction under storage
+    pressure silently replays every round inside the consumer."""
+    df = QUERIES["graph_bfs_hops"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    # the whole consumer plan is project-over-scan: a handful of nodes
+    assert plan.count("\n") < 12, plan
