@@ -299,15 +299,24 @@ def _df_capped_pair_scores(
     documented contract (mirrored in the DuckDB oracles).
 
     Between candidate generation and the array verify sits a LOSSLESS
-    upper-bound prune: the capped join yields each pair's exact count
-    of shared COLD shingles, and the hot contribution is bounded by
-    min(hot₁, hot₂) (hotᵢ = doc i's shingles above the cap), so
-    true_inter ≤ cold_inter + min(hot₁, hot₂).  ``ub_keep(ub, sz1,
-    sz2)`` decides with that bound; callers phrase the metric's
-    threshold test over the bound (monotone in inter), subtracting an
-    epsilon so float roundoff can only keep, never drop.  On dense
-    small-vocabulary corpora this prunes ~99.9% of candidates before
-    any array touches a shuffle (measured 1.96 M → ~2 k at sf0.1).
+    upper-bound prune: the capped join yields each pair's count of
+    shared cold-shingle HASHES (xxhash64 — the pair join never touches
+    the shingle strings, so the shuffled sort key is 8 bytes instead
+    of a 3-token text; a hash collision can only INFLATE the count),
+    and the hot contribution is bounded by min(hot₁, hot₂) (hotᵢ =
+    doc i's shingles above the cap), so true_inter ≤ cold_inter ≤
+    the joined count + min(hot₁, hot₂).  ``ub_keep(ub, sz1, sz2)``
+    decides with that bound; callers phrase the metric's threshold
+    test over the bound (monotone in inter), subtracting an epsilon so
+    float roundoff can only keep, never drop — and since both
+    collision inflation and the epsilon only ever KEEP extra
+    candidates, and every survivor is re-scored exactly from the full
+    arrays, the output is unchanged.  On dense small-vocabulary
+    corpora this prunes ~99.9% of candidates before any array touches
+    a shuffle (measured 1.96 M → ~2 k at sf0.1).  Document-frequency
+    counting (the cap itself) stays on the true shingle strings: a
+    collision there could merge two dfs past the cap and DROP a pair,
+    which would change results.
     """
     sets = df.select(
         F.col(id_col).alias("doc"),
@@ -324,7 +333,13 @@ def _df_capped_pair_scores(
         .filter(F.col("__df") <= max_df)
         .select("shingle")
     )
-    cold = sh.join(keep, "shingle")
+    # drop the shingle STRING at the earliest point it is no longer
+    # needed: everything downstream (self-join key, count) works on
+    # the 8-byte hash, shrinking the two big exchanges (guide: shuffle
+    # fewer bytes / narrower types)
+    cold = sh.join(keep, "shingle").select(
+        "doc", F.xxhash64("shingle").alias("__shk")
+    )
     # per-doc totals (full distinct-shingle size, hot count) are
     # annotated onto the COLD rows *before* the pair join, so the pair
     # aggregate can carry them via max() and the prune runs directly on
@@ -338,22 +353,41 @@ def _df_capped_pair_scores(
         .select("doc", "__sz", (F.col("__sz") - F.col("__csz")).alias("__hot"))
     )
     cold_ann = cold.join(stats, "doc")
-    # exact shared-COLD-shingle count per pair — one map-side-combining
-    # aggregate over the bounded expansion (≤ |shingles|·max_df² rows)
+    # shared-cold-shingle count per pair.  Instead of the sorted
+    # self-join (two reads of the posting exchange + a sort-merge on
+    # the key), gather each posting bucket ONCE and enumerate its
+    # C(df,2) pairs in-plan with array higher-order functions: the cap
+    # bounds every bucket at max_df docs, so the per-group state is
+    # ≤ max_df structs and the expansion is the same ≤ |shingles|·
+    # max_df² rows the join produced — one exchange on the key, no
+    # join, no sort (measured 7.4 s → 4.5 s for this subplan at
+    # sf0.1).  array_sort orders the structs by doc (first field), so
+    # x-before-y enumeration reproduces the join's doc< ordering;
+    # colliding same-doc occurrences yield id1 = id2 rows, filtered
+    # exactly as the join's a.doc < b.doc predicate did.
     cold_pairs = (
-        cold_ann.alias("a")
-        .join(
-            cold_ann.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        cold_ann.groupBy("__shk")
+        .agg(F.expr("array_sort(collect_list(struct(doc, __sz, __hot)))").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x.doc AS id1, y.doc AS id2, "
+                    "x.__sz AS sz1, x.__hot AS __h1, "
+                    "y.__sz AS sz2, y.__hot AS __h2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .select("p.*")
+        .filter(F.col("id1") != F.col("id2"))
+        .groupBy("id1", "id2")
         .agg(
             F.count("*").alias("__ci"),
-            F.max(F.col("a.__sz")).alias("sz1"),
-            F.max(F.col("a.__hot")).alias("__h1"),
-            F.max(F.col("b.__sz")).alias("sz2"),
-            F.max(F.col("b.__hot")).alias("__h2"),
+            F.max("sz1").alias("sz1"),
+            F.max("__h1").alias("__h1"),
+            F.max("sz2").alias("sz2"),
+            F.max("__h2").alias("__h2"),
         )
     )
     ub = F.col("__ci") + F.least(F.col("__h1"), F.col("__h2"))

@@ -71,3 +71,19 @@ def test_uncapped_path_unchanged(spark):
     ).collect()
     pairs = {(r.id1, r.id2) for r in out}
     assert (5, 6) in pairs
+
+
+def test_capped_pair_generation_has_no_self_join(spark):
+    """The df-capped candidate stage enumerates each posting bucket's
+    pairs in-plan (collect_list + transform/slice over <= max_df
+    structs) instead of sort-merge self-joining the posting list: the
+    plan must carry no SortMergeJoin and exactly one exchange keyed on
+    the hashed shingle.  A reappearing self-join means the bucket
+    expansion regressed to the two-scan join shape."""
+    from dicomdb_spark.registry import QUERIES
+
+    for name in ("dedup_ngram_jaccard", "dedup_ngram_containment"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "collect_list" in plan, name
