@@ -1035,19 +1035,27 @@ def min_label_components(
         .unionAll(verts.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
     )
     if persist_edges:
-        # hash-partition the cached edges BY THE JOIN KEY, not round-
-        # robin: every round equi-joins on src, and a keyed cache
-        # means the per-round join reuses this partitioning (zero edge
+        # hash-partition the materialized edges BY THE JOIN KEY, not
+        # round-robin: every round equi-joins on src, and the
+        # checkpointed LogicalRDD preserves hashpartitioning(src), so
+        # the per-round join reuses this partitioning (zero edge
         # exchanges across the loop) instead of re-shuffling the edge
         # list each round — the property that makes shuffle-join label
         # propagation viable at web scale, and locally it also
-        # rebalances the 3-way union's partition blowup
+        # rebalances the 3-way union's partition blowup.
+        # localCheckpoint rather than persist: it TRUNCATES lineage,
+        # so each round's plan is a scan of materialized state instead
+        # of a nested InMemoryRelation chain over the (possibly
+        # UDF-heavy) pair tree — composed over the brute-force cosine
+        # pair join, the persist-chain form produced a 2,560-node
+        # executed plan (704 Exchange, every round re-nesting the pair
+        # subtree) whose planning alone dominated, and whose eviction
+        # under storage pressure silently replayed every round.
         edges = edges.repartition(
             pairs.sparkSession.sparkContext.defaultParallelism, "src"
-        ).persist()
+        ).localCheckpoint(eager=True)
     hint = F.broadcast if broadcast_labels else (lambda df: df)
     labels = verts.select("doc_id", F.col("doc_id").alias("lbl"))
-    rounds = []
     for _ in range(iters):
         labels = (
             edges.join(hint(labels), edges["src"] == labels["doc_id"])
@@ -1055,26 +1063,16 @@ def min_label_components(
             .agg(F.min("lbl").alias("lbl"))
         )
         if persist_edges:
-            # Persist EVERY round's label state, not just the edges:
-            # round k's broadcast (or the final consumer) then
-            # materializes from round k−1's cache — one edge-join per
-            # round.  Unpersisted, each broadcast collect replays all
-            # prior rounds from scratch, an O(iters²) recompute that
-            # measured 5.2 s (components) + 9.0 s (final anti-join
-            # re-deriving the whole chain again) inside the sf0.1
-            # dedup pipeline.  Label state is 16 B/vertex — the same
-            # per-iteration cache discipline as Pregel superstep
-            # state; entries are LRU-evicted, and callers running
-            # many queries per session clear the cache between them.
-            labels = labels.persist()
-            rounds.append(labels)
-    if rounds:
-        # one materializing job fills every round's cache along the
-        # linear lineage; superseded rounds are then freed so repeated
-        # invocations keep at most ONE label table cached (the final
-        # one — downstream consumers read it repeatedly)
-        rounds[-1].count()
-        for old in rounds[:-1]:
-            old.unpersist()
-        edges.unpersist()
+            # Materialize EVERY round's label state, not just the
+            # edges: round k's broadcast (or the final consumer) then
+            # reads round k−1's materialized RDD — one edge-join per
+            # round.  Unmaterialized, each broadcast collect replays
+            # all prior rounds from scratch, an O(iters²) recompute
+            # that measured 5.2 s (components) + 9.0 s (final
+            # anti-join re-deriving the whole chain again) inside the
+            # sf0.1 dedup pipeline.  Label state is 16 B/vertex — the
+            # same per-iteration discipline as Pregel superstep state;
+            # superseded rounds' blocks are freed by the
+            # ContextCleaner when their references drop.
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("doc_id", F.col("lbl").alias("component"))

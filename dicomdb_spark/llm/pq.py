@@ -87,11 +87,19 @@ def _assign_joint(
             out[idx] = np.argmin(d, axis=1).astype(np.int32)
         return pd.Series(out)
 
+    # coalesce(-1) is an identity (the UDF never returns null) that
+    # makes `code` statically non-nullable: the inner join on code in
+    # pq_topk would otherwise infer isnotnull(code) and push it below
+    # this projection, re-evaluating the whole UDF a second time
+    # (guide §4.4 — the same constant-fold fix as
+    # similarity.bucketed_norm_corpus's coalesce(bucket, ''))
     return exploded.select(
         F.col(id_col),
         "sub",
         "sv",
-        _assign(F.col("sub"), F.col("sv").cast("array<double>")).alias("code"),
+        F.coalesce(
+            _assign(F.col("sub"), F.col("sv").cast("array<double>")), F.lit(-1)
+        ).alias("code"),
     )
 
 

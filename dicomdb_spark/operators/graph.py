@@ -72,9 +72,8 @@ def pagerank(
     edges = edges.join(deg, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
-        edges = edges.persist()
-        nodes = nodes.persist()
-    rounds: list[DataFrame] = []
+        edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
@@ -106,24 +105,17 @@ def pagerank(
             )
         )
         if persist_edges:
-            # per-round rank-state persist: the next round's broadcast
-            # (and the final consumer) materialize from this round's
-            # cache instead of replaying all prior rounds — the same
-            # linear-lineage fix as min_label_components (O(iters²) →
-            # O(iters) jobs; rank state is 16 B/node)
-            r = r.persist()
-            rounds.append(r)
-    if rounds:
-        # materialize the final round once (populating every round's
-        # cache along the linear lineage in a single job), then free
-        # the superseded rounds and the helper tables — without this,
-        # each invocation leaks iters-1 cached rank tables and storage
-        # memory grows across a session (bench runs each query 3×)
-        rounds[-1].count()
-        for old in rounds[:-1]:
-            old.unpersist()
-        edges.unpersist()
-        nodes.unpersist()
+            # per-round rank-state localCheckpoint: the next round's
+            # broadcast (and the final consumer) read this round's
+            # materialized RDD instead of replaying all prior rounds
+            # — the same linear-lineage fix as min_label_components
+            # (O(iters²) → O(iters) jobs; rank state is 16 B/node) —
+            # and, unlike a persist chain, it TRUNCATES the plan, so
+            # the consumer is a scan instead of nested
+            # InMemoryRelations re-planned per action.  Superseded
+            # rounds' blocks are freed by the ContextCleaner when
+            # their references drop.
+            r = r.localCheckpoint(eager=True)
     return r
 
 
@@ -192,8 +184,8 @@ def personalized_pagerank(
     edges = edges.join(deg, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
-        edges = edges.persist()
-        nodes = nodes.persist()
+        edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     sset = nodes.join(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(), "node"
     )
@@ -202,8 +194,7 @@ def personalized_pagerank(
         F.broadcast(sset.withColumn("is_seed", F.lit(1))), "node", "left"
     ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     if persist_edges:
-        flagged = flagged.persist()
-    rounds: list[DataFrame] = []
+        flagged = flagged.localCheckpoint(eager=True)
     r = flagged.crossJoin(F.broadcast(ns)).select(
         "node",
         F.when(
@@ -238,20 +229,8 @@ def personalized_pagerank(
                     ).cast("long")
                 ).alias("r"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        rounds.append(r)
-    if rounds:
-        # single materializing job, then drop superseded rank rounds
-        # and helper caches — bounds storage at 1 rank table per
-        # invocation instead of iters (see pagerank for rationale)
-        rounds[-1].count()
-        for old in rounds[:-1]:
-            old.unpersist()
-        if persist_edges:
-            edges.unpersist()
-            nodes.unpersist()
-            flagged.unpersist()
     return r
 
 
@@ -328,9 +307,8 @@ def pagerank_weighted(
     edges = edges.join(wout, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
-        edges = edges.persist()
-        nodes = nodes.persist()
-    rounds: list[DataFrame] = []
+        edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
@@ -361,14 +339,7 @@ def pagerank_weighted(
             )
         )
         if persist_edges:
-            r = r.persist()
-            rounds.append(r)
-    if rounds:
-        rounds[-1].count()
-        for old in rounds[:-1]:
-            old.unpersist()
-        edges.unpersist()
-        nodes.unpersist()
+            r = r.localCheckpoint(eager=True)
     return r
 
 

@@ -2454,7 +2454,10 @@ def er_transitive_merge(spark, sf_dir):
     """End-to-end entity resolution: phonetic-blocked candidate pairs
     (er_phonetic_pairs' plan) → transitive closure via min-label
     propagation (3 rounds, the components discipline: one join + one
-    min-aggregate per round, per-round persist for linear lineage) →
+    min-aggregate per round, per-round localCheckpoint so the label
+    state is referenced twice per round without doubling lineage —
+    the persist-chain form nested the whole phonetic-pair tree into
+    a 35,439-node executed plan) →
     one canonical record per entity: the lexicographically-least
     variant, the variant count, and the comma-joined sorted variant
     list (scalar, never an array column).  This is the full
@@ -2465,11 +2468,11 @@ def er_transitive_merge(spark, sf_dir):
     )
     e = pairs.select(F.col("tok1").alias("src"), F.col("tok2").alias("dst")).unionAll(
         pairs.select(F.col("tok2").alias("src"), F.col("tok1").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
+    pairs.unpersist()
     lbl = e.select(F.col("src").alias("tok")).distinct().withColumn(
         "lbl", F.col("tok")
     )
-    rounds = []
     for _ in range(3):
         msg = (
             e.join(lbl.withColumnRenamed("tok", "src"), "src")
@@ -2481,16 +2484,11 @@ def er_transitive_merge(spark, sf_dir):
             .select(
                 "tok", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
             )
-            .persist()
+            # eager per-round materialization truncates the doubled
+            # lineage (lbl feeds both msg and the least-merge);
+            # superseded rounds are freed by the ContextCleaner
+            .localCheckpoint(eager=True)
         )
-        rounds.append(lbl)
-    # materialize once, then free superseded rounds + helper caches
-    # (bounded storage per invocation — see graph.pagerank)
-    rounds[-1].count()
-    for old in rounds[:-1]:
-        old.unpersist()
-    pairs.unpersist()
-    e.unpersist()
     return lbl.groupBy(F.col("lbl").alias("canonical")).agg(
         F.count("*").cast("long").alias("n_variants"),
         F.array_join(F.sort_array(F.collect_list("tok")), ",").alias("variants"),
