@@ -374,6 +374,20 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     ),
     # r13 null-probe: _explode_subspaces drops NULL vectors
     "dicomdb_spark/llm/pq.py": ("ann_pq_topk", "ann_ivf_pq_topk"),
+    # r13 optimization: hashed posting key + in-plan pair enumeration
+    # in _df_capped_pair_scores; localCheckpoint lineage truncation in
+    # min_label_components
+    "dicomdb_spark/llm/dedup.py": (
+        "dedup_ngram_jaccard", "dedup_ngram_containment",
+        "dedup_components", "corpus_dedup_pipeline",
+        "corpus_dedup_survivorship", "corpus_dup_cluster_sizes",
+        "graph_modularity",
+    ),
+    # r13 optimization: localCheckpoint lineage truncation in the
+    # three PageRank variants' iteration loops
+    "dicomdb_spark/operators/graph.py": (
+        "graph_pagerank", "graph_ppr_seeds", "text_textrank_weighted",
+    ),
 }
 
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
@@ -428,6 +442,17 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # multimodal_container_stats oracle filter + dedup_dup_spans
     # (conservative span: shares the _SQL_DOCS2 helper block)
     "multimodal_container_stats", "dedup_dup_spans",
+    # r13 optimization round: lineage truncation (localCheckpoint) in
+    # the BFS / transitive-closure / label-propagation / PageRank
+    # loops, and the hashed-posting-key pair enumeration in the
+    # df-capped n-gram core — results oracle-rechecked at sf0.01 when
+    # landed, fronted here for driver re-proof
+    "graph_bfs_hops", "er_transitive_merge",
+    "dedup_ngram_jaccard", "dedup_ngram_containment",
+    "dedup_components", "corpus_dedup_pipeline",
+    "corpus_dedup_survivorship", "corpus_dup_cluster_sizes",
+    "graph_modularity",
+    "graph_pagerank", "graph_ppr_seeds", "text_textrank_weighted",
 )
 
 
