@@ -356,36 +356,40 @@ def bloom_probe(
     k_hashes: int = 3,
 ) -> DataFrame:
     """Probe rows → bloom_pass flag: a key passes iff ALL k of its bit
-    positions are set.  The bit table broadcasts (≤ m_bits rows); the
-    probe side never shuffles — exactly the pre-filter shape that cuts
-    a join's shuffle volume to the pass set.  No false negatives by
-    construction."""
-    salts = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("salt")
-    e = probes.select(F.col(key_col).alias("key"), salts)
-    pos = (
-        _hex_int(
-            F.md5(
-                F.concat(
-                    F.col("salt").cast("string"),
-                    F.lit("#"),
-                    F.col("key").cast("string"),
-                )
-            ),
-            8,
+    positions are set.  The bit table collapses to ONE sorted-array row
+    that broadcasts (≤ m_bits ints); each probe row tests its k salted
+    positions with array_contains against that row — a purely map-side
+    membership test.  The probe side never shuffles and never explodes
+    — the pre-r13 form fanned every probe ×k, semi-joined the bit
+    table, re-aggregated per key and joined the flags back on (guide
+    §2.4: four operators removed outright).  No false negatives by
+    construction.  A NULL key hashes to NULL positions and fails the
+    probe, exactly like the old count-of-hits == k path."""
+    bitset = bits.agg(F.array_sort(F.collect_set("pos")).alias("__bitset"))
+
+    def pos_of(salt: int):
+        return (
+            _hex_int(
+                F.md5(
+                    F.concat(
+                        F.lit(str(salt)),
+                        F.lit("#"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                8,
+            )
+            % m_bits
         )
-        % m_bits
+
+    all_set = F.lit(True)
+    for i in range(k_hashes):
+        all_set = all_set & F.array_contains(F.col("__bitset"), pos_of(i))
+    return (
+        probes.crossJoin(F.broadcast(bitset))
+        .withColumn("bloom_pass", F.coalesce(all_set, F.lit(False)))
+        .drop("__bitset")
     )
-    hits = (
-        e.select("key", pos.alias("pos"))
-        .join(F.broadcast(bits), "pos", "left_semi")
-        .groupBy("key")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return probes.join(
-        hits.withColumnRenamed("key", key_col), key_col, "left"
-    ).withColumn(
-        "bloom_pass", F.coalesce(F.col("n_hit"), F.lit(0)) == k_hashes
-    ).drop("n_hit")
 
 
 def count_min_estimate(

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dicomdb_spark.llm.similarity import _SCALE, cosine_exact_vec
+from dicomdb_spark.llm.similarity import _SCALE, dot_exact_vec
 
 
 def assign_clusters(
@@ -86,10 +86,80 @@ def assign_clusters(
             d[:, j] = np.floor(diff * diff * _SCALE).astype(np.int64).sum(axis=1)
         return pd.Series(cid_tags[np.argmin(d, axis=1)].astype("int32"))
 
+    # coalesce(-1) is an identity (the UDF never returns null for the
+    # null-filtered input): it makes cid statically non-nullable, so an
+    # equi-join on cid cannot infer isnotnull(cid) and push it below
+    # this projection — which re-evaluated the whole assignment UDF a
+    # second time per join side (guide §4.4; observed 4 ArrowEvalPython
+    # corpus passes in dedup_semantic_kmeans's before-plan).
     return vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        _assign(F.col(vec_col).cast("array<double>")).alias("cid"),
+        F.coalesce(
+            _assign(F.col(vec_col).cast("array<double>")), F.lit(-1)
+        ).alias("cid"),
+    )
+
+
+def assign_clusters_with_norm(
+    vectors: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """:func:`assign_clusters` fused with the per-vector norm — ONE
+    corpus scan and ONE Arrow hop returning (id, vec, cid, nrm), for
+    the pair-scoring consumers (semantic dedup, trained-IVF search)
+    that previously paid a second ArrowEvalPython pass for the norm
+    and re-derived it per PAIR instead of per vector (guide §4.1 —
+    one Python boundary crossing; §2.3 — aggregate work before the
+    pair join fans out).
+
+    Bitwise-identical to the split form: the distance argmin and the
+    floor-scaled int64 norm are the same kernels, evaluated on the
+    same NULL-filtered rows.  Same tagged-centroid contract and the
+    same coalesce(-1) non-null join key as assign_clusters.
+    """
+    import numpy as np
+
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+
+    if not all(
+        isinstance(c, tuple) and len(c) == 2 and isinstance(c[0], int)
+        for c in centroids
+    ):
+        raise TypeError(
+            "assign_clusters_with_norm expects tagged centroids "
+            "[(cid, vector), ...] as produced by kmeans_fit/"
+            "update_centroids; got a raw vector list — tag it with its "
+            "cids explicitly"
+        )
+    cid_tags = np.asarray([c for c, _ in centroids], dtype=np.int32)
+    C = np.asarray([v for _, v in centroids], dtype=np.float64)
+
+    @F.pandas_udf("cid int, nrm double")
+    def _assign_norm(x: pd.Series) -> pd.DataFrame:
+        A = np.vstack(x.to_numpy()).astype(np.float64)
+        d = np.empty((A.shape[0], C.shape[0]), dtype=np.int64)
+        for j in range(C.shape[0]):
+            diff = A - C[j]
+            d[:, j] = np.floor(diff * diff * _SCALE).astype(np.int64).sum(axis=1)
+        nrm = np.sqrt(
+            np.floor(A * A * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+        )
+        return pd.DataFrame(
+            {"cid": cid_tags[np.argmin(d, axis=1)].astype("int32"), "nrm": nrm}
+        )
+
+    return (
+        vectors.select(id_col, vec_col)
+        .withColumn("__an", _assign_norm(F.col(vec_col).cast("array<double>")))
+        .select(
+            id_col,
+            vec_col,
+            F.coalesce(F.col("__an.cid"), F.lit(-1)).alias("cid"),
+            F.col("__an.nrm").alias("nrm"),
+        )
     )
 
 
@@ -175,17 +245,30 @@ def semantic_dedup_pairs(
     if min_parallelism is not None:
         vectors = vectors.repartition(min_parallelism).persist()
     centroids = kmeans_fit(vectors, id_col, vec_col, k=k, iters=iters)
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    # fused assign+norm: norms are computed once per VECTOR in the same
+    # Arrow hop as the assignment; the pair stage below then evaluates
+    # only the dot UDF per pair instead of dot + 2 per-pair norms
+    # (guide §4.1 — before-plan: 3 pair-wide UDFs evaluated twice)
+    assigned = assign_clusters_with_norm(vectors, centroids, id_col, vec_col)
     a = assigned.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"), "cid"
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"), "cid",
+        F.col("nrm").alias("__n1"),
     )
     b = assigned.select(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"),
-        F.col("cid").alias("__cid2"),
+        F.col("cid").alias("__cid2"), F.col("nrm").alias("__n2"),
     )
     pairs = a.join(
         b, (F.col("cid") == F.col("__cid2")) & (F.col("id1") < F.col("id2"))
-    ).withColumn("cosine_sim", cosine_exact_vec(F.col("__v1"), F.col("__v2")))
+    ).withColumn(
+        "cosine_sim",
+        # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
+        dot_exact_vec(
+            F.col("__v1").cast("array<double>"),
+            F.col("__v2").cast("array<double>"),
+        )
+        / F.nullif(F.col("__n1") * F.col("__n2"), F.lit(0.0)),
+    )
     return pairs.filter(F.col("cosine_sim") >= threshold).select(
         "id1", "id2", "cid", "cosine_sim"
     )

@@ -36,15 +36,23 @@ def _sub(vec_col: str, s: int, sub_dim: int):
 
 
 def _explode_subspaces(
-    vectors: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sub, sv): every vector split into its m subvectors — one
-    row-local explode, no shuffle.  NULL vectors are dropped — not
-    encodable, and a None subvector crashes the numpy assign batch
-    (r13 null-probe find)."""
+    """(id, sub, sv, *extra_cols): every vector split into its m
+    subvectors — one row-local explode, no shuffle.  NULL vectors are
+    dropped — not encodable, and a None subvector crashes the numpy
+    assign batch (r13 null-probe find).  ``extra_cols`` ride along
+    row-locally (e.g. a precomputed IVF cell id, so the encoder's
+    output needs no join back on the vector id — guide §2.4)."""
     vectors = vectors.filter(F.col(vec_col).isNotNull())
     return vectors.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.explode(
             F.array(
                 *[
@@ -56,13 +64,14 @@ def _explode_subspaces(
                 ]
             )
         ).alias("e"),
-    ).select(id_col, "e.sub", "e.sv")
+    ).select(id_col, *extra_cols, "e.sub", "e.sv")
 
 
 def _assign_joint(
     exploded: DataFrame,
     books: list[list[list[float]]],
     id_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sub, code) for every subvector against its own subspace's
     broadcast codebook — ONE map-only pass over all subspaces (the
@@ -95,6 +104,7 @@ def _assign_joint(
     # similarity.bucketed_norm_corpus's coalesce(bucket, ''))
     return exploded.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         "sub",
         "sv",
         F.coalesce(
@@ -175,15 +185,17 @@ def encode(
     id_col: str = "vec_id",
     vec_col: str = "v",
     sub_dim: int = 16,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Corpus → (id, sub, code): the nearest codeword per subspace.
-    One row-local explode + one map-only joint assignment against the
-    broadcast codebooks — the 100×-smaller table every later search
-    touches."""
+    """Corpus → (id, sub, code, *extra_cols): the nearest codeword per
+    subspace.  One row-local explode + one map-only joint assignment
+    against the broadcast codebooks — the 100×-smaller table every
+    later search touches.  ``extra_cols`` (e.g. the IVF cell) ride
+    along row-locally instead of being joined back on the id."""
     m = len(books)
-    exploded = _explode_subspaces(vectors, id_col, vec_col, m, sub_dim)
-    return _assign_joint(exploded, books, id_col).select(
-        id_col, "sub", F.col("code")
+    exploded = _explode_subspaces(vectors, id_col, vec_col, m, sub_dim, extra_cols)
+    return _assign_joint(exploded, books, id_col, extra_cols).select(
+        id_col, *extra_cols, "sub", F.col("code")
     )
 
 

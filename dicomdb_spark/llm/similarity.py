@@ -397,6 +397,106 @@ def bucketed_norm_corpus(
     )
 
 
+def seed_cell_norm_corpus(
+    vectors: DataFrame,
+    n_cents: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    with_norm: bool = True,
+) -> DataFrame:
+    """(id, v, cell, nrm?) in ONE corpus scan and ONE Python hop — the
+    IVF coarse quantizer fused with the per-vector norm.
+
+    Replaces the crossJoin(broadcast(cents)) → per-(vec, cent) dot UDF
+    → row_number window → join-back-on-vec_id pipeline of the IVF
+    queries (guide §2.4 — that shape shuffled the corpus twice and ran
+    three Arrow hops; §4.1 — the vector crosses the boundary once).
+
+    Bitwise-identical outputs by construction:
+
+    * cell = argmax of the floor-scaled int64 dot against the
+      ``n_cents`` lowest-id corpus vectors, ties broken by LOWEST
+      cent_id — np.argmax returns the first maximum and the centroid
+      matrix is cent_id-ordered, which replays the old
+      ``row_number() OVER (ORDER BY dp DESC, cent_id)`` pick;
+    * a NULL vector keeps the old NULL-dp semantics (dp NULL for every
+      centroid → all tie → lowest cent_id wins, nrm NULL) — the IVF
+      oracles do NOT null-filter, so neither does this kernel (unlike
+      :func:`bucketed_norm_corpus`, whose oracles do);
+    * nrm is the same floor-scaled int64 kernel as norm_exact_vec.
+
+    coalesce(cell, first_cent_id) keeps the cell equi-join key
+    statically non-null so the inferred isnotnull filter
+    constant-folds instead of re-evaluating the UDF (guide §4.4).
+    """
+    import numpy as np
+
+    cent_rows = (
+        vectors.filter(F.col(id_col) < n_cents)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("cv"))
+        .collect()
+    )
+    cent_rows = sorted(cent_rows, key=lambda r: r[id_col])
+    if not cent_rows:
+        # no centroids → the old inner join on the (empty) assignment
+        # produced an empty corpus; replay that exactly
+        out = vectors.select(id_col, vec_col).where(F.lit(False)).withColumn(
+            "cell", F.lit(None).cast("bigint")
+        )
+        if with_norm:
+            out = out.withColumn("nrm", F.lit(None).cast("double"))
+        return out
+    cid_tags = np.asarray([r[id_col] for r in cent_rows], dtype=np.int64)
+    # a NULL centroid's dp is NULL on every row → it sorts below every
+    # real dp and can only win an all-NULL tie, where the LOWEST
+    # cent_id wins regardless: int64-min sentinel rows reproduce both.
+    dim = next((len(r.cv) for r in cent_rows if r.cv is not None), 0)
+    P = np.asarray(
+        [
+            r.cv if r.cv is not None else [0.0] * dim
+            for r in cent_rows
+        ],
+        dtype=np.float64,
+    )
+    null_cent = np.asarray([r.cv is None for r in cent_rows], dtype=bool)
+    first_cid = int(cid_tags[0]) if len(cid_tags) else -1
+
+    @F.pandas_udf("cell bigint, nrm double")
+    def _cn(x: pd.Series) -> pd.DataFrame:
+        valid = x.notna().to_numpy()
+        # all-NULL dp tie → lowest cent_id; nrm NULL (NaN → Arrow null)
+        cells = np.full(len(x), first_cid, dtype=np.int64)
+        nrm = np.full(len(x), np.nan, dtype=np.float64)
+        if valid.any():
+            A = np.vstack(x[valid].to_numpy()).astype(np.float64)
+            d = np.empty((A.shape[0], P.shape[0]), dtype=np.int64)
+            for j in range(P.shape[0]):
+                if null_cent[j]:
+                    d[:, j] = np.iinfo(np.int64).min
+                else:
+                    d[:, j] = (
+                        np.floor(A * P[j] * _SCALE).astype(np.int64).sum(axis=1)
+                    )
+            cells[valid] = cid_tags[np.argmax(d, axis=1)]
+            nrm[valid] = np.sqrt(
+                np.floor(A * A * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+            )
+        return pd.DataFrame({"cell": cells, "nrm": nrm})
+
+    out_cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        F.coalesce(F.col("__cn.cell"), F.lit(first_cid)).alias("cell"),
+    ]
+    if with_norm:
+        out_cols.append(F.col("__cn.nrm").alias("nrm"))
+    return (
+        vectors.select(id_col, vec_col)
+        .withColumn("__cn", _cn(F.col(vec_col).cast("array<double>")))
+        .select(*out_cols)
+    )
+
+
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot LSH bucket key: one char per hyperplane ('1'/'0').
 

@@ -346,10 +346,17 @@ PROVEN_AT_COMMIT = "3ca1b008fc9ccbf47d3d806b1b164e1277a96017"
 # bookkeeping file) to appear as a key, and each listed query to be
 # fronted or unproven.
 ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
-    # r13: assign_clusters now requires tagged (cid, vector) centroids
+    # r13: assign_clusters now requires tagged (cid, vector) centroids;
+    # r13 optimization: fused assign+norm kernel + coalesce(cid, -1)
+    # non-null join key (kills the §4.4 UDF re-evaluation)
     "dicomdb_spark/llm/clustering.py": (
         "dedup_semantic_kmeans", "corpus_semantic_dedup_pipeline",
         "ann_ivf_trained_topk",
+    ),
+    # r13 optimization: bloom_probe is now a 1-row bitset-array
+    # broadcast membership test (no explode / semi-join / join-back)
+    "dicomdb_spark/functions/sketches.py": (
+        "sketch_bloom_join", "sketch_bloom_fpr_audit",
     ),
     # r13 null-probe: min_by/max_by now skip NULL observations
     # (DuckDB arg_min/arg_max semantics)
@@ -366,11 +373,12 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     # r13 null-probe: weighted_sample drops NULL-weight rows
     "dicomdb_spark/llm/corpus.py": ("corpus_weighted_sample",),
     # r13 null-probe: drop_null_vectors at every public entry +
-    # NULL-propagating dot/norm batch UDFs
+    # NULL-propagating dot/norm batch UDFs; r13 optimization: fused
+    # seed_cell_norm_corpus IVF coarse quantizer (one scan/Arrow hop)
     "dicomdb_spark/llm/similarity.py": (
         "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_buckets",
         "ann_mips_topk", "dedup_embedding_cosine", "ann_recall_eval",
-        "ann_metric_agreement",
+        "ann_metric_agreement", "ann_ivf_topk", "ann_ivf_pq_topk",
     ),
     # r13 null-probe: _explode_subspaces drops NULL vectors
     "dicomdb_spark/llm/pq.py": ("ann_pq_topk", "ann_ivf_pq_topk"),
@@ -453,6 +461,11 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     "corpus_dedup_survivorship", "corpus_dup_cluster_sizes",
     "graph_modularity",
     "graph_pagerank", "graph_ppr_seeds", "text_textrank_weighted",
+    # r13 optimization round, second batch: fused IVF coarse quantizer,
+    # fused assign+norm semantic dedup, in-plan basket pair
+    # enumeration, 1-row-bitset bloom probe — all oracle-rechecked at
+    # sf0.01 when landed, fronted here for driver re-proof
+    "a_market_basket", "sketch_bloom_join", "sketch_bloom_fpr_audit",
 )
 
 

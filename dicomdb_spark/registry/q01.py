@@ -3522,33 +3522,29 @@ def ann_ivf_topk(spark, sf_dir):
     max-dot seed centroid — an inverted file cell), then exact top-3
     within the cell.  The scale path for ANN when hyperplane-LSH
     recall is insufficient: cells shuffle-partition the corpus; the
-    per-cell search is an equi-join on cent_id, never a cross join."""
+    per-cell search is an equi-join on cent_id, never a cross join.
+
+    Cell assignment + norm come from ONE fused scan/Arrow hop
+    (llm/similarity.py seed_cell_norm_corpus; r13 optimization, guide
+    §2.4/§4.1 — was crossJoin×8 → dot UDF → window → vec_id
+    self-join)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.col("embedding").alias("v"))
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("__cv")
-    )
-    scored_cent = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        lsim.dot_exact_vec(F.col("v").cast("array<double>"), F.col("__cv").cast("array<double>")).alias("dp"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cent_id"))
-    assign = (
-        scored_cent.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
-    n = e.join(assign, "vec_id").withColumn("nrm", lsim.norm_exact_vec(F.col("v").cast("array<double>")))
+    # (a pre-kernel local _fanout repartition was measured and
+    # REJECTED here: interleaved A/B min-of-5 9.99/5.59 s with vs
+    # 4.35/3.84 s without — the broadcast-probe scoring side wins by
+    # staying co-located with the scan; the extra exchange plus 32
+    # python workers cost more than the added parallelism returns)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = lsim.seed_cell_norm_corpus(e, n_cents=8, id_col="vec_id", vec_col="v")
     a = n.select(
         F.col("vec_id").alias("query_id"),
-        F.col("cent_id"),
+        F.col("cell").alias("cent_id"),
         F.col("v").alias("__qv"),
         F.col("nrm").alias("__qn"),
     )
     b = n.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("cent_id").alias("__bc"),
+        F.col("cell").alias("__bc"),
         F.col("v").alias("__bv"),
         F.col("nrm").alias("__bn"),
     )
@@ -3558,7 +3554,7 @@ def ann_ivf_topk(spark, sf_dir):
             "query_id",
             "cent_id",
             "neighbor_id",
-            (lsim.dot_exact_vec(F.col("__qv").cast("array<double>"), F.col("__bv").cast("array<double>"))
+            (lsim.dot_exact_vec(F.col("__qv"), F.col("__bv"))
              / F.nullif(F.col("__qn") * F.col("__bn"), F.lit(0.0))).alias("cosine_sim"),
         )
     )
@@ -3711,15 +3707,15 @@ def ann_ivf_trained_topk(spark, sf_dir):
     searches only its own cell (nprobe=1) — candidates meet via an
     equi-join on the cell id.  Composes the clustering trainer with
     the ANN path; the oracle replays training + search end-to-end."""
-    from dicomdb_spark.llm.clustering import assign_clusters, kmeans_fit
+    from dicomdb_spark.llm.clustering import assign_clusters_with_norm, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = kmeans_fit(emb, "vec_id", "v", k=8, iters=2)
-    n = assign_clusters(emb, cents, "vec_id", "v").withColumn(
-        "nrm", lsim.norm_exact_vec(F.col("v"))
-    )
+    # fused assign+norm: one Arrow hop per join side instead of assign
+    # + a separate norm pass (r13 optimization, guide §4.1)
+    n = assign_clusters_with_norm(emb, cents, "vec_id", "v")
     q = n.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("__qv"),

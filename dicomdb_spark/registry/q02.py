@@ -1380,11 +1380,16 @@ def sketch_bloom_join(spark, sf_dir):
     engines set and test the identical bits."""
     from dicomdb_spark.functions import sketches
 
+    # dedupe the build keys ONCE and share the distinct set between the
+    # bit build and the exact-truth side: the pre-r13 form hashed every
+    # raw urgent order row (≈6× the distinct keys) and paid a second
+    # distinct shuffle for the truth set (r13 optimization, guide §2.3)
     urgent = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
         .transform(_fanout(spark))
+        .distinct()
         .persist()  # TWO consumers (bit build + exact truth): one scan
     )
     bits = sketches.bloom_bits(urgent, "o_custkey", m_bits=4096, k_hashes=3)
@@ -1394,7 +1399,7 @@ def sketch_bloom_join(spark, sf_dir):
         .transform(_fanout(spark))
     )
     probed = sketches.bloom_probe(cust, bits, "c_custkey", m_bits=4096, k_hashes=3)
-    truth = urgent.distinct().select(
+    truth = urgent.select(
         F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_true")
     )
     flags = probed.join(truth, "c_custkey", "left").select(
@@ -3752,30 +3757,19 @@ def ann_ivf_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid0"), F.col("v").alias("__cv")
-    )
-    scored_cent = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cid0",
-        lsim.dot_exact_vec(F.col("v"), F.col("__cv").cast("array<double>")).alias(
-            "dp"
-        ),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("dp").desc(), F.col("cid0")
-    )
-    assign = (
-        scored_cent.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid0").alias("cell"))
+    # fused coarse quantizer: cell assigned in ONE scan/Arrow hop and
+    # carried through the subspace explode row-locally — was
+    # crossJoin×8 → dot UDF → window → a codes ⋈ assign vec_id join
+    # (r13 optimization, guide §2.4/§4.1)
+    n = lsim.seed_cell_norm_corpus(
+        emb, n_cents=8, id_col="vec_id", vec_col="v", with_norm=False
     )
     books = pq.train_codebooks(emb, "vec_id", "v", m=4, sub_dim=16, k=8, iters=1)
-    codes = pq.encode(emb, books, "vec_id", "v", sub_dim=16).join(assign, "vec_id")
+    codes = pq.encode(n, books, "vec_id", "v", sub_dim=16, extra_cols=("cell",))
     lut = pq.adc_lut(
         spark, emb.filter(F.col("vec_id") < 10), books, "vec_id", "v", sub_dim=16
     ).join(
-        assign.select(F.col("vec_id").alias("query_id"), "cell"), "query_id"
+        n.select(F.col("vec_id").alias("query_id"), "cell"), "query_id"
     )
     return pq.pq_topk(codes, lut, topk=3, extra_keys=("cell",))
 

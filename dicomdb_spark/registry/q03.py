@@ -1455,20 +1455,37 @@ def a_market_basket(spark, sf_dir):
     # part is SF-scaling (200k·SF rows) — no pinned broadcast; AQE
     # picks the strategy from runtime stats.  Only the provably
     # bounded sides below (ac = |brands| rows, nb = 1 row) stay hinted.
-    # four consumers (total, item counts, both pair sides) — persist so
-    # the join+distinct runs once
-    b = (
+    # ONE shuffle on l_orderkey builds the per-basket DISTINCT brand
+    # set (collect_set == the old .distinct(), but keyed per basket);
+    # the a<b pair enumeration is then ROW-LOCAL over the sorted set —
+    # the old plan shuffled the distinct table twice more into a
+    # self-join (r13 optimization, guide §2.4: remove the self-join
+    # shuffle outright; bounded fan-out — |brands| is small and fixed,
+    # so a basket emits ≤ C(|brands|, 2) pairs).  Three consumers
+    # (total, item counts, pairs) — persist the small aggregated frame.
+    b_sets = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("__brands"))
         .persist()
     )
-    nb = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    ac = b.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    nb = b_sets.agg(F.count("*").alias("n_baskets"))
+    ac = b_sets.select(F.explode("__brands").alias("p_brand")).groupBy(
+        "p_brand"
+    ).agg(F.count("*").alias("cnt"))
+    sz = F.size(F.col("__brands"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__brands"), i + 2, sz),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pr = (
-        b.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-        .join(b.select("l_orderkey", F.col("p_brand").alias("brand_b")), "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        b_sets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.brand_a", "__p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= 20)

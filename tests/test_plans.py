@@ -210,12 +210,21 @@ def test_q9_q20_broadcast_dims(spark):
 
 
 def test_bloom_probe_broadcasts_bits(spark):
-    """The bloom bit table must broadcast onto the probe side — a
-    sort-merge membership join would shuffle the probe stream and
-    defeat the pre-filter's purpose."""
+    """The bloom membership test must stay a map-side broadcast: the
+    bit table collapses to ONE array row that rides a broadcast
+    nested-loop join (r13 optimization — the old shape exploded every
+    probe ×k, semi-joined the bit rows, re-aggregated and joined the
+    flags back).  A sort-merge membership join would shuffle the probe
+    stream and defeat the pre-filter's purpose."""
     df = QUERIES["sketch_bloom_join"](spark, SF)
-    assert pi.count_broadcast_joins(df) >= 2, pi.simple_plan(df)
+    plan = pi.formatted_plan(df)
+    # the single-row bitset broadcast (BNLJ) + the truth-side equi-join
+    assert "BroadcastNestedLoopJoin" in plan, pi.simple_plan(df)
+    assert pi.count_broadcast_joins(df) >= 1, pi.simple_plan(df)
     assert not pi.has_sort_merge_join(df)
+    # the probe path computes membership as an array_contains
+    # projection (no per-probe explode/semi-join/count round trip)
+    assert "array_contains" in plan, pi.simple_plan(df)
 
 
 def test_round5_joins_are_not_nested_loops(spark):
