@@ -358,6 +358,10 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     "dicomdb_spark/functions/sketches.py": (
         "sketch_bloom_join", "sketch_bloom_fpr_audit",
     ),
+    # r13 optimization: iterrows -> column zip in the zscore/cusum
+    # stateful folds (guide §4.2); no registry query consumes this
+    # module — covered by the streaming equivalence tests
+    "dicomdb_spark/streaming/stateful.py": (),
     # r13 null-probe: min_by/max_by now skip NULL observations
     # (DuckDB arg_min/arg_max semantics)
     "dicomdb_spark/operators/aggregates.py": ("a4_min_max_by",),

@@ -291,8 +291,11 @@ def stateful_zscore(
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([ts_col, id_col])
-            for _, row in pdf.iterrows():
-                vi = math.floor(row[value_col] * 10000)
+            # column zip, not iterrows: iterrows materializes a Series
+            # per row and dominated the per-event cost of this
+            # (inherently sequential) fold — guide §4.2
+            for rid, val in zip(pdf[id_col].tolist(), pdf[value_col].tolist()):
+                vi = math.floor(val * 10000)
                 win = tail[-(frame - 1):] + [vi]
                 n = len(win)
                 sx = sum(win)
@@ -300,7 +303,7 @@ def stateful_zscore(
                 mean = float(sx) / n
                 var = float(sxx) / n - mean * mean
                 z = (float(vi) - mean) / math.sqrt(var) if var > 0 else None
-                ids.append(row[id_col])
+                ids.append(rid)
                 zs.append(z)
                 flags.append(bool(z is not None and abs(z) > threshold))
                 tail = win
@@ -375,10 +378,11 @@ def stateful_cusum(
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([ts_col, id_col])
-            for _, row in pdf.iterrows():
-                d = math.floor(row[value_col] * 10000) - ref_scaled
+            # column zip, not iterrows (guide §4.2 — see stateful_zscore)
+            for rid, val in zip(pdf[id_col].tolist(), pdf[value_col].tolist()):
+                d = math.floor(val * 10000) - ref_scaled
                 s = max(0, s + d)
-                ids.append(row[id_col])
+                ids.append(rid)
                 cs.append(s)
                 al.append(s > threshold_scaled)
         state.update((s,))
