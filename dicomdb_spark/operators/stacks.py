@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # T1 stack grouping keys (Exam_info.py:881-922; EchoTime appended for
@@ -36,63 +37,122 @@ STACK_SCHEMA = T.StructType(
 )
 
 
-def _assemble_one(pdf: pd.DataFrame) -> pd.DataFrame:
-    """U3 — order by InstanceNumber, detect repeats/gaps, derive the
-    per-volume duration (Exam_info.py:752-857).
+def _assemble_frame(pdf: pd.DataFrame, gid: np.ndarray) -> pd.DataFrame:
+    """Vectorized U3 kernel over a (key, InstanceNumber nulls-last,
+    path)-sorted frame whose rows carry ascending group ids ``gid``
+    (one id per stack, rows of a stack contiguous).
 
-    corrupt codes reproduce the reference's:
-    ``%dDuplicate`` (ImageCollisionError count, :802),
-    ``missingDicomFile_%d`` (:1352).
+    Reproduces ``%dDuplicate`` (ImageCollisionError count,
+    Exam_info.py:802), ``missingDicomFile_%d`` (:1352),
+    ``nullInstanceNumber_%d`` (malformed headers degrade to flags),
+    and the midnight-rollover duration (:856-857) — the same numbers
+    the per-group pandas fold produced, computed with reduceat over
+    group segments instead of one Python call per stack.
     """
-    pdf = pdf.sort_values(["InstanceNumber", "path"], kind="mergesort")
-    # malformed headers degrade to flags, never stage failure: rows with
-    # NULL InstanceNumber are counted into corrupt instead of feeding
-    # int(NaN) into np.unique
-    null_inst = pdf["InstanceNumber"].isna()
-    n_null_inst = int(null_inst.sum())
-    key = pdf.iloc[0]
-    n_total = len(pdf)
-    first_file = pdf["path"].iloc[0] if n_total else None
-    last_file = pdf["path"].iloc[-1] if n_total else None
-    pdf = pdf[~null_inst]
-    inst = pdf["InstanceNumber"].to_numpy()
-    n = len(pdf)
-    uniq, counts = np.unique(inst, return_counts=True)
-    n_dup = int((counts - 1).sum())
-    expected = int(uniq.max() - uniq.min() + 1) if n else 0
-    n_missing = max(expected - len(uniq), 0)
-    flags = []
-    if n_dup:
-        flags.append(f"{n_dup}Duplicate")
-    if n_missing:
-        flags.append(f"missingDicomFile_{n_missing}")
-    if n_null_inst:
-        flags.append(f"nullInstanceNumber_{n_null_inst}")
-    # per-volume duration: t2 − t1 of the first two instants, with the
-    # reference's midnight rollover guard (Exam_info.py:856-857)
-    dur = None
-    secs = pdf["acq_seconds"].to_numpy(dtype="float64")
-    if n >= 2 and not np.isnan(secs[:2]).any():
-        d = float(secs[1] - secs[0])
-        if d < 0:
-            d += 24 * 3600
-        dur = d
-    return pd.DataFrame(
-        [
-            {
-                "SeriesInstanceUID": key["SeriesInstanceUID"],
-                "SeriesNumber": key["SeriesNumber"],
-                "EchoTime": key["EchoTime"],
-                "nb_dic_file": n_total,
-                "first_file": first_file,
-                "last_file": last_file,
-                "n_duplicates": n_dup,
-                "n_missing": n_missing,
-                "corrupt": ";".join(flags) if flags else "ok",
-                "duration_s": dur,
-            }
-        ]
+    # group segment bounds (rows pre-sorted, gid ascending)
+    idx_first = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+    n_groups = len(idx_first)
+    n_rows = len(gid)
+    idx_last = np.r_[idx_first[1:] - 1, n_rows - 1]
+    n_total = np.diff(np.r_[idx_first, n_rows])
+
+    path = pdf["path"].to_numpy()
+    inst_s = pdf["InstanceNumber"]
+    null_inst = inst_s.isna().to_numpy()
+    inst = inst_s.to_numpy(dtype="float64", na_value=np.nan)
+    secs = pdf["acq_seconds"].to_numpy(dtype="float64", na_value=np.nan)
+
+    n_null = np.add.reduceat(null_inst.astype(np.int64), idx_first)
+    n_nonnull = n_total - n_null
+
+    # distinct InstanceNumber count per group: rows are sorted with
+    # non-null inst ascending FIRST within each group, so equal values
+    # are adjacent and a value is "new" when it differs from its
+    # predecessor (or starts the group / follows no non-null row)
+    nn = ~null_inst
+    same_group = np.r_[False, gid[1:] == gid[:-1]]
+    prev_nn = np.r_[False, nn[:-1]]
+    prev_inst = np.r_[np.nan, inst[:-1]]
+    new_distinct = nn & (~same_group | ~prev_nn | (inst != prev_inst))
+    n_uniq = np.add.reduceat(new_distinct.astype(np.int64), idx_first)
+
+    # min/max of the non-null inst block: non-nulls precede nulls, so
+    # min sits at idx_first and max at idx_first + n_nonnull - 1
+    has_nn = n_nonnull > 0
+    idx_max_nn = idx_first + np.maximum(n_nonnull - 1, 0)
+    expected = np.where(
+        has_nn, inst[idx_max_nn] - inst[idx_first] + 1.0, 0.0
+    ).astype(np.int64)
+    n_dup = n_nonnull - n_uniq
+    n_missing = np.maximum(expected - n_uniq, 0)
+
+    # duration: first two NON-NULL-inst rows' acq_seconds (rows
+    # idx_first, idx_first+1 — the non-null block leads the group)
+    has_two = n_nonnull >= 2
+    s1 = secs[idx_first]
+    s2 = secs[np.minimum(idx_first + 1, n_rows - 1)]
+    dur = np.where(has_two, s2 - s1, np.nan)
+    dur = np.where(dur < 0, dur + 24 * 3600, dur)
+    dur[np.isnan(s1) | np.isnan(s2)] = np.nan
+
+    corrupt = []
+    for d, m, z in zip(n_dup.tolist(), n_missing.tolist(), n_null.tolist()):
+        flags = []
+        if d:
+            flags.append(f"{d}Duplicate")
+        if m:
+            flags.append(f"missingDicomFile_{m}")
+        if z:
+            flags.append(f"nullInstanceNumber_{z}")
+        corrupt.append(";".join(flags) if flags else "ok")
+
+    out = pd.DataFrame(
+        {
+            "SeriesInstanceUID": pdf["SeriesInstanceUID"].to_numpy()[idx_first],
+            "SeriesNumber": pdf["SeriesNumber"].to_numpy()[idx_first],
+            "EchoTime": pdf["EchoTime"].to_numpy()[idx_first],
+            "nb_dic_file": n_total,
+            "first_file": path[idx_first],
+            "last_file": path[idx_last],
+            "n_duplicates": n_dup,
+            "n_missing": n_missing,
+            "corrupt": corrupt,
+            "duration_s": dur,
+        }
     )
+    assert len(out) == n_groups
+    return out
+
+
+_ASSEMBLE_COLS = list(STACK_KEYS) + ["path", "InstanceNumber", "acq_seconds"]
+
+
+def _assemble_partition(batches):
+    """mapInPandas driver for the U3 kernel: detects stack boundaries
+    in the sorted partition stream and carries the (possibly
+    incomplete) tail group across Arrow batch boundaries."""
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        for k in STACK_KEYS:
+            col = pdf[k]
+            prev = col.shift()
+            eq = (col == prev) | (col.isna() & prev.isna())
+            change |= ~eq.to_numpy(dtype=bool)
+        gid = np.cumsum(change)
+        tail = gid == gid[-1]
+        carry = pdf[tail].reset_index(drop=True)
+        body = pdf[~tail]
+        if len(body):
+            yield _assemble_frame(body.reset_index(drop=True), gid[~tail])
+    if carry is not None and len(carry):
+        yield _assemble_frame(carry, np.ones(len(carry), dtype=np.int64))
 
 
 def assemble_stacks(headers: DataFrame) -> DataFrame:
@@ -101,10 +161,23 @@ def assemble_stacks(headers: DataFrame) -> DataFrame:
     Input needs columns: STACK_KEYS + path, InstanceNumber,
     acq_seconds (seconds-of-day, from F4 parsing).  One output row per
     stack.
+
+    Shape: hash-repartition on the stack keys + an in-partition sort
+    (the identical exchange ``groupBy().applyInPandas`` produced),
+    then ONE ``mapInPandas`` pass whose kernel computes every stack of
+    a partition with numpy segment reductions.  The per-group pandas
+    fold this replaces crossed the Arrow boundary once per stack —
+    14.7k one-row batches at sf0.1 — which was pure per-group
+    overhead, not compute (guide §4.2).  The in-group order is the
+    old fold's ``sort_values([InstanceNumber, path])`` exactly: pandas
+    places NaN keys last and orders them by the next key, which is
+    Spark's ``asc_nulls_last`` + path.
     """
-    return headers.groupBy(*STACK_KEYS).applyInPandas(
-        _assemble_one, schema=STACK_SCHEMA
+    h = headers.select(*_ASSEMBLE_COLS).repartition(*STACK_KEYS)
+    h = h.sortWithinPartitions(
+        *STACK_KEYS, F.col("InstanceNumber").asc_nulls_last(), "path"
     )
+    return h.mapInPandas(_assemble_partition, schema=STACK_SCHEMA)
 
 
 BVEC_SCHEMA = T.StructType(

@@ -400,6 +400,12 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     "dicomdb_spark/operators/graph.py": (
         "graph_pagerank", "graph_ppr_seeds", "text_textrank_weighted",
     ),
+    # r13 optimization: assemble_stacks vectorized — same key exchange
+    # + in-partition sort, but ONE mapInPandas segment kernel per
+    # partition instead of one Python call per stack (guide §4.2)
+    "dicomdb_spark/operators/stacks.py": (
+        "u3_stack_assembly", "e1_import_pipeline",
+    ),
 }
 
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
@@ -470,6 +476,9 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # enumeration, 1-row-bitset bloom probe — all oracle-rechecked at
     # sf0.01 when landed, fronted here for driver re-proof
     "a_market_basket", "sketch_bloom_join", "sketch_bloom_fpr_audit",
+    # r13 optimization round, third batch (session 3): vectorized U3
+    # stack assembly — oracle-rechecked at sf0.01 when landed
+    "u3_stack_assembly", "e1_import_pipeline",
 )
 
 

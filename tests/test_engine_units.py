@@ -168,6 +168,52 @@ def test_assemble_null_instance_degrades_to_flag(spark):
     assert out.n_missing == 0 and out.n_duplicates == 0
 
 
+def test_assemble_stacks_groups_span_arrow_batches(spark):
+    # r13 optimization regression: the vectorized mapInPandas kernel
+    # must carry a stack whose rows straddle Arrow batch boundaries
+    # (tiny maxRecordsPerBatch forces multi-batch groups) and still
+    # reproduce the per-group fold's numbers exactly
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = []
+        # stack X: instances 1..40 each twice (40 dups), plus inst 45
+        # (4 missing: 41-44)
+        for i in range(40):
+            for rep in range(2):
+                rows.append(
+                    Row(SeriesInstanceUID="X", SeriesNumber=1, EchoTime=1.0,
+                        path=f"/x/f{i}_{rep}.dic", InstanceNumber=i + 1,
+                        acq_seconds=float(100 + i))
+                )
+        rows.append(
+            Row(SeriesInstanceUID="X", SeriesNumber=1, EchoTime=1.0,
+                path="/x/tail.dic", InstanceNumber=45,
+                acq_seconds=86399.0)
+        )
+        # stack Y: clean 1..3, rollover duration (86390 -> 5)
+        for i, sec in enumerate([86390.0, 5.0, 10.0]):
+            rows.append(
+                Row(SeriesInstanceUID="Y", SeriesNumber=1, EchoTime=1.0,
+                    path=f"/y/f{i}.dic", InstanceNumber=i + 1,
+                    acq_seconds=sec)
+            )
+        out = {
+            r.SeriesInstanceUID: r
+            for r in stacks.assemble_stacks(spark.createDataFrame(rows)).collect()
+        }
+        x, y = out["X"], out["Y"]
+        assert x.nb_dic_file == 81
+        assert x.n_duplicates == 40 and x.n_missing == 4
+        assert x.corrupt == "40Duplicate;missingDicomFile_4"
+        assert x.first_file == "/x/f0_0.dic" and x.last_file == "/x/tail.dic"
+        # first two sorted instants are the duplicated inst 1 pair
+        assert x.duration_s == 0.0
+        assert y.corrupt == "ok" and y.duration_s == 15.0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_full_outer_diff_null_value_semantics(spark):
     # key on both sides with NULL in the first compare column is NOT a
     # missing row; NULL-vs-value differences report mismatch
