@@ -479,6 +479,8 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # r13 optimization round, third batch (session 3): vectorized U3
     # stack assembly — oracle-rechecked at sf0.01 when landed
     "u3_stack_assembly", "e1_import_pipeline",
+    # session 3: HITS half-round localCheckpoint lineage truncation
+    "graph_hits_unrolled",
 )
 
 

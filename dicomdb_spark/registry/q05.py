@@ -982,10 +982,20 @@ def graph_hits_unrolled(spark, sf_dir):
     engines walk identical arithmetic with zero float accumulation.
     Each half-round is one edges⋈scores join + aggregate (|E| cost);
     the max is a 1-row broadcast; top-10 authorities via distributed
-    TakeOrdered."""
-    edges = _cs_edges(spark, sf_dir).persist()
+    TakeOrdered.
+
+    r13 optimization (guide §3.3/§5): every normalized score table is
+    referenced twice downstream (its own max + the next push; h2n also
+    feeds the final join), so an unmaterialized lineage NESTED the
+    whole upstream subtree per reference — the executed plan grew to
+    262 Exchange nodes and re-computed early rounds ~16×.
+    localCheckpoint(eager=True) per half-round (the k-truss / BFS /
+    PageRank idiom) makes each round one edges⋈scores join over
+    materialized |V|-row state; the consumer plan is flat."""
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
 
     def normalize(df, col):
+        df = df.localCheckpoint(eager=True)
         m = df.agg(F.max(col).alias("__m"))
         return df.crossJoin(F.broadcast(m)).select(
             "node", F.expr(f"({col} * 1000000) div __m").alias(col)
