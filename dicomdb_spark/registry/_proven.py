@@ -481,6 +481,8 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     "u3_stack_assembly", "e1_import_pipeline",
     # session 3: HITS half-round localCheckpoint lineage truncation
     "graph_hits_unrolled",
+    # session 3: pairwise-median numpy selection kernels (day grain)
+    "a_theil_sen_daily", "a_hodges_lehmann",
 )
 
 

@@ -3639,7 +3639,54 @@ def a_theil_sen_daily(spark, sf_dir):
     slope pairs per group at ANY data scale, since the fact table was
     pre-aggregated); the median pick is a partitioned rank with a
     unique (slope, d1, d2) tiebreak.  Slopes are one division of exact
-    integers, identical on both engines."""
+    integers, identical on both engines.
+
+    r13 optimization (guide §2.4/§4.2): the SQL oracle keeps the
+    pair-rows-and-window form, but the Spark plan selects the median
+    slope per group with a numpy kernel over the DAY GRAIN — the
+    priority domain has only 5 keys, so the old d⋈d self-join and the
+    row_number window both ran at parallelism ≤5 while shuffling every
+    pair row (~14M at sf0.1); only ~2.4k (grp, day, rev) rows per
+    group now cross the Arrow boundary, pair slopes are enumerated in
+    vectorized blocks, and the k-th smallest comes from np.partition
+    (exact selection).  Arithmetic is IEEE-identical: rev fits double
+    exactly (≪2⁵³), so (Δrev)/(Δday)/100.0 is the old expression's op
+    sequence.  The rank's (d1, d2) tiebreak cannot change the RESULT:
+    slope leads the sort, so the row at any fixed rank inside a tie
+    block carries the same slope value, and only (grp, m, slope) is
+    emitted.  (A first rewrite enumerated the pairs with in-plan
+    nested transform/slice; interpreted HOF lambdas made it 3× SLOWER
+    than the join — measured and rejected, see OPTIMIZATION_r13.md.)"""
+    import numpy as np
+    import pandas as pd
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = pdf["day"].to_numpy("datetime64[D]").astype("int64")
+        order = np.argsort(days)  # days unique within the group
+        days = days[order]
+        rev = pdf["rev"].to_numpy("float64")[order]  # exact: |rev| << 2**53
+        n = len(days)
+        m = n * (n - 1) // 2
+        if m == 0:
+            return pd.DataFrame(
+                {"grp": pd.Series(dtype=object),
+                 "n_pairs": pd.Series(dtype="int64"),
+                 "ts_slope_per_day": pd.Series(dtype="float64")}
+            )
+        slopes = np.empty(m, dtype="float64")
+        pos = 0
+        for i in range(n - 1):
+            c = n - 1 - i
+            dd = (days[i + 1:] - days[i]).astype("float64")
+            slopes[pos:pos + c] = (rev[i + 1:] - rev[i]) / dd / 100.0
+            pos += c
+        k = (m + 1) // 2
+        val = np.partition(slopes, k - 1)[k - 1]
+        return pd.DataFrame(
+            {"grp": [pdf["grp"].iloc[0]], "n_pairs": [m],
+             "ts_slope_per_day": [val]}
+        )
+
     orders = load_table(spark, sf_dir, "orders")
     d = orders.groupBy(
         F.col("o_orderpriority").alias("grp"),
@@ -3649,29 +3696,9 @@ def a_theil_sen_daily(spark, sf_dir):
         .cast("long")
         .alias("rev")
     )
-    a, b2 = d.alias("a"), d.alias("b")
-    p = a.join(
-        b2,
-        (F.col("b.grp") == F.col("a.grp")) & (F.col("b.day") > F.col("a.day")),
-    ).select(
-        F.col("a.grp").alias("grp"),
-        (
-            (F.col("b.rev") - F.col("a.rev")).cast("double")
-            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
-            / 100.0
-        ).alias("slope"),
-        F.col("a.day").alias("d1"),
-        F.col("b.day").alias("d2"),
+    return d.groupBy("grp").applyInPandas(
+        one, schema="grp string, n_pairs long, ts_slope_per_day double"
     )
-    wp = Window.partitionBy("grp")
-    r = p.select(
-        "grp", "slope",
-        F.row_number().over(wp.orderBy("slope", "d1", "d2")).cast("long").alias("rn"),
-        F.count("*").over(wp).cast("long").alias("m"),
-    )
-    return r.filter(
-        F.col("rn") == F.floor((F.col("m") + 1).cast("double") / 2.0).cast("long")
-    ).select("grp", F.col("m").alias("n_pairs"), F.col("slope").alias("ts_slope_per_day"))
 
 
 @register(
@@ -3701,7 +3728,44 @@ def a_hodges_lehmann(spark, sf_dir):
     mean is not.  Walsh sums stay exact integers until one final
     /2/100 rescale; pairs are over the calendar-bounded day grain and
     the median pick is a partitioned unique-tiebreak rank, same scale
-    shape as a_theil_sen_daily."""
+    shape as a_theil_sen_daily.
+
+    r13 optimization (guide §2.4/§4.2): same numpy-selection move as
+    a_theil_sen_daily — the 5-key self-join + window ran at
+    parallelism ≤5 over ~14M shuffled pair rows; the Walsh sums are
+    now enumerated in vectorized blocks over the calendar-bounded day
+    grain (i ≤ j pairs include the diagonal) and the k-th smallest
+    comes from np.partition.  rev sums fit double exactly (≪2⁵³), so
+    rev_i + rev_j then /2.0/100.0 is the old op sequence.  The
+    (d1, d2) tiebreak cannot change the result: s2 leads the sort, so
+    any fixed rank inside a tie block carries the same s2, and only
+    (grp, m, s2) is emitted."""
+    import numpy as np
+    import pandas as pd
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        rev = pdf["rev"].to_numpy("float64")  # exact: |rev| << 2**53
+        n = len(rev)
+        if n == 0:
+            return pd.DataFrame(
+                {"grp": pd.Series(dtype=object),
+                 "n_walsh": pd.Series(dtype="int64"),
+                 "hl_location": pd.Series(dtype="float64")}
+            )
+        m = n * (n + 1) // 2
+        walsh = np.empty(m, dtype="float64")
+        pos = 0
+        for i in range(n):
+            c = n - i
+            walsh[pos:pos + c] = rev[i:] + rev[i]
+            pos += c
+        k = (m + 1) // 2
+        s2 = np.partition(walsh, k - 1)[k - 1]
+        return pd.DataFrame(
+            {"grp": [pdf["grp"].iloc[0]], "n_walsh": [m],
+             "hl_location": [s2 / 2.0 / 100.0]}
+        )
+
     orders = load_table(spark, sf_dir, "orders")
     d = orders.groupBy(
         F.col("o_orderpriority").alias("grp"),
@@ -3711,28 +3775,8 @@ def a_hodges_lehmann(spark, sf_dir):
         .cast("long")
         .alias("rev")
     )
-    a, b2 = d.alias("a"), d.alias("b")
-    w = a.join(
-        b2,
-        (F.col("b.grp") == F.col("a.grp")) & (F.col("b.day") >= F.col("a.day")),
-    ).select(
-        F.col("a.grp").alias("grp"),
-        (F.col("a.rev") + F.col("b.rev")).cast("long").alias("s2"),
-        F.col("a.day").alias("d1"),
-        F.col("b.day").alias("d2"),
-    )
-    wp = Window.partitionBy("grp")
-    r = w.select(
-        "grp", "s2",
-        F.row_number().over(wp.orderBy("s2", "d1", "d2")).cast("long").alias("rn"),
-        F.count("*").over(wp).cast("long").alias("m"),
-    )
-    return r.filter(
-        F.col("rn") == F.floor((F.col("m") + 1).cast("double") / 2.0).cast("long")
-    ).select(
-        "grp",
-        F.col("m").alias("n_walsh"),
-        (F.col("s2").cast("double") / 2.0 / 100.0).alias("hl_location"),
+    return d.groupBy("grp").applyInPandas(
+        one, schema="grp string, n_walsh long, hl_location double"
     )
 
 
