@@ -400,8 +400,52 @@ def repetition_stats(col: Column | str) -> list[Column]:
 
     All per-document array algebra — no explode, no shuffle; the
     fraction is (total − distinct)/total computed in ints first so the
-    single final division is the only float op (portable)."""
-    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    single final division is the only float op (portable).
+
+    r13 optimization (guide §1/§4): higher-order expressions run
+    interpreted with NO common-subexpression elimination, so a single
+    projection in which each dup fraction references its shingle
+    array twice re-tokenized and re-built the n-grams once per
+    reference (~2× the whole map stage).  The arrays are therefore
+    materialized ONCE in a stacked projection (CollapseProject keeps
+    multiply-referenced non-cheap aliases separate) and the returned
+    columns only reference those attributes.  Callers select
+    ``*repetition_stats_cols()`` over ``with_repetition_arrays(df,
+    col)``; the legacy one-shot list form remains for single-column
+    use."""
+    toks, s2, s3 = (
+        F.transform(tokens(col), lambda t: F.lower(t)),
+        shingles(col, 2),
+        shingles(col, 3),
+    )
+    return _repetition_from_arrays(toks, s2, s3)
+
+
+def with_repetition_arrays(df, col: Column | str, keep: list[str] | None = None):
+    """Materialize the token / 2-gram / 3-gram arrays once (stacked
+    projection), so the stats columns evaluate each array exactly
+    once.  ``keep`` lists the pass-through columns (default: all)."""
+    cols = keep if keep is not None else df.columns
+    return df.select(
+        *cols,
+        F.transform(tokens(col), lambda t: F.lower(t)).alias("__rep_tk"),
+        shingles(col, 2).alias("__rep_s2"),
+        shingles(col, 3).alias("__rep_s3"),
+    )
+
+
+def repetition_stats_cols() -> list[Column]:
+    """Stats columns over the arrays produced by
+    ``with_repetition_arrays`` — each array attribute is evaluated
+    once per row no matter how many times it is referenced."""
+    return _repetition_from_arrays(
+        F.col("__rep_tk"), F.col("__rep_s2"), F.col("__rep_s3")
+    )
+
+
+def _repetition_from_arrays(
+    toks: Column, s2: Column, s3: Column
+) -> list[Column]:
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     mean_word_len = F.when(n == 0, F.lit(0.0)).otherwise(sum_len / n)
@@ -415,8 +459,8 @@ def repetition_stats(col: Column | str) -> list[Column]:
     return [
         n.alias("n_tokens"),
         mean_word_len.cast("double").alias("mean_word_len"),
-        dup_frac(shingles(col, 2)).cast("double").alias("dup_2gram_frac"),
-        dup_frac(shingles(col, 3)).cast("double").alias("dup_3gram_frac"),
+        dup_frac(s2).cast("double").alias("dup_2gram_frac"),
+        dup_frac(s3).cast("double").alias("dup_3gram_frac"),
     ]
 
 

@@ -406,6 +406,10 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     "dicomdb_spark/operators/stacks.py": (
         "u3_stack_assembly", "e1_import_pipeline",
     ),
+    # r13 optimization: repetition_stats arrays materialized once in a
+    # stacked projection (interpreted HOFs get no CSE; each dup
+    # fraction re-built its shingle array per reference)
+    "dicomdb_spark/functions/text.py": ("text_repetition",),
 }
 
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (

@@ -1685,17 +1685,33 @@ def text_repetition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    base = docs.select(
-        "doc_id", F.length("text").alias("__nc"), *text.repetition_stats("text")
-    )
+    # r13 optimization: token/shingle arrays materialized once (see
+    # functions.text.with_repetition_arrays) — interpreted HOFs get no
+    # CSE, so the one-projection form re-built each array per reference
+    base = text.with_repetition_arrays(
+        docs.select("doc_id", F.length("text").alias("__nc"), "text"),
+        "text",
+        keep=["doc_id", "__nc"],
+    ).select("doc_id", "__nc", *text.repetition_stats_cols())
     toks = F.transform(text.tokens(F.col("text")), lambda t: F.lower(t))
     cnt = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tok"))
-    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # r13 optimization (guide §2.4): the per-doc argmax is a min_by
+    # aggregate on the ordering key (-c, tok) — same pick as the old
+    # ORDER BY c DESC, tok + rn = 1 window, without the window's
+    # re-exchange + per-group sort, and with map-side partial agg
+    top = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("tok", "c"), F.struct((-F.col("c")).alias("nc"), "tok")
+            ).alias("__t")
+        )
+        .select("doc_id", F.col("__t.tok").alias("tok"), F.col("__t.c").alias("c"))
+    )
     top_frac = F.when(
         F.col("tok").isNull() | (F.col("__nc") == 0), F.lit(0.0)
     ).otherwise((F.col("c") * F.length("tok")) / F.col("__nc"))
