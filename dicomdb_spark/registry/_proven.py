@@ -487,6 +487,8 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     "graph_hits_unrolled",
     # session 3: pairwise-median numpy selection kernels (day grain)
     "a_theil_sen_daily", "a_hodges_lehmann",
+    # session 3: per-pass localCheckpoint in the three quintile passes
+    "a_rfm_segmentation",
 )
 
 

@@ -956,9 +956,19 @@ def a_rfm_segmentation(spark, sf_dir):
             [F.col(measure) if asc else F.col(measure).desc(), "o_custkey"],
             rn_col="__rn",
         )
-        return ranked.withColumn(
-            out, ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
-        ).drop("__rn")
+        # r13 optimization (guide §3.3/§5): each pass references its
+        # input 3× (range stats, bucket counts, rank join-back), so
+        # chaining three passes on raw lineage re-nested the upstream
+        # subtree per reference — the executed plan reached 463
+        # Exchanges and re-ran pass 1 up to 9×.  localCheckpoint per
+        # pass (|customers|-row state) keeps the consumer plan flat.
+        return (
+            ranked.withColumn(
+                out, ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
+            )
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
 
     q = quint(r, "recency_days", False, "r_quint")
     q = quint(q, "frequency", True, "f_quint")
