@@ -3629,18 +3629,100 @@ def dedup_embedding_cosine(spark, sf_dir):
     copies injected deterministically (first component perturbed by
     +0.01).  Brute-force all-pairs here (the oracle-checkable
     correctness path); at corpus scale candidates come from the LSH
-    buckets (ann_lsh_topk) or IVF cells (ann_ivf_topk) instead."""
+    buckets (ann_lsh_topk) or IVF cells (ann_ivf_topk) instead.
+
+    r13 optimization (guide §2.3/§4.1, §8 shape): still the exact
+    all-pairs baseline, but BLOCK-TILED — vectors are grouped into B
+    deterministic blocks, the B(B+1)/2 block pairs are enumerated with
+    a tiny broadcast join, and one numpy kernel scores each tile.  The
+    old plan materialized ~26M pair ROWS each carrying two 64-dim
+    vectors across the Arrow boundary (~27 GB of boundary traffic at
+    sf0.1); each vector now crosses ~(B+1) times (~0.1 % of that).
+    Arithmetic is bit-identical: the tile kernel computes the same
+    per-element floor(a·b·1e12) int64 sums (_SCALE kernel) and the
+    same nrm1·nrm2 division; zero/NULL denominators are dropped
+    exactly like the old NULL-cosine rows."""
+    import numpy as np
+    import pandas as pd
+
+    from dicomdb_spark.llm.similarity import _SCALE
+
+    nblk = 32
+
+    def tiles(batches):
+        def unpack(rows):
+            ids, vs, ns = [], [], []
+            for r in rows:
+                if r["v"] is None or r["nrm"] is None:
+                    continue  # NULL vector -> NULL cosine -> dropped
+                ids.append(r["vec_id"])
+                vs.append(np.asarray(r["v"], dtype=np.float64))
+                ns.append(r["nrm"])
+            if not ids:
+                return None
+            return (
+                np.asarray(ids, dtype=np.int64),
+                np.stack(vs),
+                np.asarray(ns, dtype=np.float64),
+            )
+
+        for pdf in batches:
+            outs = []
+            for p, q, avs, bvs in zip(
+                pdf["p"], pdf["q"], pdf["avs"], pdf["bvs"]
+            ):
+                ua, ub = unpack(avs), unpack(bvs)
+                if ua is None or ub is None:
+                    continue
+                ia, A, na = ua
+                ib, Bm, nb = ub
+                den = na[:, None] * nb[None, :]
+                for lo in range(0, len(ia), 128):  # bound tile memory
+                    Ac, iac, dc = A[lo:lo + 128], ia[lo:lo + 128], den[lo:lo + 128]
+                    dots = (
+                        np.floor(Ac[:, None, :] * Bm[None, :, :] * _SCALE)
+                        .astype(np.int64)
+                        .sum(axis=2)
+                        / _SCALE
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / dc
+                    mask = (dc != 0.0) & (cos >= 0.99)
+                    if p == q:
+                        mask &= iac[:, None] < ib[None, :]
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "id1": np.minimum(iac[ii], ib[jj]),
+                                    "id2": np.maximum(iac[ii], ib[jj]),
+                                    "cosine_sim": cos[ii, jj],
+                                }
+                            )
+                        )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
     base = _emb_with_dupes(spark, sf_dir)
     n = base.withColumn("nrm", lsim.norm_exact_vec(F.col("v")))
-    a = n.select(F.col("vec_id").alias("id1"), F.col("v").alias("__av"), F.col("nrm").alias("__an"))
-    b = n.select(F.col("vec_id").alias("id2"), F.col("v").alias("__bv"), F.col("nrm").alias("__bn"))
-    pairs = a.join(b, F.col("id1") < F.col("id2")).select(
-        "id1",
-        "id2",
-        (lsim.dot_exact_vec(F.col("__av"), F.col("__bv"))
-         / F.nullif(F.col("__an") * F.col("__bn"), F.lit(0.0))).alias("cosine_sim"),
+    bl = n.groupBy(F.pmod("vec_id", F.lit(nblk)).alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "v", "nrm")).alias("vs")
     )
-    return pairs.filter(F.col("cosine_sim") >= 0.99)
+    t = (
+        bl.alias("a")
+        .join(F.broadcast(bl.alias("b")), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("p"),
+            F.col("b.blk").alias("q"),
+            F.col("a.vs").alias("avs"),
+            F.col("b.vs").alias("bvs"),
+        )
+        # the 32-row block table coalesces to ~1 partition; spread the
+        # B(B+1)/2 tiles across the cores (hash keys, no sort)
+        .repartition(spark.sparkContext.defaultParallelism, "p", "q")
+    )
+    return t.mapInPandas(tiles, "id1 long, id2 long, cosine_sim double")
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2) -> tuple[str, str]:
