@@ -221,6 +221,33 @@ def phonetic_key_sql(expr: str) -> str:
     return f"substr(upper({expr}), 1, 1) || rpad(substr({rest}, 1, 3), 3, '0')"
 
 
+def lang_scores(toks: Column) -> Column:
+    """Per-language marker-token counts (sorted code order) as one
+    array<int> — each count expression appears exactly once, so a
+    caller that materializes ``toks`` (and this array) in stacked
+    projections evaluates every filter once per row."""
+    def count_for(markers):
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    return F.array(
+        *[
+            count_for(F.array(*[F.lit(m) for m in LANG_MARKERS[code]]))
+            for code in sorted(LANG_MARKERS)  # deterministic order
+        ]
+    )
+
+
+def lang_pick(counts: Column) -> Column:
+    """Winner rule over a ``lang_scores``-shaped counts array: highest
+    count wins, ties broken by code order, all-zero → 'und' — exactly
+    the strictly-greater fold the original when-chain implemented."""
+    codes = F.array(*[F.lit(c) for c in sorted(LANG_MARKERS)])
+    mx = F.array_max(counts)
+    return F.when(mx <= 0, F.lit("und")).otherwise(
+        F.element_at(codes, F.array_position(counts, mx).cast("int"))
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-token language heuristic → language code or 'und'.
 
@@ -228,17 +255,17 @@ def lang_id(col: Column | str) -> Column:
     by language-code order (deterministic).  A real system swaps in a
     character-n-gram model; the operator shape (pure per-row column
     expressions, no shuffle) is identical.
-    """
+
+    r13 optimization (guide §1/§4): the original winner fold chained
+    ``when(n > best, ...)`` per language; interpreted CASE evaluates
+    its scrutinee AND one branch, so each level re-evaluated the
+    previous level's expression up to twice — ~2⁵ evaluations of the
+    first language's filter (and its tokenization) per row.  The fold
+    is now an array argmax (lang_scores + lang_pick): no exponential
+    chain; hot callers additionally materialize the token and counts
+    arrays in stacked projections so each is evaluated once."""
     toks = F.transform(tokens(col), lambda t: F.lower(t))
-    best_lang = F.lit("und")
-    best_n = F.lit(0)
-    for code in sorted(LANG_MARKERS):  # deterministic order
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
-        n = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-        is_better = n > best_n
-        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-        best_n = F.when(is_better, n).otherwise(best_n)
-    return best_lang
+    return lang_pick(lang_scores(toks))
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -294,24 +321,40 @@ def _substr_count(col: Column, needle: str) -> Column:
     return F.size(F.split(col, _re.escape(needle), -1)) - 1
 
 
+def lang_scores_ngram(lowered: Column) -> Column:
+    """Per-language char-n-gram hit totals (sorted code order) as one
+    array — the lang_id_ngram sibling of ``lang_scores``; ``lowered``
+    should be a materialized ``lower(text)`` attribute."""
+    cols = []
+    for code in sorted(CHAR_NGRAM_PROFILES):
+        n = None
+        for ng in CHAR_NGRAM_PROFILES[code]:
+            t = _substr_count(lowered, ng)
+            n = t if n is None else n + t
+        cols.append(n)
+    return F.array(*cols)
+
+
+def lang_pick_ngram(counts: Column) -> Column:
+    """Winner rule over ``lang_scores_ngram`` counts (same
+    strictly-greater fold semantics as lang_pick)."""
+    codes = F.array(*[F.lit(c) for c in sorted(CHAR_NGRAM_PROFILES)])
+    mx = F.array_max(counts)
+    return F.when(mx <= 0, F.lit("und")).otherwise(
+        F.element_at(codes, F.array_position(counts, mx).cast("int"))
+    )
+
+
 def lang_id_ngram(col: Column | str) -> Column:
     """Language ID from character-n-gram profile hits → code or 'und'.
 
     Same winner rule as lang_id: first language (code order) reaching
     the maximum score; 'und' when no profile n-gram occurs at all.
+    (Array-argmax form — see lang_id's r13 note; the when-chain fold
+    re-evaluated earlier levels exponentially under interpreted CASE.)
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    best_lang = F.lit("und")
-    best_n = F.lit(0)
-    for code in sorted(CHAR_NGRAM_PROFILES):
-        n = None
-        for ng in CHAR_NGRAM_PROFILES[code]:
-            t = _substr_count(c, ng)
-            n = t if n is None else n + t
-        better = n > best_n
-        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
-        best_n = F.when(better, n).otherwise(best_n)
-    return best_lang
+    return lang_pick_ngram(lang_scores_ngram(c))
 
 
 def rolling_hash(col: Column | str, base: int = 31, mod: int = 2147483647) -> Column:

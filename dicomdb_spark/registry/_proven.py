@@ -408,8 +408,12 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     ),
     # r13 optimization: repetition_stats arrays materialized once in a
     # stacked projection (interpreted HOFs get no CSE; each dup
-    # fraction re-built its shingle array per reference)
-    "dicomdb_spark/functions/text.py": ("text_repetition",),
+    # fraction re-built its shingle array per reference); lang_id /
+    # lang_id_ngram winner folds rebuilt as array argmax (interpreted
+    # CASE chains re-evaluated earlier levels exponentially)
+    "dicomdb_spark/functions/text.py": (
+        "text_repetition", "text_lang_id", "text_lang_id_ngram",
+    ),
 }
 
 MODIFIED_SINCE_PROVEN: tuple[str, ...] = (

@@ -1552,8 +1552,14 @@ def text_lang_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    # r13 optimization: token + counts arrays materialized in stacked
+    # projections (each evaluated once per row); the winner fold is an
+    # array argmax instead of the exponential interpreted when-chain
+    toks = F.transform(text.tokens(F.col("text")), lambda t: F.lower(t))
     return (
-        docs.select("lang", text.lang_id("text").alias("lang_pred"))
+        docs.select("lang", toks.alias("__tk"))
+        .select("lang", text.lang_scores(F.col("__tk")).alias("__cn"))
+        .select("lang", text.lang_pick(F.col("__cn")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
@@ -4253,8 +4259,14 @@ def text_lang_id_ngram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    # r13 optimization: lowered text + counts materialized in stacked
+    # projections; array-argmax winner (see text_lang_id)
     return (
-        docs.select("lang", text.lang_id_ngram("text").alias("lang_pred"))
+        docs.select("lang", F.lower("text").alias("__lt"))
+        .select("lang", text.lang_scores_ngram(F.col("__lt")).alias("__cn"))
+        .select(
+            "lang", text.lang_pick_ngram(F.col("__cn")).alias("lang_pred")
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
