@@ -493,6 +493,9 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     "a_theil_sen_daily", "a_hodges_lehmann",
     # session 3: per-pass localCheckpoint in the three quintile passes
     "a_rfm_segmentation",
+    # session 3: block-tiled brute-force cosine; argmax lang folds;
+    # in-plan posting pairs for the s-curve audit
+    "dedup_lsh_s_curve",
 )
 
 

@@ -2785,16 +2785,36 @@ def dedup_lsh_s_curve(spark, sf_dir):
         ).persist()
     )
     pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4)
-    ds = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(F.array_distinct(text.shingles("text", 3))).alias("s"),
+    # r13 optimization (guide §2.4, the _df_capped_pair_scores idiom):
+    # the shingle sets are CPU-dense — materialize once for both the
+    # size table and the posting index (the old form re-shingled per
+    # consumer), and enumerate each posting bucket's C(df,2) pairs
+    # in-plan (array_sort orders docs, x-before-y == the join's
+    # id1 < id2) instead of self-joining on the 3-token shingle STRING
+    # — one exchange on the key, no sort-merge join.  Counting stays
+    # on true strings (exact shared-shingle counts feed the Jaccard).
+    sets = ldedup._track_cache(
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.array_distinct(text.shingles("text", 3)).alias("__shs"),
+        ).persist()
     )
-    sz = ds.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
-    a = ds.select(F.col("doc").alias("id1"), "s")
-    b = ds.select(F.col("doc").alias("id2b"), F.col("s").alias("s2"))
+    sz = sets.select("doc", F.size("__shs").cast("long").alias("n"))
+    ds = sets.select("doc", F.explode("__shs").alias("s"))
     allp = (
-        a.join(b, (F.col("s2") == F.col("s")) & (F.col("id1") < F.col("id2b")))
-        .groupBy("id1", F.col("id2b").alias("id2"))
+        ds.groupBy("s")
+        .agg(F.expr("array_sort(collect_list(doc))").alias("dd"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(dd, (x, i) -> "
+                    "transform(slice(dd, i + 2, size(dd)), "
+                    "y -> struct(x AS id1, y AS id2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("id1", "id2")
         .agg(F.count("*").cast("long").alias("i"))
     )
     sc = (
