@@ -496,6 +496,10 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # session 3: block-tiled brute-force cosine; argmax lang folds;
     # in-plan posting pairs for the s-curve audit
     "dedup_lsh_s_curve",
+    # session 3: localCheckpoint lineage truncation (per-round /
+    # per-pass state) in four more multi-reference pipelines
+    "graph_harmonic_centrality", "graph_degree_ccdf",
+    "a_segment_migration_matrix", "graph_katz_bounded",
 )
 
 

@@ -2440,10 +2440,16 @@ def graph_degree_ccdf(spark, sf_dir):
     e = pairs.select(F.col("id1").alias("v")).unionAll(
         pairs.select(F.col("id2").alias("v"))
     )
-    deg = e.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
+    # r13 optimization (guide §3.3/§5): the histogram feeds the rank
+    # recipe through 4 references and the vertex count one more — on
+    # raw lineage each re-ran the whole LSH pair pipeline (88-Exchange
+    # plan); checkpoint the two tiny tables once.
+    deg = e.groupBy("v").agg(
+        F.count("*").cast("long").alias("degree")
+    ).localCheckpoint(eager=True)
     h = deg.groupBy("degree").agg(
         F.count("*").cast("long").alias("n_vertices")
-    )
+    ).localCheckpoint(eager=True)
     nv = deg.agg(F.count("*").cast("long").alias("nv"))
     run = ow.bucketed_running(
         ow.monotone_range_bucket(h, "degree", ascending=False),

@@ -909,17 +909,23 @@ def graph_katz_bounded(spark, sf_dir):
     hop is one edges⋈counts join + aggregate (cost follows |E|, the
     node table stays dimension-bounded); top-20 via distributed
     TakeOrdered with the pos window on the LIMIT(20) result."""
-    edges = _cs_edges(spark, sf_dir).persist()
+    # r13 optimization (guide §3.3/§5): p1 fed three consumers and p3
+    # nested a second hop(p1) subtree — checkpoint each |V|-row hop
+    # once (HITS idiom) so every hop is one edges⋈counts join over
+    # materialized state.
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
     p1 = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count("*").cast("long").alias("p")
-    )
+    ).localCheckpoint(eager=True)
     def hop(prev):
         return (
             edges.join(prev.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("p").cast("long").alias("p"))
+            .localCheckpoint(eager=True)
         )
-    p2, p3 = hop(p1), hop(hop(p1))
+    p2 = hop(p1)
+    p3 = hop(p2)
     k = (
         p1.withColumnRenamed("p", "pp1")
         .join(p2.withColumnRenamed("p", "pp2"), "node", "left")

@@ -3291,8 +3291,15 @@ def a_segment_migration_matrix(spark, sf_dir):
     )
 
     def quint_period(p):
+        # r13 optimization (guide §3.3/§5): checkpoint instead of
+        # persist — the rank recipe references d three times and the
+        # migration join reads each period's output twice, so raw /
+        # cached lineage nested the whole upstream per reference
+        # (102-Exchange plan); per-period state is |customers| rows.
         d = s.filter(F.col("period") == p)
-        d = d.crossJoin(d.agg(F.count("*").cast("long").alias("__n"))).persist()
+        d = d.crossJoin(
+            d.agg(F.count("*").cast("long").alias("__n"))
+        ).localCheckpoint(eager=True)
         ranked = ow.bucketed_running(
             ow.monotone_range_bucket(d, "spend_c", ascending=True),
             ["spend_c", "o_custkey"],
@@ -3303,7 +3310,7 @@ def a_segment_migration_matrix(spark, sf_dir):
             ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
             .cast("long")
             .alias("quint"),
-        )
+        ).localCheckpoint(eager=True)
 
     q0 = quint_period(0).withColumnRenamed("quint", "from_quint")
     q1 = quint_period(1).withColumnRenamed("quint", "to_quint")

@@ -221,13 +221,20 @@ def graph_harmonic_centrality(spark, sf_dir):
         bands=4,
         min_parallelism=local_fanout(spark),
     )
+    # r13 optimization (guide §3.3/§5): rounds were persist-chained —
+    # each round's InMemoryRelation nested the full upstream tree
+    # (edges + the whole minhash pipeline) into the consumer plan,
+    # which reached 5,482 Exchange nodes; localCheckpoint per round
+    # (the graph_bfs_hops idiom) truncates lineage, keeps the
+    # hash-partitioned edge materialization, and drops the manual
+    # count/unpersist bookkeeping.
     e = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(
             pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
         )
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("dg")
@@ -238,7 +245,6 @@ def graph_harmonic_centrality(spark, sf_dir):
     dist = seeds.select("seed", F.col("seed").alias("node")).withColumn(
         "hop", F.lit(0)
     )
-    rounds = []
     for _ in range(4):
         msg = dist.join(e, dist.node == e.src).select(
             "seed", F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
@@ -247,13 +253,8 @@ def graph_harmonic_centrality(spark, sf_dir):
             dist.unionAll(msg)
             .groupBy("seed", "node")
             .agg(F.min("hop").alias("hop"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        rounds.append(dist)
-    rounds[-1].count()
-    for old in rounds[:-1]:
-        old.unpersist()
-    e.unpersist()
     h12 = F.sum(
         F.when(F.col("hop") > 0, F.floor(F.lit(12) / F.col("hop"))).otherwise(0)
     ).cast("long")
