@@ -500,6 +500,8 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # per-pass state) in four more multi-reference pipelines
     "graph_harmonic_centrality", "graph_degree_ccdf",
     "a_segment_migration_matrix", "graph_katz_bounded",
+    # session 3: same fix for the k-core peel and the power iteration
+    "graph_kcore", "emb_top_pc_power",
 )
 
 

@@ -546,30 +546,30 @@ def graph_kcore(spark, sf_dir):
         # hash-partitioned cache is reused by each round (zero edge
         # exchanges across the loop)
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .persist()
+        # r13 optimization (guide §3.3/§5): persist-chained peel rounds
+        # (v referenced by TWO semi-joins per round) re-nested the
+        # upstream tree per reference — the executed plan reached 5,716
+        # Exchange nodes; localCheckpoint per round (the BFS/HITS
+        # idiom) keeps it flat and drops the count/unpersist dance.
+        .localCheckpoint(eager=True)
     )
-    e0 = e
-    rounds = []
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        v = deg.filter(F.col("deg") >= 2).select("src")
         # survivor-set joins are SEMI joins with no broadcast hint: the
         # survivor table is vertex-sized (the label-table rule), so the
         # pinned broadcast would cap the peel at driver memory on a
         # 100×-vertex graph; AQE still picks broadcast at runtime when
         # the measured side is genuinely small
+        v = (
+            deg.filter(F.col("deg") >= 2)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
         e = (
             e.join(v, "src", "left_semi")
             .join(v.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        rounds.append(e)
-    # one materializing job, then free superseded peels (bounded cache
-    # per invocation — see graph.pagerank)
-    rounds[-1].count()
-    for old in rounds[:-1]:
-        old.unpersist()
-    e0.unpersist()
     return e.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").cast("long").alias("core_degree")
     )
@@ -2694,7 +2694,11 @@ def emb_top_pc_power(spark, sf_dir):
         .persist()
     )
     v = d.select("dim").distinct().withColumn("vv", F.lit(1.0))
-    rounds = []
+    # r13 optimization (guide §3.3/§5): w feeds both the ∞-norm and
+    # the next direction, and rounds chained persists — the executed
+    # plan nested the exploded-matrix subtree per reference (1,150
+    # Exchange nodes).  Checkpoint the 64-row w and v per round; d
+    # stays a real multi-round cache.
     for _ in range(4):
         s = (
             d.join(F.broadcast(v), "dim")
@@ -2716,6 +2720,7 @@ def emb_top_pc_power(spark, sf_dir):
                     F.floor(F.col("s") * F.col("val") * 1000000).cast("long")
                 ).alias("w")
             )
+            .localCheckpoint(eager=True)
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
@@ -2723,14 +2728,8 @@ def emb_top_pc_power(spark, sf_dir):
             .select(
                 "dim", (F.col("w").cast("double") / F.col("m").cast("double")).alias("vv")
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        rounds.append(v)
-    # one materializing job, then free superseded direction vectors +
-    # the exploded matrix cache (bounded storage per invocation)
-    rounds[-1].count()
-    for old in rounds[:-1]:
-        old.unpersist()
     d.unpersist()
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("vv").alias("loading"))
 
