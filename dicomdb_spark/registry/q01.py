@@ -3715,17 +3715,21 @@ def dedup_embedding_cosine(spark, sf_dir):
     bl = n.groupBy(F.pmod("vec_id", F.lit(nblk)).alias("blk")).agg(
         F.collect_list(F.struct("vec_id", "v", "nrm")).alias("vs")
     )
+    # enumerate the B(B+1)/2 tile keys as literals and attach each
+    # side with an EQUI join: no broadcast of the block table (whose
+    # total payload is the corpus — per-task memory stays 2 blocks at
+    # any scale, and the planner picks the strategy from stats)
+    tile_keys = spark.createDataFrame(
+        [(p, q) for p in range(nblk) for q in range(p, nblk)],
+        "p long, q long",
+    )
     t = (
-        bl.alias("a")
-        .join(F.broadcast(bl.alias("b")), F.col("a.blk") <= F.col("b.blk"))
-        .select(
-            F.col("a.blk").alias("p"),
-            F.col("b.blk").alias("q"),
-            F.col("a.vs").alias("avs"),
-            F.col("b.vs").alias("bvs"),
+        tile_keys.join(
+            bl.select(F.col("blk").alias("p"), F.col("vs").alias("avs")), "p"
         )
+        .join(bl.select(F.col("blk").alias("q"), F.col("vs").alias("bvs")), "q")
         # the 32-row block table coalesces to ~1 partition; spread the
-        # B(B+1)/2 tiles across the cores (hash keys, no sort)
+        # tiles across the cores (hash keys, no sort)
         .repartition(spark.sparkContext.defaultParallelism, "p", "q")
     )
     return t.mapInPandas(tiles, "id1 long, id2 long, cosine_sim double")

@@ -326,12 +326,13 @@ def test_power_iteration_bounded_nested_loops(spark):
     # rendered join count, making the assertion order-dependent
     spark.catalog.clearCache()
     df = QUERIES["emb_top_pc_power"](spark, SF)
-    # each round contributes ONE 1-row ∞-norm cross (4 logical).  The
-    # query now eagerly materializes its rounds, so the rendered plan
-    # ALWAYS shows each cross twice (once in the InMemoryRelation's
-    # embedded lineage, once in the cache-scan branch) — a
-    # deterministic 8 independent of what earlier tests cached
-    assert pi.count_nested_loop_joins(df) == 8
+    # r13 optimization: each round localCheckpoints its 64-row state,
+    # so the per-round 1-row ∞-norm crosses execute at plan build and
+    # the CONSUMER plan is a flat scan of the final direction — zero
+    # rendered joins and zero exchanges (lineage truncated).  The
+    # 1-row crosses still run (one per round) inside the build jobs.
+    assert pi.count_nested_loop_joins(df) == 0
+    assert pi.count_shuffles(df) == 0
 
 
 def test_link_predict_wedge_is_equi_join(spark):
