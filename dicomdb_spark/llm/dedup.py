@@ -504,16 +504,25 @@ def prefix_filter_jaccard_pairs(
     bit-identical output to ngram_jaccard_pairs, by construction.
 
     Plan: per-doc distinct-shingle ARRAYS persist once; an explode
-    feeds the document-frequency count and (joined back to the
-    frequencies) a per-document window that ranks each doc's shingles
-    rarest-first; the PRUNED pair join runs on prefix shingles only;
-    verification is ROW-LOCAL — candidate pairs equi-join the two
-    per-doc arrays and ``array_intersect`` counts |A∩B| without
-    another shuffle fan-out (the PPJoin verify step; a relational
-    re-join of candidates against all occurrences was measured 5×
-    slower).  Every join is an equi-join; the quadratic surface (pair
-    generation) touches only rare-shingle buckets.  Returns
-    (id1, id2, jaccard ≥ t).
+    feeds a document-frequency WINDOW count over the shingle partition
+    (one exchange — attaching df with an agg + join back would shuffle
+    the same exploded stream on the same key and then pay a second
+    read or, worse, tempt the optimizer into broadcasting the exploded
+    stream, which is a measured scale/latency killer) and a
+    per-document window that ranks each doc's shingles rarest-first;
+    the ranked PREFIX table persists so its pipeline runs once, not
+    once per self-join side; the PRUNED pair join runs on
+    ``xxhash64`` of the prefix shingles only — 8-byte shuffle keys; a
+    hash collision can only ADD a candidate pair, and every candidate
+    is verified exactly below, while every true J ≥ t pair still
+    shares a true prefix shingle and therefore its hash, so the
+    pruning stays LOSSLESS.  Verification is ROW-LOCAL — candidate
+    pairs equi-join the two per-doc arrays and ``array_intersect``
+    counts |A∩B| without another shuffle fan-out (the PPJoin verify
+    step; a relational re-join of candidates against all occurrences
+    was measured 5× slower).  Every join is an equi-join; the
+    quadratic surface (pair generation) touches only rare-shingle
+    buckets.  Returns (id1, id2, jaccard ≥ t).
     """
     from pyspark.sql import Window
 
@@ -525,9 +534,16 @@ def prefix_filter_jaccard_pairs(
     ).persist()
     _track_cache(sets)
     tok = sets.select("doc", F.size("shs").alias("sz"), F.explode("shs").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc").orderBy("df", "tok")
-    ranked = tok.join(dfreq, "tok").withColumn("r", F.row_number().over(w))
+    # document frequency as an unordered window count over the shingle
+    # partition: same value as groupBy(tok).count() joined back (tok
+    # comes from per-doc DISTINCT arrays), one exchange instead of
+    # agg + join, and nothing for the planner to mis-broadcast
+    ranked = tok.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok"))
+    ).withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("doc").orderBy("df", "tok")),
+    )
     # prefix length = sz − ceil(t·sz) + 1, with ceil as exact integer
     # arithmetic: ceil(num·sz/den) = floor((num·sz + den − 1)/den)
     plen = (
@@ -537,7 +553,12 @@ def prefix_filter_jaccard_pairs(
         )
         + 1
     )
-    prefix = ranked.filter(F.col("r") <= plen).select("doc", "tok", "r", "sz")
+    prefix = (
+        ranked.filter(F.col("r") <= plen)
+        .select("doc", F.xxhash64("tok").alias("tok"), "r", "sz")
+        .persist()
+    )
+    _track_cache(prefix)
     # PPJoin positional filter: a shared prefix token at ranks (rA, rB)
     # bounds the overlap by 1 + min(szA−rA, szB−rB); J ≥ t needs
     # overlap ≥ num·(szA+szB)/(num+den), so pairs whose bound falls
@@ -680,6 +701,11 @@ def prefix_filter_containment_pairs(
     forms.  Same threshold arithmetic (exact rational), same verify
     (row-local array_intersect), bit-identical output by
     construction.
+
+    The df attach, the persisted prefix table, and the ``xxhash64``
+    pair-join key follow :func:`prefix_filter_jaccard_pairs` (see its
+    docstring for the losslessness argument — collisions only ADD
+    candidates, which the exact row-local verify then scores).
     """
     from pyspark.sql import Window
 
@@ -693,9 +719,12 @@ def prefix_filter_containment_pairs(
     tok = sets.select(
         "doc", F.size("shs").alias("sz"), F.explode("shs").alias("tok")
     )
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc").orderBy("df", "tok")
-    ranked = tok.join(dfreq, "tok").withColumn("r", F.row_number().over(w))
+    ranked = tok.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok"))
+    ).withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("doc").orderBy("df", "tok")),
+    )
     plen = (
         F.col("sz")
         - F.floor(
@@ -703,9 +732,16 @@ def prefix_filter_containment_pairs(
         )
         + 1
     )
-    prefix = ranked.filter(F.col("r") <= plen).select("doc", "tok", "sz")
+    prefix = (
+        ranked.filter(F.col("r") <= plen)
+        .select("doc", F.xxhash64("tok").alias("tok"), "sz")
+        .persist()
+    )
+    _track_cache(prefix)
     full = tok.select(
-        F.col("doc").alias("fdoc"), "tok", F.col("sz").alias("fsz")
+        F.col("doc").alias("fdoc"),
+        F.xxhash64("tok").alias("tok"),
+        F.col("sz").alias("fsz"),
     )
     cand = (
         prefix.join(
