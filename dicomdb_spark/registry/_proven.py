@@ -388,12 +388,14 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     "dicomdb_spark/llm/pq.py": ("ann_pq_topk", "ann_ivf_pq_topk"),
     # r13 optimization: hashed posting key + in-plan pair enumeration
     # in _df_capped_pair_scores; localCheckpoint lineage truncation in
-    # min_label_components
+    # min_label_components; session 4: prefix-filter rank via window
+    # df + persisted prefix table + hashed pair-join keys
     "dicomdb_spark/llm/dedup.py": (
         "dedup_ngram_jaccard", "dedup_ngram_containment",
         "dedup_components", "corpus_dedup_pipeline",
         "corpus_dedup_survivorship", "corpus_dup_cluster_sizes",
         "graph_modularity",
+        "dedup_prefix_jaccard", "dedup_prefix_containment",
     ),
     # r13 optimization: localCheckpoint lineage truncation in the
     # three PageRank variants' iteration loops
@@ -496,6 +498,9 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # session 3: block-tiled brute-force cosine; argmax lang folds;
     # in-plan posting pairs for the s-curve audit
     "dedup_lsh_s_curve",
+    # session 4: prefix-filter rank via window df + persisted prefix +
+    # hashed pair keys — oracle-rechecked at sf0.01 when landed
+    "dedup_prefix_jaccard", "dedup_prefix_containment",
     # session 3: localCheckpoint lineage truncation (per-round /
     # per-pass state) in four more multi-reference pipelines
     "graph_harmonic_centrality", "graph_degree_ccdf",
