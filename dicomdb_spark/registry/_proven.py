@@ -501,6 +501,9 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # session 4: prefix-filter rank via window df + persisted prefix +
     # hashed pair keys — oracle-rechecked at sf0.01 when landed
     "dedup_prefix_jaccard", "dedup_prefix_containment",
+    # session 4: row-local array_intersect verify over semi-reduced
+    # per-doc shingle arrays — oracle-rechecked at sf0.01 when landed
+    "er_threshold_sweep", "dedup_bbit_minhash_audit",
     # session 3: localCheckpoint lineage truncation (per-round /
     # per-pass state) in four more multi-reference pipelines
     "graph_harmonic_centrality", "graph_degree_ccdf",

@@ -1972,25 +1972,38 @@ def er_threshold_sweep(spark, sf_dir):
             min_parallelism=local_fanout(spark),
         ).persist()
     )
-    pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4)
-    ds = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(F.array_distinct(text.shingles("text", 3))).alias("s"),
+    pairs = ldedup._track_cache(
+        ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4).persist()
     )
-    sz = ds.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
-    d1 = ds.select(F.col("doc").alias("id1"), F.col("s").alias("s1"))
-    d2 = ds.select(F.col("doc").alias("id2b"), F.col("s").alias("s2"))
-    inter = (
-        pairs.join(d1, "id1")
-        .join(d2, (F.col("id2") == F.col("id2b")) & (F.col("s2") == F.col("s1")))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").cast("long").alias("i"))
+    # exact Jaccard per candidate, verified ROW-LOCALLY: per-doc
+    # distinct-shingle arrays, SEMI-REDUCED to docs that appear in some
+    # candidate pair BEFORE the arrays are built (broadcasting /
+    # caching array payloads for the whole corpus measured 5× slower
+    # than the exploded string join it replaced; reduced to pair
+    # members it is strictly cheaper).  size(array_intersect) == the
+    # old explode + shingle-string equi-join + count (the PPJoin verify
+    # idiom — shingle strings never shuffle); size ≥ 1 mirrors the old
+    # inner join on the exploded size table (shingle-less docs drop).
+    pdocs = pairs.select(F.explode(F.array("id1", "id2")).alias("doc")).distinct()
+    sets = ldedup._track_cache(
+        docs.select(F.col("doc_id").alias("doc"), "text")
+        .join(pdocs, "doc", "left_semi")
+        .select("doc", F.array_distinct(text.shingles("text", 3)).alias("shs"))
+        .filter(F.size("shs") >= 1)
+        .persist()
     )
-    ii = F.coalesce(F.col("i"), F.lit(0))
+    ii = F.size(F.array_intersect("__sa", "__sb")).cast("long")
     sc = (
-        pairs.join(sz.select(F.col("doc").alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sz.select(F.col("doc").alias("id2"), F.col("n").alias("n2")), "id2")
-        .join(inter, ["id1", "id2"], "left")
+        pairs.join(
+            sets.select(F.col("doc").alias("id1"), F.col("shs").alias("__sa")),
+            "id1",
+        )
+        .join(
+            sets.select(F.col("doc").alias("id2"), F.col("shs").alias("__sb")),
+            "id2",
+        )
+        .withColumn("n1", F.size("__sa").cast("long"))
+        .withColumn("n2", F.size("__sb").cast("long"))
         .select(
             "id1", "id2",
             (ii.cast("double") / (F.col("n1") + F.col("n2") - ii).cast("double"))
