@@ -504,6 +504,9 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # session 4: row-local array_intersect verify over semi-reduced
     # per-doc shingle arrays — oracle-rechecked at sf0.01 when landed
     "er_threshold_sweep", "dedup_bbit_minhash_audit",
+    # session 4: multi-consumer persists in the RAKE phrase pipeline;
+    # boilerplate df via per-doc-distinct explode + plain count
+    "text_rake_keywords", "text_boilerplate_ngrams",
     # session 3: localCheckpoint lineage truncation (per-round /
     # per-pass state) in four more multi-reference pipelines
     "graph_harmonic_centrality", "graph_degree_ccdf",

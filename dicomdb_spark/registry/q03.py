@@ -2179,19 +2179,28 @@ def text_boilerplate_ngrams(spark, sf_dir):
             ).alias("text"),
         )
     )
-    # two consumers (the df aggregate and the join-back) — persist so the
-    # 8-gram explode runs once, not twice (the multi-consumer discipline)
-    g = docs.select(
-        "doc_id", "source", F.explode(text.shingles("text", 8)).alias("gram")
+    # two consumers (the df aggregate and the join-back) — persist the
+    # per-doc 8-gram ARRAYS so shingling runs once (the multi-consumer
+    # discipline; the arrays cache smaller than the exploded stream).
+    # df counts per-doc DISTINCT grams exploded row-locally, so a plain
+    # count(*) (with map-side partial aggregation) replaces
+    # countDistinct's two-phase expand over (source, gram, doc) triples
+    # — each (source, gram, doc) appears exactly once after
+    # array_distinct, and a doc has one source, so the counts are equal
+    # by construction.
+    sh = docs.select(
+        "doc_id", "source", text.shingles("text", 8).alias("gs")
     ).persist()
     bp = (
-        g.groupBy("source", "gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        sh.select("source", F.explode(F.array_distinct("gs")).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 3)
         .select("source", "gram", F.lit(1).alias("is_bp"))
     )
     per_doc = (
-        g.join(bp, ["source", "gram"], "left")
+        sh.select("doc_id", "source", F.explode("gs").alias("gram"))
+        .join(bp, ["source", "gram"], "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -2833,6 +2833,9 @@ def text_rake_keywords(spark, sf_dir):
     fl = tt.withColumn(
         "st", F.when(F.col("tok").isin(*_RAKE_STOPS), 1).otherwise(0)
     )
+    # ph feeds inst, wstat, and scored; inst feeds wstat and scored —
+    # without the persists the posexplode + running-stop-count window
+    # pipeline renders (and runs) FOUR times, once per reference
     ph = (
         fl.withColumn(
             "pid",
@@ -2842,6 +2845,7 @@ def text_rake_keywords(spark, sf_dir):
         )
         .filter(F.col("st") == 0)
         .select("doc_id", "pos", "tok", "pid")
+        .persist()
     )
     inst = ph.groupBy("doc_id", "pid").agg(
         F.count("*").cast("long").alias("plen"),
@@ -2852,7 +2856,7 @@ def text_rake_keywords(spark, sf_dir):
             ),
             " ",
         ).alias("phrase"),
-    )
+    ).persist()
     wstat = (
         ph.join(inst.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
         .groupBy("tok")
