@@ -507,6 +507,8 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # session 4: multi-consumer persists in the RAKE phrase pipeline;
     # boilerplate df via per-doc-distinct explode + plain count
     "text_rake_keywords", "text_boilerplate_ngrams",
+    # session 4: same row-local verify retrofit as er_threshold_sweep
+    "dedup_minhash_jaccard_est",
     # session 3: localCheckpoint lineage truncation (per-round /
     # per-pass state) in four more multi-reference pipelines
     "graph_harmonic_centrality", "graph_degree_ccdf",

@@ -1690,22 +1690,21 @@ def dedup_minhash_jaccard_est(spark, sf_dir):
             min_parallelism=local_fanout(spark),
         ).persist()
     )
-    pairs = ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4)
-    ds = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(F.array_distinct(text.shingles("text", 3))).alias("s"),
+    pairs = ldedup._track_cache(
+        ldedup.lsh_pairs_from_signatures(sig, num_hashes=16, bands=4).persist()
     )
-    sz = ds.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
-    d1 = ds.select(F.col("doc").alias("id1"), F.col("s").alias("s1"))
-    d2 = ds.select(F.col("doc").alias("id2b"), F.col("s").alias("s2"))
-    inter = (
-        pairs.join(d1, "id1")
-        .join(
-            d2,
-            (F.col("id2") == F.col("id2b")) & (F.col("s2") == F.col("s1")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count("*").cast("long").alias("i"))
+    # exact Jaccard per candidate, verified ROW-LOCALLY over per-doc
+    # distinct-shingle arrays semi-reduced to pair members (the
+    # er_threshold_sweep / dedup_bbit_minhash_audit idiom — see those
+    # for the measured 5×-worse full-corpus-array negative result).
+    # size ≥ 1 mirrors the old inner join on the exploded size table.
+    pdocs = pairs.select(F.explode(F.array("id1", "id2")).alias("doc")).distinct()
+    sets = ldedup._track_cache(
+        docs.select(F.col("doc_id").alias("doc"), "text")
+        .join(pdocs, "doc", "left_semi")
+        .select("doc", F.array_distinct(text.shingles("text", 3)).alias("shs"))
+        .filter(F.size("shs") >= 1)
+        .persist()
     )
     sa = sig.select(
         F.col("doc").alias("id1"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)]
@@ -1717,13 +1716,20 @@ def dedup_minhash_jaccard_est(spark, sf_dir):
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(16)
     )
-    ii = F.coalesce(F.col("i"), F.lit(0))
+    ii = F.size(F.array_intersect("__sa", "__sb")).cast("long")
     return (
         pairs.join(sa, "id1")
         .join(sb, "id2")
-        .join(sz.select(F.col("doc").alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sz.select(F.col("doc").alias("id2"), F.col("n").alias("n2")), "id2")
-        .join(inter, ["id1", "id2"], "left")
+        .join(
+            sets.select(F.col("doc").alias("id1"), F.col("shs").alias("__sa")),
+            "id1",
+        )
+        .join(
+            sets.select(F.col("doc").alias("id2"), F.col("shs").alias("__sb")),
+            "id2",
+        )
+        .withColumn("n1", F.size("__sa").cast("long"))
+        .withColumn("n2", F.size("__sb").cast("long"))
         .select(
             "id1", "id2",
             agree.cast("long").alias("n_agree"),
