@@ -105,6 +105,17 @@ def dot_exact_vec(a: Column, b: Column) -> Column:
         # out of the batch — a scalar None breaks np.vstack (r13
         # null-probe find)
         valid = x.notna().to_numpy() & y.notna().to_numpy()
+        if valid.all():
+            # fast path for the overwhelmingly common all-valid batch:
+            # no NaN-Series allocation, no boolean fancy-index copies
+            # (the masked path cost the brute-force scorer +45 % even
+            # when no NULLs existed — r13 driver control run)
+            A = np.vstack(x.to_numpy()).astype(np.float64)
+            B = np.vstack(y.to_numpy()).astype(np.float64)
+            return pd.Series(
+                np.floor(A * B * _SCALE).astype(np.int64).sum(axis=1) / _SCALE,
+                index=x.index,
+            )
         out = pd.Series(np.nan, index=x.index, dtype="float64")
         if valid.any():
             # whole-batch matrices: one C-level pass for the entire
@@ -125,6 +136,15 @@ def norm_exact_vec(a: Column) -> Column:
         import numpy as np
 
         valid = x.notna().to_numpy()
+        if valid.all():
+            # all-valid fast path — see _dot above
+            A = np.vstack(x.to_numpy()).astype(np.float64)
+            return pd.Series(
+                np.sqrt(
+                    np.floor(A * A * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+                ),
+                index=x.index,
+            )
         out = pd.Series(np.nan, index=x.index, dtype="float64")
         if valid.any():
             A = np.vstack(x[valid].to_numpy()).astype(np.float64)
@@ -394,6 +414,135 @@ def bucketed_norm_corpus(
             F.coalesce(F.col("__bn.bucket"), F.lit("")).alias("bucket"),
             F.col("__bn.nrm").alias("nrm"),
         )
+    )
+
+
+def bucket_pair_dots(
+    withb: DataFrame,
+    id_col: str = "vec_id",
+    per_query_limit: int | None = None,
+) -> DataFrame:
+    """All ordered same-bucket candidate pairs (id_a ≠ id_b) with the
+    exact fixed-point dot: (bucket, query_id, neighbor_id, dot, qn, cn).
+
+    Replaces the bucket self-join + per-pair scoring UDF of the LSH
+    all-pairs queries.  That shape ships BOTH vectors across the Arrow
+    boundary once per candidate pair — Σ df(bucket)² · dims · 8 bytes,
+    QUADRATIC in bucket occupancy (measured 6+ GB of boundary bytes at
+    the 20× replica, and the r13 driver saw a 4.79× wall step for a 2×
+    data step) — and, worse, the planner broadcast the corpus side and
+    ran the scoring UDF at the probe SCAN's parallelism.  Here each
+    vector crosses the boundary ONCE per bucket (linear), the C(n,2)
+    enumeration and the dot kernel run in blocked numpy inside one
+    ``applyInPandas`` per bucket group, and only the 40-byte pair rows
+    come back (guide §8: move heavy bytes once, decide on proxies;
+    §4.2: whole-group native kernels).
+
+    Bitwise-identical scores: per element floor((a·b)·1e12) → int64
+    sum → /1e12, the same operation sequence as :func:`dot_exact_vec`.
+    qn/cn pass through from the fused bucket+norm scan so the caller's
+    ``dot / nullif(qn·cn, 0)`` cosine (NULL on zero norms) is the same
+    JVM expression as before.
+
+    Skew note: one bucket = one group; a pathological hot bucket is a
+    straggler task here where the join form spread its pairs over
+    probe partitions — at real scale the mitigation is more planes
+    (buckets grow as 2^planes), which is the existing knob.
+
+    ``per_query_limit=k`` prunes to each query's top-k candidates
+    INSIDE the kernel, making the Python→JVM output linear in the
+    corpus (3 rows/query) instead of quadratic in bucket occupancy.
+    The prune is EXACT, not partial: a vector lives in exactly one
+    bucket, so the group holds every candidate of each of its queries,
+    and the selection key replicates the consumer window's total order
+    — cosine DESC with Spark double semantics (NaN greatest) and
+    NULL (zero-norm denominator) last, ties by neighbor_id ASC — so
+    the downstream ``row_number() ≤ k`` filter keeps exactly the same
+    rows and re-ranks the survivors identically.
+    """
+    import numpy as np
+
+    empty = pd.DataFrame(
+        {
+            "bucket": pd.Series(dtype="str"),
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "dot": pd.Series(dtype="float64"),
+            "qn": pd.Series(dtype="float64"),
+            "cn": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        d = A.shape[1]
+        bucket = pdf["bucket"].iloc[0]
+        # blocked pairwise fixed-point dots: bound the (chunk, n, d)
+        # float64 temp at ~64 MB so a hot bucket cannot OOM the worker
+        chunk = max(1, int((1 << 23) // max(n * d, 1)))
+        qs, cs, dts = [], [], []
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            dots = (
+                np.floor(A[s:e, None, :] * A[None, :, :] * _SCALE)
+                .astype(np.int64)
+                .sum(axis=2)
+                / _SCALE
+            )
+            qi = np.repeat(np.arange(s, e), n)
+            ci = np.tile(np.arange(n), e - s)
+            keep = ids[qi] != ids[ci]
+            qs.append(qi[keep])
+            cs.append(ci[keep])
+            dts.append(dots.ravel()[keep])
+        qi = np.concatenate(qs)
+        ci = np.concatenate(cs)
+        dot = np.concatenate(dts)
+        if per_query_limit is not None:
+            # in-kernel exact top-k per query over the window's total
+            # order: ascending key = -cosine with NaN → -inf (Spark
+            # sorts NaN as the GREATEST double, so it ranks first in
+            # DESC) and zero-denominator (NULL cosine downstream) →
+            # +inf (NULLS LAST); ties by neighbor id ASC, matching
+            # row_number() OVER (ORDER BY cosine DESC, neighbor_id)
+            den = nrm[qi] * nrm[ci]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / den
+            key = -cos
+            key[np.isnan(cos)] = -np.inf
+            key[den == 0.0] = np.inf
+            order = np.lexsort((ids[ci], key, ids[qi]))
+            qsorted = ids[qi][order]
+            starts = np.zeros(len(order), dtype=bool)
+            starts[0] = True
+            starts[1:] = qsorted[1:] != qsorted[:-1]
+            rank = np.arange(len(order)) - np.maximum.accumulate(
+                np.where(starts, np.arange(len(order)), 0)
+            )
+            sel = order[rank < per_query_limit]
+            qi, ci, dot = qi[sel], ci[sel], dot[sel]
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "query_id": ids[qi],
+                "neighbor_id": ids[ci],
+                "dot": dot,
+                "qn": nrm[qi],
+                "cn": nrm[ci],
+            }
+        )
+
+    return withb.groupBy("bucket").applyInPandas(
+        _pairs,
+        schema=(
+            "bucket string, query_id long, neighbor_id long, "
+            "dot double, qn double, cn double"
+        ),
     )
 
 

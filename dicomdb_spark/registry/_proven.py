@@ -378,7 +378,9 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
     "dicomdb_spark/llm/corpus.py": ("corpus_weighted_sample",),
     # r13 null-probe: drop_null_vectors at every public entry +
     # NULL-propagating dot/norm batch UDFs; r13 optimization: fused
-    # seed_cell_norm_corpus IVF coarse quantizer (one scan/Arrow hop)
+    # seed_cell_norm_corpus IVF coarse quantizer (one scan/Arrow hop);
+    # r14: valid.all() fast path in dot/norm kernels (r13 VERDICT #3)
+    # + bucket_pair_dots per-bucket pair kernel (r13 VERDICT #1)
     "dicomdb_spark/llm/similarity.py": (
         "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_buckets",
         "ann_mips_topk", "dedup_embedding_cosine", "ann_recall_eval",
@@ -396,6 +398,14 @@ ENGINE_MODULES_ACK: dict[str, tuple[str, ...]] = {
         "corpus_dedup_survivorship", "corpus_dup_cluster_sizes",
         "graph_modularity",
         "dedup_prefix_jaccard", "dedup_prefix_containment",
+    ),
+    # r14: centralizes the lineage cut — localCheckpoint by default,
+    # SPARK_GRAFT_CHECKPOINT_DIR-gated reliable checkpoint() for
+    # cluster deploys (r13 VERDICT #9); every former localCheckpoint
+    # site now routes through transform(cut_lineage)
+    "dicomdb_spark/operators/lineage.py": (
+        "graph_bfs_hops", "er_transitive_merge", "graph_kcore",
+        "graph_hits_unrolled", "a_rfm_segmentation",
     ),
     # r13 optimization: localCheckpoint lineage truncation in the
     # three PageRank variants' iteration loops
@@ -515,6 +525,14 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     "a_segment_migration_matrix", "graph_katz_bounded",
     # session 3: same fix for the k-core peel and the power iteration
     "graph_kcore", "emb_top_pc_power",
+    # r14 optimization round: ann_lsh_topk pair scoring moved into the
+    # per-bucket numpy kernel (bucket_pair_dots, in-kernel exact top-3
+    # prune) — oracle-rechecked at sf0.01 + embeddings sweep 37/37
+    # when landed; the remaining names are the cut_lineage mechanical
+    # refactor (localCheckpoint → transform(cut_lineage), identical
+    # default behaviour, reliable-checkpoint switch added)
+    "a_weighted_kappa", "graph_eccentricity",
+    "graph_ktruss_fixpoint", "graph_ktruss_peel",
 )
 
 

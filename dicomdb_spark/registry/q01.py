@@ -2126,31 +2126,28 @@ def ann_lsh_topk(spark, sf_dir):
     path: candidates meet via an equi-join on the bucket key, never a
     cross join over the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # one fused scan+Arrow hop per side (was: emb ⋈ buckets vec_id
-    # join + a second norm UDF — see llm/similarity.py
-    # bucketed_norm_corpus; r13 optimization, guide §2.4/§4.1)
+    # one fused scan+Arrow hop for bucket+norm (r13, guide §2.4/§4.1),
+    # then per-bucket numpy pair enumeration + scoring: each vector
+    # crosses the Python boundary once per BUCKET, not once per PAIR —
+    # the r13 bucket self-join shipped both 64-dim vectors per
+    # candidate pair (quadratic boundary bytes) and the planner scored
+    # them on the un-shuffled probe side of a corpus broadcast, which
+    # is how the driver measured a 4.79× wall step for a 2× data step
+    # at the 20× replica (r14 fix; guide §8, §4.2, §2.4).
     withb = lsim.bucketed_norm_corpus(emb, n_planes=8)
-    q = withb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("__qv"),
-        F.col("nrm").alias("__qn"),
+    # per_query_limit=3: the kernel holds every candidate of a query
+    # (one bucket per vector), so its top-3 prune is exact and the
+    # window below re-ranks the identical surviving rows
+    scored = lsim.bucket_pair_dots(withb, per_query_limit=3).select(
+        "query_id",
         "bucket",
-    )
-    c = withb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("__cv"),
-        F.col("nrm").alias("__cn"),
-        F.col("bucket").alias("__cb"),
-    )
-    scored = (
-        q.join(c, (F.col("bucket") == F.col("__cb")) & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn(
-            "cosine_sim",
-            # nullif: zero-norm vectors → NULL cosine like DuckDB x/0
-            lsim.dot_exact_vec(F.col("__qv"), F.col("__cv"))
-            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
-        )
-        .select("query_id", "bucket", "neighbor_id", "cosine_sim")
+        "neighbor_id",
+        # nullif: zero-norm vectors → NULL cosine like DuckDB x/0 —
+        # the same JVM expression as the join form (the kernel only
+        # moves the pair enumeration + exact dot)
+        (
+            F.col("dot") / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

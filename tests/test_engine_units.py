@@ -1409,3 +1409,93 @@ def test_stateful_distinct_tws_matches_classic(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cut_lineage_modes(spark, tmp_path, monkeypatch):
+    """cut_lineage truncates the plan in BOTH storage modes: default
+    localCheckpoint (executor-local, non-reliable) and the
+    SPARK_GRAFT_CHECKPOINT_DIR-gated reliable checkpoint() for cluster
+    deploys (r13 VERDICT #9: executor loss kills localCheckpoint
+    blocks; the switch must exist, default unchanged)."""
+    from dicomdb_spark.operators.lineage import cut_lineage
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    chained = df
+    for _ in range(3):
+        chained = chained.selectExpr("id", "v + 1 AS v")
+
+    # default mode: localCheckpoint — plan truncated to a scan
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    cut = cut_lineage(chained)
+    assert "Scan ExistingRDD" in cut._jdf.queryExecution().executedPlan().toString()
+    assert [r.v for r in cut.orderBy("id").limit(3).collect()] == [3, 5, 7]
+
+    # reliable mode: checkpoint() into the env-pointed directory
+    ck = tmp_path / "reliable_ck"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ck))
+    cut2 = cut_lineage(chained)
+    assert [r.v for r in cut2.orderBy("id").limit(3).collect()] == [3, 5, 7]
+    assert spark.sparkContext.getCheckpointDir() is not None
+    import os
+
+    assert any(os.scandir(ck)), "reliable checkpoint dir not written"
+
+
+def test_bucket_pair_dots_topk_prune_matches_window(spark):
+    """bucket_pair_dots(per_query_limit=k) must keep EXACTLY the rows
+    the consumer window keeps (cosine DESC with Spark double
+    semantics: NaN greatest, NULL — zero-norm denominator — last,
+    ties by neighbor_id ASC).  Hostile bucket: a zero-norm vector
+    (NULL cosine), a NaN vector (NaN cosine), duplicate vectors
+    (cosine ties broken by id)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dicomdb_spark.llm.similarity import bucket_pair_dots
+
+    rows = [
+        (0, [1.0, 0.0], "b", 1.0),
+        (1, [1.0, 0.0], "b", 1.0),  # duplicate of 0: tie on cosine
+        (2, [0.0, 1.0], "b", 1.0),
+        (3, [0.0, 0.0], "b", 0.0),  # zero norm -> NULL cosine
+        (4, [float("nan"), 1.0], "b", math.sqrt(1.0)),  # NaN dot
+        (5, [0.5, 0.5], "c", math.sqrt(0.5)),  # lone bucket: no pairs
+    ]
+    withb = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, bucket string, nrm double"
+    )
+    cos = F.col("dot") / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col("neighbor_id")
+    )
+    k = 2
+    full = (
+        bucket_pair_dots(withb)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dot", "qn", "cn")
+    )
+    pruned = bucket_pair_dots(withb, per_query_limit=k).select(
+        "query_id", "neighbor_id", "dot", "qn", "cn"
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r.query_id,
+                r.neighbor_id,
+                None if r.dot is None or math.isnan(r.dot) else round(r.dot, 9),
+                round(r.qn, 9),
+                round(r.cn, 9),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(pruned) == canon(full)
+    # every query in the bucket keeps exactly k candidates (4 others)
+    per_q = {}
+    for r in pruned.collect():
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert per_q == {0: k, 1: k, 2: k, 3: k, 4: k}
