@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 
 from dicomdb_spark.functions.text import shingles, tokens
 
@@ -1089,7 +1090,7 @@ def min_label_components(
         # under storage pressure silently replayed every round.
         edges = edges.repartition(
             pairs.sparkSession.sparkContext.defaultParallelism, "src"
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     hint = F.broadcast if broadcast_labels else (lambda df: df)
     labels = verts.select("doc_id", F.col("doc_id").alias("lbl"))
     for _ in range(iters):
@@ -1110,5 +1111,5 @@ def min_label_components(
             # same per-iteration discipline as Pregel superstep state;
             # superseded rounds' blocks are freed by the
             # ContextCleaner when their references drop.
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(cut_lineage)
     return labels.select("doc_id", F.col("lbl").alias("component"))

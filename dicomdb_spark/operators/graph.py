@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 
 SCALE = 10**12
 
@@ -72,8 +73,8 @@ def pagerank(
     edges = edges.join(deg, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
-        edges = edges.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
+        edges = edges.transform(cut_lineage)
+        nodes = nodes.transform(cut_lineage)
     n = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
@@ -115,7 +116,7 @@ def pagerank(
             # InMemoryRelations re-planned per action.  Superseded
             # rounds' blocks are freed by the ContextCleaner when
             # their references drop.
-            r = r.localCheckpoint(eager=True)
+            r = r.transform(cut_lineage)
     return r
 
 
@@ -184,8 +185,8 @@ def personalized_pagerank(
     edges = edges.join(deg, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
-        edges = edges.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
+        edges = edges.transform(cut_lineage)
+        nodes = nodes.transform(cut_lineage)
     sset = nodes.join(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(), "node"
     )
@@ -194,7 +195,7 @@ def personalized_pagerank(
         F.broadcast(sset.withColumn("is_seed", F.lit(1))), "node", "left"
     ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     if persist_edges:
-        flagged = flagged.localCheckpoint(eager=True)
+        flagged = flagged.transform(cut_lineage)
     r = flagged.crossJoin(F.broadcast(ns)).select(
         "node",
         F.when(
@@ -229,7 +230,7 @@ def personalized_pagerank(
                     ).cast("long")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return r
 
@@ -307,8 +308,8 @@ def pagerank_weighted(
     edges = edges.join(wout, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     if persist_edges:
-        edges = edges.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
+        edges = edges.transform(cut_lineage)
+        nodes = nodes.transform(cut_lineage)
     n = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.floor(F.lit(float(SCALE)) / F.col("n")).cast("long").alias("r")
@@ -339,7 +340,7 @@ def pagerank_weighted(
             )
         )
         if persist_edges:
-            r = r.localCheckpoint(eager=True)
+            r = r.transform(cut_lineage)
     return r
 
 

@@ -3,6 +3,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
@@ -551,7 +552,7 @@ def graph_kcore(spark, sf_dir):
         # upstream tree per reference — the executed plan reached 5,716
         # Exchange nodes; localCheckpoint per round (the BFS/HITS
         # idiom) keeps it flat and drops the count/unpersist dance.
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -563,12 +564,12 @@ def graph_kcore(spark, sf_dir):
         v = (
             deg.filter(F.col("deg") >= 2)
             .select("src")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         e = (
             e.join(v, "src", "left_semi")
             .join(v.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return e.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").cast("long").alias("core_degree")
@@ -1294,7 +1295,7 @@ def graph_bfs_hops(spark, sf_dir):
         # the checkpointed RDD keeps hashpartitioning(src), so each
         # round reuses it with no edge exchange
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     dist = (
         e.select(F.col("src").alias("node"))
@@ -1313,7 +1314,7 @@ def graph_bfs_hops(spark, sf_dir):
             # eager per-round materialization: superseded rounds' blocks
             # are released by the ContextCleaner when their references
             # drop, so repeated invocations don't accumulate storage
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return dist.select(
         F.col("node").alias("doc_id"), F.col("hop").cast("long").alias("hop")
@@ -2494,7 +2495,7 @@ def er_transitive_merge(spark, sf_dir):
     )
     e = pairs.select(F.col("tok1").alias("src"), F.col("tok2").alias("dst")).unionAll(
         pairs.select(F.col("tok2").alias("src"), F.col("tok1").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     pairs.unpersist()
     lbl = e.select(F.col("src").alias("tok")).distinct().withColumn(
         "lbl", F.col("tok")
@@ -2513,7 +2514,7 @@ def er_transitive_merge(spark, sf_dir):
             # eager per-round materialization truncates the doubled
             # lineage (lbl feeds both msg and the least-merge);
             # superseded rounds are freed by the ContextCleaner
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return lbl.groupBy(F.col("lbl").alias("canonical")).agg(
         F.count("*").cast("long").alias("n_variants"),
@@ -2729,7 +2730,7 @@ def emb_top_pc_power(spark, sf_dir):
                     F.floor(F.col("s") * F.col("val") * 1000000).cast("long")
                 ).alias("w")
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
@@ -2737,7 +2738,7 @@ def emb_top_pc_power(spark, sf_dir):
             .select(
                 "dim", (F.col("w").cast("double") / F.col("m").cast("double")).alias("vv")
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     d.unpersist()
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("vv").alias("loading"))

@@ -3,6 +3,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
@@ -2446,10 +2447,10 @@ def graph_degree_ccdf(spark, sf_dir):
     # plan); checkpoint the two tiny tables once.
     deg = e.groupBy("v").agg(
         F.count("*").cast("long").alias("degree")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     h = deg.groupBy("degree").agg(
         F.count("*").cast("long").alias("n_vertices")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     nv = deg.agg(F.count("*").cast("long").alias("nv"))
     run = ow.bucketed_running(
         ow.monotone_range_bucket(h, "degree", ascending=False),

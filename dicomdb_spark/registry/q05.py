@@ -3,6 +3,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
@@ -913,16 +914,16 @@ def graph_katz_bounded(spark, sf_dir):
     # nested a second hop(p1) subtree — checkpoint each |V|-row hop
     # once (HITS idiom) so every hop is one edges⋈counts join over
     # materialized state.
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _cs_edges(spark, sf_dir).transform(cut_lineage)
     p1 = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count("*").cast("long").alias("p")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     def hop(prev):
         return (
             edges.join(prev.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("p").cast("long").alias("p"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     p2 = hop(p1)
     p3 = hop(p2)
@@ -998,10 +999,10 @@ def graph_hits_unrolled(spark, sf_dir):
     localCheckpoint(eager=True) per half-round (the k-truss / BFS /
     PageRank idiom) makes each round one edges⋈scores join over
     materialized |V|-row state; the consumer plan is flat."""
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _cs_edges(spark, sf_dir).transform(cut_lineage)
 
     def normalize(df, col):
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(cut_lineage)
         m = df.agg(F.max(col).alias("__m"))
         return df.crossJoin(F.broadcast(m)).select(
             "node", F.expr(f"({col} * 1000000) div __m").alias(col)
@@ -3175,7 +3176,7 @@ def graph_ktruss_peel(spark, sf_dir):
         num_hashes=16,
         bands=4,
         min_parallelism=local_fanout(spark),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     counts = [
         pairs.agg(F.count("*").cast("long").alias("n_edges")).select(
             F.lit(0).cast("long").alias("round"), "n_edges"
@@ -3198,7 +3199,7 @@ def graph_ktruss_peel(spark, sf_dir):
             edges.join(sup, ["id1", "id2"])
             .filter(F.col("sup") >= 1)
             .select("id1", "id2")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         counts.append(
             edges.agg(F.count("*").cast("long").alias("n_edges")).select(

@@ -3,6 +3,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
@@ -967,7 +968,7 @@ def a_rfm_segmentation(spark, sf_dir):
                 out, ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
             )
             .drop("__rn")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
 
     q = quint(r, "recency_days", False, "r_quint")
@@ -3318,7 +3319,7 @@ def a_segment_migration_matrix(spark, sf_dir):
         d = s.filter(F.col("period") == p)
         d = d.crossJoin(
             d.agg(F.count("*").cast("long").alias("__n"))
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         ranked = ow.bucketed_running(
             ow.monotone_range_bucket(d, "spend_c", ascending=True),
             ["spend_c", "o_custkey"],
@@ -3329,7 +3330,7 @@ def a_segment_migration_matrix(spark, sf_dir):
             ow.ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
             .cast("long")
             .alias("quint"),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
 
     q0 = quint_period(0).withColumnRenamed("quint", "from_quint")
     q1 = quint_period(1).withColumnRenamed("quint", "to_quint")

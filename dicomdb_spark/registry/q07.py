@@ -3,6 +3,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
@@ -234,7 +235,7 @@ def graph_harmonic_centrality(spark, sf_dir):
             pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
         )
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("dg")
@@ -253,7 +254,7 @@ def graph_harmonic_centrality(spark, sf_dir):
             dist.unionAll(msg)
             .groupBy("seed", "node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     h12 = F.sum(
         F.when(F.col("hop") > 0, F.floor(F.lit(12) / F.col("hop"))).otherwise(0)
@@ -514,7 +515,7 @@ def graph_ktruss_fixpoint(spark, sf_dir):
         num_hashes=16,
         bands=4,
         min_parallelism=local_fanout(spark),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     counts = [
         pairs.agg(F.count("*").cast("long").alias("n_edges")).select(
             F.lit(0).cast("long").alias("round"), "n_edges"
@@ -537,7 +538,7 @@ def graph_ktruss_fixpoint(spark, sf_dir):
             edges.join(sup, ["id1", "id2"])
             .filter(F.col("sup") >= 2)
             .select("id1", "id2")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         counts.append(
             edges.agg(F.count("*").cast("long").alias("n_edges")).select(

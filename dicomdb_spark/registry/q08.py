@@ -3,6 +3,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 from dicomdb_spark.functions import scalars, text, vectors  # noqa: F401 (vectors used via llm)
 from dicomdb_spark.io import load_table
 from dicomdb_spark.llm import dedup as ldedup
@@ -717,7 +718,7 @@ def a_weighted_kappa(spark, sf_dir):
     o = (
         t.groupBy("ra", "rb")
         .agg(F.count("*").cast("long").alias("o_ij"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     ra_m = o.groupBy(F.col("ra").alias("lvl")).agg(
         F.sum("o_ij").cast("long").alias("r_i")

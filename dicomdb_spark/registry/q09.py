@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window  # noqa: F401
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 
 from dicomdb_spark.io import load_table
 from dicomdb_spark.registry._core import register
@@ -1623,7 +1624,7 @@ def graph_eccentricity(spark, sf_dir):
             d.unionAll(nxt)
             .groupBy("src", "node")
             .agg(F.min("d").cast("long").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if i >= 5:
             counts[i] = d.agg(

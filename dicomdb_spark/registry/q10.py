@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window  # noqa: F401
 from pyspark.sql import functions as F
+from dicomdb_spark.operators.lineage import cut_lineage
 
 from dicomdb_spark.io import load_table
 from dicomdb_spark.operators import windows as ow
@@ -746,7 +747,7 @@ def a_generalized_esd(spark, sf_dir):
                 cur.crossJoin(F.broadcast(rm))
                 .filter(F.col("day") != F.col("rm_day"))
                 .select("day", "y")
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
     out = outs[0]
     for r in outs[1:]:
