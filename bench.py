@@ -72,7 +72,10 @@ def idle_guard(max_wait_s: float = 180.0) -> dict:
     own descendants and (b) 1-min loadavg below a threshold, then
     proceeds either way and RECORDS what it saw, so a loaded
     measurement is at least machine-flagged in the artifact."""
-    thresh = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "8.0"))
+    # r13 VERDICT #4/#5: 8.0 let a load1-7.38 host stamp idle:true and
+    # produce a phantom 41 % regression on unchanged code; 4.0 makes
+    # "idle" mean idle on this 32-core box.
+    thresh = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "4.0"))
     if os.environ.get("SPARK_GRAFT_IDLE_GUARD", "1") == "0":
         return {"enabled": False}
     t0 = time.monotonic()
@@ -90,6 +93,21 @@ def idle_guard(max_wait_s: float = 180.0) -> dict:
                 "waited_s": round(waited, 1),
             }
         time.sleep(5.0)
+
+def cpu_probe() -> float:
+    """Fixed-work single-core speed probe (r13 VERDICT #5): 2M chained
+    md5 hashes, seconds.  Stamped into every artifact so cross-round
+    comparisons can be load/host-normalized — r13's 0.71 phantom
+    geomean would have been machine-explainable with this one number
+    (the r13 builder measured 1.43 s / 1.82 s on its two hosts)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"seed"
+    for _ in range(2_000_000):
+        h = hashlib.md5(h).digest()
+    return round(time.perf_counter() - t0, 3)
+
 
 HEADLINE = [
     "a1_dup_customer_day",
@@ -114,20 +132,40 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str, reps: int = 3) -> float:
+def run_query(
+    spark, name: str, sf_dir: str, reps: int = 3, detail: dict | None = None
+) -> float:
     """min-of-N execution time: the first run pays per-query codegen
     (a fixed cost irrelevant at real scale), min strips that plus GC
     noise so round-over-round numbers are comparable.  reps=3: for
     codegen-heavy plans (the 16-min-agg minhash signature) rep 2 still
     carries residual JIT — measured 4.8 / 1.3 / 1.0 s — so min-of-2
     overstates steady state by ~30 % exactly on the plans where it
-    matters most."""
+    matters most.
+
+    Measurement-contract fix (r13 VERDICT #3, additions only): the
+    DataFrame CONSTRUCTION below runs outside the write timer, and the
+    checkpoint-bearing iterative queries materialize real work at
+    plan-build — so when ``detail`` is passed, build time and the
+    rep-1 (cold — includes any per-query persist materialization)
+    write time are recorded alongside, keeping those queries
+    regression-detectable.  The returned min-of-N and the headline
+    "queries"/"value" definitions are UNCHANGED from r01..r13."""
+    t_build0 = time.perf_counter()
     df = QUERIES[name](spark, sf_dir)
+    build_s = time.perf_counter() - t_build0
     best = float("inf")
+    cold = None
     for _ in range(reps):
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if cold is None:
+            cold = dt
+        best = min(best, dt)
+    if detail is not None:
+        detail["build"] = round(build_s, 4)
+        detail["cold"] = round(cold if cold is not None else -1.0, 4)
     # drop this query's persisted datasets before the next one: leaked
     # cache blocks from earlier queries squeeze executor storage memory
     # and fake 2-3× regressions on later CPU-bound entries (measured:
@@ -245,17 +283,25 @@ def main() -> None:
     except ValueError:  # non-sfN.N dir names (e.g. the 5× replicas)
         sf = -1.0
     guard = idle_guard()
+    probe_s = cpu_probe()
     spark = get_spark(app_name="dicomdb_spark_bench")
 
     # one warm-up pass of the first query amortizes JVM/codegen startup
     run_query(spark, HEADLINE[0], sf_dir)
 
     per_query: dict[str, float] = {}
+    per_query_extra: dict[str, dict] = {}
     total = 0.0
+    build_total = 0.0
+    cold_total = 0.0
     for name in HEADLINE:
-        dt = run_query(spark, name, sf_dir)
+        d: dict = {}
+        dt = run_query(spark, name, sf_dir, detail=d)
         per_query[name] = round(dt, 4)
+        per_query_extra[name] = d
         total += dt
+        build_total += d.get("build", 0.0)
+        cold_total += d.get("cold", 0.0)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -264,6 +310,12 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "idle_guard": guard,
+        "cpu_probe_s": probe_s,
+        # additive honesty totals (r13 VERDICT #3): plan-build work
+        # (incl. eager checkpoints) + rep-1 cold writes (incl. persist
+        # materialization).  "value"/"queries" keep the r01 definition.
+        "build_s": round(build_total, 4),
+        "cold_s": round(cold_total, 4),
     }
     # round-2+ operators, timed separately so "value" keeps the same
     # 19-query definition as the round-1 baseline
@@ -399,7 +451,14 @@ def main() -> None:
     # headline record because the single output line overflowed the
     # tail capture).  The FINAL line is the compact headline JSON and
     # must stay well under 2000 bytes.
-    detail: dict = {"detail": "extended", "extended_queries": extended}
+    detail: dict = {
+        "detail": "extended",
+        "extended_queries": extended,
+        # per-query build (DataFrame construction, incl. eager
+        # checkpoint materialization) and rep-1 cold write seconds for
+        # the 19 headline queries (r13 VERDICT #3)
+        "headline_build_cold": per_query_extra,
+    }
     scale = scale_ratios(spark, sf_dir, SCALE_FACTOR)
     if scale is not None:
         ratios, rows_out = scale
