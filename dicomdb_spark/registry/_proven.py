@@ -533,6 +533,10 @@ MODIFIED_SINCE_PROVEN: tuple[str, ...] = (
     # default behaviour, reliable-checkpoint switch added)
     "a_weighted_kappa", "graph_eccentricity",
     "graph_ktruss_fixpoint", "graph_ktruss_peel",
+    # r14: persist the multi-consumer scored table in the CCNet
+    # tercile split (4 consumers re-ran the bigram LM pipeline) —
+    # oracle-rechecked at sf0.01 when landed
+    "text_ccnet_buckets",
 )
 
 
